@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` maps every
+implemented operator from SURVEY.md §2 to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+correctness gate. Implementations live in flinkrunner_spark/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flinkrunner_spark.plans import analytics, events  # noqa: E402
+from flinkrunner_spark.plans.oracle_sql import ORACLES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    return analytics.q1_pricing(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.4 analytics / Table-API parity
+        "q1_pricing": analytics.q1_pricing,
+        "q3_shipping": analytics.q3_shipping,
+        "q5_supplier": analytics.q5_supplier,
+        "topk_orders": analytics.topk_orders,
+        "pivot_events": analytics.pivot_events,
+        "rollup_sales": analytics.rollup_sales,
+        # §2.1 aggregates
+        "agg_basic": events.agg_basic,
+        "agg_percentage": events.agg_percentage,
+        "agg_histogram": events.agg_histogram,
+        "agg_ema": events.agg_ema,
+        "agg_emvar": events.agg_emvar,
+        "win_tumbling": events.win_tumbling,
+        "win_sliding": events.win_sliding,
+        "win_session": events.win_session,
+        # §2.2 stream operators
+        "dedup_first": events.dedup_first_q,
+        "dedup_sbf": events.dedup_sbf_q,
+        "filter_by_control": events.filter_by_control_q,
+        "asof_join": events.asof_join_q,
+        "enrich_events": events.enrich_events,
+        # §2.3 algorithms
+        "distinct_users": events.distinct_users,
+        "hll_users": events.hll_users,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for each queries() key; keys absent here (dedup_sbf,
+    hll_users — probabilistic/stateful) get the driver's rows-only check."""
+    return dict(ORACLES)

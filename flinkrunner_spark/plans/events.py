@@ -1,0 +1,197 @@
+"""Event-stream query plans: the reference's keyed/windowed aggregation,
+dedup, control-gating, enrichment and as-of patterns applied to the
+``events`` table (event_id, ts, user_id, event_type, value, props).
+
+Each of these is the batch expression of a streaming pipeline; the same
+plans run under Structured Streaming via flinkrunner_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.operators import aggregates as A
+from flinkrunner_spark.operators import windows as W
+from flinkrunner_spark.operators.control import filter_by_control
+from flinkrunner_spark.operators.dedup import dedup_first, dedup_sbf
+from flinkrunner_spark.operators.enrichment import enrich_broadcast
+from flinkrunner_spark.operators.joins import asof_join
+
+
+from flinkrunner_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All order-independent reference aggregates keyed by event_type
+    (FlinkRunnerAggregateFunction applied per key)."""
+    return _events(spark, sf_dir).groupBy("event_type").agg(*A.basic_agg_exprs("value"))
+
+
+def agg_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage aggregate with base=20 (Percentage.scala semantics)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(A.percentage_expr("value", base=20.0))
+    )
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregate: log10-magnitude bins per event_type."""
+    ev = _events(spark, sf_dir)
+    bin_min, bin_max = A.histogram_bin_exprs("value")
+    return (
+        ev.select("event_type", bin_min, bin_max)
+        .groupBy("event_type", "bin_min", "bin_max")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExponentialMovingAverage (α=0.7) per event_type over event-time
+    order."""
+    return A.ema_agg(
+        _events(spark, sf_dir), ["event_type"], ["ts", "event_id"], "value"
+    ).withColumn("agg_ema", F.round("agg_ema", 6))
+
+
+def agg_emvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExponentialMovingVariance + -StandardDeviation (α=0.7)."""
+    return (
+        A.emvar_agg(_events(spark, sf_dir), ["event_type"], ["ts", "event_id"], "value")
+        .withColumn("agg_emvar", F.round("agg_emvar", 6))
+        .withColumn("agg_emsd", F.round("agg_emsd", 6))
+    )
+
+
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type."""
+    return W.tumbling_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), A.dsum("value", "total")],
+    )
+
+
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes per event_type."""
+    return W.sliding_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), A.dsum("value", "total")],
+    )
+
+
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user: session bounds + stats."""
+    return W.session_agg(
+        _events(spark, sf_dir),
+        "ts",
+        "5 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n"), A.dsum("value", "total")],
+    )
+
+
+def dedup_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: first event per (user_id, event_type) in event order."""
+    return dedup_first(
+        _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+
+
+def dedup_sbf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (Stable-Bloom-Filter) dedup on the same key — the
+    constant-memory streaming form; rows-only oracle (probabilistic)."""
+    return dedup_sbf(
+        _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    ).select("user_id", "event_type", "event_id")
+
+
+def filter_by_control_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterByControlSource on events: 'signup' activates a user's stream,
+    'error' deactivates it; other event types are the data stream."""
+    ev = _events(spark, sf_dir)
+    control = ev.filter(F.col("event_type").isin("signup", "error")).withColumn(
+        "active", F.col("event_type") == "signup"
+    )
+    data = ev.filter(~F.col("event_type").isin("signup", "error")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return filter_by_control(control, data, "user_id", "ts", "event_id")
+
+
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's latest click at or
+    before the purchase time."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        left_id="event_id",
+        left_key="user_id",
+        right_key="c_user",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_tiebreak="click_id",
+        right_cols=["click_id", "click_ts"],
+    )
+
+
+def enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrichment of events with customer attributes (the Spark
+    form of EnrichmentAsyncFunction's cached lookup)."""
+    ev = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return enrich_broadcast(
+        ev,
+        cust,
+        ev["user_id"] == cust["c_custkey"],
+        "left",
+        ["event_id", "user_id", "event_type", "c_name", "c_mktsegment"],
+    )
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type user cardinality (baseline for the HLL estimate)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-type user cardinality using the faithful register
+    implementation (algorithms/hll.py), merged distributively."""
+    from flinkrunner_spark.algorithms.hll import hll_cardinality_by_key
+
+    return hll_cardinality_by_key(
+        _events(spark, sf_dir), key="event_type", value="user_id", b=12
+    )

@@ -1,0 +1,252 @@
+"""DuckDB oracle SQL for every queries() entry (the driver's t2 gate).
+
+Cross-engine determinism rules used throughout (see operators/aggregates.py):
+* additive aggregates over doubles go through DECIMAL(18,6) — exact and
+  order-independent — then CAST AS DOUBLE, mirroring the Spark plans
+  expression-for-expression;
+* order-dependent folds (EMA family) are written as ``list_reduce`` with
+  the SAME IEEE double operations in the SAME order as the Spark-side
+  ``F.aggregate`` fold, with float literals spelled as CAST(x AS DOUBLE) so
+  DuckDB doesn't parse them as decimals;
+* every computed column is aliased identically to the Spark plan.
+"""
+
+# shared fragments
+_DSUM_V = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+_S1 = _DSUM_V
+_S2 = "CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+_N = "COUNT(value)"
+_A = "CAST(0.7 AS DOUBLE)"
+_OMA = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+# Factor precisions chosen so even the triple product price*disc*tax fits
+# precision 38 exactly — no intermediate decimal rounding anywhere (scale-6
+# casts of doubles can never hit an exact .5 tie, so HALF_UP vs HALF_EVEN
+# engine differences are unreachable).
+_DISC = "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+_PRICE = "CAST(l_extendedprice AS DECIMAL(18,6))"
+_TAX = "(CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM({_PRICE}) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM({_PRICE} * {_DISC} * {_TAX}) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping"] = f"""
+SELECT l_orderkey, o_orderdate,
+  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["q5_supplier"] = f"""
+SELECT n_name, CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+ORACLES["topk_orders"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+  FROM orders) t
+WHERE rank <= 3
+"""
+
+ORACLES["pivot_events"] = """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+ORACLES["rollup_sales"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["agg_basic"] = f"""
+SELECT event_type,
+  {_N} AS agg_count,
+  {_DSUM_V} AS agg_sum,
+  {_DSUM_V} / {_N} AS agg_mean,
+  MIN(value) AS agg_min,
+  MAX(value) AS agg_max,
+  MAX(value) - MIN(value) AS agg_range,
+  ({_S2} - {_S1} * {_S1} / {_N}) / ({_N} - 1) AS agg_variance,
+  SQRT(({_S2} - {_S1} * {_S1} / {_N}) / ({_N} - 1)) AS agg_stddev,
+  ({_S2} - {_S1} * {_S1} / {_N}) AS agg_ssd
+FROM events GROUP BY event_type
+"""
+
+ORACLES["agg_percentage"] = f"""
+SELECT event_type, {_DSUM_V} / 20.0 * 100.0 AS agg_pct
+FROM events GROUP BY event_type
+"""
+
+ORACLES["agg_histogram"] = """
+WITH m AS (
+  SELECT event_type, value,
+    FLOOR(LOG10(CASE WHEN ABS(value) < 1e-9 THEN 1e-9 ELSE ABS(value) END))
+      AS magnitude
+  FROM events
+), e AS (
+  SELECT event_type, value,
+    POWER(10.0, SIGN(magnitude) * (ABS(magnitude) - 1)) AS p
+  FROM m
+)
+SELECT event_type,
+  FLOOR(value / p) * p AS bin_min,
+  CEIL(value / p) * p AS bin_max,
+  COUNT(*) AS bin_count
+FROM e GROUP BY event_type, bin_min, bin_max
+"""
+
+ORACLES["agg_ema"] = f"""
+SELECT event_type,
+  ROUND(list_reduce(list(value ORDER BY ts, event_id),
+        (acc, x) -> acc * {_OMA} + x * {_A}), 6) AS agg_ema
+FROM events GROUP BY event_type
+"""
+
+# NOTE: 'v' must be listed BEFORE 'e' in the reduce lambda's struct —
+# DuckDB 1.0 evaluates struct fields sequentially against the accumulator,
+# so a field computed after 'e' would see the already-updated EMA.
+ORACLES["agg_emvar"] = f"""
+SELECT event_type,
+  ROUND(st.v, 6) AS agg_emvar,
+  ROUND(SQRT(st.v), 6) AS agg_emsd
+FROM (
+  SELECT event_type,
+    list_reduce(
+      list_transform(list(value ORDER BY ts, event_id),
+                     x -> {{'v': CAST(0.0 AS DOUBLE), 'e': x}}),
+      (acc, x) -> {{
+        'v': {_OMA} * (acc.v + {_A} * (x.e - acc.e) * (x.e - acc.e)),
+        'e': acc.e * {_OMA} + x.e * {_A}
+      }}) AS st
+  FROM events GROUP BY event_type) t
+"""
+
+ORACLES["win_tumbling"] = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type, COUNT(*) AS n, {_DSUM_V} AS total
+FROM events GROUP BY 1, 2, 3
+"""
+
+ORACLES["win_sliding"] = f"""
+WITH shifted AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+         event_type, value
+  FROM events
+)
+SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+  event_type, COUNT(*) AS n, {_DSUM_V} AS total
+FROM shifted GROUP BY 1, 2, 3
+"""
+
+ORACLES["win_session"] = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              < INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS window_start,
+  MAX(ts) + INTERVAL '5 minutes' AS window_end,
+  user_id, COUNT(*) AS n, {_DSUM_V} AS total
+FROM s GROUP BY user_id, sid
+"""
+
+ORACLES["dedup_first"] = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+ORACLES["filter_by_control"] = """
+WITH merged AS (
+  SELECT user_id AS k, ts AS o_ts, event_id AS tb, 0 AS kind,
+         (event_type = 'signup') AS active,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+         CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS event_type,
+         CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_type IN ('signup', 'error')
+  UNION ALL
+  SELECT user_id AS k, ts AS o_ts, event_id AS tb, 1 AS kind,
+         CAST(NULL AS BOOLEAN) AS active,
+         event_id, ts, user_id, event_type, value
+  FROM events WHERE event_type NOT IN ('signup', 'error')
+), st AS (
+  SELECT *, LAST_VALUE(active IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY o_ts, kind, tb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+  FROM merged
+)
+SELECT event_id, ts, user_id, event_type, value
+FROM st WHERE kind = 1 AND state
+"""
+
+ORACLES["asof_join"] = """
+SELECT event_id, ts, user_id, click_id, click_ts FROM (
+  SELECT p.event_id, p.ts, p.user_id,
+    c.event_id AS click_id, c.ts AS click_ts,
+    ROW_NUMBER() OVER (PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id AND c.ts <= p.ts) t
+WHERE rn = 1
+"""
+
+ORACLES["enrich_events"] = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+ORACLES["distinct_users"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
