@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
+from flinkrunner_spark.llm import multimodal, similarity  # noqa: E402
+from flinkrunner_spark.llm import text as llm_text  # noqa: E402
 from flinkrunner_spark.plans import analytics, events  # noqa: E402
 from flinkrunner_spark.plans.oracle_sql import ORACLES  # noqa: E402
 
@@ -52,6 +55,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.3 algorithms
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,
+        # §2.5 LLM-pipeline: text analysis
+        "docs_tokens": llm_text.docs_tokens,
+        "docs_langid": llm_text.docs_langid,
+        "docs_quality": llm_text.docs_quality,
+        "docs_fingerprint": llm_text.docs_fingerprint,
+        # §2.5 LLM-pipeline: dedup
+        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
+        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
+        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
+        "docs_simhash": llm_dedup.docs_simhash,
+        # §2.5 LLM-pipeline: similarity search
+        "emb_knn": similarity.emb_knn,
+        "emb_dup_pairs": similarity.emb_dup_pairs,
+        "emb_knn_ivf": similarity.emb_knn_ivf,
+        # §2.5 LLM-pipeline: multimodal plumbing
+        "mm_meta": multimodal.mm_meta,
     }
 
 

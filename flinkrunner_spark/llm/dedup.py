@@ -1,0 +1,159 @@
+"""Document deduplication for LLM data pipelines: exact, MinHash+LSH,
+n-gram Jaccard and SimHash — all as declarative DataFrame plans.
+
+Scale design (100 TB):
+* exact dedup: one shuffle on the 128-bit content hash (never on the text).
+* MinHash+LSH: per-doc signatures are a parallel scan; candidate
+  generation is a self-join on (band hash) — the shuffle key is the band
+  bucket, so cost is proportional to collisions, never the n² cross
+  product.
+* Jaccard verification runs only on LSH candidate pairs.
+* SimHash: parallel scan + one small aggregation keyed by (doc, bit).
+
+Hashing is md5 (identical on Spark and DuckDB) so every stage is
+oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.llm.text import tokens_col
+
+MINHASH_K = 8  # minhash permutations
+LSH_BANDS = 4  # bands of 2 rows each
+JACCARD_THRESHOLD = 0.2
+
+
+def shingles_col(toks: Column) -> Column:
+    """3-word shingles (whole doc as one shingle for short docs)."""
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.when(n >= 3, tri).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_sig(sh: Column, k: int = MINHASH_K) -> list[Column]:
+    """k minhashes: lexicographic min of md5(j || ':' || shingle)."""
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+        for j in range(k)
+    ]
+
+
+def band_hashes(k: int = MINHASH_K, bands: int = LSH_BANDS) -> Column:
+    rows = k // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}:"),
+                    *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles_col(tokens_col())
+    return docs.select("doc_id", sh.alias("sh")).select(
+        "doc_id", "sh", *minhash_sig(F.col("sh"))
+    )
+
+
+def _candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band hash."""
+    bands = sigs.select(
+        "doc_id", F.explode(band_hashes()).alias("band")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(text), keep the smallest doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (banded signature collision)."""
+    return _candidate_pairs(_signatures(spark, sf_dir))
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard over the LSH candidate pairs."""
+    sigs = _signatures(spark, sf_dir).select(
+        "doc_id", F.array_distinct("sh").alias("shd")
+    )
+    pairs = docs_minhash_lsh(spark, sf_dir)
+    j = pairs.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")),
+        "doc_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document: per-token md5, bit-vote, sign-pack.
+
+    (63 bits, not 64, so the packed value stays positive in an int64 on
+    both engines.)
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bits = ex.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("k"),
+    ).selectExpr(
+        "doc_id",
+        "k",
+        "(shiftright(instr('0123456789abcdef', substring(h, CAST(k div 4 AS INT) + 1, 1)) - 1,"
+        " 3 - CAST(k % 4 AS INT)) & 1) AS bit",
+    )
+    votes = bits.groupBy("doc_id", "k").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), k)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

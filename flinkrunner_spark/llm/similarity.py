@@ -1,0 +1,134 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: array<float>, label).
+
+* ``emb_knn`` — brute-force cosine top-k against a query vector. The query
+  vector is a one-row broadcast; the scan is embarrassingly parallel and
+  the only data movement is the global top-k (a tiny sort) — the correct
+  baseline at any scale.
+* ``emb_dup_pairs`` — near-duplicate pairs by cosine within a blocking key
+  (label): the shuffle key is the block, so cost is Σ block² rather than
+  n².
+* ``emb_knn_ivf`` — IVF-style: coarse centroids (here: per-label
+  elementwise means), probe the nearest cell, exact search inside it.
+  At scale the probed cell is a partition-pruned read of a
+  centroid-bucketed table.
+
+Dot products are JVM-side ``zip_with``/``aggregate`` folds over doubles —
+the same left-fold the DuckDB oracle's ``list_reduce`` performs, so
+cosines are bit-identical (no Python, no Arrow transfer in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COSINE_DUP_THRESHOLD = 0.8
+KNN_K = 10
+
+
+def as_double(arr) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def emb_knn(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = KNN_K) -> DataFrame:
+    """Brute-force cosine top-k neighbors of ``query_id``."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = cosine(as_double("embedding"), as_double("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold within label blocks."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = cosine(as_double("ea"), as_double("eb"))
+    return (
+        a.join(b, ["l"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("l").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def emb_knn_ivf(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = KNN_K
+) -> DataFrame:
+    """IVF top-k: per-label centroids → nearest cell → exact search inside.
+
+    Probabilistic recall vs brute force (rows-only oracle): identical k
+    rows whenever the true neighbors share the probed cell.
+    """
+    emb = _emb(spark, sf_dir)
+    cells = (
+        emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    )
+    probe = (
+        cells.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine(F.col("centroid"), as_double("qv")).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("label"))
+        .limit(1)
+        .select("label")
+    )
+    cos = cosine(as_double("embedding"), as_double("qv"))
+    return (
+        emb.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

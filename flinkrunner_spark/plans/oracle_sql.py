@@ -250,3 +250,210 @@ ORACLES["distinct_users"] = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (documents / embeddings). Canonical fragments
+# mirror flinkrunner_spark/llm/* expression-for-expression: md5 hashing
+# (identical hex on both engines), integer-exact ratios, and identical
+# left-fold dot products.
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+ORACLES["docs_tokens"] = """
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+       AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+       AS INTEGER) AS n_bpe_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM documents
+"""
+
+_LANGS = {
+    "de": ("der", "und", "die", "das", "ist"),
+    "en": ("the", "and", "a", "of", "data"),
+    "es": ("el", "la", "de", "los", "es"),
+    "fr": ("le", "la", "et", "les", "un"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+_VOTE = {
+    lang: f"len(list_filter({_TOKS}, x -> x IN {w!r}))"
+    for lang, w in _LANGS.items()
+}
+_BEST = "GREATEST(" + ", ".join(_VOTE[lang] for lang in sorted(_LANGS)) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_BEST} > 0 AND {_VOTE[lang]} = {_BEST} THEN '{lang}'"
+        for lang in sorted(_LANGS)
+    )
+    + " ELSE 'und' END"
+)
+
+ORACLES["docs_langid"] = f"""
+SELECT doc_id, lang AS lang_declared,
+  {", ".join(f"CAST({_VOTE[lang]} AS INTEGER) AS votes_{lang}" for lang in sorted(_LANGS))},
+  {_PRED} AS lang_pred
+FROM documents
+"""
+
+_ALL_STOP = tuple(sorted({w for ws in _LANGS.values() for w in ws}))
+
+ORACLES["docs_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    list_sum(list_transform(toks, x -> length(x))) AS tok_chars,
+    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS punct,
+    length(text) AS n_chars,
+    len(list_filter(toks, x -> x IN {_ALL_STOP!r})) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  tok_chars / n_tokens AS avg_token_len,
+  punct / n_chars AS punct_ratio,
+  stop_hits / n_tokens AS stopword_ratio,
+  (stop_hits / n_tokens) * CAST(2.0 AS DOUBLE)
+    + CAST(1.0 AS DOUBLE)
+      / (CAST(1.0 AS DOUBLE) + (punct / n_chars) * CAST(5.0 AS DOUBLE))
+    + (tok_chars / n_tokens) / CAST(10.0 AS DOUBLE) AS quality_score
+FROM m
+"""
+
+ORACLES["docs_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+FROM documents
+"""
+
+ORACLES["docs_dedup_exact"] = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES = f"""
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+"""
+
+_MH = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}"
+    for j in range(8)
+)
+_BANDS = ", ".join(
+    f"md5('{b}:' || mh{2 * b} || mh{2 * b + 1})" for b in range(4)
+)
+
+_CAND = f"""
+  WITH sh AS ({_SHINGLES}),
+  sigs AS (SELECT doc_id, sh, {_MH} FROM sh),
+  bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs)
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+ORACLES["docs_minhash_lsh"] = _CAND
+
+ORACLES["docs_ngram_jaccard"] = f"""
+WITH cand AS ({_CAND}),
+sh AS ({_SHINGLES}),
+d AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+    ROUND(len(list_intersect(a.shd, b.shd))
+          / len(list_distinct(list_concat(a.shd, b.shd))), 6) AS jaccard
+  FROM cand c
+  JOIN d a ON a.doc_id = c.doc_a
+  JOIN d b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
+"""
+
+ORACLES["docs_simhash"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, k,
+    ((instr('0123456789abcdef', substring(h, CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
+      >> (3 - (k % 4))) & 1 AS bit
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS k) ks
+),
+votes AS (
+  SELECT doc_id, k, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bits GROUP BY doc_id, k
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k)
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+_DOTQ = (
+    "list_reduce(list_transform(generate_series(1, len(embedding)),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),"
+    " (a, b) -> a + b)"
+)
+_EE = (
+    "list_reduce(list_transform(generate_series(1, len(embedding)),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),"
+    " (a, b) -> a + b)"
+)
+_QQ = (
+    "list_reduce(list_transform(generate_series(1, len(qv)),"
+    " i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),"
+    " (a, b) -> a + b)"
+)
+
+ORACLES["emb_knn"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_DOTQ} / SQRT({_EE} * {_QQ}), 6) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+_DOTAB = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+_AA = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+_BB = (
+    "list_reduce(list_transform(generate_series(1, len(b.embedding)),"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+
+ORACLES["emb_dup_pairs"] = f"""
+SELECT label, vec_a, vec_b, cosine FROM (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ROUND({_DOTAB} / SQRT({_AA} * {_BB}), 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id) t
+WHERE cosine >= 0.8
+"""
+
+ORACLES["mm_meta"] = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  CASE octet_length(encode(text)) % 3
+    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+    ELSE 'video/mp4' END AS mime,
+  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+FROM documents
+"""
