@@ -51,6 +51,23 @@ def minhash_sig(sh: Column, k: int = MINHASH_K) -> list[Column]:
     ]
 
 
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Small inputs arrive as one parquet split; spread the hash-heavy work
+    # across all cores (at 100 TB the scan itself provides the splits).
+    # Tokenize into a materialized column FIRST: higher-order-function
+    # lambdas are interpreted, and a non-column child expression would be
+    # re-evaluated on every element access (O(tokens × shingles) per doc).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    sh = toks.select("doc_id", shingles_col(F.col("toks")).alias("sh"))
+    # Exchange barrier: materialize the shingle arrays once. Without it,
+    # downstream explode/array ops re-evaluate the interpreted shingle
+    # expression several times per row (~4× observed).
+    return sh.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def band_hashes(k: int = MINHASH_K, bands: int = LSH_BANDS) -> Column:
     rows = k // bands
     return F.array(
@@ -67,10 +84,29 @@ def band_hashes(k: int = MINHASH_K, bands: int = LSH_BANDS) -> Column:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = shingles_col(tokens_col())
-    return docs.select("doc_id", sh.alias("sh")).select(
-        "doc_id", "sh", *minhash_sig(F.col("sh"))
+    """Per-doc minhash signature via explode → codegen'd md5 → min.
+
+    Equivalent to ``minhash_sig`` (min over the same shingle set) but the
+    md5s run inside whole-stage codegen instead of interpreted
+    higher-order-function lambdas — ~5× faster, and the shuffle is just
+    (doc_id, k hashes)."""
+    # explode_outer, not explode: plain explode adds an implicit
+    # `size(sh)>0` filter that Catalyst pushes below the exchange with the
+    # whole interpreted shingle expression inlined — evaluated twice extra
+    # on the unparallelized scan. Every doc has ≥1 shingle, so the outer
+    # variant is semantically identical here.
+    ex = _docs_shingled(spark, sf_dir).select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    )
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(MINHASH_K)]
     )
 
 
@@ -108,7 +144,7 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard over the LSH candidate pairs."""
-    sigs = _signatures(spark, sf_dir).select(
+    sigs = _docs_shingled(spark, sf_dir).select(
         "doc_id", F.array_distinct("sh").alias("shd")
     )
     pairs = docs_minhash_lsh(spark, sf_dir)
@@ -134,10 +170,16 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (63 bits, not 64, so the packed value stays positive in an int64 on
     both engines.)
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ex = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("tok")
-    ).withColumn("h", F.md5("tok"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # explode_outer avoids the pushed-down size() filter (see _signatures);
+    # the null guard afterwards is an attribute test, not a recomputation.
+    ex = (
+        docs.select("doc_id", F.explode_outer(tokens_col()).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", F.md5("tok"))
+    )
     bits = ex.select(
         "doc_id",
         "h",
