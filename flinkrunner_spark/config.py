@@ -1,0 +1,94 @@
+"""Runner configuration — the Spark analog of the reference's HOCON-based
+FlinkConfig (reference model/FlinkConfig.scala): 12-factor-ish config with
+per-job source and sink blocks, resolved through plain dicts (JSON/YAML
+friendly) instead of HOCON.
+
+Shape:
+
+    {
+      "system.name": "my-app",
+      "environment": "dev",
+      "jobs": {
+        "MyJob": {
+          "sources": {"in":  {"connector": "file", "path": ..., "format": "csv"}},
+          "sinks":   {"out": {"connector": "file", "path": ..., "format": "json"}},
+          ... job-specific keys ...
+        }
+      }
+    }
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+class RunnerConfig:
+    def __init__(self, config: dict | str, job_name: str | None = None):
+        if isinstance(config, str):
+            with open(config) as f:
+                config = json.load(f)
+        self._config: dict = dict(config)
+        self.job_name = job_name
+
+    def for_job(self, job_name: str) -> "RunnerConfig":
+        c = RunnerConfig(self._config, job_name)
+        return c
+
+    # -- generic lookups (dotted paths, job-scoped first, env override) --
+    def _env_key(self, path: str) -> str:
+        return path.upper().replace(".", "_").replace("-", "_")
+
+    def get(self, path: str, default: Any = None) -> Any:
+        env = os.environ.get(self._env_key(path))
+        if env is not None:
+            return env
+        scopes = []
+        if self.job_name:
+            scopes.append(f"jobs.{self.job_name}.{path}")
+        scopes.append(path)
+        for scoped in scopes:
+            node: Any = self._config
+            for part in scoped.split("."):
+                if isinstance(node, dict) and part in node:
+                    node = node[part]
+                else:
+                    node = _MISSING
+                    break
+            if node is not _MISSING:
+                return node
+        return default
+
+    @property
+    def system_name(self) -> str:
+        return self.get("system.name", "flinkrunner-spark")
+
+    @property
+    def environment(self) -> str:
+        return str(self.get("environment", "dev"))
+
+    @property
+    def is_dev(self) -> bool:
+        return self.environment.startswith("dev")
+
+    @property
+    def is_prod(self) -> bool:
+        return self.environment.startswith("prod")
+
+    @property
+    def jobs(self) -> list[str]:
+        return sorted(self._config.get("jobs", {}))
+
+    def job_config(self, name: str) -> dict:
+        return self._config.get("jobs", {}).get(name, {})
+
+    def sources(self, job_name: str | None = None) -> dict[str, dict]:
+        return dict(self.job_config(job_name or self.job_name).get("sources", {}))
+
+    def sinks(self, job_name: str | None = None) -> dict[str, dict]:
+        return dict(self.job_config(job_name or self.job_name).get("sinks", {}))
+
+
+_MISSING = object()

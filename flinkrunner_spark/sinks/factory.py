@@ -1,0 +1,221 @@
+"""Sink configs — Spark analog of reference model/sink/*.scala.
+
+| reference (SinkConfig)       | here                                      |
+|------------------------------|-------------------------------------------|
+| FileSinkConfig (+$bucketId)  | file: write/writeStream, partitionBy for  |
+|                              |   bucketing, delimited/json/parquet/orc   |
+| KafkaSinkConfig              | kafka: format("kafka") (jar-gated)        |
+| JdbcSinkConfig (+ CREATE     | jdbc: spark JDBC writer; create-table DDL |
+|   TABLE, dialects)           |   via util/sqlbuilder (driver-jar gated)  |
+| PrintSinkConfig              | console                                   |
+| TestListSinkConfig           | memory (collected; streaming: memory sink)|
+| SocketSinkConfig             | socket via foreachBatch TCP write         |
+| Elasticsearch/Cassandra/     | no Spark connector in this env — config   |
+|   Kinesis/Firehose/RabbitMQ  |   accepted, write() raises with guidance  |
+| IcebergSinkConfig            | iceberg: writeTo (jar-gated)              |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_DELIMITED = {"csv": ",", "psv": "|", "tsv": "\t", "delimited": ","}
+
+
+class SinkConfig:
+    def __init__(self, name: str, conf: dict):
+        self.name = name
+        self.conf = dict(conf)
+        self.connector = conf.get("connector", "file")
+
+    def write(self, df: DataFrame):
+        raise NotImplementedError
+
+    def write_stream(self, df: DataFrame):
+        raise NotImplementedError(
+            f"sink '{self.connector}' does not support streaming writes"
+        )
+
+
+class FileSinkConfig(SinkConfig):
+    def write(self, df: DataFrame):
+        fmt = self.conf.get("format", "parquet")
+        options = dict(self.conf.get("options", {}))
+        if fmt in _DELIMITED:
+            options.setdefault("sep", _DELIMITED[fmt])
+            options.setdefault("header", "true")
+            fmt = "csv"
+        writer = df.write.format(fmt).options(**options).mode(
+            self.conf.get("mode", "overwrite")
+        )
+        # $bucketId analog: partition output files by the bucket column(s)
+        buckets = self.conf.get("bucket.by")
+        if buckets:
+            writer = writer.partitionBy(*buckets)
+        writer.save(self.conf["path"])
+
+    def write_stream(self, df: DataFrame):
+        fmt = self.conf.get("format", "parquet")
+        options = dict(self.conf.get("options", {}))
+        if fmt in _DELIMITED:
+            options.setdefault("sep", _DELIMITED[fmt])
+            fmt = "csv"
+        writer = (
+            df.writeStream.format(fmt)
+            .options(**options)
+            .option("path", self.conf["path"])
+            .option(
+                "checkpointLocation",
+                self.conf.get("checkpoint", self.conf["path"] + "/_chk"),
+            )
+            .outputMode(self.conf.get("output.mode", "append"))
+        )
+        buckets = self.conf.get("bucket.by")
+        if buckets:
+            writer = writer.partitionBy(*buckets)
+        return writer.start()
+
+
+class ConsoleSinkConfig(SinkConfig):
+    def write(self, df: DataFrame):
+        df.show(int(self.conf.get("num.rows", 20)), truncate=False)
+
+    def write_stream(self, df: DataFrame):
+        return df.writeStream.format("console").outputMode(
+            self.conf.get("output.mode", "append")
+        ).start()
+
+
+class MemorySinkConfig(SinkConfig):
+    """TestListSink analog: batch → collected rows on the config object;
+    streaming → Spark memory sink queryable as a temp view."""
+
+    def __init__(self, name: str, conf: dict):
+        super().__init__(name, conf)
+        self.results: list = []
+
+    def write(self, df: DataFrame):
+        self.results = df.collect()
+
+    def write_stream(self, df: DataFrame):
+        return (
+            df.writeStream.format("memory")
+            .queryName(self.conf.get("query.name", self.name))
+            .outputMode(self.conf.get("output.mode", "append"))
+            .start()
+        )
+
+
+class KafkaSinkConfig(SinkConfig):
+    def _options(self):
+        return {
+            "kafka.bootstrap.servers": self.conf.get(
+                "bootstrap.servers", "localhost:9092"
+            ),
+            "topic": self.conf.get("topic", self.name),
+            **self.conf.get("options", {}),
+        }
+
+    def write(self, df: DataFrame):
+        df.write.format("kafka").options(**self._options()).save()
+
+    def write_stream(self, df: DataFrame):
+        return (
+            df.writeStream.format("kafka")
+            .options(**self._options())
+            .option("checkpointLocation", self.conf["checkpoint"])
+            .start()
+        )
+
+
+class JdbcSinkConfig(SinkConfig):
+    """JDBC sink with the reference's auto-CREATE TABLE behavior
+    (CreateTableJdbcSinkFunction.scala + JdbcSinkConfig.scala): DDL is
+    generated from the DataFrame schema by util/sqlbuilder for the
+    configured dialect."""
+
+    def create_table_ddl(self, df: DataFrame) -> str:
+        from flinkrunner_spark.util.sqlbuilder import create_table_from_schema
+
+        return create_table_from_schema(
+            self.conf.get("table", self.name),
+            df.schema,
+            dialect=self.conf.get("dialect", "postgresql"),
+            pk=self.conf.get("primary.key"),
+        )
+
+    def write(self, df: DataFrame):
+        (
+            df.write.format("jdbc")
+            .option("url", self.conf["url"])
+            .option("dbtable", self.conf.get("table", self.name))
+            .options(**self.conf.get("options", {}))
+            .mode(self.conf.get("mode", "append"))
+            .save()
+        )
+
+    def write_stream(self, df: DataFrame):
+        def _batch(bdf: DataFrame, epoch_id: int):
+            self.write(bdf)
+
+        return df.writeStream.foreachBatch(_batch).start()
+
+
+class SocketSinkConfig(SinkConfig):
+    def write(self, df: DataFrame):
+        import socket as pysocket
+
+        host = self.conf.get("host", "localhost")
+        port = int(self.conf.get("port", 9999))
+        rows = df.toJSON().collect()
+        with pysocket.create_connection((host, port)) as s:
+            for r in rows:
+                s.sendall((r + "\n").encode())
+
+    def write_stream(self, df: DataFrame):
+        def _batch(bdf: DataFrame, epoch_id: int):
+            self.write(bdf)
+
+        return df.writeStream.foreachBatch(_batch).start()
+
+
+class IcebergSinkConfig(SinkConfig):
+    def write(self, df: DataFrame):
+        try:
+            df.writeTo(self.conf["table"]).append()
+        except Exception as e:
+            raise RuntimeError(
+                "iceberg sink requires the iceberg-spark runtime jar"
+            ) from e
+
+
+class UnsupportedSinkConfig(SinkConfig):
+    def write(self, df: DataFrame):
+        raise NotImplementedError(
+            f"sink connector '{self.connector}' has no Spark connector in "
+            "this environment (elasticsearch/cassandra/kinesis/firehose/"
+            "rabbitmq); use foreachBatch with the service's client library"
+        )
+
+
+_SINKS = {
+    "file": FileSinkConfig,
+    "console": ConsoleSinkConfig,
+    "print": ConsoleSinkConfig,
+    "memory": MemorySinkConfig,
+    "test-list": MemorySinkConfig,
+    "kafka": KafkaSinkConfig,
+    "jdbc": JdbcSinkConfig,
+    "socket": SocketSinkConfig,
+    "iceberg": IcebergSinkConfig,
+    "elasticsearch": UnsupportedSinkConfig,
+    "cassandra": UnsupportedSinkConfig,
+    "kinesis": UnsupportedSinkConfig,
+    "firehose": UnsupportedSinkConfig,
+    "rabbitmq": UnsupportedSinkConfig,
+}
+
+
+def sink_from_config(name: str, conf: dict) -> SinkConfig:
+    cls = _SINKS.get(conf.get("connector", "file"), UnsupportedSinkConfig)
+    return cls(name, conf)

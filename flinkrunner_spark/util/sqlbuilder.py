@@ -1,0 +1,70 @@
+"""Dialect-aware SQL DDL builder — Spark analog of reference
+util/SqlBuilder.scala + model/SupportedDatabase.scala (+ the auto
+CREATE TABLE behavior of operator/CreateTableJdbcSinkFunction.scala).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+DIALECTS = {
+    "postgresql": {"quote": '"', "types": {}},
+    "timescaledb": {"quote": '"', "types": {}},
+    "mysql": {"quote": "`", "types": {"text": "TEXT"}},
+    "sqlserver": {"quote": "[", "types": {"double precision": "FLOAT"}},
+    "snowflake": {"quote": '"', "types": {}},
+}
+
+_SPARK_TO_SQL = {
+    T.LongType(): "BIGINT",
+    T.IntegerType(): "INTEGER",
+    T.ShortType(): "SMALLINT",
+    T.DoubleType(): "DOUBLE PRECISION",
+    T.FloatType(): "REAL",
+    T.StringType(): "VARCHAR",
+    T.BooleanType(): "BOOLEAN",
+    T.DateType(): "DATE",
+    T.TimestampType(): "TIMESTAMP",
+    T.BinaryType(): "BYTEA",
+}
+
+
+def quote_ident(name: str, dialect: str = "postgresql") -> str:
+    q = DIALECTS[dialect]["quote"]
+    if q == "[":
+        return f"[{name}]"
+    return f"{q}{name}{q}"
+
+
+def sql_type(dt: T.DataType, dialect: str = "postgresql") -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    base = _SPARK_TO_SQL.get(dt)
+    if base is None:
+        raise ValueError(f"no SQL mapping for Spark type {dt}")
+    return DIALECTS[dialect]["types"].get(base.lower(), base)
+
+
+def create_table_from_schema(
+    table: str,
+    schema: T.StructType,
+    dialect: str = "postgresql",
+    pk: list[str] | str | None = None,
+) -> str:
+    cols = [
+        f"{quote_ident(f.name, dialect)} {sql_type(f.dataType, dialect)}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    ]
+    if pk:
+        pk = [pk] if isinstance(pk, str) else list(pk)
+        cols.append(
+            "PRIMARY KEY ("
+            + ", ".join(quote_ident(c, dialect) for c in pk)
+            + ")"
+        )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {quote_ident(table, dialect)} (\n  "
+        + ",\n  ".join(cols)
+        + "\n)"
+    )

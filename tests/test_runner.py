@@ -1,0 +1,173 @@
+"""Runner/job framework tests — mirrors reference model/StreamJobSpec.scala,
+flink/IdentityJobSpec.scala, flink/TableIdentityJobSpec.scala and the
+CheckResults mock-edge pattern (util/test/FlinkRunnerSpec.scala)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.config import RunnerConfig
+from flinkrunner_spark.jobs import IdentityJob, StreamJob, TableJob
+from flinkrunner_spark.runner import CheckResults, SparkRunner
+from flinkrunner_spark.serde import (
+    delimited_decode,
+    delimited_encode,
+    json_decode,
+    json_encode,
+)
+
+
+def test_identity_job_file_roundtrip(spark, tmp_path):
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    spark.range(10).withColumn("x", F.col("id") * 2).write.parquet(str(src))
+    config = {
+        "jobs": {
+            "copy": {
+                "sources": {"in": {"connector": "file", "path": str(src)}},
+                "sinks": {
+                    "out": {
+                        "connector": "file",
+                        "path": str(dst),
+                        "format": "json",
+                    }
+                },
+            }
+        }
+    }
+    runner = SparkRunner(config, spark=spark, jobs={"copy": IdentityJob})
+    runner.invoke("copy")
+    back = spark.read.json(str(dst))
+    assert back.count() == 10
+    assert set(back.columns) == {"id", "x"}
+
+
+def test_stream_job_with_check_results(spark):
+    class Doubler(StreamJob):
+        def transform(self):
+            return self.single_source("nums").withColumn(
+                "doubled", F.col("n") * 2
+            )
+
+    seen = {}
+    check = CheckResults(
+        input_rows={"nums": [(1,), (2,), (3,)]},
+        input_schemas={"nums": "n int"},
+        check_output=lambda rows: seen.setdefault("rows", rows),
+    )
+    runner = SparkRunner({"jobs": {"j": {}}}, spark=spark, check_results=check)
+    Doubler(runner, "j").run()
+    assert sorted(r["doubled"] for r in seen["rows"]) == [2, 4, 6]
+
+
+def test_filter_by_control_job(spark):
+    class Gate(StreamJob):
+        def transform(self):
+            return self.filter_by_control_source(
+                "control", "data", key="k", ts="t", tiebreak="i"
+            )
+
+    got = {}
+    check = CheckResults(
+        input_rows={
+            "control": [(1, 1, 0, True), (1, 5, 1, False)],
+            "data": [(1, 2, 10), (1, 3, 11), (1, 6, 12)],
+        },
+        input_schemas={
+            "control": "k int, t int, i int, active boolean",
+            "data": "k int, t int, i int",
+        },
+        check_output=lambda rows: got.setdefault("rows", rows),
+    )
+    runner = SparkRunner({"jobs": {"g": {}}}, spark=spark, check_results=check)
+    Gate(runner, "g").run()
+    # active from t=1..4 → data at t=2,3 pass; t=6 blocked by t=5 deactivate
+    assert sorted(r["t"] for r in got["rows"]) == [2, 3]
+
+
+def test_table_job(spark, tmp_path):
+    src = tmp_path / "tbl"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, tag string"
+    ).write.parquet(str(src))
+    config = {
+        "jobs": {
+            "sqljob": {
+                "sources": {"t": {"connector": "file", "path": str(src)}},
+                "sql": "SELECT tag, count(*) AS n FROM t GROUP BY tag",
+            }
+        }
+    }
+    got = {}
+    check = CheckResults(check_output=lambda rows: got.setdefault("rows", rows))
+    runner = SparkRunner(config, spark=spark, check_results=check)
+    TableJob(runner, "sqljob").run()
+    assert {(r["tag"], r["n"]) for r in got["rows"]} == {("a", 2), ("b", 1)}
+
+
+def test_generator_source(spark):
+    from flinkrunner_spark.sources import source_from_config
+
+    src = source_from_config(
+        "gen",
+        {
+            "connector": "generator",
+            "rows": 100,
+            "columns": {"key": "CAST(value % 10 AS INT)"},
+        },
+    )
+    df = src.load(spark)
+    assert df.count() == 100
+    assert df.select(F.countDistinct("key")).first()[0] == 10
+
+
+def test_config_json_and_env(tmp_path, monkeypatch):
+    p = tmp_path / "conf.json"
+    p.write_text(
+        json.dumps(
+            {
+                "system.name": "app",
+                "jobs": {"j": {"threshold": 5, "sources": {}, "sinks": {}}},
+            }
+        )
+    )
+    conf = RunnerConfig(str(p)).for_job("j")
+    assert conf.get("threshold") == 5
+    monkeypatch.setenv("THRESHOLD", "9")
+    assert conf.get("threshold") == "9"  # env beats file (12-factor)
+
+
+def test_serde_roundtrips(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    js = json_encode(df)
+    assert set(json_decode(js, "id int, s string").collect()) == set(df.collect())
+    csv = delimited_encode(df, "psv")
+    assert csv.first()["value"] in ("1|x", "2|y")
+    back = delimited_decode(csv, "id int, s string", "psv")
+    assert set(back.collect()) == set(df.collect())
+
+
+def test_jdbc_create_table_ddl(spark):
+    from flinkrunner_spark.sinks import sink_from_config
+
+    df = spark.createDataFrame([(1, "x", 2.5)], "id int, s string, v double")
+    sink = sink_from_config(
+        "t", {"connector": "jdbc", "url": "jdbc:x", "table": "t", "primary.key": "id"}
+    )
+    ddl = sink.create_table_ddl(df)
+    assert 'CREATE TABLE IF NOT EXISTS "t"' in ddl
+    assert '"v" DOUBLE PRECISION' in ddl
+    assert 'PRIMARY KEY ("id")' in ddl
+
+
+def test_unsupported_connectors_guide(spark):
+    from flinkrunner_spark.sinks import sink_from_config
+    from flinkrunner_spark.sources import source_from_config
+
+    with pytest.raises(NotImplementedError):
+        source_from_config("k", {"connector": "kinesis"}).load(spark)
+    with pytest.raises(NotImplementedError):
+        sink_from_config("e", {"connector": "elasticsearch"}).write(None)
