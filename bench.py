@@ -26,6 +26,11 @@ def main() -> None:
     spark = get_spark("flinkrunner-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM/codegen/parquet-footer paths so the first timed query
+    # doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):

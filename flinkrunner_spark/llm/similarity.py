@@ -63,19 +63,29 @@ def emb_knn(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = KNN_K)
 
 
 def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold within label blocks."""
+    """Embedding near-dup pairs: cosine ≥ threshold within label blocks.
+
+    Norms are computed once per row BEFORE the pair join (O(n) instead of
+    O(pairs) norm folds — 3× less per-pair work)."""
     emb = _emb(spark, sf_dir)
-    a = emb.select(
+    normed = emb.select(
+        "label",
+        "vec_id",
+        as_double("embedding").alias("e"),
+    ).withColumn("nrm", dot(F.col("e"), F.col("e")))
+    a = normed.select(
         F.col("label").alias("l"),
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
+    b = normed.select(
         F.col("label").alias("l"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = cosine(as_double("ea"), as_double("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
     return (
         a.join(b, ["l"])
         .filter(F.col("vec_a") < F.col("vec_b"))
