@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": analytics.topk_orders,
         "pivot_events": analytics.pivot_events,
         "rollup_sales": analytics.rollup_sales,
+        "cube_sales": analytics.cube_sales,
         # §2.1 aggregates
         "agg_basic": events.agg_basic,
         "agg_percentage": events.agg_percentage,
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_by_control": events.filter_by_control_q,
         "asof_join": events.asof_join_q,
         "enrich_events": events.enrich_events,
+        "connected_union": events.connected_union,
         # §2.3 algorithms
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,

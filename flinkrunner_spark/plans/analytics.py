@@ -128,3 +128,11 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty")
     )
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (returnflag, linestatus) — all grouping-set combinations."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty")
+    )

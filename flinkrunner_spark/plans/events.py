@@ -178,6 +178,22 @@ def enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connectedSource analog: two typed sources merged into one tagged
+    stream (StreamJob.connectedSource — an event on the connected stream
+    is from either input, distinguishable by tag)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return purchases.withColumn("src", F.lit("purchase")).unionByName(
+        clicks.withColumn("src", F.lit("click"))
+    )
+
+
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type user cardinality (baseline for the HLL estimate)."""
     return (

@@ -457,3 +457,17 @@ SELECT doc_id,
   CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
 FROM documents
 """
+
+ORACLES["cube_sales"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["connected_union"] = """
+SELECT event_id, ts, user_id, value, 'purchase' AS src
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, ts, user_id, value, 'click' AS src
+FROM events WHERE event_type = 'click'
+"""
