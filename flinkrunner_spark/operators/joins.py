@@ -4,16 +4,66 @@ The reference's bounded-lateness event-time semantics (util/
 BoundedLatenessGenerator.scala) imply "latest state as of T" lookups; the
 as-of join is that pattern as a relational operator.
 
-Scale notes: the as-of join is an equi-join on the key followed by a
-per-(left-row) max — expressed as join + window row_number so Catalyst
-plans one shuffle on the key (AQE handles skew). For very large right
-sides, pre-aggregate the right to the candidate frontier first.
+Two implementations with identical results:
+
+* ``asof_join`` — equi-join on the key + per-left-row row_number. Simple,
+  but the intermediate candidate set is O(left × right-rows-before-it per
+  key), which blows up when keys have long histories.
+* ``asof_join_merge`` — the scale-correct form: tag and union both inputs,
+  one window pass per key carrying the latest right-row attributes forward
+  (exactly how a merge join would do it). One shuffle on the key, O(n)
+  intermediate state, no fan-out. Use this at 100 TB.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Sorted-merge as-of join: for each left row, the latest right row
+    with the same key and right_ts <= left_ts (inner semantics)."""
+    lcols = left.columns
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_tiebreak).alias("_tb"),
+        F.lit(0).alias("_kind"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    l_ = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(dict(right.dtypes)[right_tiebreak]).alias("_tb"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("_k")
+        # right rows sort before left on ties (<= semantics); within right
+        # rows at the same ts, the tiebreak picks the latest
+        .orderBy("_ts", "_kind", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l_).withColumn(
+        "_last", F.last("_rv", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("_kind") == 1) & F.col("_last").isNotNull())
+        .select(*lcols, *[F.col("_last")[c].alias(c) for c in right_cols])
+    )
 
 
 def asof_join(

@@ -16,7 +16,7 @@ from flinkrunner_spark.operators import windows as W
 from flinkrunner_spark.operators.control import filter_by_control
 from flinkrunner_spark.operators.dedup import dedup_first, dedup_sbf
 from flinkrunner_spark.operators.enrichment import enrich_broadcast
-from flinkrunner_spark.operators.joins import asof_join
+from flinkrunner_spark.operators.joins import asof_join_merge
 
 
 from flinkrunner_spark.tables import load_table
@@ -151,10 +151,9 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         F.col("user_id").alias("c_user"),
     )
-    return asof_join(
+    return asof_join_merge(
         purchases,
         clicks,
-        left_id="event_id",
         left_key="user_id",
         right_key="c_user",
         left_ts="ts",
