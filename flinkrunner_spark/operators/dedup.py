@@ -65,8 +65,8 @@ def dedup_sbf(
             keys = pdf.iloc[:, key_idx[0]].astype(str)
             for i in key_idx[1:]:
                 keys = keys + "\x1f" + pdf.iloc[:, i].astype(str)
-            mask = [not sbf.add(k) for k in keys]
-            yield pdf[pd.Series(mask, index=pdf.index)]
+            seen = sbf.add_batch(keys.tolist())
+            yield pdf[pd.Series(~seen, index=pdf.index)]
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
