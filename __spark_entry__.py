@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": analytics.q1_pricing,
         "q3_shipping": analytics.q3_shipping,
         "q5_supplier": analytics.q5_supplier,
+        "q10_returned": analytics.q10_returned,
+        "q18_bigorders": analytics.q18_bigorders,
         "topk_orders": analytics.topk_orders,
         "pivot_events": analytics.pivot_events,
         "rollup_sales": analytics.rollup_sales,

@@ -99,6 +99,55 @@ def q5_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item revenue: top-20 customers by revenue lost to
+    returns in one quarter. lineitem⋈orders shuffles on the order key;
+    customer and nation are broadcast; the quarter predicate and the
+    returnflag filter both push to the parquet scan."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(price * disc).cast("decimal(24,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers: orders whose total quantity
+    exceeds 250. The per-order aggregate IS the output quantity (the
+    final group is per order), so lineitem is scanned and shuffled exactly
+    once — no join-back, which at 100 TB halves the fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by total price per order priority (window top-k)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

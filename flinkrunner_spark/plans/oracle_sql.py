@@ -57,6 +57,35 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
+ORACLES["q10_returned"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["q18_bigorders"] = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
 ORACLES["q5_supplier"] = f"""
 SELECT n_name, CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
 FROM lineitem
