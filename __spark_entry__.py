@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": events.asof_join_q,
         "enrich_events": events.enrich_events,
         "connected_union": events.connected_union,
+        # §2.2 streaming mirrors run end-to-end (file stream → memory sink)
+        "stream_win_tumbling": events.stream_win_tumbling,
+        "stream_dedup_sbf": events.stream_dedup_sbf,
         # §2.3 algorithms
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,

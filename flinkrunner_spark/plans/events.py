@@ -202,6 +202,31 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling window run end-to-end (file stream →
+    watermark → windowed agg → memory sink); result equals the batch
+    ``win_tumbling`` plan, so it shares its exact duckdb oracle."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir)
+    return P.run_to_memory(
+        spark, P.streaming_tumbling_agg(ev), "q_stream_win_tumbling",
+        mode="complete",
+    )
+
+
+def stream_dedup_sbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming constant-memory dedup (SBF keyed state via
+    applyInPandasWithState) run end-to-end. Probabilistic — rows-only
+    oracle."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    return P.run_to_memory(
+        spark, P.streaming_dedup_sbf(ev), "q_stream_dedup_sbf"
+    )
+
+
 def hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog per-type user cardinality using the faithful register
     implementation (algorithms/hll.py), merged distributively."""

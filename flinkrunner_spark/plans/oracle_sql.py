@@ -500,3 +500,6 @@ UNION ALL
 SELECT event_id, ts, user_id, value, 'click' AS src
 FROM events WHERE event_type = 'click'
 """
+
+# streaming mirror computes the identical result to the batch plan
+ORACLES["stream_win_tumbling"] = ORACLES["win_tumbling"]

@@ -42,9 +42,11 @@ def stream_events(spark: SparkSession, sf_dir: str, lateness: str = "10 minutes"
 
 
 def streaming_tumbling_agg(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    from flinkrunner_spark.operators.aggregates import dsum
+
     return (
         events.groupBy(F.window("ts", size).alias("_w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
         .select(
             F.col("_w.start").alias("window_start"),
             F.col("_w.end").alias("window_end"),
@@ -95,6 +97,64 @@ def streaming_dedup_keep_first(
         return iter(() if first is None else (first,))
 
     return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup_sbf(
+    events: DataFrame,
+    dedupe_col: str = "event_id",
+    num_buckets: int = 32,
+    num_cells: int = 100_000,
+    bits_per_cell: int = 3,
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Constant-memory approximate streaming dedup — the reference's
+    SBFDeduplicationFilter (operator/SBFDeduplicationFilter.scala:21-63)
+    semantics: drop events whose dedupe id was (probably) already seen,
+    with a Stable Bloom Filter as the keyed state so state never grows
+    with stream length.
+
+    Scale design: rows are grouped by a hash bucket of the dedupe id
+    (``pmod(xxhash64(id), num_buckets)``) so every duplicate meets the
+    same filter; each bucket's SBF cells (``num_cells`` bytes) live in
+    the state store and ride checkpoints. num_buckets sets shuffle
+    parallelism; state is O(num_buckets × num_cells) forever, regardless
+    of stream volume — the point of the SBF over exact keep-first state.
+
+    Note: the decrement RNG restarts each micro-batch (the paper's
+    stability property only needs *some* random decrement schedule;
+    persisting RNG state would buy nothing).
+    """
+    out_schema = EVENTS_SCHEMA
+    state_schema = "cells binary"
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        from flinkrunner_spark.algorithms.sbf import StableBloomFilter
+
+        sbf = StableBloomFilter(num_cells, bits_per_cell, fpr, seed=42)
+        if state.exists:
+            (blob,) = state.get
+            sbf.cells = np.frombuffer(blob, dtype=np.uint8).copy()
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            seen = sbf.add_batch(pdf[dedupe_col].astype(str).tolist())
+            out.append(pdf[~seen].drop(columns=["_bucket"]))
+        state.update((sbf.cells.tobytes(),))
+        return iter(out)
+
+    keyed = events.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(dedupe_col).cast("string")), F.lit(num_buckets)),
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -24,9 +24,11 @@ def test_streaming_tumbling_matches_batch(spark, events_stream):
     from flinkrunner_spark.tables import load_table
 
     ev = load_table(spark, SF, "events")
+    from flinkrunner_spark.operators.aggregates import dsum
+
     want = (
         ev.groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
         .select(
             F.col("_w.start").alias("window_start"),
             F.col("_w.end").alias("window_end"),
@@ -52,6 +54,26 @@ def test_streaming_dedup_keep_first(spark, events_stream):
     assert sorted(r["event_id"] for r in got.collect()) == sorted(
         r["event_id"] for r in want.collect()
     )
+
+
+def test_streaming_dedup_sbf_invariants(spark, events_stream):
+    """SBF streaming dedup on a key with real duplicates: no false
+    negatives (no key passes twice at this tiny fill level, where the
+    decrement can't clear a just-set cell schedule) and at most a
+    handful of false-positive drops."""
+    got = P.run_to_memory(
+        spark,
+        P.streaming_dedup_sbf(events_stream, dedupe_col="user_id"),
+        "t_dedup_sbf",
+    )
+    from flinkrunner_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    n_distinct = ev.select("user_id").distinct().count()
+    kept = [r["user_id"] for r in got.collect()]
+    assert len(kept) == len(set(kept))  # no duplicate ever passes
+    assert len(kept) <= n_distinct
+    assert len(kept) >= int(n_distinct * 0.98)  # FPR-bounded drops
 
 
 def test_streaming_session_agg_runs(spark, events_stream):
