@@ -111,17 +111,36 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band hash."""
-    bands = sigs.select(
-        "doc_id", F.explode(band_hashes()).alias("band")
+    """LSH candidate pairs: docs sharing at least one band hash.
+
+    Shaped as groupBy(band) → in-bucket pair expansion rather than a
+    band=band self-join: one scan of the signatures and one shuffle on
+    the band hash, where the self-join form scans and shuffles the whole
+    signature pipeline twice. Bucket pair expansion is quadratic only in
+    the bucket size, which LSH keeps small by construction; the expansion
+    itself is JVM array exprs (no Python)."""
+    bands = sigs.select("doc_id", F.explode(band_hashes()).alias("band"))
+    buckets = bands.groupBy("band").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    pairs = buckets.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + F.lit(2), F.size("ids") - i - 1
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
