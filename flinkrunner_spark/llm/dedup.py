@@ -123,24 +123,19 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
     buckets = bands.groupBy("band").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
-    pairs = buckets.filter(F.size("ids") >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + F.lit(2), F.size("ids") - i - 1
-                        ),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    # two flat explodes (first element × strict suffix) rather than one
+    # nested transform/flatten lambda — same rows, far simpler generated
+    # code (deeply nested lambdas cost seconds of one-off plan compilation)
+    left = buckets.filter(F.size("ids") >= 2).select(
+        F.posexplode("ids").alias("i", "doc_a"), "ids"
     )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    pairs = left.select(
+        "doc_a",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+        ).alias("doc_b"),
+    )
+    return pairs.distinct()
 
 
 def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
