@@ -35,7 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": analytics.q3_shipping,
         "q5_supplier": analytics.q5_supplier,
         "q10_returned": analytics.q10_returned,
+        "q14_promo": analytics.q14_promo,
         "q18_bigorders": analytics.q18_bigorders,
+        "q19_brand": analytics.q19_brand,
+        "salted_supplier_rev": analytics.salted_supplier_rev,
         "topk_orders": analytics.topk_orders,
         "pivot_events": analytics.pivot_events,
         "rollup_sales": analytics.rollup_sales,

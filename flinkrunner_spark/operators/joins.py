@@ -101,6 +101,43 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join, result-identical to a plain equi-join.
+
+    Every left row gets a deterministic salt in [0, salt) (xxhash64 of the
+    whole row, so hot-key rows spread uniformly); the right side is
+    replicated ``salt`` times; joining on (key, salt) splits each hot
+    key's shuffle partition into ``salt`` slices. Use when one join key
+    carries a disproportionate share of the left rows and the right side
+    is too big to broadcast — the manual form of what AQE's skew-join
+    handles adaptively (kept explicit for plans where AQE's post-shuffle
+    splitting can't help, e.g. a following window over the same key).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer would null-extend every unmatched right replica
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    l_ = left.withColumn("_lsalt", lsalt)
+    r_ = right.withColumn(
+        "_rsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_.join(
+        r_,
+        (l_[left_key] == r_[right_key]) & (l_["_lsalt"] == r_["_rsalt"]),
+        how,
+    )
+    return out.select(*left.columns, *right.columns)
+
+
 def topk_per_group(
     df: DataFrame, group_cols: list[str], order_cols, k: int
 ) -> DataFrame:

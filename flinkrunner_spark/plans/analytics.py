@@ -148,6 +148,72 @@ def q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style promotion revenue share for one quarter: lineitem⋈part
+    with part broadcast, conditional aggregation to one row. The date
+    filter pushes to the parquet scan; the join adds no shuffle."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    rev = (price * disc).cast("decimal(24,6)")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(24,6)")))
+                .cast("double")
+                * 100.0
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+        .select(F.round("promo_revenue_pct", 6).alias("promo_revenue_pct"))
+    )
+
+
+def q19_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style disjunctive brand/quantity revenue: OR-of-ANDs predicate
+    across the join — Catalyst pushes the common join key and evaluates
+    the disjunction post-join; part is broadcast."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
+    )
+    return j.filter(cond).agg(
+        F.sum(price * disc).cast("decimal(24,6)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def salted_supplier_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier revenue via the skew-mitigating salted join
+    (operators/joins.salted_join) — result-identical to the plain
+    equi-join the oracle runs, but each supplier key's rows spread over
+    16 salt slices in the shuffle."""
+    from flinkrunner_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    li = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        salted_join(li, supp, "l_suppkey", "s_suppkey", salt=16)
+        .groupBy("s_name")
+        .agg(F.sum(price * disc).cast("decimal(24,6)").cast("double").alias("revenue"))
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by total price per order priority (window top-k)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

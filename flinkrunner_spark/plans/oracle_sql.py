@@ -86,6 +86,35 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
 
+ORACLES["q14_promo"] = f"""
+SELECT ROUND(
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))
+      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) * 100.0
+  / CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+ORACLES["q19_brand"] = f"""
+SELECT
+  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+ORACLES["salted_supplier_rev"] = f"""
+SELECT s_name,
+  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
 ORACLES["q5_supplier"] = f"""
 SELECT n_name, CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
 FROM lineitem
