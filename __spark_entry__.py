@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_union": events.connected_union,
         # §2.2 streaming mirrors run end-to-end (file stream → memory sink)
         "stream_win_tumbling": events.stream_win_tumbling,
+        "stream_win_session": events.stream_win_session,
         "stream_dedup_sbf": events.stream_dedup_sbf,
         # §2.3 algorithms
         "distinct_users": events.distinct_users,

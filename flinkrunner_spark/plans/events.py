@@ -215,6 +215,19 @@ def stream_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming session windows run end-to-end; session-window
+    merging across micro-batches converges to the batch result, so it
+    shares ``win_session``'s exact oracle."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir)
+    return P.run_to_memory(
+        spark, P.streaming_session_agg(ev), "q_stream_win_session",
+        mode="complete",
+    )
+
+
 def stream_dedup_sbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming constant-memory dedup (SBF keyed state via
     applyInPandasWithState) run end-to-end. Probabilistic — rows-only

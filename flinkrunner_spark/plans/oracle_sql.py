@@ -532,3 +532,4 @@ FROM events WHERE event_type = 'click'
 
 # streaming mirror computes the identical result to the batch plan
 ORACLES["stream_win_tumbling"] = ORACLES["win_tumbling"]
+ORACLES["stream_win_session"] = ORACLES["win_session"]

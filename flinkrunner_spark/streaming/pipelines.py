@@ -58,14 +58,17 @@ def streaming_tumbling_agg(events: DataFrame, size: str = "1 hour") -> DataFrame
 
 
 def streaming_session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    from flinkrunner_spark.operators.aggregates import dsum
+
     return (
         events.groupBy(F.session_window("ts", gap).alias("_w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
         .select(
             F.col("_w.start").alias("window_start"),
             F.col("_w.end").alias("window_end"),
             "user_id",
             "n",
+            "total",
         )
     )
 
