@@ -95,9 +95,23 @@ class SocketSourceConfig(SourceConfig):
 
 
 class GeneratorSourceConfig(SourceConfig):
-    """Reference GeneratorSourceConfig: synthesized event stream. Built on
-    Spark's rate source; ``columns`` maps column name → SQL expression over
-    (timestamp, value)."""
+    """Reference GeneratorSourceConfig + GeneratorConfig semantics
+    (model/GeneratorConfig.scala): synthesized event stream with a seeded
+    random time walk.
+
+    Batch options (all optional): ``rows``, ``seed``, ``start.time.millis``
+    (defaults to epoch 0 for determinism), ``max.time.step`` millis per
+    event (default 100), ``prob.out.of.order`` (probability the walk steps
+    backwards, GeneratorConfig.getAndProgressTime), ``prob.null``
+    (per-column null injection on names in ``null.columns``). ``columns``
+    maps column name → SQL expression over (value, timestamp, rand()).
+
+    Streaming uses Spark's rate source (``rows.per.second``).
+
+    Scale note: the reference's generator is inherently sequential (one
+    AtomicLong time pointer); the cumulative-sum window reproduces that
+    contract and is only meant for test-data synthesis, not 100 TB scans.
+    """
 
     def load(self, spark: SparkSession) -> DataFrame:
         rps = int(self.conf.get("rows.per.second", 100))
@@ -109,12 +123,44 @@ class GeneratorSourceConfig(SourceConfig):
             )
         else:
             n = int(self.conf.get("rows", 1000))
-            df = spark.range(n).select(
-                F.col("id").alias("value"),
-                F.current_timestamp().alias("timestamp"),
-            )
+            df = spark.range(n).select(F.col("id").alias("value"))
+            seed = self.conf.get("seed")
+            if seed is not None:
+                from pyspark.sql import Window
+
+                seed = int(seed)
+                start = int(self.conf.get("start.time.millis", 0))
+                max_step = int(self.conf.get("max.time.step", 100))
+                p_ooo = float(self.conf.get("prob.out.of.order", 0.0))
+                direction = F.when(
+                    F.rand(seed) <= F.lit(p_ooo), F.lit(-1)
+                ).otherwise(F.lit(1))
+                step = (
+                    direction * F.floor(F.rand(seed + 1) * max_step)
+                ).cast("long")
+                w = (
+                    Window.orderBy("value")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                df = df.withColumn(
+                    "timestamp",
+                    F.timestamp_millis(
+                        F.lit(start) + F.coalesce(F.sum(step).over(w), F.lit(0))
+                    ),
+                )
+            else:
+                df = df.withColumn("timestamp", F.current_timestamp())
         for name, expr in self.conf.get("columns", {}).items():
             df = df.withColumn(name, F.expr(expr))
+        p_null = float(self.conf.get("prob.null", 0.0))
+        if p_null > 0 and not self.streaming:
+            base_seed = int(self.conf.get("seed", 0)) + 1000
+            for i, name in enumerate(self.conf.get("null.columns", [])):
+                df = df.withColumn(
+                    name,
+                    F.when(F.rand(base_seed + i) <= F.lit(p_null), F.lit(None))
+                    .otherwise(F.col(name)),
+                )
         return self._apply_watermark(df)
 
 
