@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.5 LLM-pipeline: similarity search
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,
+        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf": similarity.emb_knn_ivf,
         # §2.5 LLM-pipeline: multimodal plumbing
         "mm_meta": multimodal.mm_meta,

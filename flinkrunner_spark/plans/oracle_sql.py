@@ -502,7 +502,7 @@ SELECT label, vec_a, vec_b, cosine FROM (
     ROUND({_DOTAB} / SQRT({_AA} * {_BB}), 6) AS cosine
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id) t
-WHERE cosine >= 0.8
+WHERE cosine >= 0.35
 """
 
 ORACLES["mm_meta"] = """

@@ -66,3 +66,19 @@ def test_sbf_merge():
     b.add("only-b")
     a.merge(b)
     assert a.might_contain("only-a") and a.might_contain("only-b")
+
+
+def test_emb_dup_pairs_blas_matches_fold(spark):
+    """The BLAS gram-matrix path must find the same near-dup pair set as
+    the oracle-exact expression fold."""
+    from flinkrunner_spark.llm.similarity import emb_dup_pairs, emb_dup_pairs_blas
+
+    sf = "/root/testdata/sf0.01"
+    fold = {
+        (r["vec_a"], r["vec_b"]) for r in emb_dup_pairs(spark, sf).collect()
+    }
+    blas = {
+        (r["vec_a"], r["vec_b"])
+        for r in emb_dup_pairs_blas(spark, sf).collect()
+    }
+    assert fold == blas and len(fold) > 0
