@@ -144,11 +144,38 @@ class JdbcSinkConfig(SinkConfig):
             pk=self.conf.get("primary.key"),
         )
 
+    def _execute_ddl(self, df: DataFrame, ddl: str) -> None:
+        """Run DDL over the sink's JDBC connection (JVM DriverManager —
+        same classpath as the Spark JDBC writer, no extra deps)."""
+        jvm = df.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.conf["url"])
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(ddl)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
     def write(self, df: DataFrame):
+        table = self.conf.get("table", self.name)
+        if self.conf.get("create.table"):
+            try:
+                self._execute_ddl(df, self.create_table_ddl(df))
+            except Exception as e:  # dialects without IF NOT EXISTS (derby)
+                if "exists" not in str(e).lower():
+                    raise
+            # quote dbtable exactly like the DDL did — otherwise the JDBC
+            # writer resolves an unquoted name to a DIFFERENT (case-folded)
+            # table and silently auto-creates it without the PK/DDL
+            from flinkrunner_spark.util.sqlbuilder import quote_ident
+
+            table = quote_ident(table, self.conf.get("dialect", "postgresql"))
         (
             df.write.format("jdbc")
             .option("url", self.conf["url"])
-            .option("dbtable", self.conf.get("table", self.name))
+            .option("dbtable", table)
             .options(**self.conf.get("options", {}))
             .mode(self.conf.get("mode", "append"))
             .save()

@@ -13,6 +13,18 @@ DIALECTS = {
     "mysql": {"quote": "`", "types": {"text": "TEXT"}},
     "sqlserver": {"quote": "[", "types": {"double precision": "FLOAT"}},
     "snowflake": {"quote": '"', "types": {}},
+    # derby: the JDBC driver that ships with Spark — used to exercise the
+    # real create-table + write + read-back flow without external services.
+    # No IF NOT EXISTS; VARCHAR needs an explicit length.
+    "derby": {
+        "quote": '"',
+        "types": {
+            "varchar": "VARCHAR(4000)",
+            "double precision": "DOUBLE",
+            "bytea": "BLOB",
+        },
+        "if_not_exists": False,
+    },
 }
 
 _SPARK_TO_SQL = {
@@ -63,8 +75,9 @@ def create_table_from_schema(
             + ", ".join(quote_ident(c, dialect) for c in pk)
             + ")"
         )
+    ine = "IF NOT EXISTS " if DIALECTS[dialect].get("if_not_exists", True) else ""
     return (
-        f"CREATE TABLE IF NOT EXISTS {quote_ident(table, dialect)} (\n  "
+        f"CREATE TABLE {ine}{quote_ident(table, dialect)} (\n  "
         + ",\n  ".join(cols)
         + "\n)"
     )
