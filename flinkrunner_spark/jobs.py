@@ -82,9 +82,34 @@ class StreamJob:
     def transform(self) -> DataFrame:
         raise NotImplementedError
 
-    def sink(self, out: DataFrame) -> None:
+    def sink(self, out) -> None:
+        limit = (
+            self.runner.check_results.collect_limit
+            if self.runner.mock_edges
+            else None
+        )
+        if isinstance(out, dict):
+            # side outputs (SideOutputSpec.scala): each tagged frame goes
+            # to the same-named configured sink
+            if self.runner.mock_edges:
+                self.runner.check_results.check_output(
+                    {k: df.limit(limit).collect() for k, df in out.items()}
+                )
+                return
+            sinks = self.runner.sink_configs(self.name)
+            for name, df in out.items():
+                if name not in sinks:
+                    raise KeyError(
+                        f"side output '{name}' has no configured sink; "
+                        f"configured: {sorted(sinks)}"
+                    )
+                if df.isStreaming:
+                    sinks[name].write_stream(df)
+                else:
+                    sinks[name].write(df)
+            return
         if self.runner.mock_edges:
-            rows = out.limit(self.runner.check_results.collect_limit).collect()
+            rows = out.limit(limit).collect()
             self.runner.check_results.check_output(rows)
             return
         sinks = self.runner.sink_configs(self.name)
