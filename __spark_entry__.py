@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": analytics.q1_pricing,
         "q3_shipping": analytics.q3_shipping,
         "q5_supplier": analytics.q5_supplier,
+        "q6_forecast": analytics.q6_forecast,
         "q10_returned": analytics.q10_returned,
         "q14_promo": analytics.q14_promo,
         "q18_bigorders": analytics.q18_bigorders,
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.2 streaming mirrors run end-to-end (file stream → memory sink)
         "stream_win_tumbling": events.stream_win_tumbling,
         "stream_win_session": events.stream_win_session,
+        "stream_win_sliding": events.stream_win_sliding,
         "stream_dedup_sbf": events.stream_dedup_sbf,
         # §2.3 algorithms
         "distinct_users": events.distinct_users,

@@ -99,6 +99,27 @@ def q5_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style forecast revenue change: pure filter + scalar aggregate —
+    every predicate pushes to the parquet scan (zero joins, zero wide
+    shuffles; the canonical predicate-pushdown probe)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(8,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("decimal(24,6)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-style returned-item revenue: top-20 customers by revenue lost to
     returns in one quarter. lineitem⋈orders shuffles on the order key;

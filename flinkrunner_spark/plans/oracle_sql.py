@@ -533,3 +533,16 @@ FROM events WHERE event_type = 'click'
 # streaming mirror computes the identical result to the batch plan
 ORACLES["stream_win_tumbling"] = ORACLES["win_tumbling"]
 ORACLES["stream_win_session"] = ORACLES["win_session"]
+ORACLES["stream_win_sliding"] = ORACLES["win_sliding"]
+
+_P6 = "CAST(l_extendedprice AS DECIMAL(18,6))"
+ORACLES["q6_forecast"] = f"""
+SELECT
+  CAST(CAST(SUM({_P6} * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
