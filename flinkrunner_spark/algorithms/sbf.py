@@ -103,13 +103,6 @@ class StableBloomFilter:
     def might_contain(self, item: str) -> bool:
         return bool((self.cells[self._probes(item)] > 0).all())
 
-    def _decrement_random(self) -> None:
-        # As in the paper: one random start, decrement P consecutive cells.
-        start = int(self._rng.integers(0, self.m))
-        idx = (np.arange(self.P) + start) % self.m
-        nz = self.cells[idx] > 0
-        self.cells[idx[nz]] -= 1
-
     def merge(self, other: "StableBloomFilter") -> "StableBloomFilter":
         if (other.m, other.d) != (self.m, self.d):
             raise ValueError("can only merge SBFs with identical geometry")

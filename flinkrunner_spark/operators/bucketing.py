@@ -8,8 +8,9 @@ at 100 TB this removes the dominant shuffle from recurring pipelines
 (write once, join shuffle-free forever).
 
 Sort-merge bucketed joins need per-bucket sorted single files, so the
-writer repartitions to one task per bucket before ``bucketBy`` and we pin
-``spark.sql.sources.bucketing.enabled`` / ``autoBucketedScan`` defaults.
+writer repartitions to one task per bucket before ``bucketBy``;
+``bucketed_join`` enables ``spark.sql.sources.bucketing.enabled`` so the
+zero-exchange plan can't be silently lost to a session setting.
 """
 
 from __future__ import annotations
@@ -46,4 +47,5 @@ def bucketed_join(
     """Join two co-bucketed tables on their bucket key — Catalyst plans a
     SortMergeJoin with no Exchange on either side when both tables are
     bucketed into the same bucket count on the join columns."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     return spark.table(left_table).join(spark.table(right_table), on, how)

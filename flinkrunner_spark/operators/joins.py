@@ -34,6 +34,10 @@ def asof_join_merge(
     """Sorted-merge as-of join: for each left row, the latest right row
     with the same key and right_ts <= left_ts (inner semantics)."""
     lcols = left.columns
+    # NULL right timestamps can never satisfy right_ts <= left_ts (matching
+    # asof_join's comparison semantics); without this filter NULLS FIRST
+    # ordering would treat them as the earliest state
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),

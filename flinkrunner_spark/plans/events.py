@@ -231,24 +231,13 @@ def stream_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming sliding windows (1h every 30min) end-to-end;
     shares ``win_sliding``'s exact oracle."""
-    from flinkrunner_spark.operators.aggregates import dsum
     from flinkrunner_spark.streaming import pipelines as P
 
     ev = P.stream_events(spark, sf_dir)
-    agg = (
-        ev.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("_w"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
-        .select(
-            F.col("_w.start").alias("window_start"),
-            F.col("_w.end").alias("window_end"),
-            "event_type",
-            "n",
-            "total",
-        )
+    return P.run_to_memory(
+        spark, P.streaming_sliding_agg(ev), "q_stream_win_sliding",
+        mode="complete",
     )
-    return P.run_to_memory(spark, agg, "q_stream_win_sliding", mode="complete")
 
 
 def stream_dedup_sbf(spark: SparkSession, sf_dir: str) -> DataFrame:

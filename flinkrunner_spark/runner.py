@@ -61,6 +61,7 @@ class SparkRunner:
         self.spark = spark
         self.check_results = check_results
         self._jobs = jobs or {}
+        self._sink_configs: dict[str, dict] = {}
 
     @property
     def mock_edges(self) -> bool:
@@ -83,10 +84,14 @@ class SparkRunner:
         }
 
     def sink_configs(self, job_name: str) -> dict:
-        return {
-            name: sink_from_config(name, conf)
-            for name, conf in self.config.sinks(job_name).items()
-        }
+        # memoized per job: stateful sinks (MemorySinkConfig collects rows
+        # onto the config object) must be the SAME objects the job wrote to
+        if job_name not in self._sink_configs:
+            self._sink_configs[job_name] = {
+                name: sink_from_config(name, conf)
+                for name, conf in self.config.sinks(job_name).items()
+            }
+        return self._sink_configs[job_name]
 
     def load_source(self, job_name: str, name: str) -> DataFrame:
         if self.mock_edges and name in self.check_results.input_rows:

@@ -146,9 +146,21 @@ class JdbcSinkConfig(SinkConfig):
 
     def _execute_ddl(self, df: DataFrame, ddl: str) -> None:
         """Run DDL over the sink's JDBC connection (JVM DriverManager —
-        same classpath as the Spark JDBC writer, no extra deps)."""
+        same classpath as the Spark JDBC writer, no extra deps). Uses the
+        same driver/user/password options the writer gets."""
         jvm = df.sparkSession._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(self.conf["url"])
+        options = dict(self.conf.get("options", {}))
+        driver = options.get("driver")
+        if driver:
+            # register non-SPI drivers before DriverManager lookup
+            jvm.java.lang.Class.forName(driver)
+        props = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in options:
+                props.setProperty(k, options[k])
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.conf["url"], props
+        )
         try:
             st = conn.createStatement()
             try:

@@ -57,6 +57,24 @@ def streaming_tumbling_agg(events: DataFrame, size: str = "1 hour") -> DataFrame
     )
 
 
+def streaming_sliding_agg(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    from flinkrunner_spark.operators.aggregates import dsum
+
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
 def streaming_session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     from flinkrunner_spark.operators.aggregates import dsum
 

@@ -9,8 +9,15 @@ import pytest
 from flinkrunner_spark.sinks import sink_from_config
 from flinkrunner_spark.util.sqlbuilder import create_table_from_schema
 
-DERBY_URL = "jdbc:derby:/tmp/flinkrunner_derby_test;create=true"
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    # unique database per test run — Derby state persists on disk, so a
+    # fixed path would make re-runs hit duplicate-PK failures
+    db = tmp_path_factory.mktemp("derby") / "db"
+    return f"jdbc:derby:{db};create=true"
 
 
 @pytest.fixture()
@@ -21,12 +28,12 @@ def jdbc_df(spark):
     )
 
 
-def test_jdbc_create_table_and_roundtrip(spark, jdbc_df):
+def test_jdbc_create_table_and_roundtrip(spark, jdbc_df, derby_url):
     sink = sink_from_config(
         "scores",
         {
             "connector": "jdbc",
-            "url": DERBY_URL,
+            "url": derby_url,
             "table": "scores_rt",
             "dialect": "derby",
             "create.table": True,
@@ -37,7 +44,7 @@ def test_jdbc_create_table_and_roundtrip(spark, jdbc_df):
     sink.write(jdbc_df)
     back = (
         spark.read.format("jdbc")
-        .option("url", DERBY_URL)
+        .option("url", derby_url)
         .option("dbtable", '"scores_rt"')  # quoted: DDL created a quoted name
         .option("driver", DERBY_DRIVER)
         .load()
@@ -50,12 +57,12 @@ def test_jdbc_create_table_and_roundtrip(spark, jdbc_df):
     assert back.count() == 3
 
 
-def test_jdbc_pk_enforced(spark, jdbc_df):
+def test_jdbc_pk_enforced(spark, jdbc_df, derby_url):
     sink = sink_from_config(
         "scores",
         {
             "connector": "jdbc",
-            "url": DERBY_URL,
+            "url": derby_url,
             "table": "scores_pk",
             "dialect": "derby",
             "create.table": True,

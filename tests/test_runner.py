@@ -240,8 +240,6 @@ def test_side_outputs_real_sinks(spark, tmp_path):
     }
     runner = SparkRunner(config, spark=spark, jobs={"split": SplitJob})
     runner.invoke("split")
-    sinks = runner.sink_configs("split")
-    # memory sink collects on the config object created during invoke —
-    # re-create via the job path instead: check through a fresh write
-    out = SplitJob(runner, "split").transform()
-    assert out["evens"].count() == 5 and out["odds"].count() == 5
+    sinks = runner.sink_configs("split")  # memoized: same objects the job wrote to
+    assert sorted(r["v"] for r in sinks["evens"].results) == [0, 2, 4, 6, 8]
+    assert sorted(r["v"] for r in sinks["odds"].results) == [1, 3, 5, 7, 9]
