@@ -46,3 +46,30 @@ def test_id64_time_sortable():
 
     now_ms = datetime.datetime.now().timestamp() * 1000
     assert abs(id64_timestamp_millis(a) - now_ms) < 60_000
+
+
+def test_snakify():
+    from flinkrunner_spark.util.strings import snakify
+
+    assert snakify("CamelCaseName") == "camel_case_name"
+    assert snakify("kebab-case-name") == "kebab_case_name"
+    assert snakify("already_snake") == "already_snake"
+    assert snakify("HTTPServer") == "http_server"
+    assert snakify("with spaces  here") == "with_spaces_here"
+
+
+def test_clean():
+    from flinkrunner_spark.util.strings import clean
+
+    assert clean("a-b.c!d") == "abcd"
+    assert clean("a-b.c", keep="a-z", replacement="_") == "a_b_c"
+
+
+def test_prefixed_time_path():
+    from datetime import datetime, timezone
+
+    from flinkrunner_spark.util.strings import prefixed_time_path
+
+    dt = datetime(2024, 3, 5, 7, 22, tzinfo=timezone.utc)
+    assert prefixed_time_path("s3://bucket/events", dt) == "s3://bucket/events/2024/03/05/07"
+    assert prefixed_time_path("p", dt.timestamp()) == "p/2024/03/05/07"
