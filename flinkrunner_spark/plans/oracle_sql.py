@@ -8,13 +8,18 @@ Cross-engine determinism rules used throughout (see operators/aggregates.py):
   the SAME IEEE double operations in the SAME order as the Spark-side
   ``F.aggregate`` fold, with float literals spelled as CAST(x AS DOUBLE) so
   DuckDB doesn't parse them as decimals;
-* every computed column is aliased identically to the Spark plan.
+* every computed column is aliased identically to the Spark plan;
+* decimal→double casts go through VARCHAR (``CAST(CAST(x AS VARCHAR) AS
+  DOUBLE)``): duckdb's direct decimal→double cast double-rounds (int128 →
+  double, then ÷10^scale — off by one ulp when the scaled integer exceeds
+  2^53), while Spark's BigDecimal cast rounds once; strtod is correctly
+  rounded, so the VARCHAR route matches Spark bit-for-bit.
 """
 
 # shared fragments
-_DSUM_V = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+_DSUM_V = "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 _S1 = _DSUM_V
-_S2 = "CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+_S2 = "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 _N = "COUNT(value)"
 _A = "CAST(0.7 AS DOUBLE)"
 _OMA = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
@@ -30,13 +35,13 @@ ORACLES: dict[str, str] = {}
 
 ORACLES["q1_pricing"] = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM({_PRICE}) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(SUM({_PRICE} * {_DISC} * {_TAX}) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM({_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC} * {_TAX}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -45,7 +50,7 @@ GROUP BY l_returnflag, l_linestatus
 
 ORACLES["q3_shipping"] = f"""
 SELECT l_orderkey, o_orderdate,
-  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -59,7 +64,7 @@ LIMIT 10
 
 ORACLES["q10_returned"] = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -76,9 +81,9 @@ ORACLES["q18_bigorders"] = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (
   SELECT l_orderkey,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) > 250
 ) big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -88,10 +93,10 @@ LIMIT 100
 
 ORACLES["q14_promo"] = f"""
 SELECT ROUND(
-  CAST(SUM(CASE WHEN p_type = 'PROMO'
+  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
       THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))
-      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) * 100.0
-  / CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS DOUBLE),
+      ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) * 100.0
+  / CAST(CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE),
   6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -100,7 +105,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 ORACLES["q19_brand"] = f"""
 SELECT
-  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -110,13 +115,13 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 
 
 ORACLES["salted_supplier_rev"] = f"""
 SELECT s_name,
-  CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 """
 
 ORACLES["q5_supplier"] = f"""
-SELECT n_name, CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+SELECT n_name, CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -149,7 +154,7 @@ FROM events GROUP BY user_id
 
 ORACLES["rollup_sales"] = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -518,7 +523,7 @@ FROM documents
 
 ORACLES["cube_sales"] = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -538,7 +543,7 @@ ORACLES["stream_win_sliding"] = ORACLES["win_sliding"]
 _P6 = "CAST(l_extendedprice AS DECIMAL(18,6))"
 ORACLES["q6_forecast"] = f"""
 SELECT
-  CAST(CAST(SUM({_P6} * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+  CAST(CAST(CAST(SUM({_P6} * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -28,9 +28,16 @@ def stream_events(spark: SparkSession, sf_dir: str, lateness: str = "10 minutes"
     we re-read via a parquet stream of the converted copy.)"""
     from flinkrunner_spark.tables import load_table
 
-    # materialize a micros-typed copy once, then stream it
-    path = f"/tmp/flinkrunner_stream_src/{abs(hash(sf_dir))}"
+    # materialize a micros-typed copy once, then stream it. Keyed by md5
+    # (NOT the builtin hash(), which is salted per process — that would
+    # rewrite the copy on every run and litter /tmp)
+    import hashlib
     import os
+
+    path = (
+        "/tmp/flinkrunner_stream_src/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:16]
+    )
 
     if not os.path.exists(path + "/_SUCCESS"):
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
