@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_session": events.stream_win_session,
         "stream_win_sliding": events.stream_win_sliding,
         "stream_dedup_sbf": events.stream_dedup_sbf,
+        "stream_interval_join": events.stream_interval_join,
         # §2.3 algorithms
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,

@@ -240,6 +240,23 @@ def stream_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run end-to-end: purchases matched to
+    same-user clicks within a 1-hour lookback, both sides unbounded
+    streams with watermarks. Exact SQL oracle (bounded inner join)."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev1 = P.stream_events(spark, sf_dir, lateness="2 hours")
+    ev2 = P.stream_events(spark, sf_dir, lateness="2 hours")
+    purchases = ev1.filter(F.col("event_type") == "purchase")
+    clicks = ev2.filter(F.col("event_type") == "click")
+    return P.run_to_memory(
+        spark,
+        P.streaming_interval_join(purchases, clicks),
+        "q_stream_interval_join",
+    )
+
+
 def stream_dedup_sbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming constant-memory dedup (SBF keyed state via
     applyInPandasWithState) run end-to-end. Probabilistic — rows-only

@@ -551,3 +551,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
+
+ORACLES["stream_interval_join"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+  p.ts AS p_ts, c.ts AS c_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""

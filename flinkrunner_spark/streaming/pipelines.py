@@ -133,6 +133,39 @@ def streaming_dedup_keep_first(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (the DataStream intervalJoin pattern,
+    reachable in the reference via connectedSource + keyed state): each
+    purchase matches clicks by the same user within [purchase_ts -
+    lookback, purchase_ts].
+
+    Structured Streaming plans this as a watermark-bounded symmetric hash
+    join — state on both sides is pruned to the lookback window, so state
+    size is O(rate × lookback) regardless of stream length.
+    """
+    p = left.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    c = right.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")
+
+
 def streaming_dedup_sbf(
     events: DataFrame,
     dedupe_col: str = "event_id",
