@@ -33,12 +33,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.4 analytics / Table-API parity
         "q1_pricing": analytics.q1_pricing,
         "q3_shipping": analytics.q3_shipping,
+        "q4_priority": analytics.q4_priority,
         "q5_supplier": analytics.q5_supplier,
         "q6_forecast": analytics.q6_forecast,
+        "q7_volume": analytics.q7_volume,
+        "q8_market": analytics.q8_market,
         "q10_returned": analytics.q10_returned,
+        "q12_modes": analytics.q12_modes,
+        "q13_custdist": analytics.q13_custdist,
         "q14_promo": analytics.q14_promo,
+        "q15_topsupplier": analytics.q15_topsupplier,
+        "q17_smallqty": analytics.q17_smallqty,
         "q18_bigorders": analytics.q18_bigorders,
         "q19_brand": analytics.q19_brand,
+        "q21_waiting": analytics.q21_waiting,
+        "q22_opportunity": analytics.q22_opportunity,
         "salted_supplier_rev": analytics.salted_supplier_rev,
         "topk_orders": analytics.topk_orders,
         "pivot_events": analytics.pivot_events,

@@ -235,6 +235,258 @@ def salted_supplier_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style order-priority checking: per-priority count of orders in a
+    quarter having at least one returned lineitem (the schema has no
+    commit/receipt dates, so 'late' is re-expressed as 'returned').
+    EXISTS becomes a left-semi join — lineitem is projected to the join
+    key before the shuffle, and the semi form never duplicates orders."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style volume shipping between two nations, by direction and ship
+    year. Both nation-keyed dims (supplier, customer) are broadcast after
+    their nation filter, so the only wide shuffle is lineitem⋈orders."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    pair = ("NATION_13", "NATION_19")
+    nat = t["nation"].filter(F.col("n_name").isin(*pair))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(price * disc).cast("decimal(24,6)").cast("double").alias("revenue"))
+    )
+
+
+def q8_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style market share: of all revenue from customers in one region,
+    the fraction supplied by one nation, per order year. Conditional
+    aggregation over a join where every dimension is broadcast."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    rev = (price * disc).cast("decimal(24,6)")
+    cust_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = t["customer"].join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    target = F.col("supp_nation") == "NATION_13"
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(target, rev).otherwise(F.lit(0).cast("decimal(24,6)")))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share_raw")
+        )
+        .select(
+            "o_year", F.round("mkt_share_raw", 6).alias("mkt_share")
+        )
+    )
+
+
+def q12_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style priority mix per line status (the schema has no shipmode;
+    l_linestatus plays its role): CASE-counts of urgent/high vs other
+    order priorities after the fact-fact join."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style customer order-count distribution: left outer join so
+    customers with no qualifying orders count as 0, then a second
+    aggregation over the counts. Orders shuffle on the customer key with
+    map-side combine; the distribution agg is tiny."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style top supplier: per-supplier quarterly revenue, keep the
+    supplier(s) hitting the maximum. The scalar max is a one-row broadcast
+    joined back on equality — no windowing over a single partition."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * disc).cast("decimal(24,6)").cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style small-quantity revenue: lineitems of one brand whose
+    quantity is under 20% of that part's average. The correlated scalar
+    subquery becomes a per-part aggregate joined back — both the brand
+    prune and the per-part avg touch lineitem once each, and the avg
+    side is broadcast (one row per part of the brand)."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        dmean("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(F.round("avg_yearly", 6).alias("avg_yearly"), "n_items")
+    )
+
+
+def q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style sole-failing-supplier count (no commit/receipt dates in
+    the schema, so 'failed delivery' is re-expressed as 'returned'):
+    suppliers that were the only supplier with returned items on a
+    multi-supplier order. The EXISTS / NOT EXISTS pair collapses into one
+    per-order aggregate (distinct suppliers, distinct returning
+    suppliers) — lineitem shuffles once on the order key instead of two
+    correlated self-joins."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    ostats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_ret"),
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ret.join(
+            ostats.filter((F.col("n_supp") > 1) & (F.col("n_supp_ret") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style sales opportunity: well-funded customers (balance above
+    the positive-balance average) with no recent orders, grouped by
+    market segment. The scalar average is a broadcast one-row cross join;
+    the NOT EXISTS is a left-anti join shuffling only the filtered
+    orders."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    avg_bal = t["customer"].filter(F.col("c_acctbal") > 0).agg(
+        dmean("c_acctbal", "avg_bal")
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by total price per order priority (window top-k)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

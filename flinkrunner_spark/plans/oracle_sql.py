@@ -132,6 +132,134 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+ORACLES["q4_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q7_volume"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+  CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_13', 'NATION_19')
+  AND cn.n_name IN ('NATION_13', 'NATION_19')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q8_market"] = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+  ROUND(
+    CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_13'
+        THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))
+        ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE),
+    6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n ON s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+ORACLES["q12_modes"] = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+ORACLES["q13_custdist"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+       AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+ORACLES["q15_topsupplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(CAST(CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6)) AS VARCHAR) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+ORACLES["q17_smallqty"] = """
+SELECT ROUND(
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      / CAST(7.0 AS DOUBLE), 6) AS avg_yearly,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < CAST(0.2 AS DOUBLE) * (
+    SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           / COUNT(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+ORACLES["q21_waiting"] = """
+WITH li AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE l_returnflag = 'R')
+SELECT s_name, COUNT(DISTINCT r.l_orderkey) AS numwait
+FROM ret r
+JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = r.l_orderkey
+                AND l2.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = r.l_orderkey
+                    AND l3.l_suppkey <> r.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+ORACLES["q22_opportunity"] = """
+SELECT c_mktsegment,
+  COUNT(*) AS numcust,
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           / COUNT(c2.c_acctbal)
+    FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
 ORACLES["topk_orders"] = """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
