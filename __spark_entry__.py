@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "docs_simhash": llm_dedup.docs_simhash,
         # §2.5 LLM-pipeline: similarity search
         "emb_knn": similarity.emb_knn,

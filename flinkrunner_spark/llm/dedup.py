@@ -178,6 +178,24 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the jaccard-verified near-dup pairs:
+    connected components with the smallest doc_id as the cluster id, so
+    "keep one per cluster" is `doc_id == cluster_id`. Pairs alone under-
+    delete — transitively linked copies (A~B, B~C, A!~C by threshold)
+    must land in one cluster. Runs the distributed min-label propagation
+    from operators/graph.py; every doc appears (singletons cluster to
+    themselves)."""
+    from flinkrunner_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = docs_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(
+        pairs, docs, src="doc_a", dst="doc_b",
+        id_col="doc_id", label_col="cluster_id",
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document: per-token md5, bit-vote, sign-pack.
 

@@ -1,0 +1,85 @@
+"""Distributed connected components over a DataFrame edge list.
+
+The LLM-dedup pipeline needs this as the step after pairwise near-dup
+detection: duplicate PAIRS must become duplicate CLUSTERS (one keeper per
+component) before filtering, or transitively-linked copies survive.
+
+Algorithm: iterative min-label propagation — every node repeatedly adopts
+the smallest label among itself and its neighbors until a fixpoint. Each
+round is one shuffle-join (labels ⋈ edges) plus one aggregation, all
+JVM-side; the driver only checks the scalar convergence count. Rounds
+needed = graph diameter, which for near-dup clusters is small (dup sets
+are near-cliques — LSH links most pairs directly). For adversarially long
+chain graphs the Kiveris et al. two-phase star algorithm ("Connected
+Components in MapReduce and Beyond", SoCC'14) bounds rounds at O(log²n)
+with the same join primitive; the propagation loop below is the right
+trade for dedup workloads and stays exact regardless — it just takes more
+rounds on a chain.
+
+Scale notes (100 TB):
+* State per round is one (node, label) frame — never driver-side; the
+  convergence check collects a single count.
+* ``localCheckpoint`` truncates the lineage each round so the plan doesn't
+  grow unboundedly (iteration over DataFrames otherwise re-plans the whole
+  history every round).
+* Labels shuffle on the node id both in the join and the agg — one
+  partitioning, reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 50
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    label_col: str = "component",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``edges`` is undirected input (each pair listed once is enough);
+    ``nodes`` lists all node ids — isolated nodes label themselves.
+    Returns (id_col, label_col).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # smallest label reachable in one hop
+        msgs = (
+            sym.join(labels, sym["u"] == labels["id"])
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(msgs, labels["id"] == msgs["v"], "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("new_label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias(label_col)
+    )

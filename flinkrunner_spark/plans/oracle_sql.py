@@ -569,6 +569,40 @@ j AS (
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
 """
 
+# Connected components via transitive closure (exact; the closure is
+# quadratic only within a component, and dup components are tiny).
+ORACLES["docs_dup_clusters"] = f"""
+WITH RECURSIVE cand AS ({_CAND}),
+sh AS ({_SHINGLES}),
+d AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+jp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+      ROUND(len(list_intersect(a.shd, b.shd))
+            / len(list_distinct(list_concat(a.shd, b.shd))), 6) AS jaccard
+    FROM cand c
+    JOIN d a ON a.doc_id = c.doc_a
+    JOIN d b ON b.doc_id = c.doc_b) t
+  WHERE jaccard >= 0.2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jp
+),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+labels AS (
+  SELECT a, MIN(b) AS min_reach FROM reach GROUP BY a
+)
+SELECT doc_id,
+  COALESCE(LEAST(l.min_reach, doc_id), doc_id) AS cluster_id
+FROM documents LEFT JOIN labels l ON doc_id = l.a
+"""
+
 ORACLES["docs_simhash"] = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 h AS (SELECT doc_id, md5(tok) AS h FROM toks),
