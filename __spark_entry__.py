@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_histogram": events.agg_histogram,
         "agg_ema": events.agg_ema,
         "agg_emvar": events.agg_emvar,
+        "win_ema": events.win_ema,
         "win_tumbling": events.win_tumbling,
         "win_sliding": events.win_sliding,
         "win_session": events.win_session,
@@ -73,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling": events.stream_win_tumbling,
         "stream_win_session": events.stream_win_session,
         "stream_win_sliding": events.stream_win_sliding,
+        "stream_win_ema": events.stream_win_ema,
+        "stream_enrich": events.stream_enrich,
         "stream_dedup_sbf": events.stream_dedup_sbf,
         "stream_interval_join": events.stream_interval_join,
         # §2.3 algorithms

@@ -69,6 +69,24 @@ def agg_emvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowedAggregation(EMA): the order-dependent EMA aggregate applied
+    per tumbling 1-hour window — the exact composition the reference's
+    FlinkRunnerAggregateFunction runs inside window state."""
+    ev = _events(spark, sf_dir)
+    vals = A._sorted_values(["ts", "event_id"], "value")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
+        .agg(vals.alias("_vals"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "event_type",
+            F.round(A.ema_fold(F.col("_vals"), 0.7), 6).alias("agg_ema"),
+        )
+    )
+
+
 def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type."""
     return W.tumbling_agg(
@@ -254,6 +272,30 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         P.streaming_interval_join(purchases, clicks),
         "q_stream_interval_join",
+    )
+
+
+def stream_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed EMA (order-dependent aggregate under incremental
+    window state) run end-to-end; arrival-order-independent by
+    construction, so it shares ``win_ema``'s exact oracle."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir)
+    return P.run_to_memory(
+        spark, P.streaming_ema_agg(ev), "q_stream_win_ema", mode="complete"
+    )
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment run end-to-end; stateless per
+    micro-batch, so it shares ``enrich_events``'s exact oracle."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return P.run_to_memory(
+        spark, P.streaming_enrich(ev, cust), "q_stream_enrich"
     )
 
 

@@ -31,6 +31,20 @@ _DISC = "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
 _PRICE = "CAST(l_extendedprice AS DECIMAL(18,6))"
 _TAX = "(CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))"
 
+def _r6(expr: str) -> str:
+    """Spark-parity ROUND(double, 6). Spark's Round on a double rounds the
+    SHORTEST DECIMAL REPR (BigDecimal.valueOf → Double.toString) with
+    HALF_UP, while duckdb's ROUND rounds the true binary value — they
+    disagree whenever the shortest repr sits on a .5 boundary the binary
+    value is just below (seen live: fold → 33.03283249999999782 whose repr
+    is "33.0328325" → Spark 33.032833, duck ROUND 33.032832). Routing
+    through VARCHAR → DECIMAL reproduces Spark's semantics exactly."""
+    return (
+        f"CAST(CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)),"
+        f" 6) AS VARCHAR) AS DOUBLE)"
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 ORACLES["q1_pricing"] = f"""
@@ -92,12 +106,12 @@ LIMIT 100
 """
 
 ORACLES["q14_promo"] = f"""
-SELECT ROUND(
-  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
-      THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))
-      ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) * 100.0
-  / CAST(CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE),
-  6) AS promo_revenue_pct
+SELECT {_r6(
+    f"CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' "
+    f"THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6)) "
+    f"ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) * 100.0 "
+    f"/ CAST(CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)"
+)} AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -162,12 +176,12 @@ GROUP BY 1, 2, 3
 
 ORACLES["q8_market"] = f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-  ROUND(
-    CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_13'
-        THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))
-        ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE)
-    / CAST(CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE),
-    6) AS mkt_share
+  {_r6(
+    f"CAST(CAST(SUM(CASE WHEN n.n_name = 'NATION_13' "
+    f"THEN CAST({_PRICE} * {_DISC} AS DECIMAL(24,6)) "
+    f"ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) "
+    f"/ CAST(CAST(SUM(CAST({_PRICE} * {_DISC} AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE)"
+)} AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -214,10 +228,11 @@ FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
-ORACLES["q17_smallqty"] = """
-SELECT ROUND(
-    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
-      / CAST(7.0 AS DOUBLE), 6) AS avg_yearly,
+ORACLES["q17_smallqty"] = f"""
+SELECT {_r6(
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+    " / CAST(7.0 AS DOUBLE)"
+)} AS avg_yearly,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#13'
@@ -325,8 +340,8 @@ FROM e GROUP BY event_type, bin_min, bin_max
 
 ORACLES["agg_ema"] = f"""
 SELECT event_type,
-  ROUND(list_reduce(list(value ORDER BY ts, event_id),
-        (acc, x) -> acc * {_OMA} + x * {_A}), 6) AS agg_ema
+  {_r6(f"list_reduce(list(value ORDER BY ts, event_id),"
+       f" (acc, x) -> acc * {_OMA} + x * {_A})")} AS agg_ema
 FROM events GROUP BY event_type
 """
 
@@ -335,8 +350,8 @@ FROM events GROUP BY event_type
 # so a field computed after 'e' would see the already-updated EMA.
 ORACLES["agg_emvar"] = f"""
 SELECT event_type,
-  ROUND(st.v, 6) AS agg_emvar,
-  ROUND(SQRT(st.v), 6) AS agg_emsd
+  {_r6("st.v")} AS agg_emvar,
+  {_r6("SQRT(st.v)")} AS agg_emsd
 FROM (
   SELECT event_type,
     list_reduce(
@@ -560,8 +575,8 @@ sh AS ({_SHINGLES}),
 d AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
 j AS (
   SELECT c.doc_a, c.doc_b,
-    ROUND(len(list_intersect(a.shd, b.shd))
-          / len(list_distinct(list_concat(a.shd, b.shd))), 6) AS jaccard
+    {_r6("len(list_intersect(a.shd, b.shd))"
+         " / len(list_distinct(list_concat(a.shd, b.shd)))")} AS jaccard
   FROM cand c
   JOIN d a ON a.doc_id = c.doc_a
   JOIN d b ON b.doc_id = c.doc_b
@@ -578,8 +593,8 @@ d AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
 jp AS (
   SELECT doc_a, doc_b FROM (
     SELECT c.doc_a, c.doc_b,
-      ROUND(len(list_intersect(a.shd, b.shd))
-            / len(list_distinct(list_concat(a.shd, b.shd))), 6) AS jaccard
+      {_r6("len(list_intersect(a.shd, b.shd))"
+           " / len(list_distinct(list_concat(a.shd, b.shd)))")} AS jaccard
     FROM cand c
     JOIN d a ON a.doc_id = c.doc_a
     JOIN d b ON b.doc_id = c.doc_b) t
@@ -640,7 +655,7 @@ _QQ = (
 
 ORACLES["emb_knn"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND({_DOTQ} / SQRT({_EE} * {_QQ}), 6) AS cosine
+SELECT vec_id, {_r6(f"{_DOTQ} / SQRT({_EE} * {_QQ})")} AS cosine
 FROM embeddings CROSS JOIN q
 WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id
@@ -666,7 +681,7 @@ _BB = (
 ORACLES["emb_dup_pairs"] = f"""
 SELECT label, vec_a, vec_b, cosine FROM (
   SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-    ROUND({_DOTAB} / SQRT({_AA} * {_BB}), 6) AS cosine
+    {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id) t
 WHERE cosine >= 0.35
@@ -697,8 +712,19 @@ SELECT event_id, ts, user_id, value, 'click' AS src
 FROM events WHERE event_type = 'click'
 """
 
+ORACLES["win_ema"] = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  {_r6(f"list_reduce(list(value ORDER BY ts, event_id),"
+       f" (acc, x) -> acc * {_OMA} + x * {_A})")} AS agg_ema
+FROM events GROUP BY 1, 2, 3
+"""
+
 # streaming mirror computes the identical result to the batch plan
 ORACLES["stream_win_tumbling"] = ORACLES["win_tumbling"]
+ORACLES["stream_win_ema"] = ORACLES["win_ema"]
+ORACLES["stream_enrich"] = ORACLES["enrich_events"]
 ORACLES["stream_win_session"] = ORACLES["win_session"]
 ORACLES["stream_win_sliding"] = ORACLES["win_sliding"]
 

@@ -98,6 +98,51 @@ def streaming_session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFram
     )
 
 
+def streaming_ema_agg(
+    events: DataFrame, size: str = "1 hour", alpha: float = 0.7
+) -> DataFrame:
+    """The reference's windowedAggregation with its order-dependent EMA
+    aggregate (FlinkRunnerAggregateFunction + EMA.scala), streaming: per
+    (tumbling window, event_type), fold values in event-time order.
+
+    collect_list accumulates per-window state incrementally across
+    micro-batches (arrival order, NOT event order); the sort lives inside
+    ``array_sort`` at emission, so the final fold is deterministic however
+    the stream interleaves. State is bounded by the window — the same
+    bound the reference gets from windowed AggregateFunction state."""
+    from flinkrunner_spark.operators.aggregates import ema_fold
+
+    fields = [F.col("ts"), F.col("event_id"), F.col("value").alias("_v")]
+    return (
+        events.groupBy(F.window("ts", size).alias("_w"), "event_type")
+        .agg(F.collect_list(F.struct(*fields)).alias("_raw"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "event_type",
+            F.round(
+                ema_fold(
+                    F.transform(F.array_sort("_raw"), lambda s: s["_v"]),
+                    alpha,
+                ),
+                6,
+            ).alias("agg_ema"),
+        )
+    )
+
+
+def streaming_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment — the streaming form of
+    EnrichmentAsyncFunction's cached lookup: the dimension is a bounded
+    batch frame shipped to executors once; each micro-batch joins against
+    it with no streaming state at all."""
+    return (
+        events.join(
+            F.broadcast(dim), events["user_id"] == dim["c_custkey"], "left"
+        ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    )
+
+
 def streaming_dedup_keep_first(
     events: DataFrame, key_cols: list[str] | None = None
 ) -> DataFrame:
