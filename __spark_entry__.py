@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": similarity.emb_knn_ivf,
         # §2.5 LLM-pipeline: multimodal plumbing
         "mm_meta": multimodal.mm_meta,
+        "mm_frames": multimodal.mm_frames,
     }
 
 

@@ -57,3 +57,54 @@ def extract_metadata(with_payload: DataFrame) -> DataFrame:
 def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return extract_metadata(attach_payload(docs))
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+FRAME_STRIDE = 10  # sample every 10th frame
+
+
+def _fake_frame_count(payload: bytes) -> int:
+    """Deterministic stand-in for container demux (frame count)."""
+    return len(payload) % 120 + 1
+
+
+def sample_frames(with_payload: DataFrame) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    — the 1→N batch shape a real decode-and-sample stage has. The frame
+    'content' is a deterministic fingerprint of (payload, index) standing
+    in for decoded frame bytes; a real deployment swaps only the two
+    _fake_* functions for ffmpeg calls.
+
+    Scale notes: runs inside mapInPandas, so payload bytes stream through
+    Arrow batches executor-side and never shuffle — the output carries
+    only (id, idx, fingerprint). Row explosion happens after the scan,
+    inside the same stage."""
+
+    def run(iterator):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _fake_decode(payload)
+                if meta["mime"] != "video/mp4":
+                    continue
+                for idx in range(0, _fake_frame_count(payload), FRAME_STRIDE):
+                    digest = hashlib.md5(
+                        payload + b":" + str(idx).encode()
+                    ).hexdigest()
+                    rows.append((doc_id, idx, digest))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5"]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(attach_payload(docs))

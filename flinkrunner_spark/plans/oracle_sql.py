@@ -698,6 +698,16 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["mm_frames"] = """
+SELECT doc_id,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  md5(text || ':' || frame_idx) AS frame_md5
+FROM documents,
+  LATERAL (SELECT unnest(generate_series(0,
+             octet_length(encode(text)) % 120, 10)) AS frame_idx) f
+WHERE octet_length(encode(text)) % 3 = 2
+"""
+
 ORACLES["cube_sales"] = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
