@@ -54,24 +54,27 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that touch an edge — at dedup scale that is
+    # a tiny fraction of the corpus; isolated nodes join back (self-
+    # labeled) once at the end instead of riding every round. The seed
+    # already folds in round one: label = min(self, neighbors).
+    labels = sym.groupBy("v").agg(
+        F.least(F.first("v"), F.min("u")).alias("label")
+    ).select(F.col("v").alias("id"), "label").localCheckpoint(eager=True)
 
     for _ in range(max_rounds):
-        # smallest label reachable in one hop
+        # smallest label reachable in one hop (every iterated node has
+        # neighbors by construction, so the join is inner)
         msgs = (
             sym.join(labels, sym["u"] == labels["id"])
             .groupBy("v")
             .agg(F.min("label").alias("nbr_label"))
         )
         updated = (
-            labels.join(msgs, labels["id"] == msgs["v"], "left_outer")
+            labels.join(msgs, labels["id"] == msgs["v"])
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("new_label"),
+                F.least(F.col("label"), F.col("nbr_label")).alias("new_label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         ).localCheckpoint(eager=True)
@@ -80,6 +83,11 @@ def connected_components(
         if n_changed == 0:
             break
 
-    return labels.select(
-        F.col("id").alias(id_col), F.col("label").alias(label_col)
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias(label_col),
+        )
     )
