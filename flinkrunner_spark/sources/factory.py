@@ -55,6 +55,14 @@ class FileSourceConfig(SourceConfig):
         fmt = self.conf.get("format", "parquet")
         path = self.conf["path"]
         options = dict(self.conf.get("options", {}))
+        # FileSourcePathFilter parity: glob-filter which files the scan
+        # enumerates (Spark applies it at split enumeration, so filtered
+        # files are never opened); recursive lookup mirrors the
+        # reference's directory-walking enumerator.
+        if "path.filter" in self.conf:
+            options.setdefault("pathGlobFilter", self.conf["path.filter"])
+        if self.conf.get("recursive"):
+            options.setdefault("recursiveFileLookup", "true")
         if fmt in _DELIMITED:
             options.setdefault("sep", _DELIMITED[fmt])
             options.setdefault("header", "true")
