@@ -1,0 +1,101 @@
+"""Physical-plan shape checks for the analytics queries — the written-down
+proof of the 100 TB design claims in SURVEY §2.4: dimension joins are
+broadcast (no fact-side shuffle for dims), EXISTS/NOT EXISTS compile to
+semi/anti joins (never a row-duplicating inner join + distinct), and
+single-scan claims hold (no join-back in Q18).
+
+These assert on the executed plan string, so they fail loudly if a code
+change silently degrades a broadcast into a shuffle join."""
+
+from __future__ import annotations
+
+import pytest
+
+from flinkrunner_spark.plans import analytics
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, fn):
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_uses_semi_join(spark):
+    plan = _plan(spark, analytics.q4_priority)
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_uses_anti_join_and_broadcast_scalar(spark):
+    plan = _plan(spark, analytics.q22_opportunity)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    # 6-way join: the ONLY non-broadcast join is lineitem⋈orders
+    plan = _plan(spark, analytics.q5_supplier)
+    n_broadcast = plan.count("BroadcastHashJoin")
+    n_shuffle_join = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_broadcast >= 3, plan
+    assert n_shuffle_join <= 1, plan
+
+
+def test_q8_market_dims_broadcast(spark):
+    plan = _plan(spark, analytics.q8_market)
+    n_shuffle_join = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_shuffle_join <= 1, plan  # only lineitem⋈orders may shuffle
+
+
+def test_q18_single_lineitem_scan(spark):
+    # no join-back: lineitem appears exactly once in the scan list
+    plan = _plan(spark, analytics.q18_bigorders)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q17_avg_side_broadcast(spark):
+    plan = _plan(spark, analytics.q17_smallqty)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q6_filters_reach_scan(spark):
+    # predicate pushdown: the parquet scan itself carries the filters
+    df = analytics.q6_forecast(spark, SF)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    assert "PushedFilters: [" in formatted, formatted
+    pushed = [
+        line for line in formatted.splitlines() if "PushedFilters" in line
+    ]
+    assert any("l_shipdate" in line or "l_discount" in line for line in pushed), (
+        formatted
+    )
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [analytics.q1_pricing, analytics.q6_forecast],
+    ids=["q1", "q6"],
+)
+def test_scan_prunes_columns(spark, fn):
+    # column pruning: the scan schema must not include unused wide columns
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF).explain("formatted")
+    formatted = buf.getvalue()
+    read_schema = [
+        line for line in formatted.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schema, formatted
+    assert all("l_partkey" not in line for line in read_schema), formatted
