@@ -108,20 +108,61 @@ class MemorySinkConfig(SinkConfig):
 
 class KafkaSinkConfig(SinkConfig):
     def _options(self):
-        return {
+        opts = {
             "kafka.bootstrap.servers": self.conf.get(
                 "bootstrap.servers", "localhost:9092"
             ),
             "topic": self.conf.get("topic", self.name),
             **self.conf.get("options", {}),
         }
+        if self.conf.get("headers"):
+            opts["includeHeaders"] = "true"
+        return opts
+
+    def prepare_records(self, df: DataFrame) -> DataFrame:
+        """Shape a frame into Kafka records — the reference's record
+        serialization + AssignKafkaHeaders: ``key.column`` picks the
+        partition key, the value is the row as JSON unless a ``value``
+        column already exists, and ``headers: {headerKey: column}``
+        attaches columns as Kafka headers (array<struct<key,value>>, the
+        kafka datasource's wire shape)."""
+        from pyspark.sql import functions as F
+
+        cols = df.columns
+        out = df
+        key_col = self.conf.get("key.column")
+        if key_col:
+            out = out.withColumn("key", F.col(key_col).cast("string"))
+        if "value" not in cols:
+            out = out.withColumn(
+                "value", F.to_json(F.struct(*[F.col(c) for c in cols]))
+            )
+        headers = self.conf.get("headers", {})
+        if headers:
+            out = out.withColumn(
+                "headers",
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(hk).alias("key"),
+                            F.col(c).cast("string").cast("binary").alias("value"),
+                        )
+                        for hk, c in sorted(headers.items())
+                    ]
+                ),
+            )
+        keep = [c for c in ("key", "value", "headers") if c in out.columns]
+        return out.select(*keep)
 
     def write(self, df: DataFrame):
-        df.write.format("kafka").options(**self._options()).save()
+        self.prepare_records(df).write.format("kafka").options(
+            **self._options()
+        ).save()
 
     def write_stream(self, df: DataFrame):
         return (
-            df.writeStream.format("kafka")
+            self.prepare_records(df)
+            .writeStream.format("kafka")
             .options(**self._options())
             .option("checkpointLocation", self.conf["checkpoint"])
             .start()

@@ -243,3 +243,33 @@ def test_side_outputs_real_sinks(spark, tmp_path):
     sinks = runner.sink_configs("split")  # memoized: same objects the job wrote to
     assert sorted(r["v"] for r in sinks["evens"].results) == [0, 2, 4, 6, 8]
     assert sorted(r["v"] for r in sinks["odds"].results) == [1, 3, 5, 7, 9]
+
+
+def test_kafka_record_preparation(spark):
+    """Record shaping for the kafka sink (key/value/headers) is a pure
+    DataFrame transform — verifiable without a broker or the kafka jar."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    df = spark.createDataFrame(
+        [(1, "click", "2024-01-01")], ["event_id", "event_type", "day"]
+    )
+    sink = KafkaSinkConfig(
+        "events-out",
+        {
+            "connector": "kafka",
+            "key.column": "event_id",
+            "headers": {"evt-type": "event_type", "evt-day": "day"},
+        },
+    )
+    rec = sink.prepare_records(df)
+    assert set(rec.columns) == {"key", "value", "headers"}
+    row = rec.collect()[0]
+    assert row["key"] == "1"
+    import json
+
+    assert json.loads(row["value"]) == {
+        "event_id": 1, "event_type": "click", "day": "2024-01-01",
+    }
+    hdrs = {h["key"]: bytes(h["value"]).decode() for h in row["headers"]}
+    assert hdrs == {"evt-type": "click", "evt-day": "2024-01-01"}
+    assert sink._options()["includeHeaders"] == "true"
