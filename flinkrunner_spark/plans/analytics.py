@@ -437,25 +437,20 @@ def q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated self-joins."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     ostats = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_ret"),
-    )
-    ret = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        F.countDistinct(ret_supp).alias("n_supp_ret"),
+        # with n_supp_ret == 1 enforced below, the max IS the sole
+        # returner — identified inside the same aggregate, so lineitem is
+        # scanned and shuffled exactly once (no returned-pairs join-back)
+        F.max(ret_supp).alias("ret_suppkey"),
     )
     return (
-        ret.join(
-            ostats.filter((F.col("n_supp") > 1) & (F.col("n_supp_ret") == 1)),
-            "l_orderkey",
-        )
-        .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        ostats.filter((F.col("n_supp") > 1) & (F.col("n_supp_ret") == 1))
+        .groupBy("ret_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(t["supplier"]), F.col("ret_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
