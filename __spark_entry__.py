@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
-from flinkrunner_spark.llm import multimodal, similarity  # noqa: E402
+from flinkrunner_spark.llm import multimodal, pipeline, similarity  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
 from flinkrunner_spark.plans import analytics, events  # noqa: E402
 from flinkrunner_spark.plans.oracle_sql import ORACLES  # noqa: E402
@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "docs_pipeline": pipeline.docs_pipeline,
         "docs_simhash": llm_dedup.docs_simhash,
         # §2.5 LLM-pipeline: similarity search
         "emb_knn": similarity.emb_knn,

@@ -1,0 +1,51 @@
+"""End-to-end training-data curation pipeline — the composition a 100 TB
+corpus actually runs, as ONE declarative plan:
+
+    exact-dup keeper → near-dup CLUSTER keeper → language filter
+    → quality filter → token accounting
+
+Every stage is an already-oracled operator (llm/dedup.py, llm/text.py);
+this module only composes them, so the cross-engine guarantee carries to
+the whole pipeline.
+
+Scale notes: all stages key by doc_id, so Catalyst plans the stage joins
+as co-partitioned shuffles on one key; the keeper filters are semi joins
+(never duplicate surviving docs); text-derived frames carry only scalars
+past their first aggregation — the text column itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.llm import dedup as D
+from flinkrunner_spark.llm import text as T
+
+QUALITY_THRESHOLD = 1.58
+
+
+def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents with their language, quality and token counts."""
+    exact_keepers = D.docs_dedup_exact(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    cluster_keepers = (
+        D.docs_dup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    q = T.docs_quality(spark, sf_dir).select("doc_id", "quality_score")
+    lang = T.docs_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    toks = T.docs_tokens(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    return (
+        q.join(exact_keepers, "doc_id", "left_semi")
+        .join(cluster_keepers, "doc_id", "left_semi")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .filter(
+            (F.col("quality_score") >= QUALITY_THRESHOLD)
+            & (F.col("lang_pred") != "und")
+        )
+        .select("doc_id", "lang_pred", "quality_score", "n_bpe_tokens")
+    )

@@ -698,6 +698,26 @@ SELECT doc_id,
 FROM documents
 """
 
+# end-to-end curation pipeline: compose the already-defined stage oracles
+# as CTEs (duckdb allows a nested WITH [RECURSIVE] inside a CTE body)
+ORACLES["docs_pipeline"] = f"""
+WITH exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+clusters AS ({ORACLES["docs_dup_clusters"]}),
+q AS ({ORACLES["docs_quality"]}),
+l AS ({ORACLES["docs_langid"]}),
+tk AS ({ORACLES["docs_tokens"]})
+SELECT q.doc_id, l.lang_pred, q.quality_score, tk.n_bpe_tokens
+FROM q
+JOIN l ON q.doc_id = l.doc_id
+JOIN tk ON q.doc_id = tk.doc_id
+WHERE q.doc_id IN (SELECT doc_id FROM exact_keep)
+  AND q.doc_id IN (SELECT doc_id FROM clusters WHERE cluster_id = doc_id)
+  AND q.quality_score >= 1.58
+  AND l.lang_pred <> 'und'
+"""
+
 ORACLES["mm_frames"] = """
 SELECT doc_id,
   CAST(frame_idx AS INTEGER) AS frame_idx,
