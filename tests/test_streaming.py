@@ -84,3 +84,67 @@ def test_streaming_session_agg_runs(spark, events_stream):
         mode="complete",
     )
     assert got.count() > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """BoundedLatenessGenerator parity: with 10-minute allowed lateness,
+    a row arriving after the watermark passed its window is DROPPED from
+    the append-mode windowed aggregate (not silently merged)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    schema = "ts timestamp, k string"
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, "ts string, k string")
+            .select(F.col("ts").cast("timestamp"), "k")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        # distinct mtimes so the file source orders batches deterministically
+        _time.sleep(1.1)
+
+    # Spark applies the late-row filter with the PREVIOUS trigger's
+    # watermark and evicts state with the current one, so the late row
+    # must arrive ≥2 batches after the window's data to demonstrate the
+    # drop: batch0 seeds + advances wm to 12:50; batch1 evicts+emits the
+    # 10:00 window and lifts wm to 13:00; batch2's late row then hits the
+    # filter (10:05:30 < 13:00) and is discarded.
+    write([(f"2024-01-01 10:0{i}:00", "a") for i in range(3)]
+          + [("2024-01-01 13:00:00", "a")])              # wm → 12:50
+    write([("2024-01-01 13:10:00", "a")])                # wm → 13:00
+    write([("2024-01-01 10:05:30", "a"),                 # LATE — dropped
+           ("2024-01-01 14:30:00", "a")])                # wm → 14:20
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        str(r["ws"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_probe").collect()
+    }
+    # 10:00 window emitted with ONLY the 3 on-time rows — the late 10:05:30
+    # arrival was beyond the watermark and discarded
+    assert got.get("2024-01-01 10:00:00") == 3, got
+    # 13:00 window closed once wm reached 14:20
+    assert got.get("2024-01-01 13:00:00") == 2, got
+    # 14:00 window never closed (wm stops at 14:20 < 15:00) — not emitted
+    assert "2024-01-01 14:00:00" not in got, got
