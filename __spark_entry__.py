@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle for each queries() key; keys absent here (dedup_sbf,
-    hll_users — probabilistic/stateful) get the driver's rows-only check."""
+    """DuckDB oracle for each queries() key; keys absent here (dedup_sbf
+    and friends — probabilistic/stateful) get the driver's rows-only
+    check. hll_users IS exactly oracled: the md5-based register pipeline
+    is deterministic and its float sums are order-independent."""
     return dict(ORACLES)

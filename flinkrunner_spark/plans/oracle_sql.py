@@ -457,6 +457,47 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
 
+# Exact HLL oracle: the estimator (algorithms/hll.py, b=12) is md5-based
+# and fully deterministic, and the register sum Σ2^-M_j adds 4096 exact
+# powers of two (≥2^-20, total <2^12 → every partial sum fits 32 mantissa
+# bits), so it is order-independent in IEEE doubles — the whole pipeline
+# is reproducible in SQL bit-for-bit. int() truncates → TRUNC.
+ORACLES["hll_users"] = """
+WITH u AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+h AS (SELECT event_type, md5(s) AS hx FROM u),
+x AS (SELECT event_type,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          i -> (instr('0123456789abcdef', substring(hx, CAST(i AS INT), 1)) - 1)
+               * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+          & 2147483647 AS xv
+      FROM h),
+r AS (SELECT event_type, xv & 4095 AS j, xv >> 12 AS w FROM x),
+rho AS (SELECT event_type, j,
+        MAX(CASE WHEN w = 0 THEN 20
+            ELSE 19 - length(ltrim(bin(w), '0')) + 1 END) AS rho
+        FROM r GROUP BY 1, 2),
+grid AS (SELECT event_type, gj AS j
+         FROM (SELECT DISTINCT event_type FROM events)
+         CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS gj)),
+regs AS (SELECT g.event_type, COALESCE(rho.rho, 0) AS M
+         FROM grid g LEFT JOIN rho
+           ON g.event_type = rho.event_type AND g.j = rho.j),
+s AS (SELECT event_type,
+        SUM(power(2.0, -M)) AS sp,
+        SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS V
+      FROM regs GROUP BY 1),
+est AS (SELECT event_type,
+        (1.0 / (2.0 * ln(2.0))) * 4096 * 4096 / sp AS E, V FROM s)
+SELECT event_type,
+  CAST(CASE
+    WHEN E <= 8192 AND V <> 0 THEN TRUNC(4096 * ln(4096.0 / V))
+    WHEN E <= 8192 THEN TRUNC(E)
+    WHEN E <= 143165576 THEN TRUNC(E)
+    ELSE TRUNC(-4294967296.0 * ln(1.0 - E / 4294967296.0))
+  END AS BIGINT) AS n_users_hll
+FROM est
+"""
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators (documents / embeddings). Canonical fragments
 # mirror flinkrunner_spark/llm/* expression-for-expression: md5 hashing
