@@ -144,3 +144,52 @@ def test_ema_fold_is_convex_combination(values):
     lo, hi = min(values), max(values)
     eps = 1e-9 * max(1.0, abs(lo), abs(hi))
     assert lo - eps <= acc <= hi + eps
+
+
+# --- connected components vs union-find reference --------------------------
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            parent[ra] = rb
+    # canonical label: min node id in each component
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from flinkrunner_spark.operators.graph import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | {99})  # always ≥1 isolate
+    edges = [e for e in edges if e[0] != e[1]]
+    e_df = (
+        spark.createDataFrame(edges, "src int, dst int")
+        if edges
+        else spark.createDataFrame([], "src int, dst int")
+    )
+    n_df = spark.createDataFrame([(n,) for n in nodes], "id int")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e_df, n_df).collect()
+    }
+    assert got == _uf_components(edges, nodes)
