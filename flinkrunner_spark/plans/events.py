@@ -299,6 +299,27 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-state running aggregate (transformWithStateInPandas) run
+    end-to-end; the LAST emitted row per key carries the final running
+    totals, which must equal the batch groupBy. Not registered in
+    queries(): the TWS python worker needs google.protobuf, absent in
+    this environment (streaming/pipelines.streaming_running_agg raises a
+    clear gate error) — tests cover both branches."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir)
+    sink = P.run_to_memory(
+        spark, P.streaming_running_agg(ev), "q_stream_running_agg"
+    )
+    final = F.max(F.struct("n", "total")).alias("s")
+    return (
+        sink.groupBy("event_type")
+        .agg(final)
+        .select("event_type", F.col("s.n").alias("n"), F.col("s.total").alias("total"))
+    )
+
+
 def stream_dedup_sbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming constant-memory dedup (SBF keyed state via
     applyInPandasWithState) run end-to-end. Probabilistic — rows-only

@@ -269,6 +269,101 @@ def streaming_dedup_sbf(
     )
 
 
+class _RunningAgg:
+    """StatefulProcessor for streaming_running_agg — defined lazily (the
+    import must not run on clusters without the TWS API)."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class RunningAgg(StatefulProcessor):
+            def init(self, handle) -> None:
+                from pyspark.sql.types import (
+                    LongType,
+                    StructField,
+                    StructType,
+                )
+
+                self._state = handle.getValueState(
+                    "acc",
+                    StructType(
+                        [
+                            StructField("n", LongType()),
+                            StructField("micros", LongType()),
+                        ]
+                    ),
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                import decimal
+
+                import pandas as pd
+
+                n, micros = (
+                    tuple(self._state.get()) if self._state.exists() else (0, 0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    for v in pdf["value"]:
+                        # exact decimal(·,6) of the double's shortest repr,
+                        # HALF_UP — the same value Spark's double→decimal
+                        # cast produces, accumulated as integer micro-units
+                        # (order-independent, overflow-safe at this scale)
+                        micros += int(
+                            decimal.Decimal(repr(float(v))).scaleb(6).quantize(
+                                decimal.Decimal(1),
+                                rounding=decimal.ROUND_HALF_UP,
+                            )
+                        )
+                self._state.update((n, micros))
+                yield pd.DataFrame(
+                    {
+                        "event_type": [key[0]],
+                        "n": [n],
+                        "total": [micros / 10**6],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return RunningAgg()
+
+
+def streaming_running_agg(events: DataFrame) -> DataFrame:
+    """Per-key running (count, exact sum) via transformWithStateInPandas —
+    the Spark 4 analog of the reference's keyed state operators
+    (flink/state/RichStateUtils.scala + KeyedProcessFunction): typed
+    ValueState per key, explicit update per batch, one emitted row per
+    (key, batch) carrying the running totals.
+
+    State is two longs per key; the sum accumulates integer micro-units
+    so totals are exact and order-independent (IEEE running float sums
+    would drift by arrival order and break the cross-engine oracle).
+
+    DEPENDENCY-GATED: the TWS python worker requires ``google.protobuf``
+    (its state channel is protobuf-framed); environments without it get
+    an ImportError here instead of an opaque worker crash mid-query.
+    ``applyInPandasWithState`` (streaming_dedup_* above) is the
+    dependency-free alternative with the same state semantics."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(google.protobuf) for its state-server protocol; use the "
+            "applyInPandasWithState operators instead on this cluster"
+        ) from e
+    return events.select("event_type", "value").groupBy(
+        "event_type"
+    ).transformWithStateInPandas(
+        statefulProcessor=_RunningAgg(),
+        outputStructType="event_type string, n long, total double",
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     spark: SparkSession,
     df: DataFrame,

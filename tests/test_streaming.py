@@ -148,3 +148,40 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("2024-01-01 13:00:00") == 2, got
     # 14:00 window never closed (wm stops at 14:20 < 15:00) — not emitted
     assert "2024-01-01 14:00:00" not in got, got
+
+
+def test_running_agg_tws_or_gated(spark, events_stream):
+    """transformWithStateInPandas running aggregate: exact totals when the
+    protobuf dependency is present; a clear ImportError gate otherwise."""
+    import pytest
+
+    from flinkrunner_spark.streaming import pipelines as P
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            P.streaming_running_agg(events_stream)
+        return
+
+    from pyspark.sql import functions as F
+
+    out = P.run_to_memory(
+        spark, P.streaming_running_agg(events_stream), "tws_run"
+    )
+    final = (
+        out.groupBy("event_type")
+        .agg(F.max(F.struct("n", "total")).alias("s"))
+        .select("event_type", "s.n", "s.total")
+    )
+    from flinkrunner_spark.operators.aggregates import dsum
+    from flinkrunner_spark.tables import load_table
+
+    expect = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
