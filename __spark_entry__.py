@@ -32,20 +32,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.4 analytics / Table-API parity
         "q1_pricing": analytics.q1_pricing,
+        "q2_mincost": analytics.q2_mincost,
         "q3_shipping": analytics.q3_shipping,
         "q4_priority": analytics.q4_priority,
         "q5_supplier": analytics.q5_supplier,
         "q6_forecast": analytics.q6_forecast,
         "q7_volume": analytics.q7_volume,
         "q8_market": analytics.q8_market,
+        "q9_profit": analytics.q9_profit,
         "q10_returned": analytics.q10_returned,
+        "q11_important": analytics.q11_important,
         "q12_modes": analytics.q12_modes,
         "q13_custdist": analytics.q13_custdist,
         "q14_promo": analytics.q14_promo,
         "q15_topsupplier": analytics.q15_topsupplier,
+        "q16_suppcnt": analytics.q16_suppcnt,
         "q17_smallqty": analytics.q17_smallqty,
         "q18_bigorders": analytics.q18_bigorders,
         "q19_brand": analytics.q19_brand,
+        "q20_excess": analytics.q20_excess,
         "q21_waiting": analytics.q21_waiting,
         "q22_opportunity": analytics.q22_opportunity,
         "salted_supplier_rev": analytics.salted_supplier_rev,

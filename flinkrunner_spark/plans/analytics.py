@@ -482,6 +482,210 @@ def q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style minimum-cost supplier: for each LARGE part, the EUROPE
+    supplier(s) offering it at the lowest observed price. The schema has
+    no partsupp table, so the part-supplier catalog is derived from
+    lineitem (min extended price per (part, supplier) — untouched parquet
+    doubles, so the min-equality join is bit-exact on any engine). The
+    catalog aggregate shuffles lineitem once on (partkey, suppkey); part
+    and the region-filtered supplier dim are broadcast. The per-part min
+    is a window over the filtered candidate set — a self-join against a
+    min aggregate would re-scan and re-shuffle lineitem a second time,
+    which is the dominant cost at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        t["part"]
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_size")
+    )
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    cand = ps.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    from pyspark.sql.window import Window
+
+    min_cost = F.min("supply_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("min_cost", min_cost)
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_size", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style product-type profit by supplier nation and order year.
+    Without partsupp supply costs, cost is re-expressed as retail value
+    (p_retailprice × l_quantity); profit = discounted revenue − retail
+    value, summed exactly in DECIMAL (quantities are integral, retail
+    prices cents-exact — no rounding anywhere). lineitem⋈orders is the
+    only wide shuffle; part and the nation-tagged supplier dim broadcast."""
+    t = load_tables(spark, sf_dir)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    cost = F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    parts = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(price * disc).cast("decimal(24,6)")
+                - F.sum(cost).cast("decimal(24,6)")
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style important-part value: per-part sales value restricted to
+    suppliers of one region, keeping parts whose value exceeds 1.5× the
+    mean per-part value (TPC-H's fixed fraction is SF-dependent; the
+    mean-relative form stays non-vacuous at every scale). The scalar
+    (total, n_parts) is a one-row broadcast; both sides of the comparison
+    are exact decimal sums cast to double, and the ×1.5 / ÷n threshold ops
+    are identical IEEE doubles on both engines."""
+    t = load_tables(spark, sf_dir)
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    val = li.groupBy("l_partkey").agg(dsum("l_extendedprice", "part_value"))
+    total = val.agg(
+        dsum("part_value", "total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.lit(1.5) * (F.col("total_value") / F.col("n_parts"))
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+def q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier count per (brand, type, size): how many distinct
+    suppliers ship each part profile, excluding one brand, one type, and
+    'complaint' suppliers (re-expressed as balance < 1000 — the schema
+    has no comment column). The part-supplier catalog is the distinct
+    (partkey, suppkey) projection of lineitem — one shuffle; the
+    exclusion is a broadcast left-anti join."""
+    t = load_tables(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49))
+    )
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-style excess-share suppliers: EUROPE suppliers that shipped more
+    than 1.5× the average per-supplier quantity of some 'large…' part in
+    one year (partsupp availqty re-expressed as shipped-quantity share).
+    Quantities are integral so the decimal sums are exact; the ×1.5 and
+    the per-part average division are identical IEEE double ops on both
+    engines. lineitem shuffles once on (partkey, suppkey); the per-part
+    rollup reuses that partitioning."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("large%")).select("p_partkey")
+    li = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity", "supp_qty"))
+    per_part = per_supp.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        dsum("supp_qty", "part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    excess = (
+        per_supp.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_partkey"))
+        .filter(
+            F.col("supp_qty")
+            > F.lit(1.5) * (F.col("part_qty") / F.col("n_supp"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by total price per order priority (window top-k)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

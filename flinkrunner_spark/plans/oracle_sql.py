@@ -820,3 +820,109 @@ FROM events p JOIN events c
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
+
+# -- Q2/Q9/Q11/Q16/Q20 family (partsupp derived from lineitem; see
+# -- plans/analytics.py docstrings for the re-expression rationale) --
+
+ORACLES["q2_mincost"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_size, supply_cost
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN eu ON s_nationkey = n_nationkey
+  WHERE p_type = 'LARGE' AND p_size <= 25
+), minc AS (
+  SELECT p_partkey AS mp_partkey, MIN(supply_cost) AS min_cost
+  FROM cand GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_size, supply_cost
+FROM cand JOIN minc ON p_partkey = mp_partkey AND supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLES["q9_profit"] = f"""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+  CAST(CAST(
+    CAST(SUM({_PRICE} * {_DISC}) AS DECIMAL(24,6))
+    - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(24,6))
+  AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, YEAR(o_orderdate)
+"""
+
+ORACLES["q11_important"] = """
+WITH li AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), val AS (
+  SELECT l_partkey,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS part_value
+  FROM li GROUP BY l_partkey
+), total AS (
+  SELECT
+    CAST(CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
+    COUNT(*) AS n_parts
+  FROM val
+)
+SELECT l_partkey, part_value
+FROM val, total
+WHERE part_value > CAST(1.5 AS DOUBLE) * (total_value / n_parts)
+"""
+
+ORACLES["q16_suppcnt"] = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["q20_excess"] = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+), per_supp AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS supp_qty
+  FROM li GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey AS pp_partkey,
+    CAST(CAST(SUM(CAST(supp_qty AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS part_qty,
+    COUNT(*) AS n_supp
+  FROM per_supp GROUP BY l_partkey
+), excess AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_supp JOIN per_part ON l_partkey = pp_partkey
+  WHERE supp_qty > CAST(1.5 AS DOUBLE) * (part_qty / n_supp)
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY s_name
+"""
