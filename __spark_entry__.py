@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.3 algorithms
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,
+        "stream_hll_users": events.stream_hll_users,
         # §2.5 LLM-pipeline: text analysis
         "docs_tokens": llm_text.docs_tokens,
         "docs_langid": llm_text.docs_langid,

@@ -340,3 +340,22 @@ def hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality_by_key(
         _events(spark, sf_dir), key="event_type", value="user_id", b=12
     )
+
+
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL run end-to-end: per-key register state updated every
+    micro-batch (streaming/pipelines.streaming_hll). Register max-merge
+    is batch-order-independent, so the final (max-seq) row per key equals
+    the batch `hll_users` result exactly — same oracle."""
+    from pyspark.sql.window import Window
+
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    sink = P.run_to_memory(spark, P.streaming_hll(ev), "q_stream_hll_users")
+    w = Window.partitionBy("event_type").orderBy(F.col("seq").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_users_hll")
+    )

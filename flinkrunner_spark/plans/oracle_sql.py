@@ -926,3 +926,7 @@ WHERE r_name = 'EUROPE'
   AND s_suppkey IN (SELECT l_suppkey FROM excess)
 ORDER BY s_name
 """
+
+# streaming HLL mirror: register max-merge is batch-order-independent, so
+# the final state equals the batch merge — same exact oracle.
+ORACLES["stream_hll_users"] = ORACLES["hll_users"]

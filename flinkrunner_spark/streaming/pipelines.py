@@ -269,6 +269,61 @@ def streaming_dedup_sbf(
     )
 
 
+def streaming_hll(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "user_id",
+    b: int = 12,
+) -> DataFrame:
+    """Streaming HyperLogLog cardinality — the reference's HLL aggregate
+    (algorithm/cardinality/HyperLogLog.scala) applied the way FlinkRunner
+    applies aggregates to keyed streams: per-key register array as keyed
+    state, updated every micro-batch, estimate emitted per (key, batch).
+
+    The register max-merge is batch- and order-independent, so after the
+    last micro-batch the state equals the batch-merged registers exactly
+    — the final emitted row per key matches the batch `hll_users` oracle
+    bit-for-bit (take the max-`seq` row per key; see plans/events.py).
+
+    State is m = 2^b bytes per key, forever — constant in stream length,
+    exactly the reference's accumulator contract."""
+    m = 1 << b
+    out_schema = f"{key} string, seq long, n_users_hll long"
+    state_schema = "regs binary, seq long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        from flinkrunner_spark.algorithms import hll
+
+        if state.exists:
+            blob, seq = state.get
+            M = np.frombuffer(blob, dtype=np.int8).copy()
+        else:
+            M = np.zeros(m, dtype=np.int8)
+            seq = 0
+        for pdf in pdfs:
+            hll.update_registers(M, pdf[value].tolist(), b)
+        seq += 1
+        state.update((M.tobytes(), seq))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "seq": [seq],
+                "n_users_hll": [hll.estimate(M)],
+            }
+        )
+
+    return events.select(key, value).groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class _RunningAgg:
     """StatefulProcessor for streaming_running_agg — defined lazily (the
     import must not run on clusters without the TWS API)."""

@@ -150,6 +150,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert "2024-01-01 14:00:00" not in got, got
 
 
+def test_streaming_hll_merges_state_across_batches(spark, tmp_path):
+    """streaming_hll: register state must persist and max-merge across
+    micro-batches — the final estimate over a 3-batch stream equals the
+    batch HLL over the union (register merge is order-independent), and
+    seq > 1 proves more than one batch actually updated the state."""
+    import time as _time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flinkrunner_spark.algorithms import hll
+    from flinkrunner_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "hll_src")
+    all_users: dict[str, list[str]] = {"click": [], "view": []}
+    rows_by_batch = []
+    for batch in range(3):
+        rows = []
+        for i in range(200):
+            typ = "click" if i % 2 == 0 else "view"
+            # overlapping user ranges across batches → dedup matters
+            uid = f"u{(batch * 120 + i) % 400}"
+            all_users[typ].append(uid)
+            rows.append((typ, uid))
+        rows_by_batch.append(rows)
+
+    for rows in rows_by_batch:
+        (
+            spark.createDataFrame(rows, "event_type string, user_id string")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = P.run_to_memory(
+        spark, P.streaming_hll(stream, b=12), "hll_multibatch"
+    )
+    rows = sink.collect()
+    assert max(r["seq"] for r in rows) > 1, "expected multiple micro-batches"
+    final = {}
+    for r in rows:
+        if r["event_type"] not in final or r["seq"] > final[r["event_type"]][0]:
+            final[r["event_type"]] = (r["seq"], r["n_users_hll"])
+
+    for typ, users in all_users.items():
+        M = np.zeros(1 << 12, dtype=np.int8)
+        hll.update_registers(M, users, 12)
+        assert final[typ][1] == hll.estimate(M), typ
+
+
 def test_running_agg_tws_or_gated(spark, events_stream):
     """transformWithStateInPandas running aggregate: exact totals when the
     protobuf dependency is present; a clear ImportError gate otherwise."""
