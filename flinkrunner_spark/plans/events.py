@@ -342,6 +342,20 @@ def hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_filter_by_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming control-gating run end-to-end (keyed boolean state via
+    applyInPandasWithState); single-batch availableNow mirror, so the
+    batch as-of `filter_by_control` oracle holds exactly."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    return P.run_to_memory(
+        spark,
+        P.streaming_filter_by_control(ev),
+        "q_stream_filter_by_control",
+    )
+
+
 def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL run end-to-end: per-key register state updated every
     micro-batch (streaming/pipelines.streaming_hll). Register max-merge

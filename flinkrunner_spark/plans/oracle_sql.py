@@ -930,3 +930,7 @@ ORDER BY s_name
 # streaming HLL mirror: register max-merge is batch-order-independent, so
 # the final state equals the batch merge — same exact oracle.
 ORACLES["stream_hll_users"] = ORACLES["hll_users"]
+
+# streaming control gate: availableNow single-batch mirror processes rows in
+# (ts, control-first, tiebreak) order — identical to the batch as-of window.
+ORACLES["stream_filter_by_control"] = ORACLES["filter_by_control"]

@@ -269,6 +269,66 @@ def streaming_dedup_sbf(
     )
 
 
+def streaming_filter_by_control(
+    events: DataFrame,
+    key: str = "user_id",
+    tiebreak: str = "event_id",
+    control_types: tuple[str, ...] = ("signup", "error"),
+    active_type: str = "signup",
+) -> DataFrame:
+    """Streaming filterByControlSource (reference StreamJob.scala
+    filterByControlSource): data events pass only while the latest control
+    event for their key is active. The control/data split rides one keyed
+    stream; per-key state is a single boolean — the last control's
+    active flag — exactly the reference's connected-stream keyed state.
+
+    Within a micro-batch rows are processed in (ts, control-first,
+    tiebreak) order, so a control switch gates same-batch data rows after
+    it; across batches the persisted flag gates everything until the next
+    control arrives. As with any streaming gate (Flink's included), a
+    control row arriving in a LATER batch than data it precedes in event
+    time cannot retro-gate those already-emitted rows — under the
+    availableNow single-batch mirror this never happens, so the batch
+    as-of oracle holds exactly."""
+    out_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    state_schema = "active boolean"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        is_ctl = pdf["event_type"].isin(control_types)
+        pdf["_kind"] = (~is_ctl).astype(int)  # control=0 sorts first on ties
+        pdf = pdf.sort_values(["ts", "_kind", tiebreak])
+        act = pd.Series(pd.NA, index=pdf.index, dtype="object")
+        ctl_rows = pdf["_kind"] == 0
+        act[ctl_rows] = pdf.loc[ctl_rows, "event_type"] == active_type
+        prev_active = state.get[0] if state.exists else None
+        gate = act.ffill()
+        if prev_active is not None:
+            gate = gate.fillna(prev_active)
+        keep = (pdf["_kind"] == 1) & (gate == True)  # noqa: E712
+        last_ctl = act.dropna()
+        if len(last_ctl):
+            state.update((bool(last_ctl.iloc[-1]),))
+        elif prev_active is not None:
+            state.update((prev_active,))
+        yield pdf.loc[
+            keep, ["event_id", "ts", "user_id", "event_type", "value"]
+        ]
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_hll(
     events: DataFrame,
     key: str = "event_type",

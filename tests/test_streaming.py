@@ -206,6 +206,59 @@ def test_streaming_hll_merges_state_across_batches(spark, tmp_path):
         assert final[typ][1] == hll.estimate(M), typ
 
 
+def test_streaming_control_gate_state_across_batches(spark, tmp_path):
+    """streaming_filter_by_control: the last-control boolean must persist
+    across micro-batches — a signup in batch 0 admits batch 1's data, an
+    error in batch 1 blocks batch 2's data, all for the same key."""
+    import time as _time
+
+    from flinkrunner_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "ctl_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write(rows):
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string, "
+                "value double, props string",
+            )
+            .selectExpr(
+                "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                "event_type", "value", "props",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(1.1)
+
+    write([(1, "2024-01-01 10:00:00", 7, "signup", 0.0, "")])
+    write([
+        (2, "2024-01-01 10:05:00", 7, "view", 1.0, ""),     # admitted
+        (3, "2024-01-01 10:06:00", 7, "error", 0.0, ""),    # deactivates
+    ])
+    write([
+        (4, "2024-01-01 10:10:00", 7, "view", 2.0, ""),     # blocked
+        (5, "2024-01-01 10:11:00", 8, "view", 3.0, ""),     # no control yet
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = P.run_to_memory(
+        spark, P.streaming_filter_by_control(stream), "ctl_multibatch"
+    )
+    got = sorted(r["event_id"] for r in sink.collect())
+    assert got == [2], got
+
+
 def test_running_agg_tws_or_gated(spark, events_stream):
     """transformWithStateInPandas running aggregate: exact totals when the
     protobuf dependency is present; a clear ImportError gate otherwise."""
