@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_sliding": events.stream_win_sliding,
         "stream_win_ema": events.stream_win_ema,
         "stream_enrich": events.stream_enrich,
+        "stream_dedup_first": events.stream_dedup_first,
         "stream_dedup_sbf": events.stream_dedup_sbf,
         "stream_interval_join": events.stream_interval_join,
         "stream_filter_by_control": events.stream_filter_by_control,

@@ -356,6 +356,21 @@ def stream_filter_by_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact keep-first dedup run end-to-end (per-key boolean
+    state). Under the availableNow single-batch mirror the first arrival
+    IS the (ts, event_id)-minimum, so the batch `dedup_first` oracle
+    holds exactly."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    return P.run_to_memory(
+        spark,
+        P.streaming_dedup_keep_first(ev),
+        "q_stream_dedup_first",
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL run end-to-end: per-key register state updated every
     micro-batch (streaming/pipelines.streaming_hll). Register max-merge

@@ -934,3 +934,7 @@ ORACLES["stream_hll_users"] = ORACLES["hll_users"]
 # streaming control gate: availableNow single-batch mirror processes rows in
 # (ts, control-first, tiebreak) order — identical to the batch as-of window.
 ORACLES["stream_filter_by_control"] = ORACLES["filter_by_control"]
+
+# streaming keep-first dedup: single-batch mirror's first arrival is the
+# (ts, event_id) minimum — same result as the batch window dedup.
+ORACLES["stream_dedup_first"] = ORACLES["dedup_first"]

@@ -158,16 +158,23 @@ def streaming_dedup_keep_first(
     state_schema = "seen boolean"
 
     def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
         if state.exists:
             return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf):
-                pdf = pdf.sort_values(["ts", "event_id"])
-                first = pdf.iloc[[0]]
-                break
+        # a micro-batch arrives as MULTIPLE Arrow chunks — the earliest
+        # (ts, event_id) row for the key may sit in any of them, so the
+        # min must be taken over the whole batch, not the first chunk
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         state.update((True,))
-        return iter(() if first is None else (first,))
+        if not chunks:
+            return iter(())
+        first = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .iloc[[0]]
+        )
+        return iter((first,))
 
     return events.groupBy(*key_cols).applyInPandasWithState(
         fn,
