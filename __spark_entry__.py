@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_sbf": events.stream_dedup_sbf,
         "stream_interval_join": events.stream_interval_join,
         "stream_filter_by_control": events.stream_filter_by_control,
+        "stream_asof_join": events.stream_asof_join,
         # §2.3 algorithms
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,

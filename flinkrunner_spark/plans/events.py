@@ -371,6 +371,18 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join run end-to-end: O(1) keyed state (latest
+    click per user) instead of a stream-stream join buffer; single-batch
+    availableNow mirror, so the batch `asof_join` oracle holds exactly."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    return P.run_to_memory(
+        spark, P.streaming_asof_join(ev), "q_stream_asof_join"
+    )
+
+
 def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL run end-to-end: per-key register state updated every
     micro-batch (streaming/pipelines.streaming_hll). Register max-merge

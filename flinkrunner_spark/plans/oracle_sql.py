@@ -938,3 +938,7 @@ ORACLES["stream_filter_by_control"] = ORACLES["filter_by_control"]
 # streaming keep-first dedup: single-batch mirror's first arrival is the
 # (ts, event_id) minimum — same result as the batch window dedup.
 ORACLES["stream_dedup_first"] = ORACLES["dedup_first"]
+
+# streaming as-of join: single-batch mirror's (ts, right-first, id) order
+# reproduces the batch sorted-merge as-of exactly.
+ORACLES["stream_asof_join"] = ORACLES["asof_join"]

@@ -336,6 +336,74 @@ def streaming_filter_by_control(
     )
 
 
+def streaming_asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """Streaming as-of join (reference bounded-lateness join semantics,
+    flink/StreamJob.scala connectedSource + keyed state): each left-side
+    event picks up the latest right-side event at-or-before it, per key.
+    Per-key state is ONE (id, ts) pair — the running latest right event —
+    the same O(1) keyed state a Flink KeyedCoProcessFunction would keep,
+    versus the unbounded buffer a naive stream-stream join needs.
+
+    In-batch processing order is (ts, right-first, event_id): a right
+    event at the same timestamp applies (`<=` as-of), and among same-ts
+    right events the largest id wins — identical to the batch
+    sorted-merge pass (operators/joins.asof_join_merge). Left events with
+    no preceding right are dropped (inner as-of). Same one-trigger
+    caveat as every streaming gate: a right event arriving in a later
+    batch cannot retro-match already-emitted left rows; under the
+    availableNow single-batch mirror the batch oracle holds exactly."""
+    out_schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "click_id long, click_ts timestamp"
+    )
+    state_schema = "click_id long, click_ts timestamp"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["_kind"] = (pdf["event_type"] != right_type).astype(int)
+        pdf = pdf.sort_values(["ts", "_kind", "event_id"])
+        right = pdf["_kind"] == 0
+        cid = pd.Series(pd.NA, index=pdf.index, dtype="object")
+        cts = pd.Series(pd.NaT, index=pdf.index, dtype="datetime64[us]")
+        cid[right] = pdf.loc[right, "event_id"]
+        cts[right] = pdf.loc[right, "ts"]
+        prev = state.get if state.exists else None
+        fid, fts = cid.ffill(), cts.ffill()
+        if prev is not None:
+            fid = fid.fillna(prev[0])
+            fts = fts.fillna(pd.Timestamp(prev[1]))
+        keep = (pdf["_kind"] == 1) & (pdf["event_type"] == left_type) & fid.notna()
+        out = pdf.loc[keep, ["event_id", "ts", "user_id"]].copy()
+        out["click_id"] = fid[keep].astype("int64")
+        out["click_ts"] = fts[keep]
+        last = cid.dropna()
+        if len(last):
+            state.update(
+                (int(last.iloc[-1]), pdf["ts"].loc[last.index[-1]].to_pydatetime())
+            )
+        elif prev is not None:
+            state.update(tuple(prev))
+        yield out
+
+    return (
+        events.filter(F.col("event_type").isin(left_type, right_type))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_hll(
     events: DataFrame,
     key: str = "event_type",

@@ -259,6 +259,60 @@ def test_streaming_control_gate_state_across_batches(spark, tmp_path):
     assert got == [2], got
 
 
+def test_streaming_asof_state_across_batches(spark, tmp_path):
+    """streaming_asof_join: the latest-click state must persist across
+    micro-batches — a click in batch 0 matches a purchase in batch 1, a
+    newer click replaces it for batch 2, and a purchase with no prior
+    click is dropped (inner as-of)."""
+    import time as _time
+
+    from flinkrunner_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "asof_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write(rows):
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string, "
+                "value double, props string",
+            )
+            .selectExpr(
+                "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                "event_type", "value", "props",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(1.1)
+
+    write([
+        (1, "2024-01-01 10:00:00", 7, "click", 0.0, ""),
+        (2, "2024-01-01 10:00:30", 9, "purchase", 1.0, ""),  # no click → drop
+    ])
+    write([(3, "2024-01-01 10:05:00", 7, "purchase", 2.0, "")])  # ← click 1
+    write([
+        (4, "2024-01-01 10:08:00", 7, "click", 0.0, ""),
+        (5, "2024-01-01 10:09:00", 7, "purchase", 3.0, ""),  # ← click 4
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = P.run_to_memory(
+        spark, P.streaming_asof_join(stream), "asof_multibatch"
+    )
+    got = {r["event_id"]: r["click_id"] for r in sink.collect()}
+    assert got == {3: 1, 5: 4}, got
+
+
 def test_running_agg_tws_or_gated(spark, events_stream):
     """transformWithStateInPandas running aggregate: exact totals when the
     protobuf dependency is present; a clear ImportError gate otherwise."""
