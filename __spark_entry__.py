@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_events": events.enrich_events,
         "connected_union": events.connected_union,
         # §2.2 streaming mirrors run end-to-end (file stream → memory sink)
+        "stream_agg_basic": events.stream_agg_basic,
         "stream_win_tumbling": events.stream_win_tumbling,
         "stream_win_session": events.stream_win_session,
         "stream_win_sliding": events.stream_win_sliding,

@@ -32,6 +32,22 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).groupBy("event_type").agg(*A.basic_agg_exprs("value"))
 
 
+def stream_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same keyed aggregate as `agg_basic`, run as a windowless
+    Structured-Streaming aggregation in complete output mode — the
+    canonical FlinkRunnerAggregateFunction-on-a-keyed-stream shape.
+    Every aggregate is a decimal-exact (order-independent) expression,
+    so the streamed result is bit-identical to the batch oracle no
+    matter how the input splits into micro-batches."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days").drop("props")
+    agg = ev.groupBy("event_type").agg(*A.basic_agg_exprs("value"))
+    return P.run_to_memory(
+        spark, agg, "q_stream_agg_basic", mode="complete"
+    )
+
+
 def agg_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentage aggregate with base=20 (Percentage.scala semantics)."""
     return (

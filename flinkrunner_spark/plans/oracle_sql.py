@@ -942,3 +942,7 @@ ORACLES["stream_dedup_first"] = ORACLES["dedup_first"]
 # streaming as-of join: single-batch mirror's (ts, right-first, id) order
 # reproduces the batch sorted-merge as-of exactly.
 ORACLES["stream_asof_join"] = ORACLES["asof_join"]
+
+# windowless streaming aggregation (complete mode): decimal-exact aggregates
+# are micro-batch-order-independent — identical to the batch result.
+ORACLES["stream_agg_basic"] = ORACLES["agg_basic"]
