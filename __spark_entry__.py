@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "docs_pipeline": pipeline.docs_pipeline,
+        "docs_split": pipeline.docs_split,
         "docs_simhash": llm_dedup.docs_simhash,
         # §2.5 LLM-pipeline: similarity search
         "emb_knn": similarity.emb_knn,

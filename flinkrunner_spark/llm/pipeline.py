@@ -49,3 +49,33 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang_pred", "quality_score", "n_bpe_tokens")
     )
+
+
+def docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the held-out-split
+    operator every training-data pipeline needs. The split key is the
+    first 32 bits of md5(doc_id || salt) mod 100: stable across runs,
+    engines, cluster sizes and data order (no RNG, no shuffle — a pure
+    projection that scales embarrassingly at 100 TB), and salted so a
+    different salt yields an independent re-split. 90/5/5 train/val/test."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split:v1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

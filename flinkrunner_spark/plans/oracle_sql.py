@@ -946,3 +946,24 @@ ORACLES["stream_asof_join"] = ORACLES["asof_join"]
 # windowless streaming aggregation (complete mode): decimal-exact aggregates
 # are micro-batch-order-independent — identical to the batch result.
 ORACLES["stream_agg_basic"] = ORACLES["agg_basic"]
+
+# deterministic split assignment: first 32 bits of md5(doc_id || salt) mod
+# 100 (hex parsed with the same digit-sum idiom as the HLL oracle).
+ORACLES["docs_split"] = """
+WITH h AS (
+  SELECT doc_id,
+    md5(CONCAT(CAST(doc_id AS VARCHAR), ':split:v1')) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(1, 8),
+      i -> (instr('0123456789abcdef', substring(hx, CAST(i AS INT), 1)) - 1)
+           * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 100 AS bucket
+  FROM h
+)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+"""
