@@ -379,12 +379,14 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds exactly."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    ev = P.stream_events(spark, sf_dir, lateness="365 days").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
     return P.run_to_memory(
         spark,
         P.streaming_dedup_keep_first(ev),
         "q_stream_dedup_first",
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    )
 
 
 def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

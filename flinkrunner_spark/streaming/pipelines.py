@@ -154,7 +154,9 @@ def streaming_dedup_keep_first(
     for algorithms/sbf.StableBloomFilter serialized into the state struct.
     """
     key_cols = key_cols or ["user_id", "event_type"]
-    out_schema = EVENTS_SCHEMA
+    # emit exactly the input columns — callers prune unused (fat) columns
+    # BEFORE the keyed shuffle so they never ride the Arrow channel
+    out_schema = events.schema
     state_schema = "seen boolean"
 
     def fn(key, pdfs, state: GroupState):
@@ -327,12 +329,16 @@ def streaming_filter_by_control(
             keep, ["event_id", "ts", "user_id", "event_type", "value"]
         ]
 
-    return events.groupBy(key).applyInPandasWithState(
-        fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        events.select(tiebreak, "ts", key, "event_type", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -393,6 +399,7 @@ def streaming_asof_join(
 
     return (
         events.filter(F.col("event_type").isin(left_type, right_type))
+        .select("event_id", "ts", "user_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
