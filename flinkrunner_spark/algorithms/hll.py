@@ -31,16 +31,29 @@ def _hash32(s: str) -> int:
 
 
 def update_registers(M: np.ndarray, values, b: int) -> None:
+    """Batched register update: one md5 per *unique* value (max-merge is
+    idempotent, so duplicates are dropped up front), then vectorized
+    index/rho extraction and a single ``np.maximum.at`` scatter. The only
+    per-item work left is the md5 digest itself — bit ops, rho, and the
+    register max never touch the Python interpreter per row."""
     m = 1 << b
-    for v in values:
-        x = _hash32(str(v))
-        j = x & (m - 1)
-        w = x >> b
-        # rho: leftmost 1-bit position within the remaining 31-b bits
-        width = 31 - b
-        rho = width - w.bit_length() + 1 if w else width + 1
-        if rho > M[j]:
-            M[j] = rho
+    width = 31 - b
+    uniq = {str(v) for v in values}
+    if not uniq:
+        return
+    digests = b"".join(
+        hashlib.md5(v.encode("utf-8")).digest()[:4] for v in uniq
+    )
+    x = np.frombuffer(digests, dtype=">u4").astype(np.int64) & 0x7FFFFFFF
+    j = x & (m - 1)
+    w = x >> b
+    # bit_length(w) == floor(log2(w)) + 1 for w > 0; float64 log2 is exact
+    # enough for 31-bit ints (nearest power-of-2 gap ≥ 4e-10 ≫ ulp).
+    bl = np.zeros(len(x), dtype=np.int64)
+    nz = w > 0
+    bl[nz] = np.floor(np.log2(w[nz])).astype(np.int64) + 1
+    rho = (width - bl + 1).astype(M.dtype)
+    np.maximum.at(M, j, rho)
 
 
 def estimate(M: np.ndarray) -> int:
