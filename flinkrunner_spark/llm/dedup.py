@@ -83,13 +83,24 @@ def band_hashes(k: int = MINHASH_K, bands: int = LSH_BANDS) -> Column:
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc minhash signature via explode → codegen'd md5 → min.
+def _sig_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature AND distinct shingle set, one scan.
 
-    Equivalent to ``minhash_sig`` (min over the same shingle set) but the
-    md5s run inside whole-stage codegen instead of interpreted
-    higher-order-function lambdas — ~5× faster, and the shuffle is just
-    (doc_id, k hashes)."""
+    One explode → codegen'd md5 → single (doc_id) aggregate producing both
+    the k signature minima and ``collect_set(shingle)``. The LSH candidate
+    stage and the exact-Jaccard verify stage both consume this frame, so
+    the shingle pipeline — the expensive interpreted part — runs once per
+    query instead of once per consumer. The md5s run inside whole-stage
+    codegen (≈5× over interpreted higher-order lambdas), and the only wide
+    exchange carries (doc_id, k hashes, distinct shingles) — never the
+    document text.
+
+    The frame is persisted (deserialized, spill-to-disk): it is corpus-
+    sized but text-free, and Spark's cache manager keys on the canonical
+    plan, so docs_minhash_lsh / docs_ngram_jaccard / docs_dup_clusters /
+    docs_pipeline in one session all share a single materialization per
+    sf_dir. At 100 TB the same persist call spills cleanly; recompute-
+    instead-of-cache only pays if the cluster is disk-starved."""
     # explode_outer, not explode: plain explode adds an implicit
     # `size(sh)>0` filter that Catalyst pushes below the exchange with the
     # whole interpreted shingle expression inlined — evaluated twice extra
@@ -100,14 +111,17 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = ex.select(
         "doc_id",
+        "s",
         *[
             F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))).alias(f"h{j}")
             for j in range(MINHASH_K)
         ],
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(MINHASH_K)]
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(MINHASH_K)],
+        F.collect_set("s").alias("shd"),
     )
+    return sig.persist()
 
 
 def _candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -153,20 +167,26 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (banded signature collision)."""
-    return _candidate_pairs(_signatures(spark, sf_dir))
+    return _candidate_pairs(_sig_shingles(spark, sf_dir).drop("shd"))
 
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-set Jaccard over the LSH candidate pairs."""
-    sigs = _docs_shingled(spark, sf_dir).select(
-        "doc_id", F.array_distinct("sh").alias("shd")
-    )
-    pairs = docs_minhash_lsh(spark, sf_dir)
+    """Exact shingle-set Jaccard over the LSH candidate pairs.
+
+    Candidate generation and verification both read the persisted
+    ``_sig_shingles`` frame — the shingle/md5 pipeline runs ONCE; the
+    verify side just joins the candidates back to the cached distinct-
+    shingle sets (Jaccard via intersect/union sizes, order-independent,
+    so ``collect_set`` is equivalent to the sorted-distinct the DuckDB
+    oracle computes)."""
+    sigs = _sig_shingles(spark, sf_dir)
+    pairs = _candidate_pairs(sigs.drop("shd"))
+    shd = sigs.select("doc_id", "shd")
     j = pairs.join(
-        sigs.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")),
+        shd.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")),
         "doc_a",
     ).join(
-        sigs.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")),
+        shd.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")),
         "doc_b",
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
