@@ -99,51 +99,127 @@ def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_dup_pairs_blas(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
-) -> DataFrame:
-    """Same semantics as ``emb_dup_pairs``, computed per label block with
-    one numpy/BLAS gram matrix (``applyInPandas``) instead of a per-pair
-    expression fold — the 100 TB hot path: O(block² · dim) runs inside
-    vectorized BLAS at memory bandwidth, ~two orders of magnitude faster
-    per pair than interpreted array folds. Rounded cosines can differ from
-    the fold in the last ulp (pairwise vs sequential summation), hence the
-    rows-only oracle; the pair SET is identical at any sane threshold.
-    """
-    emb = _emb(spark, sf_dir)
+TILE_CAP = 2048  # max rows per chunk → gram tiles ≤ CAP² doubles (~32 MB)
 
-    def block_pairs(pdf):
+
+def emb_dup_pairs_blas(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    tile_cap: int = TILE_CAP,
+) -> DataFrame:
+    """Same semantics as ``emb_dup_pairs``, computed with numpy/BLAS gram
+    TILES (``applyInPandas``) instead of a per-pair expression fold — the
+    100 TB hot path: O(pairs · dim) runs inside vectorized BLAS at memory
+    bandwidth, ~two orders of magnitude faster per pair than interpreted
+    array folds.
+
+    Scale shape — no unbounded block ever materializes:
+    * rows hash into ``ceil(block/tile_cap)`` chunks within their label
+      (``xxhash64 % n_chunks`` — stateless, no window function, no extra
+      shuffle before the replicate-explode);
+    * each unordered chunk pair (i ≤ j) is an independent task holding at
+      most ``2·tile_cap`` rows, so a gram tile is ≤ tile_cap² doubles
+      (~32 MB at the default) no matter how skewed the label blocks are —
+      a label with 50% of all rows becomes (n/cap)²/2 bounded tasks
+      instead of one O(n²) straggler;
+    * each row is replicated once per chunk of its label (n·m rows total,
+      m = chunk count) — far below the n² pair space the tasks then cover;
+      off-diagonal tiles compute only cross-side pairs, the diagonal tile
+      the upper triangle, so every pair lands in exactly one task.
+
+    Rounded cosines can differ from the fold in the last ulp (pairwise vs
+    sequential summation), hence the rows-only oracle; the pair SET is
+    identical at any sane threshold (tested against the fold path on a
+    skewed synthetic block in tests/test_algorithms.py).
+    """
+    return dup_pairs_blas(_emb(spark, sf_dir), threshold, tile_cap)
+
+
+def dup_pairs_blas(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    tile_cap: int = TILE_CAP,
+) -> DataFrame:
+    """DataFrame-level core of :func:`emb_dup_pairs_blas` — input needs
+    (label, vec_id, embedding)."""
+    counts = emb.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(tile_cap)).cast("int").alias("nck")
+    )
+    chunked = emb.join(F.broadcast(counts), "label").select(
+        "label",
+        "vec_id",
+        "embedding",
+        "nck",
+        F.pmod(F.xxhash64("vec_id"), F.col("nck")).cast("int").alias("ck"),
+    )
+    # replicate each row into every chunk-pair task it participates in:
+    # row in chunk c joins task (min(c,o), max(c,o)) for every chunk o
+    tasks = chunked.select(
+        "label",
+        "vec_id",
+        "embedding",
+        "ck",
+        F.explode(F.sequence(F.lit(0), F.col("nck") - 1)).alias("ok"),
+    ).select(
+        "label",
+        "vec_id",
+        "embedding",
+        "ck",
+        F.least("ck", "ok").alias("ci"),
+        F.greatest("ck", "ok").alias("cj"),
+    )
+
+    def tile_pairs(key, pdf):
         import numpy as np
         import pandas as pd
 
-        E = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"label": [], "vec_a": [], "vec_b": [], "cosine": []}
-            ).astype({"label": "int64", "vec_a": "int64", "vec_b": "int64",
-                      "cosine": "float64"})
-        norms = np.sqrt((E * E).sum(axis=1))
-        G = (E @ E.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(n, k=1)
-        cos = np.round(G[iu, ju], 6)
-        keep = cos >= threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        label, ci, cj = key
+        empty = pd.DataFrame(
+            {"label": [], "vec_a": [], "vec_b": [], "cosine": []}
+        ).astype({"label": "int64", "vec_a": "int64", "vec_b": "int64",
+                  "cosine": "float64"})
+
+        def mat(sub):
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in sub["embedding"]]
+            )
+            nrm = np.sqrt((E * E).sum(axis=1))
+            return sub["vec_id"].to_numpy(), E, nrm
+
+        if ci == cj:  # diagonal tile: upper triangle within the chunk
+            ids, E, nrm = mat(pdf)
+            n = len(ids)
+            if n < 2:
+                return empty
+            G = (E @ E.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(n, k=1)
+            cos = np.round(G[iu, ju], 6)
+            keep = cos >= threshold
+            a, b, cos = ids[iu[keep]], ids[ju[keep]], cos[keep]
+        else:  # off-diagonal tile: cross-side pairs only
+            left, right = pdf[pdf["ck"] == ci], pdf[pdf["ck"] == cj]
+            if left.empty or right.empty:
+                return empty
+            ia, A, na = mat(left)
+            ib, B, nb = mat(right)
+            G = (A @ B.T) / np.outer(na, nb)
+            cos = np.round(G.ravel(), 6)
+            keep = cos >= threshold
+            ii, jj = np.divmod(np.flatnonzero(keep), len(ib))
+            a, b, cos = ia[ii], ib[jj], cos[keep]
         swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
         return pd.DataFrame(
             {
-                "label": pdf["label"].iloc[0],
-                "vec_a": a2,
-                "vec_b": b2,
-                "cosine": cos[keep],
+                "label": label,
+                "vec_a": np.where(swap, b, a),
+                "vec_b": np.where(swap, a, b),
+                "cosine": cos,
             }
         )
 
-    return emb.groupBy("label").applyInPandas(
-        block_pairs, schema="label long, vec_a long, vec_b long, cosine double"
+    return tasks.groupBy("label", "ci", "cj").applyInPandas(
+        tile_pairs, schema="label long, vec_a long, vec_b long, cosine double"
     )
 
 

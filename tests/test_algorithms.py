@@ -82,3 +82,75 @@ def test_emb_dup_pairs_blas_matches_fold(spark):
         for r in emb_dup_pairs_blas(spark, sf).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_dup_pairs_blas_tiled_on_skewed_label(spark):
+    """One label holding 50% of all rows must decompose into bounded
+    chunk-pair tiles — identical pair set to the exact fold, and no task
+    ever sees more than ~2·tile_cap rows (the straggler/OOM guard)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flinkrunner_spark.llm.similarity import as_double, dot, dup_pairs_blas
+
+    rng = np.random.default_rng(7)
+    n, dim, cap = 400, 8, 50
+    labels = [0] * (n // 2) + list(1 + np.arange(n // 2) % 10)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=dim)], int(lbl))
+        for i, lbl in enumerate(labels)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+
+    # exact fold reference (same expression as emb_dup_pairs)
+    normed = emb.select(
+        "label", "vec_id", as_double("embedding").alias("e")
+    ).withColumn("nrm", dot(F.col("e"), F.col("e")))
+    a = normed.select(
+        F.col("label").alias("l"), F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("label").alias("l"), F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    thr = 0.2
+    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    fold = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, ["l"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("c"))
+        .filter(F.col("c") >= thr)
+        .collect()
+    }
+    blas = {
+        (r["vec_a"], r["vec_b"])
+        for r in dup_pairs_blas(emb, threshold=thr, tile_cap=cap).collect()
+    }
+    assert blas == fold and len(fold) > 0
+
+    # tile-boundedness: the biggest (label, ci, cj) task group stays
+    # within the hash-imbalance slack of 2·cap rows
+    counts = emb.groupBy("label").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(cap)).cast("int").alias("nck")
+    )
+    chunked = emb.join(F.broadcast(counts), "label").select(
+        "label",
+        F.pmod(F.xxhash64("vec_id"), F.col("nck")).cast("int").alias("ck"),
+        "nck",
+    )
+    tasks = chunked.select(
+        "label", "ck",
+        F.explode(F.sequence(F.lit(0), F.col("nck") - 1)).alias("ok"),
+    ).select(
+        "label",
+        F.least("ck", "ok").alias("ci"),
+        F.greatest("ck", "ok").alias("cj"),
+    )
+    biggest = (
+        tasks.groupBy("label", "ci", "cj").count().agg(F.max("count")).first()[0]
+    )
+    assert biggest <= 3 * cap  # 2·cap nominal + hash-imbalance slack
