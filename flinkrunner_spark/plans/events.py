@@ -41,7 +41,9 @@ def stream_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how the input splits into micro-batches."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days").drop("props")
+    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4).drop(
+        "props"
+    )
     agg = ev.groupBy("event_type").agg(*A.basic_agg_exprs("value"))
     return P.run_to_memory(
         spark, agg, "q_stream_agg_basic", mode="complete"
@@ -280,8 +282,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams with watermarks. Exact SQL oracle (bounded inner join)."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev1 = P.stream_events(spark, sf_dir, lateness="2 hours")
-    ev2 = P.stream_events(spark, sf_dir, lateness="2 hours")
+    ev1 = P.stream_events(spark, sf_dir, lateness="2 hours", splits=4)
+    ev2 = P.stream_events(spark, sf_dir, lateness="2 hours", splits=4)
     purchases = ev1.filter(F.col("event_type") == "purchase")
     clicks = ev2.filter(F.col("event_type") == "click")
     return P.run_to_memory(
@@ -360,11 +362,13 @@ def hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_filter_by_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming control-gating run end-to-end (keyed boolean state via
-    applyInPandasWithState); single-batch availableNow mirror, so the
+    applyInPandasWithState) over FOUR event-time-ordered micro-batches
+    (maxFilesPerTrigger=1): gate state genuinely persists across batch
+    boundaries, and because arrival order equals event-time order the
     batch as-of `filter_by_control` oracle holds exactly."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4)
     return P.run_to_memory(
         spark,
         P.streaming_filter_by_control(ev),
@@ -374,12 +378,14 @@ def stream_filter_by_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact keep-first dedup run end-to-end (per-key boolean
-    state). Under the availableNow single-batch mirror the first arrival
-    IS the (ts, event_id)-minimum, so the batch `dedup_first` oracle
-    holds exactly."""
+    state) over FOUR event-time-ordered micro-batches: the first arrival
+    across batches IS the (ts, event_id)-minimum (earlier batches hold
+    strictly earlier timestamps; equal timestamps never straddle a batch
+    boundary), so the batch `dedup_first` oracle holds exactly while the
+    keyed state demonstrably survives batch transitions."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days").select(
+    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     return P.run_to_memory(
@@ -391,11 +397,13 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of join run end-to-end: O(1) keyed state (latest
-    click per user) instead of a stream-stream join buffer; single-batch
-    availableNow mirror, so the batch `asof_join` oracle holds exactly."""
+    click per user) instead of a stream-stream join buffer, over FOUR
+    event-time-ordered micro-batches — right-state carries across batch
+    boundaries and arrival order equals event-time order, so the batch
+    `asof_join` oracle holds exactly."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4)
     return P.run_to_memory(
         spark, P.streaming_asof_join(ev), "q_stream_asof_join"
     )
@@ -410,7 +418,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days")
+    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4)
     sink = P.run_to_memory(spark, P.streaming_hll(ev), "q_stream_hll_users")
     w = Window.partitionBy("event_type").orderBy(F.col("seq").desc())
     return (

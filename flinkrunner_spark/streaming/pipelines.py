@@ -22,30 +22,58 @@ EVENTS_SCHEMA = (
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str, lateness: str = "10 minutes") -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    lateness: str = "10 minutes",
+    splits: int = 1,
+) -> DataFrame:
     """File-backed event stream with bounded-lateness watermark. (The ns
     timestamps are truncated to micros by the batch loader; for streaming
-    we re-read via a parquet stream of the converted copy.)"""
+    we re-read via a parquet stream of the converted copy.)
+
+    ``splits > 1`` turns the single-batch mirror into a REAL multi-batch
+    run: the copy is range-partitioned on event time into ``splits``
+    files whose modification times increase in range order, and the
+    source reads with ``maxFilesPerTrigger=1`` — under the availableNow
+    trigger Spark then processes one file per micro-batch, oldest first,
+    i.e. event-time-ordered arrival. Rows with EQUAL timestamps always
+    share a file (range partitioning on ts alone), so the keyed-state
+    mirrors' in-batch (ts, control/right-first, id) replay order is never
+    split across a batch boundary — the batch oracles hold across real
+    micro-batch transitions, which is exactly what they claim to model."""
     from flinkrunner_spark.tables import load_table
 
     # materialize a micros-typed copy once, then stream it. Keyed by md5
     # (NOT the builtin hash(), which is salted per process — that would
     # rewrite the copy on every run and litter /tmp)
+    import glob
     import hashlib
     import os
+    import time
 
     path = (
         "/tmp/flinkrunner_stream_src/"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:16]
+        + hashlib.md5(f"{sf_dir}:{splits}".encode()).hexdigest()[:16]
     )
 
     if not os.path.exists(path + "/_SUCCESS"):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(path)
-        .withWatermark("ts", lateness)
-    )
+        df = load_table(spark, sf_dir, "events")
+        if splits > 1:
+            df = df.repartitionByRange(splits, "ts")
+        df.write.mode("overwrite").parquet(path)
+        if splits > 1:
+            # part-file names follow range-partition order; stamp strictly
+            # increasing mtimes so the file source's oldest-first pickup
+            # equals event-time order deterministically
+            parts = sorted(glob.glob(path + "/part-*"))
+            t0 = time.time() - len(parts) - 1
+            for i, p in enumerate(parts):
+                os.utime(p, (t0 + i, t0 + i))
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if splits > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(path).withWatermark("ts", lateness)
 
 
 def streaming_tumbling_agg(events: DataFrame, size: str = "1 hour") -> DataFrame:
