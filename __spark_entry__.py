@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": events.stream_interval_join,
         "stream_filter_by_control": events.stream_filter_by_control,
         "stream_asof_join": events.stream_asof_join,
+        # §2.1 append-mode (watermark-finalized) windows — new in r2
+        "stream_win_tumbling_append": events.stream_win_tumbling_append,
+        "stream_win_sliding_append": events.stream_win_sliding_append,
+        "stream_win_session_append": events.stream_win_session_append,
         # §2.4 analytics / Table-API parity (r1 driver-green)
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,

@@ -276,6 +276,61 @@ def stream_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPEND_LATENESS = "30 minutes"
+
+
+def stream_win_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in APPEND output mode — the at-scale streaming
+    configuration: a window emits exactly once, when the watermark
+    (max event time − 30 min lateness) passes its end, and its state is
+    evicted. Complete mode re-emits the whole result every trigger —
+    fine for a bounded mirror, a non-starter at 100 TB stream volume;
+    append mode's sink traffic is one immutable row per closed window.
+
+    Exact oracle: the batch windows whose end ≤ final watermark — on the
+    4-split event-time-ordered input every window except the open tail
+    is closed by end of stream."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness=APPEND_LATENESS, splits=4)
+    return P.run_to_memory(
+        spark,
+        P.streaming_tumbling_agg(ev),
+        "q_stream_win_tumbling_append",
+        mode="append",
+    )
+
+
+def stream_win_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h every 30 min) in append mode with watermark
+    finalization; same closed-window-subset oracle as the tumbling
+    variant."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness=APPEND_LATENESS, splits=4)
+    return P.run_to_memory(
+        spark,
+        P.streaming_sliding_agg(ev),
+        "q_stream_win_sliding_append",
+        mode="append",
+    )
+
+
+def stream_win_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-min gap) in append mode: a session emits once
+    the watermark passes its end (no further event can extend it), state
+    evicted. Oracle: batch sessions whose end ≤ final watermark."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness=APPEND_LATENESS, splits=4)
+    return P.run_to_memory(
+        spark,
+        P.streaming_session_agg(ev),
+        "q_stream_win_session_append",
+        mode="append",
+    )
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join run end-to-end: purchases matched to
     same-user clicks within a 1-hour lookback, both sides unbounded

@@ -799,6 +799,21 @@ ORACLES["stream_enrich"] = ORACLES["enrich_events"]
 ORACLES["stream_win_session"] = ORACLES["win_session"]
 ORACLES["stream_win_sliding"] = ORACLES["win_sliding"]
 
+# append-mode (watermark-finalized) streaming windows emit exactly the
+# batch windows already CLOSED by the final watermark: window_end ≤
+# max(event time) − lateness (30 minutes; plans/events.APPEND_LATENESS).
+# Window ends are bucket-aligned and the watermark carries raw sub-second
+# event time, so the ≤ boundary is never ambiguous on this data.
+_WM = "(SELECT max(ts) - INTERVAL '30 minutes' FROM events)"
+for _append, _base in [
+    ("stream_win_tumbling_append", "win_tumbling"),
+    ("stream_win_sliding_append", "win_sliding"),
+    ("stream_win_session_append", "win_session"),
+]:
+    ORACLES[_append] = (
+        f"SELECT * FROM ({ORACLES[_base]}) WHERE window_end <= {_WM}"
+    )
+
 _P6 = "CAST(l_extendedprice AS DECIMAL(18,6))"
 ORACLES["q6_forecast"] = f"""
 SELECT
