@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
+        # §2.2 SBF contract check (exact oracle over the probabilistic op)
+        "dedup_sbf_check": events.dedup_sbf_check,
         # §2.4 analytics / Table-API parity (r1 driver-green)
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,

@@ -162,6 +162,59 @@ def dedup_sbf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id")
 
 
+def dedup_sbf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-oracled verification of the probabilistic SBF dedup.
+
+    The kept-row SET is probabilistic (false positives may drop keys), but
+    the Stable Bloom Filter's CONTRACT is deterministic and checkable:
+
+    * every kept row is its key's true first occurrence — an FP drops all
+      occurrences of a key, it can never surface a later one
+      (n_non_first_kept = 0);
+    * no key is ever kept twice — a kept first occurrence inserts the key,
+      so every later occurrence reads seen (n_multi_kept_keys = 0);
+    * keys lost to false positives stay within 3× the configured FPR
+      (fp_within_bound = true);
+    * n_exact_keys anchors the check to the data (computed independently
+      by both engines), so the oracle row is not a constant tautology.
+
+    This is the deterministic projection of SBFDeduplicationFilter.scala's
+    guarantee set — the part of an approximate operator an exact
+    cross-engine oracle CAN pin down."""
+    fpr = 0.01
+    kept = dedup_sbf_q(spark, sf_dir)  # user_id, event_type, event_id
+    exact = dedup_first_q(spark, sf_dir).select(
+        "user_id", "event_type", F.col("event_id").alias("first_id")
+    )
+    joined = kept.join(exact, ["user_id", "event_type"], "left")
+    stats = joined.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("first_id").isNull()
+                    | (F.col("event_id") != F.col("first_id")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_non_first_kept"),
+        F.countDistinct("user_id", "event_type").alias("n_kept_keys"),
+        F.count(F.lit(1)).alias("n_kept_rows"),
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_keys"))
+    return stats.crossJoin(n_exact).select(
+        "n_exact_keys",
+        "n_non_first_kept",
+        (F.col("n_kept_rows") - F.col("n_kept_keys")).cast("long").alias(
+            "n_multi_kept_keys"
+        ),
+        (
+            (F.col("n_exact_keys") - F.col("n_kept_keys"))
+            <= F.ceil(F.lit(3 * fpr) * F.col("n_exact_keys"))
+        ).alias("fp_within_bound"),
+    )
+
+
 def filter_by_control_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filterByControlSource on events: 'signup' activates a user's stream,
     'error' deactivates it; other event types are the data stream."""

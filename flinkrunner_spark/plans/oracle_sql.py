@@ -412,6 +412,19 @@ SELECT event_id, ts, user_id, event_type, value FROM (
 WHERE rn = 1
 """
 
+# deterministic projection of the SBF dedup contract (plans/events.
+# dedup_sbf_check): kept rows are true first occurrences, at most one per
+# key, FP key loss within 3×fpr. n_exact_keys is data-derived on both
+# engines, so the row is anchored, not a tautology.
+ORACLES["dedup_sbf_check"] = """
+SELECT
+  (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, event_type FROM events))
+    AS n_exact_keys,
+  CAST(0 AS BIGINT) AS n_non_first_kept,
+  CAST(0 AS BIGINT) AS n_multi_kept_keys,
+  true AS fp_within_bound
+"""
+
 ORACLES["filter_by_control"] = """
 WITH merged AS (
   SELECT user_id AS k, ts AS o_ts, event_id AS tb, 0 AS kind,
