@@ -172,41 +172,60 @@ def streaming_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 
 def streaming_dedup_keep_first(
-    events: DataFrame, key_cols: list[str] | None = None
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Stateful keep-first dedup (exact semantics of the reference's dedup
-    filter) via applyInPandasWithState: per-key boolean state, emit only
-    the first batch row for unseen keys.
+    filter), BUCKETED: state is keyed by a hash bucket of the dedup key,
+    not by the key itself, and each bucket keeps the set of seen keys as
+    one serialized state blob. Per micro-batch the Python function runs
+    ``num_buckets`` times (vectorized pandas dedup inside), not
+    once-per-key — the per-key form pays the ~0.2 ms Python dispatch for
+    every key in every batch, which at millions of keys per trigger IS
+    the bottleneck. Within a batch the (ts, event_id)-min row per unseen
+    key is emitted, identical to the per-key form.
 
-    For bounded-state dedup at 100 TB stream volumes, swap the exact state
-    for algorithms/sbf.StableBloomFilter serialized into the state struct.
+    Scale note: exact dedup state is inherently O(distinct keys); the
+    bucket count should scale with key cardinality (buckets ≈ keys /
+    ~100k keeps each blob small and the state store parallel — buckets
+    are spread across state partitions). For bounded state at unbounded
+    key cardinality, use streaming_dedup_sbf (same bucketed shape, SBF
+    cells as the blob).
     """
     key_cols = key_cols or ["user_id", "event_type"]
     # emit exactly the input columns — callers prune unused (fat) columns
     # BEFORE the keyed shuffle so they never ride the Arrow channel
     out_schema = events.schema
-    state_schema = "seen boolean"
+    state_schema = "seen binary"
 
     def fn(key, pdfs, state: GroupState):
+        import pickle
+
         import pandas as pd
 
-        if state.exists:
-            return iter(())
-        # a micro-batch arrives as MULTIPLE Arrow chunks — the earliest
-        # (ts, event_id) row for the key may sit in any of them, so the
-        # min must be taken over the whole batch, not the first chunk
+        seen = pickle.loads(state.get[0]) if state.exists else set()
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        state.update((True,))
         if not chunks:
             return iter(())
-        first = (
+        # a micro-batch arrives as MULTIPLE Arrow chunks — the earliest
+        # (ts, event_id) row for a key may sit in any of them, so sort
+        # and dedup over the whole batch
+        pdf = (
             pd.concat(chunks, ignore_index=True)
             .sort_values(["ts", "event_id"])
-            .iloc[[0]]
+            .drop_duplicates(subset=key_cols, keep="first")
         )
-        return iter((first,))
+        keys = [tuple(t) for t in pdf[key_cols].itertuples(index=False)]
+        fresh = pd.Series([k not in seen for k in keys], index=pdf.index)
+        seen.update(k for k, f in zip(keys, fresh) if f)
+        state.update((pickle.dumps(seen),))
+        yield pdf.loc[fresh].drop(columns=["_bucket"])
 
-    return events.groupBy(*key_cols).applyInPandasWithState(
+    keyed = events.withColumn(
+        "_bucket", F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets))
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -316,8 +335,11 @@ def streaming_filter_by_control(
     """Streaming filterByControlSource (reference StreamJob.scala
     filterByControlSource): data events pass only while the latest control
     event for their key is active. The control/data split rides one keyed
-    stream; per-key state is a single boolean — the last control's
-    active flag — exactly the reference's connected-stream keyed state.
+    stream; logical state per key is a single boolean — the last
+    control's active flag, the reference's connected-stream keyed state —
+    physically held as a bucketed {key: flag} blob (see
+    streaming_dedup_keep_first for why bucketing beats per-key Python
+    dispatch).
 
     Within a micro-batch rows are processed in (ts, control-first,
     tiebreak) order, so a control switch gates same-batch data rows after
@@ -331,11 +353,17 @@ def streaming_filter_by_control(
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double"
     )
-    state_schema = "active boolean"
+    state_schema = "gates binary"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        import pickle
+
         import pandas as pd
 
+        # bucketed state: {key: latest control's active flag}; the keyed
+        # replay below is vectorized per bucket (groupby-ffill), so the
+        # Python dispatch cost is per BUCKET per batch, not per key
+        gates = pickle.loads(state.get[0]) if state.exists else {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
         is_ctl = pdf["event_type"].isin(control_types)
         pdf["_kind"] = (~is_ctl).astype(int)  # control=0 sorts first on ties
@@ -343,30 +371,29 @@ def streaming_filter_by_control(
         act = pd.Series(pd.NA, index=pdf.index, dtype="object")
         ctl_rows = pdf["_kind"] == 0
         act[ctl_rows] = pdf.loc[ctl_rows, "event_type"] == active_type
-        prev_active = state.get[0] if state.exists else None
-        gate = act.ffill()
-        if prev_active is not None:
-            gate = gate.fillna(prev_active)
+        # per-key forward fill in row order, seeded by the persisted gate
+        gate = act.groupby(pdf[key]).ffill()
+        gate = gate.fillna(pdf[key].map(gates))
         keep = (pdf["_kind"] == 1) & (gate == True)  # noqa: E712
-        last_ctl = act.dropna()
+        last_ctl = act[ctl_rows].groupby(pdf.loc[ctl_rows, key]).last()
         if len(last_ctl):
-            state.update((bool(last_ctl.iloc[-1]),))
-        elif prev_active is not None:
-            state.update((prev_active,))
+            gates.update(
+                (int(k), bool(v)) for k, v in last_ctl.items()
+            )
+        state.update((pickle.dumps(gates),))
         yield pdf.loc[
             keep, ["event_id", "ts", "user_id", "event_type", "value"]
         ]
 
-    return (
-        events.select(tiebreak, "ts", key, "event_type", "value")
-        .groupBy(key)
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    keyed = events.select(tiebreak, "ts", key, "event_type", "value").withColumn(
+        "_bucket", F.pmod(F.xxhash64(key), F.lit(64))
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -378,9 +405,11 @@ def streaming_asof_join(
     """Streaming as-of join (reference bounded-lateness join semantics,
     flink/StreamJob.scala connectedSource + keyed state): each left-side
     event picks up the latest right-side event at-or-before it, per key.
-    Per-key state is ONE (id, ts) pair — the running latest right event —
-    the same O(1) keyed state a Flink KeyedCoProcessFunction would keep,
-    versus the unbounded buffer a naive stream-stream join needs.
+    Logical state per key is ONE (id, ts) pair — the running latest
+    right event, the same O(1) keyed state a Flink KeyedCoProcessFunction
+    would keep versus the unbounded buffer of a naive stream-stream join —
+    physically bucketed as a {key: (id, ts)} blob so the Python dispatch
+    cost is per bucket, not per key.
 
     In-batch processing order is (ts, right-first, event_id): a right
     event at the same timestamp applies (`<=` as-of), and among same-ts
@@ -394,48 +423,58 @@ def streaming_asof_join(
         "event_id long, ts timestamp, user_id long, "
         "click_id long, click_ts timestamp"
     )
-    state_schema = "click_id long, click_ts timestamp"
+    state_schema = "latest binary"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        import pickle
+
         import pandas as pd
 
+        # bucketed state: {user: (click_id, click_ts_micros)} — the
+        # latest right event per key; replay below is vectorized per
+        # bucket (groupby-ffill), Python dispatch per BUCKET per batch
+        latest = pickle.loads(state.get[0]) if state.exists else {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf["_kind"] = (pdf["event_type"] != right_type).astype(int)
         pdf = pdf.sort_values(["ts", "_kind", "event_id"])
         right = pdf["_kind"] == 0
         cid = pd.Series(pd.NA, index=pdf.index, dtype="object")
-        cts = pd.Series(pd.NaT, index=pdf.index, dtype="datetime64[us]")
+        cus = pd.Series(pd.NA, index=pdf.index, dtype="object")
         cid[right] = pdf.loc[right, "event_id"]
-        cts[right] = pdf.loc[right, "ts"]
-        prev = state.get if state.exists else None
-        fid, fts = cid.ffill(), cts.ffill()
-        if prev is not None:
-            fid = fid.fillna(prev[0])
-            fts = fts.fillna(pd.Timestamp(prev[1]))
+        # normalize to micros regardless of the Arrow-side resolution
+        cus[right] = (
+            pdf.loc[right, "ts"].astype("datetime64[us]").astype("int64")
+        )
+        users = pdf["user_id"]
+        fid = cid.groupby(users).ffill()
+        fus = cus.groupby(users).ffill()
+        fid = fid.fillna(users.map({u: v[0] for u, v in latest.items()}))
+        fus = fus.fillna(users.map({u: v[1] for u, v in latest.items()}))
         keep = (pdf["_kind"] == 1) & (pdf["event_type"] == left_type) & fid.notna()
         out = pdf.loc[keep, ["event_id", "ts", "user_id"]].copy()
         out["click_id"] = fid[keep].astype("int64")
-        out["click_ts"] = fts[keep]
-        last = cid.dropna()
-        if len(last):
-            state.update(
-                (int(last.iloc[-1]), pdf["ts"].loc[last.index[-1]].to_pydatetime())
+        out["click_ts"] = fus[keep].astype("int64").astype("datetime64[us]")
+        last_right = pdf.loc[right]
+        if len(last_right):
+            grp = last_right.groupby("user_id").last()
+            latest.update(
+                (int(u), (int(r["event_id"]), int(pd.Timestamp(r["ts"]).value // 1000)))
+                for u, r in grp.iterrows()
             )
-        elif prev is not None:
-            state.update(tuple(prev))
+        state.update((pickle.dumps(latest),))
         yield out
 
-    return (
+    keyed = (
         events.filter(F.col("event_type").isin(left_type, right_type))
         .select("event_id", "ts", "user_id", "event_type")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+        .withColumn("_bucket", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
