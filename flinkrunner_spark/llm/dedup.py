@@ -198,6 +198,15 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> materialized cluster frame. Connected
+# components is iterative (localCheckpoint per round breaks plan
+# identity), so Spark's plan-keyed cache manager can never share it
+# between queries — memoize the small (doc_id, cluster_id) result at the
+# session level instead. docs_dup_clusters and docs_pipeline both consume
+# it; one CC run per session per sf_dir.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from the jaccard-verified near-dup pairs:
     connected components with the smallest doc_id as the cluster id, so
@@ -208,12 +217,18 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves)."""
     from flinkrunner_spark.operators.graph import connected_components
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTER_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     pairs = docs_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(
+    result = connected_components(
         pairs, docs, src="doc_a", dst="doc_b",
         id_col="doc_id", label_col="cluster_id",
-    )
+    ).localCheckpoint(eager=True)
+    _CLUSTER_CACHE[key] = result
+    return result
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
