@@ -224,13 +224,26 @@ def dup_pairs_blas(
 
 
 def emb_knn_ivf(
-    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = KNN_K
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = KNN_K,
+    nprobe: int = 2,
 ) -> DataFrame:
-    """IVF top-k: per-label centroids → nearest cell → exact search inside.
+    """IVF top-k: coarse centroids → ``nprobe`` nearest cells → exact
+    search inside the probed cells only.
 
-    Probabilistic recall vs brute force (rows-only oracle): identical k
-    rows whenever the true neighbors share the probed cell.
-    """
+    The inverted-file structure here uses the label column as the cell
+    assignment (per-label elementwise means as centroids); at scale the
+    cells are a centroid-bucketed table and the probe is a partition-
+    pruned read touching nprobe/N of the data. Multi-probe (default 2)
+    is the standard recall lever — still pruned, better neighbor
+    coverage than nprobe=1.
+
+    EXACTLY oracled: the pruned search is deterministic given the cell
+    assignment (probe ranking, in-cell cosines, global top-k are all
+    reproduced in SQL), so this is a hard cross-engine row, not a
+    recall-bound check."""
     emb = _emb(spark, sf_dir)
     cells = (
         emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
@@ -254,7 +267,7 @@ def emb_knn_ivf(
             cosine(F.col("centroid"), as_double("qv")).alias("ccos"),
         )
         .orderBy(F.col("ccos").desc(), F.col("label"))
-        .limit(1)
+        .limit(nprobe)
         .select("label")
     )
     cos = cosine(as_double("embedding"), as_double("qv"))

@@ -716,6 +716,43 @@ ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
 
+# IVF probe: per-label centroids (elementwise means), rank cells by
+# centroid·query cosine, keep the top nprobe=2, exact top-k inside those
+# cells only — the same pruned search the Spark plan runs. Centroid
+# cosines are compared only ACROSS labels (well-separated), so engine-
+# side summation-order ulps cannot flip the probe ranking.
+_DOTCQ = (
+    "list_reduce(list_transform(generate_series(1, len(centroid)),"
+    " i -> centroid[i] * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b)"
+)
+_CC = (
+    "list_reduce(list_transform(generate_series(1, len(centroid)),"
+    " i -> centroid[i] * centroid[i]), (a, b) -> a + b)"
+)
+ORACLES["emb_knn_ivf"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, AVG(x) AS cx FROM (
+      SELECT label,
+        unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x,
+        unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings) u
+    GROUP BY label, pos) t
+  GROUP BY label
+),
+probe AS (
+  SELECT label FROM cent CROSS JOIN q
+  ORDER BY {_DOTCQ} / SQRT({_CC} * {_QQ}) DESC, label
+  LIMIT 2
+)
+SELECT vec_id, {_r6(f"{_DOTQ} / SQRT({_EE} * {_QQ})")} AS cosine
+FROM embeddings CROSS JOIN q
+WHERE label IN (SELECT label FROM probe) AND vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
 _DOTAB = (
     "list_reduce(list_transform(generate_series(1, len(a.embedding)),"
     " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
