@@ -242,15 +242,36 @@ class JdbcSinkConfig(SinkConfig):
 
 
 class SocketSinkConfig(SinkConfig):
-    def write(self, df: DataFrame):
-        import socket as pysocket
+    """Newline-delimited JSON over TCP (reference SocketSinkConfig.scala).
 
+    Each partition opens its own connection and streams its rows from the
+    executor — rows never funnel through the driver, so throughput scales
+    with partition count and driver memory is never the bound. (A socket
+    endpoint accepting concurrent connections is the normal shape; set
+    ``coalesce: 1`` in the config for single-connection servers.)"""
+
+    def write(self, df: DataFrame):
         host = self.conf.get("host", "localhost")
         port = int(self.conf.get("port", 9999))
-        rows = df.toJSON().collect()
-        with pysocket.create_connection((host, port)) as s:
-            for r in rows:
-                s.sendall((r + "\n").encode())
+        coalesce = self.conf.get("coalesce")
+        out = df.toJSON()
+        if coalesce:
+            out = out.coalesce(int(coalesce))
+
+        def send_partition(rows):
+            import socket as pysocket
+
+            buf = []
+            with pysocket.create_connection((host, port)) as s:
+                for r in rows:
+                    buf.append(r + "\n")
+                    if len(buf) >= 1000:
+                        s.sendall("".join(buf).encode())
+                        buf.clear()
+                if buf:
+                    s.sendall("".join(buf).encode())
+
+        out.foreachPartition(send_partition)
 
     def write_stream(self, df: DataFrame):
         def _batch(bdf: DataFrame, epoch_id: int):
