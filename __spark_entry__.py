@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf": similarity.emb_knn_ivf,
+        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         # §2.5 LLM-pipeline: multimodal plumbing (driver-unverified in r1)
         "mm_meta": multimodal.mm_meta,
         "mm_frames": multimodal.mm_frames,

@@ -223,6 +223,67 @@ def dup_pairs_blas(
     )
 
 
+def _kmeans_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int,
+    n_cells: int,
+    nprobe: int,
+):
+    """Shared internals of the learned-quantizer IVF: (assigned frame
+    with a ``prediction`` cell column, probed cell ids, query vector).
+
+    The quantizer is KMeans (pyspark.ml — distributed Lloyd's; at 100 TB
+    train on a sample, assignment stays a parallel scan). Probe selection
+    runs driver-side over the centroid table — n_cells × dim floats, the
+    size IVF keeps tiny by design."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir)
+    vecs = emb.withColumn("features", array_to_vector(as_double("embedding")))
+    model = KMeans(k=n_cells, seed=42, maxIter=20).fit(vecs)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id).first()["embedding"]
+    ]
+    cents = np.asarray(model.clusterCenters(), dtype=np.float64)
+    q = np.asarray(qv, dtype=np.float64)
+    ccos = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q))
+    cells = [int(c) for c in np.argsort(-ccos)[:nprobe]]
+    return model.transform(vecs).drop("features"), cells, qv
+
+
+def emb_knn_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = KNN_K,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer — KMeans cells instead
+    of the label column, the data-independent form real ANN indexes use
+    (the label-IVF twin ``emb_knn_ivf`` assumes a blocking column
+    exists). Probe the ``nprobe`` nearest cells, exact cosine inside.
+
+    Rows-only driver oracle: KMeans training is iterative and not
+    SQL-expressible. The hard invariant — the result equals the exact
+    top-k restricted to the probed cells, and the probe genuinely prunes
+    the scan — is verified against an independent numpy computation in
+    tests/test_algorithms.py."""
+    assigned, cells, qv = _kmeans_cells(spark, sf_dir, query_id, n_cells, nprobe)
+    cos = cosine(as_double("embedding"), F.lit(qv))
+    return (
+        assigned.filter(F.col("prediction").isin(cells))
+        .filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def emb_knn_ivf(
     spark: SparkSession,
     sf_dir: str,

@@ -84,6 +84,40 @@ def test_emb_dup_pairs_blas_matches_fold(spark):
     assert fold == blas and len(fold) > 0
 
 
+def test_emb_knn_ivf_kmeans_exact_within_probed_cells(spark):
+    """The learned-quantizer IVF must return EXACTLY the cosine top-k of
+    the probed cells (computed independently in numpy), and the probe
+    must genuinely prune the scan."""
+    import numpy as np
+
+    from flinkrunner_spark.llm.similarity import _kmeans_cells, emb_knn_ivf_kmeans
+
+    sf = "/root/testdata/sf0.01"
+    assigned, cells, qv = _kmeans_cells(spark, sf, query_id=0, n_cells=16, nprobe=4)
+    cand = assigned.filter(assigned["prediction"].isin(cells)).filter(
+        assigned["vec_id"] != 0
+    )
+    rows = cand.select("vec_id", "embedding").collect()
+    n_total = assigned.count()
+    assert 0 < len(rows) < n_total  # pruned, not empty
+
+    q = np.asarray(qv, dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cos = np.round(
+        (E @ q) / (np.sqrt((E * E).sum(axis=1)) * np.sqrt(q @ q)), 6
+    )
+    order = np.lexsort((ids, -cos))[:10]
+    expected = [(int(ids[i]), float(cos[i])) for i in order]
+
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in emb_knn_ivf_kmeans(spark, sf).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    assert all(abs(g[1] - e[1]) < 1e-9 for g, e in zip(got, expected))
+
+
 def test_dup_pairs_blas_tiled_on_skewed_label(spark):
     """One label holding 50% of all rows must decompose into bounded
     chunk-pair tiles — identical pair set to the exact fold, and no task
