@@ -99,3 +99,23 @@ def test_scan_prunes_columns(spark, fn):
     ]
     assert read_schema, formatted
     assert all("l_partkey" not in line for line in read_schema), formatted
+
+
+def test_lsh_jaccard_consumes_shingles_from_cache(spark):
+    """docs_ngram_jaccard must read the signature/shingle frame from the
+    persisted InMemoryRelation in ALL consumers (candidate generation +
+    both verify-join sides) — a bare FileScan of documents in the
+    top-level plan would mean the shingle pipeline is being recomputed."""
+    from flinkrunner_spark.llm.dedup import docs_ngram_jaccard
+
+    plan = (
+        docs_ngram_jaccard(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached >= 2, plan
+    # every mention of the documents file sits inside a cached-relation
+    # printout; an uncached consumer would add an extra FileScan mention
+    assert plan.count("documents.parquet") == n_cached, plan
