@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf": similarity.emb_knn_ivf,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
+        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         # §2.5 LLM-pipeline: multimodal plumbing (driver-unverified in r1)
         "mm_meta": multimodal.mm_meta,
         "mm_frames": multimodal.mm_frames,

@@ -778,6 +778,57 @@ SELECT label, vec_a, vec_b, cosine FROM (
 WHERE cosine >= 0.35
 """
 
+# Random-hyperplane LSH near-dup: the ±1 plane matrix is deterministic
+# (md5-derived, shared with the Spark side via rh_planes), so the whole
+# pipeline — sign bits, band codes, candidate buckets, verified cosines —
+# is exactly reproducible. Sign dots are left-fold list_reduce like every
+# embedding oracle here, bit-identical to Spark's aggregate fold; planes
+# are inlined as DOUBLE[] literals (bare list literals parse as DECIMAL).
+
+
+def _rh_oracle_sql() -> str:
+    from flinkrunner_spark.llm.similarity import RH_BANDS, RH_BITS, rh_planes
+
+    planes = rh_planes()
+    arms = []
+    for b in range(RH_BANDS):
+        bits = []
+        for r in range(RH_BITS):
+            w = planes[b * RH_BITS + r]
+            lit = "[" + ",".join(str(x) for x in w) + "]::DOUBLE[]"
+            d = (
+                "list_reduce(list_transform(generate_series(1, len(embedding)),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]),"
+                " (a, b) -> a + b)"
+            )
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
+        arms.append(
+            f"SELECT vec_id, {b} AS band, "
+            + " + ".join(bits)
+            + " AS code FROM embeddings"
+        )
+    codes = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH codes AS (
+{codes}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT c.vec_a, c.vec_b,
+    {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_a
+  JOIN embeddings b ON b.vec_id = c.vec_b) t
+WHERE cosine >= 0.35
+"""
+
+
+ORACLES["emb_dup_pairs_rhlsh"] = _rh_oracle_sql()
+
 ORACLES["mm_meta"] = """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
