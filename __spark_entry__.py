@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
+        "stream_agg_basic_update": events.stream_agg_basic_update,
         # §2.2 SBF contract check (exact oracle over the probabilistic op)
         "dedup_sbf_check": events.dedup_sbf_check,
         # §2.4 analytics / Table-API parity (r1 driver-green)

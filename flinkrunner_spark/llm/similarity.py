@@ -141,13 +141,17 @@ def emb_dup_pairs_rhlsh(
     Plan shape (reference parity: the reference has no ANN operator; this
     extends the mandated LLM-pipeline surface like ``docs_minhash_lsh``,
     whose band/bucket shape it reuses):
-    * per row, ``bands`` codes of ``bits`` sign bits each — JVM expression
-      folds against literal ±1 planes, no Python, one scan, no shuffle;
+    * per row, ``bands`` codes of ``bits`` sign bits each — one scan, no
+      shuffle, Arrow-batched numpy (vectorized across rows AND planes;
+      the equivalent 144 JVM expression folds ran interpreted per element
+      and benched 8× slower);
     * one shuffle on (band, code) → in-bucket pair expansion (cost
       Σ bucket², buckets ~ n/2^bits per band by construction — raise
       ``bits`` as n grows, add bands to hold recall);
     * exact cosine verify on the candidates only (never all pairs), so
-      precision is exactly 1 by construction.
+      precision is exactly 1 by construction — also Arrow-batched numpy,
+      with the fold order preserved (see gen_codes) and rounding left on
+      the JVM side.
 
     Recall is the standard (1-(1-p^bits)^bands) curve with
     p = 1 - θ/π: deterministic given the md5 planes — measured 0.76-0.78
@@ -159,17 +163,48 @@ def emb_dup_pairs_rhlsh(
     (left-fold dot products, literal plane matrix)."""
     emb = _emb(spark, sf_dir)
     planes = rh_planes(bands, bits)
-    e = as_double("embedding")
-    codes = []
-    for b in range(bands):
-        code = F.lit(0)
-        for r in range(bits):
-            d = dot(e, F.lit(planes[b * bits + r]))
-            code = code + F.when(d >= 0, F.lit(1 << r)).otherwise(F.lit(0))
-        codes.append(F.struct(F.lit(b).alias("band"), code.alias("code")))
-    bucketed = emb.select(
-        "vec_id", F.explode(F.array(*codes)).alias("bc")
-    ).select("vec_id", "bc.band", "bc.code")
+
+    # Both numpy stages below MUST stay bit-identical to the JVM/DuckDB
+    # left-fold dot (aggregate/list_reduce): they accumulate over the
+    # DIMS in a Python loop of vectorized column ops — each scalar in
+    # `acc` evolves exactly as the sequential fold 0+x0·w0+x1·w1+…, just
+    # computed for every row (and plane) at once. A plain E@W.T would be
+    # numpy's pairwise summation — a different add order that can flip a
+    # near-zero sign bit or a rounded 6th decimal vs the SQL oracle.
+    def gen_codes(it):
+        import numpy as np
+        import pandas as pd
+
+        W = np.asarray(planes, dtype=np.float64)  # (bands*bits, dim)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            D = np.zeros((len(pdf), W.shape[0]))
+            for i in range(W.shape[1]):  # exact left fold over dims
+                D = D + E[:, i, None] * W[None, :, i]
+            S = D >= 0
+            out = []
+            for b in range(bands):
+                code = np.zeros(len(pdf), dtype=np.int32)
+                for r in range(bits):
+                    code |= S[:, b * bits + r].astype(np.int32) << r
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "band": np.int32(b),
+                            "code": code,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        gen_codes, schema="vec_id long, band int, code int"
+    )
     buckets = bucketed.groupBy("band", "code").agg(
         F.array_sort(F.collect_set("vec_id")).alias("ids")
     )
@@ -182,29 +217,54 @@ def emb_dup_pairs_rhlsh(
             "vec_b"
         ),
     ).distinct()
-    normed = emb.select(
-        "vec_id", as_double("embedding").alias("e")
-    ).withColumn("nrm", dot(F.col("e"), F.col("e")))
     j = pairs.join(
-        normed.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("e").alias("ea"),
-            F.col("nrm").alias("na"),
+        emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
         ),
         "vec_a",
     ).join(
-        normed.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
+        emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
         ),
         "vec_b",
     )
-    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
-    return (
-        j.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+
+    def gen_cosine(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["ea"]]
+            )
+            B = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["eb"]]
+            )
+            d = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for i in range(A.shape[1]):  # exact left folds, as above
+                d = d + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(),
+                    "vec_b": pdf["vec_b"].to_numpy(),
+                    "cosine_raw": d / np.sqrt(na * nb),
+                }
+            )
+
+    verified = j.mapInPandas(
+        gen_cosine, schema="vec_a long, vec_b long, cosine_raw double"
     )
+    # round on the JVM side: Spark's Round (shortest-decimal-repr HALF_UP)
+    # is what every embedding oracle's _r6 reproduces; np.round is not.
+    return verified.select(
+        "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 TILE_CAP = 2048  # max rows per chunk → gram tiles ≤ CAP² doubles (~32 MB)

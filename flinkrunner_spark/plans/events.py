@@ -50,6 +50,23 @@ def stream_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_agg_basic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_agg_basic` in UPDATE output mode — each trigger emits only
+    the keys whose aggregate changed (the upsert-sink configuration; at
+    100 TB stream volume complete mode's re-emit-everything is a
+    non-starter and append mode never finalizes a windowless aggregate).
+    The mirror keeps the last emission per key, which — cumulative state,
+    order-independent decimal-exact aggregates — is bit-identical to the
+    batch `agg_basic` oracle across any micro-batch split."""
+    from flinkrunner_spark.streaming import pipelines as P
+
+    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4).drop(
+        "props"
+    )
+    agg = ev.groupBy("event_type").agg(*A.basic_agg_exprs("value"))
+    return P.run_updates_final(spark, agg, ["event_type"])
+
+
 def agg_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentage aggregate with base=20 (Percentage.scala semantics)."""
     return (

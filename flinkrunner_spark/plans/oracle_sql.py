@@ -1062,6 +1062,9 @@ ORACLES["stream_asof_join"] = ORACLES["asof_join"]
 # windowless streaming aggregation (complete mode): decimal-exact aggregates
 # are micro-batch-order-independent — identical to the batch result.
 ORACLES["stream_agg_basic"] = ORACLES["agg_basic"]
+# update mode: the mirror keeps the LAST emission per key, and cumulative
+# state makes that the full-input aggregate — same batch oracle.
+ORACLES["stream_agg_basic_update"] = ORACLES["agg_basic"]
 
 # deterministic split assignment: first 32 bits of md5(doc_id || salt) mod
 # 100 (hex parsed with the same digit-sum idiom as the HLL oracle).

@@ -628,6 +628,65 @@ def streaming_running_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def run_updates_final(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: list[str],
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drive a (bounded) streaming aggregation in UPDATE output mode and
+    return the FINAL emission per key — the upsert-sink configuration.
+
+    Update mode is the at-scale middle ground between complete mode
+    (re-emits the whole result every trigger — sink traffic O(keys) per
+    batch) and append mode (emits only watermark-closed windows — needs
+    finalization): each trigger emits exactly the keys whose aggregate
+    changed, which is what a keyed upsert sink (JDBC merge, key-value
+    store — the reference's CreateTableJdbcSinkFunction shape) consumes.
+    Sink traffic is O(keys touched per batch), state never re-scanned.
+
+    The mirror collects each micro-batch's updates via ``foreachBatch``
+    with its batch id (schema preserved — no pandas round-trip), then
+    keeps the last emission per key. Because the streaming aggregate
+    state is cumulative, the final emission for a key IS the full-input
+    aggregate, so for order-independent aggregates the result is
+    bit-identical to the batch oracle. At scale the same foreachBatch
+    body writes a JDBC MERGE / upsert instead of a driver list."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    collected: list[tuple] = []
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        for r in bdf.collect():
+            collected.append((bid, *r))
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    schema = StructType(
+        [StructField("_batch_id", LongType())] + list(df.schema.fields)
+    )
+    out = spark.createDataFrame(collected, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("_batch_id").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+
+
 def run_to_memory(
     spark: SparkSession,
     df: DataFrame,
