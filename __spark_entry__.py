@@ -29,19 +29,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the round-1 driver verified exactly the first 50
-    # entries (insertion order) of this dict — the 23 entries beyond
-    # position 50 got no CORRECTNESS row. The never-verified queries
-    # (all §2.5 LLM ops, the algorithms, and 3 streaming mirrors) are
-    # therefore listed FIRST so the round-2 artifact covers them; the
-    # TPC-H family already has green r1 rows and fills the tail.
+    # NOTE on ordering: the driver verifies the FIRST 50 entries
+    # (insertion order) of this dict each round. Round-3 rotation: every
+    # key whose implementation changed since its last green row (the two
+    # mirrors rewritten in r2 after their r1 rows, plus everything touched
+    # this round — multi-batch complete-mode mirrors, the executor-side
+    # update sink, the re-keyed streaming SBF and its new contract check)
+    # comes FIRST, followed by the keys whose only green row is from r1.
+    # The r2-green unchanged keys fill the tail.
     return {
-        # §2.5 LLM-pipeline: text analysis (driver-unverified in r1)
+        # —— changed after their last green driver row (r2 or r3) ——
+        "stream_dedup_first": events.stream_dedup_first,
+        "stream_agg_basic": events.stream_agg_basic,
+        "stream_agg_basic_update": events.stream_agg_basic_update,
+        "stream_dedup_sbf_check": events.stream_dedup_sbf_check,
+        "stream_dedup_sbf": events.stream_dedup_sbf,
+        "dedup_sbf_check": events.dedup_sbf_check,
+        "stream_win_tumbling": events.stream_win_tumbling,
+        "stream_win_session": events.stream_win_session,
+        "stream_win_sliding": events.stream_win_sliding,
+        "stream_win_ema": events.stream_win_ema,
+        "stream_enrich": events.stream_enrich,
+        # —— green in r1 only; unchanged, need a fresh row post-cap ——
+        "q21_waiting": analytics.q21_waiting,
+        "q22_opportunity": analytics.q22_opportunity,
+        "salted_supplier_rev": analytics.salted_supplier_rev,
+        "topk_orders": analytics.topk_orders,
+        "pivot_events": analytics.pivot_events,
+        "rollup_sales": analytics.rollup_sales,
+        "cube_sales": analytics.cube_sales,
+        # §2.1 aggregates
+        "agg_basic": events.agg_basic,
+        "agg_percentage": events.agg_percentage,
+        "agg_histogram": events.agg_histogram,
+        "agg_ema": events.agg_ema,
+        "agg_emvar": events.agg_emvar,
+        "win_ema": events.win_ema,
+        "win_tumbling": events.win_tumbling,
+        "win_sliding": events.win_sliding,
+        "win_session": events.win_session,
+        # §2.2 stream operators (batch expressions)
+        "dedup_first": events.dedup_first_q,
+        "dedup_sbf": events.dedup_sbf_q,
+        "filter_by_control": events.filter_by_control_q,
+        "asof_join": events.asof_join_q,
+        "enrich_events": events.enrich_events,
+        "connected_union": events.connected_union,
+        # —— r2-green, unchanged since — fill the remaining driver slots ——
+        # §2.3 algorithms
+        "distinct_users": events.distinct_users,
+        "hll_users": events.hll_users,
+        "stream_hll_users": events.stream_hll_users,
+        # §2.2 streaming mirrors (multi-batch, r2-green)
+        "stream_interval_join": events.stream_interval_join,
+        "stream_filter_by_control": events.stream_filter_by_control,
+        "stream_asof_join": events.stream_asof_join,
+        # §2.1 append-mode (watermark-finalized) windows
+        "stream_win_tumbling_append": events.stream_win_tumbling_append,
+        "stream_win_sliding_append": events.stream_win_sliding_append,
+        "stream_win_session_append": events.stream_win_session_append,
+        # §2.5 LLM-pipeline: text analysis
         "docs_tokens": llm_text.docs_tokens,
         "docs_langid": llm_text.docs_langid,
         "docs_quality": llm_text.docs_quality,
         "docs_fingerprint": llm_text.docs_fingerprint,
-        # §2.5 LLM-pipeline: dedup (driver-unverified in r1)
+        # §2.5 LLM-pipeline: dedup
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
@@ -49,32 +101,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pipeline": pipeline.docs_pipeline,
         "docs_split": pipeline.docs_split,
         "docs_simhash": llm_dedup.docs_simhash,
-        # §2.5 LLM-pipeline: similarity search (driver-unverified in r1)
+        # §2.5 LLM-pipeline: similarity search
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf": similarity.emb_knn_ivf,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
-        # §2.5 LLM-pipeline: multimodal plumbing (driver-unverified in r1)
+        # §2.5 LLM-pipeline: multimodal plumbing
         "mm_meta": multimodal.mm_meta,
         "mm_frames": multimodal.mm_frames,
-        # §2.3 algorithms (driver-unverified in r1)
-        "distinct_users": events.distinct_users,
-        "hll_users": events.hll_users,
-        "stream_hll_users": events.stream_hll_users,
-        # §2.2 streaming mirrors missed in r1
-        "stream_interval_join": events.stream_interval_join,
-        "stream_filter_by_control": events.stream_filter_by_control,
-        "stream_asof_join": events.stream_asof_join,
-        # §2.1 append-mode (watermark-finalized) windows — new in r2
-        "stream_win_tumbling_append": events.stream_win_tumbling_append,
-        "stream_win_sliding_append": events.stream_win_sliding_append,
-        "stream_win_session_append": events.stream_win_session_append,
-        "stream_agg_basic_update": events.stream_agg_basic_update,
-        # §2.2 SBF contract check (exact oracle over the probabilistic op)
-        "dedup_sbf_check": events.dedup_sbf_check,
-        # §2.4 analytics / Table-API parity (r1 driver-green)
+        # §2.4 analytics / Table-API parity
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,
         "q3_shipping": analytics.q3_shipping,
@@ -95,39 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_bigorders": analytics.q18_bigorders,
         "q19_brand": analytics.q19_brand,
         "q20_excess": analytics.q20_excess,
-        "q21_waiting": analytics.q21_waiting,
-        "q22_opportunity": analytics.q22_opportunity,
-        "salted_supplier_rev": analytics.salted_supplier_rev,
-        "topk_orders": analytics.topk_orders,
-        "pivot_events": analytics.pivot_events,
-        "rollup_sales": analytics.rollup_sales,
-        "cube_sales": analytics.cube_sales,
-        # §2.1 aggregates
-        "agg_basic": events.agg_basic,
-        "agg_percentage": events.agg_percentage,
-        "agg_histogram": events.agg_histogram,
-        "agg_ema": events.agg_ema,
-        "agg_emvar": events.agg_emvar,
-        "win_ema": events.win_ema,
-        "win_tumbling": events.win_tumbling,
-        "win_sliding": events.win_sliding,
-        "win_session": events.win_session,
-        # §2.2 stream operators
-        "dedup_first": events.dedup_first_q,
-        "dedup_sbf": events.dedup_sbf_q,
-        "filter_by_control": events.filter_by_control_q,
-        "asof_join": events.asof_join_q,
-        "enrich_events": events.enrich_events,
-        "connected_union": events.connected_union,
-        # §2.2 streaming mirrors run end-to-end (file stream → memory sink)
-        "stream_agg_basic": events.stream_agg_basic,
-        "stream_win_tumbling": events.stream_win_tumbling,
-        "stream_win_session": events.stream_win_session,
-        "stream_win_sliding": events.stream_win_sliding,
-        "stream_win_ema": events.stream_win_ema,
-        "stream_enrich": events.stream_enrich,
-        "stream_dedup_first": events.stream_dedup_first,
-        "stream_dedup_sbf": events.stream_dedup_sbf,
     }
 
 

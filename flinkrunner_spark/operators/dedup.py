@@ -22,6 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# SBFDeduplicationFilter.scala defaults (sbf.num.cells=1e6,
+# sbf.bits.per.cell=3, sbf.false.positive.rate=0.01). Single source of
+# truth: the batch operator, the streaming mirror and the exact contract
+# checks (plans/events.dedup_sbf_check / stream_dedup_sbf_check) all read
+# these — a drifted default would silently decouple the checked FP bound
+# from the operator's actual configuration.
+SBF_NUM_CELLS = 1_000_000
+SBF_BITS_PER_CELL = 3
+SBF_FPR = 0.01
+
 
 def dedup_first(
     df: DataFrame, dedup_cols: list[str], order_cols: list[str]
@@ -40,9 +50,9 @@ def dedup_sbf(
     df: DataFrame,
     dedup_cols: list[str],
     order_cols: list[str],
-    num_cells: int = 1_000_000,
-    bits_per_cell: int = 3,
-    fpr: float = 0.01,
+    num_cells: int = SBF_NUM_CELLS,
+    bits_per_cell: int = SBF_BITS_PER_CELL,
+    fpr: float = SBF_FPR,
 ) -> DataFrame:
     """Approximate streaming-style dedup via Stable Bloom Filter.
 

@@ -60,11 +60,13 @@ def stream_agg_basic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch `agg_basic` oracle across any micro-batch split."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir, lateness="365 days", splits=4).drop(
-        "props"
-    )
-    agg = ev.groupBy("event_type").agg(*A.basic_agg_exprs("value"))
-    return P.run_updates_final(spark, agg, ["event_type"])
+    def build(s: SparkSession) -> DataFrame:
+        ev = P.stream_events(s, sf_dir, lateness="365 days", splits=4).drop(
+            "props"
+        )
+        return ev.groupBy("event_type").agg(*A.basic_agg_exprs("value"))
+
+    return P.run_updates_final(spark, build, ["event_type"])
 
 
 def agg_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,30 +181,13 @@ def dedup_sbf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id")
 
 
-def dedup_sbf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-oracled verification of the probabilistic SBF dedup.
-
-    The kept-row SET is probabilistic (false positives may drop keys), but
-    the Stable Bloom Filter's CONTRACT is deterministic and checkable:
-
-    * every kept row is its key's true first occurrence — an FP drops all
-      occurrences of a key, it can never surface a later one
-      (n_non_first_kept = 0);
-    * no key is ever kept twice — a kept first occurrence inserts the key,
-      so every later occurrence reads seen (n_multi_kept_keys = 0);
-    * keys lost to false positives stay within 3× the configured FPR
-      (fp_within_bound = true);
-    * n_exact_keys anchors the check to the data (computed independently
-      by both engines), so the oracle row is not a constant tautology.
-
-    This is the deterministic projection of SBFDeduplicationFilter.scala's
-    guarantee set — the part of an approximate operator an exact
-    cross-engine oracle CAN pin down."""
-    fpr = 0.01
-    kept = dedup_sbf_q(spark, sf_dir)  # user_id, event_type, event_id
-    exact = dedup_first_q(spark, sf_dir).select(
-        "user_id", "event_type", F.col("event_id").alias("first_id")
-    )
+def _sbf_contract(
+    kept: DataFrame, exact: DataFrame, fpr: float
+) -> DataFrame:
+    """Deterministic projection of the SBF dedup contract (shared by the
+    batch and streaming checks — see dedup_sbf_check for the semantics).
+    ``kept`` is (user_id, event_type, event_id); ``exact`` is the true
+    keep-first result keyed the same way with ``first_id``."""
     joined = kept.join(exact, ["user_id", "event_type"], "left")
     stats = joined.agg(
         F.coalesce(
@@ -230,6 +215,53 @@ def dedup_sbf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.lit(3 * fpr) * F.col("n_exact_keys"))
         ).alias("fp_within_bound"),
     )
+
+
+def dedup_sbf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-oracled verification of the probabilistic SBF dedup.
+
+    The kept-row SET is probabilistic (false positives may drop keys), but
+    the Stable Bloom Filter's CONTRACT is deterministic and checkable:
+
+    * every kept row is its key's true first occurrence — an FP drops all
+      occurrences of a key, it can never surface a later one
+      (n_non_first_kept = 0);
+    * no key is ever kept twice — a kept first occurrence inserts the key,
+      so every later occurrence reads seen (n_multi_kept_keys = 0);
+    * keys lost to false positives stay within 3× the configured FPR
+      (fp_within_bound = true);
+    * n_exact_keys anchors the check to the data (computed independently
+      by both engines), so the oracle row is not a constant tautology.
+
+    The FPR is imported from the operator (operators/dedup.SBF_FPR), so
+    the bound can never silently drift from the configuration under test.
+
+    This is the deterministic projection of SBFDeduplicationFilter.scala's
+    guarantee set — the part of an approximate operator an exact
+    cross-engine oracle CAN pin down."""
+    from flinkrunner_spark.operators.dedup import SBF_FPR
+
+    kept = dedup_sbf_q(spark, sf_dir)  # user_id, event_type, event_id
+    exact = dedup_first_q(spark, sf_dir).select(
+        "user_id", "event_type", F.col("event_id").alias("first_id")
+    )
+    return _sbf_contract(kept, exact, SBF_FPR)
+
+
+def stream_dedup_sbf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact SBF contract projection, lifted over the STREAMING
+    dedup output (stream_dedup_sbf) — the streaming mirror's exact driver
+    signal. The streaming operator dedups on the identical composite key
+    and SBF geometry as the batch one, so the contract row (and its
+    DuckDB oracle) is shared verbatim; only the kept-row producer differs
+    (bucketed applyInPandasWithState vs per-partition mapInPandas)."""
+    from flinkrunner_spark.operators.dedup import SBF_FPR
+
+    kept = stream_dedup_sbf(spark, sf_dir)  # user_id, event_type, event_id
+    exact = dedup_first_q(spark, sf_dir).select(
+        "user_id", "event_type", F.col("event_id").alias("first_id")
+    )
+    return _sbf_contract(kept, exact, SBF_FPR)
 
 
 def filter_by_control_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,11 +342,13 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling window run end-to-end (file stream →
-    watermark → windowed agg → memory sink); result equals the batch
-    ``win_tumbling`` plan, so it shares its exact duckdb oracle."""
+    watermark → windowed agg → memory sink) over FOUR event-time-ordered
+    micro-batches; complete-mode window aggregates are micro-batch-split
+    independent (window state accumulates across triggers), so the result
+    equals the batch ``win_tumbling`` plan and shares its exact oracle."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir)
+    ev = P.stream_events(spark, sf_dir, splits=4)
     return P.run_to_memory(
         spark, P.streaming_tumbling_agg(ev), "q_stream_win_tumbling",
         mode="complete",
@@ -322,12 +356,12 @@ def stream_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming session windows run end-to-end; session-window
-    merging across micro-batches converges to the batch result, so it
-    shares ``win_session``'s exact oracle."""
+    """Structured-Streaming session windows run end-to-end over FOUR
+    micro-batches; session-window merging across triggers converges to
+    the batch result, so it shares ``win_session``'s exact oracle."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir)
+    ev = P.stream_events(spark, sf_dir, splits=4)
     return P.run_to_memory(
         spark, P.streaming_session_agg(ev), "q_stream_win_session",
         mode="complete",
@@ -335,11 +369,12 @@ def stream_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming sliding windows (1h every 30min) end-to-end;
-    shares ``win_sliding``'s exact oracle."""
+    """Structured-Streaming sliding windows (1h every 30min) end-to-end
+    over FOUR micro-batches; complete-mode window state accumulates
+    across triggers, so it shares ``win_sliding``'s exact oracle."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir)
+    ev = P.stream_events(spark, sf_dir, splits=4)
     return P.run_to_memory(
         spark, P.streaming_sliding_agg(ev), "q_stream_win_sliding",
         mode="complete",
@@ -420,22 +455,25 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed EMA (order-dependent aggregate under incremental
-    window state) run end-to-end; arrival-order-independent by
-    construction, so it shares ``win_ema``'s exact oracle."""
+    window state) run end-to-end over FOUR micro-batches; the per-window
+    collect_list state accumulates in arrival order but the fold sorts at
+    emission, so the result is arrival-order-independent by construction
+    and shares ``win_ema``'s exact oracle."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir)
+    ev = P.stream_events(spark, sf_dir, splits=4)
     return P.run_to_memory(
         spark, P.streaming_ema_agg(ev), "q_stream_win_ema", mode="complete"
     )
 
 
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static broadcast enrichment run end-to-end; stateless per
-    micro-batch, so it shares ``enrich_events``'s exact oracle."""
+    """Stream-static broadcast enrichment run end-to-end over FOUR
+    micro-batches; stateless per micro-batch (the dimension is static),
+    so it shares ``enrich_events``'s exact oracle."""
     from flinkrunner_spark.streaming import pipelines as P
 
-    ev = P.stream_events(spark, sf_dir)
+    ev = P.stream_events(spark, sf_dir, splits=4)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return P.run_to_memory(
         spark, P.streaming_enrich(ev, cust), "q_stream_enrich"
@@ -465,14 +503,25 @@ def stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_sbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming constant-memory dedup (SBF keyed state via
-    applyInPandasWithState) run end-to-end. Probabilistic — rows-only
-    oracle."""
+    applyInPandasWithState) run end-to-end, on the SAME composite key and
+    SBF geometry as the batch ``dedup_sbf_q`` — a true mirror, so the
+    exact contract projection (stream_dedup_sbf_check) applies to this
+    very output. Kept-row set is probabilistic — rows-only oracle here;
+    the contract row is the exact signal.
+
+    Runs as a single availableNow trigger (splits=1) deliberately: the
+    SBF's stability property *forgets* old keys by design, so across many
+    micro-batches a decayed key may legitimately be re-kept — the
+    keep-first projection is exact only within one filter pass, which is
+    also true of the reference's per-operator-instance filter."""
     from flinkrunner_spark.streaming import pipelines as P
 
     ev = P.stream_events(spark, sf_dir, lateness="365 days")
     return P.run_to_memory(
-        spark, P.streaming_dedup_sbf(ev), "q_stream_dedup_sbf"
-    )
+        spark,
+        P.streaming_dedup_sbf(ev, dedupe_col=("user_id", "event_type")),
+        "q_stream_dedup_sbf",
+    ).select("user_id", "event_type", "event_id")
 
 
 def hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:

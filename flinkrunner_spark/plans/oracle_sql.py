@@ -425,6 +425,10 @@ SELECT
   true AS fp_within_bound
 """
 
+# the streaming mirror dedups on the identical composite key and SBF
+# geometry, so its contract projection shares the batch oracle verbatim
+ORACLES["stream_dedup_sbf_check"] = ORACLES["dedup_sbf_check"]
+
 ORACLES["filter_by_control"] = """
 WITH merged AS (
   SELECT user_id AS k, ts AS o_ts, event_id AS tb, 0 AS kind,

@@ -269,20 +269,26 @@ def streaming_interval_join(
 
 def streaming_dedup_sbf(
     events: DataFrame,
-    dedupe_col: str = "event_id",
+    dedupe_col: "str | list[str] | tuple[str, ...]" = "event_id",
     num_buckets: int = 32,
-    num_cells: int = 100_000,
-    bits_per_cell: int = 3,
-    fpr: float = 0.01,
+    num_cells: int | None = None,
+    bits_per_cell: int | None = None,
+    fpr: float | None = None,
 ) -> DataFrame:
     """Constant-memory approximate streaming dedup — the reference's
     SBFDeduplicationFilter (operator/SBFDeduplicationFilter.scala:21-63)
-    semantics: drop events whose dedupe id was (probably) already seen,
+    semantics: drop events whose dedupe key was (probably) already seen,
     with a Stable Bloom Filter as the keyed state so state never grows
-    with stream length.
+    with stream length. ``dedupe_col`` may be one column or a composite
+    (joined with the same ``\\x1f`` separator the batch operator uses, so
+    both forms hash the identical key string).
 
-    Scale design: rows are grouped by a hash bucket of the dedupe id
-    (``pmod(xxhash64(id), num_buckets)``) so every duplicate meets the
+    SBF geometry defaults come from operators/dedup.py (the reference's
+    sbf.* config) — one source of truth shared with the batch operator
+    and the exact contract checks.
+
+    Scale design: rows are grouped by a hash bucket of the dedupe key
+    (``pmod(xxhash64(key), num_buckets)``) so every duplicate meets the
     same filter; each bucket's SBF cells (``num_cells`` bytes) live in
     the state store and ride checkpoints. num_buckets sets shuffle
     parallelism; state is O(num_buckets × num_cells) forever, regardless
@@ -292,11 +298,22 @@ def streaming_dedup_sbf(
     stability property only needs *some* random decrement schedule;
     persisting RNG state would buy nothing).
     """
+    from flinkrunner_spark.operators.dedup import (
+        SBF_BITS_PER_CELL,
+        SBF_FPR,
+        SBF_NUM_CELLS,
+    )
+
+    num_cells = SBF_NUM_CELLS if num_cells is None else num_cells
+    bits_per_cell = SBF_BITS_PER_CELL if bits_per_cell is None else bits_per_cell
+    fpr = SBF_FPR if fpr is None else fpr
+    key_cols = [dedupe_col] if isinstance(dedupe_col, str) else list(dedupe_col)
     out_schema = EVENTS_SCHEMA
     state_schema = "cells binary"
 
     def fn(key, pdfs, state: GroupState):
         import numpy as np
+        import pandas as pd
 
         from flinkrunner_spark.algorithms.sbf import StableBloomFilter
 
@@ -304,17 +321,28 @@ def streaming_dedup_sbf(
         if state.exists:
             (blob,) = state.get
             sbf.cells = np.frombuffer(blob, dtype=np.uint8).copy()
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            seen = sbf.add_batch(pdf[dedupe_col].astype(str).tolist())
-            out.append(pdf[~seen].drop(columns=["_bucket"]))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter(())
+        # a micro-batch arrives as MULTIPLE Arrow chunks in arbitrary row
+        # order — keep-first semantics need the SBF to meet each key's
+        # (ts, event_id)-earliest row first, so sort the WHOLE batch
+        # before the sequential scan (same reason as keep_first above)
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        keys = pdf[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            keys = keys + "\x1f" + pdf[c].astype(str)
+        seen = sbf.add_batch(keys.tolist())
         state.update((sbf.cells.tobytes(),))
-        return iter(out)
+        yield pdf[~seen].drop(columns=["_bucket"])
 
+    key_expr = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]
+    )
     keyed = events.withColumn(
-        "_bucket",
-        F.pmod(F.xxhash64(F.col(dedupe_col).cast("string")), F.lit(num_buckets)),
+        "_bucket", F.pmod(F.xxhash64(key_expr), F.lit(num_buckets))
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
@@ -331,6 +359,7 @@ def streaming_filter_by_control(
     tiebreak: str = "event_id",
     control_types: tuple[str, ...] = ("signup", "error"),
     active_type: str = "signup",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Streaming filterByControlSource (reference StreamJob.scala
     filterByControlSource): data events pass only while the latest control
@@ -339,7 +368,11 @@ def streaming_filter_by_control(
     control's active flag, the reference's connected-stream keyed state —
     physically held as a bucketed {key: flag} blob (see
     streaming_dedup_keep_first for why bucketing beats per-key Python
-    dispatch).
+    dispatch). The trade-off of bucketing: each touched bucket's WHOLE
+    state dict is pickle round-tripped every micro-batch — O(keys in
+    bucket) serialization even when one key changes — so size
+    ``num_buckets`` ≈ distinct keys / ~100k to keep blobs small while
+    spreading state across store partitions.
 
     Within a micro-batch rows are processed in (ts, control-first,
     tiebreak) order, so a control switch gates same-batch data rows after
@@ -386,7 +419,7 @@ def streaming_filter_by_control(
         ]
 
     keyed = events.select(tiebreak, "ts", key, "event_type", "value").withColumn(
-        "_bucket", F.pmod(F.xxhash64(key), F.lit(64))
+        "_bucket", F.pmod(F.xxhash64(key), F.lit(num_buckets))
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
@@ -401,6 +434,7 @@ def streaming_asof_join(
     events: DataFrame,
     left_type: str = "purchase",
     right_type: str = "click",
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Streaming as-of join (reference bounded-lateness join semantics,
     flink/StreamJob.scala connectedSource + keyed state): each left-side
@@ -409,7 +443,10 @@ def streaming_asof_join(
     right event, the same O(1) keyed state a Flink KeyedCoProcessFunction
     would keep versus the unbounded buffer of a naive stream-stream join —
     physically bucketed as a {key: (id, ts)} blob so the Python dispatch
-    cost is per bucket, not per key.
+    cost is per bucket, not per key. As with the control gate, a touched
+    bucket's whole blob is rewritten each micro-batch — size
+    ``num_buckets`` to key cardinality (≈ keys / ~100k) to bound the
+    per-batch serialization while keeping state-store parallelism.
 
     In-batch processing order is (ts, right-first, event_id): a right
     event at the same timestamp applies (`<=` as-of), and among same-ts
@@ -467,7 +504,7 @@ def streaming_asof_join(
     keyed = (
         events.filter(F.col("event_type").isin(left_type, right_type))
         .select("event_id", "ts", "user_id", "event_type")
-        .withColumn("_bucket", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+        .withColumn("_bucket", F.pmod(F.xxhash64("user_id"), F.lit(num_buckets)))
     )
     return keyed.groupBy("_bucket").applyInPandasWithState(
         fn,
@@ -630,9 +667,10 @@ def streaming_running_agg(events: DataFrame) -> DataFrame:
 
 def run_updates_final(
     spark: SparkSession,
-    df: DataFrame,
+    build,
     keys: list[str],
     state_partitions: int = 8,
+    path: str | None = None,
 ) -> DataFrame:
     """Drive a (bounded) streaming aggregation in UPDATE output mode and
     return the FINAL emission per key — the upsert-sink configuration.
@@ -645,46 +683,60 @@ def run_updates_final(
     store — the reference's CreateTableJdbcSinkFunction shape) consumes.
     Sink traffic is O(keys touched per batch), state never re-scanned.
 
-    The mirror collects each micro-batch's updates via ``foreachBatch``
-    with its batch id (schema preserved — no pandas round-trip), then
-    keeps the last emission per key. Because the streaming aggregate
-    state is cumulative, the final emission for a key IS the full-input
-    aggregate, so for order-independent aggregates the result is
-    bit-identical to the batch oracle. At scale the same foreachBatch
-    body writes a JDBC MERGE / upsert instead of a driver list."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    ``build`` is a ``Callable[[SparkSession], DataFrame]`` that declares
+    the streaming aggregate; it runs on a cloned session
+    (``spark.newSession()``) whose ``spark.sql.shuffle.partitions`` is
+    pinned to ``state_partitions`` — query-scoped, so concurrent queries
+    on the caller's session never observe a mutated global conf.
 
-    collected: list[tuple] = []
+    The sink is executor-side end to end: each micro-batch's update rows
+    are stamped with the batch id and appended to ``path`` as parquet BY
+    THE EXECUTORS (the driver never sees a row — the exact shape a JDBC
+    MERGE / key-value upsert takes at scale, with parquet standing in for
+    the store). The final emission per key is then selected read-side
+    (max batch id wins); because streaming aggregate state is cumulative,
+    that row IS the full-input aggregate, so for order-independent
+    aggregates the result is bit-identical to the batch oracle. The
+    returned frame is localCheckpoint-materialized (it is O(keys) small)
+    so the staging directory can be deleted immediately."""
+    import glob
+    import shutil
+    import tempfile
+
+    staged = path or tempfile.mkdtemp(prefix="flinkrunner_updates_")
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    df = build(s2)
 
     def sink(bdf: DataFrame, bid: int) -> None:
-        for r in bdf.collect():
-            collected.append((bid, *r))
-
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            df.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        # executor-side append; at scale this body is MERGE INTO / upsert
+        bdf.withColumn("_batch_id", F.lit(bid)).write.mode("append").parquet(
+            staged
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
-    schema = StructType(
-        [StructField("_batch_id", LongType())] + list(df.schema.fields)
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
     )
-    out = spark.createDataFrame(collected, schema)
+    q.awaitTermination()
+
     from pyspark.sql.window import Window
 
+    if not glob.glob(staged + "/part-*"):
+        shutil.rmtree(staged, ignore_errors=True)
+        return spark.createDataFrame([], df.schema)
+    out = spark.read.parquet(staged)
     w = Window.partitionBy(*keys).orderBy(F.col("_batch_id").desc())
-    return (
+    result = (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_batch_id")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(staged, ignore_errors=True)
+    return result
 
 
 def run_to_memory(
