@@ -1,10 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "queries_warm": {name: sec}, "value_warm": sec,
+"sf": ...}.
 
 Each query is executed to completion with a count() action (materializes
 the whole result without driver-side collection overhead).
+
+Two passes per query set: COLD (first execution — pays plan compilation +
+whole-stage codegen, the number comparable across rounds at ±3s noise) and
+WARM (second execution — codegen/classloading amortized, the number that
+tracks actual executed-plan cost round over round). Set
+SPARK_GRAFT_BENCH_PASSES=1 to skip the warm pass.
 """
 
 from __future__ import annotations
@@ -32,24 +39,28 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, fn in sorted(queries.items()):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    cold = run_pass()
+    out = {
+        "metric": "total_query_runtime",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2") != "1":
+        warm = run_pass()
+        out["queries_warm"] = warm
+        out["value_warm"] = round(sum(warm.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -83,6 +83,46 @@ def band_hashes(k: int = MINHASH_K, bands: int = LSH_BANDS) -> Column:
     )
 
 
+# (applicationId, sf_dir) -> persisted signature+shingle frame. Memoized
+# here (rather than leaning on Spark's plan-keyed cache manager) so the
+# lifecycle is explicit: release_caches() unpersists, and entries from
+# stopped applications are evicted on the next access. A long-lived
+# service sweeping many sf_dirs should call release_caches(sf_dir=...)
+# after each corpus, or release_caches() between jobs.
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _evict_stale(spark: SparkSession) -> None:
+    """Drop cache entries whose owning application is no longer current.
+
+    Entries keyed by another applicationId belong to a stopped session in
+    this process (their RDDs died with the context); holding the frames
+    would leak driver memory across session restarts in tests/services."""
+    app = spark.sparkContext.applicationId
+    for cache in (_SIG_CACHE, _CLUSTER_CACHE):
+        for key in [k for k in cache if k[0] != app]:
+            del cache[key]
+
+
+def release_caches(sf_dir: str | None = None) -> None:
+    """Unpersist signature frames and evict memoized cluster frames.
+
+    ``sf_dir=None`` releases everything; otherwise only that corpus.
+    Cluster frames are localCheckpoint-backed — their blocks are freed
+    eagerly rather than waiting on the JVM ContextCleaner."""
+    from flinkrunner_spark.operators.graph import _free_checkpoint
+
+    for key in [k for k in _SIG_CACHE if sf_dir is None or k[1] == sf_dir]:
+        try:
+            _SIG_CACHE[key].unpersist()
+        except Exception:
+            pass  # context already stopped — nothing to free
+        del _SIG_CACHE[key]
+    for key in [k for k in _CLUSTER_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _free_checkpoint(_CLUSTER_CACHE[key])
+        del _CLUSTER_CACHE[key]
+
+
 def _sig_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature AND distinct shingle set, one scan.
 
@@ -96,11 +136,17 @@ def _sig_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text.
 
     The frame is persisted (deserialized, spill-to-disk): it is corpus-
-    sized but text-free, and Spark's cache manager keys on the canonical
-    plan, so docs_minhash_lsh / docs_ngram_jaccard / docs_dup_clusters /
-    docs_pipeline in one session all share a single materialization per
-    sf_dir. At 100 TB the same persist call spills cleanly; recompute-
-    instead-of-cache only pays if the cluster is disk-starved."""
+    sized but text-free, so docs_minhash_lsh / docs_ngram_jaccard /
+    docs_dup_clusters / docs_pipeline in one session all share a single
+    materialization per sf_dir (memoized in ``_SIG_CACHE``; call
+    ``release_caches`` to unpersist when done with an sf_dir). At 100 TB
+    the same persist call spills cleanly; recompute-instead-of-cache only
+    pays if the cluster is disk-starved."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(spark)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
     # explode_outer, not explode: plain explode adds an implicit
     # `size(sh)>0` filter that Catalyst pushes below the exchange with the
     # whole interpreted shingle expression inlined — evaluated twice extra
@@ -121,7 +167,9 @@ def _sig_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(f"h{j}").alias(f"mh{j}") for j in range(MINHASH_K)],
         F.collect_set("s").alias("shd"),
     )
-    return sig.persist()
+    out = sig.persist()
+    _SIG_CACHE[key] = out
+    return out
 
 
 def _candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -218,6 +266,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkrunner_spark.operators.graph import connected_components
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(spark)
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -226,7 +275,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = connected_components(
         pairs, docs, src="doc_a", dst="doc_b",
         id_col="doc_id", label_col="cluster_id",
-    ).localCheckpoint(eager=True)
+    )  # already eagerly checkpointed; intermediates freed inside
     _CLUSTER_CACHE[key] = result
     return result
 

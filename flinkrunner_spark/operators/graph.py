@@ -22,6 +22,10 @@ Scale notes (100 TB):
 * ``localCheckpoint`` truncates the lineage each round so the plan doesn't
   grow unboundedly (iteration over DataFrames otherwise re-plans the whole
   history every round).
+* Superseded round checkpoints are freed EAGERLY (``_free_checkpoint``):
+  once round N+1 is materialized, round N's blocks are garbage — waiting
+  for the JVM ContextCleaner would hold O(rounds) copies of the labels
+  frame in executor storage, a real ceiling on a 100 TB corpus.
 * Labels shuffle on the node id both in the join and the agg — one
   partitioning, reused.
 """
@@ -32,6 +36,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 50
+
+
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a localCheckpoint'ed frame.
+
+    ONLY safe on a frame nothing will read again: unpersisting a local
+    checkpoint destroys its data (the lineage was truncated — there is
+    nothing to recompute from). The frame must be checkpoint-backed
+    directly (its analyzed plan is the LogicalRDD node)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not checkpoint-backed / context gone — nothing to free
 
 
 def connected_components(
@@ -47,7 +64,10 @@ def connected_components(
 
     ``edges`` is undirected input (each pair listed once is enough);
     ``nodes`` lists all node ids — isolated nodes label themselves.
-    Returns (id_col, label_col).
+    Returns (id_col, label_col), eagerly materialized (localCheckpoint):
+    every intermediate round frame is freed before returning, so the
+    caller holds exactly one checkpointed frame — release it with
+    ``_free_checkpoint`` (or just drop the reference) when done.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -58,9 +78,10 @@ def connected_components(
     # a tiny fraction of the corpus; isolated nodes join back (self-
     # labeled) once at the end instead of riding every round. The seed
     # already folds in round one: label = min(self, neighbors).
-    labels = sym.groupBy("v").agg(
+    ckpt = sym.groupBy("v").agg(
         F.least(F.first("v"), F.min("u")).alias("label")
     ).select(F.col("v").alias("id"), "label").localCheckpoint(eager=True)
+    labels = ckpt
 
     for _ in range(max_rounds):
         # smallest label reachable in one hop (every iterated node has
@@ -80,14 +101,19 @@ def connected_components(
         ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("id", F.col("new_label").alias("label"))
+        _free_checkpoint(ckpt)  # superseded — round N+1 is materialized
+        ckpt = updated
         if n_changed == 0:
             break
 
-    return (
+    result = (
         nodes.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left_outer")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("label", "id").alias(label_col),
         )
-    )
+    ).localCheckpoint(eager=True)
+    _free_checkpoint(sym)
+    _free_checkpoint(ckpt)
+    return result
