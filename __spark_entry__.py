@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
 from flinkrunner_spark.llm import multimodal, pipeline, similarity  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
@@ -30,15 +31,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-3 rotation: every
-    # key whose implementation changed since its last green row (the two
-    # mirrors rewritten in r2 after their r1 rows, plus everything touched
-    # this round — multi-batch complete-mode mirrors, the executor-side
-    # update sink, the re-keyed streaming SBF and its new contract check)
-    # comes FIRST, followed by the keys whose only green row is from r1.
-    # The r2-green unchanged keys fill the tail.
+    # (insertion order) of this dict each round. Round-4 rotation: the two
+    # keys whose last green row (r2) predates cd7122b's cache/CC rewrite
+    # come first, then the five NEW curation/similarity ops, then every
+    # key in a file touched this round (llm/dedup.py LSH bucket cap,
+    # operators/graph.py lazy checkpoints, llm/similarity.py additions).
+    # The tail holds keys with fresh r3 rows and unchanged code.
     return {
-        # —— changed after their last green driver row (r2 or r3) ——
+        # —— stale: last green row predates the code change (VERDICT r3 #2) ——
+        "docs_pipeline": pipeline.docs_pipeline,
+        "docs_simhash": llm_dedup.docs_simhash,
+        # —— NEW this round: curation + similarity extensions ——
+        "docs_decontaminate": curation.docs_decontaminate,
+        "docs_pii_redact": curation.docs_pii_redact,
+        "docs_repetition": curation.docs_repetition,
+        "docs_cluster_assign": similarity.docs_cluster_assign,
+        "emb_knn_join": similarity.emb_knn_join,
+        # —— files changed this round: re-verify the whole family ——
+        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
+        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
+        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "emb_knn": similarity.emb_knn,
+        "emb_dup_pairs": similarity.emb_dup_pairs,
+        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
+        "emb_knn_ivf": similarity.emb_knn_ivf,
+        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
+        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
+        # —— oldest green rows (r2) with unchanged code ——
+        "docs_split": pipeline.docs_split,
+        "mm_meta": multimodal.mm_meta,
+        "mm_frames": multimodal.mm_frames,
+        "distinct_users": events.distinct_users,
+        "hll_users": events.hll_users,
+        "stream_hll_users": events.stream_hll_users,
+        "stream_interval_join": events.stream_interval_join,
+        "stream_filter_by_control": events.stream_filter_by_control,
+        "stream_asof_join": events.stream_asof_join,
+        # §2.4 analytics (r2 rows, zero changed lines since)
+        "q1_pricing": analytics.q1_pricing,
+        "q2_mincost": analytics.q2_mincost,
+        "q3_shipping": analytics.q3_shipping,
+        "q4_priority": analytics.q4_priority,
+        "q5_supplier": analytics.q5_supplier,
+        "q6_forecast": analytics.q6_forecast,
+        "q7_volume": analytics.q7_volume,
+        "q8_market": analytics.q8_market,
+        "q9_profit": analytics.q9_profit,
+        "q10_returned": analytics.q10_returned,
+        "q11_important": analytics.q11_important,
+        "q12_modes": analytics.q12_modes,
+        "q13_custdist": analytics.q13_custdist,
+        "q14_promo": analytics.q14_promo,
+        "q15_topsupplier": analytics.q15_topsupplier,
+        "q16_suppcnt": analytics.q16_suppcnt,
+        "q17_smallqty": analytics.q17_smallqty,
+        "q18_bigorders": analytics.q18_bigorders,
+        "q19_brand": analytics.q19_brand,
+        "q20_excess": analytics.q20_excess,
+        # §2.1 append-mode (watermark-finalized) windows (r3 rows)
+        "stream_win_tumbling_append": events.stream_win_tumbling_append,
+        "stream_win_sliding_append": events.stream_win_sliding_append,
+        "stream_win_session_append": events.stream_win_session_append,
+        # —— r3-green, unchanged since — beyond the 50-row cap this round ——
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
         "stream_agg_basic_update": events.stream_agg_basic_update,
@@ -50,7 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_sliding": events.stream_win_sliding,
         "stream_win_ema": events.stream_win_ema,
         "stream_enrich": events.stream_enrich,
-        # —— green in r1 only; unchanged, need a fresh row post-cap ——
         "q21_waiting": analytics.q21_waiting,
         "q22_opportunity": analytics.q22_opportunity,
         "salted_supplier_rev": analytics.salted_supplier_rev,
@@ -75,63 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": events.asof_join_q,
         "enrich_events": events.enrich_events,
         "connected_union": events.connected_union,
-        # —— r2-green, unchanged since — fill the remaining driver slots ——
-        # §2.3 algorithms
-        "distinct_users": events.distinct_users,
-        "hll_users": events.hll_users,
-        "stream_hll_users": events.stream_hll_users,
-        # §2.2 streaming mirrors (multi-batch, r2-green)
-        "stream_interval_join": events.stream_interval_join,
-        "stream_filter_by_control": events.stream_filter_by_control,
-        "stream_asof_join": events.stream_asof_join,
-        # §2.1 append-mode (watermark-finalized) windows
-        "stream_win_tumbling_append": events.stream_win_tumbling_append,
-        "stream_win_sliding_append": events.stream_win_sliding_append,
-        "stream_win_session_append": events.stream_win_session_append,
-        # §2.5 LLM-pipeline: text analysis
+        # §2.5 LLM-pipeline: text analysis (r3 rows)
         "docs_tokens": llm_text.docs_tokens,
         "docs_langid": llm_text.docs_langid,
         "docs_quality": llm_text.docs_quality,
         "docs_fingerprint": llm_text.docs_fingerprint,
-        # §2.5 LLM-pipeline: dedup
-        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
-        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
-        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
-        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
-        "docs_pipeline": pipeline.docs_pipeline,
-        "docs_split": pipeline.docs_split,
-        "docs_simhash": llm_dedup.docs_simhash,
-        # §2.5 LLM-pipeline: similarity search
-        "emb_knn": similarity.emb_knn,
-        "emb_dup_pairs": similarity.emb_dup_pairs,
-        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
-        "emb_knn_ivf": similarity.emb_knn_ivf,
-        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
-        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
-        # §2.5 LLM-pipeline: multimodal plumbing
-        "mm_meta": multimodal.mm_meta,
-        "mm_frames": multimodal.mm_frames,
-        # §2.4 analytics / Table-API parity
-        "q1_pricing": analytics.q1_pricing,
-        "q2_mincost": analytics.q2_mincost,
-        "q3_shipping": analytics.q3_shipping,
-        "q4_priority": analytics.q4_priority,
-        "q5_supplier": analytics.q5_supplier,
-        "q6_forecast": analytics.q6_forecast,
-        "q7_volume": analytics.q7_volume,
-        "q8_market": analytics.q8_market,
-        "q9_profit": analytics.q9_profit,
-        "q10_returned": analytics.q10_returned,
-        "q11_important": analytics.q11_important,
-        "q12_modes": analytics.q12_modes,
-        "q13_custdist": analytics.q13_custdist,
-        "q14_promo": analytics.q14_promo,
-        "q15_topsupplier": analytics.q15_topsupplier,
-        "q16_suppcnt": analytics.q16_suppcnt,
-        "q17_smallqty": analytics.q17_smallqty,
-        "q18_bigorders": analytics.q18_bigorders,
-        "q19_brand": analytics.q19_brand,
-        "q20_excess": analytics.q20_excess,
     }
 
 

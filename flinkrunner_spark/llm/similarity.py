@@ -452,6 +452,167 @@ def emb_knn_ivf_kmeans(
     )
 
 
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label elementwise-mean centroids for ``docs_cluster_assign``
+    and ``emb_knn_join`` — n_labels × dim values, the size IVF keeps tiny
+    by design.
+
+    Each component is the mean computed as a LEFT FOLD OVER THE SORTED
+    values (not ``avg``): ``avg``'s partial-aggregate merge order is
+    partition-dependent, so its low-order ulps differ run-to-run and
+    engine-to-engine — fine when centroids only RANK well-separated cells
+    (``emb_knn_ivf``), not when centroid cosines appear in output values.
+    The sorted fold is order-independent and matches the oracle's
+    ``list_reduce(list(x ORDER BY x))`` bit-for-bit (init 0.0 + x₁ ≡ x₁
+    exactly). The collect_list per (label, pos) group is bounded by the
+    rows-per-label count — at 100 TB the quantizer trains on a sample
+    (see emb_knn_ivf_kmeans) and this table arrives as input; determinism
+    of ASSIGNMENT, a pure map, is what matters at scale."""
+    return (
+        emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("x")),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                / F.count("x")
+            ).alias("cx")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("centroid")
+        )
+    )
+
+
+def docs_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic semantic-cluster assignment: every vector goes to
+    its nearest centroid by cosine (max cosine, lowest label on ties).
+
+    The centroid table (here: the per-label means of ``emb_knn_ivf``; in
+    a real pipeline, trained centroids loaded as a table) collapses to
+    ONE broadcast row holding all centroids sorted by label, and the
+    argmax runs as an array fold inside a projection — assignment is a
+    pure map over the corpus: zero shuffle, embarrassingly parallel at
+    100 TB. Cosines fold left over dims (same order as the oracle's
+    list_reduce) and round to 6 before comparison, so the argmax is
+    bit-identical cross-engine; the strict ``>`` keeps the FIRST (lowest
+    label) centroid on rounded ties, matching the oracle's
+    row_number(ORDER BY cosine DESC, label).
+
+    EXACTLY oracled: per-label means and the fold are deterministic —
+    a hard cross-engine row (the learned-KMeans twin of this op is
+    ``emb_knn_ivf_kmeans``, rows-only for the training reasons documented
+    there)."""
+    emb = _emb(spark, sf_dir)
+    carr = _label_centroids(emb).select(
+        F.struct("label", "centroid").alias("lc")
+    ).groupBy().agg(F.array_sort(F.collect_list("lc")).alias("cents"))
+
+    e = as_double("embedding")
+    # score every centroid once, then fold for the argmax (scoring inside
+    # the fold lambda would evaluate each cosine twice — cond + value)
+    cands = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(e, c["centroid"]), 6).alias("cos"),
+            c["label"].alias("lbl"),
+        ),
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(-1).cast("int").alias("lbl")
+        ),
+        lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+    )
+    return (
+        emb.crossJoin(F.broadcast(carr))
+        .select("vec_id", "label", best.alias("b"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("b.lbl").alias("assigned_label"),
+            F.col("b.cos").alias("cosine"),
+        )
+    )
+
+
+KNN_JOIN_K = 5
+KNN_JOIN_STRIDE = 25  # query set: vec_id % STRIDE == 0
+
+
+def emb_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_JOIN_K,
+    nprobe: int = 2,
+    stride: int = KNN_JOIN_STRIDE,
+) -> DataFrame:
+    """k-NN JOIN: top-k cosine neighbors for EVERY query vector (the
+    set-valued generalization of ``emb_knn``'s single query), searched
+    over IVF-pruned cells only.
+
+    Query set: the deterministic ``vec_id % stride == 0`` slice (a real
+    pipeline passes a query table). Plan shape at 100 TB:
+    * the query frame and the centroid table are both small → broadcast;
+      probe selection (top-``nprobe`` cells per query by centroid cosine)
+      happens inside the broadcast join, no shuffle;
+    * candidate generation joins probes to the corpus ON THE CELL KEY —
+      at scale a partition-pruned read touching nprobe/n_cells of the
+      data per query, never a full scan per query;
+    * per-query top-k is one exchange keyed by the query id over
+      (query, candidate, cosine) rows — already pruned to the probed
+      cells, so the exchange is a small fraction of the corpus.
+    Cosines fold left and round to 6 (probe ranking and final ranking
+    both tiebreak on id), so the result is EXACTLY oracled — probe
+    choice, candidate set and ranking reproduce bit-identically in
+    DuckDB."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qv")
+    )
+    cents = _label_centroids(emb)
+    from pyspark.sql import Window
+
+    ccos = F.round(cosine(F.col("centroid"), as_double("qv")), 6)
+    probe = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("q_vec_id", "qv", "label", ccos.alias("ccos"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("q_vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("crk") <= nprobe)
+        .select("q_vec_id", "qv", "label")
+    )
+    cos = F.round(cosine(as_double("embedding"), as_double("qv")), 6)
+    return (
+        emb.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", cos.alias("cosine"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_vec_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
 def emb_knn_ivf(
     spark: SparkSession,
     sf_dir: str,

@@ -1090,3 +1090,198 @@ SELECT doc_id, bucket,
        ELSE 'test' END AS split
 FROM b
 """
+
+# ---------------------------------------------------------------------------
+# round 4: curation + similarity extensions
+# ---------------------------------------------------------------------------
+
+# eval-set decontamination: deterministic 1-in-10 md5 eval bucket (same
+# digit-sum hex-parse idiom as docs_split), distinct-shingle overlap
+# against the eval inventory, contamination at >= 0.2 overlap fraction.
+_EVALB = """
+  SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(1, 8),
+      i -> (instr('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR) || ':eval:v1'),
+                        CAST(i AS INT), 1)) - 1)
+           * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 10 AS eb
+  FROM documents
+"""
+
+ORACLES["docs_decontaminate"] = f"""
+WITH sh AS ({_SHINGLES}),
+d AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+b AS ({_EVALB}),
+ev AS (
+  SELECT DISTINCT unnest(shd) AS s
+  FROM d JOIN b USING (doc_id) WHERE eb = 0
+),
+train AS (SELECT d.doc_id, d.shd FROM d JOIN b USING (doc_id) WHERE eb <> 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(shd) AS s FROM train) t
+  JOIN ev USING (s)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.shd) AS INTEGER) AS n_shingles,
+  COALESCE(h.n_overlap, 0) AS n_overlap,
+  COALESCE(h.n_overlap, 0) / len(t.shd) AS overlap_frac,
+  COALESCE(h.n_overlap, 0) / len(t.shd) >= CAST(0.2 AS DOUBLE) AS contaminated
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+# PII detect/redact: fixture augmentation (every 3rd/5th/7th doc gains an
+# email/phone/SSN derived from doc_id), counts BEFORE redaction, then the
+# same sequential regexp_replace chain Spark runs ('g' = replace-all, which
+# is Spark's default). Patterns shared with the Spark side via import.
+def _pii_oracle_sql() -> str:
+    from flinkrunner_spark.llm.curation import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH a1 AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+    ELSE text END AS text
+  FROM documents
+), a2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+    THEN text || ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM a1
+), a3 AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+    THEN text || ' ssn ' || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0')
+         || '-' || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM a2
+)
+SELECT doc_id,
+  {counts},
+  md5({red}) AS redacted_md5
+FROM a3
+"""
+
+
+ORACLES["docs_pii_redact"] = _pii_oracle_sql()
+
+# Gopher-style repetition signals: duplicate-token and duplicate-2-gram
+# occurrence fractions + most-frequent-2-gram fraction, all exact-int
+# ratios (the corpus is single-line, so line-level fractions degenerate).
+ORACLES["docs_repetition"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tokc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) x
+  GROUP BY doc_id, tok
+),
+ts AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tok
+  FROM tokc GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 2
+    THEN list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+),
+gramc AS (
+  SELECT doc_id, g2, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g2 FROM g) x
+  GROUP BY doc_id, g2
+),
+gs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+    CAST(MAX(c) AS BIGINT) AS top_2gram,
+    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_2gram
+  FROM gramc GROUP BY doc_id
+)
+SELECT ts.doc_id, ts.n_tokens,
+  ts.dup_tok / ts.n_tokens AS dup_token_frac,
+  COALESCE(gs.n_2grams, 0) AS n_2grams,
+  COALESCE(gs.top_2gram / gs.n_2grams, CAST(0.0 AS DOUBLE)) AS top_2gram_frac,
+  COALESCE(gs.dup_2gram / gs.n_2grams, CAST(0.0 AS DOUBLE)) AS dup_2gram_frac
+FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+"""
+
+# Deterministic centroid table shared by docs_cluster_assign/emb_knn_join:
+# per-(label, pos) mean as a LEFT FOLD OVER SORTED values — exactly the
+# Spark plan's aggregate(array_sort(collect_list(x)), 0.0, +)/count fold
+# (init 0.0 + x1 == x1 bit-exact), so centroid components are
+# order-independent and bit-identical cross-engine, unlike AVG whose
+# partial-merge order floats (fine for emb_knn_ivf's cell RANKING, not
+# for output values).
+_CENT_FOLD = """
+  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+    SELECT label, pos,
+      list_reduce(list(x ORDER BY x), (a, b) -> a + b) / COUNT(x) AS cx
+    FROM (
+      SELECT label,
+        unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x,
+        unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings) u
+    GROUP BY label, pos) t
+  GROUP BY label
+"""
+
+_DOT_EC = (
+    "list_reduce(list_transform(generate_series(1, len(embedding)),"
+    " i -> CAST(embedding[i] AS DOUBLE) * centroid[i]),"
+    " (a, b) -> a + b)"
+)
+
+ORACLES["docs_cluster_assign"] = f"""
+WITH cent AS ({_CENT_FOLD}),
+sc AS (
+  SELECT e.vec_id, e.label, c.label AS clabel,
+    {_r6(f"{_DOT_EC} / SQRT({_EE} * {_CC})")} AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+r AS (
+  SELECT vec_id, label, clabel, cos,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+  FROM sc
+)
+SELECT vec_id, label, clabel AS assigned_label, cos AS cosine
+FROM r WHERE rn = 1
+"""
+
+ORACLES["emb_knn_join"] = f"""
+WITH q AS (
+  SELECT vec_id AS q_vec_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+cent AS ({_CENT_FOLD}),
+pr AS (
+  SELECT q_vec_id, qv, label, ccos,
+    row_number() OVER (PARTITION BY q_vec_id ORDER BY ccos DESC, label) AS crk
+  FROM (
+    SELECT q.q_vec_id, q.qv, c.label,
+      {_r6(f"{_DOTCQ} / SQRT({_CC} * {_QQ})")} AS ccos
+    FROM q CROSS JOIN cent c) s
+),
+probe AS (SELECT q_vec_id, qv, label FROM pr WHERE crk <= 2),
+sel AS (
+  SELECT p.q_vec_id, e.vec_id,
+    {_r6(f"{_DOTQ} / SQRT({_EE} * {_QQ})")} AS cosine
+  FROM probe p JOIN embeddings e
+    ON e.label = p.label AND e.vec_id <> p.q_vec_id
+)
+SELECT q_vec_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT q_vec_id, vec_id, cosine,
+    row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM sel) t
+WHERE rk <= 5
+"""
