@@ -4,10 +4,12 @@ The LLM-dedup pipeline needs this as the step after pairwise near-dup
 detection: duplicate PAIRS must become duplicate CLUSTERS (one keeper per
 component) before filtering, or transitively-linked copies survive.
 
-Algorithm: iterative min-label propagation — every node repeatedly adopts
-the smallest label among itself and its neighbors until a fixpoint. Each
-round is one shuffle-join (labels ⋈ edges) plus one aggregation, all
-JVM-side; the driver only checks the scalar convergence count. Rounds
+Algorithm: iterative min-label propagation — labels seed as
+min(self, neighbors), then every node repeatedly adopts the smallest
+label among its neighbors until a fixpoint (with symmetric edges the
+neighbor-min alone is monotone after that seed — see the loop comment).
+Each round is one shuffle-join (labels ⋈ edges) plus one aggregation,
+all JVM-side; the driver only reads a scalar label-sum per round. Rounds
 needed = graph diameter, which for near-dup clusters is small (dup sets
 are near-cliques — LSH links most pairs directly). For adversarially long
 chain graphs the Kiveris et al. two-phase star algorithm ("Connected
@@ -69,42 +71,57 @@ def connected_components(
     caller holds exactly one checkpointed frame — release it with
     ``_free_checkpoint`` (or just drop the reference) when done.
     """
+    # LAZY checkpoints throughout the loop: eager=True runs a dedicated
+    # materialization job per call, so every round paid TWO job launches
+    # (checkpoint + convergence count) — measured +43% cold time at sf0.1
+    # (r3 verdict #4). With eager=False the convergence count is the
+    # first action over the checkpoint RDD and materializes it as a side
+    # effect — one job per round, identical lineage truncation, identical
+    # storage lifecycle (blocks are still freed when superseded below).
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().localCheckpoint(eager=False)
 
     # Iterate ONLY over nodes that touch an edge — at dedup scale that is
     # a tiny fraction of the corpus; isolated nodes join back (self-
     # labeled) once at the end instead of riding every round. The seed
-    # already folds in round one: label = min(self, neighbors).
+    # already folds in round one: label = min(self, neighbors); it
+    # materializes with round 1's convergence count (first action).
     ckpt = sym.groupBy("v").agg(
         F.least(F.first("v"), F.min("u")).alias("label")
-    ).select(F.col("v").alias("id"), "label").localCheckpoint(eager=True)
+    ).select(F.col("v").alias("id"), "label").localCheckpoint(eager=False)
     labels = ckpt
 
+    # Each round is ONE join + ONE aggregation (two exchanges), not the
+    # textbook three: with symmetric edges and the min(self, neighbors)
+    # seed, new[v] = min_{u∈N(v)} old[u] is already pointwise monotone
+    # non-increasing (induction: v ∈ N(u) for every u ∈ N(v), so each
+    # neighbor's old label is ≤ whatever v's current label was sourced
+    # from), so the join-back against the old labels that computed a
+    # per-row `changed` flag is redundant — dropped, halving per-round
+    # shuffle work. Convergence is detected by the EXACT label sum
+    # (DECIMAL(38,0): overflow-proof at any node count): labels are
+    # monotone over a fixed node set, so sum unchanged ⟺ fixpoint.
+    prev_sum = None
     for _ in range(max_rounds):
-        # smallest label reachable in one hop (every iterated node has
-        # neighbors by construction, so the join is inner)
-        msgs = (
+        updated = (
             sym.join(labels, sym["u"] == labels["id"])
             .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(msgs, labels["id"] == msgs["v"])
-            .select(
-                "id",
-                F.least(F.col("label"), F.col("nbr_label")).alias("new_label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("changed")).count()
-        labels = updated.select("id", F.col("new_label").alias("label"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("v").alias("id"), "label")
+        ).localCheckpoint(eager=False)
+        # first action over `updated`: materializes the checkpoint AND
+        # returns the convergence scalar in the same job
+        cur_sum = updated.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        labels = updated
         _free_checkpoint(ckpt)  # superseded — round N+1 is materialized
         ckpt = updated
-        if n_changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     result = (
         nodes.select(F.col(id_col).alias("id"))
