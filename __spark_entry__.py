@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # —— files changed this round: re-verify the whole family ——
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
+        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "emb_knn": similarity.emb_knn,

@@ -24,6 +24,7 @@ from flinkrunner_spark.llm.text import tokens_col
 MINHASH_K = 8  # minhash permutations
 LSH_BANDS = 4  # bands of 2 rows each
 JACCARD_THRESHOLD = 0.2
+MAX_LSH_BUCKET = 1000  # super-bucket guard: skip degenerate band buckets
 
 
 def shingles_col(toks: Column) -> Column:
@@ -172,7 +173,9 @@ def _sig_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _candidate_pairs(sigs: DataFrame) -> DataFrame:
+def _candidate_pairs(
+    sigs: DataFrame, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band hash.
 
     Shaped as groupBy(band) → in-bucket pair expansion rather than a
@@ -180,10 +183,29 @@ def _candidate_pairs(sigs: DataFrame) -> DataFrame:
     the band hash, where the self-join form scans and shuffles the whole
     signature pipeline twice. Bucket pair expansion is quadratic only in
     the bucket size, which LSH keeps small by construction; the expansion
-    itself is JVM array exprs (no Python)."""
+    itself is JVM array exprs (no Python).
+
+    SUPER-BUCKET GUARD: a degenerate band (a boilerplate shingle shared
+    by millions of docs) would otherwise build one giant collect_set row
+    and O(bucket²) pairs on a single task. Buckets above ``max_bucket``
+    are dropped BEFORE the set is collected — bucket sizes aggregate
+    first (a cheap count-only shuffle of the band column), the over-cap
+    band list (tiny by construction) broadcast-anti-joins the band rows,
+    and only then does the pair expansion run. Production LSH drops (or
+    re-bands) such buckets: their members collide on boilerplate, not
+    similarity, and recall for genuinely similar pairs survives via the
+    other bands. NOT silent: ``lsh_bucket_stats`` reports
+    dropped_buckets / max_bucket_size as a first-class oracled query
+    (a dataflow Observation cannot carry the numbers out — the size
+    aggregate executes inside the broadcast-exchange thread, whose
+    observed metrics never reach the session listener; measured empty)."""
     bands = sigs.select("doc_id", F.explode(band_hashes()).alias("band"))
-    buckets = bands.groupBy("band").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    big = sizes.filter(F.col("n") > max_bucket).select("band")
+    buckets = (
+        bands.join(F.broadcast(big), "band", "left_anti")
+        .groupBy("band")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
     )
     # two flat explodes (first element × strict suffix) rather than one
     # nested transform/flatten lambda — same rows, far simpler generated
@@ -216,6 +238,27 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (banded signature collision)."""
     return _candidate_pairs(_sig_shingles(spark, sf_dir).drop("shd"))
+
+
+def lsh_bucket_stats(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """LSH bucket health: total band buckets, the largest bucket, and how
+    many buckets the super-bucket guard in ``_candidate_pairs`` drops at
+    the current cap — the no-silent-truncation companion to
+    ``docs_minhash_lsh``. One count-only aggregate over the persisted
+    signature frame (the shingle pipeline is shared, the stats row is a
+    scalar); a pipeline operator alerts on dropped_buckets > 0."""
+    sigs = _sig_shingles(spark, sf_dir).drop("shd")
+    bands = sigs.select("doc_id", F.explode(band_hashes()).alias("band"))
+    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
+            "dropped_buckets"
+        ),
+    )
 
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -620,9 +620,11 @@ _BANDS = ", ".join(
 _CAND = f"""
   WITH sh AS ({_SHINGLES}),
   sigs AS (SELECT doc_id, sh, {_MH} FROM sh),
-  bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs)
+  bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+  ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= 1000)
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE a.band IN (SELECT band FROM ok)
 """
 
 ORACLES["docs_minhash_lsh"] = _CAND
@@ -1284,4 +1286,17 @@ SELECT q_vec_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
     row_number() OVER (PARTITION BY q_vec_id ORDER BY cosine DESC, vec_id) AS rk
   FROM sel) t
 WHERE rk <= 5
+"""
+
+# LSH bucket-health stats: the no-silent-truncation signal for the
+# super-bucket cap in _candidate_pairs (same bands pipeline, count-only).
+ORACLES["docs_lsh_stats"] = f"""
+WITH sh AS ({_SHINGLES}),
+sigs AS (SELECT doc_id, sh, {_MH} FROM sh),
+bands AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+sizes AS (SELECT band, COUNT(*) AS n FROM bands GROUP BY band)
+SELECT COUNT(*) AS n_buckets,
+  CAST(MAX(n) AS BIGINT) AS max_bucket_size,
+  CAST(SUM(CASE WHEN n > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets
+FROM sizes
 """

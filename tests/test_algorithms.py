@@ -229,3 +229,44 @@ def test_emb_dup_pairs_rhlsh_recall_and_precision(spark):
     recall = len(got) / len(true_pairs)
     # deterministic planes -> fixed recall (0.78 measured); floor at 0.6
     assert recall >= 0.6, recall
+
+
+def test_lsh_super_bucket_cap_drops_degenerate_buckets(spark):
+    """A band bucket above MAX_LSH_BUCKET must be dropped BEFORE pair
+    expansion (no O(bucket²) blowup from boilerplate collisions), the
+    drop must be observable (no silent truncation), and under-cap
+    buckets must be unaffected."""
+    from pyspark.sql import functions as F
+
+    from flinkrunner_spark.llm import dedup
+
+    # 6 docs with identical signatures -> every band bucket has size 6
+    sigs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(f"h{j}").alias(f"mh{j}") for j in range(dedup.MINHASH_K)],
+    )
+    capped = dedup._candidate_pairs(sigs, max_bucket=5)
+    assert capped.count() == 0  # all buckets over cap -> no pairs
+
+    uncapped = dedup._candidate_pairs(sigs, max_bucket=6)
+    assert uncapped.count() == 15  # C(6,2): under-cap buckets intact
+
+
+def test_lsh_real_corpus_under_cap(spark):
+    """At test scale no bucket approaches the cap — the production guard
+    must not change results (the oracle carries the same HAVING bound) —
+    and the stats query reports the drop count as a first-class signal."""
+    from flinkrunner_spark.llm import dedup
+
+    dedup.release_caches("/root/testdata/sf0.001")
+    n = dedup.docs_minhash_lsh(spark, "/root/testdata/sf0.001").count()
+    assert n > 0
+    row = dedup.lsh_bucket_stats(spark, "/root/testdata/sf0.001").first()
+    assert row["dropped_buckets"] == 0
+    assert 0 < row["max_bucket_size"] <= dedup.MAX_LSH_BUCKET
+    # a tighter cap WOULD drop buckets, and the stats surface it
+    tight = dedup.lsh_bucket_stats(
+        spark, "/root/testdata/sf0.001", max_bucket=1
+    ).first()
+    assert tight["dropped_buckets"] > 0
+    dedup.release_caches("/root/testdata/sf0.001")
