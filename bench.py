@@ -12,6 +12,21 @@ whole-stage codegen, the number comparable across rounds at ±3s noise) and
 WARM (second execution — codegen/classloading amortized, the number that
 tracks actual executed-plan cost round over round). Set
 SPARK_GRAFT_BENCH_PASSES=1 to skip the warm pass.
+
+Honest-measurement rules (r3 verdict #4):
+* ``llm.dedup.release_caches()`` runs between passes, so warm numbers for
+  the memoized dedup family measure executed plans, not cache hits;
+* it also runs before ``docs_pipeline`` within each pass, so the
+  composed pipeline pays its own signature/cluster computation instead
+  of reading the frames its alphabetical predecessors persisted. (The
+  OTHER dedup-family keys intentionally share one persisted signature
+  frame per pass — that single-scan reuse is the documented architecture,
+  and the per-key deltas measure each operator's own marginal plan.)
+
+The JSON line is also written to BENCH_LOCAL_r{N}.json in-repo (N inferred
+from existing CORRECTNESS_r*.json artifacts, override with
+SPARK_GRAFT_ROUND) so round-over-round cold comparisons don't depend on
+the driver's tail buffer (r3 verdict #6).
 """
 
 from __future__ import annotations
@@ -39,10 +54,15 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     queries = entrymod.queries()
+    from flinkrunner_spark.llm import dedup as llm_dedup
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
         for name, fn in sorted(queries.items()):
+            if name == "docs_pipeline":
+                # the composed pipeline must pay its own signature/CC
+                # computation, not read its predecessors' persisted frames
+                llm_dedup.release_caches()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -57,10 +77,26 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2") != "1":
+        llm_dedup.release_caches()  # warm must re-execute, not cache-hit
         warm = run_pass()
         out["queries_warm"] = warm
         out["value_warm"] = round(sum(warm.values()), 3)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re
+
+        ns = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(ns, default=0) + 1)
+    with open(os.path.join(repo, f"BENCH_LOCAL_r{int(rnd):02d}.json"), "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -348,3 +348,50 @@ def test_running_agg_tws_or_gated(spark, events_stream):
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+@pytest.mark.parametrize(
+    "op", ["filter_by_control", "asof_join"], ids=["control-gate", "asof"]
+)
+def test_state_blob_growth_bounded_by_keys_not_batches(spark, tmp_path, op):
+    """The bucketed keyed-state blobs (pickled {key: ...} dicts) must grow
+    with DISTINCT KEYS, not with micro-batch count: processing the same
+    events in 2 vs 4 micro-batches must leave byte-identical per-bucket
+    state sizes. Read back through the state data source against the run's
+    checkpoint — this pins the rewrite-cost trade-off documented on the
+    operators (each touched bucket's whole blob is rewritten per batch,
+    but the blob itself is O(keys in bucket))."""
+    sizes = {}
+    for splits in (2, 4):
+        ev = P.stream_events(spark, SF, splits=splits)
+        if op == "filter_by_control":
+            out = P.streaming_filter_by_control(ev, num_buckets=8)
+        else:
+            out = P.streaming_asof_join(ev, num_buckets=8)
+        ck = str(tmp_path / f"ck_{op}_{splits}")
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"blob_{op}_{splits}")
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        st = spark.read.format("statestore").option("path", ck).load()
+        rows = st.collect()
+        assert rows, "state store empty"
+        # key = the _bucket group key struct; value.groupState.<field> =
+        # the pickled blob
+        sizes[splits] = sorted(
+            (tuple(r["key"]), len(bytes(r["value"]["groupState"][0])))
+            for r in rows
+        )
+    assert sizes[2] == sizes[4], (
+        f"state grew with batch count: {sizes[2]} vs {sizes[4]}"
+    )
