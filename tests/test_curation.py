@@ -1,0 +1,127 @@
+"""Behavioral tests for the curation/similarity extensions (llm/curation,
+docs_cluster_assign, emb_knn_join) — the cross-engine exactness gate is
+tests/test_oracle_parity.py; these pin the operator semantics directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.llm import curation
+from flinkrunner_spark.llm import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io or admin@a.b.co thanks"),
+            (2, "call 555-123-4567 and 999-000-1111 now"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "clean text with no identifiers"),
+            (5, "mixed a@b.cc 123-456-7890 987-65-4321"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.pii_redact(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ssns"]) == (2, 0, 0)
+    assert out[1]["redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"] == "call <PHONE> and <PHONE> now"
+    assert out[3]["n_ssns"] == 1
+    assert out[3]["redacted"] == "ssn <SSN> leaked"
+    assert out[4]["redacted"] == out[4]["text"]
+    assert (out[5]["n_emails"], out[5]["n_phones"], out[5]["n_ssns"]) == (1, 1, 1)
+    assert out[5]["redacted"] == "mixed <EMAIL> <PHONE> <SSN>"
+
+
+def test_pii_phone_ssn_shapes_do_not_cross_match(spark):
+    # 3-3-4 is a phone, 3-2-4 is an SSN; neither pattern may eat the other
+    df = spark.createDataFrame(
+        [(1, "p 111-222-3333 s 111-22-3333")], "doc_id int, text string"
+    )
+    r = curation.pii_redact(df).first()
+    assert (r["n_phones"], r["n_ssns"]) == (1, 1)
+    assert r["redacted"] == "p <PHONE> s <SSN>"
+
+
+def test_decontaminate_partitions_corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_eval = docs.select(curation.eval_bucket_col().alias("b")).filter(
+        "b = 0"
+    ).count()
+    out = curation.docs_decontaminate(spark, SF)
+    rows = out.collect()
+    # output covers exactly the training split (eval docs are the query set)
+    assert len(rows) == n_docs - n_eval
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        assert r["contaminated"] == (
+            r["n_overlap"] / r["n_shingles"] >= curation.CONTAM_FRAC
+        )
+    # the synthetic word-salad corpus shares 3-grams: both classes present
+    flags = {r["contaminated"] for r in rows}
+    assert flags == {True, False}
+
+
+def test_repetition_fractions_are_valid(spark):
+    rows = curation.docs_repetition(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["n_2grams"] == max(r["n_tokens"] - 1, 0)
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        if r["n_2grams"]:
+            assert 0.0 < r["top_2gram_frac"] <= 1.0
+
+
+def test_cluster_assign_is_total_and_nearest(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    rows = sim.docs_cluster_assign(spark, SF).collect()
+    assert len(rows) == emb.count()  # every vector assigned
+    for r in rows[:50]:
+        assert r["assigned_label"] in labels
+        assert -1.0 <= r["cosine"] <= 1.0
+    # spot-check argmax against a direct per-centroid computation
+    cents = {
+        r["label"]: r["centroid"]
+        for r in sim._label_centroids(emb).collect()
+    }
+    import numpy as np
+
+    probe = {r["vec_id"]: r for r in rows if r["vec_id"] < 20}
+    for r0 in emb.filter("vec_id < 20").collect():
+        e = np.asarray(r0["embedding"], dtype=np.float64)
+        best = max(
+            sorted(cents),
+            key=lambda lb: (
+                round(
+                    float(
+                        np.dot(e, cents[lb])
+                        / np.sqrt(np.dot(e, e) * np.dot(np.asarray(cents[lb]), np.asarray(cents[lb])))
+                    ),
+                    6,
+                ),
+                -lb,
+            ),
+        )
+        assert probe[r0["vec_id"]]["assigned_label"] == best
+
+
+def test_knn_join_shape(spark):
+    rows = sim.emb_knn_join(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert q % sim.KNN_JOIN_STRIDE == 0
+        assert len(rs) == sim.KNN_JOIN_K
+        assert sorted(r["rk"] for r in rs) == list(range(1, sim.KNN_JOIN_K + 1))
+        assert all(r["vec_id"] != q for r in rs)
+        # ranks ordered by descending cosine (ties broken by vec_id)
+        srt = sorted(rs, key=lambda r: r["rk"])
+        cos = [r["cosine"] for r in srt]
+        assert cos == sorted(cos, reverse=True)
