@@ -9,13 +9,21 @@ row-level cases (e.g. value columns of kafka messages):
   all columns (JsonSerializationSchema / JsonDeserializationSchema).
 * ``delimited_encode`` / ``delimited_decode`` — to_csv/from_csv
   (DelimitedRowEncoder / DelimitedRowDecoder; psv/tsv via sep option).
-* avro requires the spark-avro jar (``from_avro``/``to_avro``) — gated.
+* avro: prefers the spark-avro jar (``from_avro``/``to_avro``, JVM
+  codegen); without the jar it falls back to the pure-Python binary codec
+  in ``serde.avro_codec`` (spec-subset, JVM-cross-validated) running in
+  Arrow-batched ``mapInPandas`` — slower per row, but a correct, tested
+  path instead of a gate error. ``confluent_avro_encode/decode`` add the
+  registry wire framing (magic + schema id) the reference's
+  ConfluentAvroRegistryKafkaRecordSerializationSchema applies.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from flinkrunner_spark.serde import avro_codec as AC
 
 DELIMITERS = {"csv": ",", "psv": "|", "tsv": "\t"}
 
@@ -46,17 +54,194 @@ def delimited_decode(
     ).select("_r.*")
 
 
+# Spark <-> Avro type mapping for the codec subset
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "integer": "int",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "binary": "bytes",
+    "boolean": "boolean",
+}
+
+
+def avro_schema_for_df(df: DataFrame, name: str = "record") -> dict:
+    """Derive the Avro record schema for a DataFrame (codec subset:
+    primitives, nullable primitives, arrays of primitives; timestamps
+    ride as long micros with the standard logicalType annotation)."""
+    import pyspark.sql.types as T
+
+    fields = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            at: object = {"type": "long", "logicalType": "timestamp-micros"}
+            base = at
+        elif isinstance(dt, T.ArrayType):
+            item = _SPARK_TO_AVRO[dt.elementType.typeName()]
+            base = {"type": "array", "items": item}
+            at = base
+        else:
+            at = _SPARK_TO_AVRO[dt.typeName()]
+            base = at
+        fields.append(
+            {"name": f.name, "type": ["null", base] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _spark_ddl_for_avro(parsed: dict) -> str:
+    """DDL schema for decode output (timestamp logical types surface as
+    long micros — callers re-cast if they want TimestampType)."""
+    to_spark = {
+        "long": "bigint", "int": "int", "double": "double", "float": "float",
+        "string": "string", "bytes": "binary", "boolean": "boolean",
+        "null": "string",
+    }
+    cols = []
+    for name, (kind, prim) in parsed["fields"]:
+        t = (
+            f"array<{to_spark[prim]}>"
+            if kind.endswith("array")
+            else to_spark[prim]
+        )
+        cols.append(f"`{name}` {t}")
+    return ", ".join(cols)
+
+
+def _py_encode_map(parsed: dict, schema_id: int | None, cols: list[str]):
+    """mapInPandas closure: rows -> avro binary (optionally Confluent-
+    framed). Timestamps/ndarray values normalize to codec types first."""
+
+    kinds = dict(parsed["fields"])
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        def norm(c, v):
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            if isinstance(v, pd.Timestamp):
+                return v.value // 1000  # ns -> micros
+            if isinstance(v, np.generic):
+                v = v.item()
+            if v is None or v is pd.NaT or v is pd.NA:
+                return None
+            # pandas spells missing floats as NaN — map to null ONLY for
+            # nullable fields (NaN is a legitimate double value otherwise)
+            if (
+                isinstance(v, float)
+                and v != v
+                and kinds[c][0].startswith("nullable")
+            ):
+                return None
+            return v
+
+        for pdf in it:
+            vals = []
+            for _, row in pdf.iterrows():
+                rec = {c: norm(c, row[c]) for c in cols}
+                payload = AC.encode_record(parsed, rec)
+                if schema_id is not None:
+                    payload = AC.confluent_frame(schema_id, payload)
+                vals.append(payload)
+            yield pd.DataFrame({"value": pd.Series(vals, dtype=object)})
+
+    return fn
+
+
+def _py_decode_map(parsed: dict, framed: bool, col: str):
+    def fn(it):
+        import pandas as pd
+
+        names = [n for n, _ in parsed["fields"]]
+        for pdf in it:
+            recs = []
+            for v in pdf[col]:
+                b = bytes(v)
+                if framed:
+                    _, b = AC.confluent_unframe(b)
+                recs.append(AC.decode_record(parsed, b))
+            out = pd.DataFrame(recs, columns=names)
+            for c in out.columns:  # keep Arrow happy on all-None columns
+                out[c] = out[c].astype(object)
+            yield out
+
+    return fn
+
+
 def avro_encode(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Rows -> Avro binary. spark-avro jar when present (JVM codegen);
+    otherwise the pure-Python codec over Arrow batches."""
     try:
+        # the python wrapper always imports; without the spark-avro jar the
+        # expression fails ANALYSIS with AVRO_NOT_LOADED — catch both
+        from pyspark.errors import AnalysisException
         from pyspark.sql.avro.functions import to_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("avro serde requires the spark-avro jar") from e
-    return df.select(to_avro(F.struct(*df.columns)).alias(out_col))
+
+        return df.select(to_avro(F.struct(*df.columns)).alias(out_col))
+    except (ImportError, AnalysisException):
+        parsed = AC.parse_schema(avro_schema_for_df(df))
+        out = df.mapInPandas(
+            _py_encode_map(parsed, None, df.columns), schema="value binary"
+        )
+        return out if out_col == "value" else out.withColumnRenamed("value", out_col)
 
 
-def avro_decode(df: DataFrame, avro_schema: str, col: str = "value") -> DataFrame:
+def avro_decode(df: DataFrame, avro_schema, col: str = "value") -> DataFrame:
+    """Avro binary -> rows (schema = Avro JSON string or dict)."""
+    import json as _json
+
+    schema_str = (
+        avro_schema if isinstance(avro_schema, str) else _json.dumps(avro_schema)
+    )
     try:
+        from pyspark.errors import AnalysisException
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("avro serde requires the spark-avro jar") from e
-    return df.select(from_avro(F.col(col), avro_schema).alias("_r")).select("_r.*")
+
+        return df.select(
+            from_avro(F.col(col), schema_str).alias("_r")
+        ).select("_r.*")
+    except (ImportError, AnalysisException):
+        parsed = AC.parse_schema(schema_str)
+        return df.select(col).mapInPandas(
+            _py_decode_map(parsed, False, col),
+            schema=_spark_ddl_for_avro(parsed),
+        )
+
+
+def confluent_avro_encode(
+    df: DataFrame,
+    registry: AC.LocalSchemaRegistry,
+    subject: str,
+    out_col: str = "value",
+) -> DataFrame:
+    """Rows -> Confluent-framed Avro (magic 0x00 + schema id + binary),
+    registering the derived schema under ``subject`` — the wire format
+    the reference's ConfluentAvroRegistryKafkaRecordSerializationSchema
+    produces for kafka values."""
+    schema = avro_schema_for_df(df)
+    sid = registry.register(subject, schema)
+    parsed = AC.parse_schema(schema)
+    out = df.mapInPandas(
+        _py_encode_map(parsed, sid, df.columns), schema="value binary"
+    )
+    return out if out_col == "value" else out.withColumnRenamed("value", out_col)
+
+
+def confluent_avro_decode(
+    df: DataFrame,
+    registry: AC.LocalSchemaRegistry,
+    subject: str,
+    col: str = "value",
+) -> DataFrame:
+    """Confluent-framed Avro -> rows, resolving the schema through the
+    registry by subject (the per-message ids are checked against it in
+    the codec's unframe)."""
+    parsed = registry.schema_by_id(registry.id_by_subject(subject))
+    return df.select(col).mapInPandas(
+        _py_decode_map(parsed, True, col), schema=_spark_ddl_for_avro(parsed)
+    )

@@ -1,0 +1,282 @@
+"""Pure-Python Apache Avro BINARY codec (record subset) + Confluent wire
+framing + an in-memory schema registry.
+
+Closes the serde gap the spark-avro jar left open (reference:
+serde/ConfluentAvroRegistryKafkaRecordSerializationSchema.scala:1-48,
+serde/AvroRegistryKafkaRecordDeserializationSchema.scala, and the
+EmbeddedAvroRecord pattern in model/EmbeddedAvroRecord.scala): encode a
+row to Avro binary, frame it in the Confluent wire format (magic 0x00 +
+4-byte big-endian schema id + payload), and back. Everything here is
+derived from PUBLIC specifications only — the Apache Avro 1.12 binary
+encoding spec and the documented Confluent wire format.
+
+Supported schema subset (what flat event/record streams use):
+* ``record`` whose fields are primitives (null, boolean, int, long,
+  float, double, bytes, string), nullable unions ``["null", P]``, or
+  arrays of primitives; ``logicalType`` attributes (timestamp-micros
+  etc.) ride on the underlying primitive untouched, matching Avro's own
+  "logical types are annotations" rule.
+* Anything else (nested records, maps, enums, fixed) raises at
+  ``parse_schema`` time — an honest gate, not a silent wrong answer.
+
+Correctness anchor: the Java implementation (avro-1.12.1.jar ships on the
+Spark classpath) is driven through py4j in tests/test_avro.py — the bytes
+this codec produces are asserted EQUAL to org.apache.avro's
+GenericDatumWriter output for the same records, and each decodes the
+other's output.
+
+Scale note: the codec is deliberately dependency-free Python intended for
+Arrow-batched ``mapInPandas`` row loops (see serde.avro_encode /
+avro_decode). With the spark-avro jar present those entry points use the
+JVM ``to_avro``/``from_avro`` instead — this module is the no-jar
+fallback and the registry-framing layer, not a replacement for the
+codegen path.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+CONFLUENT_MAGIC = 0
+
+
+# ---------------------------------------------------------------------------
+# schema handling
+# ---------------------------------------------------------------------------
+
+
+def _norm_type(t):
+    """Normalize one field type to ('prim', name) | ('nullable', name) |
+    ('array', name); raise on anything outside the supported subset."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return ("prim", t)
+        raise ValueError(f"unsupported avro type: {t!r}")
+    if isinstance(t, dict):
+        # logical types annotate the underlying primitive — pass through
+        base = t.get("type")
+        if base in _PRIMITIVES:
+            return ("prim", base)
+        if base == "array":
+            items = t.get("items")
+            if isinstance(items, str) and items in _PRIMITIVES and items != "null":
+                return ("array", items)
+            raise ValueError(f"unsupported array items: {items!r}")
+        raise ValueError(f"unsupported avro type: {t!r}")
+    if isinstance(t, list):
+        if (
+            len(t) == 2
+            and t[0] == "null"
+            and isinstance(t[1], (str, dict))
+        ):
+            kind, name = _norm_type(t[1])
+            if kind == "prim":
+                return ("nullable", name)
+            if kind == "array":
+                return ("nullable_array", name)
+        raise ValueError(f"unsupported union: {t!r}")
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def parse_schema(schema) -> dict:
+    """Parse/validate an Avro record schema (JSON string or dict) into
+    {"name": ..., "fields": [(field_name, (kind, prim)), ...]}."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("schema must be an avro record")
+    fields = []
+    for f in schema["fields"]:
+        fields.append((f["name"], _norm_type(f["type"])))
+    return {"name": schema.get("name", "record"), "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# binary encoding (Avro spec: zigzag varints, little-endian IEEE floats,
+# length-prefixed bytes/string, block-encoded arrays)
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    z = (v << 1) ^ (v >> 63)  # zigzag
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf, pos: int) -> tuple[int, int]:
+    shift = z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos  # un-zigzag
+
+
+def _write_prim(out: bytearray, prim: str, v) -> None:
+    if prim == "null":
+        return
+    if prim == "boolean":
+        out.append(1 if v else 0)
+    elif prim in ("int", "long"):
+        _write_long(out, int(v))
+    elif prim == "float":
+        out += struct.pack("<f", v)
+    elif prim == "double":
+        out += struct.pack("<d", v)
+    elif prim == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out += b
+    elif prim == "string":
+        b = v.encode("utf-8")
+        _write_long(out, len(b))
+        out += b
+    else:  # pragma: no cover - parse_schema rejects these
+        raise ValueError(prim)
+
+
+def _read_prim(buf, pos: int, prim: str):
+    if prim == "null":
+        return None, pos
+    if prim == "boolean":
+        return buf[pos] == 1, pos + 1
+    if prim in ("int", "long"):
+        return _read_long(buf, pos)
+    if prim == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if prim == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if prim in ("bytes", "string"):
+        n, pos = _read_long(buf, pos)
+        raw = bytes(buf[pos : pos + n])
+        return (raw.decode("utf-8") if prim == "string" else raw), pos + n
+    raise ValueError(prim)  # pragma: no cover
+
+
+def _write_array(out: bytearray, prim: str, v) -> None:
+    items = list(v if v is not None else [])
+    if items:
+        _write_long(out, len(items))
+        for x in items:
+            _write_prim(out, prim, x)
+    _write_long(out, 0)  # block terminator
+
+
+def encode_record(schema: dict, rec: dict) -> bytes:
+    """Encode one record (dict) to Avro binary per the parsed schema."""
+    out = bytearray()
+    for name, (kind, prim) in schema["fields"]:
+        v = rec.get(name)
+        if kind == "prim":
+            _write_prim(out, prim, v)
+        elif kind == "array":
+            _write_array(out, prim, v)
+        elif v is None:  # nullable / nullable_array
+            _write_long(out, 0)  # union branch 0 = null
+        elif kind == "nullable":
+            _write_long(out, 1)
+            _write_prim(out, prim, v)
+        else:  # nullable_array
+            _write_long(out, 1)
+            _write_array(out, prim, v)
+    return bytes(out)
+
+
+def decode_record(schema: dict, data) -> dict:
+    """Decode Avro binary back to a dict per the parsed schema."""
+    buf = memoryview(bytes(data))
+    pos = 0
+    rec = {}
+
+    def read_array(pos):
+        # spec allows multiple blocks; negative count = size-prefixed block
+        items = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)  # skip block byte size
+            for _ in range(n):
+                x, pos = _read_prim(buf, pos, prim)
+                items.append(x)
+        return items, pos
+
+    for name, (kind, prim) in schema["fields"]:
+        if kind == "prim":
+            rec[name], pos = _read_prim(buf, pos, prim)
+        elif kind == "array":
+            rec[name], pos = read_array(pos)
+        else:  # nullable / nullable_array
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                rec[name] = None
+            elif kind == "nullable":
+                rec[name], pos = _read_prim(buf, pos, prim)
+            else:
+                rec[name], pos = read_array(pos)
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Confluent wire format + local registry
+# ---------------------------------------------------------------------------
+
+
+def confluent_frame(schema_id: int, payload: bytes) -> bytes:
+    """magic 0x00 + 4-byte big-endian schema id + avro binary."""
+    return struct.pack(">bI", CONFLUENT_MAGIC, schema_id) + payload
+
+
+def confluent_unframe(frame: bytes) -> tuple[int, bytes]:
+    magic, schema_id = struct.unpack_from(">bI", frame, 0)
+    if magic != CONFLUENT_MAGIC:
+        raise ValueError(f"bad confluent magic byte: {magic}")
+    return schema_id, bytes(frame[5:])
+
+
+class LocalSchemaRegistry:
+    """In-memory schema registry with the subject→id contract of the
+    reference's registry clients (the reference likewise swaps in a mock
+    client under test — ConfluentAvroRegistryKafkaRecordSerializationSchema
+    .scala takes ``schemaRegistryClientOpt``). Ids are assigned once per
+    distinct schema, like the real registry."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, dict] = {}
+        self._by_subject: dict[str, int] = {}
+        self._canon_to_id: dict[str, int] = {}
+        self._next = 1
+
+    def register(self, subject: str, schema) -> int:
+        parsed = parse_schema(schema)
+        canon = json.dumps(parsed, sort_keys=True)
+        sid = self._canon_to_id.get(canon)
+        if sid is None:
+            sid = self._next
+            self._next += 1
+            self._canon_to_id[canon] = sid
+            self._by_id[sid] = parsed
+        self._by_subject[subject] = sid
+        return sid
+
+    def schema_by_id(self, schema_id: int) -> dict:
+        return self._by_id[schema_id]
+
+    def id_by_subject(self, subject: str) -> int:
+        return self._by_subject[subject]
