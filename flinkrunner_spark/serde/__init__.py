@@ -111,9 +111,16 @@ def _spark_ddl_for_avro(parsed: dict) -> str:
     return ", ".join(cols)
 
 
-def _py_encode_map(parsed: dict, schema_id: int | None, cols: list[str]):
+def _py_encode_map(
+    parsed: dict,
+    schema_id: int | None,
+    cols: list[str],
+    keep: tuple[str, ...] = (),
+):
     """mapInPandas closure: rows -> avro binary (optionally Confluent-
-    framed). Timestamps/ndarray values normalize to codec types first."""
+    framed), with ``keep`` columns passed through alongside the value
+    (one Arrow pass — no re-join needed to retain e.g. a Kafka key).
+    Timestamps/ndarray values normalize to codec types first."""
 
     kinds = dict(parsed["fields"])
 
@@ -148,9 +155,20 @@ def _py_encode_map(parsed: dict, schema_id: int | None, cols: list[str]):
                 if schema_id is not None:
                     payload = AC.confluent_frame(schema_id, payload)
                 vals.append(payload)
-            yield pd.DataFrame({"value": pd.Series(vals, dtype=object)})
+            out = {k: pdf[k] for k in keep}
+            out["value"] = pd.Series(vals, dtype=object, index=pdf.index)
+            yield pd.DataFrame(out)
 
     return fn
+
+
+def _encode_out_schema(df: DataFrame, keep: tuple[str, ...]) -> str:
+    kept = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    return (kept + ", " if kept else "") + "value binary"
 
 
 def _py_decode_map(parsed: dict, framed: bool, col: str):
@@ -218,16 +236,22 @@ def confluent_avro_encode(
     registry: AC.LocalSchemaRegistry,
     subject: str,
     out_col: str = "value",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rows -> Confluent-framed Avro (magic 0x00 + schema id + binary),
     registering the derived schema under ``subject`` — the wire format
     the reference's ConfluentAvroRegistryKafkaRecordSerializationSchema
-    produces for kafka values."""
-    schema = avro_schema_for_df(df)
+    produces for kafka values. ``keep`` columns pass through unencoded
+    next to the value (e.g. the Kafka partition key) — they stay part of
+    the encoded record too, like the reference's EmbeddedAvroRecord
+    which carries the whole event in the value."""
+    record_cols = list(df.columns)
+    schema = avro_schema_for_df(df.select(*record_cols))
     sid = registry.register(subject, schema)
     parsed = AC.parse_schema(schema)
     out = df.mapInPandas(
-        _py_encode_map(parsed, sid, df.columns), schema="value binary"
+        _py_encode_map(parsed, sid, record_cols, tuple(keep)),
+        schema=_encode_out_schema(df, tuple(keep)),
     )
     return out if out_col == "value" else out.withColumnRenamed("value", out_col)
 

@@ -122,21 +122,53 @@ class KafkaSinkConfig(SinkConfig):
     def prepare_records(self, df: DataFrame) -> DataFrame:
         """Shape a frame into Kafka records — the reference's record
         serialization + AssignKafkaHeaders: ``key.column`` picks the
-        partition key, the value is the row as JSON unless a ``value``
-        column already exists, and ``headers: {headerKey: column}``
-        attaches columns as Kafka headers (array<struct<key,value>>, the
-        kafka datasource's wire shape)."""
+        partition key, the value is the row serialized per
+        ``value.format`` (``json`` default; ``confluent-avro`` = Avro
+        binary with registry wire framing, subject ``<topic>-value``,
+        mirroring ConfluentAvroRegistryKafkaRecordSerializationSchema —
+        bare Avro without framing is available as ``serde.avro_encode``
+        but is not a kafka value format, since consumers could not
+        resolve its schema) unless a
+        ``value`` column already exists, and ``headers: {headerKey:
+        column}`` attaches columns as Kafka headers
+        (array<struct<key,value>>, the kafka datasource's wire shape).
+
+        Pass a ``schema_registry`` (serde.avro_codec.LocalSchemaRegistry
+        or compatible) on the config instance for confluent-avro — the
+        same injection seam the reference's serializer exposes via
+        ``schemaRegistryClientOpt``."""
         from pyspark.sql import functions as F
 
         cols = df.columns
         out = df
         key_col = self.conf.get("key.column")
+        vfmt = self.conf.get("value.format", "json")
+        if "value" not in cols:
+            if vfmt == "json":
+                out = out.withColumn(
+                    "value", F.to_json(F.struct(*[F.col(c) for c in cols]))
+                )
+            elif vfmt == "confluent-avro":
+                from flinkrunner_spark import serde
+
+                registry = getattr(self, "schema_registry", None)
+                if registry is None:
+                    raise ValueError(
+                        "confluent-avro value.format needs a "
+                        "schema_registry on the sink config"
+                    )
+                subject = f"{self.conf.get('topic', self.name)}-value"
+                # key column passes through the encode in one Arrow pass;
+                # the record itself carries the whole event (reference
+                # EmbeddedAvroRecord semantics)
+                out = serde.confluent_avro_encode(
+                    df, registry, subject,
+                    keep=(key_col,) if key_col else (),
+                )
+            else:
+                raise ValueError(f"unsupported value.format: {vfmt}")
         if key_col:
             out = out.withColumn("key", F.col(key_col).cast("string"))
-        if "value" not in cols:
-            out = out.withColumn(
-                "value", F.to_json(F.struct(*[F.col(c) for c in cols]))
-            )
         headers = self.conf.get("headers", {})
         if headers:
             out = out.withColumn(

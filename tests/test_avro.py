@@ -232,3 +232,36 @@ def test_registry_ids_stable():
     assert reg.register("c-value", other) != s1
     with pytest.raises(ValueError):
         AC.confluent_unframe(b"\x01\x00\x00\x00\x01")  # wrong magic
+
+
+def test_kafka_record_prep_confluent_avro(spark):
+    """Kafka record shaping with value.format=confluent-avro: one Arrow
+    pass encodes the whole event into a framed value while the key
+    column passes through — broker-free, like the json prep test."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    df = spark.createDataFrame(
+        [(1, "click", 2.5), (2, "view", -1.0)],
+        "event_id long, event_type string, value_amt double",
+    )
+    sink = KafkaSinkConfig(
+        "events-out",
+        {
+            "connector": "kafka",
+            "topic": "events",
+            "key.column": "event_id",
+            "value.format": "confluent-avro",
+        },
+    )
+    with pytest.raises(ValueError):  # registry is mandatory
+        sink.prepare_records(df)
+    reg = AC.LocalSchemaRegistry()
+    sink.schema_registry = reg
+    rec = sink.prepare_records(df)
+    assert set(rec.columns) == {"key", "value"}
+    rows = {r["key"]: bytes(r["value"]) for r in rec.collect()}
+    assert set(rows) == {"1", "2"}
+    sid, payload = AC.confluent_unframe(rows["1"])
+    assert sid == reg.id_by_subject("events-value")
+    decoded = AC.decode_record(reg.schema_by_id(sid), payload)
+    assert decoded == {"event_id": 1, "event_type": "click", "value_amt": 2.5}
