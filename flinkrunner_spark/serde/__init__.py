@@ -269,3 +269,114 @@ def confluent_avro_decode(
     return df.select(col).mapInPandas(
         _py_decode_map(parsed, True, col), schema=_spark_ddl_for_avro(parsed)
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro object container FILES without the spark-avro jar
+# ---------------------------------------------------------------------------
+
+
+def write_avro_files(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Write ``df`` as Avro object container files, one ``part-*.avro``
+    per partition, executor-side (the fallback file sink when the
+    spark-avro jar is absent; with the jar, ``df.write.format("avro")``
+    is the codegen path and this function is not needed). Returns the
+    row count written. Timestamps ride as long micros (codec subset).
+
+    Each task writes to a temp name and renames into place — the same
+    commit discipline any file sink needs; a ``_SUCCESS`` marker lands
+    after the action completes."""
+    import os
+
+    parsed_schema = avro_schema_for_df(df)
+    parsed = AC.parse_schema(parsed_schema)
+    cols = df.columns
+    kinds = dict(parsed["fields"])
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(it):
+        import os
+        import uuid
+
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from flinkrunner_spark.serde import avro_codec as _AC
+
+        pid = TaskContext.get().partitionId()
+
+        def norm(c, v):
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            if isinstance(v, pd.Timestamp):
+                return v.value // 1000
+            if isinstance(v, np.generic):
+                v = v.item()
+            if v is None or v is pd.NaT or v is pd.NA:
+                return None
+            if (
+                isinstance(v, float)
+                and v != v
+                and kinds[c][0].startswith("nullable")
+            ):
+                return None
+            return v
+
+        recs = []
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                recs.append({c: norm(c, row[c]) for c in cols})
+        n = len(recs)
+        if n:
+            blob = _AC.write_container(
+                parsed_schema, recs, codec=codec, sync_salt=str(pid)
+            )
+            tmp = os.path.join(path, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(path, f"part-{pid:05d}.avro"))
+        yield pd.DataFrame({"n": [n]})
+
+    total = (
+        df.mapInPandas(write_part, schema="n long")
+        .agg(F.sum("n").alias("n"))
+        .first()["n"]
+    )
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return int(total or 0)
+
+
+def read_avro_files(spark, path: str) -> DataFrame:
+    """Read Avro object container files via ``binaryFile`` + the Python
+    codec (fallback source; files parse whole — the jar path splits on
+    sync markers, so prefer it when present; honest trade-off for a
+    no-dependency environment). Schema comes from the first file's
+    metadata on the driver; all files must share it."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    first = files.filter(~F.col("path").endswith("_SUCCESS")).first()
+    if first is None:
+        raise ValueError(f"no avro files under {path}")
+    parsed, _ = AC.read_container(bytes(first["content"]))
+    ddl = _spark_ddl_for_avro(parsed)
+
+    def parse(it):
+        import pandas as pd
+
+        from flinkrunner_spark.serde import avro_codec as _AC
+
+        names = [n for n, _ in parsed["fields"]]
+        for pdf in it:
+            for blob in pdf["content"]:
+                _, recs = _AC.read_container(bytes(blob))
+                out = pd.DataFrame(recs, columns=names)
+                for c in out.columns:
+                    out[c] = out[c].astype(object)
+                yield out
+
+    return files.filter(~F.col("path").endswith("_SUCCESS")).mapInPandas(
+        parse, schema=ddl
+    )

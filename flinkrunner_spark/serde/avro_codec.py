@@ -280,3 +280,152 @@ class LocalSchemaRegistry:
 
     def id_by_subject(self, subject: str) -> int:
         return self._by_subject[subject]
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container File (OCF) — magic Obj\x01, metadata map, sync-
+# marker-delimited blocks, null/deflate codecs (Avro 1.12 spec §Object
+# Container Files). Deterministic sync marker (md5 of schema + a salt) so
+# outputs are reproducible run to run.
+# ---------------------------------------------------------------------------
+
+OCF_MAGIC = b"Obj\x01"
+
+
+def _ocf_sync(schema: dict, salt: str = "") -> bytes:
+    import hashlib
+
+    return hashlib.md5(
+        (json.dumps(schema, sort_keys=True) + ":" + salt).encode()
+    ).digest()
+
+
+def write_container(
+    schema,
+    records,
+    codec: str = "null",
+    sync_salt: str = "",
+) -> bytes:
+    """Serialize records into one Avro OCF byte string (single block —
+    callers control file/block granularity by how they batch records)."""
+    import zlib
+
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    parsed = parse_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    sync = _ocf_sync(schema, sync_salt)
+
+    out = bytearray(OCF_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        _write_prim(out, "string", k)
+        _write_prim(out, "bytes", v)
+    _write_long(out, 0)  # metadata map terminator
+    out += sync
+
+    body = bytearray()
+    n = 0
+    for rec in records:
+        body += encode_record(parsed, rec)
+        n += 1
+    data = bytes(body)
+    if codec == "deflate":  # raw DEFLATE, no zlib header (per spec)
+        comp = zlib.compressobj(wbits=-15)
+        data = comp.compress(data) + comp.flush()
+    if n:
+        _write_long(out, n)
+        _write_long(out, len(data))
+        out += data
+        out += sync
+    return bytes(out)
+
+
+def read_container(blob) -> tuple[dict, list[dict]]:
+    """Parse one Avro OCF byte string -> (parsed schema, records).
+    Handles multi-block files (e.g. written by the Java DataFileWriter)
+    and the null/deflate codecs."""
+    import zlib
+
+    buf = memoryview(bytes(blob))
+    if bytes(buf[:4]) != OCF_MAGIC:
+        raise ValueError("not an avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        cnt, pos = _read_long(buf, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:
+            cnt = -cnt
+            _, pos = _read_long(buf, pos)
+        for _ in range(cnt):
+            k, pos = _read_prim(buf, pos, "string")
+            v, pos = _read_prim(buf, pos, "bytes")
+            meta[k] = v
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    parsed = parse_schema(schema)
+    sync = bytes(buf[pos : pos + 16])
+    pos += 16
+
+    records: list[dict] = []
+    total = len(buf)
+    while pos < total:
+        n, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        data = bytes(buf[pos : pos + size])
+        pos += size
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        dpos = 0
+        dview = memoryview(data)
+        for _ in range(n):
+            rec, dpos = _decode_record_at(parsed, dview, dpos)
+            records.append(rec)
+        if bytes(buf[pos : pos + 16]) != sync:
+            raise ValueError("sync marker mismatch (corrupt container)")
+        pos += 16
+    return parsed, records
+
+
+def _decode_record_at(schema: dict, buf, pos: int) -> tuple[dict, int]:
+    """decode_record variant that starts at ``pos`` and returns the end
+    offset — needed to walk concatenated records inside an OCF block."""
+    rec = {}
+
+    def read_array(pos, prim):
+        items = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)
+            for _ in range(n):
+                x, pos = _read_prim(buf, pos, prim)
+                items.append(x)
+        return items, pos
+
+    for name, (kind, prim) in schema["fields"]:
+        if kind == "prim":
+            rec[name], pos = _read_prim(buf, pos, prim)
+        elif kind == "array":
+            rec[name], pos = read_array(pos, prim)
+        else:
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                rec[name] = None
+            elif kind == "nullable":
+                rec[name], pos = _read_prim(buf, pos, prim)
+            else:
+                rec[name], pos = read_array(pos, prim)
+    return rec, pos

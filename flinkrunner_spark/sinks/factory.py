@@ -40,6 +40,28 @@ class SinkConfig:
 class FileSinkConfig(SinkConfig):
     def write(self, df: DataFrame):
         fmt = self.conf.get("format", "parquet")
+        if fmt == "avro":
+            try:
+                df.write.format("avro").options(
+                    **self.conf.get("options", {})
+                ).mode(self.conf.get("mode", "overwrite")).save(
+                    self.conf["path"]
+                )
+                return
+            except Exception as e:
+                if "AVRO" not in str(e) and "avro" not in str(e):
+                    raise
+                from flinkrunner_spark import serde
+
+                # no-jar fallback: executor-side OCF writes per partition
+                serde.write_avro_files(
+                    df,
+                    self.conf["path"],
+                    codec=self.conf.get("options", {}).get(
+                        "compression", "deflate"
+                    ),
+                )
+                return
         options = dict(self.conf.get("options", {}))
         if fmt in _DELIMITED:
             options.setdefault("sep", _DELIMITED[fmt])

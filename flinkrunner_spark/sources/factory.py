@@ -74,6 +74,21 @@ class FileSourceConfig(SourceConfig):
             reader = reader.schema(schema)
         elif self.streaming:
             raise ValueError(f"streaming file source '{self.name}' needs a schema")
+        if fmt == "avro":
+            try:
+                return self._apply_watermark(reader.load(path))
+            except Exception as e:
+                if "AVRO" not in str(e) and "avro" not in str(e):
+                    raise
+                if self.streaming:
+                    raise RuntimeError(
+                        "streaming avro file source needs the spark-avro "
+                        "jar (the python-codec fallback is batch-only)"
+                    ) from e
+                from flinkrunner_spark import serde
+
+                # no-jar fallback: binaryFile + the pure-Python OCF codec
+                return serde.read_avro_files(spark, path)
         return self._apply_watermark(reader.load(path))
 
 
