@@ -26,7 +26,15 @@ QUALITY_THRESHOLD = 1.58
 
 
 def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Surviving documents with their language, quality and token counts."""
+    """Surviving documents with their language, quality and token counts.
+
+    The three text stages (quality, language-ID, token count) are all
+    per-row projections over the same documents scan, so the pipeline
+    computes them FUSED in one projection (the stage operators' own
+    Column builders — no expression drift) instead of three separate
+    scans joined on doc_id: one scan + zero joins for the text half,
+    leaving the two keeper semi-joins as the only exchanges besides the
+    dedup machinery itself. Same outputs, same oracle."""
     exact_keepers = D.docs_dedup_exact(spark, sf_dir).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
@@ -35,14 +43,15 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id")
     )
-    q = T.docs_quality(spark, sf_dir).select("doc_id", "quality_score")
-    lang = T.docs_langid(spark, sf_dir).select("doc_id", "lang_pred")
-    toks = T.docs_tokens(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    fused = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        T.lang_pred_col().alias("lang_pred"),
+        T.quality_score_col().alias("quality_score"),
+        T.bpe_tokens_col().alias("n_bpe_tokens"),
+    )
     return (
-        q.join(exact_keepers, "doc_id", "left_semi")
+        fused.join(exact_keepers, "doc_id", "left_semi")
         .join(cluster_keepers, "doc_id", "left_semi")
-        .join(lang, "doc_id")
-        .join(toks, "doc_id")
         .filter(
             (F.col("quality_score") >= QUALITY_THRESHOLD)
             & (F.col("lang_pred") != "und")

@@ -38,15 +38,20 @@ def tokens_col(text: str = "text") -> Column:
     return F.filter(toks, lambda x: x != "")
 
 
+def bpe_tokens_col(text: str = "text") -> Column:
+    """BPE-ish pretoken count (shared by docs_tokens and the fused
+    docs_pipeline projection)."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit(BPE_RE), 0))
+
+
 def docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish pretokens + chars."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ws = F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
-    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
     return docs.select(
         "doc_id",
         F.size(ws).alias("n_ws_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
+        bpe_tokens_col().alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_measured"),
     )
 
@@ -58,11 +63,11 @@ def _lang_scores(toks: Column) -> dict[str, Column]:
     }
 
 
-def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID: stopword votes per language, argmax with
-    lexicographic tiebreak (deterministic)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col()
+def lang_pred_col(toks: Column | None = None) -> Column:
+    """Language prediction expression: stopword votes, argmax with
+    lexicographic tiebreak (deterministic). Shared by docs_langid and
+    the fused docs_pipeline projection."""
+    toks = tokens_col() if toks is None else toks
     scores = _lang_scores(toks)
     best = F.greatest(*scores.values())
     pred = F.lit("und")
@@ -70,11 +75,39 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
             pred
         )
+    return pred
+
+
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: stopword votes per language, argmax with
+    lexicographic tiebreak (deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col()
+    scores = _lang_scores(toks)
+    pred = lang_pred_col(toks)
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
         *[scores[lang].alias(f"votes_{lang}") for lang in sorted(LANG_STOPWORDS)],
         pred.alias("lang_pred"),
+    )
+
+
+def quality_score_col(toks: Column | None = None) -> Column:
+    """Composite quality score expression (rational arithmetic only —
+    engine-exact). Shared by docs_quality and the fused docs_pipeline
+    projection."""
+    toks = tokens_col() if toks is None else toks
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    punct = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9\\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*ALL_STOPWORDS)))
+    return (
+        (stop_hits / n_tok) * F.lit(2.0)
+        + F.lit(1.0) / (F.lit(1.0) + (punct / F.length("text")) * F.lit(5.0))
+        + (tok_chars / n_tok) / F.lit(10.0)
     )
 
 
@@ -92,11 +125,7 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_tok_len = tok_chars / n_tok
     punct_ratio = punct / F.length("text")
     stop_ratio = stop_hits / n_tok
-    score = (
-        stop_ratio * F.lit(2.0)
-        + F.lit(1.0) / (F.lit(1.0) + punct_ratio * F.lit(5.0))
-        + avg_tok_len / F.lit(10.0)
-    )
+    score = quality_score_col(toks)
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
