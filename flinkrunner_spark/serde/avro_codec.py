@@ -429,3 +429,79 @@ def _decode_record_at(schema: dict, buf, pos: int) -> tuple[dict, int]:
             else:
                 rec[name], pos = read_array(pos, prim)
     return rec, pos
+
+
+# ---------------------------------------------------------------------------
+# AWS Glue Schema Registry wire format (reference parity:
+# serde/GlueAvroRegistryKafkaRecordSerializationSchema.scala:1-36 /
+# GlueAvroRegistryKafkaRecordDeserializationSchema.scala — the
+# AWSKafkaAvroSerializer wire layout, publicly documented in the
+# aws-glue-schema-registry serializer sources: 1 header-version byte
+# (3), 1 compression byte (0 = none, 5 = zlib), 16-byte schema-version
+# UUID, then the Avro binary payload).
+# ---------------------------------------------------------------------------
+
+GLUE_HEADER_VERSION = 3
+GLUE_COMPRESSION_NONE = 0
+GLUE_COMPRESSION_ZLIB = 5
+
+
+def glue_frame(version_uuid: bytes, payload: bytes, compress: bool = False) -> bytes:
+    if len(version_uuid) != 16:
+        raise ValueError("glue schema-version id must be a 16-byte UUID")
+    if compress:
+        import zlib
+
+        return (
+            bytes([GLUE_HEADER_VERSION, GLUE_COMPRESSION_ZLIB])
+            + version_uuid
+            + zlib.compress(payload)
+        )
+    return (
+        bytes([GLUE_HEADER_VERSION, GLUE_COMPRESSION_NONE])
+        + version_uuid
+        + payload
+    )
+
+
+def glue_unframe(frame: bytes) -> tuple[bytes, bytes]:
+    """-> (schema-version UUID bytes, avro payload)."""
+    if frame[0] != GLUE_HEADER_VERSION:
+        raise ValueError(f"bad glue header version: {frame[0]}")
+    comp = frame[1]
+    uuid_b, payload = bytes(frame[2:18]), bytes(frame[18:])
+    if comp == GLUE_COMPRESSION_ZLIB:
+        import zlib
+
+        payload = zlib.decompress(payload)
+    elif comp != GLUE_COMPRESSION_NONE:
+        raise ValueError(f"unsupported glue compression byte: {comp}")
+    return uuid_b, payload
+
+
+class LocalGlueRegistry:
+    """In-memory Glue-style registry: schema versions are addressed by
+    deterministic 16-byte UUIDs (md5 of the canonical schema — stable
+    across processes, like Glue's version ids are stable per schema
+    version)."""
+
+    def __init__(self) -> None:
+        self._by_uuid: dict[bytes, dict] = {}
+        self._by_name: dict[str, bytes] = {}
+
+    def register(self, name: str, schema) -> bytes:
+        import hashlib
+
+        parsed = parse_schema(schema)
+        vid = hashlib.md5(
+            json.dumps(parsed, sort_keys=True).encode()
+        ).digest()
+        self._by_uuid[vid] = parsed
+        self._by_name[name] = vid
+        return vid
+
+    def schema_by_uuid(self, vid: bytes) -> dict:
+        return self._by_uuid[bytes(vid)]
+
+    def uuid_by_name(self, name: str) -> bytes:
+        return self._by_name[name]

@@ -360,3 +360,26 @@ def test_file_source_sink_avro_fallback(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_glue_wire_format_roundtrip():
+    """Glue registry framing: header-version 3, compression byte, 16-byte
+    schema-version UUID — both compression modes roundtrip, bad headers
+    raise."""
+    parsed = AC.parse_schema(SCHEMA)
+    payload = AC.encode_record(parsed, REC)
+    reg = AC.LocalGlueRegistry()
+    vid = reg.register("events", SCHEMA)
+    assert len(vid) == 16
+    assert reg.register("events2", SCHEMA) == vid  # deterministic per schema
+    for compress in (False, True):
+        frame = AC.glue_frame(vid, payload, compress=compress)
+        assert frame[0] == AC.GLUE_HEADER_VERSION
+        got_vid, got_payload = AC.glue_unframe(frame)
+        assert got_vid == vid
+        assert got_payload == payload
+        assert AC.decode_record(reg.schema_by_uuid(got_vid), got_payload) == REC
+    with pytest.raises(ValueError):
+        AC.glue_unframe(b"\x02\x00" + vid + payload)  # wrong header version
+    with pytest.raises(ValueError):
+        AC.glue_frame(b"\x00" * 8, payload)  # short uuid
