@@ -505,3 +505,84 @@ class LocalGlueRegistry:
 
     def uuid_by_name(self, name: str) -> bytes:
         return self._by_name[name]
+
+
+# ---------------------------------------------------------------------------
+# Avro JSON encodings.
+# * json-encoding per the Avro spec (what org.apache.avro's JsonEncoder /
+#   JsonDecoder produce/consume): non-null union values wrap as
+#   {"<type>": value}, bytes escape as ISO-8859-1 strings.
+# * plain JSON (reference parity: serde/AvroJsonSerializer.scala — a
+#   jackson serializer that writes friendly, unwrapped JSON).
+# ---------------------------------------------------------------------------
+
+
+def _json_prim(prim: str, v):
+    if v is None:
+        return None
+    if prim == "bytes":
+        return bytes(v).decode("latin-1")
+    if prim == "float":
+        # a float32 widened to float64 prints its long repr; round-trip
+        # through the shortest float32 decimal like Java's Float.toString
+        return float(struct.unpack("<f", struct.pack("<f", v))[0])
+    return v
+
+
+def _unjson_prim(prim: str, v):
+    if v is None:
+        return None
+    if prim == "bytes":
+        return v.encode("latin-1")
+    if prim in ("int", "long"):
+        return int(v)
+    if prim in ("float", "double"):
+        return float(v)
+    return v
+
+
+def json_encode_record(schema: dict, rec: dict, spec_unions: bool = True) -> str:
+    """Record -> Avro JSON. ``spec_unions=True`` = the spec's
+    json-encoding (JsonEncoder-compatible: union values wrapped as
+    {"<type>": value}); False = plain JSON (AvroJsonSerializer parity)."""
+    out = {}
+    for name, (kind, prim) in schema["fields"]:
+        v = rec.get(name)
+        if kind == "prim":
+            out[name] = _json_prim(prim, v)
+        elif kind == "array":
+            out[name] = [_json_prim(prim, x) for x in (v or [])]
+        elif v is None:
+            out[name] = None
+        else:
+            inner = (
+                [_json_prim(prim, x) for x in v]
+                if kind == "nullable_array"
+                else _json_prim(prim, v)
+            )
+            branch = "array" if kind == "nullable_array" else prim
+            out[name] = {branch: inner} if spec_unions else inner
+    return json.dumps(out, separators=(",", ":"))
+
+
+def json_decode_record(schema: dict, s: str, spec_unions: bool = True) -> dict:
+    obj = json.loads(s)
+    rec = {}
+    for name, (kind, prim) in schema["fields"]:
+        v = obj.get(name)
+        if kind == "prim":
+            rec[name] = _unjson_prim(prim, v)
+        elif kind == "array":
+            rec[name] = [_unjson_prim(prim, x) for x in (v or [])]
+        elif v is None:
+            rec[name] = None
+        else:
+            if spec_unions:
+                branch = "array" if kind == "nullable_array" else prim
+                v = v[branch]
+            rec[name] = (
+                [_unjson_prim(prim, x) for x in v]
+                if kind == "nullable_array"
+                else _unjson_prim(prim, v)
+            )
+    return rec

@@ -383,3 +383,83 @@ def test_glue_wire_format_roundtrip():
         AC.glue_unframe(b"\x02\x00" + vid + payload)  # wrong header version
     with pytest.raises(ValueError):
         AC.glue_frame(b"\x00" * 8, payload)  # short uuid
+
+
+def test_avro_json_encoding_interop(spark):
+    """Spec json-encoding: the Java JsonDecoder parses our output back to
+    the same record, and we parse the Java JsonEncoder's output. Plain
+    mode (AvroJsonSerializer parity) roundtrips unwrapped."""
+    parsed = AC.parse_schema(SCHEMA)
+    jvm = spark._jvm
+    js = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(SCHEMA))
+
+    for rec in [REC, dict(REC, name=None, ys=None, xs=[])]:
+        s = AC.json_encode_record(parsed, rec)
+        # python roundtrip (binary-exact for float32 via shortest-repr rule)
+        back = AC.json_decode_record(parsed, s)
+        assert {k: v for k, v in back.items() if k != "ratio"} == {
+            k: v for k, v in rec.items() if k != "ratio"
+        }
+        assert abs(back["ratio"] - rec["ratio"]) < 1e-6
+
+        # Java JsonDecoder reads our json-encoding
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(js, s)
+        out = jvm.org.apache.avro.generic.GenericDatumReader(js).read(None, dec)
+        assert out.get("event_id") == rec["event_id"]
+        got_name = out.get("name")
+        assert (got_name is None) == (rec["name"] is None)
+        if rec["name"] is not None:
+            assert str(got_name) == rec["name"]
+        assert list(out.get("xs")) == rec["xs"]
+
+        # we read the Java JsonEncoder's output
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = jvm.org.apache.avro.io.EncoderFactory.get().jsonEncoder(js, baos)
+        jvm.org.apache.avro.generic.GenericDatumWriter(js).write(
+            _jvm_record(spark, js, SCHEMA, rec), enc
+        )
+        enc.flush()
+        jback = AC.json_decode_record(parsed, baos.toString("UTF-8"))
+        assert jback["event_id"] == rec["event_id"]
+        assert jback["name"] == rec["name"]
+        assert jback["xs"] == rec["xs"]
+        assert jback["payload"] == rec["payload"]
+
+    # plain mode: unwrapped unions, roundtrips through our own decoder
+    plain = AC.json_encode_record(parsed, REC, spec_unions=False)
+    assert '"name":"h\\u00e9llo' in plain  # no {"string": ...} wrapper
+    assert AC.json_decode_record(parsed, plain, spec_unions=False)["ys"] == REC["ys"]
+
+
+def _jvm_record(spark, js, schema, rec):
+    jvm = spark._jvm
+    jrec = jvm.org.apache.avro.generic.GenericData.Record(js)
+    for f in schema["fields"]:
+        name, t, v = f["name"], f["type"], rec.get(f["name"])
+        if v is None:
+            jrec.put(name, None)
+            continue
+        base = t[1] if isinstance(t, list) else t
+        if isinstance(base, dict) and base.get("type") == "array":
+            arr = jvm.java.util.ArrayList()
+            for x in v:
+                if base["items"] == "long":
+                    arr.add(jvm.java.lang.Long.valueOf(str(x)))
+                else:
+                    arr.add(jvm.java.lang.Double.valueOf(repr(float(x))))
+            jrec.put(name, arr)
+            continue
+        base = base.get("type") if isinstance(base, dict) else base
+        if base == "long":
+            jrec.put(name, jvm.java.lang.Long.valueOf(str(v)))
+        elif base == "int":
+            jrec.put(name, jvm.java.lang.Integer.valueOf(str(v)))
+        elif base == "double":
+            jrec.put(name, jvm.java.lang.Double.valueOf(repr(float(v))))
+        elif base == "float":
+            jrec.put(name, jvm.java.lang.Float.valueOf(repr(float(v))))
+        elif base == "bytes":
+            jrec.put(name, jvm.java.nio.ByteBuffer.wrap(v))
+        else:
+            jrec.put(name, v)
+    return jrec
