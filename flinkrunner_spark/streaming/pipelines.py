@@ -744,7 +744,7 @@ def run_to_memory(
     df: DataFrame,
     name: str,
     mode: str = "append",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drive a (bounded) stream to completion into a memory sink; return
     the sink contents as a batch DataFrame. Use mode="complete" for
@@ -755,10 +755,11 @@ def run_to_memory(
     stream (restored afterwards): every stateful-op partition pays a
     fixed state-store maintenance cost PER MICRO-BATCH — including the
     empty watermark-flush batch — so local mirrors with small state want
-    few partitions (32→8 measured 9.5s→2.1s on the interval join). On a
-    real cluster size this to state volume / executor count instead;
-    scan parallelism is unaffected either way (file splits, not shuffle
-    partitions, drive the source)."""
+    few partitions (32→8 measured 9.5s→2.1s on the interval join in r1;
+    8→4 halved the 4-micro-batch interval join again in r4, flat below
+    4). On a real cluster size this to state volume / executor count
+    instead; scan parallelism is unaffected either way (file splits, not
+    shuffle partitions, drive the source)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
