@@ -125,3 +125,40 @@ def test_knn_join_shape(spark):
         srt = sorted(rs, key=lambda r: r["rk"])
         cos = [r["cosine"] for r in srt]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_pii_redact_property(spark):
+    """Property: PII-free text is untouched; injected PII is counted and
+    fully removed (no digits of a phone/SSN survive, no '@' survives an
+    email redaction)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    clean_word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        words=st.lists(clean_word, min_size=1, max_size=10),
+        n_email=st.integers(min_value=0, max_value=2),
+        n_phone=st.integers(min_value=0, max_value=2),
+        seed=st.integers(min_value=0, max_value=999),
+    )
+    def check(words, n_email, n_phone, seed):
+        text = " ".join(words)
+        for i in range(n_email):
+            text += f" u{seed}{i}@ex{seed}.com"
+        for i in range(n_phone):
+            text += f" {100 + seed % 900:03d}-555-{1000 + i:04d}"
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        r = curation.pii_redact(df).first()
+        assert r["n_emails"] == n_email
+        assert r["n_phones"] == n_phone
+        if n_email == 0 and n_phone == 0:
+            assert r["redacted"] == text
+        else:
+            assert "@" not in r["redacted"]
+            assert "-555-" not in r["redacted"]
+
+    check()
