@@ -103,3 +103,65 @@ def test_signature_changes_with_inputs():
     assert sig(sign_request(**{**base, "amz_date": "20150830T123601Z"})) != ref
     assert sig(sign_request(**{**base, "region": "us-west-2"})) != ref
     assert sig(sign_request(**{**base, "payload": b"x"})) != ref
+
+
+def test_kinesis_batching_and_request_shape(spark):
+    """Kinesis PutRecords prep: batches respect count and byte limits,
+    bodies are valid API payloads, headers sign correctly — all offline
+    (reference KinesisSinkConfig's max.batch.size knobs)."""
+    import base64
+    import json
+
+    from flinkrunner_spark.sinks.factory import (
+        FirehoseSinkConfig,
+        KinesisSinkConfig,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"ev{i}", float(i)) for i in range(25)],
+        "event_id long, event_type string, value double",
+    )
+    sink = KinesisSinkConfig(
+        "events-stream",
+        {
+            "connector": "kinesis",
+            "key.column": "event_id",
+            "max.batch.size.in.number": 10,
+        },
+    )
+    batches = sink.prepare_batches(df.coalesce(1)).collect()
+    assert [b["n_records"] for b in batches] == [10, 10, 5]
+    body = json.loads(batches[0]["body"])
+    assert body["StreamName"] == "events-stream"
+    rec = body["Records"][0]
+    assert set(rec) == {"Data", "PartitionKey"}
+    decoded = json.loads(base64.b64decode(rec["Data"]))
+    assert set(decoded) == {"event_id", "event_type", "value"}
+    assert rec["PartitionKey"] == str(decoded["event_id"])
+
+    # byte-limit path: tiny cap forces one record per batch
+    tiny = KinesisSinkConfig(
+        "s", {"connector": "kinesis", "max.batch.size.in.bytes": 10}
+    )
+    nb = tiny.prepare_batches(df.coalesce(1)).collect()
+    assert all(b["n_records"] == 1 for b in nb) and len(nb) == 25
+
+    hdrs = sink.signed_headers(
+        batches[0]["body"].encode(), "20240101T000000Z"
+    )
+    assert hdrs["x-amz-target"] == "Kinesis_20131202.PutRecords"
+    assert "Credential=/20240101/us-east-1/kinesis/aws4_request" in hdrs[
+        "authorization"
+    ]
+
+    # firehose: same machinery, PutRecordBatch shape, no partition keys
+    fh = FirehoseSinkConfig("d-stream", {"connector": "firehose"})
+    fb = json.loads(fh.prepare_batches(df.coalesce(1)).first()["body"])
+    assert fb["DeliveryStreamName"] == "d-stream"
+    assert set(fb["Records"][0]) == {"Data"}
+
+    # posting without credentials raises the honest gate
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="credentials"):
+        sink.write(df)
