@@ -10,8 +10,11 @@
 | PrintSinkConfig              | console                                   |
 | TestListSinkConfig           | memory (collected; streaming: memory sink)|
 | SocketSinkConfig             | socket via foreachBatch TCP write         |
+| KinesisSinkConfig /          | real PutRecords/PutRecordBatch batching + |
+|   FirehoseSinkConfig         |   SigV4-signed POSTs (urllib, executor-   |
+|                              |   side); gated only on credentials        |
 | Elasticsearch/Cassandra/     | no Spark connector in this env — config   |
-|   Kinesis/Firehose/RabbitMQ  |   accepted, write() raises with guidance  |
+|   RabbitMQ                   |   accepted, write() raises with guidance  |
 | IcebergSinkConfig            | iceberg: writeTo (jar-gated)              |
 """
 
