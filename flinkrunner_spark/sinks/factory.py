@@ -13,8 +13,10 @@
 | KinesisSinkConfig /          | real PutRecords/PutRecordBatch batching + |
 |   FirehoseSinkConfig         |   SigV4-signed POSTs (urllib, executor-   |
 |                              |   side); gated only on credentials        |
-| Elasticsearch/Cassandra/     | no Spark connector in this env — config   |
-|   RabbitMQ                   |   accepted, write() raises with guidance  |
+| ElasticsearchSinkConfig      | real bulk-API NDJSON prep + executor POST |
+|                              |   (gated only on a configured transport)  |
+| Cassandra/RabbitMQ           | no Spark connector in this env — config   |
+|                              |   accepted, write() raises with guidance  |
 | IcebergSinkConfig            | iceberg: writeTo (jar-gated)              |
 """
 
@@ -509,12 +511,109 @@ class FirehoseSinkConfig(KinesisSinkConfig):
         return {"Data": b64data}
 
 
+class ElasticsearchSinkConfig(SinkConfig):
+    """Elasticsearch bulk-indexing sink (reference model/sink/
+    ElasticsearchSinkConfig.scala: index + transports + bulk.flush.*
+    knobs): rows serialize to bulk-API NDJSON bodies (action line + doc
+    line), batch under ``bulk.flush.max.actions`` (default 1000) and
+    ``bulk.flush.max.size.mb`` (default 5), and each body POSTs to
+    ``<transport>/_bulk`` from the executor via urllib. Prep is fully
+    implemented and tested offline; posting needs a reachable transport
+    and raises a clear error without one."""
+
+    def prepare_bulk(self, df: DataFrame) -> DataFrame:
+        """-> one row per bulk call: (n_actions, n_bytes, body NDJSON)."""
+        from pyspark.sql import functions as F
+
+        index = self.conf.get("index", self.name)
+        max_n = int(self.conf.get("bulk.flush.max.actions", 1000))
+        max_b = int(
+            float(self.conf.get("bulk.flush.max.size.mb", 5)) * 1024 * 1024
+        )
+        id_col = self.conf.get("id.column")
+
+        recs = df.select(
+            F.to_json(F.struct(*df.columns)).alias("v"),
+            (
+                F.col(id_col).cast("string")
+                if id_col
+                else F.lit(None).cast("string")
+            ).alias("k"),
+        )
+
+        def to_bodies(it):
+            import json as _json
+
+            import pandas as pd
+
+            lines, n, nbytes, rows = [], 0, 0, []
+
+            def flush():
+                nonlocal lines, n, nbytes
+                if not lines:
+                    return
+                body = "\n".join(lines) + "\n"
+                rows.append((n, len(body.encode()), body))
+                lines, n, nbytes = [], 0, 0
+
+            for pdf in it:
+                for v, k in zip(pdf["v"], pdf["k"]):
+                    action = {"index": {"_index": index}}
+                    if k is not None:
+                        action["index"]["_id"] = k
+                    a, d = _json.dumps(action), v
+                    sz = len(a) + len(d) + 2
+                    if lines and (n >= max_n or nbytes + sz > max_b):
+                        flush()
+                    lines += [a, d]
+                    n += 1
+                    nbytes += sz
+            flush()
+            yield pd.DataFrame(
+                rows, columns=["n_actions", "n_bytes", "body"]
+            )
+
+        return recs.mapInPandas(
+            to_bodies, schema="n_actions int, n_bytes long, body string"
+        )
+
+    def write(self, df: DataFrame):
+        transports = self.conf.get("transports")
+        if not transports:
+            raise NotImplementedError(
+                "elasticsearch sink: bulk-body prep is implemented, but "
+                "posting needs a reachable endpoint — configure "
+                "'transports' with at least one URL"
+            )
+        url = transports[0].rstrip("/") + "/_bulk"
+
+        def post_partition(rows):
+            import urllib.request
+
+            for row in rows:
+                req = urllib.request.Request(
+                    url,
+                    data=row["body"].encode(),
+                    headers={"Content-Type": "application/x-ndjson"},
+                    method="POST",
+                )
+                urllib.request.urlopen(req).read()
+
+        self.prepare_bulk(df).foreachPartition(post_partition)
+
+    def write_stream(self, df: DataFrame):
+        def _batch(bdf: DataFrame, epoch_id: int):
+            self.write(bdf)
+
+        return df.writeStream.foreachBatch(_batch).start()
+
+
 class UnsupportedSinkConfig(SinkConfig):
     def write(self, df: DataFrame):
         raise NotImplementedError(
             f"sink connector '{self.connector}' has no Spark connector in "
-            "this environment (elasticsearch/cassandra/rabbitmq); use "
-            "foreachBatch with the service's client library"
+            "this environment (cassandra/rabbitmq); use foreachBatch with "
+            "the service's client library"
         )
 
 
@@ -528,7 +627,7 @@ _SINKS = {
     "jdbc": JdbcSinkConfig,
     "socket": SocketSinkConfig,
     "iceberg": IcebergSinkConfig,
-    "elasticsearch": UnsupportedSinkConfig,
+    "elasticsearch": ElasticsearchSinkConfig,
     "cassandra": UnsupportedSinkConfig,
     "kinesis": KinesisSinkConfig,
     "firehose": FirehoseSinkConfig,

@@ -273,3 +273,35 @@ def test_kafka_record_preparation(spark):
     hdrs = {h["key"]: bytes(h["value"]).decode() for h in row["headers"]}
     assert hdrs == {"evt-type": "click", "evt-day": "2024-01-01"}
     assert sink._options()["includeHeaders"] == "true"
+
+
+def test_elasticsearch_bulk_preparation(spark):
+    """ES bulk bodies: NDJSON action+doc pairs, id column mapping, action
+    and byte caps (reference ElasticsearchSinkConfig bulk.flush knobs) —
+    all offline; posting without transports raises the honest gate."""
+    import json
+
+    import pytest
+
+    from flinkrunner_spark.sinks.factory import ElasticsearchSinkConfig
+
+    df = spark.createDataFrame(
+        [(i, f"ev{i}") for i in range(7)], "event_id long, event_type string"
+    )
+    sink = ElasticsearchSinkConfig(
+        "events-idx",
+        {
+            "connector": "elasticsearch",
+            "id.column": "event_id",
+            "bulk.flush.max.actions": 3,
+        },
+    )
+    bodies = sink.prepare_bulk(df.coalesce(1)).collect()
+    assert [b["n_actions"] for b in bodies] == [3, 3, 1]
+    lines = bodies[0]["body"].strip().split("\n")
+    assert len(lines) == 6  # action + doc per record
+    action, doc = json.loads(lines[0]), json.loads(lines[1])
+    assert action["index"]["_index"] == "events-idx"
+    assert action["index"]["_id"] == str(doc["event_id"])
+    with pytest.raises(NotImplementedError, match="transports"):
+        sink.write(df)
