@@ -285,7 +285,12 @@ def write_avro_files(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
     Each task writes to a temp name and renames into place — the same
     commit discipline any file sink needs; a ``_SUCCESS`` marker lands
-    after the action completes."""
+    after the action completes.
+
+    Executors write with plain ``open()`` — correct on local mode and
+    shared POSIX filesystems (NFS/Lustre). Object stores (S3/HDFS) need
+    the spark-avro jar's committer path; that's the preferred branch in
+    ``FileSinkConfig`` whenever the jar exists."""
     import os
 
     parsed_schema = avro_schema_for_df(df)
