@@ -130,6 +130,56 @@ class IdentityJob(StreamJob):
         return self.single_source()
 
 
+class AvroStreamJob(StreamJob):
+    """StreamJob with Avro outputs (reference flink/AvroStreamJob.scala:
+    20-30 + the EmbeddedAvroRecord contract): only the embedded avro
+    record — the columns named in ``avro_record_cols``, or every column
+    when unset — is written to the sinks, serialized as Avro. File sinks
+    are forced to the avro container format; kafka sinks to
+    confluent-avro values (set ``schema_registry`` on the job, the
+    analog of the reference serializer's ``schemaRegistryClientOpt``
+    seam); other sinks receive the record projection unchanged. Under
+    mocked edges (CheckResults) the record projection is what gets
+    collected, mirroring "only the avro part reaches the sink"."""
+
+    avro_record_cols: list[str] | None = None
+    schema_registry = None
+
+    def _record(self, out: DataFrame) -> DataFrame:
+        return (
+            out.select(*self.avro_record_cols)
+            if self.avro_record_cols
+            else out
+        )
+
+    def sink(self, out) -> None:
+        if isinstance(out, dict) or self.runner.mock_edges:
+            return super().sink(
+                {k: self._record(v) for k, v in out.items()}
+                if isinstance(out, dict)
+                else self._record(out)
+            )
+        rec = self._record(out)
+        for sc in self.runner.sink_configs(self.name).values():
+            if sc.connector == "file":
+                sc.conf["format"] = "avro"
+            elif sc.connector == "kafka":
+                sc.conf["value.format"] = "confluent-avro"
+                sc.schema_registry = self.schema_registry
+            if rec.isStreaming:
+                sc.write_stream(rec)
+            else:
+                sc.write(rec)
+
+
+class AvroIdentityJob(AvroStreamJob):
+    """Reference flink/AvroIdentityJob.scala: config-only copy with avro
+    sink serialization."""
+
+    def transform(self) -> DataFrame:
+        return self.single_source()
+
+
 class TableJob(StreamJob):
     """Registers every configured source as a temp view and runs the job's
     configured ``sql`` statement."""

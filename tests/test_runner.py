@@ -305,3 +305,49 @@ def test_elasticsearch_bulk_preparation(spark):
     assert action["index"]["_id"] == str(doc["event_id"])
     with pytest.raises(NotImplementedError, match="transports"):
         sink.write(df)
+
+
+def test_avro_stream_job_writes_avro(spark, tmp_path):
+    """AvroStreamJob: only the embedded record columns reach the sink,
+    serialized as avro container files (no-jar fallback), readable back
+    through the avro file source."""
+    from flinkrunner_spark.jobs import AvroStreamJob
+    from flinkrunner_spark.runner import SparkRunner
+    from flinkrunner_spark.sources.factory import FileSourceConfig
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, "click", 2.5, "drop-me"), (2, "view", -1.0, "drop-me-too")],
+        "event_id long, event_type string, value double, extra string",
+    ).write.parquet(str(src))
+
+    class MyAvroJob(AvroStreamJob):
+        avro_record_cols = ["event_id", "event_type", "value"]
+
+        def transform(self):
+            return self.single_source("ev")
+
+    config = {
+        "jobs": {
+            "avro-copy": {
+                "sources": {
+                    "ev": {"connector": "file", "format": "parquet",
+                           "path": str(src)}
+                },
+                "sinks": {
+                    "out": {"connector": "file", "path": str(dst)}
+                },
+            }
+        }
+    }
+    SparkRunner(config, jobs={"avro-copy": MyAvroJob}).invoke("avro-copy")
+    import os
+
+    assert any(f.endswith(".avro") for f in os.listdir(dst))
+    back = FileSourceConfig(
+        "in", {"connector": "file", "format": "avro", "path": str(dst)}
+    ).load(spark)
+    rows = sorted(map(tuple, back.collect()))
+    assert back.columns == ["event_id", "event_type", "value"]  # extra dropped
+    assert rows == [(1, "click", 2.5), (2, "view", -1.0)]
