@@ -32,11 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-4 rotation: the two
-    # keys whose last green row (r2) predates cd7122b's cache/CC rewrite
-    # come first, then the five NEW curation/similarity ops, then every
-    # key in a file touched this round (llm/dedup.py LSH bucket cap,
-    # operators/graph.py lazy checkpoints, llm/similarity.py additions).
-    # The tail holds keys with fresh r3 rows and unchanged code.
+    # r2-stale keys first, then the six NEW curation/similarity ops, then
+    # every key in a file touched this round — llm/dedup.py (LSH bucket
+    # cap), operators/graph.py (lazy-checkpoint CC), llm/similarity.py
+    # (additions), llm/text.py + llm/pipeline.py (fused projection), and
+    # streaming/pipelines.py (state-partition default) which makes ALL
+    # stream_* mirrors re-verify. The tail holds only keys whose files
+    # have zero changed lines since their last green row (q1-q20 etc.,
+    # green in r2, analytics.py untouched since).
     return {
         # —— stale: last green row predates the code change (VERDICT r3 #2) ——
         "docs_pipeline": pipeline.docs_pipeline,
@@ -47,33 +50,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": curation.docs_repetition,
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "emb_knn_join": similarity.emb_knn_join,
-        # —— files changed this round: re-verify the whole family ——
+        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
+        # —— llm/dedup.py + operators/graph.py changed: whole family ——
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
-        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        # —— llm/text.py changed (column builders for the fused pipeline) ——
+        "docs_tokens": llm_text.docs_tokens,
+        "docs_langid": llm_text.docs_langid,
+        "docs_quality": llm_text.docs_quality,
+        "docs_fingerprint": llm_text.docs_fingerprint,
+        "docs_split": pipeline.docs_split,
+        # —— llm/similarity.py changed ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf": similarity.emb_knn_ivf,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
-        # —— oldest green rows (r2) with unchanged code ——
-        "docs_split": pipeline.docs_split,
-        "mm_meta": multimodal.mm_meta,
-        "mm_frames": multimodal.mm_frames,
-        "distinct_users": events.distinct_users,
-        "hll_users": events.hll_users,
+        # —— streaming/pipelines.py changed (state partitions): all mirrors ——
+        "stream_dedup_first": events.stream_dedup_first,
+        "stream_agg_basic": events.stream_agg_basic,
+        "stream_agg_basic_update": events.stream_agg_basic_update,
+        "stream_dedup_sbf_check": events.stream_dedup_sbf_check,
+        "stream_dedup_sbf": events.stream_dedup_sbf,
+        "stream_win_tumbling": events.stream_win_tumbling,
+        "stream_win_session": events.stream_win_session,
+        "stream_win_sliding": events.stream_win_sliding,
+        "stream_win_ema": events.stream_win_ema,
+        "stream_enrich": events.stream_enrich,
         "stream_hll_users": events.stream_hll_users,
         "stream_interval_join": events.stream_interval_join,
         "stream_filter_by_control": events.stream_filter_by_control,
         "stream_asof_join": events.stream_asof_join,
-        # §2.4 analytics (r2 rows, zero changed lines since)
+        "stream_win_tumbling_append": events.stream_win_tumbling_append,
+        "stream_win_sliding_append": events.stream_win_sliding_append,
+        "stream_win_session_append": events.stream_win_session_append,
+        # —— oldest green rows (r2) with unchanged code — fill to 50 ——
+        "mm_meta": multimodal.mm_meta,
+        "mm_frames": multimodal.mm_frames,
+        "distinct_users": events.distinct_users,
+        "hll_users": events.hll_users,
+        "dedup_sbf_check": events.dedup_sbf_check,
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,
         "q3_shipping": analytics.q3_shipping,
         "q4_priority": analytics.q4_priority,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
         "q5_supplier": analytics.q5_supplier,
         "q6_forecast": analytics.q6_forecast,
         "q7_volume": analytics.q7_volume,
@@ -90,22 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_bigorders": analytics.q18_bigorders,
         "q19_brand": analytics.q19_brand,
         "q20_excess": analytics.q20_excess,
-        # §2.1 append-mode (watermark-finalized) windows (r3 rows)
-        "stream_win_tumbling_append": events.stream_win_tumbling_append,
-        "stream_win_sliding_append": events.stream_win_sliding_append,
-        "stream_win_session_append": events.stream_win_session_append,
-        # —— r3-green, unchanged since — beyond the 50-row cap this round ——
-        "stream_dedup_first": events.stream_dedup_first,
-        "stream_agg_basic": events.stream_agg_basic,
-        "stream_agg_basic_update": events.stream_agg_basic_update,
-        "stream_dedup_sbf_check": events.stream_dedup_sbf_check,
-        "stream_dedup_sbf": events.stream_dedup_sbf,
-        "dedup_sbf_check": events.dedup_sbf_check,
-        "stream_win_tumbling": events.stream_win_tumbling,
-        "stream_win_session": events.stream_win_session,
-        "stream_win_sliding": events.stream_win_sliding,
-        "stream_win_ema": events.stream_win_ema,
-        "stream_enrich": events.stream_enrich,
         "q21_waiting": analytics.q21_waiting,
         "q22_opportunity": analytics.q22_opportunity,
         "salted_supplier_rev": analytics.salted_supplier_rev,
@@ -130,11 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": events.asof_join_q,
         "enrich_events": events.enrich_events,
         "connected_union": events.connected_union,
-        # §2.5 LLM-pipeline: text analysis (r3 rows)
-        "docs_tokens": llm_text.docs_tokens,
-        "docs_langid": llm_text.docs_langid,
-        "docs_quality": llm_text.docs_quality,
-        "docs_fingerprint": llm_text.docs_fingerprint,
     }
 
 
