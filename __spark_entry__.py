@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": similarity.emb_knn_ivf,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
+        "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
         # —— streaming/pipelines.py changed (state partitions): all mirrors ——
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,

@@ -110,8 +110,13 @@ def release_caches(sf_dir: str | None = None) -> None:
 
     ``sf_dir=None`` releases everything; otherwise only that corpus.
     Cluster frames are localCheckpoint-backed — their blocks are freed
-    eagerly rather than waiting on the JVM ContextCleaner."""
+    eagerly rather than waiting on the JVM ContextCleaner. Also drains
+    the similarity-family caches (RH-LSH codes, centroids) so one call
+    keeps a whole bench pass honest."""
+    from flinkrunner_spark.llm import similarity
     from flinkrunner_spark.operators.graph import _free_checkpoint
+
+    similarity.release_caches(sf_dir)
 
     for key in [k for k in _SIG_CACHE if sf_dir is None or k[1] == sf_dir]:
         try:

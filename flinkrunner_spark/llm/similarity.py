@@ -101,6 +101,29 @@ def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RH_BANDS = 24  # random-hyperplane LSH: bands (OR over bands → recall)
 RH_BITS = 6  # sign bits per band (AND within a band → precision/bucket size)
+RH_MAX_BUCKET = 1000  # super-bucket guard: skip degenerate (band, code) buckets
+RH_TARGET_BUCKET = 64  # auto_bits sizes codes so expected bucket ≤ this
+
+
+def auto_bits(
+    n_rows: int,
+    target_bucket: int = RH_TARGET_BUCKET,
+    min_bits: int = RH_BITS,
+    max_bits: int = 20,
+) -> int:
+    """Derive the per-band code width from the corpus size: the smallest
+    ``bits`` with an EXPECTED bucket of ``n/2^bits ≤ target_bucket`` rows.
+
+    This is the scale lever the 8× study measured (bits 6→8 cut candidate
+    time 6× on a dup-dense corpus) made automatic: bucket count tracks the
+    corpus, so Σ bucket² stays ~n·target instead of degrading toward n²/2^bits
+    as n grows past the static default. Clamped to ``min_bits`` below
+    (small corpora keep the documented default, so sf0.01 oracle runs are
+    bit-identical to the static-plane SQL) and 20 above (int32 codes,
+    diminishing recall past that — add bands instead)."""
+    import math
+
+    return max(min_bits, min(max_bits, math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket))))))
 
 
 def rh_planes(
@@ -126,51 +149,67 @@ def rh_planes(
     return out
 
 
-def emb_dup_pairs_rhlsh(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float = COSINE_DUP_THRESHOLD,
-    bands: int = RH_BANDS,
-    bits: int = RH_BITS,
+# (applicationId, sf_dir, bands, bits) -> persisted (vec_id, band, code)
+# frame. Memoized (same lifecycle discipline as llm.dedup._SIG_CACHE) so
+# the Arrow-batched code generation — the Python-side cost of the family —
+# runs once per corpus per session: the count-first super-bucket guard,
+# the pair expansion and rhlsh_bucket_stats all read it.
+# llm.dedup.release_caches() drains this cache too, so bench warm passes
+# measure executed plans, not cache hits.
+_RH_CODES_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+# (applicationId, sf_dir) -> persisted per-label centroid frame
+# (n_labels rows — tiny). docs_cluster_assign and emb_knn_join both
+# consume it; memoizing removes the repeated explode+two-level-fold
+# subtree from every plan that broadcasts the centroids.
+_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def release_caches(sf_dir: str | None = None) -> None:
+    """Unpersist memoized similarity frames (``sf_dir=None`` = all)."""
+    for cache in (_RH_CODES_CACHE, _CENTROID_CACHE):
+        for key in [k for k in cache if sf_dir is None or k[1] == sf_dir]:
+            try:
+                cache[key].unpersist()
+            except Exception:
+                pass  # context already stopped — nothing to free
+            del cache[key]
+
+
+def _evict_stale(spark: SparkSession) -> None:
+    """Drop cache entries owned by a stopped SparkSession (their RDD
+    blocks died with the context; keeping the frames leaks driver memory
+    across session restarts in tests/services)."""
+    app = spark.sparkContext.applicationId
+    for cache in (_RH_CODES_CACHE, _CENTROID_CACHE):
+        for key in [k for k in cache if k[0] != app]:
+            del cache[key]
+
+
+def _rh_codes(
+    spark: SparkSession, sf_dir: str, bands: int, bits: int
 ) -> DataFrame:
-    """Embedding near-dup pairs via random-hyperplane LSH — the
-    DATA-INDEPENDENT scale path: no blocking column needed (unlike
-    ``emb_dup_pairs``'s label key, which a skewed or absent label breaks),
-    and it surfaces cross-label duplicates the label-blocked form cannot.
+    """Per-row (band, code) sign codes — one Arrow-batched scan, persisted.
 
-    Plan shape (reference parity: the reference has no ANN operator; this
-    extends the mandated LLM-pipeline surface like ``docs_minhash_lsh``,
-    whose band/bucket shape it reuses):
-    * per row, ``bands`` codes of ``bits`` sign bits each — one scan, no
-      shuffle, Arrow-batched numpy (vectorized across rows AND planes;
-      the equivalent 144 JVM expression folds ran interpreted per element
-      and benched 8× slower);
-    * one shuffle on (band, code) → in-bucket pair expansion (cost
-      Σ bucket², buckets ~ n/2^bits per band by construction — raise
-      ``bits`` as n grows, add bands to hold recall);
-    * exact cosine verify on the candidates only (never all pairs), so
-      precision is exactly 1 by construction — also Arrow-batched numpy,
-      with the fold order preserved (see gen_codes) and rounding left on
-      the JVM side.
-
-    Recall is the standard (1-(1-p^bits)^bands) curve with
-    p = 1 - θ/π: deterministic given the md5 planes — measured 0.76-0.78
-    against brute-force all-pairs on the synthetic data at τ=0.35
-    (near-orthogonal embeddings = the worst case; at a realistic 0.9
-    near-dup threshold the same structure reaches ~0.99 with far smaller
-    buckets). EXACTLY oracled: sign bits, buckets, candidate set, and
-    verified cosines are all reproduced bit-identically in DuckDB
-    (left-fold dot products, literal plane matrix)."""
+    The frame is (n × bands) rows of three fixed-width ints (text- and
+    embedding-free), so persisting it is cheap at any scale; the guard
+    pass (bucket sizes) and the pair expansion both read it, paying the
+    numpy projection once."""
+    key = (spark.sparkContext.applicationId, sf_dir, bands, bits)
+    _evict_stale(spark)
+    cached = _RH_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = _emb(spark, sf_dir)
     planes = rh_planes(bands, bits)
 
-    # Both numpy stages below MUST stay bit-identical to the JVM/DuckDB
-    # left-fold dot (aggregate/list_reduce): they accumulate over the
-    # DIMS in a Python loop of vectorized column ops — each scalar in
-    # `acc` evolves exactly as the sequential fold 0+x0·w0+x1·w1+…, just
-    # computed for every row (and plane) at once. A plain E@W.T would be
-    # numpy's pairwise summation — a different add order that can flip a
-    # near-zero sign bit or a rounded 6th decimal vs the SQL oracle.
+    # Bit-identical to the JVM/DuckDB left-fold dot (aggregate/
+    # list_reduce): accumulate over the DIMS in a Python loop of
+    # vectorized column ops — each scalar in the accumulator evolves
+    # exactly as the sequential fold 0+x0·w0+x1·w1+…, just computed for
+    # every row (and plane) at once. A plain E@W.T would be numpy's
+    # pairwise summation — a different add order that can flip a
+    # near-zero sign bit vs the SQL oracle.
     def gen_codes(it):
         import numpy as np
         import pandas as pd
@@ -202,11 +241,80 @@ def emb_dup_pairs_rhlsh(
                 )
             yield pd.concat(out)
 
-    bucketed = emb.select("vec_id", "embedding").mapInPandas(
-        gen_codes, schema="vec_id long, band int, code int"
+    out = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(gen_codes, schema="vec_id long, band int, code int")
+        .persist()
     )
-    buckets = bucketed.groupBy("band", "code").agg(
-        F.array_sort(F.collect_set("vec_id")).alias("ids")
+    _RH_CODES_CACHE[key] = out
+    return out
+
+
+def _rh_bits(spark: SparkSession, sf_dir: str, bits: int | None) -> int:
+    """Resolve the code width: explicit value, or size-derived via
+    ``auto_bits`` (one metadata-only parquet count)."""
+    if bits is not None:
+        return bits
+    return auto_bits(_emb(spark, sf_dir).count())
+
+
+def emb_dup_pairs_rhlsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    bands: int = RH_BANDS,
+    bits: int | None = None,
+    max_bucket: int = RH_MAX_BUCKET,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the
+    DATA-INDEPENDENT scale path: no blocking column needed (unlike
+    ``emb_dup_pairs``'s label key, which a skewed or absent label breaks),
+    and it surfaces cross-label duplicates the label-blocked form cannot.
+
+    Plan shape (reference parity: the reference has no ANN operator; this
+    extends the mandated LLM-pipeline surface like ``docs_minhash_lsh``,
+    whose band/bucket shape it reuses):
+    * per row, ``bands`` codes of ``bits`` sign bits each — one scan, no
+      shuffle, Arrow-batched numpy (vectorized across rows AND planes;
+      the equivalent 144 JVM expression folds ran interpreted per element
+      and benched 8× slower); persisted once per session (``_rh_codes``);
+    * ``bits`` derives from the corpus size by default (``auto_bits``:
+      expected bucket ≤ 64 rows) — the measured scale lever made
+      automatic, so bucket count tracks n instead of degrading toward
+      n²/2^bits past a static width;
+    * SUPER-BUCKET GUARD (same count-first shape as
+      ``llm.dedup._candidate_pairs``): (band, code) bucket sizes
+      aggregate first — a count-only shuffle of two ints — and buckets
+      above ``max_bucket`` are dropped via a broadcast anti-join BEFORE
+      any id set is collected, so a degenerate code (all-near-zero dots
+      on boilerplate-correlated embeddings) can never build one giant
+      array row + an O(bucket²) task. NOT silent: ``rhlsh_bucket_stats``
+      reports n_buckets / max_bucket_size / dropped_buckets as a
+      first-class oracled query;
+    * one shuffle on (band, code) → in-bucket pair expansion (cost
+      Σ bucket², buckets ~ n/2^bits per band by construction, each
+      ≤ max_bucket by the guard);
+    * exact cosine verify on the candidates only (never all pairs), so
+      precision is exactly 1 by construction — also Arrow-batched numpy,
+      with the fold order preserved (see _rh_codes) and rounding left on
+      the JVM side.
+
+    Recall is the standard (1-(1-p^bits)^bands) curve with
+    p = 1 - θ/π: deterministic given the md5 planes — measured 0.76-0.78
+    against brute-force all-pairs on the synthetic data at τ=0.35
+    (near-orthogonal embeddings = the worst case; at a realistic 0.9
+    near-dup threshold the same structure reaches ~0.99 with far smaller
+    buckets). EXACTLY oracled: sign bits, buckets, the bucket cap, the
+    candidate set, and verified cosines are all reproduced bit-identically
+    in DuckDB (left-fold dot products, literal plane matrix)."""
+    emb = _emb(spark, sf_dir)
+    codes = _rh_codes(spark, sf_dir, bands, _rh_bits(spark, sf_dir, bits))
+    sizes = codes.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
+    big = sizes.filter(F.col("n") > max_bucket).select("band", "code")
+    buckets = (
+        codes.join(F.broadcast(big), ["band", "code"], "left_anti")
+        .groupBy("band", "code")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ids"))
     )
     left = buckets.filter(F.size("ids") >= 2).select(
         F.posexplode("ids").alias("i", "vec_a"), "ids"
@@ -265,6 +373,30 @@ def emb_dup_pairs_rhlsh(
     return verified.select(
         "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def rhlsh_bucket_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = RH_MAX_BUCKET,
+    bands: int = RH_BANDS,
+    bits: int | None = None,
+) -> DataFrame:
+    """RH-LSH bucket health: total (band, code) buckets, the largest one,
+    and how many the super-bucket guard in ``emb_dup_pairs_rhlsh`` drops
+    at the current cap — the no-silent-truncation companion, mirroring
+    ``llm.dedup.lsh_bucket_stats``. Reads the persisted codes frame (one
+    count-only aggregate; the numpy projection is shared with the pairs
+    query); a pipeline operator alerts on dropped_buckets > 0."""
+    codes = _rh_codes(spark, sf_dir, bands, _rh_bits(spark, sf_dir, bits))
+    sizes = codes.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
+            "dropped_buckets"
+        ),
+    )
 
 
 TILE_CAP = 2048  # max rows per chunk → gram tiles ≤ CAP² doubles (~32 MB)

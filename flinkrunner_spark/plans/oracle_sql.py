@@ -792,7 +792,11 @@ WHERE cosine >= 0.35
 # are inlined as DOUBLE[] literals (bare list literals parse as DECIMAL).
 
 
-def _rh_oracle_sql() -> str:
+def _rh_codes_cte() -> str:
+    """The (vec_id, band, code) sign-code relation as inlined SQL — the
+    driver runs correctness at sf0.01 (500 rows), where auto_bits clamps
+    to the static RH_BITS, so the literal plane matrix matches the Spark
+    side exactly."""
     from flinkrunner_spark.llm.similarity import RH_BANDS, RH_BITS, rh_planes
 
     planes = rh_planes()
@@ -813,14 +817,25 @@ def _rh_oracle_sql() -> str:
             + " + ".join(bits)
             + " AS code FROM embeddings"
         )
-    codes = "\nUNION ALL\n".join(arms)
+    return "\nUNION ALL\n".join(arms)
+
+
+def _rh_oracle_sql() -> str:
+    # super-bucket cap mirrored: buckets over RH_MAX_BUCKET contribute no
+    # candidate pairs (count-first, same semantics as the Spark anti-join)
+    from flinkrunner_spark.llm.similarity import RH_MAX_BUCKET
+
     return f"""
 WITH codes AS (
-{codes}
+{_rh_codes_cte()}
 ),
+sizes AS (SELECT band, code, COUNT(*) AS n FROM codes GROUP BY band, code),
+keep AS (SELECT band, code FROM sizes WHERE n <= {RH_MAX_BUCKET}),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM codes a JOIN codes b
+  FROM codes a
+  JOIN keep k ON a.band = k.band AND a.code = k.code
+  JOIN codes b
     ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM (
@@ -833,7 +848,24 @@ WHERE cosine >= 0.35
 """
 
 
+def _rh_stats_oracle_sql() -> str:
+    from flinkrunner_spark.llm.similarity import RH_MAX_BUCKET
+
+    return f"""
+WITH codes AS (
+{_rh_codes_cte()}
+),
+sizes AS (SELECT band, code, COUNT(*) AS n FROM codes GROUP BY band, code)
+SELECT COUNT(*) AS n_buckets,
+  CAST(MAX(n) AS BIGINT) AS max_bucket_size,
+  CAST(SUM(CASE WHEN n > {RH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+    AS dropped_buckets
+FROM sizes
+"""
+
+
 ORACLES["emb_dup_pairs_rhlsh"] = _rh_oracle_sql()
+ORACLES["rhlsh_bucket_stats"] = _rh_stats_oracle_sql()
 
 ORACLES["mm_meta"] = """
 SELECT doc_id,

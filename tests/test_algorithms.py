@@ -252,6 +252,58 @@ def test_lsh_super_bucket_cap_drops_degenerate_buckets(spark):
     assert uncapped.count() == 15  # C(6,2): under-cap buckets intact
 
 
+def test_rhlsh_super_bucket_cap_and_stats(spark):
+    """The RH-LSH count-first guard must drop over-cap (band, code)
+    buckets BEFORE any id set collects (mirroring _candidate_pairs), the
+    drop must be observable via rhlsh_bucket_stats, and at test scale the
+    default cap must be inactive (pair set unchanged vs an effectively
+    infinite cap)."""
+    from flinkrunner_spark.llm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    similarity.release_caches(sf)
+    default_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.emb_dup_pairs_rhlsh(spark, sf).collect()
+    }
+    huge_cap = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.emb_dup_pairs_rhlsh(
+            spark, sf, max_bucket=10**9
+        ).collect()
+    }
+    assert default_pairs == huge_cap and default_pairs
+    # cap=1: every multi-member bucket dropped -> zero candidates
+    assert similarity.emb_dup_pairs_rhlsh(spark, sf, max_bucket=1).count() == 0
+
+    row = similarity.rhlsh_bucket_stats(spark, sf).first()
+    assert row["dropped_buckets"] == 0
+    assert 0 < row["max_bucket_size"] <= similarity.RH_MAX_BUCKET
+    tight = similarity.rhlsh_bucket_stats(spark, sf, max_bucket=1).first()
+    assert tight["dropped_buckets"] > 0
+    similarity.release_caches(sf)
+
+
+def test_rhlsh_auto_bits_tracks_corpus_size():
+    """auto_bits keeps the EXPECTED bucket under the target as n grows
+    (the 8x-study lever made automatic), clamps small corpora to the
+    static default (oracle parity at sf0.01) and wide codes to int32-safe
+    20 bits."""
+    from flinkrunner_spark.llm.similarity import (
+        RH_BITS,
+        RH_TARGET_BUCKET,
+        auto_bits,
+    )
+
+    assert auto_bits(500) == RH_BITS  # min-clamp: sf0.01 matches the oracle
+    assert auto_bits(2_000) == RH_BITS
+    for n in (100_000, 1_000_000, 50_000_000):
+        b = auto_bits(n)
+        assert n / (1 << b) <= RH_TARGET_BUCKET
+        assert b >= RH_BITS
+    assert auto_bits(10**9) == 20  # int32-code clamp
+
+
 def test_lsh_real_corpus_under_cap(spark):
     """At test scale no bucket approaches the cap — the production guard
     must not change results (the oracle carries the same HAVING bound) —
