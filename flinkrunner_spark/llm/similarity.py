@@ -584,43 +584,86 @@ def emb_knn_ivf_kmeans(
     )
 
 
+CENT_FOLD_FAN_IN = 4096  # max values any single fold buffer ever holds
+
+
 def _label_centroids(emb: DataFrame) -> DataFrame:
     """Per-label elementwise-mean centroids for ``docs_cluster_assign``
     and ``emb_knn_join`` — n_labels × dim values, the size IVF keeps tiny
     by design.
 
-    Each component is the mean computed as a LEFT FOLD OVER THE SORTED
-    values (not ``avg``): ``avg``'s partial-aggregate merge order is
-    partition-dependent, so its low-order ulps differ run-to-run and
+    Each component is the mean computed as a deterministic FOLD OVER THE
+    SORTED values (not ``avg``): ``avg``'s partial-aggregate merge order
+    is partition-dependent, so its low-order ulps differ run-to-run and
     engine-to-engine — fine when centroids only RANK well-separated cells
     (``emb_knn_ivf``), not when centroid cosines appear in output values.
-    The sorted fold is order-independent and matches the oracle's
-    ``list_reduce(list(x ORDER BY x))`` bit-for-bit (init 0.0 + x₁ ≡ x₁
-    exactly). The collect_list per (label, pos) group is bounded by the
-    rows-per-label count — at 100 TB the quantizer trains on a sample
-    (see emb_knn_ivf_kmeans) and this table arrives as input; determinism
-    of ASSIGNMENT, a pure map, is what matters at scale."""
-    return (
-        emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.aggregate(
-                    F.array_sort(F.collect_list("x")),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                / F.count("x")
-            ).alias("cx")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                lambda s: s["cx"],
-            ).alias("centroid")
-        )
+
+    BOUNDED GROUP STATE: the fold is TWO-LEVEL with a fixed fan-in —
+    values rank within their (label, pos) group (one shuffle+sort, no
+    per-row state), chunk ``(rank-1) // 4096`` folds its own ≤4096-value
+    sorted slice, and the component sum folds the chunk sums in chunk
+    order (≤ n/4096 values — 2 MB of doubles even at a billion rows per
+    label, vs the unbounded single-level collect_list this replaces,
+    which put EVERY value of a label in one aggregation buffer row). The
+    chunking follows the global sort order, so the result is exactly as
+    deterministic as the flat sorted fold, and the DuckDB oracle
+    (_CENT_FOLD in plans/oracle_sql.py) performs the identical two-level
+    fold — init 0.0 + s₁ ≡ s₁ exactly, so Spark's explicit-init
+    ``aggregate`` matches duckdb's init-free ``list_reduce``
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    ex = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos", "x")
     )
+    w = Window.partitionBy("label", "pos").orderBy("x")
+    chunked = ex.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(w) - 1) / CENT_FOLD_FAN_IN).cast("int"),
+    )
+    chunks = chunked.groupBy("label", "pos", "chunk").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, v: a + v
+        ).alias("csum"),
+        F.count("x").alias("cnt"),
+    )
+    comps = chunks.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "csum"))),
+                    lambda s: s["csum"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            / F.sum("cnt")
+        ).alias("cx")
+    )
+    return comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+            lambda s: s["cx"],
+        ).alias("centroid")
+    )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, persisted per-label centroid frame (n_labels rows).
+
+    ``docs_cluster_assign`` and ``emb_knn_join`` both broadcast it; the
+    memo means the explode + two-level fold executes once per corpus per
+    session instead of inside every consumer's plan (the r4 driver bench
+    showed emb_knn_join re-paying the centroid subtree on the warm
+    pass)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale(spark)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _label_centroids(_emb(spark, sf_dir)).persist()
+    _CENTROID_CACHE[key] = out
+    return out
 
 
 def docs_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,7 +686,7 @@ def docs_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``emb_knn_ivf_kmeans``, rows-only for the training reasons documented
     there)."""
     emb = _emb(spark, sf_dir)
-    carr = _label_centroids(emb).select(
+    carr = _centroids(spark, sf_dir).select(
         F.struct("label", "centroid").alias("lc")
     ).groupBy().agg(F.array_sort(F.collect_list("lc")).alias("cents"))
 
@@ -710,7 +753,7 @@ def emb_knn_join(
     queries = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qv")
     )
-    cents = _label_centroids(emb)
+    cents = _centroids(spark, sf_dir)
     from pyspark.sql import Window
 
     ccos = F.round(cosine(F.col("centroid"), as_double("qv")), 6)

@@ -1257,15 +1257,29 @@ FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
 # order-independent and bit-identical cross-engine, unlike AVG whose
 # partial-merge order floats (fine for emb_knn_ivf's cell RANKING, not
 # for output values).
+# two-level fixed-fan-in fold, mirroring similarity._label_centroids
+# bit-for-bit: rank-chunked sorted folds (<=4096 values each), then a
+# fold over the chunk sums in chunk order. With one chunk per group (all
+# test scales) this degenerates to the flat sorted fold exactly.
 _CENT_FOLD = """
   SELECT label, list(cx ORDER BY pos) AS centroid FROM (
     SELECT label, pos,
-      list_reduce(list(x ORDER BY x), (a, b) -> a + b) / COUNT(x) AS cx
+      list_reduce(list(csum ORDER BY chunk), (a, b) -> a + b)
+        / SUM(cnt) AS cx
     FROM (
-      SELECT label,
-        unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x,
-        unnest(generate_series(1, len(embedding))) AS pos
-      FROM embeddings) u
+      SELECT label, pos, chunk,
+        list_reduce(list(x ORDER BY x), (a, b) -> a + b) AS csum,
+        COUNT(x) AS cnt
+      FROM (
+        SELECT label, pos, x,
+          CAST(FLOOR((row_number() OVER (PARTITION BY label, pos ORDER BY x)
+                      - 1) / 4096) AS INTEGER) AS chunk
+        FROM (
+          SELECT label,
+            unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x,
+            unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings) u) w
+      GROUP BY label, pos, chunk) c
     GROUP BY label, pos) t
   GROUP BY label
 """

@@ -284,6 +284,53 @@ def test_rhlsh_super_bucket_cap_and_stats(spark):
     similarity.release_caches(sf)
 
 
+def test_label_centroids_two_level_fold_bounded_and_exact(spark, monkeypatch):
+    """The centroid fold must (a) never hold more than CENT_FOLD_FAN_IN
+    values in one aggregation buffer — forced here with a tiny fan-in on
+    a group far larger than it — and (b) reproduce the independent numpy
+    two-level fold bit-for-bit (rank-chunked sorted slices, chunk sums
+    folded in chunk order), i.e. chunking changes memory shape, not
+    determinism."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flinkrunner_spark.llm import similarity
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=(100, 3)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, 0, [float(x) for x in vals[i]]) for i in range(len(vals))],
+        "vec_id long, label int, embedding array<float>",
+    )
+    monkeypatch.setattr(similarity, "CENT_FOLD_FAN_IN", 7)
+    got = similarity._label_centroids(emb).first()["centroid"]
+
+    V = vals.astype(np.float64)
+    expect = []
+    for pos in range(3):
+        xs = np.sort(V[:, pos], kind="stable")
+        csums = []
+        for c in range(0, len(xs), 7):
+            acc = 0.0
+            for x in xs[c : c + 7]:
+                acc += x
+            csums.append(acc)
+        total = 0.0
+        for s in csums:
+            total += s
+        expect.append(total / len(xs))
+    assert got == expect  # exact float equality, not approx
+
+    # flat-fold degenerate case: fan-in above the group size
+    monkeypatch.setattr(similarity, "CENT_FOLD_FAN_IN", 4096)
+    flat = similarity._label_centroids(emb).first()["centroid"]
+    acc = [0.0] * 3
+    for pos in range(3):
+        for x in np.sort(V[:, pos], kind="stable"):
+            acc[pos] += x
+    assert flat == [a / len(V) for a in acc]
+
+
 def test_rhlsh_auto_bits_tracks_corpus_size():
     """auto_bits keeps the EXPECTED bucket under the target as n grows
     (the 8x-study lever made automatic), clamps small corpora to the
