@@ -165,15 +165,21 @@ _RH_CODES_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
 _CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _caches() -> tuple[dict, ...]:
+    return (_RH_CODES_CACHE, _CENTROID_CACHE, _KMEANS_CACHE)
+
+
 def release_caches(sf_dir: str | None = None) -> None:
     """Unpersist memoized similarity frames (``sf_dir=None`` = all)."""
-    for cache in (_RH_CODES_CACHE, _CENTROID_CACHE):
+    for cache in _caches():
         for key in [k for k in cache if sf_dir is None or k[1] == sf_dir]:
-            try:
-                cache[key].unpersist()
-            except Exception:
-                pass  # context already stopped — nothing to free
-            del cache[key]
+            entry = cache.pop(key)
+            frames = entry if isinstance(entry, tuple) else (entry,)
+            for df in frames:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # context already stopped — nothing to free
 
 
 def _evict_stale(spark: SparkSession) -> None:
@@ -181,7 +187,7 @@ def _evict_stale(spark: SparkSession) -> None:
     blocks died with the context; keeping the frames leaks driver memory
     across session restarts in tests/services)."""
     app = spark.sparkContext.applicationId
-    for cache in (_RH_CODES_CACHE, _CENTROID_CACHE):
+    for cache in _caches():
         for key in [k for k in cache if k[0] != app]:
             del cache[key]
 
@@ -523,36 +529,41 @@ def dup_pairs_blas(
     )
 
 
-def _kmeans_cells(
-    spark: SparkSession,
-    sf_dir: str,
-    query_id: int,
-    n_cells: int,
-    nprobe: int,
-):
-    """Shared internals of the learned-quantizer IVF: (assigned frame
-    with a ``prediction`` cell column, probed cell ids, query vector).
+# (applicationId, sf_dir, n_cells) -> (assigned frame, centroid frame).
+# The fit is iterative (KMeans) — memoizing means one training run per
+# corpus per session; released with the other similarity caches.
+_KMEANS_CACHE: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _kmeans_assigned(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> tuple[DataFrame, DataFrame]:
+    """Learned-quantizer internals: (corpus with a ``prediction`` cell
+    column — persisted, and the (cell, centroid) table as a DATAFRAME).
 
     The quantizer is KMeans (pyspark.ml — distributed Lloyd's; at 100 TB
-    train on a sample, assignment stays a parallel scan). Probe selection
-    runs driver-side over the centroid table — n_cells × dim floats, the
-    size IVF keeps tiny by design."""
-    import numpy as np
+    train on a sample, assignment stays a parallel scan). The centroid
+    table is n_cells × dim doubles — driver-held only as the fitted
+    model's coefficients (inherent to the estimator API), re-exposed as a
+    one-copy broadcastable frame so probe selection stays JVM-side."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
+    _evict_stale(spark)
+    cached = _KMEANS_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = _emb(spark, sf_dir)
     vecs = emb.withColumn("features", array_to_vector(as_double("embedding")))
     model = KMeans(k=n_cells, seed=42, maxIter=20).fit(vecs)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == query_id).first()["embedding"]
-    ]
-    cents = np.asarray(model.clusterCenters(), dtype=np.float64)
-    q = np.asarray(qv, dtype=np.float64)
-    ccos = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q))
-    cells = [int(c) for c in np.argsort(-ccos)[:nprobe]]
-    return model.transform(vecs).drop("features"), cells, qv
+    assigned = model.transform(vecs).drop("features").persist()
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    _KMEANS_CACHE[key] = (assigned, cents)
+    return assigned, cents
 
 
 def emb_knn_ivf_kmeans(
@@ -568,15 +579,38 @@ def emb_knn_ivf_kmeans(
     (the label-IVF twin ``emb_knn_ivf`` assumes a blocking column
     exists). Probe the ``nprobe`` nearest cells, exact cosine inside.
 
+    Probe selection is fully JVM-side: the one-row query frame and the
+    n_cells-row centroid frame broadcast, cells rank by centroid cosine
+    inside the join, and the corpus filter is a broadcast semi-join on
+    the probed cell ids — no ``.first()``, no driver numpy, no
+    collect-based round-trip anywhere in the plan (the only driver-held
+    bytes are the fitted model's own coefficients).
+
     Rows-only driver oracle: KMeans training is iterative and not
     SQL-expressible. The hard invariant — the result equals the exact
     top-k restricted to the probed cells, and the probe genuinely prunes
     the scan — is verified against an independent numpy computation in
     tests/test_algorithms.py."""
-    assigned, cells, qv = _kmeans_cells(spark, sf_dir, query_id, n_cells, nprobe)
-    cos = cosine(as_double("embedding"), F.lit(qv))
+    assigned, cents = _kmeans_assigned(spark, sf_dir, n_cells)
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == query_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            cosine(F.col("centroid"), as_double("qv")).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select(F.col("cell").alias("prediction"))
+    )
+    cos = cosine(as_double("embedding"), as_double("qv"))
     return (
-        assigned.filter(F.col("prediction").isin(cells))
+        assigned.join(F.broadcast(probe), "prediction")
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != query_id)
         .select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))

@@ -90,10 +90,22 @@ def test_emb_knn_ivf_kmeans_exact_within_probed_cells(spark):
     must genuinely prune the scan."""
     import numpy as np
 
-    from flinkrunner_spark.llm.similarity import _kmeans_cells, emb_knn_ivf_kmeans
+    from flinkrunner_spark.llm.similarity import _kmeans_assigned, emb_knn_ivf_kmeans
 
     sf = "/root/testdata/sf0.01"
-    assigned, cells, qv = _kmeans_cells(spark, sf, query_id=0, n_cells=16, nprobe=4)
+    assigned, cents_df = _kmeans_assigned(spark, sf, n_cells=16)
+    qv = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .first()["embedding"]
+    )
+    # independent numpy probe selection (top-4 cells by centroid cosine,
+    # cell-id tiebreak) — cross-checks the production broadcast-join probe
+    qn = np.asarray(qv, dtype=np.float64)
+    crows = sorted(cents_df.collect(), key=lambda r: r["cell"])
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    ccos = (C @ qn) / (np.sqrt((C * C).sum(axis=1)) * np.sqrt(qn @ qn))
+    cells = [int(c) for c in np.lexsort((np.arange(len(C)), -ccos))[:4]]
     cand = assigned.filter(assigned["prediction"].isin(cells)).filter(
         assigned["vec_id"] != 0
     )
