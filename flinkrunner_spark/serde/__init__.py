@@ -276,12 +276,56 @@ def confluent_avro_decode(
 # ---------------------------------------------------------------------------
 
 
-def write_avro_files(df: DataFrame, path: str, codec: str = "deflate") -> int:
+def avro_datasource_missing(e: Exception) -> bool:
+    """True iff ``e`` is the ANALYSIS-time 'avro datasource not on the
+    classpath' failure — the only condition the no-jar fallback may
+    swallow. Spark 4 raises AnalysisException with condition
+    AVRO_NOT_LOADED / DATA_SOURCE_NOT_FOUND / _LEGACY_ERROR_TEMP_1139
+    ('Failed to find data source: avro') depending on entry point; any
+    other error (PATH_ALREADY_EXISTS, permission, a path that merely
+    contains 'avro', executor failures) must propagate."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - pyspark always present here
+        return False
+    if not isinstance(e, AnalysisException):
+        return False
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    cond = fn()
+                break
+            except Exception:
+                continue
+    return cond in (
+        "AVRO_NOT_LOADED",
+        "DATA_SOURCE_NOT_FOUND",
+        "FAILED_TO_LOAD_DATA_SOURCE",
+        "_LEGACY_ERROR_TEMP_1139",
+    ) and "avro" in str(e).lower()
+
+
+def write_avro_files(
+    df: DataFrame, path: str, codec: str = "deflate", mode: str = "overwrite"
+) -> int:
     """Write ``df`` as Avro object container files, one ``part-*.avro``
     per partition, executor-side (the fallback file sink when the
     spark-avro jar is absent; with the jar, ``df.write.format("avro")``
     is the codegen path and this function is not needed). Returns the
     row count written. Timestamps ride as long micros (codec subset).
+
+    ``mode`` follows DataFrameWriter semantics: ``overwrite`` clears
+    prior part files first (a rerun with fewer partitions can never
+    leave stale parts behind), ``error``/``errorifexists`` raises if the
+    directory already holds output, ``ignore`` returns 0 without
+    writing, ``append`` coexists — part names carry a per-run uuid, so
+    appended runs never clobber earlier files.
 
     Each task writes to a temp name and renames into place — the same
     commit discipline any file sink needs; a ``_SUCCESS`` marker lands
@@ -292,12 +336,32 @@ def write_avro_files(df: DataFrame, path: str, codec: str = "deflate") -> int:
     the spark-avro jar's committer path; that's the preferred branch in
     ``FileSinkConfig`` whenever the jar exists."""
     import os
+    import uuid as _uuid
 
     parsed_schema = avro_schema_for_df(df)
     parsed = AC.parse_schema(parsed_schema)
     cols = df.columns
     kinds = dict(parsed["fields"])
+    if mode not in ("overwrite", "append", "ignore", "error", "errorifexists"):
+        raise ValueError(f"unknown save mode: {mode}")
+    prior = (
+        [f for f in os.listdir(path) if not f.startswith(".")]
+        if os.path.isdir(path)
+        else []
+    )
+    if prior:
+        if mode in ("error", "errorifexists"):
+            raise FileExistsError(
+                f"avro sink path {path} already exists (mode={mode})"
+            )
+        if mode == "ignore":
+            return 0
+        if mode == "overwrite":
+            for f in prior:
+                if f.endswith(".avro") or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
     os.makedirs(path, exist_ok=True)
+    run_id = _uuid.uuid4().hex[:12]  # per-run suffix: append never clobbers
 
     def write_part(it):
         import os
@@ -340,7 +404,9 @@ def write_avro_files(df: DataFrame, path: str, codec: str = "deflate") -> int:
             tmp = os.path.join(path, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
             with open(tmp, "wb") as f:
                 f.write(blob)
-            os.replace(tmp, os.path.join(path, f"part-{pid:05d}.avro"))
+            os.replace(
+                tmp, os.path.join(path, f"part-{pid:05d}-{run_id}.avro")
+            )
         yield pd.DataFrame({"n": [n]})
 
     total = (

@@ -46,25 +46,28 @@ class FileSinkConfig(SinkConfig):
     def write(self, df: DataFrame):
         fmt = self.conf.get("format", "parquet")
         if fmt == "avro":
+            mode = self.conf.get("mode", "overwrite")
             try:
                 df.write.format("avro").options(
                     **self.conf.get("options", {})
-                ).mode(self.conf.get("mode", "overwrite")).save(
-                    self.conf["path"]
-                )
+                ).mode(mode).save(self.conf["path"])
                 return
             except Exception as e:
-                if "AVRO" not in str(e) and "avro" not in str(e):
-                    raise
                 from flinkrunner_spark import serde
 
-                # no-jar fallback: executor-side OCF writes per partition
+                # ONLY the analysis-time missing-datasource condition may
+                # fall back (PATH_ALREADY_EXISTS, permission errors, paths
+                # that merely contain 'avro' all propagate), and the
+                # fallback honors the configured save mode.
+                if not serde.avro_datasource_missing(e):
+                    raise
                 serde.write_avro_files(
                     df,
                     self.conf["path"],
                     codec=self.conf.get("options", {}).get(
                         "compression", "deflate"
                     ),
+                    mode=mode,
                 )
                 return
         options = dict(self.conf.get("options", {}))
@@ -185,12 +188,16 @@ class KafkaSinkConfig(SinkConfig):
                         "schema_registry on the sink config"
                     )
                 subject = f"{self.conf.get('topic', self.name)}-value"
-                # key column passes through the encode in one Arrow pass;
-                # the record itself carries the whole event (reference
-                # EmbeddedAvroRecord semantics)
+                # key AND header source columns pass through the encode in
+                # one Arrow pass (the encode otherwise projects them away,
+                # breaking the headers attach below); the record itself
+                # carries the whole event (EmbeddedAvroRecord semantics)
+                passthrough = dict.fromkeys(
+                    ([key_col] if key_col else [])
+                    + list(self.conf.get("headers", {}).values())
+                )
                 out = serde.confluent_avro_encode(
-                    df, registry, subject,
-                    keep=(key_col,) if key_col else (),
+                    df, registry, subject, keep=tuple(passthrough)
                 )
             else:
                 raise ValueError(f"unsupported value.format: {vfmt}")

@@ -78,7 +78,11 @@ class FileSourceConfig(SourceConfig):
             try:
                 return self._apply_watermark(reader.load(path))
             except Exception as e:
-                if "AVRO" not in str(e) and "avro" not in str(e):
+                from flinkrunner_spark import serde as _serde
+
+                # precise gate: only the missing-datasource analysis error
+                # falls back; schema/path/permission errors propagate
+                if not _serde.avro_datasource_missing(e):
                     raise
                 if self.streaming:
                     raise RuntimeError(

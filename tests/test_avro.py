@@ -362,6 +362,106 @@ def test_file_source_sink_avro_fallback(spark, tmp_path):
     )
 
 
+def test_avro_sink_save_modes(spark, tmp_path):
+    """The no-jar avro sink must honor DataFrameWriter save modes:
+    errorifexists raises, ignore is a no-op, append coexists (per-run
+    part names), and overwrite with FEWER partitions leaves no stale
+    parts from the earlier wider run (the silent-resurrection bug)."""
+    import os
+
+    from flinkrunner_spark.sinks.factory import FileSinkConfig
+    from flinkrunner_spark.sources.factory import FileSourceConfig
+
+    df8 = spark.range(80).repartition(8).selectExpr("id AS a")
+    path = str(tmp_path / "modes_avro")
+
+    def sink(mode):
+        return FileSinkConfig(
+            "out",
+            {"connector": "file", "format": "avro", "path": path, "mode": mode},
+        )
+
+    def read_rows():
+        src = FileSourceConfig(
+            "in", {"connector": "file", "format": "avro", "path": path}
+        )
+        return sorted(r["a"] for r in src.load(spark).collect())
+
+    sink("overwrite").write(df8)
+    assert read_rows() == list(range(80))
+
+    with pytest.raises(FileExistsError):
+        sink("errorifexists").write(df8)
+    with pytest.raises(FileExistsError):
+        sink("error").write(df8)
+
+    before = sorted(os.listdir(path))
+    sink("ignore").write(spark.range(5).selectExpr("id AS a"))
+    assert sorted(os.listdir(path)) == before  # untouched
+
+    sink("append").write(spark.range(80, 90).repartition(1).selectExpr("id AS a"))
+    assert read_rows() == list(range(90))
+
+    # overwrite with ONE partition after an 8-partition run: stale parts
+    # from the wide run must not survive and resurrect rows
+    sink("overwrite").write(spark.range(3).repartition(1).selectExpr("id AS a"))
+    assert read_rows() == [0, 1, 2]
+    assert sum(f.endswith(".avro") for f in os.listdir(path)) == 1
+
+
+def test_avro_fallback_gate_is_precise(spark, tmp_path):
+    """Only the missing-datasource ANALYSIS error may trigger the python
+    fallback; an error that merely mentions an avro-ish path (e.g.
+    PATH_ALREADY_EXISTS on .../avro) must propagate."""
+    from flinkrunner_spark import serde
+
+    p = str(tmp_path / "avro")  # path name contains 'avro'
+    spark.range(3).write.parquet(p)
+    with pytest.raises(Exception) as ei:
+        spark.range(3).write.mode("error").parquet(p)
+    assert not serde.avro_datasource_missing(ei.value)  # wrong class of error
+
+    with pytest.raises(Exception) as ei2:
+        spark.range(3).write.format("avro").save(str(tmp_path / "x"))
+    assert serde.avro_datasource_missing(ei2.value)  # the real no-jar case
+    assert not serde.avro_datasource_missing(ValueError("avro"))
+
+
+def test_kafka_record_prep_confluent_avro_with_headers(spark):
+    """headers + confluent-avro value format together: the header source
+    columns must survive the encode projection (they are attached AFTER
+    the value is built), and the prepared frame carries exactly
+    key/value/headers."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    df = spark.createDataFrame(
+        [(1, "click", "us"), (2, "view", "de")],
+        "event_id long, event_type string, region string",
+    )
+    sink = KafkaSinkConfig(
+        "events-out",
+        {
+            "connector": "kafka",
+            "topic": "events",
+            "key.column": "event_id",
+            "value.format": "confluent-avro",
+            "headers": {"X-Region": "region", "X-Type": "event_type"},
+        },
+    )
+    sink.schema_registry = AC.LocalSchemaRegistry()
+    rec = sink.prepare_records(df)
+    assert set(rec.columns) == {"key", "value", "headers"}
+    rows = {r["key"]: r for r in rec.collect()}
+    assert set(rows) == {"1", "2"}
+    hdrs = {h["key"]: bytes(h["value"]).decode() for h in rows["1"]["headers"]}
+    assert hdrs == {"X-Region": "us", "X-Type": "click"}
+    sid, payload = AC.confluent_unframe(bytes(rows["2"]["value"]))
+    decoded = AC.decode_record(
+        sink.schema_registry.schema_by_id(sid), payload
+    )
+    assert decoded == {"event_id": 2, "event_type": "view", "region": "de"}
+
+
 def test_glue_wire_format_roundtrip():
     """Glue registry framing: header-version 3, compression byte, 16-byte
     schema-version UUID — both compression modes roundtrip, bad headers
