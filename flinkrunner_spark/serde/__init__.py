@@ -171,7 +171,9 @@ def _encode_out_schema(df: DataFrame, keep: tuple[str, ...]) -> str:
     return (kept + ", " if kept else "") + "value binary"
 
 
-def _py_decode_map(parsed: dict, framed: bool, col: str):
+def _py_decode_map(
+    parsed: dict, framed: bool, col: str, expected_id: int | None = None
+):
     def fn(it):
         import pandas as pd
 
@@ -181,7 +183,15 @@ def _py_decode_map(parsed: dict, framed: bool, col: str):
             for v in pdf[col]:
                 b = bytes(v)
                 if framed:
-                    _, b = AC.confluent_unframe(b)
+                    sid, b = AC.confluent_unframe(b)
+                    # a message framed under a DIFFERENT schema id would
+                    # otherwise decode against the subject's schema into
+                    # silent garbage — fail loudly instead
+                    if expected_id is not None and sid != expected_id:
+                        raise ValueError(
+                            f"confluent frame carries schema id {sid}, "
+                            f"expected {expected_id} for this subject"
+                        )
                 recs.append(AC.decode_record(parsed, b))
             out = pd.DataFrame(recs, columns=names)
             for c in out.columns:  # keep Arrow happy on all-None columns
@@ -263,11 +273,14 @@ def confluent_avro_decode(
     col: str = "value",
 ) -> DataFrame:
     """Confluent-framed Avro -> rows, resolving the schema through the
-    registry by subject (the per-message ids are checked against it in
-    the codec's unframe)."""
-    parsed = registry.schema_by_id(registry.id_by_subject(subject))
+    registry by subject; each message's framed schema id must equal the
+    subject's registered id — a mismatched frame raises instead of
+    silently decoding garbage field values."""
+    sid = registry.id_by_subject(subject)
+    parsed = registry.schema_by_id(sid)
     return df.select(col).mapInPandas(
-        _py_decode_map(parsed, True, col), schema=_spark_ddl_for_avro(parsed)
+        _py_decode_map(parsed, True, col, expected_id=sid),
+        schema=_spark_ddl_for_avro(parsed),
     )
 
 

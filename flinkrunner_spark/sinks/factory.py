@@ -356,6 +356,38 @@ class IcebergSinkConfig(SinkConfig):
             ) from e
 
 
+def post_with_partial_retry(
+    post,
+    records: list,
+    build_body,
+    failed_fn,
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+    sleep=None,
+):
+    """POST a record batch, re-POSTing only the failed subset with
+    exponential backoff until clean or ``max_retries`` is exhausted —
+    then raise, so the Spark task (and with it the micro-batch) retries
+    instead of silently dropping records. Shared by the Kinesis/Firehose
+    and Elasticsearch sinks; ``post``/``failed_fn`` are injected so the
+    loop is testable without a live endpoint."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    for attempt in range(max_retries + 1):
+        resp = post(build_body(records))
+        failed = failed_fn(resp, records)
+        if not failed:
+            return resp
+        if attempt == max_retries:
+            raise RuntimeError(
+                f"{len(failed)} of {len(records)} records still failing "
+                f"after {max_retries} retries (partial-failure response)"
+            )
+        records = failed
+        do_sleep(backoff_s * (2**attempt))
+
+
 class KinesisSinkConfig(SinkConfig):
     """Kinesis PutRecords sink (reference model/sink/KinesisSinkConfig
     .scala:25-67): rows serialize to JSON data records with a partition
@@ -369,9 +401,26 @@ class KinesisSinkConfig(SinkConfig):
 
     _API_TARGET = "Kinesis_20131202.PutRecords"
     _SERVICE = "kinesis"
+    _FAIL_COUNT_FIELD = "FailedRecordCount"
+    _RESP_RECORDS_FIELD = "Records"
 
     def _stream_field(self):
         return "StreamName", self.conf.get("stream", self.name)
+
+    def failed_records(self, resp: dict, records: list[dict]) -> list[dict]:
+        """The record subset a 200 response reports as failed —
+        PutRecords/PutRecordBatch signal per-record throttling in the
+        body (FailedRecordCount/FailedPutCount + positional ErrorCode
+        entries), NOT via HTTP status, so a sink that only checks the
+        status silently drops them."""
+        if not resp.get(self._FAIL_COUNT_FIELD):
+            return []
+        statuses = resp.get(self._RESP_RECORDS_FIELD, [])
+        return [
+            rec
+            for rec, st in zip(records, statuses)
+            if isinstance(st, dict) and st.get("ErrorCode")
+        ]
 
     def _record(self, b64data: str, key: str | None) -> dict:
         return {"Data": b64data, "PartitionKey": key or ""}
@@ -473,25 +522,43 @@ class KinesisSinkConfig(SinkConfig):
                 "reachable endpoint — none configured"
             )
         conf = self.conf
-        service, target = self._SERVICE, self._API_TARGET
+        service = self._SERVICE
         region = conf.get("region", "us-east-1")
         endpoint = conf.get(
             "endpoint", f"https://{service}.{region}.amazonaws.com/"
         )
         signed = self.signed_headers
+        failed_fn = self.failed_records
+        field, stream = self._stream_field()
+        max_retries = int(conf.get("max.retries", 3))
+        backoff_s = float(conf.get("retry.backoff.sec", 0.2))
 
         def post_partition(rows):
+            import json as _json
             import time
             import urllib.request
 
-            for row in rows:
-                body = row["body"].encode()
+            def post(body: bytes) -> dict:
                 amz = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
                 hdrs = signed(body, amz)
                 req = urllib.request.Request(
                     endpoint, data=body, headers=hdrs, method="POST"
                 )
-                urllib.request.urlopen(req).read()
+                raw = urllib.request.urlopen(req).read()
+                return _json.loads(raw) if raw else {}
+
+            for row in rows:
+                payload = _json.loads(row["body"])
+                post_with_partial_retry(
+                    post,
+                    payload["Records"],
+                    lambda rs: _json.dumps(
+                        {field: stream, "Records": rs}
+                    ).encode(),
+                    failed_fn,
+                    max_retries=max_retries,
+                    backoff_s=backoff_s,
+                )
 
         self.prepare_batches(df).foreachPartition(post_partition)
 
@@ -499,7 +566,12 @@ class KinesisSinkConfig(SinkConfig):
         def _batch(bdf: DataFrame, epoch_id: int):
             self.write(bdf)
 
-        return df.writeStream.foreachBatch(_batch).start()
+        writer = df.writeStream.foreachBatch(_batch)
+        if self.conf.get("checkpoint"):
+            writer = writer.option(
+                "checkpointLocation", self.conf["checkpoint"]
+            )
+        return writer.start()
 
 
 class FirehoseSinkConfig(KinesisSinkConfig):
@@ -510,6 +582,8 @@ class FirehoseSinkConfig(KinesisSinkConfig):
 
     _API_TARGET = "Firehose_20150804.PutRecordBatch"
     _SERVICE = "firehose"
+    _FAIL_COUNT_FIELD = "FailedPutCount"
+    _RESP_RECORDS_FIELD = "RequestResponses"
 
     def _stream_field(self):
         return "DeliveryStreamName", self.conf.get("stream", self.name)
@@ -593,26 +667,64 @@ class ElasticsearchSinkConfig(SinkConfig):
                 "'transports' with at least one URL"
             )
         url = transports[0].rstrip("/") + "/_bulk"
+        failed_fn = self.failed_actions
+        max_retries = int(self.conf.get("max.retries", 3))
+        backoff_s = float(self.conf.get("retry.backoff.sec", 0.2))
 
         def post_partition(rows):
+            import json as _json
             import urllib.request
 
-            for row in rows:
+            def post(body: bytes) -> dict:
                 req = urllib.request.Request(
                     url,
-                    data=row["body"].encode(),
+                    data=body,
                     headers={"Content-Type": "application/x-ndjson"},
                     method="POST",
                 )
-                urllib.request.urlopen(req).read()
+                raw = urllib.request.urlopen(req).read()
+                return _json.loads(raw) if raw else {}
+
+            for row in rows:
+                lines = row["body"].splitlines()
+                pairs = list(zip(lines[0::2], lines[1::2]))
+                post_with_partial_retry(
+                    post,
+                    pairs,
+                    lambda ps: (
+                        "\n".join(ln for p in ps for ln in p) + "\n"
+                    ).encode(),
+                    failed_fn,
+                    max_retries=max_retries,
+                    backoff_s=backoff_s,
+                )
 
         self.prepare_bulk(df).foreachPartition(post_partition)
+
+    @staticmethod
+    def failed_actions(resp: dict, pairs: list) -> list:
+        """(action, doc) line pairs the _bulk response marks failed —
+        _bulk returns HTTP 200 with ``errors: true`` and per-item
+        statuses, so status-only checks silently drop rejected docs."""
+        if not resp.get("errors"):
+            return []
+        out = []
+        for pair, item in zip(pairs, resp.get("items", [])):
+            st = next(iter(item.values()), {}) if isinstance(item, dict) else {}
+            if int(st.get("status", 200)) >= 300:
+                out.append(pair)
+        return out
 
     def write_stream(self, df: DataFrame):
         def _batch(bdf: DataFrame, epoch_id: int):
             self.write(bdf)
 
-        return df.writeStream.foreachBatch(_batch).start()
+        writer = df.writeStream.foreachBatch(_batch)
+        if self.conf.get("checkpoint"):
+            writer = writer.option(
+                "checkpointLocation", self.conf["checkpoint"]
+            )
+        return writer.start()
 
 
 class UnsupportedSinkConfig(SinkConfig):

@@ -95,12 +95,21 @@ def sign_request(
     service = service or resolve_service(host)
     if service is None:
         raise ValueError(f"cannot infer AWS service from host {host!r}")
+    # the signed host header must match what the HTTP client sends:
+    # urllib sends "Host: host:port" for non-default ports (the
+    # localstack-style endpoint override), so include it — signing bare
+    # parts.hostname there guarantees SignatureDoesNotMatch
+    host_header = host
+    if parts.port is not None and parts.port != {
+        "https": 443, "http": 80,
+    }.get(parts.scheme):
+        host_header = f"{host}:{parts.port}"
 
     date = amz_date[:8]
     payload_hash = hashlib.sha256(payload or b"").hexdigest()
 
     hdrs = {k.lower().strip(): " ".join(v.split()) for k, v in headers.items()}
-    hdrs.setdefault("host", host)
+    hdrs.setdefault("host", host_header)
     hdrs["x-amz-date"] = amz_date
     if credentials.session_token:
         hdrs["x-amz-security-token"] = credentials.session_token

@@ -362,6 +362,32 @@ def test_file_source_sink_avro_fallback(spark, tmp_path):
     )
 
 
+def test_confluent_decode_rejects_wrong_schema_id(spark):
+    """A message framed under a different schema id must raise at decode,
+    not silently parse into garbage field values under the subject's
+    schema."""
+    reg = AC.LocalSchemaRegistry()
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    framed = serde.confluent_avro_encode(df, reg, "t-value")
+    good_id = reg.id_by_subject("t-value")
+    # register a second, different schema so another id exists
+    other_id = reg.register(
+        "o-value",
+        {"type": "record", "name": "o",
+         "fields": [{"name": "z", "type": "long"}]},
+    )
+    assert other_id != good_id
+
+    raw = bytes(framed.first()["value"])
+    _, payload = AC.confluent_unframe(raw)
+    wrong = AC.confluent_frame(other_id, payload)
+    bad_df = spark.createDataFrame([(bytearray(wrong),)], "value binary")
+    with pytest.raises(Exception, match="schema id"):
+        serde.confluent_avro_decode(bad_df, reg, "t-value").collect()
+    # the matching frame still decodes
+    assert serde.confluent_avro_decode(framed, reg, "t-value").collect()[0][0] == 1
+
+
 def test_avro_sink_save_modes(spark, tmp_path):
     """The no-jar avro sink must honor DataFrameWriter save modes:
     errorifexists raises, ignore is a no-op, append coexists (per-run

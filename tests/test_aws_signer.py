@@ -165,3 +165,142 @@ def test_kinesis_batching_and_request_shape(spark):
 
     with pytest.raises(NotImplementedError, match="credentials"):
         sink.write(df)
+
+
+def test_nondefault_port_lands_in_signed_host_header():
+    """A localstack-style endpoint override (http://localhost:4566) must
+    sign the SAME host header urllib will send — host:port for
+    non-default ports, bare host for scheme defaults."""
+    out = sign_request(
+        method="POST",
+        url="http://localhost:4566/",
+        headers={},
+        payload=b"{}",
+        credentials=CREDS,
+        region="us-east-1",
+        amz_date="20150830T123600Z",
+        service="kinesis",
+    )
+    assert out["host"] == "localhost:4566"
+    default = sign_request(
+        method="POST",
+        url="https://kinesis.us-east-1.amazonaws.com:443/",
+        headers={},
+        payload=b"{}",
+        credentials=CREDS,
+        region="us-east-1",
+        amz_date="20150830T123600Z",
+    )
+    assert default["host"] == "kinesis.us-east-1.amazonaws.com"
+
+
+def test_partial_failure_extraction_kinesis_firehose_es():
+    """PutRecords / PutRecordBatch / _bulk all return 200 with per-record
+    failures in the body; the sinks must extract exactly the failed
+    subset."""
+    from flinkrunner_spark.sinks.factory import (
+        ElasticsearchSinkConfig,
+        FirehoseSinkConfig,
+        KinesisSinkConfig,
+    )
+
+    recs = [{"Data": "a"}, {"Data": "b"}, {"Data": "c"}]
+    ksink = KinesisSinkConfig("s", {"connector": "kinesis"})
+    ok = {"FailedRecordCount": 0, "Records": [{}, {}, {}]}
+    assert ksink.failed_records(ok, recs) == []
+    partial = {
+        "FailedRecordCount": 2,
+        "Records": [
+            {"SequenceNumber": "1"},
+            {"ErrorCode": "ProvisionedThroughputExceededException"},
+            {"ErrorCode": "InternalFailure"},
+        ],
+    }
+    assert ksink.failed_records(partial, recs) == recs[1:]
+
+    fsink = FirehoseSinkConfig("s", {"connector": "firehose"})
+    fresp = {
+        "FailedPutCount": 1,
+        "RequestResponses": [{"RecordId": "x"}, {"ErrorCode": "Throttled"}, {}],
+    }
+    assert fsink.failed_records(fresp, recs) == [recs[1]]
+
+    pairs = [("a1", "d1"), ("a2", "d2")]
+    bulk_ok = {"errors": False, "items": [{}, {}]}
+    assert ElasticsearchSinkConfig.failed_actions(bulk_ok, pairs) == []
+    bulk_bad = {
+        "errors": True,
+        "items": [
+            {"index": {"status": 201}},
+            {"index": {"status": 429, "error": {"type": "es_rejected"}}},
+        ],
+    }
+    assert ElasticsearchSinkConfig.failed_actions(bulk_bad, pairs) == [pairs[1]]
+
+
+def test_post_with_partial_retry_retries_only_failed_subset():
+    """The retry loop re-POSTs only the failed records with backoff, and
+    raises (never drops) when retries exhaust."""
+    import json
+
+    import pytest
+
+    from flinkrunner_spark.sinks.factory import post_with_partial_retry
+
+    posted, slept = [], []
+    # fail record 'b' once, then succeed
+    state = {"calls": 0}
+
+    def post(body):
+        posted.append(json.loads(body))
+        state["calls"] += 1
+        recs = posted[-1]["Records"]
+        if state["calls"] == 1:
+            return {
+                "FailedRecordCount": 1,
+                "Records": [
+                    {} if r["Data"] != "b" else {"ErrorCode": "Throttled"}
+                    for r in recs
+                ],
+            }
+        return {"FailedRecordCount": 0, "Records": [{}] * len(recs)}
+
+    def failed(resp, records):
+        if not resp.get("FailedRecordCount"):
+            return []
+        return [
+            r
+            for r, st in zip(records, resp["Records"])
+            if st.get("ErrorCode")
+        ]
+
+    recs = [{"Data": "a"}, {"Data": "b"}, {"Data": "c"}]
+    post_with_partial_retry(
+        post,
+        recs,
+        lambda rs: json.dumps({"Records": rs}).encode(),
+        failed,
+        max_retries=3,
+        backoff_s=0.5,
+        sleep=slept.append,
+    )
+    assert [len(p["Records"]) for p in posted] == [3, 1]
+    assert posted[1]["Records"] == [{"Data": "b"}]
+    assert slept == [0.5]
+
+    # permanent failure: raises after max_retries, with backoff doubling
+    slept.clear()
+    with pytest.raises(RuntimeError, match="still failing"):
+        post_with_partial_retry(
+            lambda body: {
+                "FailedRecordCount": 1,
+                "Records": [{"ErrorCode": "Boom"}],
+            },
+            [{"Data": "x"}],
+            lambda rs: json.dumps({"Records": rs}).encode(),
+            failed,
+            max_retries=2,
+            backoff_s=0.1,
+            sleep=slept.append,
+        )
+    assert slept == [0.1, 0.2]
