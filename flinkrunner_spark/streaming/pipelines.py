@@ -175,6 +175,7 @@ def streaming_dedup_keep_first(
     events: DataFrame,
     key_cols: list[str] | None = None,
     num_buckets: int = 64,
+    ttl_sec: float | None = None,
 ) -> DataFrame:
     """Stateful keep-first dedup (exact semantics of the reference's dedup
     filter), BUCKETED: state is keyed by a hash bucket of the dedup key,
@@ -190,21 +191,34 @@ def streaming_dedup_keep_first(
     bucket count should scale with key cardinality (buckets ≈ keys /
     ~100k keeps each blob small and the state store parallel — buckets
     are spread across state partitions). For bounded state at unbounded
-    key cardinality, use streaming_dedup_sbf (same bucketed shape, SBF
-    cells as the blob).
+    key cardinality there are two levers: ``ttl_sec`` bounds the blob by
+    the key cardinality of one TTL horizon — entries refresh their
+    event-time stamp on every sighting and evict once the bucket's
+    event-time clock (max ts seen) passes ``last_seen + ttl`` (the
+    Flink-StateTtlConfig-on-keyed-dedup-state pattern: a duplicate
+    arriving more than a TTL after its key was last seen re-emits, the
+    documented trade of the exact form) — or streaming_dedup_sbf (same
+    bucketed shape, fixed-size SBF cells as the blob) for constant
+    memory with probabilistic drops. The default (``ttl_sec=None``)
+    keeps exact unbounded semantics: it is the oracle mirror.
     """
     key_cols = key_cols or ["user_id", "event_type"]
     # emit exactly the input columns — callers prune unused (fat) columns
     # BEFORE the keyed shuffle so they never ride the Arrow channel
     out_schema = events.schema
     state_schema = "seen binary"
+    ttl_us = None if ttl_sec is None else int(ttl_sec * 1_000_000)
 
     def fn(key, pdfs, state: GroupState):
         import pickle
 
         import pandas as pd
 
-        seen = pickle.loads(state.get[0]) if state.exists else set()
+        # state blob: {key_tuple: last_seen_event_ts_us} (a plain set
+        # when ttl is off — half the bytes, same membership test)
+        seen = pickle.loads(state.get[0]) if state.exists else (
+            {} if ttl_us is not None else set()
+        )
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return iter(())
@@ -217,8 +231,19 @@ def streaming_dedup_keep_first(
             .drop_duplicates(subset=key_cols, keep="first")
         )
         keys = [tuple(t) for t in pdf[key_cols].itertuples(index=False)]
-        fresh = pd.Series([k not in seen for k in keys], index=pdf.index)
-        seen.update(k for k, f in zip(keys, fresh) if f)
+        if ttl_us is None:
+            fresh = pd.Series([k not in seen for k in keys], index=pdf.index)
+            seen.update(k for k, f in zip(keys, fresh) if f)
+        else:
+            stamps = (pdf["ts"].astype("int64") // 1000).tolist()
+            # advance the bucket's event-time clock, EVICT, then test —
+            # a key whose last sighting fell off the horizon re-emits
+            clock = max(stamps + list(seen.values()))
+            seen = {k: t for k, t in seen.items() if t >= clock - ttl_us}
+            fresh = pd.Series([k not in seen for k in keys], index=pdf.index)
+            for k, t in zip(keys, stamps):  # refresh on EVERY sighting
+                prev = seen.get(k)
+                seen[k] = t if prev is None else max(prev, t)
         state.update((pickle.dumps(seen),))
         yield pdf.loc[fresh].drop(columns=["_bucket"])
 

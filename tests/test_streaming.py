@@ -56,6 +56,59 @@ def test_streaming_dedup_keep_first(spark, events_stream):
     )
 
 
+def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
+    """ttl_sec bounds the exact-dedup seen-set by one TTL horizon: a key
+    whose last sighting fell off the horizon is EVICTED (its next
+    arrival re-emits — the documented trade of TTL'd exact dedup), while
+    a key still inside the horizon keeps deduplicating. Without ttl the
+    same stream stays fully deduplicated."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from flinkrunner_spark.streaming import pipelines as P
+
+    def mkstream(src):
+        return (
+            spark.readStream.schema("ts timestamp, event_id long, k string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    def write(src, rows):
+        (
+            spark.createDataFrame(rows, "ts string, event_id long, k string")
+            .select(F.col("ts").cast("timestamp"), "event_id", "k")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(1.1)
+
+    batches = [
+        # A last seen 10:00, B last seen 11:30
+        [("2024-01-01 10:00:00", 1, "A"), ("2024-01-01 11:30:00", 2, "B")],
+        # clock -> 12:00: A (10:00) is beyond the 1h horizon -> evicted,
+        # re-emitted; B (11:30) is inside -> still a duplicate, dropped
+        [("2024-01-01 12:00:00", 3, "A"), ("2024-01-01 12:00:00", 4, "B")],
+    ]
+    for name, ttl, expect in [
+        ("ttl", 3600.0, [1, 2, 3]),
+        ("nottl", None, [1, 2]),
+    ]:
+        src = str(tmp_path / f"dd_{name}")
+        for rows in batches:
+            write(src, rows)
+        got = P.run_to_memory(
+            spark,
+            P.streaming_dedup_keep_first(
+                mkstream(src), key_cols=["k"], num_buckets=1, ttl_sec=ttl
+            ),
+            f"t_dedup_{name}",
+        )
+        assert sorted(r["event_id"] for r in got.collect()) == expect
+
+
 def test_streaming_dedup_sbf_invariants(spark, events_stream):
     """SBF streaming dedup on a key with real duplicates: no false
     negatives (no key passes twice at this tiny fill level, where the
