@@ -432,6 +432,138 @@ def write_avro_files(
     return int(total or 0)
 
 
+def _local_path(p: str) -> str:
+    """binaryFile yields file URIs; block decode opens with plain open()."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
+def _avro_decode_splits(parsed: dict):
+    """mapInPandas fn: (path, offset, length, codec, sync_hex) split rows
+    -> decoded records. Each task reads ONLY its block's byte range."""
+    names = [n for n, _ in parsed["fields"]]
+
+    def fn(it):
+        import pandas as pd
+
+        from flinkrunner_spark.serde import avro_codec as _AC
+
+        for pdf in it:
+            recs = []
+            for p, off, ln, codec, sync_hex in zip(
+                pdf["path"], pdf["offset"], pdf["length"],
+                pdf["codec"], pdf["sync_hex"],
+            ):
+                recs.extend(
+                    _AC.decode_container_block(
+                        _local_path(p), int(off), int(ln),
+                        parsed, codec, bytes.fromhex(sync_hex),
+                    )
+                )
+            out = pd.DataFrame(recs, columns=names)
+            for c in out.columns:
+                out[c] = out[c].astype(object)
+            yield out
+
+    return fn
+
+
+def _first_avro_header(path: str):
+    """(file list, parsed schema of the first file) for a dir-or-file
+    path — schema inference for the split readers (all files must share
+    the schema, as with the whole-file reader)."""
+    import glob as _glob
+    import os
+
+    p = _local_path(path)
+    files = sorted(_glob.glob(os.path.join(p, "*.avro"))) if os.path.isdir(p) else [p]
+    if not files:
+        raise ValueError(f"no avro files under {path}")
+    with open(files[0], "rb") as f:
+        parsed, _, _, _ = AC.read_container_header(f)
+    return files, parsed
+
+
+def read_avro_files_split(spark, path: str) -> DataFrame:
+    """Split-aware no-jar avro reader: the driver seek-walks each file's
+    sync-marker block index (~40 bytes of IO per block — the same
+    enumeration cost the jar's split-aware reader pays at planning time),
+    builds a (file, offset, length) split frame, and executors decode
+    blocks IN PARALLEL, each reading only its own byte range — one big
+    multi-block container no longer serializes through a single
+    whole-file parse. Same POSIX-FS assumption as ``write_avro_files``;
+    schema comes from the first file's header."""
+    files, parsed = _first_avro_header(path)
+    rows = []
+    for f in files:
+        _, codec, sync, blocks = AC.enumerate_container_blocks(f)
+        rows.extend((f, off, ln, codec, sync.hex()) for off, ln, _ in blocks)
+    if not rows:
+        return spark.createDataFrame([], _spark_ddl_for_avro(parsed))
+    splits = spark.createDataFrame(
+        rows, "path string, offset long, length long, codec string, sync_hex string"
+    ).repartition(min(len(rows), spark.sparkContext.defaultParallelism))
+    return splits.mapInPandas(
+        _avro_decode_splits(parsed), schema=_spark_ddl_for_avro(parsed)
+    )
+
+
+def read_avro_stream(spark, path: str) -> DataFrame:
+    """STREAMING no-jar avro source: binaryFile discovers new files
+    (pruned to path/length — content is never shipped through the scan),
+    an executor-side stage seek-walks each new file's sync-marker block
+    index, a stateless repartition spreads the blocks, and a second
+    stage decodes each block from its own byte range — so one large
+    container file landing in the directory becomes parallel block
+    decodes, not one whole-file parse on a single task. Requires at
+    least one existing file for schema inference (the usual streaming
+    file-source schema requirement); local/shared-FS paths, like the
+    batch fallback."""
+    _, parsed = _first_avro_header(path)
+
+    def enum(it):
+        import pandas as pd
+
+        from flinkrunner_spark.serde import avro_codec as _AC
+
+        for pdf in it:
+            rows = []
+            for p in pdf["path"]:
+                lp = _local_path(p)
+                _, codec, sync, blocks = _AC.enumerate_container_blocks(lp)
+                rows.extend(
+                    (lp, off, ln, codec, sync.hex()) for off, ln, _ in blocks
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "offset", "length", "codec", "sync_hex"],
+            )
+
+    discovered = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed; streaming sources demand it
+        # explicitly. Only `path` is selected, so the scan never
+        # materializes `content` (v1 FileFormat column pruning).
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("path")
+    )
+    splits = discovered.mapInPandas(
+        enum,
+        schema="path string, offset long, length long, codec string, sync_hex string",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return splits.mapInPandas(
+        _avro_decode_splits(parsed), schema=_spark_ddl_for_avro(parsed)
+    )
+
+
 def read_avro_files(spark, path: str) -> DataFrame:
     """Read Avro object container files via ``binaryFile`` + the Python
     codec (fallback source; files parse whole — the jar path splits on

@@ -305,9 +305,12 @@ def write_container(
     records,
     codec: str = "null",
     sync_salt: str = "",
+    max_block_records: int | None = None,
 ) -> bytes:
-    """Serialize records into one Avro OCF byte string (single block —
-    callers control file/block granularity by how they batch records)."""
+    """Serialize records into one Avro OCF byte string.
+    ``max_block_records=None`` emits a single block; a value chunks the
+    records into sync-marker-delimited blocks of at most that many rows —
+    the unit the split-aware reader parallelizes over."""
     import zlib
 
     if isinstance(schema, str):
@@ -329,30 +332,29 @@ def write_container(
     _write_long(out, 0)  # metadata map terminator
     out += sync
 
-    body = bytearray()
-    n = 0
-    for rec in records:
-        body += encode_record(parsed, rec)
-        n += 1
-    data = bytes(body)
-    if codec == "deflate":  # raw DEFLATE, no zlib header (per spec)
-        comp = zlib.compressobj(wbits=-15)
-        data = comp.compress(data) + comp.flush()
-    if n:
-        _write_long(out, n)
+    recs = list(records)
+    step = len(recs) if max_block_records is None else max(1, max_block_records)
+    for start in range(0, len(recs), step) if recs else ():
+        chunk = recs[start : start + step]
+        body = bytearray()
+        for rec in chunk:
+            body += encode_record(parsed, rec)
+        data = bytes(body)
+        if codec == "deflate":  # raw DEFLATE, no zlib header (per spec)
+            comp = zlib.compressobj(wbits=-15)
+            data = comp.compress(data) + comp.flush()
+        _write_long(out, len(chunk))
         _write_long(out, len(data))
         out += data
         out += sync
     return bytes(out)
 
 
-def read_container(blob) -> tuple[dict, list[dict]]:
-    """Parse one Avro OCF byte string -> (parsed schema, records).
-    Handles multi-block files (e.g. written by the Java DataFileWriter)
-    and the null/deflate codecs."""
-    import zlib
-
-    buf = memoryview(bytes(blob))
+def parse_container_header(buf) -> tuple[dict, str, bytes, int]:
+    """Parse an OCF header prefix -> (parsed schema, codec, sync marker,
+    header length in bytes). Raises IndexError when ``buf`` is too short
+    (callers reading from a file grow the prefix and retry)."""
+    buf = memoryview(bytes(buf))
     if bytes(buf[:4]) != OCF_MAGIC:
         raise ValueError("not an avro object container file")
     pos = 4
@@ -372,9 +374,91 @@ def read_container(blob) -> tuple[dict, list[dict]]:
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec: {codec}")
-    parsed = parse_schema(schema)
+    if pos + 16 > len(buf):
+        raise IndexError("header truncated before sync marker")
     sync = bytes(buf[pos : pos + 16])
-    pos += 16
+    return parse_schema(schema), codec, sync, pos + 16
+
+
+def read_container_header(f) -> tuple[dict, str, bytes, int]:
+    """Incrementally parse the header from an open binary file — reads a
+    growing prefix (4 KiB doubling) instead of the whole file, so header
+    inspection of a multi-GB container costs a few KiB of IO."""
+    size = 4096
+    while True:
+        f.seek(0)
+        head = f.read(size)
+        try:
+            return parse_container_header(head)
+        except (IndexError, struct.error):
+            if len(head) < size:  # whole file read and still truncated
+                raise ValueError("truncated avro container header") from None
+            size *= 2
+
+
+def enumerate_container_blocks(
+    fpath: str,
+) -> tuple[dict, str, bytes, list[tuple[int, int, int]]]:
+    """Seek-walk a container's block index -> (parsed schema, codec,
+    sync, [(offset, length, n_records), ...]) reading ~40 bytes per block
+    (two varint headers + the trailing sync check) — the no-jar analog of
+    the jar reader's sync-marker split enumeration. Each (offset, length)
+    slice is independently decodable via ``decode_container_block``."""
+    import os
+
+    fsize = os.path.getsize(fpath)
+    blocks: list[tuple[int, int, int]] = []
+    with open(fpath, "rb") as f:
+        parsed, codec, sync, pos = read_container_header(f)
+        while pos < fsize:
+            f.seek(pos)
+            head = memoryview(f.read(20))  # two varints, <=10 bytes each
+            n, p = _read_long(head, 0)
+            size, p = _read_long(head, p)
+            end = pos + p + size + 16
+            f.seek(end - 16)
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt container)")
+            blocks.append((pos, end - pos, n))
+            pos = end
+    return parsed, codec, sync, blocks
+
+
+def decode_container_block(
+    fpath: str, offset: int, length: int, parsed: dict, codec: str, sync: bytes
+) -> list[dict]:
+    """Decode ONE block slice produced by ``enumerate_container_blocks``
+    — opens, seeks, reads ``length`` bytes; never touches the rest of the
+    file (parallel-decode unit for the split-aware reader)."""
+    import zlib
+
+    with open(fpath, "rb") as f:
+        f.seek(offset)
+        buf = memoryview(f.read(length))
+    n, pos = _read_long(buf, 0)
+    size, pos = _read_long(buf, pos)
+    data = bytes(buf[pos : pos + size])
+    if bytes(buf[pos + size : pos + size + 16]) != sync:
+        raise ValueError("sync marker mismatch (corrupt container)")
+    if codec == "deflate":
+        data = zlib.decompress(data, wbits=-15)
+    out: list[dict] = []
+    dview = memoryview(data)
+    dpos = 0
+    for _ in range(n):
+        rec, dpos = _decode_record_at(parsed, dview, dpos)
+        out.append(rec)
+    return out
+
+
+def read_container(blob) -> tuple[dict, list[dict]]:
+    """Parse one Avro OCF byte string -> (parsed schema, records).
+    Handles multi-block files (e.g. written by the Java DataFileWriter)
+    and the null/deflate codecs."""
+    import zlib
+
+    buf = memoryview(bytes(blob))
+    parsed, codec, sync, pos = parse_container_header(buf)
 
     records: list[dict] = []
     total = len(buf)

@@ -84,15 +84,14 @@ class FileSourceConfig(SourceConfig):
                 # falls back; schema/path/permission errors propagate
                 if not _serde.avro_datasource_missing(e):
                     raise
+                # no-jar fallback: sync-marker split enumeration + parallel
+                # block decode (streaming discovers files via binaryFile,
+                # batch enumerates driver-side)
                 if self.streaming:
-                    raise RuntimeError(
-                        "streaming avro file source needs the spark-avro "
-                        "jar (the python-codec fallback is batch-only)"
-                    ) from e
-                from flinkrunner_spark import serde
-
-                # no-jar fallback: binaryFile + the pure-Python OCF codec
-                return serde.read_avro_files(spark, path)
+                    return self._apply_watermark(
+                        _serde.read_avro_stream(spark, path)
+                    )
+                return _serde.read_avro_files_split(spark, path)
         return self._apply_watermark(reader.load(path))
 
 
