@@ -62,7 +62,9 @@ def main() -> None:
             if name == "docs_pipeline":
                 # the composed pipeline must pay its own signature/CC
                 # computation, not read its predecessors' persisted frames
-                llm_dedup.release_caches()
+                # (dedup-family only: the similarity caches share nothing
+                # with the pipeline's stages and belong to other keys)
+                llm_dedup.release_caches(include_similarity=False)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -82,7 +84,31 @@ def main() -> None:
         out["queries_warm"] = warm
         out["value_warm"] = round(sum(warm.values()), 3)
     line = json.dumps(out)
-    print(line)
+
+    # stdout contract: the driver captures only the LAST ~2000 chars of
+    # stdout, so a full 88-query line truncates at the FRONT and fails to
+    # parse (BENCH_r02-r04 all recorded parsed: null). Print a compact
+    # line that fits whole: headline numbers + the slowest cold queries,
+    # as many as fit the budget; the full per-query maps live in the
+    # committed BENCH_LOCAL_r{N}.json artifact either way.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(cold),
+        "full_map": "BENCH_LOCAL_r{N}.json (committed in-repo)",
+    }
+    if "value_warm" in out:
+        compact["value_warm"] = out["value_warm"]
+    compact["queries"] = {}
+    for name, sec in sorted(cold.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = round(sec, 2)
+        if len(json.dumps(compact)) > 1700:
+            del compact["queries"][name]
+            break
+    compact["queries_shown"] = len(compact["queries"])
+    print(json.dumps(compact))
 
     repo = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")

@@ -105,18 +105,25 @@ def _evict_stale(spark: SparkSession) -> None:
             del cache[key]
 
 
-def release_caches(sf_dir: str | None = None) -> None:
+def release_caches(
+    sf_dir: str | None = None, include_similarity: bool = True
+) -> None:
     """Unpersist signature frames and evict memoized cluster frames.
 
     ``sf_dir=None`` releases everything; otherwise only that corpus.
     Cluster frames are localCheckpoint-backed — their blocks are freed
-    eagerly rather than waiting on the JVM ContextCleaner. Also drains
-    the similarity-family caches (RH-LSH codes, centroids) so one call
-    keeps a whole bench pass honest."""
-    from flinkrunner_spark.llm import similarity
+    eagerly rather than waiting on the JVM ContextCleaner. By default
+    also drains the similarity-family caches (RH-LSH codes, centroids,
+    kmeans assignment) so one call keeps a whole bench pass honest;
+    ``include_similarity=False`` scopes the release to the dedup family
+    (bench uses it before docs_pipeline, whose stages share nothing with
+    the similarity caches)."""
     from flinkrunner_spark.operators.graph import _free_checkpoint
 
-    similarity.release_caches(sf_dir)
+    if include_similarity:
+        from flinkrunner_spark.llm import similarity
+
+        similarity.release_caches(sf_dir)
 
     for key in [k for k in _SIG_CACHE if sf_dir is None or k[1] == sf_dir]:
         try:
