@@ -530,9 +530,39 @@ def dup_pairs_blas(
 
 
 # (applicationId, sf_dir, n_cells) -> (assigned frame, centroid frame).
-# The fit is iterative (KMeans) — memoizing means one training run per
-# corpus per session; released with the other similarity caches.
+# Memoized so training + the assignment scan run once per corpus per
+# session; released with the other similarity caches.
 _KMEANS_CACHE: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
+
+KMEANS_SAMPLE_CAP = 65536  # training-sample bound — fixed wrt corpus size
+KMEANS_ITERS = 20
+
+
+def _lloyds(sample, k: int, iters: int = KMEANS_ITERS):
+    """Deterministic Lloyd's k-means over an in-memory sample (numpy).
+
+    Init: k rows strided evenly through the hash-ordered sample (no RNG —
+    same centroids every run). Iterate: assign by squared euclidean
+    (lowest cell on ties), recenter; an emptied cell keeps its previous
+    centroid. Fixed ``iters`` sweeps — the bounded, reproducible form of
+    the fit (MLlib's KMeans ran 2 scheduled jobs per iteration, ~11 s of
+    pure scheduling overhead on a corpus this size; the sample here is
+    capped, so the fit is O(cap·dim·k·iters) flops regardless of corpus
+    scale — exactly how production IVF indexes train their coarse
+    quantizers, faiss trains on ~256k sampled vectors at any corpus
+    size)."""
+    import numpy as np
+
+    n = len(sample)
+    cents = sample[[(i * n) // k for i in range(k)]].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin takes the FIRST (lowest) cell on ties
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
 
 
 def _kmeans_assigned(
@@ -541,13 +571,15 @@ def _kmeans_assigned(
     """Learned-quantizer internals: (corpus with a ``prediction`` cell
     column — persisted, and the (cell, centroid) table as a DATAFRAME).
 
-    The quantizer is KMeans (pyspark.ml — distributed Lloyd's; at 100 TB
-    train on a sample, assignment stays a parallel scan). The centroid
-    table is n_cells × dim doubles — driver-held only as the fitted
-    model's coefficients (inherent to the estimator API), re-exposed as a
-    one-copy broadcastable frame so probe selection stays JVM-side."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    100 TB shape: the quantizer trains driver-side on a DETERMINISTIC
+    BOUNDED SAMPLE (top-``KMEANS_SAMPLE_CAP`` rows by md5(vec_id) —
+    a TakeOrdered, one pass, no full sort; cap fixed as the corpus
+    grows), and full-corpus assignment is a ZERO-SHUFFLE broadcast
+    argmin-fold projection — the same one-row-of-centroids trick as
+    ``docs_cluster_assign``, embarrassingly parallel at any scale. The
+    n_cells × dim centroid table re-exposes as a broadcastable frame so
+    probe selection stays JVM-side."""
+    import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir, n_cells)
     _evict_stale(spark)
@@ -555,13 +587,42 @@ def _kmeans_assigned(
     if cached is not None:
         return cached
     emb = _emb(spark, sf_dir)
-    vecs = emb.withColumn("features", array_to_vector(as_double("embedding")))
-    model = KMeans(k=n_cells, seed=42, maxIter=20).fit(vecs)
-    assigned = model.transform(vecs).drop("features").persist()
+    sample_rows = (
+        emb.select("vec_id", as_double("embedding").alias("e"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KMEANS_SAMPLE_CAP)
+        .collect()
+    )
+    sample = np.array([r["e"] for r in sample_rows], dtype=np.float64)
+    cents_np = _lloyds(sample, n_cells)
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
         "cell int, centroid array<double>",
     )
+    # one broadcast row of all centroids; per-row argmin distance as an
+    # array fold — strict < keeps the first (lowest) cell on exact ties,
+    # matching numpy argmin above
+    carr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents_np
+    ])
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(as_double("embedding"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    best = F.aggregate(
+        F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cell")
+        ),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )
+    assigned = emb.withColumn("prediction", best["cell"]).persist()
     _KMEANS_CACHE[key] = (assigned, cents)
     return assigned, cents
 
