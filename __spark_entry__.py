@@ -31,38 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-4 rotation: the two
-    # r2-stale keys first, then the six NEW curation/similarity ops, then
-    # every key in a file touched this round — llm/dedup.py (LSH bucket
-    # cap), operators/graph.py (lazy-checkpoint CC), llm/similarity.py
-    # (additions), llm/text.py + llm/pipeline.py (fused projection), and
-    # streaming/pipelines.py (state-partition default) which makes ALL
-    # stream_* mirrors re-verify. The tail holds only keys whose files
-    # have zero changed lines since their last green row (q1-q20 etc.,
-    # green in r2, analytics.py untouched since).
+    # (insertion order) of this dict each round. Round-5 rotation: the
+    # five NEW ops first (vocabulary, tf-idf, stratified sampling,
+    # sequence packing, semantic dedup), then every key whose
+    # implementation file changed since the r4 rows — llm/similarity.py
+    # (sampled-Lloyd's quantizer, RH-LSH cap, bounded centroid fold),
+    # llm/dedup.py, llm/text.py + llm/pipeline.py (new ops share these
+    # files), and streaming/pipelines.py (TTL dedup option) which makes
+    # ALL stream_* mirrors re-verify. The tail holds only keys whose
+    # files have zero changed lines since their last green row
+    # (curation/multimodal r4, analytics/aggregates r2-r3).
     return {
-        # —— stale: last green row predates the code change (VERDICT r3 #2) ——
-        "docs_pipeline": pipeline.docs_pipeline,
-        "docs_simhash": llm_dedup.docs_simhash,
-        # —— NEW this round: curation + similarity extensions ——
-        "docs_decontaminate": curation.docs_decontaminate,
-        "docs_pii_redact": curation.docs_pii_redact,
-        "docs_repetition": curation.docs_repetition,
-        "docs_cluster_assign": similarity.docs_cluster_assign,
-        "emb_knn_join": similarity.emb_knn_join,
-        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
-        # —— llm/dedup.py + operators/graph.py changed: whole family ——
-        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
-        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
-        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
-        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
-        # —— llm/text.py changed (column builders for the fused pipeline) ——
-        "docs_tokens": llm_text.docs_tokens,
-        "docs_langid": llm_text.docs_langid,
-        "docs_quality": llm_text.docs_quality,
-        "docs_fingerprint": llm_text.docs_fingerprint,
-        "docs_split": pipeline.docs_split,
-        # —— llm/similarity.py changed ——
+        # —— NEW this round ——
+        "docs_topk_ngrams": llm_text.docs_topk_ngrams,
+        "docs_tfidf": llm_text.docs_tfidf,
+        "docs_stratified_sample": pipeline.docs_stratified_sample,
+        "docs_pack_sequences": pipeline.docs_pack_sequences,
+        "emb_semantic_dedup": similarity.emb_semantic_dedup,
+        # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
@@ -70,6 +56,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
+        "docs_cluster_assign": similarity.docs_cluster_assign,
+        "emb_knn_join": similarity.emb_knn_join,
+        # —— llm/dedup.py changed (shared sig-frame lifecycle) ——
+        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
+        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
+        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "docs_simhash": llm_dedup.docs_simhash,
+        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
+        # —— llm/text.py + llm/pipeline.py changed (new ops live there) ——
+        "docs_tokens": llm_text.docs_tokens,
+        "docs_langid": llm_text.docs_langid,
+        "docs_quality": llm_text.docs_quality,
+        "docs_fingerprint": llm_text.docs_fingerprint,
+        "docs_split": pipeline.docs_split,
+        "docs_pipeline": pipeline.docs_pipeline,
         # —— streaming/pipelines.py changed (state partitions): all mirrors ——
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
@@ -88,17 +90,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
-        # —— oldest green rows (r2) with unchanged code — fill to 50 ——
+        # —— r4-green with unchanged code (llm/curation.py, multimodal.py
+        # untouched this round) — fill to 50 ——
+        "docs_decontaminate": curation.docs_decontaminate,
+        "docs_pii_redact": curation.docs_pii_redact,
+        "docs_repetition": curation.docs_repetition,
         "mm_meta": multimodal.mm_meta,
         "mm_frames": multimodal.mm_frames,
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
         "dedup_sbf_check": events.dedup_sbf_check,
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,
         "q3_shipping": analytics.q3_shipping,
         "q4_priority": analytics.q4_priority,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
         "q5_supplier": analytics.q5_supplier,
         "q6_forecast": analytics.q6_forecast,
         "q7_volume": analytics.q7_volume,

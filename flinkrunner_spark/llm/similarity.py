@@ -814,6 +814,73 @@ def docs_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector that has a near-duplicate with a lower id —
+    the published recipe for pruning semantically redundant web data
+    before pretraining (the paper removes ~50% of LAION with no quality
+    loss).
+
+    Stages, all reusing oracled machinery:
+    1. assignment — nearest deterministic centroid by cosine (the
+       ``docs_cluster_assign`` broadcast argmax fold: zero shuffle);
+    2. within-cluster pairs — self-join ON THE CLUSTER KEY with norms
+       precomputed per row (the ``emb_dup_pairs`` shape; cost
+       Σ cluster², never n² — at 100 TB the cluster count scales with
+       the corpus via the kmeans quantizer, holding cluster size ~
+       corpus/k bounded, which is exactly the paper's k ∝ n setting);
+    3. keep-lowest — a vector is dropped iff some LOWER-id vector in its
+       cluster has cosine ≥ threshold (left-semi on the drop set,
+       broadcast when small).
+
+    Output: every vector with its cluster and a ``keep`` flag — the
+    audit-friendly form (filter keep for the surviving corpus). EXACTLY
+    oracled end-to-end: centroids, assignment, pair cosines (rounded 6)
+    and the drop set are all deterministic."""
+    assigned = docs_cluster_assign(spark, sf_dir).select(
+        "vec_id", "assigned_label"
+    )
+    emb = _emb(spark, sf_dir)
+    normed = (
+        emb.select("vec_id", as_double("embedding").alias("e"))
+        .join(assigned, "vec_id")
+        .withColumn("nrm", dot(F.col("e"), F.col("e")))
+    )
+    a = normed.select(
+        F.col("assigned_label").alias("c"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("assigned_label").alias("c"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, ["c"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "assigned_label",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 KNN_JOIN_K = 5
 KNN_JOIN_STRIDE = 25  # query set: vec_id % STRIDE == 0
 

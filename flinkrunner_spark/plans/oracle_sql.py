@@ -1346,3 +1346,115 @@ SELECT COUNT(*) AS n_buckets,
   CAST(SUM(CASE WHEN n > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets
 FROM sizes
 """
+
+# ——— round 5: vocabulary / tf-idf / sampling / packing / semantic dedup ———
+# Each mirrors its llm/ operator expression-for-expression (md5 buckets,
+# integer-exact ratios, left-fold dot products, rank on ROUNDED scores).
+
+ORACLES["docs_topk_ngrams"] = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS ngram, 1 AS n FROM t),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS ngram, 2 AS n
+  FROM t WHERE len(toks) >= 2
+),
+c AS (
+  SELECT n, ngram, COUNT(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+  GROUP BY n, ngram
+)
+SELECT CAST(n AS INTEGER) AS n, ngram, cnt
+FROM c ORDER BY cnt DESC, n, ngram LIMIT 100
+"""
+
+ORACLES["docs_tfidf"] = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+ntok AS (SELECT doc_id, SUM(tf) AS n_tok FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    {_r6("(tf.tf / ntok.n_tok) * (nd.n_docs / df.df)")} AS score
+  FROM tf JOIN ntok USING (doc_id) JOIN df USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, score, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, term, tf, df, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM sc) t
+WHERE rk <= 3
+"""
+
+_STRATA_RATE = (
+    "CASE lang WHEN 'de' THEN 10000 WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 "
+    "WHEN 'fr' THEN 2500 WHEN 'zh' THEN 10000 ELSE 1000 END"
+)
+
+def _hex8_to_long(hx: str) -> str:
+    """First-8-hex-chars → BIGINT via the digit-sum parse (same idiom as
+    the docs_split oracle — duckdb-version-proof, no from_hex/BLOB)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, 8), "
+        f"i -> (instr('0123456789abcdef', substring({hx}, CAST(i AS INT), 1)) - 1) "
+        f"* CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
+    )
+
+
+ORACLES["docs_stratified_sample"] = f"""
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang,
+    {_hex8_to_long("md5(CAST(doc_id AS VARCHAR) || ':strata:v1')")}
+      % 10000 AS bucket,
+    {_STRATA_RATE} AS rate
+  FROM documents) t
+WHERE bucket < rate
+"""
+
+ORACLES["docs_pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR) || ':pack:v1') AS h,
+    {_hex8_to_long("md5(CAST(doc_id AS VARCHAR) || ':pack:v1')")}
+      % 64 AS shard,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+      AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens
+FROM (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base) t
+"""
+
+ORACLES["emb_semantic_dedup"] = f"""
+WITH cent AS ({_CENT_FOLD}),
+sc AS (
+  SELECT e.vec_id, c.label AS clabel,
+    {_r6(f"{_DOT_EC} / SQRT({_EE} * {_CC})")} AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, clabel AS assigned_label FROM (
+    SELECT vec_id, clabel,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+    FROM sc) r WHERE rn = 1
+),
+m AS (
+  SELECT g.assigned_label, e.vec_id, e.embedding
+  FROM asg g JOIN embeddings e USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id FROM m a JOIN m b
+    ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+  WHERE {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} >= 0.35
+)
+SELECT g.vec_id, g.assigned_label, (d.vec_id IS NULL) AS keep
+FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+"""
