@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": pipeline.docs_stratified_sample,
         "docs_pack_sequences": pipeline.docs_pack_sequences,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
+        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

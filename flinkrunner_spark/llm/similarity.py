@@ -881,6 +881,62 @@ def emb_semantic_dedup(
     )
 
 
+def emb_semantic_dedup_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup over LEARNED quantizer cells — the form whose cluster
+    count actually scales: ``emb_semantic_dedup`` clusters on the fixed
+    label-centroid table (Σ cluster² degrades as the corpus grows past
+    the label count), while here k tracks corpus size through the same
+    sampled-Lloyd's quantizer as ``emb_knn_ivf_kmeans`` (the paper's
+    k ∝ n setting: cluster size ~ n/k stays bounded, so within-cluster
+    pair work stays linear in n).
+
+    Rows-only driver oracle (iterative training, like the other kmeans
+    keys); the full invariant — assignment matches an independent numpy
+    Lloyd's run, kept set pairwise dup-free per cell, every drop
+    justified by a lower-id near-dup — is verified in
+    tests/test_llm_round5.py."""
+    assigned, _ = _kmeans_assigned(spark, sf_dir, n_cells)
+    normed = assigned.select(
+        "vec_id",
+        F.col("prediction").alias("cell"),
+        as_double("embedding").alias("e"),
+    ).withColumn("nrm", dot(F.col("e"), F.col("e")))
+    a = normed.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        normed.select("vec_id", "cell")
+        .join(dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 KNN_JOIN_K = 5
 KNN_JOIN_STRIDE = 25  # query set: vec_id % STRIDE == 0
 

@@ -90,6 +90,46 @@ def test_semantic_dedup_kept_set_is_dup_free(spark):
                 ), b
 
 
+def test_semantic_dedup_kmeans_matches_numpy_mirror(spark):
+    """The learned-quantizer SemDeDup must agree with a full numpy
+    mirror: identical Lloyd's centroids (same bounded sample, same
+    deterministic init), identical cell assignment (first-argmin ties),
+    identical drop set (lower-id near-dup within cell at rounded
+    cosine >= threshold)."""
+    import hashlib
+
+    out = similarity.emb_semantic_dedup_kmeans(spark, SF).toPandas()
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # mirror the hash-ordered bounded sample (orderBy md5(vec_id), vec_id)
+    hkeys = sorted(
+        range(len(ids)),
+        key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
+    )
+    sample = E[hkeys[: similarity.KMEANS_SAMPLE_CAP]]
+    cents = similarity._lloyds(sample, 16)
+    d = ((E[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)
+    got_cell = dict(zip(out["vec_id"], out["cell"]))
+    assert all(got_cell[v] == c for v, c in zip(ids, cell))
+
+    def cos(a, b):
+        return round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+
+    thr = similarity.COSINE_DUP_THRESHOLD
+    vid_ix = {v: j for j, v in enumerate(ids)}
+    expected_drop = set()
+    for c in range(16):
+        members = sorted(ids[cell == c])
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if cos(E[vid_ix[a]], E[vid_ix[b]]) >= thr:
+                    expected_drop.add(b)
+    got_drop = set(out.loc[~out["keep"], "vec_id"])
+    assert got_drop == expected_drop and len(out) == len(ids)
+
+
 def test_tfidf_rank_within_doc(spark):
     """Every doc emits at most TFIDF_TOP rows, ranked 1..k with strictly
     descending (score, -term) order."""
