@@ -1,0 +1,502 @@
+"""Pure-Python Apache Iceberg v2 table support (filesystem/Hadoop-catalog
+layout) — ungates the reference's Iceberg connector without the
+iceberg-spark runtime jar, the same way ``serde/avro_codec.py`` ungated
+avro (reference parity: `model/sink/IcebergSinkConfig.scala:29-114`,
+`model/source/IcebergSourceConfig.scala:28-85`).
+
+Everything here implements the PUBLIC Iceberg table spec
+(https://iceberg.apache.org/spec/ — format version 2). Scope is an
+explicit, honest SUBSET:
+
+* unpartitioned tables, parquet data files, append / overwrite snapshots,
+  schema of primitives + lists of primitives;
+* metadata files: ``vN.metadata.json`` + ``version-hint.text`` (the
+  HadoopTables layout), manifest lists and manifests as Avro OCF written
+  by the byte-level Java-validated codec in ``serde/avro_codec.py``
+  (nested manifest_entry/data_file records included in that validation —
+  tests/test_avro.py::test_nested_record_bytes_match_java);
+* reads resolve version-hint → metadata → current snapshot → manifest
+  list → manifests → live data files, and REFUSE (with a clear error)
+  tables using features outside the subset: delete files (manifest
+  content=1), non-empty partition specs, non-parquet data files — never
+  a silently wrong result;
+* data files are written without parquet field-ids (Spark's writer can't
+  attach them), so the table carries the spec's sanctioned fallback for
+  exactly that case: a ``schema.name-mapping.default`` property mapping
+  column names to field ids.
+
+Commit protocol caveat (documented, not hidden): HadoopTables-style
+commits rely on an atomic rename of ``version-hint.text``; this writer
+does write-temp-then-``os.replace``, which is atomic on POSIX
+filesystems but, like the Java HadoopCatalog, is NOT safe against
+concurrent committers on eventually-consistent object stores — real
+deployments point the jar at a REST/Glue/JDBC catalog for that. The
+on-disk table layout is identical either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flinkrunner_spark.serde import avro_codec as AC
+
+# ---------------------------------------------------------------------------
+# schema conversion (Spark <-> Iceberg JSON)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICE = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",  # Spark TimestampType is UTC-adjusted
+    "timestamp_ntz": "timestamp",
+}
+
+_ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items()}
+
+
+def iceberg_schema_from_spark(schema) -> tuple[dict, int]:
+    """Spark StructType -> (Iceberg schema JSON dict, last-column-id).
+    Field ids are assigned in field order (1..n), then list element ids —
+    the same ordering Iceberg's own assignFreshIds uses for a new table."""
+    fields = []
+    next_id = 1
+    for f in schema.fields:
+        fields.append({"id": next_id, "name": f.name, "required": False})
+        next_id += 1
+    # second pass for types so element-ids come after all column ids
+    for f, jf in zip(schema.fields, fields):
+        t = f.dataType.typeName()
+        if t == "array":
+            el = f.dataType.elementType.typeName()
+            if el not in _SPARK_TO_ICE:
+                raise ValueError(
+                    f"iceberg fallback supports lists of primitives only "
+                    f"(column {f.name!r} is array<{el}>)"
+                )
+            jf["type"] = {
+                "type": "list",
+                "element-id": next_id,
+                "element": _SPARK_TO_ICE[el],
+                "element-required": False,
+            }
+            next_id += 1
+        elif t == "decimal":
+            dt = f.dataType
+            jf["type"] = f"decimal({dt.precision}, {dt.scale})"
+        elif t in _SPARK_TO_ICE:
+            jf["type"] = _SPARK_TO_ICE[t]
+        else:
+            raise ValueError(
+                f"iceberg fallback does not support column {f.name!r} of "
+                f"spark type {t!r}"
+            )
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        next_id - 1,
+    )
+
+
+def spark_ddl_from_iceberg(ice_schema: dict) -> str:
+    """Iceberg schema JSON -> Spark DDL string for reading."""
+    cols = []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            el = t["element"]
+            if el not in _ICE_TO_SPARK:
+                raise ValueError(f"unsupported iceberg list element {el!r}")
+            spark_t = f"array<{_ICE_TO_SPARK[el]}>"
+        elif isinstance(t, str) and t.startswith("decimal"):
+            spark_t = t.replace(" ", "")
+        elif isinstance(t, str) and t in _ICE_TO_SPARK:
+            spark_t = {
+                "integer": "int",
+                "long": "bigint",
+                "timestamp_ntz": "timestamp_ntz",
+            }.get(_ICE_TO_SPARK[t], _ICE_TO_SPARK[t])
+        else:
+            raise ValueError(f"unsupported iceberg type {t!r}")
+        cols.append(f"`{f['name']}` {spark_t}")
+    return ", ".join(cols)
+
+
+def name_mapping(ice_schema: dict) -> list:
+    """The spec's schema.name-mapping.default value: name -> field-id for
+    data files written without parquet field ids (Spark's writer)."""
+    out = []
+    for f in ice_schema["fields"]:
+        ent = {"field-id": f["id"], "names": [f["name"]]}
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            ent["fields"] = [
+                {"field-id": t["element-id"], "names": ["element"]}
+            ]
+        out.append(ent)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# manifest avro schemas (Iceberg spec "Manifests" / "Manifest Lists" —
+# v2-required fields only; optional stat fields are legitimately omitted,
+# readers resolve them to null by field-id schema evolution)
+# ---------------------------------------------------------------------------
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1,
+         "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3,
+         "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "field-id": 4, "default": None},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102",
+                                 "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+CONTENT_DATA = 0
+
+
+class IcebergFsTable:
+    """One filesystem Iceberg v2 table at ``location`` (HadoopTables
+    layout: ``location/data`` + ``location/metadata``)."""
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, "metadata")
+        self.data_dir = os.path.join(self.location, "data")
+
+    # -- metadata plumbing --------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "version-hint.text"))
+
+    def _version(self) -> int:
+        with open(os.path.join(self.meta_dir, "version-hint.text")) as fh:
+            return int(fh.read().strip())
+
+    def metadata(self) -> dict:
+        v = self._version()
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, md: dict, version: int) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(md, fh, indent=1)
+        os.replace(tmp, path)
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = hint + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, hint)  # atomic on POSIX — the commit point
+
+    def _base_metadata(self, ice_schema: dict, last_col: int) -> dict:
+        return {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": self.location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "write.format.default": "parquet",
+                "schema.name-mapping.default": json.dumps(
+                    name_mapping(ice_schema)
+                ),
+            },
+            "current-snapshot-id": -1,
+            "refs": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+
+    def create(self, spark_schema) -> None:
+        if self.exists():
+            raise ValueError(f"iceberg table already exists: {self.location}")
+        ice, last_col = iceberg_schema_from_spark(spark_schema)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._commit(self._base_metadata(ice, last_col), 1)
+
+    # -- write path ---------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[dict]:
+        """Write df as parquet data files into data/ and return data_file
+        records (path, rows, bytes from the parquet footers)."""
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(self.location, f"_tmp-write-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        files = []
+        commit_uuid = uuid.uuid4().hex
+        i = 0
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(tmp, name)
+            dst = os.path.join(
+                self.data_dir, f"{i:05d}-{commit_uuid}.parquet"
+            )
+            os.makedirs(self.data_dir, exist_ok=True)
+            shutil.move(src, dst)
+            files.append(
+                {
+                    "content": CONTENT_DATA,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": pq.ParquetFile(dst).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                }
+            )
+            i += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return files
+
+    def _write_snapshot(self, df: DataFrame, operation: str) -> None:
+        if not self.exists():
+            self.create(df.schema)
+        md = self.metadata()
+        self._check_schema(df.schema, md)
+        seq = md["last-sequence-number"] + 1
+        snap_id = uuid.uuid4().int & ((1 << 62) - 1)
+        data_files = self._write_data_files(df)
+
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited from the manifest list
+                "file_sequence_number": None,
+                "data_file": f,
+            }
+            for f in data_files
+        ]
+        mf_path = os.path.join(
+            self.meta_dir, f"{uuid.uuid4().hex}-m0.avro"
+        )
+        ice_schema = md["schemas"][md["current-schema-id"]]
+        blob = AC.write_container(
+            MANIFEST_ENTRY_SCHEMA,
+            entries,
+            extra_meta={
+                "schema": json.dumps(ice_schema),
+                "schema-id": str(md["current-schema-id"]),
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(mf_path, "wb") as fh:
+            fh.write(blob)
+
+        new_manifest = {
+            "manifest_path": mf_path,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": CONTENT_DATA,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(f["record_count"] for f in data_files),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        manifests = [new_manifest]
+        parent = md.get("current-snapshot-id", -1)
+        if operation == "append" and parent not in (-1, None):
+            manifests += self._manifest_list_records(md)
+
+        ml_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        )
+        ml_blob = AC.write_container(
+            MANIFEST_FILE_SCHEMA,
+            manifests,
+            extra_meta={
+                "snapshot-id": str(snap_id),
+                "sequence-number": str(seq),
+                "parent-snapshot-id": str(parent if parent not in (-1, None) else "null"),
+                "format-version": "2",
+            },
+        )
+        with open(ml_path, "wb") as fh:
+            fh.write(ml_blob)
+
+        snap = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": ml_path,
+            "summary": {
+                "operation": operation if operation == "append" else "overwrite"
+            },
+            "schema-id": md["current-schema-id"],
+        }
+        if parent not in (-1, None):
+            snap["parent-snapshot-id"] = parent
+
+        v = self._version()
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = snap["timestamp-ms"]
+        md["current-snapshot-id"] = snap_id
+        md["snapshots"] = md.get("snapshots", []) + [snap]
+        md["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+        md["snapshot-log"] = md.get("snapshot-log", []) + [
+            {"timestamp-ms": snap["timestamp-ms"], "snapshot-id": snap_id}
+        ]
+        md["metadata-log"] = md.get("metadata-log", []) + [
+            {
+                "timestamp-ms": snap["timestamp-ms"],
+                "metadata-file": os.path.join(
+                    self.meta_dir, f"v{v}.metadata.json"
+                ),
+            }
+        ]
+        self._commit(md, v + 1)
+
+    def append(self, df: DataFrame) -> None:
+        self._write_snapshot(df, "append")
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._write_snapshot(df, "overwrite")
+
+    def _check_schema(self, spark_schema, md: dict) -> None:
+        ice, _ = iceberg_schema_from_spark(spark_schema)
+        cur = md["schemas"][md["current-schema-id"]]
+        got = [(f["name"], f["type"]) for f in ice["fields"]]
+        want = [(f["name"], f["type"]) for f in cur["fields"]]
+        if got != want:
+            raise ValueError(
+                f"schema mismatch writing to iceberg table "
+                f"{self.location}: table {want}, dataframe {got}"
+            )
+
+    # -- read path ----------------------------------------------------------
+
+    def _manifest_list_records(self, md: dict) -> list[dict]:
+        snap_id = md.get("current-snapshot-id", -1)
+        if snap_id in (-1, None):
+            return []
+        snap = next(
+            s for s in md["snapshots"] if s["snapshot-id"] == snap_id
+        )
+        with open(snap["manifest-list"], "rb") as fh:
+            _, records = AC.read_container(fh.read())
+        return records
+
+    def data_files(self) -> list[str]:
+        """Live data file paths of the current snapshot. Refuses delete
+        files / partitioned specs rather than returning wrong rows."""
+        md = self.metadata()
+        spec = next(
+            s for s in md["partition-specs"]
+            if s["spec-id"] == md["default-spec-id"]
+        )
+        if spec["fields"]:
+            raise ValueError(
+                "iceberg fallback reads unpartitioned tables only "
+                "(use the iceberg-spark runtime jar for partitioned tables)"
+            )
+        paths: list[str] = []
+        for mf in self._manifest_list_records(md):
+            if mf["content"] != CONTENT_DATA:
+                raise ValueError(
+                    "iceberg fallback cannot apply delete files "
+                    "(row-level deletes need the iceberg-spark runtime jar)"
+                )
+            with open(mf["manifest_path"], "rb") as fh:
+                _, entries = AC.read_container(fh.read())
+            for e in entries:
+                if e["status"] == STATUS_DELETED:
+                    continue
+                f = e["data_file"]
+                if f["file_format"].upper() != "PARQUET":
+                    raise ValueError(
+                        f"iceberg fallback reads parquet data files only, "
+                        f"got {f['file_format']!r}"
+                    )
+                paths.append(f["file_path"])
+        return paths
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        md = self.metadata()
+        ddl = spark_ddl_from_iceberg(md["schemas"][md["current-schema-id"]])
+        paths = self.data_files()
+        if not paths:
+            return spark.createDataFrame([], ddl)
+        return spark.read.schema(ddl).parquet(*paths)
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata().get("snapshots", []))

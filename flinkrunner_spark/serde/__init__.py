@@ -102,6 +102,12 @@ def _spark_ddl_for_avro(parsed: dict) -> str:
     }
     cols = []
     for name, (kind, prim) in parsed["fields"]:
+        if kind.endswith("record"):
+            raise ValueError(
+                "spark-facing avro decode supports flat records only "
+                f"(field {name!r} is a nested record — nested schemas are "
+                "for metadata files, e.g. Iceberg manifests)"
+            )
         t = (
             f"array<{to_spark[prim]}>"
             if kind.endswith("array")

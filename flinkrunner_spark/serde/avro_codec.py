@@ -52,7 +52,12 @@ CONFLUENT_MAGIC = 0
 
 def _norm_type(t):
     """Normalize one field type to ('prim', name) | ('nullable', name) |
-    ('array', name); raise on anything outside the supported subset."""
+    ('array', name) | ('record', parsed) | ('nullable_record', parsed);
+    raise on anything outside the supported subset. Nested records
+    recurse through parse_schema, so arbitrarily deep record-in-record
+    schemas (e.g. Iceberg manifest_entry → data_file → partition) encode
+    and decode; the Spark-facing flat helpers keep rejecting them with a
+    clear error (see _spark_ddl_for_avro)."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return ("prim", t)
@@ -62,6 +67,8 @@ def _norm_type(t):
         base = t.get("type")
         if base in _PRIMITIVES:
             return ("prim", base)
+        if base == "record":
+            return ("record", parse_schema(t))
         if base == "array":
             items = t.get("items")
             if isinstance(items, str) and items in _PRIMITIVES and items != "null":
@@ -79,6 +86,8 @@ def _norm_type(t):
                 return ("nullable", name)
             if kind == "array":
                 return ("nullable_array", name)
+            if kind == "record":
+                return ("nullable_record", name)
         raise ValueError(f"unsupported union: {t!r}")
     raise ValueError(f"unsupported avro type: {t!r}")
 
@@ -177,7 +186,9 @@ def _write_array(out: bytearray, prim: str, v) -> None:
 
 
 def encode_record(schema: dict, rec: dict) -> bytes:
-    """Encode one record (dict) to Avro binary per the parsed schema."""
+    """Encode one record (dict) to Avro binary per the parsed schema.
+    Nested records are dicts; a nested record encodes as the plain
+    concatenation of its fields (Avro spec — records carry no header)."""
     out = bytearray()
     for name, (kind, prim) in schema["fields"]:
         v = rec.get(name)
@@ -185,11 +196,16 @@ def encode_record(schema: dict, rec: dict) -> bytes:
             _write_prim(out, prim, v)
         elif kind == "array":
             _write_array(out, prim, v)
-        elif v is None:  # nullable / nullable_array
+        elif kind == "record":
+            out += encode_record(prim, v or {})
+        elif v is None:  # nullable / nullable_array / nullable_record
             _write_long(out, 0)  # union branch 0 = null
         elif kind == "nullable":
             _write_long(out, 1)
             _write_prim(out, prim, v)
+        elif kind == "nullable_record":
+            _write_long(out, 1)
+            out += encode_record(prim, v)
         else:  # nullable_array
             _write_long(out, 1)
             _write_array(out, prim, v)
@@ -198,38 +214,7 @@ def encode_record(schema: dict, rec: dict) -> bytes:
 
 def decode_record(schema: dict, data) -> dict:
     """Decode Avro binary back to a dict per the parsed schema."""
-    buf = memoryview(bytes(data))
-    pos = 0
-    rec = {}
-
-    def read_array(pos):
-        # spec allows multiple blocks; negative count = size-prefixed block
-        items = []
-        while True:
-            n, pos = _read_long(buf, pos)
-            if n == 0:
-                break
-            if n < 0:
-                n = -n
-                _, pos = _read_long(buf, pos)  # skip block byte size
-            for _ in range(n):
-                x, pos = _read_prim(buf, pos, prim)
-                items.append(x)
-        return items, pos
-
-    for name, (kind, prim) in schema["fields"]:
-        if kind == "prim":
-            rec[name], pos = _read_prim(buf, pos, prim)
-        elif kind == "array":
-            rec[name], pos = read_array(pos)
-        else:  # nullable / nullable_array
-            branch, pos = _read_long(buf, pos)
-            if branch == 0:
-                rec[name] = None
-            elif kind == "nullable":
-                rec[name], pos = _read_prim(buf, pos, prim)
-            else:
-                rec[name], pos = read_array(pos)
+    rec, _ = _decode_record_at(schema, memoryview(bytes(data)), 0)
     return rec
 
 
@@ -306,11 +291,15 @@ def write_container(
     codec: str = "null",
     sync_salt: str = "",
     max_block_records: int | None = None,
+    extra_meta: dict | None = None,
 ) -> bytes:
     """Serialize records into one Avro OCF byte string.
     ``max_block_records=None`` emits a single block; a value chunks the
     records into sync-marker-delimited blocks of at most that many rows —
-    the unit the split-aware reader parallelizes over."""
+    the unit the split-aware reader parallelizes over. ``extra_meta``
+    adds application metadata pairs to the header map (str or bytes
+    values) — e.g. Iceberg manifest files carry "schema",
+    "partition-spec", "format-version" keys there."""
     import zlib
 
     if isinstance(schema, str):
@@ -325,6 +314,8 @@ def write_container(
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
     _write_long(out, len(meta))
     for k, v in sorted(meta.items()):
         _write_prim(out, "string", k)
@@ -378,6 +369,28 @@ def parse_container_header(buf) -> tuple[dict, str, bytes, int]:
         raise IndexError("header truncated before sync marker")
     sync = bytes(buf[pos : pos + 16])
     return parse_schema(schema), codec, sync, pos + 16
+
+
+def read_container_meta(blob) -> dict:
+    """Header metadata map of an OCF byte string (keys -> bytes values) —
+    Iceberg manifests carry their table schema / partition spec here."""
+    buf = memoryview(bytes(blob))
+    if bytes(buf[:4]) != OCF_MAGIC:
+        raise ValueError("not an avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        cnt, pos = _read_long(buf, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:
+            cnt = -cnt
+            _, pos = _read_long(buf, pos)
+        for _ in range(cnt):
+            k, pos = _read_prim(buf, pos, "string")
+            v, pos = _read_prim(buf, pos, "bytes")
+            meta[k] = v
+    return meta
 
 
 def read_container_header(f) -> tuple[dict, str, bytes, int]:
@@ -504,12 +517,16 @@ def _decode_record_at(schema: dict, buf, pos: int) -> tuple[dict, int]:
             rec[name], pos = _read_prim(buf, pos, prim)
         elif kind == "array":
             rec[name], pos = read_array(pos, prim)
+        elif kind == "record":
+            rec[name], pos = _decode_record_at(prim, buf, pos)
         else:
             branch, pos = _read_long(buf, pos)
             if branch == 0:
                 rec[name] = None
             elif kind == "nullable":
                 rec[name], pos = _read_prim(buf, pos, prim)
+            elif kind == "nullable_record":
+                rec[name], pos = _decode_record_at(prim, buf, pos)
             else:
                 rec[name], pos = read_array(pos, prim)
     return rec, pos
@@ -632,6 +649,11 @@ def json_encode_record(schema: dict, rec: dict, spec_unions: bool = True) -> str
     out = {}
     for name, (kind, prim) in schema["fields"]:
         v = rec.get(name)
+        if kind.endswith("record"):
+            raise ValueError(
+                "avro JSON encoding supports flat records only "
+                f"(field {name!r} is a nested record)"
+            )
         if kind == "prim":
             out[name] = _json_prim(prim, v)
         elif kind == "array":
@@ -654,6 +676,11 @@ def json_decode_record(schema: dict, s: str, spec_unions: bool = True) -> dict:
     rec = {}
     for name, (kind, prim) in schema["fields"]:
         v = obj.get(name)
+        if kind.endswith("record"):
+            raise ValueError(
+                "avro JSON decoding supports flat records only "
+                f"(field {name!r} is a nested record)"
+            )
         if kind == "prim":
             rec[name] = _unjson_prim(prim, v)
         elif kind == "array":

@@ -224,15 +224,30 @@ class MemorySourceConfig(SourceConfig):
 
 
 class IcebergSourceConfig(SourceConfig):
+    """Iceberg source (reference `model/source/IcebergSourceConfig.scala:
+    28-85`). Catalog tables need the runtime jar; a filesystem `path`
+    (or path-shaped `table`) reads through the jar-free
+    HadoopTables-layout subset in `flinkrunner_spark.iceberg` —
+    version-hint → metadata → current snapshot → manifests → parquet
+    scan, refusing (not mis-reading) delete files / partitioned specs."""
+
     def load(self, spark: SparkSession) -> DataFrame:
-        table = self.conf["table"]
+        table = self.conf.get("table", "")
+        path = self.conf.get("path")
+        if path is None and "/" in str(table):
+            path = table
+        if path is not None and not self.streaming:
+            from flinkrunner_spark.iceberg import IcebergFsTable
+
+            return IcebergFsTable(path).read(spark)
         try:
             reader = spark.readStream if self.streaming else spark.read
             return reader.format("iceberg").load(table)
         except Exception as e:  # jar-gated in this environment
             raise RuntimeError(
                 "iceberg source requires the iceberg-spark runtime jar on "
-                "the classpath"
+                "the classpath (streaming reads always do; batch reads of "
+                "filesystem tables work jar-free via conf 'path')"
             ) from e
 
 

@@ -116,6 +116,88 @@ def test_codec_bytes_match_apache_java_implementation(spark):
         assert py == jv  # byte-identical with org.apache.avro
 
 
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1,
+         "default": None},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                ],
+            },
+        },
+    ],
+}
+
+NESTED_REC = {
+    "status": 1,
+    "snapshot_id": 7637471223456789,
+    "data_file": {
+        "content": 0,
+        "file_path": "data/00000-0-abc.parquet",
+        "partition": {},
+        "record_count": 12345,
+    },
+}
+
+
+def _jvm_nested_record(jvm, js, schema: dict, rec: dict):
+    jrec = jvm.org.apache.avro.generic.GenericData.Record(js)
+    for f in schema["fields"]:
+        name, t, v = f["name"], f["type"], rec.get(f["name"])
+        if v is None:
+            jrec.put(name, None)
+        elif isinstance(t, dict) and t.get("type") == "record":
+            jrec.put(name, _jvm_nested_record(jvm, js.getField(name).schema(), t, v))
+        elif t == "long" or (isinstance(t, list) and t[1] == "long"):
+            jrec.put(name, jvm.java.lang.Long.valueOf(str(v)))
+        elif t == "int":
+            jrec.put(name, jvm.java.lang.Integer.valueOf(str(v)))
+        else:
+            jrec.put(name, v)
+    return jrec
+
+
+def test_nested_record_bytes_match_java(spark):
+    """Nested records (the Iceberg manifest_entry shape: record-in-record
+    with an EMPTY partition struct and nullable longs) must be
+    byte-identical with org.apache.avro in both directions."""
+    jvm = spark._jvm
+    js = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(NESTED_SCHEMA))
+    parsed = AC.parse_schema(NESTED_SCHEMA)
+    for rec in [NESTED_REC, dict(NESTED_REC, snapshot_id=None)]:
+        py = AC.encode_record(parsed, rec)
+        jrec = _jvm_nested_record(jvm, js, NESTED_SCHEMA, rec)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+        jvm.org.apache.avro.generic.GenericDatumWriter(js).write(jrec, enc)
+        enc.flush()
+        assert py == bytes(baos.toByteArray())
+        # Java reads Python bytes back
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(py, None)
+        out = jvm.org.apache.avro.generic.GenericDatumReader(js).read(None, dec)
+        assert out.get("status") == rec["status"]
+        assert str(out.get("data_file").get("file_path")) == rec["data_file"]["file_path"]
+        assert out.get("data_file").get("record_count") == rec["data_file"]["record_count"]
+        # and Python round-trips its own bytes
+        assert AC.decode_record(parsed, py) == rec
+
+
 def test_jvm_decodes_python_bytes(spark):
     parsed = AC.parse_schema(SCHEMA)
     py = AC.encode_record(parsed, REC)
