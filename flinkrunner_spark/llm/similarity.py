@@ -574,11 +574,11 @@ def _kmeans_assigned(
     100 TB shape: the quantizer trains driver-side on a DETERMINISTIC
     BOUNDED SAMPLE (top-``KMEANS_SAMPLE_CAP`` rows by md5(vec_id) —
     a TakeOrdered, one pass, no full sort; cap fixed as the corpus
-    grows), and full-corpus assignment is a ZERO-SHUFFLE broadcast
-    argmin-fold projection — the same one-row-of-centroids trick as
-    ``docs_cluster_assign``, embarrassingly parallel at any scale. The
-    n_cells × dim centroid table re-exposes as a broadcastable frame so
-    probe selection stays JVM-side."""
+    grows), and full-corpus assignment is a ZERO-SHUFFLE Arrow-batched
+    numpy argmin against the closure-broadcast centroid matrix —
+    embarrassingly parallel at any scale, vectorized across rows and
+    cells. The n_cells × dim centroid table re-exposes as a
+    broadcastable frame so probe selection stays JVM-side."""
     import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir, n_cells)
@@ -599,30 +599,32 @@ def _kmeans_assigned(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
         "cell int, centroid array<double>",
     )
-    # one broadcast row of all centroids; per-row argmin distance as an
-    # array fold — strict < keeps the first (lowest) cell on exact ties,
-    # matching numpy argmin above
-    carr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents_np
-    ])
-    dists = F.transform(
-        carr,
-        lambda c: F.aggregate(
-            F.zip_with(as_double("embedding"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    best = F.aggregate(
-        F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
-        ),
-        F.struct(
-            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cell")
-        ),
-        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-    )
-    assigned = emb.withColumn("prediction", best["cell"]).persist()
+    # full-corpus assignment: Arrow-batched numpy argmin against the
+    # broadcast centroid matrix — a zero-shuffle map, vectorized across
+    # rows AND cells (the JVM higher-order-fold equivalent runs
+    # interpreted per element; same trade as _rh_codes). numpy argmin
+    # keeps the FIRST (lowest) cell on exact ties, matching _lloyds.
+    C = cents_np.copy()
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + ", prediction int"
+
+    def gen_assign(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out = pdf.copy()
+            out["prediction"] = d.argmin(axis=1).astype("int32")
+            yield out
+
+    assigned = emb.mapInPandas(gen_assign, schema=out_schema).persist()
     _KMEANS_CACHE[key] = (assigned, cents)
     return assigned, cents
 
