@@ -108,28 +108,28 @@ def iceberg_schema_from_spark(schema) -> tuple[dict, int]:
     )
 
 
+def _spark_type_from_iceberg(t) -> str:
+    """One Iceberg type -> Spark SQL type string."""
+    if isinstance(t, dict) and t.get("type") == "list":
+        el = t["element"]
+        if el not in _ICE_TO_SPARK:
+            raise ValueError(f"unsupported iceberg list element {el!r}")
+        return f"array<{_spark_type_from_iceberg(el)}>"
+    if isinstance(t, str) and t.startswith("decimal"):
+        return t.replace(" ", "")
+    if isinstance(t, str) and t in _ICE_TO_SPARK:
+        return {"integer": "int", "long": "bigint"}.get(
+            _ICE_TO_SPARK[t], _ICE_TO_SPARK[t]
+        )
+    raise ValueError(f"unsupported iceberg type {t!r}")
+
+
 def spark_ddl_from_iceberg(ice_schema: dict) -> str:
     """Iceberg schema JSON -> Spark DDL string for reading."""
-    cols = []
-    for f in ice_schema["fields"]:
-        t = f["type"]
-        if isinstance(t, dict) and t.get("type") == "list":
-            el = t["element"]
-            if el not in _ICE_TO_SPARK:
-                raise ValueError(f"unsupported iceberg list element {el!r}")
-            spark_t = f"array<{_ICE_TO_SPARK[el]}>"
-        elif isinstance(t, str) and t.startswith("decimal"):
-            spark_t = t.replace(" ", "")
-        elif isinstance(t, str) and t in _ICE_TO_SPARK:
-            spark_t = {
-                "integer": "int",
-                "long": "bigint",
-                "timestamp_ntz": "timestamp_ntz",
-            }.get(_ICE_TO_SPARK[t], _ICE_TO_SPARK[t])
-        else:
-            raise ValueError(f"unsupported iceberg type {t!r}")
-        cols.append(f"`{f['name']}` {spark_t}")
-    return ", ".join(cols)
+    return ", ".join(
+        f"`{f['name']}` {_spark_type_from_iceberg(f['type'])}"
+        for f in ice_schema["fields"]
+    )
 
 
 def name_mapping(ice_schema: dict) -> list:
@@ -213,6 +213,39 @@ STATUS_ADDED = 1
 STATUS_DELETED = 2
 CONTENT_DATA = 0
 
+# partition columns the fallback supports (hive-path round-trippable)
+_PARTITIONABLE = {"string", "int", "long"}
+
+
+def manifest_entry_schema(spec_fields: list, ice_schema: dict) -> dict:
+    """MANIFEST_ENTRY_SCHEMA with the r102 partition struct filled in
+    from the table's partition spec (identity transforms: the avro field
+    type is the source column's primitive, nullable; avro field-id is the
+    spec's partition field-id per the spec's manifest layout)."""
+    import copy
+
+    schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    part_fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        part_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", src["type"]],
+                "field-id": pf["field-id"],
+                "default": None,
+            }
+        )
+    data_file = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )
+    partition = next(
+        f for f in data_file["type"]["fields"] if f["name"] == "partition"
+    )
+    partition["type"]["fields"] = part_fields
+    return schema
+
 
 class IcebergFsTable:
     """One filesystem Iceberg v2 table at ``location`` (HadoopTables
@@ -278,56 +311,130 @@ class IcebergFsTable:
             "metadata-log": [],
         }
 
-    def create(self, spark_schema) -> None:
+    def create(self, spark_schema, partition_by: list[str] | None = None) -> None:
+        """Create the table; ``partition_by`` columns become an
+        identity-transform partition spec (the fallback's supported
+        transform — hive-style data paths, per-file partition tuples in
+        manifests, pruned reads)."""
         if self.exists():
             raise ValueError(f"iceberg table already exists: {self.location}")
         ice, last_col = iceberg_schema_from_spark(spark_schema)
+        md = self._base_metadata(ice, last_col)
+        if partition_by:
+            by_name = {f["name"]: f for f in ice["fields"]}
+            fields = []
+            for i, col in enumerate(partition_by):
+                if col not in by_name:
+                    raise ValueError(f"unknown partition column {col!r}")
+                if by_name[col]["type"] not in _PARTITIONABLE:
+                    raise ValueError(
+                        f"iceberg fallback partitions on "
+                        f"{sorted(_PARTITIONABLE)} columns only "
+                        f"({col!r} is {by_name[col]['type']!r})"
+                    )
+                fields.append(
+                    {
+                        "name": col,
+                        "transform": "identity",
+                        "source-id": by_name[col]["id"],
+                        "field-id": 1000 + i,
+                    }
+                )
+            md["partition-specs"] = [{"spec-id": 0, "fields": fields}]
+            md["last-partition-id"] = 999 + len(fields)
         os.makedirs(self.data_dir, exist_ok=True)
-        self._commit(self._base_metadata(ice, last_col), 1)
+        self._commit(md, 1)
 
     # -- write path ---------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def _spec_fields(self, md: dict) -> list:
+        spec = next(
+            s for s in md["partition-specs"]
+            if s["spec-id"] == md["default-spec-id"]
+        )
+        for f in spec["fields"]:
+            if f.get("transform") != "identity":
+                raise ValueError(
+                    f"iceberg fallback supports identity partition "
+                    f"transforms only, got {f.get('transform')!r} "
+                    "(use the iceberg-spark runtime jar)"
+                )
+        return spec["fields"]
+
+    @staticmethod
+    def _parse_hive_value(raw: str, ice_type: str):
+        from urllib.parse import unquote
+
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        return int(raw) if ice_type in ("int", "long") else unquote(raw)
+
+    def _write_data_files(self, df: DataFrame, md: dict) -> list[dict]:
         """Write df as parquet data files into data/ and return data_file
-        records (path, rows, bytes from the parquet footers)."""
+        records (path, rows, bytes from the parquet footers; partition
+        tuple parsed from the hive-style write paths for partitioned
+        specs — `data/col=value/...` exactly as Iceberg lays files out)."""
         import pyarrow.parquet as pq
 
+        spec_fields = self._spec_fields(md)
+        by_id = {f["id"]: f for f in md["schemas"][md["current-schema-id"]]["fields"]}
         tmp = os.path.join(self.location, f"_tmp-write-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if spec_fields:
+            writer = writer.partitionBy(*[f["name"] for f in spec_fields])
+        writer.parquet(tmp)
+
         files = []
         commit_uuid = uuid.uuid4().hex
         i = 0
-        for name in sorted(os.listdir(tmp)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(tmp, name)
-            dst = os.path.join(
-                self.data_dir, f"{i:05d}-{commit_uuid}.parquet"
-            )
-            os.makedirs(self.data_dir, exist_ok=True)
-            shutil.move(src, dst)
-            files.append(
-                {
-                    "content": CONTENT_DATA,
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": pq.ParquetFile(dst).metadata.num_rows,
-                    "file_size_in_bytes": os.path.getsize(dst),
-                }
-            )
-            i += 1
+        for root, _dirs, names in sorted(os.walk(tmp)):
+            rel = os.path.relpath(root, tmp)
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                subdir = "" if rel == "." else rel
+                dst_dir = os.path.join(self.data_dir, subdir)
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, f"{i:05d}-{commit_uuid}.parquet")
+                shutil.move(src, dst)
+                partition = {}
+                if spec_fields:
+                    parts = dict(
+                        seg.split("=", 1) for seg in subdir.split(os.sep)
+                    )
+                    for pf in spec_fields:
+                        partition[pf["name"]] = self._parse_hive_value(
+                            parts[pf["name"]], by_id[pf["source-id"]]["type"]
+                        )
+                files.append(
+                    {
+                        "content": CONTENT_DATA,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": pq.ParquetFile(dst).metadata.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                    }
+                )
+                i += 1
         shutil.rmtree(tmp, ignore_errors=True)
         return files
 
-    def _write_snapshot(self, df: DataFrame, operation: str) -> None:
+    def _write_snapshot(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         if not self.exists():
-            self.create(df.schema)
+            self.create(df.schema, partition_by=partition_by)
         md = self.metadata()
         self._check_schema(df.schema, md)
+        spec_fields = self._spec_fields(md)
         seq = md["last-sequence-number"] + 1
         snap_id = uuid.uuid4().int & ((1 << 62) - 1)
-        data_files = self._write_data_files(df)
+        data_files = self._write_data_files(df, md)
 
         entries = [
             {
@@ -344,12 +451,12 @@ class IcebergFsTable:
         )
         ice_schema = md["schemas"][md["current-schema-id"]]
         blob = AC.write_container(
-            MANIFEST_ENTRY_SCHEMA,
+            manifest_entry_schema(spec_fields, ice_schema),
             entries,
             extra_meta={
                 "schema": json.dumps(ice_schema),
                 "schema-id": str(md["current-schema-id"]),
-                "partition-spec": json.dumps([]),
+                "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": "0",
                 "format-version": "2",
                 "content": "data",
@@ -399,9 +506,7 @@ class IcebergFsTable:
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": ml_path,
-            "summary": {
-                "operation": operation if operation == "append" else "overwrite"
-            },
+            "summary": {"operation": operation},
             "schema-id": md["current-schema-id"],
         }
         if parent not in (-1, None):
@@ -426,11 +531,11 @@ class IcebergFsTable:
         ]
         self._commit(md, v + 1)
 
-    def append(self, df: DataFrame) -> None:
-        self._write_snapshot(df, "append")
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        self._write_snapshot(df, "append", partition_by=partition_by)
 
-    def overwrite(self, df: DataFrame) -> None:
-        self._write_snapshot(df, "overwrite")
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        self._write_snapshot(df, "overwrite", partition_by=partition_by)
 
     def _check_schema(self, spark_schema, md: dict) -> None:
         ice, _ = iceberg_schema_from_spark(spark_schema)
@@ -445,8 +550,43 @@ class IcebergFsTable:
 
     # -- read path ----------------------------------------------------------
 
-    def _manifest_list_records(self, md: dict) -> list[dict]:
-        snap_id = md.get("current-snapshot-id", -1)
+    def _resolve_snapshot(
+        self,
+        md: dict,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> int | None:
+        """Current snapshot, or TIME TRAVEL: an explicit snapshot id, or
+        the latest snapshot at/before ``as_of_ms`` (the spec's
+        as-of-timestamp semantics)."""
+        if snapshot_id is not None and as_of_ms is not None:
+            raise ValueError("pass snapshot_id OR as_of_ms, not both")
+        if snapshot_id is not None:
+            if not any(
+                s["snapshot-id"] == snapshot_id for s in md["snapshots"]
+            ):
+                raise ValueError(f"unknown snapshot id {snapshot_id}")
+            return snapshot_id
+        if as_of_ms is not None:
+            older = [
+                s for s in md["snapshots"] if s["timestamp-ms"] <= as_of_ms
+            ]
+            if not older:
+                raise ValueError(
+                    f"no snapshot at or before timestamp {as_of_ms}"
+                )
+            return max(older, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+        cur = md.get("current-snapshot-id", -1)
+        return None if cur in (-1, None) else cur
+
+    def _manifest_list_records(
+        self, md: dict, snapshot_id: int | None = None
+    ) -> list[dict]:
+        snap_id = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id", -1)
+        )
         if snap_id in (-1, None):
             return []
         snap = next(
@@ -456,21 +596,23 @@ class IcebergFsTable:
             _, records = AC.read_container(fh.read())
         return records
 
-    def data_files(self) -> list[str]:
-        """Live data file paths of the current snapshot. Refuses delete
-        files / partitioned specs rather than returning wrong rows."""
+    def live_entries(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> list[dict]:
+        """Live data_file records of a snapshot (default: current), with
+        MANIFEST-LEVEL PARTITION PRUNING: ``partition_filter`` ({col:
+        value}) drops files whose manifest partition tuple mismatches
+        BEFORE any parquet footer is touched — at 100 TB a filter on a
+        partition column reads metadata + matching partitions only.
+        Refuses delete files rather than mis-reading."""
         md = self.metadata()
-        spec = next(
-            s for s in md["partition-specs"]
-            if s["spec-id"] == md["default-spec-id"]
-        )
-        if spec["fields"]:
-            raise ValueError(
-                "iceberg fallback reads unpartitioned tables only "
-                "(use the iceberg-spark runtime jar for partitioned tables)"
-            )
-        paths: list[str] = []
-        for mf in self._manifest_list_records(md):
+        self._spec_fields(md)  # validates identity-only transforms
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
+        out: list[dict] = []
+        for mf in self._manifest_list_records(md, snap):
             if mf["content"] != CONTENT_DATA:
                 raise ValueError(
                     "iceberg fallback cannot apply delete files "
@@ -487,16 +629,138 @@ class IcebergFsTable:
                         f"iceberg fallback reads parquet data files only, "
                         f"got {f['file_format']!r}"
                     )
-                paths.append(f["file_path"])
-        return paths
+                if partition_filter and any(
+                    f["partition"].get(k) != v
+                    for k, v in partition_filter.items()
+                ):
+                    continue
+                out.append(f)
+        return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> list[str]:
+        return [
+            f["file_path"]
+            for f in self.live_entries(snapshot_id, as_of_ms, partition_filter)
+        ]
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         md = self.metadata()
-        ddl = spark_ddl_from_iceberg(md["schemas"][md["current-schema-id"]])
-        paths = self.data_files()
-        if not paths:
+        ice = md["schemas"][md["current-schema-id"]]
+        ddl = spark_ddl_from_iceberg(ice)
+        spec_fields = self._spec_fields(md)
+        entries = self.live_entries(snapshot_id, as_of_ms, partition_filter)
+        if not entries:
             return spark.createDataFrame([], ddl)
-        return spark.read.schema(ddl).parquet(*paths)
+        if not spec_fields:
+            return spark.read.schema(ddl).parquet(
+                *[f["file_path"] for f in entries]
+            )
+        # partitioned: files carry non-partition columns; partition values
+        # come back as metadata constants per file group (identity
+        # transform — the spec sanctions replacing the source column)
+        part_cols = [f["name"] for f in spec_fields]
+        by_id = {f["id"]: f for f in ice["fields"]}
+        part_types = {
+            pf["name"]: _spark_type_from_iceberg(by_id[pf["source-id"]]["type"])
+            for pf in spec_fields
+        }
+        file_ddl = spark_ddl_from_iceberg(
+            {
+                "fields": [
+                    f for f in ice["fields"] if f["name"] not in part_cols
+                ]
+            }
+        )
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            key = tuple(e["partition"][c] for c in part_cols)
+            groups.setdefault(key, []).append(e["file_path"])
+        pieces = []
+        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            piece = spark.read.schema(file_ddl).parquet(*paths)
+            for col, val in zip(part_cols, key):
+                piece = piece.withColumn(
+                    col, F.lit(val).cast(part_types[col])
+                )
+            pieces.append(piece)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out.select(*[f["name"] for f in ice["fields"]])
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))
+
+    # -- table maintenance (the ops a 100 TB table actually runs) -----------
+
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> None:
+        """Small-file compaction: rewrite the current snapshot's live rows
+        into ``target_partitions`` files and commit as a REPLACE snapshot
+        (row-identical by construction — the Iceberg rewrite_data_files
+        action). Old files stay on disk for time travel until
+        ``expire_snapshots`` drops them."""
+        cur = self.read(spark).coalesce(max(1, target_partitions))
+        self._write_snapshot(cur, "replace")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots from table
+        metadata and DELETE data/manifest files referenced only by the
+        expired snapshots (the expire_snapshots maintenance action —
+        unreferenced-file GC is what keeps a 100 TB table's storage
+        bounded). Returns the deleted file paths."""
+        md = self.metadata()
+        snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        keep = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        if not expired:
+            return []
+
+        def files_of(snap_list):
+            data, manifests, mls = set(), set(), set()
+            for s in snap_list:
+                mls.add(s["manifest-list"])
+                with open(s["manifest-list"], "rb") as fh:
+                    _, mfs = AC.read_container(fh.read())
+                for mf in mfs:
+                    manifests.add(mf["manifest_path"])
+                    with open(mf["manifest_path"], "rb") as fh:
+                        _, entries = AC.read_container(fh.read())
+                    for e in entries:
+                        data.add(e["data_file"]["file_path"])
+            return data, manifests, mls
+
+        keep_data, keep_manifests, keep_mls = files_of(keep)
+        exp_data, exp_manifests, exp_mls = files_of(expired)
+        doomed = sorted(
+            (exp_data - keep_data)
+            | (exp_manifests - keep_manifests)
+            | (exp_mls - keep_mls)
+        )
+        md["snapshots"] = keep
+        keep_ids = {s["snapshot-id"] for s in keep}
+        md["snapshot-log"] = [
+            e for e in md.get("snapshot-log", [])
+            if e["snapshot-id"] in keep_ids
+        ]
+        self._commit(md, self._version() + 1)
+        for path in doomed:  # delete only after the commit point
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        return doomed

@@ -365,10 +365,11 @@ class IcebergSinkConfig(SinkConfig):
             from flinkrunner_spark.iceberg import IcebergFsTable
 
             t = IcebergFsTable(path)
+            part = self.conf.get("partition-by")  # identity transforms
             if self.conf.get("mode", "append") == "overwrite":
-                t.overwrite(df)
+                t.overwrite(df, partition_by=part)
             else:
-                t.append(df)
+                t.append(df, partition_by=part)
             return
         try:
             df.writeTo(self.conf["table"]).append()

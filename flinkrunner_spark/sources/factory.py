@@ -239,7 +239,14 @@ class IcebergSourceConfig(SourceConfig):
         if path is not None and not self.streaming:
             from flinkrunner_spark.iceberg import IcebergFsTable
 
-            return IcebergFsTable(path).read(spark)
+            snap = self.conf.get("snapshot-id")
+            as_of = self.conf.get("as-of-timestamp-ms")
+            return IcebergFsTable(path).read(
+                spark,
+                snapshot_id=int(snap) if snap is not None else None,
+                as_of_ms=int(as_of) if as_of is not None else None,
+                partition_filter=self.conf.get("partition-filter"),
+            )
         try:
             reader = spark.readStream if self.streaming else spark.read
             return reader.format("iceberg").load(table)

@@ -121,14 +121,15 @@ def test_schema_mismatch_and_unsupported_refused(spark, tmp_path):
         I.iceberg_schema_from_spark(
             spark.createDataFrame([({"a": 1},)], "m map<string,int>").schema
         )
-    # partitioned-spec tables refused on read
+    # non-identity partition transforms refused on read
     md = t.metadata()
     md["partition-specs"] = [
-        {"spec-id": 0, "fields": [{"name": "id", "transform": "identity",
-                                   "source-id": 1, "field-id": 1000}]}
+        {"spec-id": 0, "fields": [{"name": "id_bucket", "transform":
+                                   "bucket[16]", "source-id": 1,
+                                   "field-id": 1000}]}
     ]
     t._commit(md, t._version() + 1)
-    with pytest.raises(ValueError, match="unpartitioned"):
+    with pytest.raises(ValueError, match="identity"):
         t.read(spark)
 
 
@@ -156,6 +157,128 @@ def test_sink_source_config_wiring(spark, tmp_path):
     )
     over.write(_df(spark, ROWS1))
     assert sorted(r["id"] for r in src.load(spark).collect()) == [1, 2]
+
+
+def test_time_travel(spark, tmp_path):
+    import time as _t
+
+    loc = str(tmp_path / "t8")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))
+    _t.sleep(0.01)  # distinct commit timestamps for the as-of check
+    t.append(_df(spark, ROWS2))
+    s1, s2 = t.snapshots()
+    assert sorted(r["id"] for r in t.read(spark, snapshot_id=s1["snapshot-id"]).collect()) == [1, 2]
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+    # as-of-timestamp: at s1's commit time only s1's rows exist
+    got = t.read(spark, as_of_ms=s1["timestamp-ms"]).collect()
+    assert sorted(r["id"] for r in got) == [1, 2]
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(spark, as_of_ms=s1["timestamp-ms"] - 10_000)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, snapshot_id=123)
+    # source-config surface
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    src = IcebergSourceConfig(
+        "r", {"connector": "iceberg", "path": loc,
+              "snapshot-id": s1["snapshot-id"]},
+    )
+    assert sorted(r["id"] for r in src.load(spark).collect()) == [1, 2]
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """Compaction rewrites live rows into fewer files (row-identical);
+    expiration drops old snapshots and deletes ONLY files no kept
+    snapshot references."""
+    loc = str(tmp_path / "t9")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))
+    t.append(_df(spark, ROWS2))
+    n_files_before = len(t.data_files())
+    before = sorted(
+        (r["id"], r["name"], r["score"], tuple(r["tags"]))
+        for r in t.read(spark).collect()
+    )
+    t.compact(spark, target_partitions=1)
+    assert len(t.data_files()) == 1 < n_files_before
+    after = sorted(
+        (r["id"], r["name"], r["score"], tuple(r["tags"]))
+        for r in t.read(spark).collect()
+    )
+    assert after == before
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+
+    # all pre-compaction files still on disk (time travel works) ...
+    s_old = t.snapshots()[0]
+    assert t.read(spark, snapshot_id=s_old["snapshot-id"]).count() == len(ROWS1)
+    # ... until expiration deletes exactly the unreferenced ones
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted  # old data files + manifests + manifest lists
+    assert len(t.snapshots()) == 1
+    live = set(t.data_files())
+    assert all(os.path.exists(p) for p in live)
+    assert not any(p in live for p in deleted)
+    assert after == sorted(
+        (r["id"], r["name"], r["score"], tuple(r["tags"]))
+        for r in t.read(spark).collect()
+    )
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, snapshot_id=s_old["snapshot-id"])
+
+
+def test_identity_partitioned_write_read_prune(spark, tmp_path):
+    """Identity-partitioned tables: hive-style data layout, per-file
+    partition tuples in manifests, partition columns reconstructed as
+    metadata constants on read, and MANIFEST-LEVEL pruning — a filtered
+    read must touch only matching partitions' files."""
+    loc = str(tmp_path / "tp")
+    t = I.IcebergFsTable(loc)
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "en", 2.0), (3, "de", 3.0), (4, "fr", 4.0)],
+        "id bigint, lang string, score double",
+    )
+    t.append(df, partition_by=["lang"])
+    # layout + manifest partition tuples
+    assert os.path.isdir(os.path.join(loc, "data", "lang=en"))
+    entries = t.live_entries()
+    assert {e["partition"]["lang"] for e in entries} == {"en", "de", "fr"}
+    # full read restores partition columns and row set
+    got = sorted(
+        (r["id"], r["lang"], r["score"]) for r in t.read(spark).collect()
+    )
+    assert got == [(1, "en", 1.0), (2, "en", 2.0), (3, "de", 3.0), (4, "fr", 4.0)]
+    # pruned read: only en files listed and read
+    pruned = t.data_files(partition_filter={"lang": "en"})
+    assert pruned and all("lang=en" in p for p in pruned)
+    assert len(pruned) < len(t.data_files())
+    got = sorted(
+        r["id"] for r in
+        t.read(spark, partition_filter={"lang": "en"}).collect()
+    )
+    assert got == [1, 2]
+    # append keeps the spec; overwrite + compact round-trip too
+    t.append(spark.createDataFrame([(5, "de", 5.0)],
+                                   "id bigint, lang string, score double"))
+    assert sorted(
+        r["id"] for r in
+        t.read(spark, partition_filter={"lang": "de"}).collect()
+    ) == [3, 5]
+    t.compact(spark)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3, 4, 5]
+    # config wiring: partitioned sink + pruned source
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    loc2 = str(tmp_path / "tp2")
+    IcebergSinkConfig(
+        "s", {"connector": "iceberg", "path": loc2, "partition-by": ["lang"]}
+    ).write(df)
+    src = IcebergSourceConfig(
+        "r", {"connector": "iceberg", "path": loc2,
+              "partition-filter": {"lang": "fr"}},
+    )
+    assert [r["id"] for r in src.load(spark).collect()] == [4]
 
 
 def test_streaming_sink_commits_per_microbatch(spark, tmp_path):
