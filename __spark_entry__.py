@@ -20,7 +20,7 @@ from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
 from flinkrunner_spark.llm import multimodal, pipeline, similarity  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
-from flinkrunner_spark.plans import analytics, events  # noqa: E402
+from flinkrunner_spark.plans import analytics, connectors, events  # noqa: E402
 from flinkrunner_spark.plans.oracle_sql import ORACLES  # noqa: E402
 
 
@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": pipeline.docs_pack_sequences,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
         "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
+        "iceberg_roundtrip": connectors.iceberg_roundtrip,
+        "avro_roundtrip": connectors.avro_roundtrip,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

@@ -1458,3 +1458,10 @@ dropped AS (
 SELECT g.vec_id, g.assigned_label, (d.vec_id IS NULL) AS keep
 FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
 """
+
+# Connector roundtrips: the oracle aggregates the ORIGINAL parquet — a
+# green row proves the sink->source path lost/mangled nothing.
+from flinkrunner_spark.plans.connectors import LANG_PROFILE_ORACLE as _LPO  # noqa: E402
+
+ORACLES["iceberg_roundtrip"] = _LPO
+ORACLES["avro_roundtrip"] = _LPO
