@@ -32,15 +32,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-5 rotation: the
-    # five NEW ops first (vocabulary, tf-idf, stratified sampling,
-    # sequence packing, semantic dedup), then every key whose
-    # implementation file changed since the r4 rows — llm/similarity.py
-    # (sampled-Lloyd's quantizer, RH-LSH cap, bounded centroid fold),
-    # llm/dedup.py, llm/text.py + llm/pipeline.py (new ops share these
-    # files), and streaming/pipelines.py (TTL dedup option) which makes
-    # ALL stream_* mirrors re-verify. The tail holds only keys whose
-    # files have zero changed lines since their last green row
-    # (curation/multimodal r4, analytics/aggregates r2-r3).
+    # NINE new keys first (vocabulary, tf-idf, stratified sampling,
+    # sequence packing, two semantic-dedup forms, three connector
+    # roundtrips), then every key whose implementation file changed since
+    # the r4 rows — llm/similarity.py (sampled-Lloyd's quantizer, RH-LSH
+    # cap, bounded centroid fold), llm/dedup.py, llm/text.py +
+    # llm/pipeline.py (new ops share these files), and
+    # streaming/pipelines.py (TTL dedup option) which makes ALL stream_*
+    # mirrors re-verify; the 3 curation keys close the 50. The tail holds
+    # only keys whose files have zero changed lines since their last
+    # green row (multimodal r4, analytics/aggregates r2-r3).
     return {
         # —— NEW this round ——
         "docs_topk_ngrams": llm_text.docs_topk_ngrams,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
         "avro_roundtrip": connectors.avro_roundtrip,
+        "jdbc_roundtrip": connectors.jdbc_roundtrip,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

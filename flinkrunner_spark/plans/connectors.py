@@ -74,6 +74,60 @@ def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_profile(back)
 
 
+JDBC_PROFILE_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY lang
+"""
+
+
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scalars → JDBC sink with auto CREATE TABLE (real DDL via
+    SqlBuilder over the embedded Derby driver, PK on doc_id) → read back
+    via spark jdbc → per-language profile. Exactly oracled. The reference
+    has no JDBC *source* (`model/sink/JdbcSinkConfig.scala` only), so the
+    read-back side uses Spark's own jdbc reader; a fresh table name per
+    call keeps the roundtrip idempotent (Derby lacks DROP IF EXISTS).
+    Text stays out: Derby VARCHAR caps at 32672 and the reference sink
+    targets typed scalar rows, not blobs."""
+    import uuid as _uuid
+
+    from flinkrunner_spark.sinks.factory import sink_from_config
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    db = _loc("derby", sf_dir)
+    url = f"jdbc:derby:{db};create=true"
+    table = f"docs_rt_{_uuid.uuid4().hex[:10]}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    sink_from_config(
+        "rt",
+        {
+            "connector": "jdbc",
+            "url": url,
+            "table": table,
+            "dialect": "derby",
+            "create.table": True,
+            "primary.key": "doc_id",
+            "options": {"driver": driver},
+        },
+    ).write(docs)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f'"{table}"')
+        .option("driver", driver)
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → Avro object-container files (deflate, pure-Python
     codec) → split-aware parallel read → per-language profile. Exactly

@@ -1465,3 +1465,7 @@ from flinkrunner_spark.plans.connectors import LANG_PROFILE_ORACLE as _LPO  # no
 
 ORACLES["iceberg_roundtrip"] = _LPO
 ORACLES["avro_roundtrip"] = _LPO
+
+from flinkrunner_spark.plans.connectors import JDBC_PROFILE_ORACLE as _JPO  # noqa: E402
+
+ORACLES["jdbc_roundtrip"] = _JPO
