@@ -183,11 +183,66 @@ MANIFEST_ENTRY_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "default": None,
+                        "type": ["null", {
+                            "type": "array", "logicalType": "map",
+                            "items": {
+                                "type": "record", "name": "k126_v127",
+                                "fields": [
+                                    {"name": "key", "type": "int",
+                                     "field-id": 126},
+                                    {"name": "value", "type": "bytes",
+                                     "field-id": 127},
+                                ],
+                            },
+                        }],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "default": None,
+                        "type": ["null", {
+                            "type": "array", "logicalType": "map",
+                            "items": {
+                                "type": "record", "name": "k129_v130",
+                                "fields": [
+                                    {"name": "key", "type": "int",
+                                     "field-id": 129},
+                                    {"name": "value", "type": "bytes",
+                                     "field-id": 130},
+                                ],
+                            },
+                        }],
+                    },
                 ],
             },
         },
     ],
 }
+
+# single-value binary serialization (spec Appendix D) for the numeric
+# types the fallback emits bounds for; strings are skipped — safe upper
+# bounds need suffix-increment truncation, absent bounds just mean "no
+# pruning for this column", never a wrong result
+_BOUND_FMT = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+
+
+def bound_bytes(ice_type: str, v) -> bytes | None:
+    import struct as _struct
+
+    fmt = _BOUND_FMT.get(ice_type)
+    if fmt is None or v is None:
+        return None
+    return _struct.pack(fmt, v)
+
+
+def bound_value(ice_type: str, b: bytes):
+    import struct as _struct
+
+    return _struct.unpack(_BOUND_FMT[ice_type], b)[0]
 
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -362,6 +417,48 @@ class IcebergFsTable:
         return spec["fields"]
 
     @staticmethod
+    def _column_bounds(meta, md: dict):
+        """Per-file numeric min/max from the parquet footer row-group
+        statistics → the manifest's lower/upper bounds maps (field-id →
+        Appendix-D bytes). Only exact numeric stats are emitted — a
+        column without stats simply never prunes. Footer-only IO: no data
+        pages are read."""
+        ice = md["schemas"][md["current-schema-id"]]
+        by_name = {f["name"]: f for f in ice["fields"]}
+        mins: dict[int, object] = {}
+        maxs: dict[int, object] = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                f = by_name.get(name)
+                st = col.statistics
+                if (
+                    f is None
+                    or f["type"] not in _BOUND_FMT
+                    or st is None
+                    or not st.has_min_max
+                ):
+                    continue
+                fid = f["id"]
+                mins[fid] = (
+                    st.min if fid not in mins else min(mins[fid], st.min)
+                )
+                maxs[fid] = (
+                    st.max if fid not in maxs else max(maxs[fid], st.max)
+                )
+        by_id = {f["id"]: f for f in ice["fields"]}
+        lowers = [
+            {"key": fid, "value": bound_bytes(by_id[fid]["type"], v)}
+            for fid, v in sorted(mins.items())
+        ]
+        uppers = [
+            {"key": fid, "value": bound_bytes(by_id[fid]["type"], v)}
+            for fid, v in sorted(maxs.items())
+        ]
+        return (lowers or None), (uppers or None)
+
+    @staticmethod
     def _parse_hive_value(raw: str, ice_type: str):
         from urllib.parse import unquote
 
@@ -407,14 +504,18 @@ class IcebergFsTable:
                         partition[pf["name"]] = self._parse_hive_value(
                             parts[pf["name"]], by_id[pf["source-id"]]["type"]
                         )
+                meta = pq.ParquetFile(dst).metadata
+                lowers, uppers = self._column_bounds(meta, md)
                 files.append(
                     {
                         "content": CONTENT_DATA,
                         "file_path": dst,
                         "file_format": "PARQUET",
                         "partition": partition,
-                        "record_count": pq.ParquetFile(dst).metadata.num_rows,
+                        "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
                     }
                 )
                 i += 1
@@ -601,15 +702,25 @@ class IcebergFsTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
+        range_filter: dict | None = None,
     ) -> list[dict]:
         """Live data_file records of a snapshot (default: current), with
-        MANIFEST-LEVEL PARTITION PRUNING: ``partition_filter`` ({col:
-        value}) drops files whose manifest partition tuple mismatches
-        BEFORE any parquet footer is touched — at 100 TB a filter on a
-        partition column reads metadata + matching partitions only.
+        MANIFEST-LEVEL PRUNING — both forms read metadata only, before
+        any parquet footer or data page is touched (at 100 TB a selective
+        filter scans a sliver of the table):
+        * ``partition_filter`` ({col: value}) drops files whose manifest
+          partition tuple mismatches;
+        * ``range_filter`` ({col: (lo, hi)}, inclusive; None = open end)
+          drops files whose manifest lower/upper bounds (written from the
+          parquet footer stats at commit time) cannot intersect the
+          range. Files without bounds for a column are always kept —
+          skipping is an optimization, never a correctness filter; the
+          caller still applies the row-level predicate.
         Refuses delete files rather than mis-reading."""
         md = self.metadata()
         self._spec_fields(md)  # validates identity-only transforms
+        ice = md["schemas"][md["current-schema-id"]]
+        by_name = {f["name"]: f for f in ice["fields"]}
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         out: list[dict] = []
         for mf in self._manifest_list_records(md, snap):
@@ -634,18 +745,46 @@ class IcebergFsTable:
                     for k, v in partition_filter.items()
                 ):
                     continue
+                if range_filter and self._bounds_exclude(
+                    f, range_filter, by_name
+                ):
+                    continue
                 out.append(f)
         return out
+
+    @staticmethod
+    def _bounds_exclude(f: dict, range_filter: dict, by_name: dict) -> bool:
+        lowers = {
+            kv["key"]: kv["value"] for kv in (f.get("lower_bounds") or [])
+        }
+        uppers = {
+            kv["key"]: kv["value"] for kv in (f.get("upper_bounds") or [])
+        }
+        for col, (lo, hi) in range_filter.items():
+            fld = by_name.get(col)
+            if fld is None:
+                raise ValueError(f"unknown range_filter column {col!r}")
+            fid, t = fld["id"], fld["type"]
+            if fid in uppers and lo is not None:
+                if bound_value(t, uppers[fid]) < lo:
+                    return True  # whole file below the range
+            if fid in lowers and hi is not None:
+                if bound_value(t, lowers[fid]) > hi:
+                    return True  # whole file above the range
+        return False
 
     def data_files(
         self,
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
+        range_filter: dict | None = None,
     ) -> list[str]:
         return [
             f["file_path"]
-            for f in self.live_entries(snapshot_id, as_of_ms, partition_filter)
+            for f in self.live_entries(
+                snapshot_id, as_of_ms, partition_filter, range_filter
+            )
         ]
 
     def read(
@@ -654,6 +793,7 @@ class IcebergFsTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
+        range_filter: dict | None = None,
     ) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -661,7 +801,9 @@ class IcebergFsTable:
         ice = md["schemas"][md["current-schema-id"]]
         ddl = spark_ddl_from_iceberg(ice)
         spec_fields = self._spec_fields(md)
-        entries = self.live_entries(snapshot_id, as_of_ms, partition_filter)
+        entries = self.live_entries(
+            snapshot_id, as_of_ms, partition_filter, range_filter
+        )
         if not entries:
             return spark.createDataFrame([], ddl)
         if not spec_fields:

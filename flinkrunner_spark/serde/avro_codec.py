@@ -73,6 +73,10 @@ def _norm_type(t):
             items = t.get("items")
             if isinstance(items, str) and items in _PRIMITIVES and items != "null":
                 return ("array", items)
+            if isinstance(items, dict) and items.get("type") == "record":
+                # array of records — how Avro encodes Iceberg's manifest
+                # maps (logicalType: map over key/value records)
+                return ("array_record", parse_schema(items))
             raise ValueError(f"unsupported array items: {items!r}")
         raise ValueError(f"unsupported avro type: {t!r}")
     if isinstance(t, list):
@@ -88,6 +92,8 @@ def _norm_type(t):
                 return ("nullable_array", name)
             if kind == "record":
                 return ("nullable_record", name)
+            if kind == "array_record":
+                return ("nullable_array_record", name)
         raise ValueError(f"unsupported union: {t!r}")
     raise ValueError(f"unsupported avro type: {t!r}")
 
@@ -198,6 +204,8 @@ def encode_record(schema: dict, rec: dict) -> bytes:
             _write_array(out, prim, v)
         elif kind == "record":
             out += encode_record(prim, v or {})
+        elif kind == "array_record":
+            _write_record_array(out, prim, v)
         elif v is None:  # nullable / nullable_array / nullable_record
             _write_long(out, 0)  # union branch 0 = null
         elif kind == "nullable":
@@ -206,10 +214,22 @@ def encode_record(schema: dict, rec: dict) -> bytes:
         elif kind == "nullable_record":
             _write_long(out, 1)
             out += encode_record(prim, v)
+        elif kind == "nullable_array_record":
+            _write_long(out, 1)
+            _write_record_array(out, prim, v)
         else:  # nullable_array
             _write_long(out, 1)
             _write_array(out, prim, v)
     return bytes(out)
+
+
+def _write_record_array(out: bytearray, parsed: dict, v) -> None:
+    items = list(v if v is not None else [])
+    if items:
+        _write_long(out, len(items))
+        for rec in items:
+            out += encode_record(parsed, rec)
+    _write_long(out, 0)  # block terminator
 
 
 def decode_record(schema: dict, data) -> dict:
@@ -512,6 +532,20 @@ def _decode_record_at(schema: dict, buf, pos: int) -> tuple[dict, int]:
                 items.append(x)
         return items, pos
 
+    def read_record_array(pos, parsed):
+        items = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)
+            for _ in range(n):
+                x, pos = _decode_record_at(parsed, buf, pos)
+                items.append(x)
+        return items, pos
+
     for name, (kind, prim) in schema["fields"]:
         if kind == "prim":
             rec[name], pos = _read_prim(buf, pos, prim)
@@ -519,6 +553,8 @@ def _decode_record_at(schema: dict, buf, pos: int) -> tuple[dict, int]:
             rec[name], pos = read_array(pos, prim)
         elif kind == "record":
             rec[name], pos = _decode_record_at(prim, buf, pos)
+        elif kind == "array_record":
+            rec[name], pos = read_record_array(pos, prim)
         else:
             branch, pos = _read_long(buf, pos)
             if branch == 0:
@@ -527,6 +563,8 @@ def _decode_record_at(schema: dict, buf, pos: int) -> tuple[dict, int]:
                 rec[name], pos = _read_prim(buf, pos, prim)
             elif kind == "nullable_record":
                 rec[name], pos = _decode_record_at(prim, buf, pos)
+            elif kind == "nullable_array_record":
+                rec[name], pos = read_record_array(pos, prim)
             else:
                 rec[name], pos = read_array(pos, prim)
     return rec, pos

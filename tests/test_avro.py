@@ -198,6 +198,62 @@ def test_nested_record_bytes_match_java(spark):
         assert AC.decode_record(parsed, py) == rec
 
 
+MAP_SCHEMA = {
+    "type": "record",
+    "name": "bounds",
+    "fields": [
+        {
+            "name": "lower_bounds",
+            "type": ["null", {
+                "type": "array", "logicalType": "map",
+                "items": {
+                    "type": "record", "name": "k126_v127",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 126},
+                        {"name": "value", "type": "bytes", "field-id": 127},
+                    ],
+                },
+            }],
+            "default": None,
+        },
+    ],
+}
+
+
+def test_array_of_records_bytes_match_java(spark):
+    """Array-of-record fields (Avro's encoding of Iceberg's manifest
+    bounds maps) must be byte-identical with org.apache.avro."""
+    jvm = spark._jvm
+    js = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(MAP_SCHEMA))
+    parsed = AC.parse_schema(MAP_SCHEMA)
+    for kvs in ([{"key": 1, "value": b"\x01\x02"}, {"key": 3, "value": b""}],
+                [], None):
+        rec = {"lower_bounds": kvs}
+        py = AC.encode_record(parsed, rec)
+        jrec = jvm.org.apache.avro.generic.GenericData.Record(js)
+        if kvs is not None:
+            arr = jvm.java.util.ArrayList()
+            item_schema = (
+                js.getField("lower_bounds").schema().getTypes().get(1)
+                .getElementType()
+            )
+            for kv in kvs:
+                jr = jvm.org.apache.avro.generic.GenericData.Record(item_schema)
+                jr.put("key", jvm.java.lang.Integer.valueOf(str(kv["key"])))
+                jr.put("value", jvm.java.nio.ByteBuffer.wrap(kv["value"]))
+                arr.add(jr)
+            jrec.put("lower_bounds", arr)
+        else:
+            jrec.put("lower_bounds", None)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+        jvm.org.apache.avro.generic.GenericDatumWriter(js).write(jrec, enc)
+        enc.flush()
+        assert py == bytes(baos.toByteArray())
+        back = AC.decode_record(parsed, py)
+        assert back == {"lower_bounds": kvs if kvs is None else list(kvs)}
+
+
 def test_jvm_decodes_python_bytes(spark):
     parsed = AC.parse_schema(SCHEMA)
     py = AC.encode_record(parsed, REC)

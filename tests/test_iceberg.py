@@ -281,6 +281,47 @@ def test_identity_partitioned_write_read_prune(spark, tmp_path):
     assert [r["id"] for r in src.load(spark).collect()] == [4]
 
 
+def test_column_bounds_written_and_data_skipping(spark, tmp_path):
+    """Manifests must carry per-file numeric lower/upper bounds from the
+    parquet footers, and a range_filter must prune non-intersecting files
+    at the metadata level while never changing results."""
+    loc = str(tmp_path / "tb")
+    t = I.IcebergFsTable(loc)
+    # range-partition the write so files cover disjoint id ranges
+    df = spark.range(0, 1000).selectExpr(
+        "id", "cast(id % 7 as double) as score",
+        "cast(id as string) as name", "array('x') as tags",
+    ).select("id", "name", "score", "tags").repartitionByRange(4, "id")
+    t.append(df)
+    entries = t.live_entries()
+    assert len(entries) == 4
+    for e in entries:
+        lows = {kv["key"]: kv["value"] for kv in e["lower_bounds"]}
+        ups = {kv["key"]: kv["value"] for kv in e["upper_bounds"]}
+        assert 1 in lows and 1 in ups  # id column bounds present
+        assert I.bound_value("long", lows[1]) <= I.bound_value("long", ups[1])
+        assert 3 in lows  # score (double) bounds too; name (string) absent
+        name_fid = 2
+        assert name_fid not in lows
+    # pruning: ids 100..150 live in one file of the four
+    pruned = t.data_files(range_filter={"id": (100, 150)})
+    assert len(pruned) == 1
+    got = sorted(
+        r["id"] for r in
+        t.read(spark, range_filter={"id": (100, 150)})
+        .filter("id between 100 and 150").collect()
+    )
+    assert got == list(range(100, 151))
+    # open-ended ranges
+    assert len(t.data_files(range_filter={"id": (900, None)})) == 1
+    assert len(t.data_files(range_filter={"id": (None, 10)})) == 1
+    # a range outside all bounds prunes everything
+    assert t.data_files(range_filter={"id": (5000, 6000)}) == []
+    # unknown column refused
+    with pytest.raises(ValueError, match="unknown range_filter"):
+        t.data_files(range_filter={"nope": (1, 2)})
+
+
 def test_streaming_sink_commits_per_microbatch(spark, tmp_path):
     from flinkrunner_spark.sinks.factory import IcebergSinkConfig
 
