@@ -32,14 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-5 rotation: the
-    # NINE new keys first (vocabulary, tf-idf, stratified sampling,
+    # TEN new keys first (vocabulary, tf-idf, stratified sampling,
     # sequence packing, two semantic-dedup forms, three connector
-    # roundtrips), then every key whose implementation file changed since
+    # roundtrips, the pruned iceberg scan), then every key whose implementation file changed since
     # the r4 rows — llm/similarity.py (sampled-Lloyd's quantizer, RH-LSH
     # cap, bounded centroid fold), llm/dedup.py, llm/text.py +
     # llm/pipeline.py (new ops share these files), and
     # streaming/pipelines.py (TTL dedup option) which makes ALL stream_*
-    # mirrors re-verify; the 3 curation keys close the 50. The tail holds
+    # mirrors re-verify; decontaminate + pii_redact close the 50. The tail holds
     # only keys whose files have zero changed lines since their last
     # green row (multimodal r4, analytics/aggregates r2-r3).
     return {
@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
         "avro_roundtrip": connectors.avro_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
+        "iceberg_pruned_scan": connectors.iceberg_pruned_scan,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

@@ -74,6 +74,42 @@ def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_profile(back)
 
 
+PRUNE_LO, PRUNE_HI = 150, 350
+
+PRUNED_SCAN_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents
+WHERE n_chars BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+GROUP BY lang
+"""
+
+
+def iceberg_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping under the correctness gate: documents land in an
+    Iceberg table laid out so files carry DISJOINT n_chars bounds
+    (range-repartitioned write), the read prunes files via the manifest
+    bounds (``range_filter``) and applies the residual row predicate,
+    and the oracle filters the original parquet — green means pruning
+    changed the IO, not the answer. The 100 TB point of the whole table
+    format: a selective numeric filter reads metadata plus intersecting
+    files only."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-docs-pruned", sf_dir)
+    t = IcebergFsTable(loc)
+    t.overwrite(docs.repartitionByRange(4, "n_chars"))
+    rf = {"n_chars": (PRUNE_LO, PRUNE_HI)}
+    assert len(t.data_files(range_filter=rf)) < len(t.data_files())
+    back = t.read(spark, range_filter=rf).filter(
+        (F.col("n_chars") >= PRUNE_LO) & (F.col("n_chars") <= PRUNE_HI)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 JDBC_PROFILE_ORACLE = """
 SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id

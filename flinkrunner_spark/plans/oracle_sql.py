@@ -1469,3 +1469,7 @@ ORACLES["avro_roundtrip"] = _LPO
 from flinkrunner_spark.plans.connectors import JDBC_PROFILE_ORACLE as _JPO  # noqa: E402
 
 ORACLES["jdbc_roundtrip"] = _JPO
+
+from flinkrunner_spark.plans.connectors import PRUNED_SCAN_ORACLE as _PSO  # noqa: E402
+
+ORACLES["iceberg_pruned_scan"] = _PSO
