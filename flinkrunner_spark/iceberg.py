@@ -8,18 +8,25 @@ Everything here implements the PUBLIC Iceberg table spec
 (https://iceberg.apache.org/spec/ — format version 2). Scope is an
 explicit, honest SUBSET:
 
-* unpartitioned tables, parquet data files, append / overwrite snapshots,
-  schema of primitives + lists of primitives;
+* parquet data files; schemas of primitives + lists of primitives;
+  append / overwrite / replace (compaction) snapshots with full lineage;
+  IDENTITY-transform partition specs (hive-style layout, per-file
+  partition tuples in manifests, manifest-level partition pruning);
+  per-file numeric column bounds from parquet footers with
+  ``range_filter`` data skipping; time travel by snapshot-id or
+  as-of-timestamp; snapshot expiration with unreferenced-file GC;
+  additive schema evolution (``add_column`` — old files null-fill by
+  id-based resolution);
 * metadata files: ``vN.metadata.json`` + ``version-hint.text`` (the
   HadoopTables layout), manifest lists and manifests as Avro OCF written
   by the byte-level Java-validated codec in ``serde/avro_codec.py``
-  (nested manifest_entry/data_file records included in that validation —
-  tests/test_avro.py::test_nested_record_bytes_match_java);
+  (nested manifest_entry/data_file records and the array-of-record map
+  encoding included in that validation — tests/test_avro.py);
 * reads resolve version-hint → metadata → current snapshot → manifest
   list → manifests → live data files, and REFUSE (with a clear error)
-  tables using features outside the subset: delete files (manifest
-  content=1), non-empty partition specs, non-parquet data files — never
-  a silently wrong result;
+  features outside the subset: delete files (manifest content=1),
+  non-identity partition transforms, non-parquet data files — never a
+  silently wrong result;
 * data files are written without parquet field-ids (Spark's writer can't
   attach them), so the table carries the spec's sanctioned fallback for
   exactly that case: a ``schema.name-mapping.default`` property mapping
@@ -264,6 +271,13 @@ MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+
+def current_schema(md: dict) -> dict:
+    """Current schema looked up BY schema-id (not list position — foreign
+    writers may order ``schemas`` arbitrarily)."""
+    sid = md["current-schema-id"]
+    return next(s for s in md["schemas"] if s.get("schema-id") == sid)
+
 STATUS_ADDED = 1
 STATUS_DELETED = 2
 CONTENT_DATA = 0
@@ -423,7 +437,7 @@ class IcebergFsTable:
         Appendix-D bytes). Only exact numeric stats are emitted — a
         column without stats simply never prunes. Footer-only IO: no data
         pages are read."""
-        ice = md["schemas"][md["current-schema-id"]]
+        ice = current_schema(md)
         by_name = {f["name"]: f for f in ice["fields"]}
         mins: dict[int, object] = {}
         maxs: dict[int, object] = {}
@@ -474,7 +488,7 @@ class IcebergFsTable:
         import pyarrow.parquet as pq
 
         spec_fields = self._spec_fields(md)
-        by_id = {f["id"]: f for f in md["schemas"][md["current-schema-id"]]["fields"]}
+        by_id = {f["id"]: f for f in current_schema(md)["fields"]}
         tmp = os.path.join(self.location, f"_tmp-write-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if spec_fields:
@@ -550,7 +564,7 @@ class IcebergFsTable:
         mf_path = os.path.join(
             self.meta_dir, f"{uuid.uuid4().hex}-m0.avro"
         )
-        ice_schema = md["schemas"][md["current-schema-id"]]
+        ice_schema = current_schema(md)
         blob = AC.write_container(
             manifest_entry_schema(spec_fields, ice_schema),
             entries,
@@ -640,9 +654,16 @@ class IcebergFsTable:
 
     def _check_schema(self, spark_schema, md: dict) -> None:
         ice, _ = iceberg_schema_from_spark(spark_schema)
-        cur = md["schemas"][md["current-schema-id"]]
-        got = [(f["name"], f["type"]) for f in ice["fields"]]
-        want = [(f["name"], f["type"]) for f in cur["fields"]]
+        cur = current_schema(md)
+
+        def norm(t):
+            # ids are table-assigned; a dataframe's fresh ids may differ
+            if isinstance(t, dict) and t.get("type") == "list":
+                return ("list", t["element"])
+            return t
+
+        got = [(f["name"], norm(f["type"])) for f in ice["fields"]]
+        want = [(f["name"], norm(f["type"])) for f in cur["fields"]]
         if got != want:
             raise ValueError(
                 f"schema mismatch writing to iceberg table "
@@ -719,7 +740,7 @@ class IcebergFsTable:
         Refuses delete files rather than mis-reading."""
         md = self.metadata()
         self._spec_fields(md)  # validates identity-only transforms
-        ice = md["schemas"][md["current-schema-id"]]
+        ice = current_schema(md)
         by_name = {f["name"]: f for f in ice["fields"]}
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         out: list[dict] = []
@@ -798,7 +819,7 @@ class IcebergFsTable:
         from pyspark.sql import functions as F
 
         md = self.metadata()
-        ice = md["schemas"][md["current-schema-id"]]
+        ice = current_schema(md)
         ddl = spark_ddl_from_iceberg(ice)
         spec_fields = self._spec_fields(md)
         entries = self.live_entries(
@@ -845,6 +866,40 @@ class IcebergFsTable:
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))
+
+    # -- schema evolution ----------------------------------------------------
+
+    def add_column(self, name: str, ice_type: str) -> None:
+        """ADD COLUMN (spec schema evolution): a NEW schema with a fresh
+        field-id is appended to ``schemas`` and becomes current — old
+        data files stay untouched and read back with nulls for the new
+        column (the schema'd parquet read resolves missing columns to
+        null, exactly the spec's id-based resolution for an added
+        field). Only additive evolution is offered: renames/drops/type
+        promotion stay with the jar."""
+        if ice_type not in _ICE_TO_SPARK and not str(ice_type).startswith(
+            "decimal"
+        ):
+            raise ValueError(f"unsupported iceberg type {ice_type!r}")
+        md = self.metadata()
+        cur = current_schema(md)
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        new_id = md["last-column-id"] + 1
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+            "fields": list(cur["fields"])
+            + [{"id": new_id, "name": name, "required": False,
+                "type": ice_type}],
+        }
+        md["schemas"] = md["schemas"] + [new_schema]
+        md["current-schema-id"] = new_schema["schema-id"]
+        md["last-column-id"] = new_id
+        md["properties"]["schema.name-mapping.default"] = json.dumps(
+            name_mapping(new_schema)
+        )
+        self._commit(md, self._version() + 1)
 
     # -- table maintenance (the ops a 100 TB table actually runs) -----------
 

@@ -322,6 +322,38 @@ def test_column_bounds_written_and_data_skipping(spark, tmp_path):
         t.data_files(range_filter={"nope": (1, 2)})
 
 
+def test_add_column_schema_evolution(spark, tmp_path):
+    """Additive evolution: a new current schema with a fresh field-id;
+    old files read back with nulls for the added column, new writes carry
+    it, and both generations coexist in one scan."""
+    loc = str(tmp_path / "tev")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))
+    t.add_column("rank", "long")
+    md = t.metadata()
+    assert md["current-schema-id"] == 1 and len(md["schemas"]) == 2
+    new_field = md["schemas"][1]["fields"][-1]
+    assert new_field["name"] == "rank" and new_field["id"] == md["last-column-id"]
+    # old files: null-filled
+    out = t.read(spark)
+    assert out.columns == ["id", "name", "score", "tags", "rank"]
+    assert all(r["rank"] is None for r in out.collect())
+    # new write with the evolved schema
+    t.append(
+        spark.createDataFrame(
+            [(9, "z", 9.5, ["q"], 7)],
+            "id bigint, name string, score double, tags array<string>, rank bigint",
+        )
+    )
+    rows = {r["id"]: r["rank"] for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: None, 9: 7}
+    # duplicate / bogus additions refused
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("rank", "long")
+    with pytest.raises(ValueError, match="unsupported"):
+        t.add_column("x", "struct")
+
+
 def test_streaming_sink_commits_per_microbatch(spark, tmp_path):
     from flinkrunner_spark.sinks.factory import IcebergSinkConfig
 
