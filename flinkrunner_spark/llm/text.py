@@ -199,13 +199,16 @@ def docs_tfidf(spark: SparkSession, sf_dir: str, top: int = TFIDF_TOP) -> DataFr
     (the repo-wide no-transcendentals rule; the log only compresses the
     range, it does not change per-document ranking order for fixed tf).
 
-    Plan shape at 100 TB: one explode feeding TWO aggregations — (doc,
-    term) term frequencies and per-term document frequencies — joined on
-    the term key, then a per-doc window for the top-``top`` rank. The
-    text column never survives the explode projection; everything
-    shuffled is (id, term, int). n_docs joins in as a broadcast 1-row
-    aggregate, not a driver ``.count()`` round-trip. Rank compares the
-    ROUNDED score (then term) so the cut is deterministic at ulp level."""
+    Plan shape at 100 TB: one explode into ONE (doc, term) aggregation;
+    per-doc token totals and per-term document frequencies are WINDOWS
+    over that same tf frame (tf has one row per (doc, term), so
+    ``count() over (partition by term)`` IS the document frequency) —
+    no second aggregation, no joins: the whole query is one partial-agg
+    shuffle plus three window exchanges (doc → term → doc), everything
+    shuffled is (id, term, int) and the text column never survives the
+    explode. n_docs arrives as a broadcast 1-row aggregate, not a driver
+    ``.count()`` round-trip. Rank compares the ROUNDED score (then term)
+    so the cut is deterministic at ulp level."""
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -213,9 +216,9 @@ def docs_tfidf(spark: SparkSession, sf_dir: str, top: int = TFIDF_TOP) -> DataFr
         "doc_id", F.explode(tokens_col()).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    ntok = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_doc = Window.partitionBy("doc_id")
+    w_term = Window.partitionBy("term")
     score = F.round(
         (F.col("tf") / F.col("n_tok")) * (F.col("n_docs") / F.col("df")), 6
     )
@@ -223,8 +226,8 @@ def docs_tfidf(spark: SparkSession, sf_dir: str, top: int = TFIDF_TOP) -> DataFr
         F.col("score").desc(), F.col("term")
     )
     return (
-        tf.join(ntok, "doc_id")
-        .join(df_, "term")
+        tf.withColumn("n_tok", F.sum("tf").over(w_doc))
+        .withColumn("df", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(ndocs))
         .withColumn("score", score)
         .withColumn("rk", F.row_number().over(w))
