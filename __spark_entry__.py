@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap, bounded centroid fold), llm/dedup.py, llm/text.py +
     # llm/pipeline.py (new ops share these files), and
     # streaming/pipelines.py (TTL dedup option) which makes ALL stream_*
-    # mirrors re-verify; decontaminate + pii_redact close the 50. The tail holds
+    # mirrors re-verify; docs_decontaminate closes the 50. The tail holds
     # only keys whose files have zero changed lines since their last
     # green row (multimodal r4, analytics/aggregates r2-r3).
     return {
@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "docs_simhash": llm_dedup.docs_simhash,
         "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
+        "docs_dup_spans": llm_dedup.docs_dup_spans,
         # —— llm/text.py + llm/pipeline.py changed (new ops live there) ——
         "docs_tokens": llm_text.docs_tokens,
         "docs_langid": llm_text.docs_langid,

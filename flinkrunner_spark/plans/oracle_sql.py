@@ -1473,3 +1473,17 @@ ORACLES["jdbc_roundtrip"] = _JPO
 from flinkrunner_spark.plans.connectors import PRUNED_SCAN_ORACLE as _PSO  # noqa: E402
 
 ORACLES["iceberg_pruned_scan"] = _PSO
+
+ORACLES["docs_dup_spans"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(toks, CAST(i AS INT),
+                                   CAST(i + 19 AS INT)), ' ')) AS span_hash
+  FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 19, 10)) AS u(i)
+  WHERE len(toks) >= 20
+)
+SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+  MIN(doc_id) AS min_doc_id
+FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+"""
