@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
-from flinkrunner_spark.llm import multimodal, pipeline, similarity  # noqa: E402
+from flinkrunner_spark.llm import multimodal, pipeline, sampling, similarity  # noqa: E402
+from flinkrunner_spark.llm import spans as llm_spans  # noqa: E402
+from flinkrunner_spark.llm import vocab as llm_vocab  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
 from flinkrunner_spark.plans import analytics, connectors, events  # noqa: E402
 from flinkrunner_spark.plans.oracle_sql import ORACLES  # noqa: E402
@@ -44,10 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row (multimodal r4, analytics/aggregates r2-r3).
     return {
         # —— NEW this round ——
-        "docs_topk_ngrams": llm_text.docs_topk_ngrams,
-        "docs_tfidf": llm_text.docs_tfidf,
-        "docs_stratified_sample": pipeline.docs_stratified_sample,
-        "docs_pack_sequences": pipeline.docs_pack_sequences,
+        "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
+        "docs_tfidf": llm_vocab.docs_tfidf,
+        "docs_stratified_sample": sampling.docs_stratified_sample,
+        "docs_pack_sequences": sampling.docs_pack_sequences,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
         "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
@@ -71,7 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "docs_simhash": llm_dedup.docs_simhash,
         "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
-        "docs_dup_spans": llm_dedup.docs_dup_spans,
+        "docs_dup_spans": llm_spans.docs_dup_spans,
         # —— llm/text.py + llm/pipeline.py changed (new ops live there) ——
         "docs_tokens": llm_text.docs_tokens,
         "docs_langid": llm_text.docs_langid,

@@ -55,6 +55,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     from flinkrunner_spark.llm import dedup as llm_dedup
+    from flinkrunner_spark.llm import similarity as llm_similarity
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -64,7 +65,7 @@ def main() -> None:
                 # computation, not read its predecessors' persisted frames
                 # (dedup-family only: the similarity caches share nothing
                 # with the pipeline's stages and belong to other keys)
-                llm_dedup.release_caches(include_similarity=False)
+                llm_dedup.release_caches()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -80,6 +81,7 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2") != "1":
         llm_dedup.release_caches()  # warm must re-execute, not cache-hit
+        llm_similarity.release_caches()
         warm = run_pass()
         out["queries_warm"] = warm
         out["value_warm"] = round(sum(warm.values()), 3)

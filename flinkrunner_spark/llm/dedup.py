@@ -105,25 +105,13 @@ def _evict_stale(spark: SparkSession) -> None:
             del cache[key]
 
 
-def release_caches(
-    sf_dir: str | None = None, include_similarity: bool = True
-) -> None:
+def release_caches(sf_dir: str | None = None) -> None:
     """Unpersist signature frames and evict memoized cluster frames.
 
     ``sf_dir=None`` releases everything; otherwise only that corpus.
     Cluster frames are localCheckpoint-backed — their blocks are freed
-    eagerly rather than waiting on the JVM ContextCleaner. By default
-    also drains the similarity-family caches (RH-LSH codes, centroids,
-    kmeans assignment) so one call keeps a whole bench pass honest;
-    ``include_similarity=False`` scopes the release to the dedup family
-    (bench uses it before docs_pipeline, whose stages share nothing with
-    the similarity caches)."""
+    eagerly rather than waiting on the JVM ContextCleaner."""
     from flinkrunner_spark.operators.graph import _free_checkpoint
-
-    if include_similarity:
-        from flinkrunner_spark.llm import similarity
-
-        similarity.release_caches(sf_dir)
 
     for key in [k for k in _SIG_CACHE if sf_dir is None or k[1] == sf_dir]:
         try:
@@ -376,57 +364,4 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), k)"))
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
-    )
-
-
-DUP_SPAN_TOKENS = 20  # span window length (tokens)
-DUP_SPAN_STRIDE = 10  # window stride — 50% overlap catches shifted copies
-
-
-def docs_dup_spans(
-    spark: SparkSession,
-    sf_dir: str,
-    span: int = DUP_SPAN_TOKENS,
-    stride: int = DUP_SPAN_STRIDE,
-) -> DataFrame:
-    """Duplicated SPAN detection — the hashed approximation of exact
-    substring deduplication (Lee et al. 2021, "Deduplicating Training
-    Data Makes Language Models Better", arXiv:2107.06499, which removes
-    verbatim ≥50-token repeats the document-level dedups miss): hash
-    every ``span``-token window at ``stride`` offsets and report hashes
-    occurring in ≥2 documents. The suffix-array construction the paper
-    uses is replaced by strided fingerprints — a copy of ≥ span+stride
-    tokens always shares at least one full window with its source, so
-    long verbatim repeats cannot escape; the trade is boundary precision,
-    not recall of long repeats.
-
-    100 TB shape: one explode (≈ tokens/stride rows per doc, each a
-    16-byte hash + two ints — the span TEXT never shuffles), then one
-    count-only aggregation with map-side partial combine; hot boilerplate
-    spans skew the hash key but carry counts, not lists, so no bucket can
-    OOM. EXACTLY oracled (md5 span hashes reproduce in SQL)."""
-    from flinkrunner_spark.llm.text import tokens_col
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t = docs.select("doc_id", tokens_col().alias("toks"))
-    starts = F.when(
-        F.size("toks") >= span,
-        F.sequence(
-            F.lit(1), F.size("toks") - span + 1, F.lit(stride)
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    s = t.select("doc_id", "toks", F.explode(starts).alias("i")).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.slice("toks", F.col("i"), span))
-        ).alias("span_hash"),
-    )
-    return (
-        s.groupBy("span_hash")
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min("doc_id").alias("min_doc_id"),
-        )
-        .filter(F.col("n_docs") >= 2)
     )

@@ -88,90 +88,3 @@ def docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-
-
-# Per-language sampling rates for the training mix (out of 10000);
-# languages not listed fall back to the default rate.
-STRATA_RATES = {"en": 5000, "de": 10000, "fr": 2500, "es": 2500, "zh": 10000}
-STRATA_DEFAULT = 1000
-
-
-def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified downsampling by language — the
-    training-mix re-weighting step (e.g. keep 50% of English, all of the
-    low-resource strata). The keep decision is md5(doc_id || salt) mod
-    10000 compared against the stratum's rate: stable across runs,
-    engines, cluster sizes and data order — no RNG state, no shuffle, a
-    pure filter projection that is embarrassingly parallel at 100 TB
-    (and, unlike ``df.sample``, reproducible row-exactly for audit).
-    The salt differs from ``docs_split``'s so the sample is independent
-    of the train/val/test assignment."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("doc_id").cast("string"), F.lit(":strata:v1"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
-    rate = F.lit(STRATA_DEFAULT)
-    for lang, r in sorted(STRATA_RATES.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    return (
-        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
-        .filter(F.col("bucket") < F.col("rate"))
-        .select("doc_id", "lang", "bucket")
-    )
-
-
-PACK_BUDGET = 2048  # tokens per packed training sequence
-PACK_SHARDS = 64  # parallel packing shards (each packs independently)
-
-
-def docs_pack_sequences(
-    spark: SparkSession,
-    sf_dir: str,
-    budget: int = PACK_BUDGET,
-    shards: int = PACK_SHARDS,
-) -> DataFrame:
-    """Greedy token-budget SEQUENCE PACKING: assign each document to a
-    fixed-token-budget pack (training sequences are built by
-    concatenating documents until ~``budget`` tokens), deterministically.
-
-    Packing is SHARD-LOCAL by construction: shard = md5-bucket of doc_id,
-    and each shard packs its own documents in hash order via a running
-    token cumsum — pack_id = floor(start_offset / budget). Documents
-    straddle pack boundaries exactly as greedy concatenation would
-    (standard practice: the tokenizer truncates/continues at the
-    boundary). At 100 TB the per-shard window is the ONLY ordered
-    operation and shards are independent — raise ``shards`` with the
-    cluster (one window partition each, no global sort anywhere). This is
-    how real pretraining pipelines shard packing: sequences never span
-    shard (= worker) boundaries."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pack:v1")))
-    base = docs.select(
-        "doc_id",
-        h.alias("h"),
-        (
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % shards
-        ).alias("shard"),
-        T.bpe_tokens_col().alias("n_tokens"),
-    )
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    cum = F.sum("n_tokens").over(w)
-    return base.select(
-        "doc_id",
-        F.col("shard").cast("int").alias("shard"),
-        F.floor((cum - F.col("n_tokens")) / budget).alias("pack_id"),
-        "n_tokens",
-    )

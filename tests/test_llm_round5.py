@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from flinkrunner_spark.llm import pipeline, similarity  # noqa: E402
+from flinkrunner_spark.llm import sampling, similarity  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
@@ -20,12 +20,12 @@ def test_pack_sequences_offsets_and_contiguity(spark):
     """Each document's start offset must land inside its pack's token
     window, and pack ids must be contiguous from 0 within every shard —
     recomputed independently in pandas from the same hash order."""
-    out = pipeline.docs_pack_sequences(spark, SF).toPandas()
+    out = sampling.docs_pack_sequences(spark, SF).toPandas()
     docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert len(out) == docs
     import hashlib
 
-    budget = pipeline.PACK_BUDGET
+    budget = sampling.PACK_BUDGET
     for shard, grp in out.groupby("shard"):
         g = grp.copy()
         g["h"] = [
@@ -45,17 +45,17 @@ def test_stratified_sample_rates_and_determinism(spark):
     uniform), and the sample must be row-identical across runs."""
     full = spark.read.parquet(f"{SF}/documents.parquet")
     totals = {r["lang"]: r["count"] for r in full.groupBy("lang").count().collect()}
-    s1 = pipeline.docs_stratified_sample(spark, SF).toPandas()
-    s2 = pipeline.docs_stratified_sample(spark, SF).toPandas()
+    s1 = sampling.docs_stratified_sample(spark, SF).toPandas()
+    s2 = sampling.docs_stratified_sample(spark, SF).toPandas()
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
     kept = s1.groupby("lang")["doc_id"].count().to_dict()
     for lang, n in totals.items():
-        rate = pipeline.STRATA_RATES.get(lang, pipeline.STRATA_DEFAULT) / 10000
+        rate = sampling.STRATA_RATES.get(lang, sampling.STRATA_DEFAULT) / 10000
         got = kept.get(lang, 0) / n
         # 50 docs/stratum at sf0.001 — generous binomial tolerance
         assert abs(got - rate) < 0.35, (lang, got, rate)
     # full-rate strata must keep everything
-    for lang, r in pipeline.STRATA_RATES.items():
+    for lang, r in sampling.STRATA_RATES.items():
         if r == 10000 and lang in totals:
             assert kept.get(lang, 0) == totals[lang]
 
@@ -133,7 +133,7 @@ def test_semantic_dedup_kmeans_matches_numpy_mirror(spark):
 def test_tfidf_rank_within_doc(spark):
     """Every doc emits at most TFIDF_TOP rows, ranked 1..k with strictly
     descending (score, -term) order."""
-    from flinkrunner_spark.llm import text as T
+    from flinkrunner_spark.llm import vocab as T
 
     out = T.docs_tfidf(spark, SF).toPandas()
     for _, grp in out.groupby("doc_id"):
