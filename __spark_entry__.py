@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": connectors.avro_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
         "iceberg_pruned_scan": connectors.iceberg_pruned_scan,
+        "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

@@ -22,11 +22,15 @@ explicit, honest SUBSET:
   by the byte-level Java-validated codec in ``serde/avro_codec.py``
   (nested manifest_entry/data_file records and the array-of-record map
   encoding included in that validation — tests/test_avro.py);
+* row-level UPSERT via v2 EQUALITY DELETE files (``upsert(df, keys)``
+  writes data files + a delete file of the keys; reads apply them
+  merge-on-read with the spec's sequence-number rule — the write shape
+  Flink's ``.upsert(primaryKey.nonEmpty)`` sink produces);
 * reads resolve version-hint → metadata → current snapshot → manifest
-  list → manifests → live data files, and REFUSE (with a clear error)
-  features outside the subset: delete files (manifest content=1),
-  non-identity partition transforms, non-parquet data files — never a
-  silently wrong result;
+  list → manifests → live data + equality-delete files, and REFUSE
+  (with a clear error) features outside the subset: POSITION delete
+  files, non-identity partition transforms, non-parquet data files —
+  never a silently wrong result;
 * data files are written without parquet field-ids (Spark's writer can't
   attach them), so the table carries the spec's sanctioned fallback for
   exactly that case: a ``schema.name-mapping.default`` property mapping
@@ -224,6 +228,13 @@ MANIFEST_ENTRY_SCHEMA = {
                             },
                         }],
                     },
+                    {
+                        "name": "equality_ids",
+                        "field-id": 135,
+                        "default": None,
+                        "type": ["null", {"type": "array", "items": "int",
+                                          "element-id": 136}],
+                    },
                 ],
             },
         },
@@ -280,7 +291,11 @@ def current_schema(md: dict) -> dict:
 
 STATUS_ADDED = 1
 STATUS_DELETED = 2
-CONTENT_DATA = 0
+CONTENT_DATA = 0  # manifest content 0 = data, 1 = deletes
+CONTENT_DELETES = 1
+# data_file.content (spec): 0 = data, 1 = position deletes, 2 = equality
+FILE_CONTENT_POS_DELETES = 1
+FILE_CONTENT_EQ_DELETES = 2
 
 # partition columns the fallback supports (hive-path round-trippable)
 _PARTITIONABLE = {"string", "int", "long"}
@@ -480,11 +495,19 @@ class IcebergFsTable:
             return None
         return int(raw) if ice_type in ("int", "long") else unquote(raw)
 
-    def _write_data_files(self, df: DataFrame, md: dict) -> list[dict]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        md: dict,
+        content: int = CONTENT_DATA,
+        equality_ids: list[int] | None = None,
+    ) -> list[dict]:
         """Write df as parquet data files into data/ and return data_file
         records (path, rows, bytes from the parquet footers; partition
         tuple parsed from the hive-style write paths for partitioned
-        specs — `data/col=value/...` exactly as Iceberg lays files out)."""
+        specs — `data/col=value/...` exactly as Iceberg lays files out).
+        With ``content=FILE_CONTENT_EQ_DELETES`` the frame holds equality
+        DELETE rows (the key columns named by ``equality_ids``)."""
         import pyarrow.parquet as pq
 
         spec_fields = self._spec_fields(md)
@@ -522,7 +545,7 @@ class IcebergFsTable:
                 lowers, uppers = self._column_bounds(meta, md)
                 files.append(
                     {
-                        "content": CONTENT_DATA,
+                        "content": content,
                         "file_path": dst,
                         "file_format": "PARQUET",
                         "partition": partition,
@@ -530,27 +553,25 @@ class IcebergFsTable:
                         "file_size_in_bytes": os.path.getsize(dst),
                         "lower_bounds": lowers,
                         "upper_bounds": uppers,
+                        "equality_ids": equality_ids,
                     }
                 )
                 i += 1
         shutil.rmtree(tmp, ignore_errors=True)
         return files
 
-    def _write_snapshot(
+    def _write_manifest(
         self,
-        df: DataFrame,
-        operation: str,
-        partition_by: list[str] | None = None,
-    ) -> None:
-        if not self.exists():
-            self.create(df.schema, partition_by=partition_by)
-        md = self.metadata()
-        self._check_schema(df.schema, md)
-        spec_fields = self._spec_fields(md)
-        seq = md["last-sequence-number"] + 1
-        snap_id = uuid.uuid4().int & ((1 << 62) - 1)
-        data_files = self._write_data_files(df, md)
-
+        files: list[dict],
+        md: dict,
+        spec_fields: list,
+        snap_id: int,
+        seq: int,
+        content: int,
+    ) -> dict:
+        """Write ONE manifest avro file for ``files`` and return its
+        manifest_file record (the manifest-list row). ``content`` is the
+        manifest-level kind: CONTENT_DATA or CONTENT_DELETES."""
         entries = [
             {
                 "status": STATUS_ADDED,
@@ -559,11 +580,9 @@ class IcebergFsTable:
                 "file_sequence_number": None,
                 "data_file": f,
             }
-            for f in data_files
+            for f in files
         ]
-        mf_path = os.path.join(
-            self.meta_dir, f"{uuid.uuid4().hex}-m0.avro"
-        )
+        mf_path = os.path.join(self.meta_dir, f"{uuid.uuid4().hex}-m0.avro")
         ice_schema = current_schema(md)
         blob = AC.write_container(
             manifest_entry_schema(spec_fields, ice_schema),
@@ -574,30 +593,70 @@ class IcebergFsTable:
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "data",
+                "content": "data" if content == CONTENT_DATA else "deletes",
             },
         )
         with open(mf_path, "wb") as fh:
             fh.write(blob)
-
-        new_manifest = {
+        rows = sum(f["record_count"] for f in files)
+        return {
             "manifest_path": mf_path,
             "manifest_length": len(blob),
             "partition_spec_id": 0,
-            "content": CONTENT_DATA,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
-            "added_files_count": len(data_files),
+            "added_files_count": len(files),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": sum(f["record_count"] for f in data_files),
+            "added_rows_count": rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
-        manifests = [new_manifest]
+
+    def _write_snapshot(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None = None,
+        delete_df: DataFrame | None = None,
+        equality_ids: list[int] | None = None,
+    ) -> None:
+        if not self.exists():
+            self.create(df.schema, partition_by=partition_by)
+        md = self.metadata()
+        self._check_schema(df.schema, md)
+        spec_fields = self._spec_fields(md)
+        seq = md["last-sequence-number"] + 1
+        snap_id = uuid.uuid4().int & ((1 << 62) - 1)
+        data_files = self._write_data_files(df, md)
+        manifests = [
+            self._write_manifest(
+                data_files, md, spec_fields, snap_id, seq, CONTENT_DATA
+            )
+        ]
+        if delete_df is not None:
+            # equality DELETE files (v2 row-level upsert): they carry the
+            # key columns of the replaced rows and apply, at read time, to
+            # data files with a STRICTLY SMALLER sequence number — so the
+            # rows added by this same snapshot survive their own delete.
+            del_files = self._write_data_files(
+                delete_df, md,
+                content=FILE_CONTENT_EQ_DELETES,
+                equality_ids=equality_ids,
+            )
+            manifests.insert(
+                0,
+                self._write_manifest(
+                    del_files, md, spec_fields, snap_id, seq,
+                    CONTENT_DELETES,
+                ),
+            )
         parent = md.get("current-snapshot-id", -1)
-        if operation == "append" and parent not in (-1, None):
+        if (
+            operation == "append" or delete_df is not None
+        ) and parent not in (-1, None):
             manifests += self._manifest_list_records(md)
 
         ml_path = os.path.join(
@@ -651,6 +710,66 @@ class IcebergFsTable:
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._write_snapshot(df, "overwrite", partition_by=partition_by)
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Row-level UPSERT via v2 equality deletes — the write shape the
+        reference's Flink sink produces when ``primary.key`` is set
+        (`model/sink/IcebergSinkConfig.scala:140`, ``.upsert(...)``): one
+        snapshot committing the new rows as data files PLUS an equality
+        delete file of their keys, which erases any OLDER row with the
+        same key at read time (merge-on-read; strictly-smaller sequence
+        numbers, so the snapshot's own rows survive).
+
+        Constraints (honest subset, all checked): the batch must be
+        key-unique (Flink's upsert stream dedups per checkpoint; here the
+        caller does, because a DataFrame has no row order to break the
+        tie deterministically); on a partitioned table the partition
+        columns must be a subset of the key (the delete files land
+        partition-scoped, as the Flink writer requires)."""
+        if not key_cols:
+            raise ValueError("upsert requires at least one key column")
+        if not self.exists():
+            self.create(df.schema, partition_by=partition_by)
+        md = self.metadata()
+        ice = current_schema(md)
+        by_name = {f["name"]: f for f in ice["fields"]}
+        missing = [k for k in key_cols if k not in by_name]
+        if missing:
+            raise ValueError(f"unknown upsert key column(s) {missing}")
+        spec_cols = [f["name"] for f in self._spec_fields(md)]
+        if any(c not in key_cols for c in spec_cols):
+            raise ValueError(
+                "upsert on a partitioned table requires the partition "
+                f"columns {spec_cols} to be part of the key {key_cols} "
+                "(equality deletes are partition-scoped)"
+            )
+        dup = (
+            df.groupBy(*key_cols)
+            .count()
+            .filter("count > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"upsert batch has duplicate key {tuple(dup[0])[:-1]} — "
+                "dedupe the batch first (a DataFrame has no row order to "
+                "pick a deterministic winner)"
+            )
+        has_parent = md.get("current-snapshot-id", -1) not in (-1, None)
+        self._write_snapshot(
+            df,
+            "overwrite",
+            partition_by=partition_by,
+            # no prior snapshot -> nothing to delete, plain append
+            delete_df=df.select(*key_cols) if has_parent else None,
+            equality_ids=[by_name[k]["id"] for k in key_cols],
+        )
 
     def _check_schema(self, spark_schema, md: dict) -> None:
         ice, _ = iceberg_schema_from_spark(spark_schema)
@@ -737,25 +856,52 @@ class IcebergFsTable:
           range. Files without bounds for a column are always kept —
           skipping is an optimization, never a correctness filter; the
           caller still applies the row-level predicate.
-        Refuses delete files rather than mis-reading."""
+        Refuses POSITION delete files rather than mis-reading; tables
+        with equality deletes (upserts) must be read through ``read``,
+        which merges them — this path would return raw pre-merge rows."""
+        data, deletes = self._live(
+            snapshot_id, as_of_ms, partition_filter, range_filter
+        )
+        if deletes:
+            raise ValueError(
+                "table has equality delete files (upserts) — use read(), "
+                "which merges them; the raw data-file list would include "
+                "replaced rows"
+            )
+        return data
+
+    def _live(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict | None = None,
+        range_filter: dict | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """(data_files, equality_delete_files) of a snapshot, each dict
+        carrying its effective ``_seq`` (the entry's explicit sequence
+        number or, when inherited, the manifest's). Pruning drops a
+        delete file only on the partition tuple (its bounds cover key
+        columns only; range filters on other columns can never exclude
+        it)."""
         md = self.metadata()
         self._spec_fields(md)  # validates identity-only transforms
         ice = current_schema(md)
         by_name = {f["name"]: f for f in ice["fields"]}
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
-        out: list[dict] = []
+        data: list[dict] = []
+        deletes: list[dict] = []
         for mf in self._manifest_list_records(md, snap):
-            if mf["content"] != CONTENT_DATA:
-                raise ValueError(
-                    "iceberg fallback cannot apply delete files "
-                    "(row-level deletes need the iceberg-spark runtime jar)"
-                )
             with open(mf["manifest_path"], "rb") as fh:
                 _, entries = AC.read_container(fh.read())
             for e in entries:
                 if e["status"] == STATUS_DELETED:
                     continue
-                f = e["data_file"]
+                f = dict(e["data_file"])
+                f["_seq"] = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else mf["sequence_number"]
+                )
                 if f["file_format"].upper() != "PARQUET":
                     raise ValueError(
                         f"iceberg fallback reads parquet data files only, "
@@ -766,12 +912,26 @@ class IcebergFsTable:
                     for k, v in partition_filter.items()
                 ):
                     continue
-                if range_filter and self._bounds_exclude(
-                    f, range_filter, by_name
-                ):
-                    continue
-                out.append(f)
-        return out
+                if mf["content"] == CONTENT_DATA:
+                    if f.get("content", CONTENT_DATA) != CONTENT_DATA:
+                        raise ValueError(
+                            "delete file recorded in a data manifest — "
+                            "refusing a malformed table"
+                        )
+                    if range_filter and self._bounds_exclude(
+                        f, range_filter, by_name
+                    ):
+                        continue
+                    data.append(f)
+                else:
+                    if f.get("content") != FILE_CONTENT_EQ_DELETES:
+                        raise ValueError(
+                            "iceberg fallback cannot apply POSITION "
+                            "delete files (use the iceberg-spark runtime "
+                            "jar)"
+                        )
+                    deletes.append(f)
+        return data, deletes
 
     @staticmethod
     def _bounds_exclude(f: dict, range_filter: dict, by_name: dict) -> bool:
@@ -822,11 +982,13 @@ class IcebergFsTable:
         ice = current_schema(md)
         ddl = spark_ddl_from_iceberg(ice)
         spec_fields = self._spec_fields(md)
-        entries = self.live_entries(
+        entries, del_entries = self._live(
             snapshot_id, as_of_ms, partition_filter, range_filter
         )
         if not entries:
             return spark.createDataFrame([], ddl)
+        if del_entries:
+            return self._read_merged(spark, entries, del_entries, md)
         if not spec_fields:
             return spark.read.schema(ddl).parquet(
                 *[f["file_path"] for f in entries]
@@ -863,6 +1025,92 @@ class IcebergFsTable:
         for p in pieces[1:]:
             out = out.unionByName(p)
         return out.select(*[f["name"] for f in ice["fields"]])
+
+    def _read_merged(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        del_entries: list[dict],
+        md: dict,
+    ) -> DataFrame:
+        """MERGE-ON-READ of equality deletes (upserts): a data row
+        survives unless some delete file with the same key and a
+        STRICTLY GREATER sequence number covers it. Each file's sequence
+        number rides along as a literal column (metadata, no extra IO);
+        delete keys collapse to one (key → max seq) row before a single
+        anti-join — at scale the delete side is the small one (recent
+        upsert keys), and AQE picks a broadcast anti-join at runtime.
+        Nulls in key columns match null (eqNullSafe), the spec's equality
+        semantics."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        ice = current_schema(md)
+        by_id = {f["id"]: f for f in ice["fields"]}
+        spec_fields = self._spec_fields(md)
+        part_cols = [f["name"] for f in spec_fields]
+        part_types = {
+            pf["name"]: _spark_type_from_iceberg(
+                by_id[pf["source-id"]]["type"]
+            )
+            for pf in spec_fields
+        }
+        eq_sets = {tuple(f.get("equality_ids") or ()) for f in del_entries}
+        if len(eq_sets) != 1 or not next(iter(eq_sets)):
+            raise ValueError(
+                "equality delete files with differing or empty "
+                "equality_ids — the fallback merges one upsert key per "
+                "table (use the iceberg-spark runtime jar)"
+            )
+        key_cols = [by_id[i]["name"] for i in next(iter(eq_sets))]
+
+        def assemble(file_entries: list[dict], ddl: str, seq_col: str):
+            groups: dict[tuple, list[str]] = {}
+            for e in file_entries:
+                k = (
+                    tuple(e["partition"].get(c) for c in part_cols),
+                    int(e["_seq"]),
+                )
+                groups.setdefault(k, []).append(e["file_path"])
+            pieces = []
+            for (pkey, seq), paths in sorted(
+                groups.items(), key=lambda kv: str(kv[0])
+            ):
+                piece = spark.read.schema(ddl).parquet(*paths)
+                for col, val in zip(part_cols, pkey):
+                    piece = piece.withColumn(
+                        col, F.lit(val).cast(part_types[col])
+                    )
+                pieces.append(piece.withColumn(seq_col, F.lit(seq)))
+            return reduce(lambda a, b: a.unionByName(b), pieces)
+
+        file_ddl = spark_ddl_from_iceberg(
+            {"fields": [f for f in ice["fields"] if f["name"] not in part_cols]}
+        )
+        data = assemble(entries, file_ddl, "_seq")
+        dkey_ddl = spark_ddl_from_iceberg(
+            {
+                "fields": [
+                    f
+                    for f in ice["fields"]
+                    if f["name"] in key_cols and f["name"] not in part_cols
+                ]
+            }
+        )
+        dels = (
+            assemble(del_entries, dkey_ddl, "_dseq")
+            .groupBy(*key_cols)
+            .agg(F.max("_dseq").alias("_dseq"))
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [data[c].eqNullSafe(dels[c]) for c in key_cols]
+            + [data["_seq"] < dels["_dseq"]],
+        )
+        return data.join(dels, cond, "left_anti").select(
+            *[f["name"] for f in ice["fields"]]
+        )
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))

@@ -178,3 +178,50 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source", "n_chars"
     )
     return _lang_profile(back)
+
+
+UPSERT_ORACLE = """
+SELECT c_custkey,
+  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+    AS c_acctbal,
+  c_nationkey
+FROM customer
+"""
+
+
+def iceberg_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPSERT through the sink config (reference
+    `model/sink/IcebergSinkConfig.scala:140` — ``.upsert(primaryKey
+    .nonEmpty)``): the full customer table lands as the base snapshot,
+    then every third customer arrives again with a changed name and
+    balance through a ``primary.key`` sink — a v2 equality-delete
+    commit. The read back is MERGE-ON-READ (sequence-number rule applied
+    in one anti-join) and returns the merged rows themselves; the oracle
+    computes the expected post-upsert state straight from the original
+    parquet, so a green row proves delete-file write, manifest wiring
+    and merge semantics all at once — no aggregation hiding row-level
+    mistakes."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    loc = _loc("iceberg-upsert", sf_dir)
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)  # upserts chain; start clean
+    sink = IcebergSinkConfig(
+        "rt",
+        {"connector": "iceberg", "path": loc, "primary.key": "c_custkey"},
+    )
+    sink.write(cust)  # base snapshot (no parent -> plain append)
+    changed = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    sink.write(changed)  # equality-delete upsert snapshot
+    return IcebergFsTable(loc).read(spark)

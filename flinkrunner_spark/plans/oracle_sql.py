@@ -1487,3 +1487,7 @@ SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
   MIN(doc_id) AS min_doc_id
 FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
 """
+
+from flinkrunner_spark.plans.connectors import UPSERT_ORACLE as _UPO  # noqa: E402
+
+ORACLES["iceberg_upsert_roundtrip"] = _UPO

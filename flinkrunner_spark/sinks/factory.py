@@ -366,7 +366,11 @@ class IcebergSinkConfig(SinkConfig):
 
             t = IcebergFsTable(path)
             part = self.conf.get("partition-by")  # identity transforms
-            if self.conf.get("mode", "append") == "overwrite":
+            pk = self.conf.get("primary.key") or self.conf.get("primary-key")
+            if pk:  # reference: .upsert(primaryKey.nonEmpty), line 140
+                keys = [pk] if isinstance(pk, str) else list(pk)
+                t.upsert(df, keys, partition_by=part)
+            elif self.conf.get("mode", "append") == "overwrite":
                 t.overwrite(df, partition_by=part)
             else:
                 t.append(df, partition_by=part)

@@ -381,3 +381,129 @@ def test_streaming_sink_commits_per_microbatch(spark, tmp_path):
     t = I.IcebergFsTable(loc)
     assert t.read(spark).count() > 0
     assert len(t.snapshots()) >= 1
+
+
+# ---------------------------------------------------------------------------
+# upsert (v2 equality deletes; reference IcebergSinkConfig.scala:140)
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, name string, v bigint")
+
+
+def test_upsert_latest_wins_and_chains(spark, tmp_path):
+    loc = str(tmp_path / "up1")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10), (2, "b", 20)]), ["id"])
+    t.upsert(_kv(spark, [(2, "B", 200), (3, "c", 30)]), ["id"])
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a", 10), (2, "B", 200), (3, "c", 30)
+    ]
+    # chain further: the max-sequence delete wins, older deletes stay inert
+    t.upsert(_kv(spark, [(3, "C", 300)]), ["id"])
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a", 10), (2, "B", 200), (3, "C", 300)
+    ]
+
+
+def test_upsert_time_travel_sees_pre_upsert_state(spark, tmp_path):
+    loc = str(tmp_path / "up2")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10)]), ["id"])
+    t.upsert(_kv(spark, [(1, "A", 100)]), ["id"])
+    first = t.snapshots()[0]["snapshot-id"]
+    assert [tuple(r) for r in t.read(spark, snapshot_id=first).collect()] == [
+        (1, "a", 10)
+    ]
+
+
+def test_upsert_manifest_structure_matches_spec(spark, tmp_path):
+    """The upsert snapshot's manifest list holds a DELETE manifest
+    (content=1) whose entries are equality-delete files (content=2,
+    equality_ids = key field-ids) — the spec shape the jar would read."""
+    loc = str(tmp_path / "up3")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10)]), ["id"])
+    t.upsert(_kv(spark, [(1, "A", 100)]), ["id"])
+    snap = t.metadata()["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as fh:
+        _, manifests = AC.read_container(fh.read())
+    by_content = {m["content"]: m for m in manifests}
+    assert set(by_content) == {I.CONTENT_DATA, I.CONTENT_DELETES}
+    dm = by_content[I.CONTENT_DELETES]
+    assert dm["sequence_number"] == snap["sequence-number"]
+    with open(dm["manifest_path"], "rb") as fh:
+        _, entries = AC.read_container(fh.read())
+    f = entries[0]["data_file"]
+    assert f["content"] == I.FILE_CONTENT_EQ_DELETES
+    md = t.metadata()
+    id_field = next(
+        fl for fl in I.current_schema(md)["fields"] if fl["name"] == "id"
+    )
+    assert f["equality_ids"] == [id_field["id"]]
+
+
+def test_upsert_refusals(spark, tmp_path):
+    loc = str(tmp_path / "up4")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10)]), ["id"])
+    t.upsert(_kv(spark, [(1, "A", 100)]), ["id"])
+    # duplicate keys inside one batch
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.upsert(_kv(spark, [(5, "x", 1), (5, "y", 2)]), ["id"])
+    # raw file listing would expose replaced rows
+    with pytest.raises(ValueError, match="equality delete"):
+        t.data_files()
+    # unknown key column
+    with pytest.raises(ValueError, match="unknown upsert key"):
+        t.upsert(_kv(spark, [(6, "x", 1)]), ["nope"])
+
+
+def test_upsert_partitioned_prunes_and_requires_key_superset(spark, tmp_path):
+    loc = str(tmp_path / "up5")
+    t = I.IcebergFsTable(loc)
+    rows = spark.createDataFrame(
+        [(1, "en", 5), (2, "de", 6), (3, "en", 7)],
+        "id bigint, lang string, v bigint",
+    )
+    t.upsert(rows, ["lang", "id"], partition_by=["lang"])
+    upd = spark.createDataFrame(
+        [(3, "en", 70), (9, "fr", 8)], "id bigint, lang string, v bigint"
+    )
+    t.upsert(upd, ["lang", "id"])
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "en", 5), (2, "de", 6), (3, "en", 70), (9, "fr", 8)
+    ]
+    en = t.read(spark, partition_filter={"lang": "en"})
+    assert sorted(tuple(r) for r in en.collect()) == [(1, "en", 5), (3, "en", 70)]
+    with pytest.raises(ValueError, match="partition"):
+        t.upsert(upd, ["id"])
+
+
+def test_upsert_compact_merges_and_drops_deletes(spark, tmp_path):
+    loc = str(tmp_path / "up6")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10), (2, "b", 20)]), ["id"])
+    t.upsert(_kv(spark, [(2, "B", 200)]), ["id"])
+    t.compact(spark)
+    # the replace snapshot holds merged rows and no delete manifests
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a", 10), (2, "B", 200)
+    ]
+    assert len(t.data_files()) == 1  # no refusal -> no delete files live
+
+
+def test_upsert_via_sink_config_primary_key(spark, tmp_path):
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+
+    loc = str(tmp_path / "up7")
+    sink = IcebergSinkConfig(
+        "t", {"connector": "iceberg", "path": loc, "primary.key": "id"}
+    )
+    sink.write(_kv(spark, [(1, "a", 10)]))
+    sink.write(_kv(spark, [(1, "A", 100), (2, "b", 20)]))
+    out = I.IcebergFsTable(loc).read(spark)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (1, "A", 100), (2, "b", 20)
+    ]
