@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkrunner_spark.llm import curation  # noqa: E402
+from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
 from flinkrunner_spark.llm import multimodal, pipeline, sampling, similarity  # noqa: E402
 from flinkrunner_spark.llm import spans as llm_spans  # noqa: E402
@@ -33,17 +34,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-5 rotation: the
-    # TEN new keys first (vocabulary, tf-idf, stratified sampling,
-    # sequence packing, two semantic-dedup forms, three connector
-    # roundtrips, the pruned iceberg scan), then every key whose implementation file changed since
-    # the r4 rows — llm/similarity.py (sampled-Lloyd's quantizer, RH-LSH
-    # cap, bounded centroid fold), llm/dedup.py, llm/text.py +
-    # llm/pipeline.py (new ops share these files), and
-    # streaming/pipelines.py (TTL dedup option) which makes ALL stream_*
-    # mirrors re-verify; docs_decontaminate closes the 50. The tail holds
-    # only keys whose files have zero changed lines since their last
-    # green row (multimodal r4, analytics/aggregates r2-r3).
+    # (insertion order) of this dict each round. Round-5 rotation:
+    # SEVENTEEN new keys first (vocabulary, tf-idf, stratified sampling,
+    # sequence packing, two semantic-dedup forms, duplicated spans, four
+    # connector roundtrips + the pruned scan + the upsert roundtrip,
+    # gopher/badword filters, shuffle-shards, mixture weights, semantic
+    # decontamination), then every key whose implementation file changed
+    # since its r4 green row — llm/similarity.py (sampled-Lloyd's
+    # quantizer, RH-LSH cap, bounded centroid fold, emb_decontaminate)
+    # and streaming/pipelines.py (TTL dedup option), which makes all
+    # stream_* mirrors re-verify — then r4-green filler to 50. The tail
+    # holds only keys whose files have ZERO changed lines since their
+    # last green row: llm/{text,pipeline,dedup}.py are byte-identical to
+    # their r4-verified state (the round-5 additions moved to their own
+    # modules — vocab/sampling/spans/filters), as are curation.py,
+    # multimodal.py, plans/{analytics,events}.py.
     return {
         # —— NEW this round ——
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
@@ -57,6 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
         "iceberg_pruned_scan": connectors.iceberg_pruned_scan,
         "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
+        "docs_gopher_rules": llm_filters.docs_gopher_rules,
+        "docs_badwords": llm_filters.docs_badwords,
+        "docs_shuffle_shards": sampling.docs_shuffle_shards,
+        "docs_mixture_weights": sampling.docs_mixture_weights,
+        "emb_decontaminate": similarity.emb_decontaminate,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,
@@ -67,21 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "emb_knn_join": similarity.emb_knn_join,
-        # —— llm/dedup.py changed (shared sig-frame lifecycle) ——
-        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
-        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
-        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
-        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
-        "docs_simhash": llm_dedup.docs_simhash,
-        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
         "docs_dup_spans": llm_spans.docs_dup_spans,
-        # —— llm/text.py + llm/pipeline.py changed (new ops live there) ——
-        "docs_tokens": llm_text.docs_tokens,
-        "docs_langid": llm_text.docs_langid,
-        "docs_quality": llm_text.docs_quality,
-        "docs_fingerprint": llm_text.docs_fingerprint,
-        "docs_split": pipeline.docs_split,
-        "docs_pipeline": pipeline.docs_pipeline,
         # —— streaming/pipelines.py changed (state partitions): all mirrors ——
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
@@ -109,7 +105,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": multimodal.mm_frames,
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
+        # —— beyond the 50-row cap: zero changed lines since last green
+        # (llm/{dedup,text,pipeline}.py byte-identical to r4-green) ——
+        "docs_dedup_exact": llm_dedup.docs_dedup_exact,
+        "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
+        "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "docs_simhash": llm_dedup.docs_simhash,
+        "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
+        "docs_tokens": llm_text.docs_tokens,
+        "docs_langid": llm_text.docs_langid,
+        "docs_quality": llm_text.docs_quality,
+        "docs_fingerprint": llm_text.docs_fingerprint,
+        "docs_split": pipeline.docs_split,
+        "docs_pipeline": pipeline.docs_pipeline,
         "dedup_sbf_check": events.dedup_sbf_check,
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,

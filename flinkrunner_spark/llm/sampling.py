@@ -102,3 +102,85 @@ def docs_pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).alias("pack_id"),
         "n_tokens",
     )
+
+
+SHUFFLE_SHARDS = 32  # training-order output shards
+
+
+def docs_shuffle_shards(
+    spark: SparkSession, sf_dir: str, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — the step that
+    turns a curated corpus into a randomized training order without RNG
+    state: shard = md5-bucket of doc_id, position = rank of the md5 hash
+    within the shard. Reading shards round-robin replays one fixed
+    pseudo-random permutation of the corpus, reproducible across runs,
+    engines and cluster sizes (df.orderBy(rand()) is none of those).
+
+    100 TB shape: one hash-partition exchange on the shard key plus a
+    per-shard sort — shards are independent, scale the count with the
+    cluster; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle:v1")))
+    base = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % shards
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+# Target training-mix percentages per language stratum (sum 100) — the
+# knob a real pipeline sets per data source/quality tier.
+MIXTURE_TARGETS = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIXTURE PLANNING: given target mixture percentages per
+    stratum, compute each stratum's token inventory and the repetition
+    factor (epochs) a sampler must apply for the training stream to hit
+    the target — epochs = (target% · total_tokens) / (100 · stratum
+    tokens), the standard mixture-reweighting arithmetic (cf. the
+    sampling-weights tables of GPT-3/Gopher/LLaMA). Values > 1 mean the
+    stratum repeats; < 1 means it is subsampled (feed
+    ``docs_stratified_sample`` the implied rate).
+
+    One map-side-combined aggregation over (lang); the corpus total
+    arrives as a broadcast one-row aggregate — no driver round-trip,
+    no second shuffle. epochs is a quotient of exact ints, bit-stable
+    cross-engine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = F.lit(0)
+    for lang, pct in sorted(MIXTURE_TARGETS.items()):
+        target = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(target)
+    per = (
+        docs.select("lang", T.bpe_tokens_col().alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn("target_pct", target)
+    )
+    total = docs.select(T.bpe_tokens_col().alias("n_tok")).agg(
+        F.sum("n_tok").alias("total_tokens")
+    )
+    epochs = (F.col("target_pct") * F.col("total_tokens")) / (
+        F.lit(100) * F.col("n_tokens")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "target_pct",
+        F.round(epochs, 6).alias("epochs"),
+    )

@@ -1064,3 +1064,66 @@ def emb_knn_ivf(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+EVAL_VEC_BUCKETS = 16  # 1-in-16 vectors act as the held-out eval set
+
+
+def emb_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination: flag training vectors whose
+    embedding is near-duplicate (cosine ≥ τ) to ANY eval-set vector —
+    the embedding-space complement of ``docs_decontaminate``'s n-gram
+    overlap (paraphrased benchmark leakage that shares no shingle still
+    lands next to the eval point in embedding space).
+
+    The eval set is the deterministic 1-in-16 md5 bucket of vec_id
+    (same construction as ``llm/curation.py``'s eval bucket; a real
+    pipeline passes its benchmark embeddings). 100 TB shape: eval sets
+    are SMALL BY NATURE → broadcast once, every train partition scans
+    its vectors against the in-memory eval block (zero shuffle for the
+    scoring), and the per-vector max collapses map-side before the one
+    count-sized exchange. The reported nearest eval vector breaks
+    cosine ties on the LOWEST eval id (struct-max on (rounded cosine,
+    -id)) so the answer is deterministic cross-engine."""
+    emb = _emb(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(":eval:v1"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % EVAL_VEC_BUCKETS
+    )
+    tagged = emb.withColumn("bkt", bucket)
+    ev = tagged.filter(F.col("bkt") == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    train = tagged.filter(F.col("bkt") != 0).select("vec_id", "embedding")
+    cos = F.round(cosine(as_double("embedding"), as_double("ev")), 6)
+    best = (
+        train.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            F.struct(
+                cos.alias("c"), (-F.col("eval_id")).alias("nid")
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("m"))
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.c").alias("max_eval_cosine"),
+        (-F.col("m.nid")).alias("nearest_eval_id"),
+        (F.col("m.c") >= threshold).alias("contaminated"),
+    )

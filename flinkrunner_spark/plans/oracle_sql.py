@@ -1491,3 +1491,127 @@ FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
 from flinkrunner_spark.plans.connectors import UPSERT_ORACLE as _UPO  # noqa: E402
 
 ORACLES["iceberg_upsert_roundtrip"] = _UPO
+
+# ——— round 5 (second half): filter screens / shuffle / mixture / semantic
+# decontamination — each mirrors its operator expression-for-expression.
+
+from flinkrunner_spark.llm.filters import (  # noqa: E402
+    BADWORDS as _BW,
+    GOPHER_MAX_MEAN_WORD_LEN as _GXL,
+    GOPHER_MAX_WORDS as _GXW,
+    GOPHER_MIN_MEAN_WORD_LEN as _GNL,
+    GOPHER_MIN_STOPWORDS as _GNS,
+    GOPHER_MIN_WORDS as _GNW,
+    GOPHER_STOPWORDS as _GSW,
+)
+
+_GSW_SQL = "[" + ", ".join(f"'{s}'" for s in _GSW) + "]"
+
+ORACLES["docs_gopher_rules"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_words,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      AS sum_len,
+    CAST(len(list_intersect(list_distinct(toks), {_GSW_SQL})) AS INTEGER)
+      AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+  {_r6("sum_len / n_words")} AS mean_word_len,
+  stopword_hits,
+  (n_words >= {_GNW} AND n_words <= {_GXW}) AS pass_words,
+  (sum_len / n_words >= {_GNL} AND sum_len / n_words <= {_GXL})
+    AS pass_word_len,
+  (stopword_hits >= {_GNS}) AS pass_stopwords,
+  ((n_words >= {_GNW} AND n_words <= {_GXW})
+   AND (sum_len / n_words >= {_GNL} AND sum_len / n_words <= {_GXL})
+   AND stopword_hits >= {_GNS}) AS keep
+FROM m
+"""
+
+_BW_SQL = "[" + ", ".join(f"'{b}'" for b in _BW) + "]"
+
+ORACLES["docs_badwords"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(toks, x -> list_contains({_BW_SQL}, x)))
+    AS INTEGER) AS n_bad,
+  (len(list_filter(toks, x -> list_contains({_BW_SQL}, x))) = 0) AS keep
+FROM t
+"""
+
+from flinkrunner_spark.llm.sampling import (  # noqa: E402
+    MIXTURE_TARGETS as _MIX,
+    SHUFFLE_SHARDS as _NSH,
+)
+
+ORACLES["docs_shuffle_shards"] = f"""
+WITH b AS (
+  SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR) || ':shuffle:v1') AS h,
+    {_hex8_to_long("md5(CAST(doc_id AS VARCHAR) || ':shuffle:v1')")}
+      % {_NSH} AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+    AS INTEGER) AS pos
+FROM b
+"""
+
+_MIX_PCT = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(_MIX.items())
+    )
+    + " ELSE 0 END"
+)
+
+ORACLES["docs_mixture_weights"] = f"""
+WITH d AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+      AS n_tok
+  FROM documents),
+per AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM d
+  GROUP BY lang
+),
+tot AS (SELECT SUM(n_tok) AS total_tokens FROM d)
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST({_MIX_PCT} AS INTEGER) AS target_pct,
+  {_r6(f"(({_MIX_PCT}) * total_tokens) / (100 * n_tokens)")} AS epochs
+FROM per CROSS JOIN tot
+"""
+
+from flinkrunner_spark.llm.similarity import (  # noqa: E402
+    COSINE_DUP_THRESHOLD as _CDT,
+    EVAL_VEC_BUCKETS as _EVB,
+)
+
+ORACLES["emb_decontaminate"] = f"""
+WITH t AS (
+  SELECT vec_id, embedding,
+    {_hex8_to_long("md5(CAST(vec_id AS VARCHAR) || ':eval:v1')")}
+      % {_EVB} AS bkt
+  FROM embeddings
+),
+a AS (SELECT vec_id, embedding FROM t WHERE bkt <> 0),
+b AS (SELECT vec_id AS eval_id, embedding FROM t WHERE bkt = 0),
+p AS (
+  SELECT a.vec_id, b.eval_id,
+    {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cos
+  FROM a CROSS JOIN b
+),
+r AS (
+  SELECT vec_id, eval_id, cos,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id)
+      AS rk
+  FROM p
+)
+SELECT vec_id, cos AS max_eval_cosine, eval_id AS nearest_eval_id,
+  (cos >= {_CDT}) AS contaminated
+FROM r WHERE rk = 1
+"""

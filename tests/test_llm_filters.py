@@ -1,0 +1,126 @@
+"""Round-5 second-half LLM ops: gopher/badword filter screens, the
+deterministic global shuffle, mixture planning, semantic eval-set
+decontamination (numpy mirror) and duplicated-span detection."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkrunner_spark.llm import filters, sampling, similarity  # noqa: E402
+from flinkrunner_spark.llm import spans as spans_mod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_flags_match_pandas(spark):
+    import re
+
+    out = filters.docs_gopher_rules(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    stop = set(filters.GOPHER_STOPWORDS)
+    merged = out.merge(docs[["doc_id", "text"]], on="doc_id")
+    assert len(merged) == len(docs)
+    for _, r in merged.sample(50, random_state=7).iterrows():
+        toks = [t for t in re.split("[^a-z0-9]+", r.text.lower()) if t]
+        assert r.n_words == len(toks)
+        assert r.stopword_hits == len(stop & set(toks))
+        assert r.pass_words == (
+            filters.GOPHER_MIN_WORDS <= len(toks) <= filters.GOPHER_MAX_WORDS
+        )
+        assert r.keep == (r.pass_words and r.pass_word_len and r.pass_stopwords)
+    # the screen must actually split the corpus
+    assert 0 < out.keep.sum() < len(out)
+
+
+def test_badwords_drops_exactly_docs_containing_blocked_terms(spark):
+    import re
+
+    out = filters.docs_badwords(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    bad = set(filters.BADWORDS)
+    merged = out.merge(docs[["doc_id", "text"]], on="doc_id")
+    for _, r in merged.iterrows():
+        toks = [t for t in re.split("[^a-z0-9]+", r.text.lower()) if t]
+        n_bad = sum(t in bad for t in toks)
+        assert r.n_bad == n_bad and r.keep == (n_bad == 0)
+    assert 0 < out.keep.sum() < len(out)
+
+
+def test_shuffle_shards_is_a_permutation_and_deterministic(spark):
+    a = sampling.docs_shuffle_shards(spark, SF).toPandas()
+    b = sampling.docs_shuffle_shards(spark, SF).toPandas()
+    key = lambda df: sorted(map(tuple, df.values))  # noqa: E731
+    assert key(a) == key(b)  # no RNG state anywhere
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(a) == n_docs and a.doc_id.nunique() == n_docs
+    assert a.shard.between(0, sampling.SHUFFLE_SHARDS - 1).all()
+    for shard, g in a.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+        # position follows the md5 hash order — check one shard fully
+        h = g.doc_id.map(
+            lambda d: hashlib.md5(f"{d}:shuffle:v1".encode()).hexdigest()
+        )
+        assert list(g.sort_values("pos").doc_id) == list(
+            g.assign(h=h).sort_values(["h", "doc_id"]).doc_id
+        )
+
+
+def test_mixture_weights_arithmetic(spark):
+    out = sampling.docs_mixture_weights(spark, SF).toPandas()
+    assert out.n_docs.sum() == 500
+    total = out.n_tokens.sum()
+    for _, r in out.iterrows():
+        want = (sampling.MIXTURE_TARGETS[r.lang] * total) / (100 * r.n_tokens)
+        assert abs(r.epochs - want) < 1e-6
+
+
+def test_emb_decontaminate_matches_numpy_mirror(spark):
+    out = similarity.emb_decontaminate(spark, SF).toPandas()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    V = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+         for _, r in emb.iterrows()}
+    bkt = {
+        v: int(hashlib.md5(f"{v}:eval:v1".encode()).hexdigest()[:8], 16)
+        % similarity.EVAL_VEC_BUCKETS
+        for v in V
+    }
+    ev = sorted(v for v in V if bkt[v] == 0)
+    train = sorted(v for v in V if bkt[v] != 0)
+    assert sorted(out.vec_id) == train
+    E = np.stack([V[e] for e in ev])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for _, r in out.sample(60, random_state=3).iterrows():
+        x = V[int(r.vec_id)]
+        cos = np.round(En @ (x / np.linalg.norm(x)), 6)
+        best = float(cos.max())
+        assert abs(r.max_eval_cosine - best) <= 2e-6
+        assert r.contaminated == (
+            r.max_eval_cosine >= similarity.COSINE_DUP_THRESHOLD
+        )
+        # reported neighbor attains the max (lowest id on ties)
+        attains = [ev[i] for i in np.flatnonzero(cos >= best - 1e-9)]
+        assert r.nearest_eval_id in attains
+    assert 0 < out.contaminated.sum() < len(out)
+
+
+def test_dup_spans_reported_hashes_recur_across_docs(spark):
+    import re
+
+    out = spans_mod.docs_dup_spans(spark, SF).toPandas()
+    assert (out.n_docs >= 2).all() and (out.n_occ >= out.n_docs).all()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    span, stride = spans_mod.DUP_SPAN_TOKENS, spans_mod.DUP_SPAN_STRIDE
+    where: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split("[^a-z0-9]+", r.text.lower()) if t]
+        for i in range(0, max(0, len(toks) - span + 1), stride):
+            h = hashlib.md5(" ".join(toks[i : i + span]).encode()).hexdigest()
+            where.setdefault(h, set()).add(r.doc_id)
+    expect = {h for h, d in where.items() if len(d) >= 2}
+    assert set(out.span_hash) == expect and len(expect) > 0
