@@ -152,3 +152,68 @@ def test_release_caches_frees_executor_storage(spark):
     # own checkpoint must ALL be gone — nothing this run pinned survives
     leaked = storage_ids() & grown
     assert not leaked, leaked
+
+
+# ---------------------------------------------------------------------------
+# round-5 second-half operators: the scale claims, asserted on the plan
+# ---------------------------------------------------------------------------
+
+
+def test_filter_screens_are_zero_exchange_scans(spark):
+    """Gopher/badword screens are pure projections — a plan with any
+    Exchange would mean the filter stopped being embarrassingly
+    parallel."""
+    from flinkrunner_spark.llm import filters
+
+    for fn in (filters.docs_gopher_rules, filters.docs_badwords):
+        plan = _plan(spark, fn)
+        assert plan.count("Exchange") == 0, plan
+
+
+def test_shuffle_shards_single_exchange_no_global_sort(spark):
+    """One hash-partition exchange on the shard key; ordering is the
+    per-shard window sort, never a global range exchange."""
+    from flinkrunner_spark.llm import sampling
+
+    plan = _plan(spark, sampling.docs_shuffle_shards)
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_mixture_weights_broadcasts_total(spark):
+    """The corpus-total side of the cross join is a broadcast one-row
+    aggregate — no driver .count() round-trip, no shuffled cross join."""
+    from flinkrunner_spark.llm import sampling
+
+    plan = _plan(spark, sampling.docs_mixture_weights)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # per-stratum agg + (tiny) total agg: partial/final pairs only
+    assert "partial_" in plan.lower() or "partial" in plan, plan
+
+
+def test_emb_decontaminate_broadcasts_eval_block(spark):
+    """The eval block broadcasts (zero shuffle for the scoring); the
+    only real exchange is the count-sized per-vector max."""
+    from flinkrunner_spark.llm import similarity
+
+    plan = _plan(spark, similarity.emb_decontaminate)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_upsert_merged_read_broadcasts_delete_side(spark, tmp_path):
+    """Merge-on-read compiles to ONE anti-join with the aggregated
+    delete keys on the broadcast side (AQE picks it from runtime
+    stats) — the data side never shuffles on the key."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    loc = str(tmp_path / "mor")
+    t = IcebergFsTable(loc)
+    df1 = spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+    t.upsert(df1, ["id"])
+    t.upsert(spark.range(0, 50).selectExpr("id", "id * 3 AS v"), ["id"])
+    merged = t.read(spark)
+    assert merged.count() == 2000  # plan executes -> AQE final plan
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
