@@ -23,7 +23,7 @@ from flinkrunner_spark.llm import multimodal, pipeline, sampling, similarity  # 
 from flinkrunner_spark.llm import spans as llm_spans  # noqa: E402
 from flinkrunner_spark.llm import vocab as llm_vocab  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
-from flinkrunner_spark.plans import analytics, connectors, events  # noqa: E402
+from flinkrunner_spark.plans import analytics, connectors, docstreams, events  # noqa: E402
 from flinkrunner_spark.plans.oracle_sql import ORACLES  # noqa: E402
 
 
@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "emb_decontaminate": similarity.emb_decontaminate,
+        "ann_recall_stats": similarity.ann_recall_stats,
+        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

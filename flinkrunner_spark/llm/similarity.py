@@ -1127,3 +1127,27 @@ def emb_decontaminate(
         (-F.col("m.nid")).alias("nearest_eval_id"),
         (F.col("m.c") >= threshold).alias("contaminated"),
     )
+
+
+def ann_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY TELEMETRY: recall of the IVF-pruned top-k against the
+    exact brute-force top-k for the canonical probe — the companion
+    health row every approximate index ships with (the LSH families
+    have ``docs_lsh_stats`` / ``rhlsh_bucket_stats``; this is the IVF
+    analog). recall = |IVF ∩ exact| / k, a quotient of exact ints.
+
+    Both sides are already-oracled deterministic queries, so the stat is
+    exactly oracled too; at scale this runs over a sampled probe set and
+    the same one-row-per-index-build shape holds (tiny frames, a
+    broadcast semi-join of two k-row lists)."""
+    exact = emb_knn(spark, sf_dir)
+    appr = emb_knn_ivf(spark, sf_dir)
+    return (
+        appr.join(F.broadcast(exact), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "n_overlap",
+            F.lit(KNN_K).alias("k"),
+            F.round(F.col("n_overlap") / F.lit(KNN_K), 6).alias("recall"),
+        )
+    )

@@ -1615,3 +1615,16 @@ SELECT vec_id, cos AS max_eval_cosine, eval_id AS nearest_eval_id,
   (cos >= {_CDT}) AS contaminated
 FROM r WHERE rk = 1
 """
+
+# ANN recall telemetry: the two component oracles nest as subqueries
+# (both deterministic), the stat is an exact-int quotient.
+ORACLES["ann_recall_stats"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap, 10 AS k,
+  {_r6("COUNT(*) / 10.0")} AS recall
+FROM ({ORACLES["emb_knn_ivf"]}) a
+WHERE a.vec_id IN (SELECT vec_id FROM ({ORACLES["emb_knn"]}) e)
+"""
+
+# Streaming vocabulary mirror: cumulative complete-mode counts equal the
+# batch scan for order-independent int aggregates — same oracle.
+ORACLES["stream_topk_ngrams"] = ORACLES["docs_topk_ngrams"]

@@ -124,3 +124,26 @@ def test_dup_spans_reported_hashes_recur_across_docs(spark):
             where.setdefault(h, set()).add(r.doc_id)
     expect = {h for h, d in where.items() if len(d) >= 2}
     assert set(out.span_hash) == expect and len(expect) > 0
+
+
+def test_stream_topk_ngrams_equals_batch(spark):
+    """Complete-mode streaming counts over 4 real micro-batches equal the
+    batch vocabulary scan (order-independent int aggregates)."""
+    from flinkrunner_spark.llm import vocab
+    from flinkrunner_spark.plans import docstreams
+
+    s = docstreams.stream_topk_ngrams(spark, SF).toPandas()
+    b = vocab.docs_topk_ngrams(spark, SF).toPandas()
+    assert list(map(tuple, s.values)) == list(map(tuple, b.values))
+
+
+def test_ann_recall_stats_bounds_and_consistency(spark):
+    r = similarity.ann_recall_stats(spark, SF).toPandas()
+    assert len(r) == 1
+    row = r.iloc[0]
+    assert 0 <= row.n_overlap <= row.k == similarity.KNN_K
+    assert abs(row.recall - row.n_overlap / row.k) < 1e-9
+    # the stat equals the actual intersection of the two result sets
+    exact = set(similarity.emb_knn(spark, SF).toPandas().vec_id)
+    appr = set(similarity.emb_knn_ivf(spark, SF).toPandas().vec_id)
+    assert row.n_overlap == len(exact & appr)
