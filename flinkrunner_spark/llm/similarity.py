@@ -1067,6 +1067,12 @@ def emb_knn_ivf(
 
 
 EVAL_VEC_BUCKETS = 16  # 1-in-16 vectors act as the held-out eval set
+# Real eval sets are CONSTANT-SIZE (a fixed benchmark suite), not a
+# corpus fraction — the md5 bucket here is only a stand-in, so the block
+# is capped deterministically (hash order) to keep the broadcast and the
+# per-vector work bounded no matter the corpus size. Not binding at the
+# driver's SFs; binding (and linear-scaling-preserving) at the 8× study.
+EVAL_VEC_MAX = 512
 
 
 def emb_decontaminate(
@@ -1104,9 +1110,13 @@ def emb_decontaminate(
         ).cast("long")
         % EVAL_VEC_BUCKETS
     )
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":eval:v1")))
     tagged = emb.withColumn("bkt", bucket)
-    ev = tagged.filter(F.col("bkt") == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    ev = (
+        tagged.filter(F.col("bkt") == 0)
+        .orderBy(h, "vec_id")  # deterministic constant-size eval block
+        .limit(EVAL_VEC_MAX)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev"))
     )
     train = tagged.filter(F.col("bkt") != 0).select("vec_id", "embedding")
     cos = F.round(cosine(as_double("embedding"), as_double("ev")), 6)

@@ -1599,7 +1599,11 @@ WITH t AS (
   FROM embeddings
 ),
 a AS (SELECT vec_id, embedding FROM t WHERE bkt <> 0),
-b AS (SELECT vec_id AS eval_id, embedding FROM t WHERE bkt = 0),
+b AS (
+  SELECT vec_id AS eval_id, embedding FROM t WHERE bkt = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':eval:v1'), vec_id
+  LIMIT 512
+),
 p AS (
   SELECT a.vec_id, b.eval_id,
     {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cos
