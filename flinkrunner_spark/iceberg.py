@@ -1115,6 +1115,148 @@ class IcebergFsTable:
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))
 
+    # -- incremental / streaming reads --------------------------------------
+
+    def incremental_entries(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> list[dict]:
+        """Data files ADDED by snapshots strictly after
+        ``from_snapshot_id`` (exclusive; None = from table start) up to
+        ``to_snapshot_id`` (inclusive; None = current) — the spec's
+        incremental APPEND scan, the unit the reference's streaming
+        source consumes one snapshot at a time
+        (`model/source/IcebergSourceConfig.scala:39-57`). Refuses ranges
+        containing non-append snapshots (overwrite/replace/upsert), as
+        the Flink IncrementalAppendScan does — an incremental consumer
+        would otherwise silently miss deletions."""
+        md = self.metadata()
+        self._spec_fields(md)
+        snaps = sorted(
+            md.get("snapshots", []), key=lambda s: s["sequence-number"]
+        )
+        ids = [s["snapshot-id"] for s in snaps]
+        lo = 0
+        if from_snapshot_id is not None:
+            if from_snapshot_id not in ids:
+                raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+            lo = ids.index(from_snapshot_id) + 1
+        hi = len(snaps)
+        if to_snapshot_id is not None:
+            if to_snapshot_id not in ids:
+                raise ValueError(f"unknown snapshot id {to_snapshot_id}")
+            hi = ids.index(to_snapshot_id) + 1
+        out: list[dict] = []
+        for s in snaps[lo:hi]:
+            op = s.get("summary", {}).get("operation")
+            if op != "append":
+                raise ValueError(
+                    f"incremental append scan crossed a {op!r} snapshot "
+                    f"({s['snapshot-id']}) — row-level/replace commits "
+                    "need a full re-read (or the iceberg-spark runtime "
+                    "jar's CDC reads)"
+                )
+            with open(s["manifest-list"], "rb") as fh:
+                _, manifests = AC.read_container(fh.read())
+            for mf in manifests:
+                if mf["added_snapshot_id"] != s["snapshot-id"]:
+                    continue  # carried over from an earlier snapshot
+                with open(mf["manifest_path"], "rb") as fh:
+                    _, entries = AC.read_container(fh.read())
+                for e in entries:
+                    if (
+                        e["status"] == STATUS_ADDED
+                        and e.get("snapshot_id") == s["snapshot-id"]
+                    ):
+                        out.append(e["data_file"])
+        return out
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """The rows appended in (`from_snapshot_id`, `to_snapshot_id`]
+        as a batch DataFrame — poll current_snapshot + read_incremental
+        is the jar-free change-consumption loop."""
+        from pyspark.sql import functions as F
+
+        md = self.metadata()
+        ice = current_schema(md)
+        spec_fields = self._spec_fields(md)
+        part_cols = [f["name"] for f in spec_fields]
+        entries = self.incremental_entries(from_snapshot_id, to_snapshot_id)
+        ddl = spark_ddl_from_iceberg(ice)
+        if not entries:
+            return spark.createDataFrame([], ddl)
+        if not spec_fields:
+            return spark.read.schema(ddl).parquet(
+                *[f["file_path"] for f in entries]
+            )
+        by_id = {f["id"]: f for f in ice["fields"]}
+        part_types = {
+            pf["name"]: _spark_type_from_iceberg(by_id[pf["source-id"]]["type"])
+            for pf in spec_fields
+        }
+        file_ddl = spark_ddl_from_iceberg(
+            {"fields": [f for f in ice["fields"] if f["name"] not in part_cols]}
+        )
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            key = tuple(e["partition"][c] for c in part_cols)
+            groups.setdefault(key, []).append(e["file_path"])
+        pieces = []
+        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            piece = spark.read.schema(file_ddl).parquet(*paths)
+            for col, val in zip(part_cols, key):
+                piece = piece.withColumn(col, F.lit(val).cast(part_types[col]))
+            pieces.append(piece)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out.select(*[f["name"] for f in ice["fields"]])
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """STREAMING source over an append-only unpartitioned table —
+        the reference's `streaming: true` iceberg source
+        (start.strategy = earliest / table-scan-then-incremental),
+        jar-free: snapshot commits only ever ADD immutable parquet files
+        under data/, so Spark's file streaming source over that
+        directory IS an incremental append scan (existing files first,
+        then one micro-batch per newly committed file set — exactly the
+        snapshot-polling cadence of the Flink source, with the poll
+        interval owned by the streaming trigger).
+
+        Honest gates, checked at stream start: every existing snapshot
+        must be an append (a later overwrite/replace would leave stale
+        files visible to the file source — the Flink incremental source
+        refuses those commits too), no equality deletes, identity-free
+        (unpartitioned) layout only. latest/snapshot-id starting
+        strategies need source-side offset tracking → jar (or poll
+        ``read_incremental``)."""
+        md = self.metadata()
+        for s in md.get("snapshots", []):
+            if s.get("summary", {}).get("operation") != "append":
+                raise ValueError(
+                    "streaming source requires an append-only table "
+                    f"(found a {s.get('summary', {}).get('operation')!r} "
+                    "snapshot); use the iceberg-spark runtime jar"
+                )
+        if self._spec_fields(md):
+            raise ValueError(
+                "jar-free streaming source reads unpartitioned tables "
+                "only (hive-layout partition reconstruction needs "
+                "per-file constants a file stream cannot attach)"
+            )
+        ddl = spark_ddl_from_iceberg(current_schema(md))
+        return (
+            spark.readStream.schema(ddl)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.data_dir)
+        )
+
     # -- schema evolution ----------------------------------------------------
 
     def add_column(self, name: str, ice_type: str) -> None:

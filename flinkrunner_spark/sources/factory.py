@@ -247,14 +247,36 @@ class IcebergSourceConfig(SourceConfig):
                 as_of_ms=int(as_of) if as_of is not None else None,
                 partition_filter=self.conf.get("partition-filter"),
             )
+        if path is not None and self.streaming:
+            # reference streaming strategies (IcebergSourceConfig.scala:
+            # 39-57): earliest / table-scan-then-incremental map to the
+            # jar-free append-only file stream; the offset-tracking
+            # strategies stay gated.
+            from flinkrunner_spark.iceberg import IcebergFsTable
+
+            strategy = str(
+                self.conf.get("start.strategy", "earliest")
+            ).lower().replace("-", "_")
+            if strategy in (
+                "earliest",
+                "full",
+                "table_scan_then_incremental",
+                "incremental_from_earliest_snapshot",
+            ):
+                return IcebergFsTable(path).read_stream(spark)
+            raise RuntimeError(
+                f"start.strategy {strategy!r} needs source-side snapshot "
+                "offsets — use the iceberg-spark runtime jar, or poll "
+                "IcebergFsTable.read_incremental(from_snapshot_id=...)"
+            )
         try:
             reader = spark.readStream if self.streaming else spark.read
             return reader.format("iceberg").load(table)
         except Exception as e:  # jar-gated in this environment
             raise RuntimeError(
                 "iceberg source requires the iceberg-spark runtime jar on "
-                "the classpath (streaming reads always do; batch reads of "
-                "filesystem tables work jar-free via conf 'path')"
+                "the classpath for catalog tables (filesystem tables work "
+                "jar-free via conf 'path', batch and append-only streaming)"
             ) from e
 
 

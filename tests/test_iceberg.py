@@ -507,3 +507,100 @@ def test_upsert_via_sink_config_primary_key(spark, tmp_path):
     assert sorted(tuple(r) for r in out.collect()) == [
         (1, "A", 100), (2, "b", 20)
     ]
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming reads (reference IcebergSourceConfig.scala:39-85)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_read_between_snapshots(spark, tmp_path):
+    loc = str(tmp_path / "inc1")
+    t = I.IcebergFsTable(loc)
+    t.append(_kv(spark, [(1, "a", 1)]))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append(_kv(spark, [(2, "b", 2)]))
+    s2 = t.metadata()["current-snapshot-id"]
+    t.append(_kv(spark, [(3, "c", 3)]))
+    # (s1, current] = rows of snapshots 2 and 3
+    got = sorted(r["id"] for r in t.read_incremental(spark, s1).collect())
+    assert got == [2, 3]
+    # (s1, s2] = snapshot 2 only
+    got = sorted(r["id"] for r in t.read_incremental(spark, s1, s2).collect())
+    assert got == [2]
+    # from table start
+    got = sorted(r["id"] for r in t.read_incremental(spark).collect())
+    assert got == [1, 2, 3]
+    # empty range
+    cur = t.metadata()["current-snapshot-id"]
+    assert t.read_incremental(spark, cur).count() == 0
+
+
+def test_incremental_refuses_non_append_ranges(spark, tmp_path):
+    loc = str(tmp_path / "inc2")
+    t = I.IcebergFsTable(loc)
+    t.append(_kv(spark, [(1, "a", 1)]))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.overwrite(_kv(spark, [(9, "z", 9)]))
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(spark, s1)
+
+
+def test_streaming_source_picks_up_appended_snapshots(spark, tmp_path):
+    """File-stream over the append-only table: first run sees both
+    initial snapshots; after another commit, the SAME checkpoint resumes
+    and emits only the new snapshot's rows — the incremental cadence of
+    the reference's streaming source."""
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    loc = str(tmp_path / "stream1")
+    ckpt = str(tmp_path / "ckpt")
+    t = I.IcebergFsTable(loc)
+    t.append(_kv(spark, [(1, "a", 1)]))
+    t.append(_kv(spark, [(2, "b", 2)]))
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        src = IcebergSourceConfig(
+            "s",
+            {"connector": "iceberg", "path": loc, "streaming": True,
+             "start.strategy": "earliest"},
+        ).load(spark)
+        q = (
+            src.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == [1, 2]
+    t.append(_kv(spark, [(3, "c", 3)]))
+    # checkpoint resumes: the second run appends ONLY the new snapshot
+    assert drain() == [1, 2, 3]
+
+
+def test_streaming_source_refusals(spark, tmp_path):
+    loc = str(tmp_path / "stream2")
+    t = I.IcebergFsTable(loc)
+    t.append(_kv(spark, [(1, "a", 1)]))
+    t.overwrite(_kv(spark, [(2, "b", 2)]))
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_stream(spark)
+    # upsert tables refuse too (equality deletes are 'overwrite' ops)
+    loc2 = str(tmp_path / "stream3")
+    t2 = I.IcebergFsTable(loc2)
+    t2.upsert(_kv(spark, [(1, "a", 1)]), ["id"])
+    t2.upsert(_kv(spark, [(1, "A", 2)]), ["id"])
+    with pytest.raises(ValueError, match="append-only"):
+        t2.read_stream(spark)
+    # offset-tracking strategies stay gated
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    with pytest.raises(RuntimeError, match="start.strategy"):
+        IcebergSourceConfig(
+            "s",
+            {"connector": "iceberg", "path": loc, "streaming": True,
+             "start.strategy": "latest"},
+        ).load(spark)
