@@ -225,3 +225,33 @@ def iceberg_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink.write(changed)  # equality-delete upsert snapshot
     return IcebergFsTable(loc).read(spark)
+
+
+INCREMENTAL_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, c_nationkey
+FROM customer WHERE c_custkey % 2 = 0
+"""
+
+
+def iceberg_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan under the driver oracle (reference
+    `model/source/IcebergSourceConfig.scala:39-57`, the snapshot-range
+    consumption the streaming source is built on): customers land in TWO
+    append snapshots (odd keys, then even keys), and the query reads
+    ONLY the second snapshot's rows via ``read_incremental(from=s1)`` —
+    the oracle selects the even-keyed customers straight from the
+    original parquet, so a green row proves snapshot-range file
+    selection returns exactly the appended delta, no more, no less."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    import shutil
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    loc = _loc("iceberg-incr", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    t = IcebergFsTable(loc)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))
+    return t.read_incremental(spark, from_snapshot_id=s1)

@@ -1632,3 +1632,7 @@ WHERE a.vec_id IN (SELECT vec_id FROM ({ORACLES["emb_knn"]}) e)
 # Streaming vocabulary mirror: cumulative complete-mode counts equal the
 # batch scan for order-independent int aggregates — same oracle.
 ORACLES["stream_topk_ngrams"] = ORACLES["docs_topk_ngrams"]
+
+from flinkrunner_spark.plans.connectors import INCREMENTAL_ORACLE as _INO  # noqa: E402
+
+ORACLES["iceberg_incremental_roundtrip"] = _INO
