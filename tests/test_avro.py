@@ -811,3 +811,53 @@ def _jvm_record(spark, js, schema, rec):
         else:
             jrec.put(name, v)
     return jrec
+
+
+def test_equality_ids_array_bytes_match_java(spark):
+    """Nullable int arrays (the `equality_ids` field the upsert writes
+    into manifest data_file records) must be byte-identical with
+    org.apache.avro in both directions — the same validation bar as the
+    rest of the manifest schema."""
+    schema = {
+        "type": "record",
+        "name": "df",
+        "fields": [
+            {"name": "file_path", "type": "string"},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+            },
+        ],
+    }
+    jvm = spark._jvm
+    js = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    parsed = AC.parse_schema(schema)
+    for ids in ([1, 2, 5], [], None):
+        rec = {"file_path": "x.parquet", "equality_ids": ids}
+        py = AC.encode_record(parsed, rec)
+        jrec = jvm.org.apache.avro.generic.GenericData.Record(js)
+        jrec.put("file_path", "x.parquet")
+        if ids is not None:
+            jlist = jvm.java.util.ArrayList()
+            for i in ids:
+                jlist.add(i)
+            jrec.put("equality_ids", jlist)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(
+            baos, None
+        )
+        jvm.org.apache.avro.generic.GenericDatumWriter(js).write(jrec, enc)
+        enc.flush()
+        assert py == bytes(baos.toByteArray()), ids
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+            py, None
+        )
+        out = jvm.org.apache.avro.generic.GenericDatumReader(js).read(
+            None, dec
+        )
+        got = out.get("equality_ids")
+        assert (got is None) == (ids is None)
+        if ids is not None:
+            assert [got.get(i) for i in range(got.size())] == ids
+        assert AC.decode_record(parsed, py) == rec
