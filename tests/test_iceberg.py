@@ -604,3 +604,50 @@ def test_streaming_source_refusals(spark, tmp_path):
             {"connector": "iceberg", "path": loc, "streaming": True,
              "start.strategy": "latest"},
         ).load(spark)
+
+
+def test_streaming_upsert_sink_commits_per_microbatch(spark, tmp_path):
+    """primary.key + write_stream: each micro-batch commits one
+    equality-delete upsert snapshot (the Flink sink's checkpoint-commit
+    cadence with upsert mode on)."""
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+
+    loc = str(tmp_path / "sup")
+    src_dir = str(tmp_path / "src")
+    # two source files -> two micro-batches (maxFilesPerTrigger=1);
+    # batch 2 rewrites id=1
+    _kv(spark, [(1, "a", 10), (2, "b", 20)]).coalesce(1).write.parquet(
+        src_dir + "/f1"
+    )
+    _kv(spark, [(1, "A", 100), (3, "c", 30)]).coalesce(1).write.parquet(
+        src_dir + "/f2"
+    )
+    import glob
+    import os
+    import time
+
+    paths = sorted(glob.glob(src_dir + "/f*/part-*.parquet"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    t0 = time.time() - 10
+    for i, p in enumerate(paths):
+        dst = f"{flat}/{i}.parquet"
+        os.rename(p, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("id bigint, name string, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sink = IcebergSinkConfig(
+        "t",
+        {"connector": "iceberg", "path": loc, "primary.key": "id",
+         "checkpoint": str(tmp_path / "ck")},
+    )
+    q = sink.write_stream(stream)
+    q.awaitTermination(120)
+    t = I.IcebergFsTable(loc)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "A", 100), (2, "b", 20), (3, "c", 30)
+    ]
+    assert len(t.snapshots()) == 2  # one commit per micro-batch
