@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flinkrunner_spark.llm import bpe as llm_bpe  # noqa: E402
 from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_decontaminate": similarity.emb_decontaminate,
         "ann_recall_stats": similarity.ann_recall_stats,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
+        "docs_bpe_encode": llm_bpe.docs_bpe_encode,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

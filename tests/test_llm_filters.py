@@ -147,3 +147,67 @@ def test_ann_recall_stats_bounds_and_consistency(spark):
     exact = set(similarity.emb_knn(spark, SF).toPandas().vec_id)
     appr = set(similarity.emb_knn_ivf(spark, SF).toPandas().vec_id)
     assert row.n_overlap == len(exact & appr)
+
+
+def test_bpe_training_and_encoding_mirror(spark):
+    """Independent mirror: re-derive the BPE merges and per-doc piece
+    sequences from raw text with a separately-written reference loop
+    (collections.Counter based), and compare against the distributed
+    operator — merges, piece counts and the md5 fingerprints must all
+    agree. Also pins determinism across two runs."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from flinkrunner_spark.llm import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    tok = lambda s: [t for t in re.split("[^a-z0-9]+", s.lower()) if t]  # noqa: E731
+
+    # -- reference trainer, written independently of bpe.train_merges --
+    wc = Counter(w for t in docs.text for w in tok(t))
+    vocab = {w: tuple(w) + (bpe.EOW,) for w in wc}
+    ref_merges = []
+    for _ in range(bpe.BPE_MERGES):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += wc[w]
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        ref_merges.append((a, b))
+        def apply(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            return tuple(out)
+        vocab = {w: apply(s) for w, s in vocab.items()}
+
+    merges, counts = bpe.train_bpe(spark, SF)
+    assert merges == ref_merges
+    assert dict(counts) == dict(wc)
+
+    out = bpe.docs_bpe_encode(spark, SF).toPandas().set_index("doc_id")
+    out2 = bpe.docs_bpe_encode(spark, SF).toPandas().set_index("doc_id")
+    assert out.sort_index().equals(out2.sort_index())  # deterministic
+    assert len(out) == len(docs)
+    for _, r in docs.sample(40, random_state=5).iterrows():
+        words = tok(r.text)
+        pieces = [p for w in words for p in vocab[w]]
+        row = out.loc[r.doc_id]
+        assert row.n_words == len(words)
+        assert row.n_pieces == len(pieces)
+        assert row.pieces_fingerprint == hashlib.md5(
+            " ".join(pieces).encode()
+        ).hexdigest()
+    # the learned vocabulary actually compresses (merges fired)
+    assert len(merges) > 0
+    total_chars = sum((len(w) + 1) * n for w, n in wc.items())
+    assert out.n_pieces.sum() < total_chars
