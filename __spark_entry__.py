@@ -20,7 +20,7 @@ from flinkrunner_spark.llm import bpe as llm_bpe  # noqa: E402
 from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
-from flinkrunner_spark.llm import multimodal, pipeline, sampling, similarity  # noqa: E402
+from flinkrunner_spark.llm import mm_transforms, multimodal, pipeline, sampling, similarity  # noqa: E402
 from flinkrunner_spark.llm import spans as llm_spans  # noqa: E402
 from flinkrunner_spark.llm import vocab as llm_vocab  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_stats": similarity.ann_recall_stats,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
+        "mm_features": mm_transforms.mm_features,
+        "mm_resize": mm_transforms.mm_resize,
         # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,

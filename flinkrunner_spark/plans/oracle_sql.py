@@ -1636,3 +1636,42 @@ ORACLES["stream_topk_ngrams"] = ORACLES["docs_topk_ngrams"]
 from flinkrunner_spark.plans.connectors import INCREMENTAL_ORACLE as _INO  # noqa: E402
 
 ORACLES["iceberg_incremental_roundtrip"] = _INO
+
+# multimodal transform stages: md5-derived fakes reproduce in SQL, so the
+# Arrow plumbing is checked per-row exactly (same contract as mm_meta).
+from flinkrunner_spark.llm.mm_transforms import (  # noqa: E402
+    MM_FEATURE_DIM as _MFD,
+    MM_RESIZE_TARGET as _MRT,
+)
+
+ORACLES["mm_features"] = f"""
+SELECT doc_id, CAST(fi - 1 AS INTEGER) AS pos,
+  ({_hex8_to_long("md5(text || ':feat:' || CAST(fi - 1 AS VARCHAR))")}
+   % 10000) / 10000.0 AS feature
+FROM documents, generate_series(1, {_MFD}) AS t(fi)
+"""
+
+ORACLES["mm_resize"] = f"""
+WITH m AS (
+  SELECT doc_id, text,
+    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+    CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, width, height,
+    GREATEST(width, height) AS m,
+    CASE WHEN GREATEST(width, height) > 0
+      THEN (width * {_MRT}) // GREATEST(width, height) ELSE 0 END AS nw,
+    CASE WHEN GREATEST(width, height) > 0
+      THEN (height * {_MRT}) // GREATEST(width, height) ELSE 0 END AS nh
+  FROM m
+)
+SELECT doc_id, CAST(width AS INTEGER) AS width,
+  CAST(height AS INTEGER) AS height,
+  CAST(nw AS INTEGER) AS new_width, CAST(nh AS INTEGER) AS new_height,
+  (m > 0) AS decoded,
+  md5(text || ':resize:' || CAST(nw AS VARCHAR) || 'x'
+      || CAST(nh AS VARCHAR)) AS resize_fingerprint
+FROM r
+"""

@@ -211,3 +211,33 @@ def test_bpe_training_and_encoding_mirror(spark):
     assert len(merges) > 0
     total_chars = sum((len(w) + 1) * n for w, n in wc.items())
     assert out.n_pieces.sum() < total_chars
+
+
+def test_mm_transform_stages(spark):
+    """Feature extraction and resize: zero-exchange Arrow maps (payload
+    never shuffles), deterministic fakes, exact integer resize
+    arithmetic."""
+    from flinkrunner_spark.llm import mm_transforms as M
+
+    feats = M.mm_features(spark, SF)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    f = feats.toPandas()
+    assert len(f) == 500 * M.MM_FEATURE_DIM
+    assert ((f.feature >= 0) & (f.feature < 1)).all()
+    # one spot fingerprint against the pure-python fake
+    doc = spark.read.parquet(f"{SF}/documents.parquet").toPandas().iloc[0]
+    want = M._fake_features(doc.text.encode(), M.MM_FEATURE_DIM)
+    got = list(
+        f[f.doc_id == doc.doc_id].sort_values("pos").feature
+    )
+    assert got == want
+
+    r = M.mm_resize(spark, SF).toPandas()
+    assert len(r) == 500
+    ok = r[r.decoded]
+    assert (ok[["new_width", "new_height"]].max(axis=1)
+            <= M.MM_RESIZE_TARGET).all()
+    # aspect preserved under integer floor: the larger side hits target
+    assert (ok[["new_width", "new_height"]].max(axis=1)
+            == M.MM_RESIZE_TARGET).all()
