@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pruned_scan": connectors.iceberg_pruned_scan,
         "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
         "iceberg_incremental_roundtrip": connectors.iceberg_incremental_roundtrip,
+        "iceberg_stream_roundtrip": connectors.iceberg_stream_roundtrip,
         "docs_gopher_rules": llm_filters.docs_gopher_rules,
         "docs_badwords": llm_filters.docs_badwords,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,

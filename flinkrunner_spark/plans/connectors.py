@@ -255,3 +255,34 @@ def iceberg_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     s1 = t.metadata()["current-snapshot-id"]
     t.append(cust.filter(F.col("c_custkey") % 2 == 0))
     return t.read_incremental(spark, from_snapshot_id=s1)
+
+
+def iceberg_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-source roundtrip (reference `IcebergSourceConfig.scala`
+    `streaming: true`): documents land in THREE append snapshots, the
+    jar-free streaming source drains them with an availableNow trigger
+    (one micro-batch per committed file set), and the collected stream
+    must profile identically to the original parquet — proving the
+    file-stream-over-immutable-commits design loses nothing and
+    duplicates nothing across snapshot boundaries."""
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-stream", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    t = IcebergFsTable(loc)
+    third = F.col("doc_id") % 3
+    for i in range(3):
+        t.append(docs.filter(third == i))
+    src = IcebergSourceConfig(
+        "rt",
+        {"connector": "iceberg", "path": loc, "streaming": True,
+         "start.strategy": "earliest"},
+    ).load(spark)
+    from flinkrunner_spark.streaming.pipelines import run_to_memory
+
+    back = run_to_memory(spark, src, "q_iceberg_stream_rt", mode="append")
+    return _lang_profile(back)

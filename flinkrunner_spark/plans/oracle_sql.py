@@ -1675,3 +1675,5 @@ SELECT doc_id, CAST(width AS INTEGER) AS width,
       || CAST(nh AS VARCHAR)) AS resize_fingerprint
 FROM r
 """
+
+ORACLES["iceberg_stream_roundtrip"] = _LPO
