@@ -36,20 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-5 rotation:
-    # SEVENTEEN new keys first (vocabulary, tf-idf, stratified sampling,
-    # sequence packing, two semantic-dedup forms, duplicated spans, four
-    # connector roundtrips + the pruned scan + the upsert roundtrip,
-    # gopher/badword filters, shuffle-shards, mixture weights, semantic
-    # decontamination), then every key whose implementation file changed
-    # since its r4 green row — llm/similarity.py (sampled-Lloyd's
-    # quantizer, RH-LSH cap, bounded centroid fold, emb_decontaminate)
-    # and streaming/pipelines.py (TTL dedup option), which makes all
-    # stream_* mirrors re-verify — then r4-green filler to 50. The tail
-    # holds only keys whose files have ZERO changed lines since their
-    # last green row: llm/{text,pipeline,dedup}.py are byte-identical to
-    # their r4-verified state (the round-5 additions moved to their own
-    # modules — vocab/sampling/spans/filters), as are curation.py,
-    # multimodal.py, plans/{analytics,events}.py.
+    # TWENTY-THREE new keys first (vocabulary, tf-idf, stratified
+    # sampling, sequence packing, two semantic-dedup forms, six
+    # connector roundtrips incl. upsert/incremental/streaming + the
+    # pruned scan, gopher/badword screens, shuffle-shards, mixture
+    # weights, semantic decontamination, ANN recall stats, streaming
+    # vocabulary, BPE encode, multimodal features/resize), then every
+    # key whose implementation file changed since its r4 green row —
+    # llm/similarity.py (sampled-Lloyd's quantizer, RH-LSH cap, bounded
+    # centroid fold, emb_decontaminate, ann_recall_stats) and
+    # streaming/pipelines.py (TTL dedup option), which makes all
+    # stream_* mirrors re-verify — then dup_spans (new) and r4-green
+    # filler to 50. The tail holds only keys whose files have ZERO
+    # changed lines since their last green row: llm/{text,pipeline,
+    # dedup,curation,multimodal}.py and plans/{analytics,events}.py are
+    # byte-identical to their r4-verified state (round-5 additions live
+    # in their own modules — vocab/sampling/spans/filters/bpe/
+    # mm_transforms/docstreams).
     return {
         # —— NEW this round ——
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
