@@ -764,7 +764,11 @@ class IcebergFsTable:
         has_parent = md.get("current-snapshot-id", -1) not in (-1, None)
         self._write_snapshot(
             df,
-            "overwrite",
+            # a first upsert commits no deletes — it IS an append, and
+            # recording it as one keeps the append-only lineage gates
+            # (read_stream / incremental scans) usable until a real
+            # row-level commit happens
+            "overwrite" if has_parent else "append",
             partition_by=partition_by,
             # no prior snapshot -> nothing to delete, plain append
             delete_df=df.select(*key_cols) if has_parent else None,

@@ -651,3 +651,19 @@ def test_streaming_upsert_sink_commits_per_microbatch(spark, tmp_path):
         (1, "A", 100), (2, "b", 20), (3, "c", 30)
     ]
     assert len(t.snapshots()) == 2  # one commit per micro-batch
+
+
+def test_first_upsert_is_an_append_keeps_streaming_usable(spark, tmp_path):
+    """A first upsert commits no deletes, records operation=append, and
+    the append-only streaming/incremental gates stay open until a real
+    row-level commit happens."""
+    loc = str(tmp_path / "up8")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10)]), ["id"])
+    assert t.snapshots()[0]["summary"]["operation"] == "append"
+    t.read_stream(spark)  # no raise
+    assert t.read_incremental(spark).count() == 1
+    t.upsert(_kv(spark, [(1, "A", 100)]), ["id"])
+    assert t.snapshots()[-1]["summary"]["operation"] == "overwrite"
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_stream(spark)

@@ -241,3 +241,55 @@ def test_mm_transform_stages(spark):
     # aspect preserved under integer floor: the larger side hits target
     assert (ok[["new_width", "new_height"]].max(axis=1)
             == M.MM_RESIZE_TARGET).all()
+
+
+def test_bpe_oov_fallback_chars(spark):
+    """Words beyond the training cap fall back to character pieces — a
+    tiny word_cap forces the path the full corpus never exercises."""
+    import hashlib
+
+    from flinkrunner_spark.llm import bpe
+
+    merges, counts = bpe.train_bpe(spark, SF, word_cap=3)
+    assert len(counts) == 3  # deterministic (count desc, word) head
+    capped = {w for w, _ in counts}
+
+    mapping = [(w, bpe.encode_word(w, merges)) for w, _n in counts]
+    map_df = spark.createDataFrame(
+        [(w, p, len(p)) for w, p in mapping],
+        "word string, pieces array<string>, n_p int",
+    )
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    # rebuild the op body with the tiny map to check the OOV branch
+    from pyspark.sql import functions as F
+
+    from flinkrunner_spark.llm.text import tokens_col
+
+    sdocs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = sdocs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "word")
+    )
+    char_pieces = F.concat(
+        F.split(F.col("word"), "(?!$)"), F.array(F.lit(bpe.EOW))
+    )
+    joined = words.join(F.broadcast(map_df), "word", "left_outer").select(
+        "doc_id", "pos",
+        F.coalesce("pieces", char_pieces).alias("pieces"),
+    )
+    sample = (
+        joined.filter(F.col("doc_id") == docs.doc_id.iloc[0])
+        .orderBy("pos")
+        .collect()
+    )
+    toks = [
+        t for t in re.split("[^a-z0-9]+", docs.text.iloc[0].lower()) if t
+    ]
+    assert len(sample) == len(toks)
+    vocab_pieces = dict(mapping)
+    for row, w in zip(sample, toks):
+        if w in capped:
+            assert row["pieces"] == vocab_pieces[w]
+        else:  # OOV -> exact character split + end-of-word marker
+            assert row["pieces"] == list(w) + [bpe.EOW]
