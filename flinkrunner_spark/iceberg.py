@@ -507,7 +507,11 @@ class IcebergFsTable:
         tuple parsed from the hive-style write paths for partitioned
         specs — `data/col=value/...` exactly as Iceberg lays files out).
         With ``content=FILE_CONTENT_EQ_DELETES`` the frame holds equality
-        DELETE rows (the key columns named by ``equality_ids``)."""
+        DELETE rows (the key columns named by ``equality_ids``), and the
+        files land under ``data/_deletes/`` — underscore-prefixed so
+        Spark's file listing (hence ``read_stream``'s directory tail)
+        never mistakes the key-only rows for data; batch readers resolve
+        them by the full manifest path either way."""
         import pyarrow.parquet as pq
 
         spec_fields = self._spec_fields(md)
@@ -518,6 +522,11 @@ class IcebergFsTable:
             writer = writer.partitionBy(*[f["name"] for f in spec_fields])
         writer.parquet(tmp)
 
+        base_dir = (
+            self.data_dir
+            if content == CONTENT_DATA
+            else os.path.join(self.data_dir, "_deletes")
+        )
         files = []
         commit_uuid = uuid.uuid4().hex
         i = 0
@@ -528,7 +537,7 @@ class IcebergFsTable:
                     continue
                 src = os.path.join(root, name)
                 subdir = "" if rel == "." else rel
-                dst_dir = os.path.join(self.data_dir, subdir)
+                dst_dir = os.path.join(base_dir, subdir)
                 os.makedirs(dst_dir, exist_ok=True)
                 dst = os.path.join(dst_dir, f"{i:05d}-{commit_uuid}.parquet")
                 shutil.move(src, dst)
@@ -733,15 +742,16 @@ class IcebergFsTable:
         partition-scoped, as the Flink writer requires)."""
         if not key_cols:
             raise ValueError("upsert requires at least one key column")
-        if not self.exists():
-            self.create(df.schema, partition_by=partition_by)
-        md = self.metadata()
-        ice = current_schema(md)
-        by_name = {f["name"]: f for f in ice["fields"]}
-        missing = [k for k in key_cols if k not in by_name]
+        # validate BEFORE any table mutation: a failed upsert must not
+        # leave a freshly-created (possibly mis-partitioned) table behind
+        missing = [k for k in key_cols if k not in df.columns]
         if missing:
             raise ValueError(f"unknown upsert key column(s) {missing}")
-        spec_cols = [f["name"] for f in self._spec_fields(md)]
+        if self.exists():
+            md = self.metadata()
+            spec_cols = [f["name"] for f in self._spec_fields(md)]
+        else:
+            spec_cols = list(partition_by or [])
         if any(c not in key_cols for c in spec_cols):
             raise ValueError(
                 "upsert on a partitioned table requires the partition "
@@ -761,6 +771,10 @@ class IcebergFsTable:
                 "dedupe the batch first (a DataFrame has no row order to "
                 "pick a deterministic winner)"
             )
+        if not self.exists():
+            self.create(df.schema, partition_by=partition_by)
+        md = self.metadata()
+        by_name = {f["name"]: f for f in current_schema(md)["fields"]}
         has_parent = md.get("current-snapshot-id", -1) not in (-1, None)
         self._write_snapshot(
             df,
@@ -888,7 +902,17 @@ class IcebergFsTable:
         columns only; range filters on other columns can never exclude
         it)."""
         md = self.metadata()
-        self._spec_fields(md)  # validates identity-only transforms
+        spec_fields = self._spec_fields(md)  # identity-only transforms
+        if partition_filter:
+            spec_names = {f["name"] for f in spec_fields}
+            bad = sorted(set(partition_filter) - spec_names)
+            if bad:
+                raise ValueError(
+                    f"partition_filter column(s) {bad} are not partition "
+                    f"columns of this table (spec: {sorted(spec_names)}) "
+                    "— a silent empty result would hide the typo; use "
+                    "range_filter / a row predicate for data columns"
+                )
         ice = current_schema(md)
         by_name = {f["name"]: f for f in ice["fields"]}
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
@@ -983,7 +1007,7 @@ class IcebergFsTable:
         from pyspark.sql import functions as F
 
         md = self.metadata()
-        ice = current_schema(md)
+        ice = self._schema_for(md, snapshot_id, as_of_ms)
         ddl = spark_ddl_from_iceberg(ice)
         spec_fields = self._spec_fields(md)
         entries, del_entries = self._live(
@@ -992,7 +1016,7 @@ class IcebergFsTable:
         if not entries:
             return spark.createDataFrame([], ddl)
         if del_entries:
-            return self._read_merged(spark, entries, del_entries, md)
+            return self._read_merged(spark, entries, del_entries, md, ice)
         if not spec_fields:
             return spark.read.schema(ddl).parquet(
                 *[f["file_path"] for f in entries]
@@ -1030,12 +1054,39 @@ class IcebergFsTable:
             out = out.unionByName(p)
         return out.select(*[f["name"] for f in ice["fields"]])
 
+    def _schema_for(
+        self,
+        md: dict,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> dict:
+        """The schema a read resolves under: EXPLICIT time travel uses
+        the snapshot's RECORDED schema-id (spec semantics — a snapshot
+        taken before an add_column must not grow the new column), while
+        a current-state read always uses the current schema (metadata-
+        only evolution commits no snapshot, so the latest snapshot's
+        recorded id may legitimately lag the table schema)."""
+        if snapshot_id is None and as_of_ms is None:
+            return current_schema(md)
+        snap_id = self._resolve_snapshot(md, snapshot_id, as_of_ms)
+        if snap_id is not None:
+            snap = next(
+                s for s in md["snapshots"] if s["snapshot-id"] == snap_id
+            )
+            sid = snap.get("schema-id")
+            if sid is not None:
+                return next(
+                    s for s in md["schemas"] if s.get("schema-id") == sid
+                )
+        return current_schema(md)
+
     def _read_merged(
         self,
         spark: SparkSession,
         entries: list[dict],
         del_entries: list[dict],
         md: dict,
+        ice: dict | None = None,
     ) -> DataFrame:
         """MERGE-ON-READ of equality deletes (upserts): a data row
         survives unless some delete file with the same key and a
@@ -1050,7 +1101,7 @@ class IcebergFsTable:
 
         from pyspark.sql import functions as F
 
-        ice = current_schema(md)
+        ice = ice or current_schema(md)
         by_id = {f["id"]: f for f in ice["fields"]}
         spec_fields = self._spec_fields(md)
         part_cols = [f["name"] for f in spec_fields]
@@ -1239,7 +1290,20 @@ class IcebergFsTable:
         refuses those commits too), no equality deletes, identity-free
         (unpartitioned) layout only. latest/snapshot-id starting
         strategies need source-side offset tracking → jar (or poll
-        ``read_incremental``)."""
+        ``read_incremental``).
+
+        Two operational caveats of directory tailing (documented, same
+        class as Iceberg's own orphan-file guidance): (1) a writer that
+        died between moving data files and committing metadata leaves
+        ORPHANS no manifest references — batch reads never see them, a
+        directory tail would; run ``remove_orphan_files()`` before
+        starting a stream on a table with unknown write history. (2)
+        commits made AFTER the stream starts must remain append-only
+        (the start-time gate cannot see the future); an upsert's delete
+        files are kept out of the tailed directory (``data/_deletes``),
+        but its new data rows would stream in without their
+        retractions — the jar's monitored source throws there, this one
+        must be restarted to re-check the gate."""
         md = self.metadata()
         for s in md.get("snapshots", []):
             if s.get("summary", {}).get("operation") != "append":
@@ -1305,6 +1369,33 @@ class IcebergFsTable:
         ``expire_snapshots`` drops them."""
         cur = self.read(spark).coalesce(max(1, target_partitions))
         self._write_snapshot(cur, "replace")
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete parquet files under data/ that NO snapshot's manifests
+        reference (the RemoveOrphanFiles maintenance action): a writer
+        that died between moving data files and committing metadata
+        leaves such orphans — invisible to batch reads, but a
+        directory-tailing stream would emit them. Returns the deleted
+        paths."""
+        md = self.metadata()
+        referenced: set[str] = set()
+        for snap in md.get("snapshots", []):
+            with open(snap["manifest-list"], "rb") as fh:
+                _, mfs = AC.read_container(fh.read())
+            for mf in mfs:
+                with open(mf["manifest_path"], "rb") as fh:
+                    _, entries = AC.read_container(fh.read())
+                for e in entries:
+                    referenced.add(e["data_file"]["file_path"])
+        doomed = []
+        for root, _dirs, names in os.walk(self.data_dir):
+            for name in names:
+                p = os.path.join(root, name)
+                if name.endswith(".parquet") and p not in referenced:
+                    doomed.append(p)
+        for p in doomed:
+            os.remove(p)
+        return sorted(doomed)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots from table

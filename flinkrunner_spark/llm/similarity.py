@@ -256,12 +256,19 @@ def _rh_codes(
     return out
 
 
+_RH_BITS_CACHE: dict[str, int] = {}
+
+
 def _rh_bits(spark: SparkSession, sf_dir: str, bits: int | None) -> int:
     """Resolve the code width: explicit value, or size-derived via
-    ``auto_bits`` (one metadata-only parquet count)."""
+    ``auto_bits`` (one metadata-only parquet count, memoized per corpus
+    so repeated rhlsh calls — pairs then bucket stats, warm bench
+    passes — do not re-pay the count job)."""
     if bits is not None:
         return bits
-    return auto_bits(_emb(spark, sf_dir).count())
+    if sf_dir not in _RH_BITS_CACHE:
+        _RH_BITS_CACHE[sf_dir] = auto_bits(_emb(spark, sf_dir).count())
+    return _RH_BITS_CACHE[sf_dir]
 
 
 def emb_dup_pairs_rhlsh(
@@ -660,6 +667,8 @@ def emb_knn_ivf_kmeans(
         .filter(F.col("vec_id") == query_id)
         .select(F.col("embedding").alias("qv"))
     )
+    if q.isEmpty():  # a typo'd id must error, not return an empty top-k
+        raise ValueError(f"unknown query vec_id {query_id}")
     probe = (
         cents.crossJoin(F.broadcast(q))
         .select(

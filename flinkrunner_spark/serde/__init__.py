@@ -477,15 +477,16 @@ def _avro_decode_splits(parsed: dict):
     return fn
 
 
-def _first_avro_header(path: str):
+def _first_avro_header(path: str, glob: str = "*.avro"):
     """(file list, parsed schema of the first file) for a dir-or-file
     path — schema inference for the split readers (all files must share
-    the schema, as with the whole-file reader)."""
+    the schema, as with the whole-file reader). ``glob`` mirrors the
+    jar path's pathGlobFilter (FileSourcePathFilter parity)."""
     import glob as _glob
     import os
 
     p = _local_path(path)
-    files = sorted(_glob.glob(os.path.join(p, "*.avro"))) if os.path.isdir(p) else [p]
+    files = sorted(_glob.glob(os.path.join(p, glob))) if os.path.isdir(p) else [p]
     if not files:
         raise ValueError(f"no avro files under {path}")
     with open(files[0], "rb") as f:
@@ -493,7 +494,24 @@ def _first_avro_header(path: str):
     return files, parsed
 
 
-def read_avro_files_split(spark, path: str) -> DataFrame:
+def _conform_to_ddl(df: DataFrame, select_ddl: str | None) -> DataFrame:
+    """Project/cast a fallback read to the CONFIGURED schema (the jar
+    path honors reader.schema(...); the fallback must not silently
+    return the writer schema instead). Unknown columns fail analysis
+    loudly rather than null-filling."""
+    if not select_ddl:
+        return df
+    from pyspark.sql.types import StructType
+
+    want = StructType.fromDDL(select_ddl)
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in want.fields]
+    )
+
+
+def read_avro_files_split(
+    spark, path: str, glob: str = "*.avro", select_ddl: str | None = None
+) -> DataFrame:
     """Split-aware no-jar avro reader: the driver seek-walks each file's
     sync-marker block index (~40 bytes of IO per block — the same
     enumeration cost the jar's split-aware reader pays at planning time),
@@ -501,23 +519,32 @@ def read_avro_files_split(spark, path: str) -> DataFrame:
     blocks IN PARALLEL, each reading only its own byte range — one big
     multi-block container no longer serializes through a single
     whole-file parse. Same POSIX-FS assumption as ``write_avro_files``;
-    schema comes from the first file's header."""
-    files, parsed = _first_avro_header(path)
+    schema comes from the first file's header, then conforms to the
+    configured ``select_ddl`` when given."""
+    files, parsed = _first_avro_header(path, glob)
     rows = []
     for f in files:
         _, codec, sync, blocks = AC.enumerate_container_blocks(f)
         rows.extend((f, off, ln, codec, sync.hex()) for off, ln, _ in blocks)
     if not rows:
-        return spark.createDataFrame([], _spark_ddl_for_avro(parsed))
+        return _conform_to_ddl(
+            spark.createDataFrame([], _spark_ddl_for_avro(parsed)),
+            select_ddl,
+        )
     splits = spark.createDataFrame(
         rows, "path string, offset long, length long, codec string, sync_hex string"
     ).repartition(min(len(rows), spark.sparkContext.defaultParallelism))
-    return splits.mapInPandas(
-        _avro_decode_splits(parsed), schema=_spark_ddl_for_avro(parsed)
+    return _conform_to_ddl(
+        splits.mapInPandas(
+            _avro_decode_splits(parsed), schema=_spark_ddl_for_avro(parsed)
+        ),
+        select_ddl,
     )
 
 
-def read_avro_stream(spark, path: str) -> DataFrame:
+def read_avro_stream(
+    spark, path: str, glob: str = "*.avro", select_ddl: str | None = None
+) -> DataFrame:
     """STREAMING no-jar avro source: binaryFile discovers new files
     (pruned to path/length — content is never shipped through the scan),
     an executor-side stage seek-walks each new file's sync-marker block
@@ -528,7 +555,7 @@ def read_avro_stream(spark, path: str) -> DataFrame:
     least one existing file for schema inference (the usual streaming
     file-source schema requirement); local/shared-FS paths, like the
     batch fallback."""
-    _, parsed = _first_avro_header(path)
+    _, parsed = _first_avro_header(path, glob)
 
     def enum(it):
         import pandas as pd
@@ -557,7 +584,7 @@ def read_avro_stream(spark, path: str) -> DataFrame:
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .option("pathGlobFilter", "*.avro")
+        .option("pathGlobFilter", glob)
         .load(path)
         .select("path")
     )
@@ -565,8 +592,11 @@ def read_avro_stream(spark, path: str) -> DataFrame:
         enum,
         schema="path string, offset long, length long, codec string, sync_hex string",
     ).repartition(spark.sparkContext.defaultParallelism)
-    return splits.mapInPandas(
-        _avro_decode_splits(parsed), schema=_spark_ddl_for_avro(parsed)
+    return _conform_to_ddl(
+        splits.mapInPandas(
+            _avro_decode_splits(parsed), schema=_spark_ddl_for_avro(parsed)
+        ),
+        select_ddl,
     )
 
 

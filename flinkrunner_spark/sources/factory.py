@@ -87,11 +87,16 @@ class FileSourceConfig(SourceConfig):
                 # no-jar fallback: sync-marker split enumeration + parallel
                 # block decode (streaming discovers files via binaryFile,
                 # batch enumerates driver-side)
+                glob = self.conf.get("path.filter", "*.avro")
                 if self.streaming:
                     return self._apply_watermark(
-                        _serde.read_avro_stream(spark, path)
+                        _serde.read_avro_stream(
+                            spark, path, glob=glob, select_ddl=schema
+                        )
                     )
-                return _serde.read_avro_files_split(spark, path)
+                return _serde.read_avro_files_split(
+                    spark, path, glob=glob, select_ddl=schema
+                )
         return self._apply_watermark(reader.load(path))
 
 

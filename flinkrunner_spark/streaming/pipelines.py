@@ -225,17 +225,28 @@ def streaming_dedup_keep_first(
         # a micro-batch arrives as MULTIPLE Arrow chunks — the earliest
         # (ts, event_id) row for a key may sit in any of them, so sort
         # and dedup over the whole batch
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            .sort_values(["ts", "event_id"])
-            .drop_duplicates(subset=key_cols, keep="first")
+        full = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
         )
+        pdf = full.drop_duplicates(subset=key_cols, keep="first")
         keys = [tuple(t) for t in pdf[key_cols].itertuples(index=False)]
         if ttl_us is None:
             fresh = pd.Series([k not in seen for k in keys], index=pdf.index)
             seen.update(k for k, f in zip(keys, fresh) if f)
         else:
-            stamps = (pdf["ts"].astype("int64") // 1000).tolist()
+            # refresh-on-EVERY-sighting means the stamp is each key's
+            # LAST in-batch occurrence (the pre-dedup max), not the
+            # first kept row's ts — otherwise in-batch duplicates age
+            # the entry and it evicts a TTL too early
+            last_seen = (
+                full.assign(_us=full["ts"].astype("int64") // 1000)
+                .groupby(key_cols, sort=False)["_us"]
+                .max()
+            )
+            stamps = [
+                int(last_seen[k if len(key_cols) > 1 else k[0]])
+                for k in keys
+            ]
             # advance the bucket's event-time clock, EVICT, then test —
             # a key whose last sighting fell off the horizon re-emits
             clock = max(stamps + list(seen.values()))

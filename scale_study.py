@@ -116,11 +116,25 @@ def build_fixture(spark, factor: int) -> str:
 def main() -> None:
     factor = 8
     keys = DEFAULT_KEYS
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--factor"):
-            factor = int(a.split("=", 1)[1]) if "=" in a else factor
-        elif a.startswith("--keys="):
-            keys = a.split("=", 1)[1].split(",")
+            if "=" in a:
+                factor = int(a.split("=", 1)[1])
+            else:  # the space-separated form the usage line shows
+                i += 1
+                factor = int(args[i])
+        elif a.startswith("--keys"):
+            if "=" in a:
+                keys = a.split("=", 1)[1].split(",")
+            else:
+                i += 1
+                keys = args[i].split(",")
+        else:
+            raise SystemExit(f"unknown argument {a!r}")
+        i += 1
     spark = get_spark("flinkrunner-spark-scale-study")
     spark.sparkContext.setLogLevel("ERROR")
     big = build_fixture(spark, factor)

@@ -861,3 +861,42 @@ def test_equality_ids_array_bytes_match_java(spark):
         if ids is not None:
             assert [got.get(i) for i in range(got.size())] == ids
         assert AC.decode_record(parsed, py) == rec
+
+
+def test_avro_fallback_honors_configured_schema_and_glob(spark, tmp_path):
+    """The no-jar fallback must behave like reader.schema(...) on the
+    jar path: conform to the CONFIGURED column subset/order (not the
+    writer schema) and honor path.filter globs."""
+    import pandas as pd
+
+    from flinkrunner_spark import serde
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, score double"
+    )
+    path = str(tmp_path / "conf")
+    serde.write_avro_files(df, path, mode="overwrite")
+    # column subset in a different order, with a cast
+    out = serde.read_avro_files_split(
+        spark, path, select_ddl="name string, id int"
+    )
+    assert out.columns == ["name", "id"]
+    assert out.schema["id"].dataType.simpleString() == "int"
+    assert sorted(map(tuple, out.collect())) == [("a", 1), ("b", 2)]
+    # glob filters enumeration: nothing matches -> schema inference fails
+    # loudly rather than reading unfiltered files
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no avro files"):
+        serde.read_avro_files_split(spark, path, glob="zzz-*.avro")
+    # streaming form conforms too
+    stream = serde.read_avro_stream(
+        spark, path, select_ddl="name string, id int"
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("avro_conf")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("avro_conf").collect()))
+    assert got == [("a", 1), ("b", 2)]

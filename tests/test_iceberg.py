@@ -667,3 +667,65 @@ def test_first_upsert_is_an_append_keeps_streaming_usable(spark, tmp_path):
     assert t.snapshots()[-1]["summary"]["operation"] == "overwrite"
     with pytest.raises(ValueError, match="append-only"):
         t.read_stream(spark)
+
+
+def test_time_travel_reads_snapshot_schema(spark, tmp_path):
+    """Explicit time travel resolves the snapshot's recorded schema-id:
+    a snapshot taken before add_column must NOT grow the new column,
+    while current-state reads always use the current schema."""
+    loc = str(tmp_path / "tts")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.add_column("rank", "long")
+    # current read: evolved schema, null-filled
+    assert t.read(spark).columns == ["id", "name", "score", "tags", "rank"]
+    # time travel to the pre-evolution snapshot: original columns only
+    old = t.read(spark, snapshot_id=s1)
+    assert old.columns == ["id", "name", "score", "tags"]
+    assert old.count() == len(ROWS1)
+
+
+def test_partition_filter_unknown_column_raises(spark, tmp_path):
+    loc = str(tmp_path / "pfv")
+    t = I.IcebergFsTable(loc)
+    rows = spark.createDataFrame(
+        [(1, "en", 5)], "id bigint, lang string, v bigint"
+    )
+    t.append(rows, partition_by=["lang"])
+    with pytest.raises(ValueError, match="partition_filter"):
+        t.read(spark, partition_filter={"v": 5})
+    # unpartitioned table: any partition_filter is a mistake
+    loc2 = str(tmp_path / "pfv2")
+    t2 = I.IcebergFsTable(loc2)
+    t2.append(rows)
+    with pytest.raises(ValueError, match="partition_filter"):
+        t2.read(spark, partition_filter={"lang": "en"})
+
+
+def test_delete_files_live_outside_streamed_dir_and_orphan_gc(spark, tmp_path):
+    """Equality-delete files land under data/_deletes (invisible to a
+    directory-tailing stream); remove_orphan_files deletes only
+    unreferenced parquet."""
+    loc = str(tmp_path / "orph")
+    t = I.IcebergFsTable(loc)
+    t.upsert(_kv(spark, [(1, "a", 10)]), ["id"])
+    t.upsert(_kv(spark, [(1, "A", 100)]), ["id"])
+    deletes = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(os.path.join(loc, "data"))
+        for n in ns
+        if "_deletes" in r and n.endswith(".parquet")
+    ]
+    assert deletes, "delete files should exist under data/_deletes"
+    # orphan: a stray parquet nothing references
+    stray = os.path.join(loc, "data", "99999-deadbeef.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1junkPAR1")
+    gone = t.remove_orphan_files()
+    assert gone == [stray]
+    assert not os.path.exists(stray)
+    # referenced files (incl. deletes) survive; merged read still exact
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "A", 100)
+    ]

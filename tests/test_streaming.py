@@ -86,15 +86,27 @@ def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
         _time.sleep(1.1)
 
     batches = [
-        # A last seen 10:00, B last seen 11:30
-        [("2024-01-01 10:00:00", 1, "A"), ("2024-01-01 11:30:00", 2, "B")],
+        # A last seen 10:00, B last seen 11:30; C seen TWICE in one
+        # batch (10:00 kept + 11:30 duplicate) — refresh-on-every-
+        # sighting must stamp C with its LAST occurrence (11:30), so at
+        # 12:00 C is still inside the 1h horizon and stays deduped
+        [
+            ("2024-01-01 10:00:00", 1, "A"),
+            ("2024-01-01 11:30:00", 2, "B"),
+            ("2024-01-01 10:00:00", 5, "C"),
+            ("2024-01-01 11:30:00", 6, "C"),
+        ],
         # clock -> 12:00: A (10:00) is beyond the 1h horizon -> evicted,
         # re-emitted; B (11:30) is inside -> still a duplicate, dropped
-        [("2024-01-01 12:00:00", 3, "A"), ("2024-01-01 12:00:00", 4, "B")],
+        [
+            ("2024-01-01 12:00:00", 3, "A"),
+            ("2024-01-01 12:00:00", 4, "B"),
+            ("2024-01-01 12:00:00", 7, "C"),
+        ],
     ]
     for name, ttl, expect in [
-        ("ttl", 3600.0, [1, 2, 3]),
-        ("nottl", None, [1, 2]),
+        ("ttl", 3600.0, [1, 2, 3, 5]),
+        ("nottl", None, [1, 2, 5]),
     ]:
         src = str(tmp_path / f"dd_{name}")
         for rows in batches:
