@@ -198,3 +198,23 @@ class TableJob(StreamJob):
         if not sql:
             raise ValueError(f"TableJob '{self.name}' needs a 'sql' config key")
         return self.runner.spark.sql(sql)
+
+
+class TableIdentityJob(TableJob):
+    """Reference flink/TableIdentityJob.scala: the table-API identity —
+    a config-only copy of a row-typed source to the sinks (transform is
+    the single source; no ``sql`` key required). Exists so row-typed
+    pipelines wire from config alone, exactly like IdentityJob does for
+    the event-typed path."""
+
+    def transform(self) -> DataFrame:
+        return self.single_source()
+
+
+class AvroTableIdentityJob(AvroStreamJob):
+    """Reference flink/AvroTableIdentityJob.scala: the row-typed identity
+    with avro sink serialization (embedded-record columns only, file
+    sinks forced to avro containers, kafka values to confluent-avro)."""
+
+    def transform(self) -> DataFrame:
+        return self.single_source()

@@ -277,6 +277,25 @@ class JdbcSinkConfig(SinkConfig):
         finally:
             conn.close()
 
+    def index_ddls(self, df: DataFrame) -> list[str]:
+        """CREATE INDEX statements from the reference's ``table.indexes``
+        config shape (JdbcSinkConfig.scala:172-196): each entry has a
+        ``name`` (auto-prefixed with the table name), a ``columns`` list
+        of 'col [ASC|DESC]' strings (or one string), optional
+        ``unique``."""
+        from flinkrunner_spark.util.sqlbuilder import create_index
+
+        return [
+            create_index(
+                self.conf.get("table", self.name),
+                ix["name"],
+                ix["columns"],
+                unique=bool(ix.get("unique", False)),
+                dialect=self.conf.get("dialect", "postgresql"),
+            )
+            for ix in self.conf.get("table.indexes", [])
+        ]
+
     def write(self, df: DataFrame):
         table = self.conf.get("table", self.name)
         if self.conf.get("create.table"):
@@ -285,6 +304,12 @@ class JdbcSinkConfig(SinkConfig):
             except Exception as e:  # dialects without IF NOT EXISTS (derby)
                 if "exists" not in str(e).lower():
                     raise
+            for ddl in self.index_ddls(df):
+                try:
+                    self._execute_ddl(df, ddl)
+                except Exception as e:  # index already exists -> keep it
+                    if "exists" not in str(e).lower():
+                        raise
             # quote dbtable exactly like the DDL did — otherwise the JDBC
             # writer resolves an unquoted name to a DIFFERENT (case-folded)
             # table and silently auto-creates it without the PK/DDL

@@ -81,3 +81,33 @@ def create_table_from_schema(
         + ",\n  ".join(cols)
         + "\n)"
     )
+
+
+def create_index(
+    table: str,
+    name: str,
+    columns: list[str] | str,
+    unique: bool = False,
+    dialect: str = "postgresql",
+) -> str:
+    """CREATE [UNIQUE] INDEX DDL (reference `model/JdbcSinkIndex.scala`
+    ``definition``): the index name is auto-prefixed with the table name
+    (underscore-separated, the reference's convention), each column may
+    carry an ``ASC``/``DESC`` suffix (default ASC)."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    parts = []
+    for c in cols:
+        bits = c.split(None, 1)
+        order = bits[1].upper() if len(bits) > 1 else "ASC"
+        if order not in ("ASC", "DESC"):
+            raise ValueError(f"bad index column order {bits[1]!r} in {c!r}")
+        parts.append(f"{quote_ident(bits[0], dialect)} {order}")
+    return (
+        "CREATE "
+        + ("UNIQUE " if unique else "")
+        + f"INDEX {quote_ident(f'{table}_{name}', dialect)} ON "
+        + quote_ident(table, dialect)
+        + " ("
+        + ", ".join(parts)
+        + ")"
+    )

@@ -84,3 +84,46 @@ def test_ddl_dialects(jdbc_df):
         "t", jdbc_df.schema, dialect="postgresql", pk="id"
     )
     assert "IF NOT EXISTS" in pg and "DOUBLE PRECISION" in pg
+
+
+def test_jdbc_index_ddl_and_creation(spark, jdbc_df, derby_url):
+    """table.indexes config (reference JdbcSinkConfig.scala:172-196 +
+    JdbcSinkIndex.definition): CREATE [UNIQUE] INDEX statements with the
+    table-name prefix and ASC/DESC column orders, executed for real over
+    Derby; a rewrite against the existing index is tolerated."""
+    from flinkrunner_spark.util.sqlbuilder import create_index
+
+    ddl = create_index(
+        "scores_ix", "by_name", ["name DESC", "id"], unique=False,
+        dialect="derby",
+    )
+    assert ddl == (
+        'CREATE INDEX "scores_ix_by_name" ON "scores_ix" '
+        '("name" DESC, "id" ASC)'
+    )
+    with pytest.raises(ValueError, match="order"):
+        create_index("t", "bad", ["name SIDEWAYS"], dialect="derby")
+
+    sink = sink_from_config(
+        "scores",
+        {
+            "connector": "jdbc",
+            "url": derby_url,
+            "table": "scores_ix",
+            "dialect": "derby",
+            "create.table": True,
+            "table.indexes": [
+                {"name": "by_name", "columns": ["name DESC", "id"]},
+                {"name": "uniq_id", "columns": "id", "unique": True},
+            ],
+            "options": {"driver": DERBY_DRIVER},
+        },
+    )
+    sink.write(jdbc_df)
+    # second write with FRESH ids: table+indexes already exist, tolerated
+    from pyspark.sql import functions as F
+
+    sink.write(jdbc_df.withColumn("id", F.col("id") + 1000))
+    # the unique index is enforced by the database
+    with pytest.raises(Exception):
+        sink.write(jdbc_df)  # same ids again -> unique violation

@@ -351,3 +351,39 @@ def test_avro_stream_job_writes_avro(spark, tmp_path):
     rows = sorted(map(tuple, back.collect()))
     assert back.columns == ["event_id", "event_type", "value"]  # extra dropped
     assert rows == [(1, "click", 2.5), (2, "view", -1.0)]
+
+
+def test_table_identity_jobs(spark, tmp_path):
+    """TableIdentityJob copies a row-typed source to the sinks without a
+    sql key; AvroTableIdentityJob does the same with avro serialization
+    (reference flink/TableIdentityJob.scala, AvroTableIdentityJob.scala)."""
+    import os
+
+    from flinkrunner_spark.jobs import AvroTableIdentityJob, TableIdentityJob
+    from flinkrunner_spark.runner import SparkRunner
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, v double"
+    ).write.parquet(str(src))
+    dst1, dst2 = tmp_path / "plain", tmp_path / "avro"
+
+    def cfg(dst):
+        return {
+            "jobs": {
+                "copy": {
+                    "sources": {"rows": {"connector": "file",
+                                         "format": "parquet",
+                                         "path": str(src)}},
+                    "sinks": {"out": {"connector": "file",
+                                      "path": str(dst)}},
+                }
+            }
+        }
+
+    SparkRunner(cfg(dst1), jobs={"copy": TableIdentityJob}).invoke("copy")
+    back = spark.read.parquet(str(dst1))
+    assert sorted(map(tuple, back.collect())) == [(1, "a", 1.5), (2, "b", 2.5)]
+
+    SparkRunner(cfg(dst2), jobs={"copy": AvroTableIdentityJob}).invoke("copy")
+    assert any(f.endswith(".avro") for f in os.listdir(dst2))
