@@ -735,3 +735,29 @@ def json_decode_record(schema: dict, s: str, spec_unions: bool = True) -> dict:
                 else _unjson_prim(prim, v)
             )
     return rec
+
+
+def string_with_confluent_fallback(
+    data: bytes | None, registry=None
+) -> str | None:
+    """Reference `serde/StringDeserializerWithConfluentFallback.scala`:
+    a kafka KEY deserializer that treats confluent-framed payloads
+    (magic byte 0) as registry-resolved avro rendered to a string, and
+    everything else as UTF-8 — the mixed-producer topic case, where some
+    writers frame keys and some send plain strings.
+
+    ``registry`` is any object with ``schema_by_id(id) -> schema dict``
+    (LocalSchemaRegistry compatible); without one, a framed key decodes
+    as the reference does when no deserializer config exists: the raw
+    payload after the frame, utf-8-decoded best-effort."""
+    if data is None:
+        return None
+    if data[:1] == bytes([CONFLUENT_MAGIC]) and len(data) >= 5:
+        schema_id, payload = confluent_unframe(data)
+        if registry is not None:
+            # schema_by_id returns the PARSED form (LocalSchemaRegistry
+            # stores what parse_schema produced)
+            rec = decode_record(registry.schema_by_id(schema_id), payload)
+            return json.dumps(rec, sort_keys=True)
+        return payload.decode("utf-8", errors="replace")
+    return data.decode("utf-8")

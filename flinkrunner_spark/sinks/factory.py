@@ -242,8 +242,19 @@ class JdbcSinkConfig(SinkConfig):
     configured dialect."""
 
     def create_table_ddl(self, df: DataFrame) -> str:
-        from flinkrunner_spark.util.sqlbuilder import create_table_from_schema
+        from flinkrunner_spark.util.sqlbuilder import (
+            create_table_from_columns,
+            create_table_from_schema,
+        )
 
+        cols = self.conf.get("table.columns")
+        if cols:  # explicit column definitions (reference table.columns)
+            return create_table_from_columns(
+                self.conf.get("table", self.name),
+                cols,
+                dialect=self.conf.get("dialect", "postgresql"),
+                pk=self.conf.get("primary.key"),
+            )
         return create_table_from_schema(
             self.conf.get("table", self.name),
             df.schema,

@@ -111,3 +111,42 @@ def create_index(
         + ", ".join(parts)
         + ")"
     )
+
+
+def create_table_from_columns(
+    table: str,
+    columns: list[dict],
+    dialect: str = "postgresql",
+    pk: list[str] | str | None = None,
+) -> str:
+    """CREATE TABLE from the reference's explicit ``table.columns``
+    config (JdbcSinkConfig.scala: name/type/precision/scale/nullable) —
+    the escape hatch for types the frame schema cannot express (fixed
+    CHAR widths, DECIMAL scales, database-tuned text types). ``type`` is
+    the JDBC standard type name; precision/scale render as the usual
+    parenthesized suffix."""
+    cols = []
+    for c in columns:
+        t = str(c["type"]).upper()
+        if c.get("precision") is not None:
+            t += f"({c['precision']}"
+            if c.get("scale") is not None:
+                t += f", {c['scale']}"
+            t += ")"
+        cols.append(
+            f"{quote_ident(c['name'], dialect)} {t}"
+            + ("" if c.get("nullable", True) else " NOT NULL")
+        )
+    if pk:
+        pk = [pk] if isinstance(pk, str) else list(pk)
+        cols.append(
+            "PRIMARY KEY ("
+            + ", ".join(quote_ident(c, dialect) for c in pk)
+            + ")"
+        )
+    ine = "IF NOT EXISTS " if DIALECTS[dialect].get("if_not_exists", True) else ""
+    return (
+        f"CREATE TABLE {ine}{quote_ident(table, dialect)} (\n  "
+        + ",\n  ".join(cols)
+        + "\n)"
+    )

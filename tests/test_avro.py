@@ -900,3 +900,24 @@ def test_avro_fallback_honors_configured_schema_and_glob(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("avro_conf").collect()))
     assert got == [("a", 1), ("b", 2)]
+
+
+def test_string_deserializer_with_confluent_fallback():
+    """Reference serde/StringDeserializerWithConfluentFallback.scala:
+    confluent-framed keys resolve through the registry, plain bytes
+    decode as UTF-8, None passes through."""
+    schema = {
+        "type": "record", "name": "K",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    reg = AC.LocalSchemaRegistry()
+    sid = reg.register("k-key", schema)
+    framed = AC.confluent_frame(
+        sid, AC.encode_record(AC.parse_schema(schema), {"id": 7})
+    )
+    assert AC.string_with_confluent_fallback(framed, reg) == '{"id": 7}'
+    assert AC.string_with_confluent_fallback(b"plain-key") == "plain-key"
+    assert AC.string_with_confluent_fallback(None) is None
+    # framed but no registry: best-effort passthrough, never a crash
+    out = AC.string_with_confluent_fallback(framed)
+    assert isinstance(out, str)

@@ -127,3 +127,50 @@ def test_jdbc_index_ddl_and_creation(spark, jdbc_df, derby_url):
     # the unique index is enforced by the database
     with pytest.raises(Exception):
         sink.write(jdbc_df)  # same ids again -> unique violation
+
+
+def test_jdbc_explicit_table_columns(spark, jdbc_df, derby_url):
+    """table.columns (reference JdbcSinkConfig.scala columns config):
+    explicit JDBC types with precision/scale/nullable override the
+    frame-derived DDL — proven over Derby (CHAR width honored)."""
+    from flinkrunner_spark.util.sqlbuilder import create_table_from_columns
+
+    ddl = create_table_from_columns(
+        "t",
+        [
+            {"name": "id", "type": "bigint", "nullable": False},
+            {"name": "name", "type": "char", "precision": 8},
+            {"name": "score", "type": "decimal", "precision": 10, "scale": 2},
+        ],
+        dialect="derby",
+        pk="id",
+    )
+    assert '"id" BIGINT NOT NULL' in ddl
+    assert '"name" CHAR(8)' in ddl and '"score" DECIMAL(10, 2)' in ddl
+
+    sink = sink_from_config(
+        "scores",
+        {
+            "connector": "jdbc",
+            "url": derby_url,
+            "table": "scores_cols",
+            "dialect": "derby",
+            "create.table": True,
+            "primary.key": "id",
+            "table.columns": [
+                {"name": "id", "type": "bigint", "nullable": False},
+                {"name": "name", "type": "varchar", "precision": 16},
+                {"name": "score", "type": "double"},
+            ],
+            "options": {"driver": DERBY_DRIVER},
+        },
+    )
+    sink.write(jdbc_df)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", '"scores_cols"')
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+    assert back.count() == 3
