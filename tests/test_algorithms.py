@@ -381,3 +381,50 @@ def test_lsh_real_corpus_under_cap(spark):
     ).first()
     assert tight["dropped_buckets"] > 0
     dedup.release_caches("/root/testdata/sf0.001")
+
+
+def test_sbf_aggregate_per_group(spark):
+    """BloomFilterAggregateFunction parity (operator/
+    BloomFilterAggregateFunction.scala): one SBF per group via a grouped
+    vectorized aggregate — no false negatives within a group, bounded
+    false positives against other groups' values, and the OR-merge of
+    slice-partial filters covers everything the full build does."""
+    from flinkrunner_spark.operators.bloomagg import (
+        sbf_aggregate,
+        sbf_merge_blobs,
+        sbf_might_contain,
+    )
+    from flinkrunner_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    out = {
+        r["event_type"]: r
+        for r in sbf_aggregate(ev, ["event_type"], "user_id").collect()
+    }
+    pdf = ev.toPandas()
+    by_type = pdf.groupby("event_type")["user_id"].apply(
+        lambda s: set(s.astype(str))
+    )
+    for et, members in by_type.items():
+        blob = out[et]["sbf"]
+        assert out[et]["n_items"] == (pdf.event_type == et).sum()
+        # no false negatives
+        assert all(sbf_might_contain(blob, m) for m in members)
+    # bounded false positives: probe values no group contains
+    fp = sum(
+        sbf_might_contain(out[et]["sbf"], f"ghost-{i}")
+        for et in by_type.index
+        for i in range(200)
+    )
+    assert fp <= 0.05 * 200 * len(by_type.index)
+    # slice-partials OR-merge to cover the full membership
+    et0 = by_type.index[0]
+    sl = ev.filter(f"event_type = '{et0}'")
+    a = sbf_aggregate(sl.filter("user_id % 2 = 0"), ["event_type"], "user_id")
+    b = sbf_aggregate(sl.filter("user_id % 2 = 1"), ["event_type"], "user_id")
+    merged = sbf_merge_blobs(
+        a.collect()[0]["sbf"], b.collect()[0]["sbf"]
+    )
+    assert all(sbf_might_contain(merged, m) for m in by_type[et0])
