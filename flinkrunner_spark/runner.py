@@ -73,8 +73,37 @@ class SparkRunner:
             raise KeyError(
                 f"unknown job '{job_name}'; known: {sorted(self._jobs)}"
             )
+        self.show_config()
         job_cls = self._jobs[job_name]
         return job_cls(self, job_name).run()
+
+    def show_config(self) -> str | None:
+        """Reference `model/ShowConfigOption.scala` + FlinkRunner.scala:
+        131-136 — print the resolved config at startup when
+        ``show.config`` is ``concise`` (one JSON line) or ``formatted``
+        (indented); ``none``/absent prints nothing. Returns what was
+        printed (for tests)."""
+        import json as _json
+
+        mode = str(
+            self.config._config.get("show.config")  # literal key
+            or self.config.get("show.config")  # dotted/env form
+            or "none"
+        ).lower()
+        if mode == "none":
+            return None
+        if mode == "concise":
+            out = _json.dumps(self.config._config, sort_keys=True, default=str)
+        elif mode == "formatted":
+            out = _json.dumps(
+                self.config._config, sort_keys=True, indent=2, default=str
+            )
+        else:
+            raise ValueError(
+                f"show.config must be none|concise|formatted, got {mode!r}"
+            )
+        print(out)
+        return out
 
     # -- source/sink wiring -------------------------------------------------
     def source_configs(self, job_name: str) -> dict:

@@ -387,3 +387,44 @@ def test_table_identity_jobs(spark, tmp_path):
 
     SparkRunner(cfg(dst2), jobs={"copy": AvroTableIdentityJob}).invoke("copy")
     assert any(f.endswith(".avro") for f in os.listdir(dst2))
+
+
+def test_show_config_option(spark, tmp_path, capsys):
+    """Reference model/ShowConfigOption.scala: show.config=concise prints
+    one JSON line at invoke time, formatted prints indented, absent
+    prints nothing, unknown values refuse."""
+    import json
+
+    from flinkrunner_spark.jobs import TableIdentityJob
+    from flinkrunner_spark.runner import SparkRunner
+
+    src = tmp_path / "sc_src"
+    spark.range(3).write.parquet(str(src))
+
+    def cfg(show=None):
+        c = {
+            "jobs": {
+                "copy": {
+                    "sources": {"rows": {"connector": "file",
+                                         "format": "parquet",
+                                         "path": str(src)}},
+                    "sinks": {"out": {"connector": "console"}},
+                }
+            }
+        }
+        if show:
+            c["show.config"] = show
+        return c
+
+    SparkRunner(cfg("concise"), jobs={"copy": TableIdentityJob}).invoke("copy")
+    line = capsys.readouterr().out.strip().splitlines()[0]
+    assert json.loads(line)["show.config"] == "concise"
+
+    r = SparkRunner(cfg("formatted"), jobs={"copy": TableIdentityJob})
+    out = r.show_config()
+    assert out.count("\n") > 2  # indented
+    assert SparkRunner(cfg(), jobs={"copy": TableIdentityJob}).show_config() is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="show.config"):
+        SparkRunner(cfg("loud"), jobs={"copy": TableIdentityJob}).show_config()
