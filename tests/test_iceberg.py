@@ -729,3 +729,31 @@ def test_delete_files_live_outside_streamed_dir_and_orphan_gc(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read(spark).collect()) == [
         (1, "A", 100)
     ]
+
+
+def test_upsert_model_based_random_sequences(spark, tmp_path):
+    """Model check: any sequence of key-unique upsert batches must read
+    back exactly as a dict replayed in commit order (latest write per
+    key wins). Deterministic seeds, three independent sequences."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        loc = str(tmp_path / f"model{seed}")
+        t = I.IcebergFsTable(loc)
+        model: dict[int, tuple] = {}
+        for _step in range(5):
+            ids = rng.sample(range(12), rng.randint(1, 6))
+            rows = [
+                (i, f"s{seed}-{_step}-{i}", rng.randint(0, 10_000))
+                for i in ids
+            ]
+            t.upsert(_kv(spark, rows), ["id"])
+            for r in rows:
+                model[r[0]] = r
+        got = sorted(tuple(r) for r in t.read(spark).collect())
+        assert got == sorted(model.values()), f"seed {seed}"
+        # and time travel to the first snapshot still shows only step 0
+        first = t.snapshots()[0]["snapshot-id"]
+        n0 = t.read(spark, snapshot_id=first).count()
+        assert n0 <= 6
