@@ -17,7 +17,9 @@
 |                              |   (gated only on a configured transport)  |
 | Cassandra/RabbitMQ           | no Spark connector in this env — config   |
 |                              |   accepted, write() raises with guidance  |
-| IcebergSinkConfig            | iceberg: writeTo (jar-gated)              |
+| IcebergSinkConfig            | iceberg: pure-Python v2 filesystem tables |
+|                              |   (append/overwrite/primary.key upsert);  |
+|                              |   catalog tables via writeTo (jar)        |
 """
 
 from __future__ import annotations

@@ -16,8 +16,10 @@ whose ``load(spark)`` returns a DataFrame (batch) or streaming DataFrame
 | HybridSourceConfig                | hybrid: bounded file backfill     |
 |                                   |   unioned ahead of a stream       |
 | EmptySourceConfig                 | empty: zero-row frame w/ schema   |
-| IcebergSourceConfig               | iceberg: format("iceberg") (jar-  |
-|                                   |   gated)                          |
+| IcebergSourceConfig               | iceberg: pure-Python filesystem   |
+|                                   |   tables (batch, time travel,     |
+|                                   |   pruned scans, append-only       |
+|                                   |   streaming); catalogs via jar    |
 | KinesisSourceConfig/RabbitMQ      | no Spark connector in this env —  |
 |                                   |   config accepted, load() raises  |
 |                                   |   with guidance                   |

@@ -428,3 +428,24 @@ def test_show_config_option(spark, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="show.config"):
         SparkRunner(cfg("loud"), jobs={"copy": TableIdentityJob}).show_config()
+
+
+def test_stream_nodes_plan_inventory(spark):
+    """StreamNodeInfo parity (model/StreamNodeInfo.scala): the physical
+    plan serializes to a node inventory with source/transform/sink
+    kinds — scans classify as sources, the root as the sink."""
+    from flinkrunner_spark.util.plannodes import stream_nodes
+
+    df = (
+        spark.range(100)
+        .selectExpr("id % 5 AS k", "id AS v")
+        .groupBy("k")
+        .count()
+    )
+    nodes = stream_nodes(df)
+    assert nodes[0]["kind"] == "sink" and nodes[0]["id"] == 0
+    kinds = {n["kind"] for n in nodes}
+    assert kinds == {"sink", "transform", "source"}
+    leaves = [n for n in nodes if n["kind"] == "source"]
+    assert all(n["num_children"] == 0 for n in leaves) and leaves
+    assert any("Aggregate" in n["name"] for n in nodes)
