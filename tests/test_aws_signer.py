@@ -304,3 +304,90 @@ def test_post_with_partial_retry_retries_only_failed_subset():
             sleep=slept.append,
         )
     assert slept == [0.1, 0.2]
+
+
+def test_kinesis_source_request_construction_and_parsing():
+    """KinesisSourceConfig (reference model/source/KinesisSourceConfig
+    .scala): stream list forms, starting positions incl. AT_TIMESTAMP
+    with fractional-epoch and formatted timestamps, request bodies, and
+    GetRecords response parsing — all offline."""
+    import base64
+    import json
+
+    import pytest
+
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+
+    c = KinesisSourceConfig(
+        "src", {"connector": "kinesis", "stream": "a, b"}
+    )
+    assert c.streams() == ["a", "b"]
+    assert KinesisSourceConfig(
+        "src", {"connector": "kinesis", "streams": ["x", "y"]}
+    ).streams() == ["x", "y"]
+
+    tgt, body = c.list_shards_request("a")
+    assert tgt == "Kinesis_20131202.ListShards"
+    assert json.loads(body) == {"StreamName": "a"}
+
+    tgt, body = c.shard_iterator_request("a", "shardId-000")
+    b = json.loads(body)
+    assert tgt == "Kinesis_20131202.GetShardIterator"
+    assert b["ShardIteratorType"] == "TRIM_HORIZON"  # reference default
+    assert b["ShardId"] == "shardId-000"
+
+    at = KinesisSourceConfig(
+        "src",
+        {"connector": "kinesis", "stream": "a",
+         "starting.position": "at_timestamp", "starting.timestamp": "1700000000.5"},
+    )
+    assert json.loads(at.shard_iterator_request("a", "s")[1])["Timestamp"] == 1700000000.5
+    fmt = KinesisSourceConfig(
+        "src",
+        {"connector": "kinesis", "stream": "a",
+         "starting.position": "AT_TIMESTAMP",
+         "starting.timestamp": "2024-01-01T00:00:00.000+0000"},
+    )
+    assert json.loads(fmt.shard_iterator_request("a", "s")[1])["Timestamp"] == 1704067200.0
+    with pytest.raises(ValueError, match="starting.timestamp"):
+        KinesisSourceConfig(
+            "src", {"connector": "kinesis", "stream": "a",
+                    "starting.position": "AT_TIMESTAMP"},
+        ).shard_iterator_request("a", "s")
+    with pytest.raises(ValueError, match="starting.position"):
+        KinesisSourceConfig(
+            "src", {"connector": "kinesis", "stream": "a",
+                    "starting.position": "MIDDLE"},
+        ).shard_iterator_request("a", "s")
+
+    resp = {
+        "Records": [
+            {"SequenceNumber": "42", "PartitionKey": "pk",
+             "ApproximateArrivalTimestamp": 1.5,
+             "Data": base64.b64encode("hello".encode()).decode()},
+        ],
+        "NextShardIterator": "n",
+        "MillisBehindLatest": 0,
+    }
+    rows = KinesisSourceConfig.parse_records(resp, "a", "s0")
+    assert rows == [("a", "s0", "42", "pk", 1.5, "hello")]
+
+
+def test_kinesis_source_gates(spark):
+    import pytest
+
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+
+    with pytest.raises(NotImplementedError, match="credentials"):
+        KinesisSourceConfig(
+            "src", {"connector": "kinesis", "stream": "a"}
+        ).load(spark)
+    with pytest.raises(NotImplementedError, match="fan-out"):
+        KinesisSourceConfig(
+            "src", {"connector": "kinesis", "stream": "a", "use.efo": True}
+        ).load(spark)
+    with pytest.raises(NotImplementedError, match="streaming"):
+        KinesisSourceConfig(
+            "src", {"connector": "kinesis", "stream": "a",
+                    "streaming": True}
+        ).load(spark)
