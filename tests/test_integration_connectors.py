@@ -171,3 +171,45 @@ def test_kinesis_putrecords_e2e(tmp_path):
         sink.write(df)  # raises on partial failure — success IS the assert
     finally:
         spark.stop()
+
+
+@pytest.mark.skipif(
+    not KINESIS_EP,
+    reason="needs KINESIS_ENDPOINT (localstack; integration/README.md)",
+)
+def test_kinesis_source_roundtrip_e2e(tmp_path):
+    """Sink writes PutRecords, the polling SOURCE reads them back from
+    TRIM_HORIZON — the full signed write→read path over localstack."""
+    spark = _session(tmp_path)
+    try:
+        from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+        from flinkrunner_spark.sources.factory import KinesisSourceConfig
+
+        creds = {
+            "aws.access.key.id": "test",
+            "aws.secret.access.key": "test",
+        }
+        sink = KinesisSinkConfig(
+            "rt-src",
+            {"connector": "kinesis", "stream": "rt-src",
+             "endpoint": KINESIS_EP, "region": "us-east-1",
+             "key.column": "event_id", **creds},
+        )
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "event_id long, v string"
+        )
+        sink.write(df)
+        src = KinesisSourceConfig(
+            "rt-src",
+            {"connector": "kinesis", "stream": "rt-src",
+             "aws.endpoint": KINESIS_EP, "aws.region": "us-east-1",
+             "starting.position": "TRIM_HORIZON", **creds},
+        )
+        back = src.load(spark).toPandas()
+        assert len(back) == 3
+        import json as _json
+
+        vals = sorted(_json.loads(v)["event_id"] for v in back.value)
+        assert vals == [1, 2, 3]
+    finally:
+        spark.stop()
