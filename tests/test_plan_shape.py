@@ -217,3 +217,34 @@ def test_upsert_merged_read_broadcasts_delete_side(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "mod_fn,banned",
+    [
+        ("filters.docs_gopher_rules", ["source", "n_chars"]),
+        ("sampling.docs_shuffle_shards", ["text", "source", "n_chars"]),
+        ("vocab.docs_topk_ngrams", ["doc_id", "source", "n_chars"]),
+    ],
+    ids=["gopher", "shuffle", "vocab"],
+)
+def test_new_ops_scans_prune_columns(spark, mod_fn, banned):
+    """The round-5 operators must not drag unused document columns
+    through the scan — a filter screen reading `text` has no business
+    scanning `source`/`n_chars`, and the vocabulary scan needs no ids."""
+    import contextlib
+    import importlib
+    import io
+
+    mod_name, fn_name = mod_fn.split(".")
+    mod = importlib.import_module(f"flinkrunner_spark.llm.{mod_name}")
+    fn = getattr(mod, fn_name)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF).explain("formatted")
+    lines = [
+        line for line in buf.getvalue().splitlines() if "ReadSchema" in line
+    ]
+    assert lines
+    for col in banned:
+        assert all(col not in line for line in lines), (col, lines)
