@@ -45,9 +45,10 @@ def _lang_profile(df: DataFrame) -> DataFrame:
 
 
 LANG_PROFILE_ORACLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-  SUM(length(text)) AS sum_text_len
+  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
 FROM documents GROUP BY lang
 """
 
@@ -77,7 +78,8 @@ def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRUNE_LO, PRUNE_HI = 150, 350
 
 PRUNED_SCAN_ORACLE = f"""
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE n_chars BETWEEN {PRUNE_LO} AND {PRUNE_HI}
 GROUP BY lang
@@ -111,7 +113,8 @@ def iceberg_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JDBC_PROFILE_ORACLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM documents GROUP BY lang
 """
