@@ -16,6 +16,8 @@ KAFKA = os.environ.get("KAFKA_BOOTSTRAP")
 KAFKA_PKG = os.environ.get("KAFKA_PACKAGE")
 ICEBERG_PKG = os.environ.get("ICEBERG_PACKAGE")
 KINESIS_EP = os.environ.get("KINESIS_ENDPOINT")
+CASSANDRA_HOST = os.environ.get("CASSANDRA_HOST")
+AMQP_URI = os.environ.get("AMQP_URI")
 
 
 def _session(tmp_path, **conf):
@@ -211,5 +213,65 @@ def test_kinesis_source_roundtrip_e2e(tmp_path):
 
         vals = sorted(_json.loads(v)["event_id"] for v in back.value)
         assert vals == [1, 2, 3]
+    finally:
+        spark.stop()
+
+
+@pytest.mark.skipif(
+    not CASSANDRA_HOST,
+    reason="needs CASSANDRA_HOST (integration/README.md)",
+)
+def test_cassandra_sink_e2e(tmp_path):
+    """create.table + distributed CQL-v4 INSERT batches against a real
+    Cassandra node, read back with a SELECT through the same client."""
+    spark = _session(tmp_path)
+    try:
+        from flinkrunner_spark.sinks.factory import CassandraSinkConfig
+        from flinkrunner_spark.util.cql import CqlClient
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.0)],
+            "id long, name string, x double",
+        )
+        CassandraSinkConfig(
+            "e2e",
+            {"connector": "cassandra", "host": CASSANDRA_HOST,
+             "keyspace": "fr_e2e", "table": "docs",
+             "create.table": True, "primary.key": "id", "batch.size": 2},
+        ).write(df)
+        with CqlClient(CASSANDRA_HOST) as c:
+            rows = c.execute('SELECT "id", "name", "x" FROM "fr_e2e"."docs"')
+        assert sorted(rows.rows) == [(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.0)]
+    finally:
+        spark.stop()
+
+
+@pytest.mark.skipif(
+    not AMQP_URI,
+    reason="needs AMQP_URI (rabbitmq; integration/README.md)",
+)
+def test_rabbitmq_sink_source_e2e(tmp_path):
+    """Publish JSON messages through the AMQP sink, drain them back
+    through the source — against a real RabbitMQ broker."""
+    spark = _session(tmp_path)
+    try:
+        from flinkrunner_spark.sinks.factory import RabbitMQSinkConfig
+        from flinkrunner_spark.sources.factory import RabbitMQSourceConfig
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+        RabbitMQSinkConfig(
+            "e2e",
+            {"connector": "rabbitmq", "uri": AMQP_URI, "queue": "fr_e2e",
+             "use.correlation.id": True, "correlation.id.column": "id"},
+        ).write(df)
+        back = RabbitMQSourceConfig(
+            "e2e",
+            {"connector": "rabbitmq", "uri": AMQP_URI, "queue": "fr_e2e",
+             "schema": "id long, v string"},
+        ).load(spark).toPandas()
+        assert sorted(back.id) == [1, 2, 3]
+        assert sorted(back.correlation_id) == ["1", "2", "3"]
     finally:
         spark.stop()
