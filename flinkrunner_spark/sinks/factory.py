@@ -407,6 +407,7 @@ class IcebergSinkConfig(SinkConfig):
             from flinkrunner_spark.iceberg import IcebergFsTable
 
             t = IcebergFsTable(path)
+            md_before = t.metadata() if t.exists() else {}
             part = self.conf.get("partition-by")  # identity transforms
             pk = self.conf.get("primary.key") or self.conf.get("primary-key")
             if pk:  # reference: .upsert(primaryKey.nonEmpty), line 140
@@ -416,6 +417,7 @@ class IcebergSinkConfig(SinkConfig):
                 t.overwrite(df, partition_by=part)
             else:
                 t.append(df, partition_by=part)
+            self._publish_to_catalog(t, md_before)
             return
         try:
             df.writeTo(self.conf["table"]).append()
@@ -425,6 +427,43 @@ class IcebergSinkConfig(SinkConfig):
                 "catalog tables; pass a filesystem 'path' for the jar-free "
                 "HadoopTables-layout subset"
             ) from e
+
+    def _publish_to_catalog(self, t, md_before: dict):
+        """After a filesystem commit, publish to a configured REST
+        catalog (`catalog.uri`): first write registers the table, later
+        appends push add-snapshot/set-snapshot-ref commits — keeping
+        catalog readers (trino, other spark clusters) at the same tip
+        as the version-hint. No catalog configured → filesystem-only,
+        unchanged behavior."""
+        uri = self.conf.get("catalog.uri")
+        if not uri:
+            return
+        from flinkrunner_spark.iceberg_rest import (
+            RestCatalog,
+            RestCatalogError,
+        )
+
+        cat = RestCatalog(
+            uri,
+            {
+                k.split("catalog.", 1)[1]: v
+                for k, v in self.conf.items()
+                if k.startswith("catalog.")
+                and k not in ("catalog.uri", "catalog.name", "catalog.type")
+            },
+        ).authenticate()
+        ns = self.conf.get("namespace", "default")
+        table = self.conf.get("table", self.name)
+        md_after = t.metadata()
+        if not md_before:
+            cat.create_namespace(ns)
+            cat.register_fs_table(ns, table, t)
+        else:
+            try:
+                cat.commit_append(ns, table, md_before, md_after)
+            except RestCatalogError as e:
+                if "no new snapshots" not in str(e):
+                    raise
 
     def write_stream(self, df: DataFrame):
         """Streaming appends via foreachBatch — each micro-batch commits

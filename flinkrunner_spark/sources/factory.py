@@ -246,6 +246,27 @@ class IcebergSourceConfig(SourceConfig):
         path = self.conf.get("path")
         if path is None and "/" in str(table):
             path = table
+        cat_type = str(self.conf.get("catalog.type", "")).lower()
+        if path is None and cat_type in ("rest", "iceberg"):
+            # reference IcebergCommonConfig.scala:56-76 routes
+            # catalog.type 'iceberg' to the RESTCatalog impl; here the
+            # pure-Python REST client resolves the table's location and
+            # the filesystem reader takes over (locally reachable
+            # warehouses; remote FileIO schemes stay jar-gated).
+            from flinkrunner_spark.iceberg_rest import RestCatalog
+
+            cat = RestCatalog(
+                self.conf.get("catalog.uri", ""),
+                {
+                    k.split("catalog.", 1)[1]: v
+                    for k, v in self.conf.items()
+                    if k.startswith("catalog.")
+                    and k not in ("catalog.uri", "catalog.name",
+                                  "catalog.type")
+                },
+            ).authenticate()
+            ns = self.conf.get("namespace", "default")
+            path = cat.fs_table(ns, table).location
         if path is not None and not self.streaming:
             from flinkrunner_spark.iceberg import IcebergFsTable
 

@@ -1,0 +1,320 @@
+"""Iceberg REST catalog client: offline request construction pinned to
+the published OpenAPI spec, plus a scripted in-process catalog server
+(http.server) driving the full sink-register → commit-append →
+catalog-resolved read flow over loopback HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from flinkrunner_spark.iceberg_rest import (
+    NS_SEPARATOR,
+    RestCatalog,
+    RestCatalogError,
+    ns_path,
+)
+
+
+# -- request construction (offline) -----------------------------------------
+
+
+def test_ns_path_unit_separator():
+    assert NS_SEPARATOR == "\x1f"
+    assert ns_path(["a", "b"]) == "a%1Fb"
+    assert ns_path("a.b.c") == "a%1Fb%1Fc"
+    assert ns_path("db") == "db"
+
+
+def test_basic_requests():
+    cat = RestCatalog("http://cat:8181/", {"prefix": "wh1"})
+    assert cat.config_request() == ("GET", "/v1/config", None)
+    assert cat.list_namespaces_request() == (
+        "GET", "/v1/wh1/namespaces", None,
+    )
+    m, p, b = cat.create_namespace_request("a.b")
+    assert (m, p) == ("POST", "/v1/wh1/namespaces")
+    assert json.loads(b) == {"namespace": ["a", "b"], "properties": {}}
+    assert cat.load_table_request("db", "t") == (
+        "GET", "/v1/wh1/namespaces/db/tables/t", None,
+    )
+    assert cat.list_tables_request(["a", "b"]) == (
+        "GET", "/v1/wh1/namespaces/a%1Fb/tables", None,
+    )
+
+
+def test_config_request_warehouse_param():
+    cat = RestCatalog("http://c", {"warehouse": "s3://wh/x"})
+    m, p, _ = cat.config_request()
+    assert p == "/v1/config?warehouse=s3%3A%2F%2Fwh%2Fx"
+
+
+def test_oauth_token_request_form():
+    cat = RestCatalog("http://c", {"credential": "cid:sec"})
+    m, p, body = cat.oauth_token_request()
+    assert (m, p) == ("POST", "/v1/oauth2/tokens")
+    s = body.decode()
+    assert "grant_type=client_credentials" in s
+    assert "client_id=cid" in s and "client_secret=sec" in s
+
+
+def test_bearer_header_precedence():
+    cat = RestCatalog("http://c", {"token": "tk", "credential": "a:b"})
+    assert cat._headers()["Authorization"] == "Bearer tk"
+    assert cat.authenticate()._token == "tk"  # explicit token wins
+    assert "Authorization" not in RestCatalog("http://c")._headers()
+
+
+def test_create_table_request_schema(spark):
+    df = spark.range(1).selectExpr("id", "CAST('x' AS STRING) AS lang")
+    cat = RestCatalog("http://c")
+    m, p, body = cat.create_table_request(
+        "db", "t", df.schema, "/wh/db/t", partition_by=["lang"]
+    )
+    assert (m, p) == ("POST", "/v1/namespaces/db/tables")
+    req = json.loads(body)
+    assert req["name"] == "t" and req["location"] == "/wh/db/t"
+    names = [f["name"] for f in req["schema"]["fields"]]
+    assert names == ["id", "lang"]
+    spec = req["partition-spec"]["fields"][0]
+    assert spec["transform"] == "identity" and spec["field-id"] == 1000
+    assert spec["source-id"] == next(
+        f["id"] for f in req["schema"]["fields"] if f["name"] == "lang"
+    )
+
+
+def test_register_and_commit_requests():
+    cat = RestCatalog("http://c")
+    m, p, b = cat.register_table_request("db", "t", "/wh/t/metadata/v3.metadata.json")
+    assert p == "/v1/namespaces/db/register"
+    assert json.loads(b)["metadata-location"].endswith("v3.metadata.json")
+    m, p, b = cat.commit_table_request(
+        "db", "t", [{"type": "assert-table-uuid", "uuid": "u"}],
+        [{"action": "add-snapshot", "snapshot": {"snapshot-id": 1}}],
+    )
+    assert p == "/v1/namespaces/db/tables/t"
+    req = json.loads(b)
+    assert req["identifier"] == {"namespace": ["db"], "name": "t"}
+    assert req["requirements"][0]["type"] == "assert-table-uuid"
+
+
+def test_append_commit_payload():
+    cat = RestCatalog("http://c")
+    before = {
+        "table-uuid": "u", "current-snapshot-id": 10,
+        "snapshots": [{"snapshot-id": 10}],
+    }
+    after = {
+        "table-uuid": "u", "current-snapshot-id": 11,
+        "snapshots": [{"snapshot-id": 10}, {"snapshot-id": 11}],
+    }
+    reqs, ups = cat.append_commit_payload(before, after)
+    assert {"type": "assert-table-uuid", "uuid": "u"} in reqs
+    assert {
+        "type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 10,
+    } in reqs
+    assert ups[0] == {
+        "action": "add-snapshot", "snapshot": {"snapshot-id": 11},
+    }
+    assert ups[-1]["action"] == "set-snapshot-ref"
+    assert ups[-1]["snapshot-id"] == 11
+    # first commit: no ref assert
+    reqs2, _ = cat.append_commit_payload(
+        {}, {"table-uuid": "u", "current-snapshot-id": 11,
+             "snapshots": [{"snapshot-id": 11}]},
+    )
+    assert all(r["type"] != "assert-ref-snapshot-id" for r in reqs2)
+    with pytest.raises(RestCatalogError, match="no new snapshots"):
+        cat.append_commit_payload(after, after)
+
+
+def test_local_location_gate():
+    assert RestCatalog._local_location("file:///wh/t") == "/wh/t"
+    assert RestCatalog._local_location("/wh/t") == "/wh/t"
+    with pytest.raises(RestCatalogError, match="s3://wh/t"):
+        RestCatalog._local_location("s3://wh/t")
+
+
+def test_missing_uri():
+    with pytest.raises(RestCatalogError, match="uri"):
+        RestCatalog("")
+
+
+# -- scripted catalog server -------------------------------------------------
+
+
+class FakeRestCatalog:
+    """Enough of the REST catalog API for the register/commit/load flow:
+    namespaces + table pointers in memory, metadata served from the
+    registered metadata-location on disk (what a real filesystem-
+    warehouse catalog does)."""
+
+    def __init__(self, token: str | None = None):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.namespaces: set = set()
+        self.tables: dict = {}  # (ns, name) -> metadata-location
+        self.commits: list = []
+        self.lock = threading.Lock()
+        self.required_token = token
+        cat = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                raw = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def _authed(self):
+                if cat.required_token is None:
+                    return True
+                return (
+                    self.headers.get("Authorization")
+                    == f"Bearer {cat.required_token}"
+                )
+
+            def do_GET(self):
+                if not self._authed():
+                    return self._json(401, {"error": "unauthorized"})
+                parts = self.path.split("/")
+                if self.path.startswith("/v1/config"):
+                    return self._json(200, {"defaults": {}, "overrides": {}})
+                if "tables" in parts and parts[-1] != "tables":
+                    ns, name = parts[3], parts[5]
+                    with cat.lock:
+                        loc = cat.tables.get((ns, name))
+                    if loc is None:
+                        return self._json(404, {"error": "no such table"})
+                    with open(loc) as fh:
+                        md = json.load(fh)
+                    return self._json(
+                        200, {"metadata-location": loc, "metadata": md}
+                    )
+                return self._json(404, {"error": self.path})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n) if n else b""
+                if self.path == "/v1/oauth2/tokens":
+                    assert b"grant_type=client_credentials" in raw
+                    return self._json(
+                        200,
+                        {"access_token": cat.required_token or "anon",
+                         "token_type": "bearer"},
+                    )
+                body = json.loads(raw) if raw else {}
+                if not self._authed():
+                    return self._json(401, {"error": "unauthorized"})
+                parts = self.path.split("/")
+                if self.path.endswith("/namespaces"):
+                    ns = tuple(body["namespace"])
+                    with cat.lock:
+                        if ns in cat.namespaces:
+                            return self._json(409, {"error": "exists"})
+                        cat.namespaces.add(ns)
+                    return self._json(200, {"namespace": list(ns)})
+                if self.path.endswith("/register"):
+                    ns = parts[3]
+                    with cat.lock:
+                        cat.tables[(ns, body["name"])] = body[
+                            "metadata-location"
+                        ]
+                    return self._json(
+                        200, {"metadata-location": body["metadata-location"]}
+                    )
+                if "tables" in parts and parts[-1] != "tables":
+                    ns, name = parts[3], parts[5]
+                    with cat.lock:
+                        if (ns, name) not in cat.tables:
+                            return self._json(404, {"error": "no table"})
+                        cat.commits.append((ns, name, body))
+                    return self._json(200, {"metadata-location": "unchanged"})
+                return self._json(404, {"error": self.path})
+
+        self.server = ThreadingHTTPServer(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    @property
+    def uri(self):
+        return f"http://localhost:{self.port}"
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_catalog_flow_e2e_loopback(spark, tmp_path):
+    """Sink write registers the table; second write pushes an
+    add-snapshot commit; the SOURCE resolves the table through the
+    catalog and reads all rows back."""
+    from flinkrunner_spark.sinks.factory import sink_from_config
+    from flinkrunner_spark.sources.factory import source_from_config
+
+    loc = str(tmp_path / "wh" / "docs")
+    with FakeRestCatalog() as srv:
+        sink = sink_from_config(
+            "docs",
+            {"connector": "iceberg", "path": loc, "namespace": "db",
+             "table": "docs", "catalog.uri": srv.uri},
+        )
+        df1 = spark.range(10).selectExpr("id", "concat('a', id) AS name")
+        sink.write(df1)
+        with srv.lock:
+            assert ("db", "docs") in srv.tables
+            assert not srv.commits
+        df2 = spark.range(10, 15).selectExpr(
+            "id", "concat('a', id) AS name"
+        )
+        sink.write(df2)
+        with srv.lock:
+            assert len(srv.commits) == 1
+            _, _, payload = srv.commits[0]
+        actions = [u["action"] for u in payload["updates"]]
+        assert actions[:-1] == ["add-snapshot"] * (len(actions) - 1)
+        assert actions[-1] == "set-snapshot-ref"
+        assert any(
+            r["type"] == "assert-ref-snapshot-id"
+            for r in payload["requirements"]
+        )
+        back = source_from_config(
+            "docs",
+            {"connector": "iceberg", "table": "docs", "namespace": "db",
+             "catalog.type": "rest", "catalog.uri": srv.uri},
+        ).load(spark)
+        assert sorted(r["id"] for r in back.collect()) == list(range(15))
+
+
+def test_catalog_auth_e2e(spark, tmp_path):
+    """credential → oauth token exchange → bearer-authed calls."""
+    from flinkrunner_spark.sinks.factory import sink_from_config
+
+    loc = str(tmp_path / "wh" / "t2")
+    with FakeRestCatalog(token="sekrit") as srv:
+        sink = sink_from_config(
+            "t2",
+            {"connector": "iceberg", "path": loc, "namespace": "db",
+             "table": "t2", "catalog.uri": srv.uri,
+             "catalog.credential": "cid:sec"},
+        )
+        sink.write(spark.range(3).selectExpr("id"))
+        with srv.lock:
+            assert ("db", "t2") in srv.tables
+        # and an unauthenticated client is refused
+        with pytest.raises(RestCatalogError, match="401"):
+            RestCatalog(srv.uri).load_table("db", "t2")

@@ -275,3 +275,37 @@ def test_rabbitmq_sink_source_e2e(tmp_path):
         assert sorted(back.correlation_id) == ["1", "2", "3"]
     finally:
         spark.stop()
+
+
+ICEBERG_REST_URI = os.environ.get("ICEBERG_REST_URI")
+
+
+@pytest.mark.skipif(
+    not ICEBERG_REST_URI,
+    reason="needs ICEBERG_REST_URI (lakekeeper; integration/README.md)",
+)
+def test_iceberg_rest_catalog_e2e(tmp_path):
+    """Register a filesystem table in a real REST catalog, commit an
+    append, resolve + read it back through the catalog."""
+    spark = _session(tmp_path)
+    try:
+        from flinkrunner_spark.sinks.factory import sink_from_config
+        from flinkrunner_spark.sources.factory import source_from_config
+
+        loc = str(tmp_path / "wh" / "rest_docs")
+        sink = sink_from_config(
+            "rest_docs",
+            {"connector": "iceberg", "path": loc, "namespace": "fr_e2e",
+             "table": "rest_docs", "catalog.uri": ICEBERG_REST_URI},
+        )
+        sink.write(spark.range(5).selectExpr("id"))
+        sink.write(spark.range(5, 8).selectExpr("id"))
+        back = source_from_config(
+            "rest_docs",
+            {"connector": "iceberg", "table": "rest_docs",
+             "namespace": "fr_e2e", "catalog.type": "rest",
+             "catalog.uri": ICEBERG_REST_URI},
+        ).load(spark)
+        assert sorted(r["id"] for r in back.collect()) == list(range(8))
+    finally:
+        spark.stop()
