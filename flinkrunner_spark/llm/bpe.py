@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from flinkrunner_spark.llm.text import tokens_col
 
-BPE_MERGES = 40  # merge operations to learn
+BPE_MERGES = 300  # merge operations to learn
 BPE_WORD_CAP = 65_536  # driver-side word-count rows (count desc, word)
 EOW = "</w>"  # end-of-word marker (standard BPE)
 
@@ -52,31 +52,69 @@ def train_merges(
 ) -> list[tuple[str, str]]:
     """Classic BPE on a word-count table: repeatedly merge the most
     frequent adjacent symbol pair (ties → lexicographically smallest
-    pair), ``n_merges`` times or until no pair repeats. Pure
-    deterministic Python over the bounded table."""
-    words: list[tuple[list[str], int]] = [
-        (list(w) + [EOW], n) for w, n in counts
-    ]
+    pair), ``n_merges`` times or until no pair repeats.
+
+    Incremental trainer: pair counts maintain under each merge (only
+    the words containing the merged pair re-count) and a lazy max-heap
+    picks the next pair — O(affected words) per merge instead of a full
+    vocabulary rescan, which is what makes hundreds of merges cheap on
+    a 65k-word table. Selection order is identical to the naive rescan
+    (same (count desc, pair asc) key; the independent mirror test in
+    tests/test_llm_filters.py re-derives the merges with a rescan
+    trainer and must agree merge-for-merge)."""
+    import heapq
+
+    words: list[list] = [[list(w) + [EOW], n] for w, n in counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, n) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            where.setdefault(p, set()).add(i)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for syms, n in words:
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + n
-        if not pairs:
+    while len(merges) < n_merges and heap:
+        negc, p = heapq.heappop(heap)
+        c = pair_counts.get(p, 0)
+        if -negc != c:  # stale entry; re-queue at the live count
+            if c >= 2:
+                heapq.heappush(heap, (-c, p))
+            continue
+        if c < 2:
+            # live max < 2: every pair with a live count ≥2 has a fresh
+            # heap entry at that count, which would have popped first
             break
-        (a, b), top = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if top < 2:
-            break
-        merges.append((a, b))
+        a, b = p
+        merges.append(p)
         merged = a + b
-        for syms, _cnt in words:
-            i = 0
-            while i < len(syms) - 1:
-                if syms[i] == a and syms[i + 1] == b:
-                    syms[i : i + 2] = [merged]
+        changed: set[tuple[str, str]] = set()
+        for i in list(where.get(p, ())):
+            syms, n = words[i]
+            # stale membership (the word lost the pair under an earlier
+            # merge) nets out: decrement + re-increment cancel exactly
+            for q in zip(syms, syms[1:]):
+                left = pair_counts.get(q, 0) - n
+                if left:
+                    pair_counts[q] = left
                 else:
-                    i += 1
+                    pair_counts.pop(q, None)
+                changed.add(q)
+            j = 0
+            while j < len(syms) - 1:
+                if syms[j] == a and syms[j + 1] == b:
+                    syms[j : j + 2] = [merged]
+                else:
+                    j += 1
+            for q in zip(syms, syms[1:]):
+                pair_counts[q] = pair_counts.get(q, 0) + n
+                where.setdefault(q, set()).add(i)
+                changed.add(q)
+        where.pop(p, None)
+        for q in changed:
+            c2 = pair_counts.get(q, 0)
+            if c2 >= 2:
+                heapq.heappush(heap, (-c2, q))
     return merges
 
 
