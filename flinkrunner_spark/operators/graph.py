@@ -61,6 +61,7 @@ def connected_components(
     id_col: str = "id",
     label_col: str = "component",
     max_rounds: int = MAX_ROUNDS,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
@@ -104,7 +105,10 @@ def connected_components(
     # (DECIMAL(38,0): overflow-proof at any node count): labels are
     # monotone over a fixed node set, so sum unchanged ⟺ fixpoint.
     prev_sum = None
+    converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         updated = (
             sym.join(labels, sym["u"] == labels["id"])
             .groupBy("v")
@@ -120,8 +124,30 @@ def connected_components(
         _free_checkpoint(ckpt)  # superseded — round N+1 is materialized
         ckpt = updated
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # The rounds guard exists to bound runaway iteration, not to
+        # return silently-wrong labels: rounds needed = component
+        # diameter, and a graph that exhausts the cap has components
+        # wider than any near-dup cluster should be. Raising is the
+        # honest outcome; the 64x scale row in BASELINE_LOCAL.md pins
+        # real dedup graphs far below the cap, and adversarial chains
+        # belong on the Kiveris et al. two-phase algorithm (see module
+        # docstring) or an explicit larger max_rounds.
+        _free_checkpoint(sym)
+        _free_checkpoint(ckpt)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds — component diameter exceeds the guard; raise "
+            "max_rounds or switch to a log-round two-phase algorithm "
+            "for chain-shaped graphs"
+        )
 
     result = (
         nodes.select(F.col(id_col).alias("id"))

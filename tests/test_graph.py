@@ -29,3 +29,37 @@ def test_chain_needs_propagation(spark):
 def test_cycle_and_cross_edge(spark):
     got = _run(spark, [(5, 6), (6, 7), (7, 5), (7, 3)], [3, 5, 6, 7])
     assert got == {3: 3, 5: 3, 6: 3, 7: 3}
+
+
+def test_rounds_reported_and_chain_worst_case(spark):
+    """The stats out-param pins the round count: a clique converges in
+    ~2 rounds; a length-L chain needs ~L (diameter) rounds — the
+    worst-case shape the MAX_ROUNDS guard is sized against."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    # near-clique (the dedup shape): star 0-{1..5} plus chords
+    stats = {}
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2), (3, 4)], ["src", "dst"]
+    )
+    n = spark.range(6).select(F.col("id").cast("long"))
+    out = connected_components(e, n, stats=stats)
+    assert {r["component"] for r in out.collect()} == {0}
+    assert stats["converged"] and stats["rounds"] <= 3
+
+    # chain of 20: needs ~20 rounds, still under the default guard
+    stats = {}
+    e = spark.createDataFrame([(i, i + 1) for i in range(19)], ["src", "dst"])
+    n = spark.range(20).select(F.col("id").cast("long"))
+    out = connected_components(e, n, stats=stats)
+    assert {r["component"] for r in out.collect()} == {0}
+    assert stats["converged"] and 10 <= stats["rounds"] <= 21
+
+    # guard: a chain wider than max_rounds RAISES instead of returning
+    # silently-wrong labels
+    e = spark.createDataFrame([(i, i + 1) for i in range(19)], ["src", "dst"])
+    n = spark.range(20).select(F.col("id").cast("long"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, n, max_rounds=5)
