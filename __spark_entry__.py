@@ -35,32 +35,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-5 rotation:
-    # TWENTY-THREE new keys first (vocabulary, tf-idf, stratified
-    # sampling, sequence packing, two semantic-dedup forms, six
-    # connector roundtrips incl. upsert/incremental/streaming + the
-    # pruned scan, gopher/badword screens, shuffle-shards, mixture
-    # weights, semantic decontamination, ANN recall stats, streaming
-    # vocabulary, BPE encode, multimodal features/resize), then every
-    # key whose implementation file changed since its r4 green row —
-    # llm/similarity.py (sampled-Lloyd's quantizer, RH-LSH cap, bounded
-    # centroid fold, emb_decontaminate, ann_recall_stats) and
-    # streaming/pipelines.py (TTL dedup option), which makes all
-    # stream_* mirrors re-verify — then dup_spans (new) and r4-green
-    # filler to 50. The tail holds only keys whose files have ZERO
-    # changed lines since their last green row: llm/{text,pipeline,
-    # dedup,curation,multimodal}.py and plans/{analytics,events}.py are
-    # byte-identical to their r4-verified state (round-5 additions live
-    # in their own modules — vocab/sampling/spans/filters/bpe/
-    # mm_transforms/docstreams).
+    # (insertion order) of this dict each round. Round-6 rotation: the
+    # TWO new keys first (rabbitmq_roundtrip over the loopback AMQP
+    # broker; iceberg_catalog_roundtrip over the loopback REST catalog),
+    # then every key whose implementation files changed since their r5
+    # rows — plans/connectors.py + sinks/sources factories (the seven
+    # existing connector roundtrips, five of which flip their r5
+    # hash-red driver rows green via the BIGINT oracle casts),
+    # llm/bpe.py (incremental trainer, 300-merge budget) and
+    # operators/graph.py (enforced rounds guard) which re-verifies
+    # docs_dup_clusters and its consumer docs_pipeline — then r5-green
+    # filler to 50 (similarity + stream mirrors, newest greens first).
+    # The tail holds only keys whose files have ZERO changed lines since
+    # their last green row: llm/{text,dedup,curation,multimodal,vocab,
+    # sampling,filters,spans,mm_transforms}.py, plans/{analytics,events,
+    # docstreams}.py and streaming/pipelines.py are byte-identical to
+    # their r4/r5-verified state (round-6 additions live in new modules
+    # — util/{amqp,cql}.py, iceberg_rest.py, testing.py).
     return {
         # —— NEW this round ——
-        "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
-        "docs_tfidf": llm_vocab.docs_tfidf,
-        "docs_stratified_sample": sampling.docs_stratified_sample,
-        "docs_pack_sequences": sampling.docs_pack_sequences,
-        "emb_semantic_dedup": similarity.emb_semantic_dedup,
-        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
+        "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
+        "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
+        # —— plans/connectors.py changed (BIGINT oracle casts — the r5
+        # verdict's top item; all seven re-verify) ——
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
         "avro_roundtrip": connectors.avro_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
@@ -68,17 +65,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
         "iceberg_incremental_roundtrip": connectors.iceberg_incremental_roundtrip,
         "iceberg_stream_roundtrip": connectors.iceberg_stream_roundtrip,
-        "docs_gopher_rules": llm_filters.docs_gopher_rules,
-        "docs_badwords": llm_filters.docs_badwords,
-        "docs_shuffle_shards": sampling.docs_shuffle_shards,
-        "docs_mixture_weights": sampling.docs_mixture_weights,
-        "emb_decontaminate": similarity.emb_decontaminate,
-        "ann_recall_stats": similarity.ann_recall_stats,
-        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
+        # —— llm/bpe.py changed (incremental trainer) ——
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
-        "mm_features": mm_transforms.mm_features,
-        "mm_resize": mm_transforms.mm_resize,
-        # —— llm/similarity.py changed (quantizer, cap, centroid fold) ——
+        # —— operators/graph.py changed (rounds guard): CC consumers ——
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "docs_pipeline": pipeline.docs_pipeline,
+        # —— r5-green filler to 50, newest greens first (files unchanged
+        # since their r5 rows) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
@@ -89,7 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "emb_knn_join": similarity.emb_knn_join,
         "docs_dup_spans": llm_spans.docs_dup_spans,
-        # —— streaming/pipelines.py changed (state partitions): all mirrors ——
+        "emb_semantic_dedup": similarity.emb_semantic_dedup,
+        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
         "stream_agg_basic_update": events.stream_agg_basic_update,
@@ -107,8 +101,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
-        # —— r4-green with unchanged code (llm/curation.py, multimodal.py
-        # untouched this round) — fill to 50 ——
+        "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
+        "docs_tfidf": llm_vocab.docs_tfidf,
+        "docs_stratified_sample": sampling.docs_stratified_sample,
+        "docs_pack_sequences": sampling.docs_pack_sequences,
+        "docs_gopher_rules": llm_filters.docs_gopher_rules,
+        "docs_badwords": llm_filters.docs_badwords,
+        "docs_shuffle_shards": sampling.docs_shuffle_shards,
+        "docs_mixture_weights": sampling.docs_mixture_weights,
+        "emb_decontaminate": similarity.emb_decontaminate,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
+        "ann_recall_stats": similarity.ann_recall_stats,
+        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
+        "mm_features": mm_transforms.mm_features,
+        "mm_resize": mm_transforms.mm_resize,
         "docs_decontaminate": curation.docs_decontaminate,
         "docs_pii_redact": curation.docs_pii_redact,
         "docs_repetition": curation.docs_repetition,
@@ -116,12 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": multimodal.mm_frames,
         "distinct_users": events.distinct_users,
         "hll_users": events.hll_users,
-        # —— beyond the 50-row cap: zero changed lines since last green
-        # (llm/{dedup,text,pipeline}.py byte-identical to r4-green) ——
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
-        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "docs_simhash": llm_dedup.docs_simhash,
         "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
         "docs_tokens": llm_text.docs_tokens,
@@ -129,7 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": llm_text.docs_quality,
         "docs_fingerprint": llm_text.docs_fingerprint,
         "docs_split": pipeline.docs_split,
-        "docs_pipeline": pipeline.docs_pipeline,
         "dedup_sbf_check": events.dedup_sbf_check,
         "q1_pricing": analytics.q1_pricing,
         "q2_mincost": analytics.q2_mincost,

@@ -183,6 +183,81 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lang_profile(back)
 
 
+def rabbitmq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → RabbitMQ sink (real AMQP 0-9-1 frames from executor
+    partitions) → bounded source drain → per-language profile, against
+    the in-process loopback broker (`flinkrunner_spark.testing` — real
+    TCP + the same wire protocol a real broker speaks). Exactly oracled
+    against the original parquet: proves JSON serialization, framing,
+    publish routing and the drain path lose nothing — unicode text,
+    numerics and ordering-insensitive row identity all survive the
+    queue."""
+    from flinkrunner_spark.sinks.factory import RabbitMQSinkConfig
+    from flinkrunner_spark.sources.factory import RabbitMQSourceConfig
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackAmqpBroker() as broker:
+        RabbitMQSinkConfig(
+            "rt",
+            {"connector": "rabbitmq", "uri": broker.uri, "queue": "docs_rt",
+             "use.correlation.id": True, "correlation.id.column": "doc_id"},
+        ).write(docs)
+        back = RabbitMQSourceConfig(
+            "rt",
+            {"connector": "rabbitmq", "uri": broker.uri, "queue": "docs_rt",
+             "schema": ("doc_id long, text string, lang string, "
+                        "source string, n_chars int")},
+        ).load(spark)
+        profile = _lang_profile(
+            back.select("doc_id", "text", "lang", "source", "n_chars")
+        )
+        # the drain runs inside the broker's lifetime; materialize here
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
+
+
+def iceberg_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Iceberg filesystem table PUBLISHED through a REST
+    catalog (register on first write, add-snapshot/set-snapshot-ref
+    commit on the second) → source resolves the table THROUGH the
+    catalog (no path config) → per-language profile. Exactly oracled:
+    proves the catalog wiring changes discovery, not data. Runs against
+    the in-process loopback catalog (`flinkrunner_spark.testing`) over
+    real HTTP with bearer auth via the oauth2 client-credentials
+    exchange."""
+    import shutil
+
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+    from flinkrunner_spark.testing import LoopbackRestCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-catalog", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    with LoopbackRestCatalog(token="rt-token") as cat:
+        sink = IcebergSinkConfig(
+            "rt",
+            {"connector": "iceberg", "path": loc, "namespace": "rt",
+             "table": "docs", "catalog.uri": cat.uri,
+             "catalog.credential": "rt-client:rt-secret"},
+        )
+        sink.write(docs.filter(F.col("doc_id") % 2 == 1))  # register
+        sink.write(docs.filter(F.col("doc_id") % 2 == 0))  # commit
+        assert cat.commits, "second write must commit through the catalog"
+        back = IcebergSourceConfig(
+            "rt",
+            {"connector": "iceberg", "table": "docs", "namespace": "rt",
+             "catalog.type": "rest", "catalog.uri": cat.uri,
+             "catalog.token": "rt-token"},
+        ).load(spark)
+        profile = _lang_profile(back)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
+
+
 UPSERT_ORACLE = """
 SELECT c_custkey,
   CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS c_name,

@@ -1465,6 +1465,10 @@ from flinkrunner_spark.plans.connectors import LANG_PROFILE_ORACLE as _LPO  # no
 
 ORACLES["iceberg_roundtrip"] = _LPO
 ORACLES["avro_roundtrip"] = _LPO
+# r6: the AMQP queue roundtrip and the REST-catalog-published table both
+# profile back to the identical aggregate over the original parquet
+ORACLES["rabbitmq_roundtrip"] = _LPO
+ORACLES["iceberg_catalog_roundtrip"] = _LPO
 
 from flinkrunner_spark.plans.connectors import JDBC_PROFILE_ORACLE as _JPO  # noqa: E402
 

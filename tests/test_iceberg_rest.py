@@ -146,117 +146,9 @@ def test_missing_uri():
 # -- scripted catalog server -------------------------------------------------
 
 
-class FakeRestCatalog:
-    """Enough of the REST catalog API for the register/commit/load flow:
-    namespaces + table pointers in memory, metadata served from the
-    registered metadata-location on disk (what a real filesystem-
-    warehouse catalog does)."""
-
-    def __init__(self, token: str | None = None):
-        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-        self.namespaces: set = set()
-        self.tables: dict = {}  # (ns, name) -> metadata-location
-        self.commits: list = []
-        self.lock = threading.Lock()
-        self.required_token = token
-        cat = self
-
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
-
-            def _json(self, code, obj):
-                raw = json.dumps(obj).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(raw)))
-                self.end_headers()
-                self.wfile.write(raw)
-
-            def _authed(self):
-                if cat.required_token is None:
-                    return True
-                return (
-                    self.headers.get("Authorization")
-                    == f"Bearer {cat.required_token}"
-                )
-
-            def do_GET(self):
-                if not self._authed():
-                    return self._json(401, {"error": "unauthorized"})
-                parts = self.path.split("/")
-                if self.path.startswith("/v1/config"):
-                    return self._json(200, {"defaults": {}, "overrides": {}})
-                if "tables" in parts and parts[-1] != "tables":
-                    ns, name = parts[3], parts[5]
-                    with cat.lock:
-                        loc = cat.tables.get((ns, name))
-                    if loc is None:
-                        return self._json(404, {"error": "no such table"})
-                    with open(loc) as fh:
-                        md = json.load(fh)
-                    return self._json(
-                        200, {"metadata-location": loc, "metadata": md}
-                    )
-                return self._json(404, {"error": self.path})
-
-            def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(n) if n else b""
-                if self.path == "/v1/oauth2/tokens":
-                    assert b"grant_type=client_credentials" in raw
-                    return self._json(
-                        200,
-                        {"access_token": cat.required_token or "anon",
-                         "token_type": "bearer"},
-                    )
-                body = json.loads(raw) if raw else {}
-                if not self._authed():
-                    return self._json(401, {"error": "unauthorized"})
-                parts = self.path.split("/")
-                if self.path.endswith("/namespaces"):
-                    ns = tuple(body["namespace"])
-                    with cat.lock:
-                        if ns in cat.namespaces:
-                            return self._json(409, {"error": "exists"})
-                        cat.namespaces.add(ns)
-                    return self._json(200, {"namespace": list(ns)})
-                if self.path.endswith("/register"):
-                    ns = parts[3]
-                    with cat.lock:
-                        cat.tables[(ns, body["name"])] = body[
-                            "metadata-location"
-                        ]
-                    return self._json(
-                        200, {"metadata-location": body["metadata-location"]}
-                    )
-                if "tables" in parts and parts[-1] != "tables":
-                    ns, name = parts[3], parts[5]
-                    with cat.lock:
-                        if (ns, name) not in cat.tables:
-                            return self._json(404, {"error": "no table"})
-                        cat.commits.append((ns, name, body))
-                    return self._json(200, {"metadata-location": "unchanged"})
-                return self._json(404, {"error": self.path})
-
-        self.server = ThreadingHTTPServer(("localhost", 0), Handler)
-        self.port = self.server.server_address[1]
-        self.thread = threading.Thread(
-            target=self.server.serve_forever, daemon=True
-        )
-
-    @property
-    def uri(self):
-        return f"http://localhost:{self.port}"
-
-    def __enter__(self):
-        self.thread.start()
-        return self
-
-    def __exit__(self, *exc):
-        self.server.shutdown()
-        self.server.server_close()
+from flinkrunner_spark.testing import (  # noqa: E402
+    LoopbackRestCatalog as FakeRestCatalog,
+)
 
 
 def test_catalog_flow_e2e_loopback(spark, tmp_path):
