@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # —— NEW this round ——
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
+        "cassandra_roundtrip": connectors.cassandra_roundtrip,
         # —— plans/connectors.py changed (BIGINT oracle casts — the r5
         # verdict's top item; all seven re-verify) ——
         "iceberg_roundtrip": connectors.iceberg_roundtrip,

@@ -219,6 +219,43 @@ def rabbitmq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, profile.schema)
 
 
+def cassandra_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Cassandra sink (CREATE KEYSPACE/TABLE + UNLOGGED
+    BATCH inserts, real CQL v4 frames from executor partitions) →
+    SELECT back through the same protocol → per-language profile,
+    against the in-process loopback CQL server
+    (`flinkrunner_spark.testing`), which EXECUTES the statements over
+    an in-memory store — so literal rendering (incl. quote-escaped
+    unicode text), positional binding, batching and typed RESULT
+    decoding must be exact inverses for the profile to match the
+    original parquet. Exactly oracled."""
+    from flinkrunner_spark.sinks.factory import CassandraSinkConfig
+    from flinkrunner_spark.testing import LoopbackCqlServer
+    from flinkrunner_spark.util.cql import CqlClient
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackCqlServer() as srv:
+        CassandraSinkConfig(
+            "rt",
+            {"connector": "cassandra", "host": "localhost",
+             "port": srv.port, "keyspace": "rt", "table": "docs",
+             "create.table": True, "primary.key": "doc_id",
+             "batch.size": 64},
+        ).write(docs)
+        with CqlClient("localhost", srv.port) as c:
+            res = c.execute(
+                'SELECT "doc_id", "text", "lang", "source", "n_chars" '
+                'FROM "rt"."docs"'
+            )
+    back = spark.createDataFrame(
+        res.rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    return _lang_profile(back)
+
+
 def iceberg_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → Iceberg filesystem table PUBLISHED through a REST
     catalog (register on first write, add-snapshot/set-snapshot-ref

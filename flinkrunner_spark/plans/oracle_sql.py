@@ -1469,6 +1469,7 @@ ORACLES["avro_roundtrip"] = _LPO
 # profile back to the identical aggregate over the original parquet
 ORACLES["rabbitmq_roundtrip"] = _LPO
 ORACLES["iceberg_catalog_roundtrip"] = _LPO
+ORACLES["cassandra_roundtrip"] = _LPO
 
 from flinkrunner_spark.plans.connectors import JDBC_PROFILE_ORACLE as _JPO  # noqa: E402
 

@@ -199,6 +199,258 @@ class LoopbackAmqpBroker:
                 return
 
 
+def _split_cql_list(s: str) -> list[str]:
+    """Split a comma-separated CQL list at top level, respecting
+    single-quoted strings ('' = escaped quote)."""
+    out, cur, i, in_str = [], [], 0, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(c)
+        else:
+            if c == "'":
+                in_str = True
+                cur.append(c)
+            elif c == ",":
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _parse_cql_literal(tok: str):
+    tok = tok.strip()
+    if tok.upper() == "NULL":
+        return None
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    if tok.startswith("0x"):
+        return bytes.fromhex(tok[2:])
+    if any(c in tok for c in ".eE") and not tok.lstrip("-").isdigit():
+        return float(tok)
+    return int(tok)
+
+
+def _unquote_ident(s: str) -> str:
+    s = s.strip()
+    if s.startswith('"') and s.endswith('"'):
+        return s[1:-1].replace('""', '"')
+    return s
+
+
+class LoopbackCqlServer:
+    """CQL v4 server core that EXECUTES the statement subset the
+    Cassandra sink generates — CREATE KEYSPACE/TABLE, single and
+    UNLOGGED-BATCH INSERTs (literals parsed with the ''-escape
+    grammar), SELECT col-list FROM table — against an in-memory store,
+    serving real typed RESULT Rows bodies back. A write→read roundtrip
+    through this server proves literal rendering, batching and result
+    decoding are inverse operations over real data."""
+
+    def __init__(self):
+        import socketserver
+
+        self.tables: dict = {}  # (ks, t) -> {"cols": [(name, tid)], "rows": []}
+        self.lock = threading.Lock()
+        srv = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                srv._serve(self.request)
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = _Server(("localhost", 0), _Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    def __enter__(self) -> "LoopbackCqlServer":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+    # -- statement execution ------------------------------------------------
+
+    def _target(self, s: str) -> tuple[str, str]:
+        parts = []
+        cur, i, in_q = [], 0, False
+        while i < len(s):
+            c = s[i]
+            if c == '"':
+                in_q = not in_q
+                cur.append(c)
+            elif c == "." and not in_q:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        parts.append("".join(cur))
+        if len(parts) == 1:
+            return "", _unquote_ident(parts[0])
+        return _unquote_ident(parts[0]), _unquote_ident(parts[1])
+
+    def _exec_one(self, q: str):
+        import re
+
+        from flinkrunner_spark.util.cql import CQL_TYPE_IDS
+
+        qs = q.strip().rstrip(";").strip()
+        up = qs.upper()
+        if up.startswith("CREATE KEYSPACE"):
+            return
+        if up.startswith("CREATE TABLE"):
+            m = re.match(
+                r"CREATE TABLE (?:IF NOT EXISTS )?(.+?)\s*\((.*)\)\s*$",
+                qs,
+                re.DOTALL | re.IGNORECASE,
+            )
+            target, cols_src = m.group(1), m.group(2)
+            cols = []
+            for part in _split_cql_list(cols_src):
+                if part.upper().startswith("PRIMARY KEY"):
+                    continue
+                name_src, type_src = part.rsplit(None, 1)
+                cols.append(
+                    (_unquote_ident(name_src), CQL_TYPE_IDS[type_src.lower()])
+                )
+            with self.lock:
+                self.tables.setdefault(
+                    self._target(target), {"cols": cols, "rows": []}
+                )
+            return
+        if up.startswith("INSERT"):
+            m = re.match(
+                r"INSERT INTO (.+?)\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
+                qs,
+                re.DOTALL | re.IGNORECASE,
+            )
+            target = self._target(m.group(1))
+            names = [_unquote_ident(x) for x in _split_cql_list(m.group(2))]
+            vals = [_parse_cql_literal(x) for x in _split_cql_list(m.group(3))]
+            with self.lock:
+                t = self.tables[target]
+                order = {n: i for i, (n, _) in enumerate(t["cols"])}
+                row = [None] * len(t["cols"])
+                for n, v in zip(names, vals):
+                    row[order[n]] = v
+                t["rows"].append(tuple(row))
+            return
+        raise ValueError(f"unsupported statement: {qs[:80]!r}")
+
+    def execute(self, q: str):
+        from flinkrunner_spark.util import cql as C
+
+        qs = q.strip()
+        if qs.upper().startswith("BEGIN"):
+            body = qs.split("\n", 1)[1]
+            body = body.rsplit("APPLY BATCH", 1)[0]
+            for stmt in body.split(";\n"):
+                if stmt.strip():
+                    self._exec_one(stmt)
+            return None
+        if qs.upper().startswith("SELECT"):
+            import re
+
+            m = re.match(
+                r"SELECT\s+(.*?)\s+FROM\s+(\S+)\s*$", qs,
+                re.DOTALL | re.IGNORECASE,
+            )
+            target = self._target(m.group(2))
+            with self.lock:
+                t = self.tables[target]
+                cols = list(t["cols"])
+                rows = list(t["rows"])
+            sel = m.group(1).strip()
+            if sel != "*":
+                names = [_unquote_ident(x) for x in _split_cql_list(sel)]
+                idx = {n: i for i, (n, _) in enumerate(cols)}
+                picked = [(n, cols[idx[n]][1]) for n in names]
+                rows = [tuple(r[idx[n]] for n in names) for r in rows]
+                cols = picked
+            return C.rows_result_body(
+                [n for n, _ in cols],
+                [tid for _, tid in cols],
+                rows,
+                keyspace=target[0] or "ks",
+                table=target[1],
+            )
+        self._exec_one(qs)
+        return None
+
+    # -- protocol loop ------------------------------------------------------
+
+    def _serve(self, sock):
+        from flinkrunner_spark.util import cql as C
+
+        def recv_exact(n):
+            out = b""
+            while len(out) < n:
+                chunk = sock.recv(n - len(out))
+                if not chunk:
+                    return None
+                out += chunk
+            return out
+
+        def respond(opcode, body, stream):
+            sock.sendall(
+                struct.pack(
+                    ">BBhBI", C.VERSION_RESPONSE, 0, stream, opcode,
+                    len(body),
+                )
+                + body
+            )
+
+        while True:
+            hdr = recv_exact(9)
+            if hdr is None:
+                return
+            _v, _f, stream, opcode, length = struct.unpack(">BBhBI", hdr)
+            body = recv_exact(length) if length else b""
+            if opcode == C.OP_STARTUP:
+                respond(C.OP_READY, b"", stream)
+            elif opcode == C.OP_QUERY:
+                (n,) = struct.unpack_from(">i", body, 0)
+                q = body[4 : 4 + n].decode()
+                try:
+                    rows_body = self.execute(q)
+                except Exception as e:  # surface as a CQL error frame
+                    respond(
+                        C.OP_ERROR,
+                        struct.pack(">i", 0x2200)
+                        + C.cql_string(str(e)[:500]),
+                        stream,
+                    )
+                    continue
+                if rows_body is None:
+                    respond(
+                        C.OP_RESULT, struct.pack(">i", C.RESULT_VOID), stream
+                    )
+                else:
+                    respond(C.OP_RESULT, rows_body, stream)
+
+
 class LoopbackRestCatalog:
     """Iceberg REST catalog core: namespaces + table pointers in memory,
     table metadata served from the registered metadata-location on disk

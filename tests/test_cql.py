@@ -347,3 +347,64 @@ def test_cassandra_sink_e2e_loopback(spark):
     ]
     assert len(inserts) == 20
     assert any("'doc-7'" in s and "10.5" in s for s in inserts)
+
+
+# -- executing loopback server (store-backed) --------------------------------
+
+
+def test_loopback_cql_server_roundtrip():
+    """The store-backed server executes DDL + batched inserts and
+    serves typed SELECT results — encode/decode must be inverses."""
+    from flinkrunner_spark.testing import LoopbackCqlServer
+
+    with LoopbackCqlServer() as srv:
+        with C.CqlClient("localhost", srv.port) as c:
+            c.execute(
+                'CREATE TABLE IF NOT EXISTS "ks"."t" (\n'
+                '  "id" bigint,\n  "name" text,\n  "x" double,\n'
+                '  "ok" boolean,\n  PRIMARY KEY ("id")\n)'
+            )
+            c.execute(
+                "BEGIN UNLOGGED BATCH\n"
+                'INSERT INTO "ks"."t" ("id", "name", "x", "ok") '
+                "VALUES (1, 'O''Brien, the ''great''', 1.5, true);\n"
+                'INSERT INTO "ks"."t" ("id", "name", "x", "ok") '
+                "VALUES (2, NULL, -2.0, false);\n"
+                "APPLY BATCH"
+            )
+            c.execute(
+                'INSERT INTO "ks"."t" ("id", "name", "x", "ok") '
+                "VALUES (3, 'plain', 0.0, true)"
+            )
+            rows = c.execute('SELECT "id", "name", "ok" FROM "ks"."t"')
+    assert sorted(rows.rows) == [
+        (1, "O'Brien, the 'great'", True),
+        (2, None, False),
+        (3, "plain", True),
+    ]
+
+
+def test_encode_value_inverse_of_decode():
+    import math
+
+    cases = [
+        (C.TYPE_VARCHAR, "héllo 'quoted'"),
+        (C.TYPE_BIGINT, -(2**40)),
+        (C.TYPE_INT, -7),
+        (C.TYPE_SMALLINT, 12),
+        (C.TYPE_DOUBLE, math.pi),
+        (C.TYPE_FLOAT, 0.5),
+        (C.TYPE_BOOLEAN, True),
+        (C.TYPE_DATE, -3),
+        (C.TYPE_BLOB, b"\x00\xff"),
+    ]
+    for tid, v in cases:
+        assert C._decode_value(tid, C.encode_value(tid, v)) == v
+    assert C.encode_value(C.TYPE_VARCHAR, None) is None
+
+
+def test_cql_literal_parse_roundtrip():
+    from flinkrunner_spark.testing import _parse_cql_literal
+
+    for v in [None, True, False, 42, -17, 1.5, "a'b,c", "", b"\x01\xff"]:
+        assert _parse_cql_literal(C.cql_literal(v)) == v
