@@ -36,8 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-6 rotation: the
-    # TWO new keys first (rabbitmq_roundtrip over the loopback AMQP
-    # broker; iceberg_catalog_roundtrip over the loopback REST catalog),
+    # FOUR new keys first (kafka_roundtrip over the loopback wire-
+    # protocol broker; rabbitmq_roundtrip over the loopback AMQP
+    # broker; iceberg_catalog_roundtrip over the loopback REST catalog;
+    # cassandra_roundtrip over the loopback CQL server),
     # then every key whose implementation files changed since their r5
     # rows — plans/connectors.py + sinks/sources factories (the seven
     # existing connector roundtrips, five of which flip their r5
@@ -54,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # — util/{amqp,cql}.py, iceberg_rest.py, testing.py).
     return {
         # —— NEW this round ——
+        "kafka_roundtrip": connectors.kafka_roundtrip,
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
         "cassandra_roundtrip": connectors.cassandra_roundtrip,
@@ -110,8 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_badwords": llm_filters.docs_badwords,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
-        "emb_decontaminate": similarity.emb_decontaminate,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "emb_decontaminate": similarity.emb_decontaminate,
         "ann_recall_stats": similarity.ann_recall_stats,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "mm_features": mm_transforms.mm_features,

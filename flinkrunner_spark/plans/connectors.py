@@ -401,3 +401,52 @@ def iceberg_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     back = run_to_memory(spark, src, "q_iceberg_stream_rt", mode="append")
     return _lang_profile(back)
+
+
+def kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Kafka sink over the NATIVE jar-free transport
+    (murmur2-keyed v2 record batches, CRC32C-framed, produced from
+    executor sockets) → bounded native source (partition-parallel
+    Fetch with batch CRC verification) → JSON value parse →
+    per-language profile, against the in-process loopback Kafka broker
+    (`flinkrunner_spark.testing` — real size-framed TCP speaking
+    Produce v3 / Fetch v4 / Metadata v1 / ListOffsets v1). Exactly
+    oracled against the original parquet: record-batch encoding,
+    partitioner routing, offset bookkeeping and the snapshot read must
+    all be lossless inverses for the profile to match. Closes the
+    reference's Kafka e2e path (`model/source/KafkaSourceConfig
+    .scala:1-133`, `model/sink/KafkaSinkConfig.scala:1-150`) without
+    the spark-sql-kafka jar; headers ride the kafka wire shape the
+    reference's AssignKafkaHeaders emits."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        KafkaSinkConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_rt", "key.column": "doc_id",
+             "headers": {"lang": "lang"}},
+        ).write(docs)
+        back = KafkaSourceConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_rt", "headers": True},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        # the fetch runs inside the broker's lifetime; materialize here
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

@@ -1470,6 +1470,9 @@ ORACLES["avro_roundtrip"] = _LPO
 ORACLES["rabbitmq_roundtrip"] = _LPO
 ORACLES["iceberg_catalog_roundtrip"] = _LPO
 ORACLES["cassandra_roundtrip"] = _LPO
+# r6: the kafka wire roundtrip (native jar-free transport through the
+# loopback broker) profiles back to the same aggregate
+ORACLES["kafka_roundtrip"] = _LPO
 
 from flinkrunner_spark.plans.connectors import JDBC_PROFILE_ORACLE as _JPO  # noqa: E402
 

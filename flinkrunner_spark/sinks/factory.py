@@ -226,12 +226,90 @@ class KafkaSinkConfig(SinkConfig):
         keep = [c for c in ("key", "value", "headers") if c in out.columns]
         return out.select(*keep)
 
+    def _bootstrap(self) -> tuple[str, int]:
+        first = str(
+            self.conf.get("bootstrap.servers", "localhost:9092")
+        ).split(",")[0].strip()
+        host, _, port = first.partition(":")
+        return host, int(port or 9092)
+
+    def write_native(self, df: DataFrame):
+        """Jar-free produce path over the pure-Python wire client
+        (`util/kafka`): records batch executor-side into v2 record
+        batches (CRC32C-framed) and produce straight from each task's
+        socket — Java-client partitioner parity (murmur2-positive on
+        the key bytes) so keyed topics interleave correctly with JVM
+        producers; unkeyed rows go sticky-per-task (KIP-480 shape).
+        Nothing routes through the driver except one metadata call for
+        the partition count."""
+        from flinkrunner_spark.util.kafka import KafkaClient
+
+        host, port = self._bootstrap()
+        topic = self.conf.get("topic", self.name)
+        batch_size = int(self.conf.get("batch.size", 500))
+        with KafkaClient(host, port) as c:
+            n_parts = len(c.metadata([topic])[0].partitions)
+
+        def send_partition(rows):
+            from pyspark import TaskContext
+
+            from flinkrunner_spark.util.kafka import (
+                KafkaClient as _C,
+                KafkaRecord as _R,
+                produce_records as _produce,
+            )
+
+            def as_bytes(v):
+                if v is None:
+                    return None
+                return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+            recs = []
+            for row in rows:
+                d = row.asDict()
+                headers = [
+                    (h["key"], as_bytes(h["value"]))
+                    for h in (d.get("headers") or [])
+                ]
+                recs.append(
+                    _R(
+                        value=as_bytes(d.get("value")),
+                        key=as_bytes(d.get("key")),
+                        headers=headers,
+                    )
+                )
+            if not recs:
+                return
+            ctx = TaskContext.get()
+            seed = ctx.partitionId() if ctx is not None else 0
+            with _C(host, port) as client:
+                _produce(
+                    client, topic, recs, n_parts,
+                    batch_size=batch_size, sticky_seed=seed,
+                )
+
+        self.prepare_records(df).foreachPartition(send_partition)
+
     def write(self, df: DataFrame):
+        if self.conf.get("transport") == "native":
+            self.write_native(df)
+            return
         self.prepare_records(df).write.format("kafka").options(
             **self._options()
         ).save()
 
     def write_stream(self, df: DataFrame):
+        if self.conf.get("transport") == "native":
+            # per-micro-batch native produce — the checkpointed
+            # foreachBatch cadence mirrors the jar sink's semantics
+            return (
+                self.prepare_records(df)
+                .writeStream.foreachBatch(
+                    lambda bdf, _epoch: self.write_native(bdf)
+                )
+                .option("checkpointLocation", self.conf["checkpoint"])
+                .start()
+            )
         return (
             self.prepare_records(df)
             .writeStream.format("kafka")

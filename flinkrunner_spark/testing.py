@@ -567,3 +567,256 @@ class LoopbackRestCatalog:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class LoopbackKafkaBroker:
+    """Kafka broker core speaking the legacy (non-flexible) wire
+    versions the jar-free client uses — ApiVersions v0, Metadata v1,
+    Produce v3, ListOffsets v1, Fetch v4 — over real size-framed TCP.
+    Topics auto-create with ``num_partitions`` partitions; produced v2
+    record batches are stored VERBATIM (after the broker-side
+    baseOffset rewrite, exactly what a real log append does) and served
+    back byte-for-byte on fetch, so the client's CRC32C verification in
+    `util/kafka.decode_record_batches` runs against genuinely
+    round-tripped frames. Thread-per-connection; the log is a
+    per-partition list of (base_offset, batch_bytes) under one lock."""
+
+    def __init__(self, num_partitions: int = 4):
+        import socketserver
+
+        from flinkrunner_spark.util import kafka as K
+
+        self.K = K
+        self.num_partitions = int(num_partitions)
+        # topic -> partition -> list[(base_offset, batch_bytes)]
+        self.logs: dict[str, dict[int, list[tuple[int, bytes]]]] = {}
+        self.lock = threading.Lock()
+        srv = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                srv._serve(self.request)
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = _Server(("localhost", 0), _Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    def __enter__(self) -> "LoopbackKafkaBroker":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+    # -- log state ----------------------------------------------------------
+
+    def _ensure(self, topic: str) -> dict[int, list]:
+        return self.logs.setdefault(
+            topic, {p: [] for p in range(self.num_partitions)}
+        )
+
+    def _next_offset(self, log: list[tuple[int, bytes]]) -> int:
+        if not log:
+            return 0
+        base, batch = log[-1]
+        return base + self.K.batch_record_count(batch)
+
+    # -- request serving ----------------------------------------------------
+
+    def _serve(self, sock):
+        K = self.K
+
+        def recv_exact(n):
+            buf = bytearray()
+            while len(buf) < n:
+                chunk = sock.recv(n - len(buf))
+                if not chunk:
+                    return None
+                buf += chunk
+            return bytes(buf)
+
+        while True:
+            head = recv_exact(4)
+            if head is None:
+                return
+            (size,) = struct.unpack(">i", head)
+            payload = recv_exact(size)
+            if payload is None:
+                return
+            api_key, api_version, corr = struct.unpack_from(">hhi", payload, 0)
+            _client_id, pos = K.dec_string(payload, 8)
+            body = payload[pos:]
+            handler = {
+                K.API_API_VERSIONS: self._api_versions,
+                K.API_METADATA: self._metadata,
+                K.API_PRODUCE: self._produce,
+                K.API_LIST_OFFSETS: self._list_offsets,
+                K.API_FETCH: self._fetch,
+            }.get(api_key)
+            if handler is None:
+                return  # unknown API: drop the connection
+            resp = handler(api_version, body)
+            out = struct.pack(">i", corr) + resp
+            sock.sendall(struct.pack(">i", len(out)) + out)
+
+    def _api_versions(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        keys = [
+            (K.API_PRODUCE, 3, 3),
+            (K.API_FETCH, 4, 4),
+            (K.API_LIST_OFFSETS, 1, 1),
+            (K.API_METADATA, 1, 1),
+            (K.API_API_VERSIONS, 0, 0),
+        ]
+        return (
+            struct.pack(">h", 0)
+            + struct.pack(">i", len(keys))
+            + b"".join(struct.pack(">hhh", *k) for k in keys)
+        )
+
+    def _metadata(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        (n,) = struct.unpack_from(">i", body, 0)
+        pos = 4
+        names: list[str] = []
+        if n >= 0:
+            for _ in range(n):
+                t, pos = K.dec_string(body, pos)
+                names.append(t or "")
+        with self.lock:
+            if n < 0:
+                names = sorted(self.logs)
+            topics = {t: self._ensure(t) for t in names}
+            out = (
+                struct.pack(">i", 1)  # brokers
+                + struct.pack(">i", 0)
+                + K.enc_string("localhost")
+                + struct.pack(">i", self.port)
+                + K.enc_string(None)  # rack
+                + struct.pack(">i", 0)  # controller_id
+                + struct.pack(">i", len(topics))
+            )
+            for t, parts in topics.items():
+                out += struct.pack(">h", 0) + K.enc_string(t) + b"\x00"
+                out += struct.pack(">i", len(parts))
+                for pid in sorted(parts):
+                    out += struct.pack(">hii", 0, pid, 0)
+                    out += struct.pack(">ii", 1, 0)  # replicas [0]
+                    out += struct.pack(">ii", 1, 0)  # isr [0]
+        return out
+
+    def _produce(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        _txn, pos = K.dec_string(body, 0)
+        _acks, _timeout = struct.unpack_from(">hi", body, pos)
+        pos += 6
+        (nt,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        resp_topics = []
+        with self.lock:
+            for _ in range(nt):
+                topic, pos = K.dec_string(body, pos)
+                (np_,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                presps = []
+                for _ in range(np_):
+                    (pid,) = struct.unpack_from(">i", body, pos)
+                    pos += 4
+                    record_set, pos = K.dec_bytes(body, pos)
+                    parts = self._ensure(topic or "")
+                    if pid not in parts:
+                        presps.append((pid, 3, -1))  # UNKNOWN_TOPIC_OR_PARTITION
+                        continue
+                    base = self._next_offset(parts[pid])
+                    parts[pid].append(
+                        (base, K.rebase_batch(record_set, base))
+                    )
+                    presps.append((pid, 0, base))
+                resp_topics.append((topic, presps))
+        out = struct.pack(">i", len(resp_topics))
+        for topic, presps in resp_topics:
+            out += K.enc_string(topic) + struct.pack(">i", len(presps))
+            for pid, err, base in presps:
+                out += struct.pack(">ihqq", pid, err, base, -1)
+        return out + struct.pack(">i", 0)  # throttle
+
+    def _list_offsets(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        pos = 4  # replica_id
+        (nt,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        resp_topics = []
+        with self.lock:
+            for _ in range(nt):
+                topic, pos = K.dec_string(body, pos)
+                (np_,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                presps = []
+                for _ in range(np_):
+                    pid, ts = struct.unpack_from(">iq", body, pos)
+                    pos += 12
+                    parts = self._ensure(topic or "")
+                    if pid not in parts:
+                        presps.append((pid, 3, -1))
+                        continue
+                    log = parts[pid]
+                    if ts == K.EARLIEST_TIMESTAMP:
+                        off = log[0][0] if log else 0
+                    else:  # LATEST
+                        off = self._next_offset(log)
+                    presps.append((pid, 0, off))
+                resp_topics.append((topic, presps))
+        out = struct.pack(">i", len(resp_topics))
+        for topic, presps in resp_topics:
+            out += K.enc_string(topic) + struct.pack(">i", len(presps))
+            for pid, err, off in presps:
+                out += struct.pack(">ihqq", pid, err, -1, off)
+        return out
+
+    def _fetch(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        pos = 4 + 4 + 4 + 4 + 1  # replica, max_wait, min_bytes, max_bytes, iso
+        (nt,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        resp_topics = []
+        with self.lock:
+            for _ in range(nt):
+                topic, pos = K.dec_string(body, pos)
+                (np_,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                presps = []
+                for _ in range(np_):
+                    pid, off, pmax = struct.unpack_from(">iqi", body, pos)
+                    pos += 16
+                    parts = self._ensure(topic or "")
+                    if pid not in parts:
+                        presps.append((pid, 3, -1, b""))
+                        continue
+                    log = parts[pid]
+                    hwm = self._next_offset(log)
+                    chunks, size = [], 0
+                    for base, batch in log:
+                        if base + K.batch_record_count(batch) <= off:
+                            continue
+                        if chunks and size + len(batch) > pmax:
+                            break
+                        chunks.append(batch)
+                        size += len(batch)
+                    presps.append((pid, 0, hwm, b"".join(chunks)))
+                resp_topics.append((topic, presps))
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", len(resp_topics))
+        for topic, presps in resp_topics:
+            out += K.enc_string(topic) + struct.pack(">i", len(presps))
+            for pid, err, hwm, record_set in presps:
+                out += struct.pack(">ihqq", pid, err, hwm, hwm)
+                out += struct.pack(">i", 0)  # aborted txns
+                out += K.enc_bytes(record_set)
+        return out
