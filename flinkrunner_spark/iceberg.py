@@ -301,6 +301,14 @@ FILE_CONTENT_EQ_DELETES = 2
 _PARTITIONABLE = {"string", "int", "long"}
 
 
+def _norm_path(col):
+    """file:///abs/x and /abs/x compare equal — manifests store bare os
+    paths while Spark's ``_metadata.file_path`` reports a file: URI."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/*", "/")
+
+
 def manifest_entry_schema(spec_fields: list, ice_schema: dict) -> dict:
     """MANIFEST_ENTRY_SCHEMA with the r102 partition struct filled in
     from the table's partition spec (identity transforms: the avro field
@@ -626,25 +634,42 @@ class IcebergFsTable:
 
     def _write_snapshot(
         self,
-        df: DataFrame,
+        df: DataFrame | None,
         operation: str,
         partition_by: list[str] | None = None,
         delete_df: DataFrame | None = None,
         equality_ids: list[int] | None = None,
+        pos_delete_files: list[dict] | None = None,
     ) -> None:
         if not self.exists():
+            if df is None:
+                raise ValueError("cannot commit deletes to a missing table")
             self.create(df.schema, partition_by=partition_by)
         md = self.metadata()
-        self._check_schema(df.schema, md)
         spec_fields = self._spec_fields(md)
         seq = md["last-sequence-number"] + 1
         snap_id = uuid.uuid4().int & ((1 << 62) - 1)
-        data_files = self._write_data_files(df, md)
-        manifests = [
-            self._write_manifest(
-                data_files, md, spec_fields, snap_id, seq, CONTENT_DATA
+        manifests = []
+        if df is not None:
+            self._check_schema(df.schema, md)
+            data_files = self._write_data_files(df, md)
+            manifests.append(
+                self._write_manifest(
+                    data_files, md, spec_fields, snap_id, seq, CONTENT_DATA
+                )
             )
-        ]
+        if pos_delete_files:
+            # POSITION delete files (v2 row-level delete): file_path/pos
+            # rows that apply, at read time, to data files with a
+            # smaller-or-EQUAL sequence number (spec: position deletes
+            # cover rows written in the same sequence too).
+            manifests.insert(
+                0,
+                self._write_manifest(
+                    pos_delete_files, md, spec_fields, snap_id, seq,
+                    CONTENT_DELETES,
+                ),
+            )
         if delete_df is not None:
             # equality DELETE files (v2 row-level upsert): they carry the
             # key columns of the replaced rows and apply, at read time, to
@@ -664,7 +689,8 @@ class IcebergFsTable:
             )
         parent = md.get("current-snapshot-id", -1)
         if (
-            operation == "append" or delete_df is not None
+            operation in ("append", "delete")
+            or delete_df is not None
         ) and parent not in (-1, None):
             manifests += self._manifest_list_records(md)
 
@@ -789,6 +815,99 @@ class IcebergFsTable:
             equality_ids=[by_name[k]["id"] for k in key_cols],
         )
 
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Row-level DELETE via POSITION delete files (spec content=1):
+        matching rows are located as (containing data file, row ordinal)
+        pairs — ordinals from Spark's ``_metadata.row_index``, free with
+        the scan — written as spec-shaped ``file_path``/``pos`` parquet
+        sorted by (file_path, pos), and committed as a ``delete``
+        snapshot whose deletes manifest carries them at the next
+        sequence number (≥ every live data file, so they cover the whole
+        current table state). No data file is rewritten: at 100 TB a
+        delete touching 0.1% of rows costs one filtered scan plus tiny
+        delete files, not a table rewrite; readers merge them with one
+        anti-join (`_read_merged`). Returns the number of deleted
+        positions. Reference parity: the Flink/Iceberg row-level delete
+        path of `model/sink/IcebergSinkConfig.scala`.
+
+        ``condition`` is a Column or SQL string over the table columns.
+        Positions are computed against LIVE rows (current read), so
+        re-deleting already-dead rows is impossible and the count is
+        exact."""
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        md = self.metadata()
+        ice = current_schema(md)
+        entries, eq_dels, pos_dels = self._live()
+        if not entries:
+            return 0
+        # assemble live rows WITH positions: reuse the merge-on-read
+        # machinery so rows already covered by eq/pos deletes are not
+        # re-targeted (their re-deletion would be harmless but the
+        # returned count would lie)
+        spec_fields = self._spec_fields(md)
+        part_cols = [f["name"] for f in spec_fields]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        # build a position-bearing frame of live rows
+        merged = self._read_merged(
+            spark, entries, eq_dels, pos_dels, md, ice,
+            keep_position_cols=True,
+        )
+        matches = merged.filter(cond).select(
+            F.col("_fp").alias("file_path"), F.col("_rix").alias("pos")
+        )
+        # spec: rows within a position delete file sort by (file_path,
+        # pos). Range-partition + sort-within gives globally ranged,
+        # internally sorted files — no single-file bottleneck when the
+        # delete is wide.
+        n_out = max(1, min(32, len(entries) // 8 + 1))
+        tmp = os.path.join(self.location, f"_tmp-posdel-{uuid.uuid4().hex}")
+        (
+            matches.repartitionByRange(n_out, "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        del_dir = os.path.join(self.data_dir, "_deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        commit_uuid = uuid.uuid4().hex
+        files, n_deleted, i = [], 0, 0
+        for root, _dirs, names in sorted(os.walk(tmp)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                meta = pq.ParquetFile(src).metadata
+                if meta.num_rows == 0:
+                    continue
+                dst = os.path.join(
+                    del_dir, f"posdel-{i:05d}-{commit_uuid}.parquet"
+                )
+                shutil.move(src, dst)
+                files.append(
+                    {
+                        "content": FILE_CONTENT_POS_DELETES,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": {c: None for c in part_cols},
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                    }
+                )
+                n_deleted += meta.num_rows
+                i += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not files:
+            return 0
+        self._write_snapshot(None, "delete", pos_delete_files=files)
+        return n_deleted
+
     def _check_schema(self, spark_schema, md: dict) -> None:
         ice, _ = iceberg_schema_from_spark(spark_schema)
         cur = current_schema(md)
@@ -874,17 +993,17 @@ class IcebergFsTable:
           range. Files without bounds for a column are always kept —
           skipping is an optimization, never a correctness filter; the
           caller still applies the row-level predicate.
-        Refuses POSITION delete files rather than mis-reading; tables
-        with equality deletes (upserts) must be read through ``read``,
-        which merges them — this path would return raw pre-merge rows."""
-        data, deletes = self._live(
+        Tables with delete files (equality upserts or position deletes)
+        must be read through ``read``, which merges them — this path
+        would return raw pre-merge rows."""
+        data, deletes, pos_deletes = self._live(
             snapshot_id, as_of_ms, partition_filter, range_filter
         )
-        if deletes:
+        if deletes or pos_deletes:
             raise ValueError(
-                "table has equality delete files (upserts) — use read(), "
-                "which merges them; the raw data-file list would include "
-                "replaced rows"
+                "table has delete files (equality upserts / position "
+                "deletes) — use read(), which merges them; the raw "
+                "data-file list would include deleted rows"
             )
         return data
 
@@ -894,13 +1013,14 @@ class IcebergFsTable:
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
         range_filter: dict | None = None,
-    ) -> tuple[list[dict], list[dict]]:
-        """(data_files, equality_delete_files) of a snapshot, each dict
-        carrying its effective ``_seq`` (the entry's explicit sequence
-        number or, when inherited, the manifest's). Pruning drops a
-        delete file only on the partition tuple (its bounds cover key
-        columns only; range filters on other columns can never exclude
-        it)."""
+    ) -> tuple[list[dict], list[dict], list[dict]]:
+        """(data_files, equality_delete_files, position_delete_files) of
+        a snapshot, each dict carrying its effective ``_seq`` (the
+        entry's explicit sequence number or, when inherited, the
+        manifest's). Pruning drops a delete file only on the partition
+        tuple (its bounds cover key columns only — or, for position
+        deletes, nothing row-valued at all; range filters on other
+        columns can never exclude it)."""
         md = self.metadata()
         spec_fields = self._spec_fields(md)  # identity-only transforms
         if partition_filter:
@@ -918,6 +1038,7 @@ class IcebergFsTable:
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         data: list[dict] = []
         deletes: list[dict] = []
+        pos_deletes: list[dict] = []
         for mf in self._manifest_list_records(md, snap):
             with open(mf["manifest_path"], "rb") as fh:
                 _, entries = AC.read_container(fh.read())
@@ -951,15 +1072,17 @@ class IcebergFsTable:
                     ):
                         continue
                     data.append(f)
-                else:
-                    if f.get("content") != FILE_CONTENT_EQ_DELETES:
-                        raise ValueError(
-                            "iceberg fallback cannot apply POSITION "
-                            "delete files (use the iceberg-spark runtime "
-                            "jar)"
-                        )
+                elif f.get("content") == FILE_CONTENT_EQ_DELETES:
                     deletes.append(f)
-        return data, deletes
+                elif f.get("content") == FILE_CONTENT_POS_DELETES:
+                    pos_deletes.append(f)
+                else:
+                    raise ValueError(
+                        f"delete manifest entry with unknown content "
+                        f"{f.get('content')!r} — refusing a malformed "
+                        "table"
+                    )
+        return data, deletes, pos_deletes
 
     @staticmethod
     def _bounds_exclude(f: dict, range_filter: dict, by_name: dict) -> bool:
@@ -1010,13 +1133,15 @@ class IcebergFsTable:
         ice = self._schema_for(md, snapshot_id, as_of_ms)
         ddl = spark_ddl_from_iceberg(ice)
         spec_fields = self._spec_fields(md)
-        entries, del_entries = self._live(
+        entries, del_entries, pos_del_entries = self._live(
             snapshot_id, as_of_ms, partition_filter, range_filter
         )
         if not entries:
             return spark.createDataFrame([], ddl)
-        if del_entries:
-            return self._read_merged(spark, entries, del_entries, md, ice)
+        if del_entries or pos_del_entries:
+            return self._read_merged(
+                spark, entries, del_entries, pos_del_entries, md, ice
+            )
         if not spec_fields:
             return spark.read.schema(ddl).parquet(
                 *[f["file_path"] for f in entries]
@@ -1085,18 +1210,25 @@ class IcebergFsTable:
         spark: SparkSession,
         entries: list[dict],
         del_entries: list[dict],
+        pos_del_entries: list[dict],
         md: dict,
         ice: dict | None = None,
+        keep_position_cols: bool = False,
     ) -> DataFrame:
-        """MERGE-ON-READ of equality deletes (upserts): a data row
-        survives unless some delete file with the same key and a
-        STRICTLY GREATER sequence number covers it. Each file's sequence
-        number rides along as a literal column (metadata, no extra IO);
-        delete keys collapse to one (key → max seq) row before a single
-        anti-join — at scale the delete side is the small one (recent
-        upsert keys), and AQE picks a broadcast anti-join at runtime.
-        Nulls in key columns match null (eqNullSafe), the spec's equality
-        semantics."""
+        """MERGE-ON-READ of delete files. Equality deletes (upserts): a
+        data row survives unless some delete file with the same key and
+        a STRICTLY GREATER sequence number covers it. Position deletes
+        (spec content=1, ``file_path``/``pos`` rows): a data row dies
+        when a delete file at a GREATER-OR-EQUAL sequence number names
+        its containing file and its row ordinal — ordinals come free
+        from Spark's ``_metadata.row_index`` (whole files are scanned,
+        so the parquet row index IS the iceberg position). Each file's
+        sequence number rides along as a literal column (metadata, no
+        extra IO); delete keys collapse to one (key → max seq) row
+        before a single anti-join per delete kind — at scale the delete
+        side is the small one, and AQE picks a broadcast anti-join at
+        runtime. Nulls in equality key columns match null (eqNullSafe),
+        the spec's equality semantics."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -1111,16 +1243,12 @@ class IcebergFsTable:
             )
             for pf in spec_fields
         }
-        eq_sets = {tuple(f.get("equality_ids") or ()) for f in del_entries}
-        if len(eq_sets) != 1 or not next(iter(eq_sets)):
-            raise ValueError(
-                "equality delete files with differing or empty "
-                "equality_ids — the fallback merges one upsert key per "
-                "table (use the iceberg-spark runtime jar)"
-            )
-        key_cols = [by_id[i]["name"] for i in next(iter(eq_sets))]
+        with_pos = bool(pos_del_entries) or keep_position_cols
 
-        def assemble(file_entries: list[dict], ddl: str, seq_col: str):
+        def assemble(
+            file_entries: list[dict], ddl: str, seq_col: str,
+            meta: bool = False,
+        ):
             groups: dict[tuple, list[str]] = {}
             for e in file_entries:
                 k = (
@@ -1133,6 +1261,12 @@ class IcebergFsTable:
                 groups.items(), key=lambda kv: str(kv[0])
             ):
                 piece = spark.read.schema(ddl).parquet(*paths)
+                if meta:
+                    piece = piece.select(
+                        "*",
+                        _norm_path(F.col("_metadata.file_path")).alias("_fp"),
+                        F.col("_metadata.row_index").alias("_rix"),
+                    )
                 for col, val in zip(part_cols, pkey):
                     piece = piece.withColumn(
                         col, F.lit(val).cast(part_types[col])
@@ -1143,29 +1277,64 @@ class IcebergFsTable:
         file_ddl = spark_ddl_from_iceberg(
             {"fields": [f for f in ice["fields"] if f["name"] not in part_cols]}
         )
-        data = assemble(entries, file_ddl, "_seq")
-        dkey_ddl = spark_ddl_from_iceberg(
-            {
-                "fields": [
-                    f
-                    for f in ice["fields"]
-                    if f["name"] in key_cols and f["name"] not in part_cols
-                ]
+        data = assemble(entries, file_ddl, "_seq", meta=with_pos)
+
+        if del_entries:
+            eq_sets = {
+                tuple(f.get("equality_ids") or ()) for f in del_entries
             }
-        )
-        dels = (
-            assemble(del_entries, dkey_ddl, "_dseq")
-            .groupBy(*key_cols)
-            .agg(F.max("_dseq").alias("_dseq"))
-        )
-        cond = reduce(
-            lambda a, b: a & b,
-            [data[c].eqNullSafe(dels[c]) for c in key_cols]
-            + [data["_seq"] < dels["_dseq"]],
-        )
-        return data.join(dels, cond, "left_anti").select(
-            *[f["name"] for f in ice["fields"]]
-        )
+            if len(eq_sets) != 1 or not next(iter(eq_sets)):
+                raise ValueError(
+                    "equality delete files with differing or empty "
+                    "equality_ids — the fallback merges one upsert key "
+                    "per table (use the iceberg-spark runtime jar)"
+                )
+            key_cols = [by_id[i]["name"] for i in next(iter(eq_sets))]
+            dkey_ddl = spark_ddl_from_iceberg(
+                {
+                    "fields": [
+                        f
+                        for f in ice["fields"]
+                        if f["name"] in key_cols and f["name"] not in part_cols
+                    ]
+                }
+            )
+            dels = (
+                assemble(del_entries, dkey_ddl, "_dseq")
+                .groupBy(*key_cols)
+                .agg(F.max("_dseq").alias("_dseq"))
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [data[c].eqNullSafe(dels[c]) for c in key_cols]
+                + [data["_seq"] < dels["_dseq"]],
+            )
+            data = data.join(dels, cond, "left_anti")
+
+        if pos_del_entries:
+            pdels = (
+                assemble(
+                    pos_del_entries, "file_path string, pos long", "_pdseq"
+                )
+                .select(
+                    _norm_path(F.col("file_path")).alias("_dfp"),
+                    F.col("pos").alias("_dpos"),
+                    "_pdseq",
+                )
+                .groupBy("_dfp", "_dpos")
+                .agg(F.max("_pdseq").alias("_pdseq"))
+            )
+            pcond = (
+                (data["_fp"] == pdels["_dfp"])
+                & (data["_rix"] == pdels["_dpos"])
+                & (data["_seq"] <= pdels["_pdseq"])
+            )
+            data = data.join(pdels, pcond, "left_anti")
+
+        cols = [f["name"] for f in ice["fields"]]
+        if keep_position_cols:
+            cols += ["_fp", "_rix"]
+        return data.select(*cols)
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))

@@ -450,3 +450,39 @@ def kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fetch runs inside the broker's lifetime; materialize here
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+DELETE_LO = 250
+
+DELETE_PROFILE_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents WHERE n_chars >= {DELETE_LO} GROUP BY lang
+"""
+
+
+def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Iceberg table → row-level DELETE via v2 POSITION
+    delete files (`delete_where("n_chars < 250")`: matching rows become
+    (data file, row ordinal) tombstones from Spark's
+    ``_metadata.row_index``, committed as a `delete` snapshot — no data
+    file rewritten) → merge-on-read → per-language profile of the
+    SURVIVORS. Exactly oracled against the original parquet filtered by
+    the same predicate: the position bookkeeping (file paths, row
+    ordinals, sequence-number applicability) must be exact for every
+    survivor to be counted once and every victim zero times. The 100 TB
+    case for position deletes: a 0.1% delete costs one filtered scan +
+    tiny tombstone files, not a table rewrite."""
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-posdel", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    t = IcebergFsTable(loc)
+    t.append(docs)
+    t.delete_where(spark, f"n_chars < {DELETE_LO}")
+    return _lang_profile(t.read(spark))

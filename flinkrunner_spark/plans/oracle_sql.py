@@ -1474,6 +1474,12 @@ ORACLES["cassandra_roundtrip"] = _LPO
 # loopback broker) profiles back to the same aggregate
 ORACLES["kafka_roundtrip"] = _LPO
 
+# r6: position-delete roundtrip — survivors of a row-level DELETE equal
+# the original parquet under the same predicate
+from flinkrunner_spark.plans.connectors import DELETE_PROFILE_ORACLE as _DPO  # noqa: E402
+
+ORACLES["iceberg_delete_roundtrip"] = _DPO
+
 from flinkrunner_spark.plans.connectors import JDBC_PROFILE_ORACLE as _JPO  # noqa: E402
 
 ORACLES["jdbc_roundtrip"] = _JPO

@@ -453,7 +453,7 @@ def test_upsert_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate key"):
         t.upsert(_kv(spark, [(5, "x", 1), (5, "y", 2)]), ["id"])
     # raw file listing would expose replaced rows
-    with pytest.raises(ValueError, match="equality delete"):
+    with pytest.raises(ValueError, match="delete files"):
         t.data_files()
     # unknown key column
     with pytest.raises(ValueError, match="unknown upsert key"):
@@ -757,3 +757,117 @@ def test_upsert_model_based_random_sequences(spark, tmp_path):
         first = t.snapshots()[0]["snapshot-id"]
         n0 = t.read(spark, snapshot_id=first).count()
         assert n0 <= 6
+
+
+# -- position deletes (spec content=1) --------------------------------------
+
+
+def test_delete_where_basic(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd1"))
+    t.append(_kv(spark, [(i, f"n{i}", i * 10) for i in range(20)]))
+    n = t.delete_where(spark, "v >= 100")
+    assert n == 10
+    left = sorted(r.id for r in t.read(spark).collect())
+    assert left == list(range(10))
+    # snapshot op recorded as delete; data files untouched on disk
+    assert t.snapshots()[-1]["summary"]["operation"] == "delete"
+
+
+def test_delete_where_counts_only_live_rows(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd2"))
+    t.append(_kv(spark, [(i, "x", i) for i in range(10)]))
+    assert t.delete_where(spark, "id < 4") == 4
+    # second delete over an overlapping predicate only counts survivors
+    assert t.delete_where(spark, "id < 6") == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [6, 7, 8, 9]
+    # nothing matches -> no snapshot committed
+    before = len(t.snapshots())
+    assert t.delete_where(spark, "id > 1000") == 0
+    assert len(t.snapshots()) == before
+
+
+def test_delete_where_column_condition_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = I.IcebergFsTable(str(tmp_path / "pd3"))
+    t.append(_kv(spark, [(1, "keep", 1), (2, "drop", 2), (3, "drop", 3)]))
+    pre = t.metadata()["current-snapshot-id"]
+    assert t.delete_where(spark, F.col("name") == "drop") == 2
+    assert [r.id for r in t.read(spark).collect()] == [1]
+    # time travel to the pre-delete snapshot still sees all rows
+    assert sorted(r.id for r in t.read(spark, snapshot_id=pre).collect()) == [
+        1, 2, 3
+    ]
+
+
+def test_delete_then_append_keeps_old_positions_dead(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd4"))
+    t.append(_kv(spark, [(1, "a", 1), (2, "b", 2)]))
+    assert t.delete_where(spark, "id = 2") == 1
+    # rows appended AFTER the delete live in new files at a higher
+    # sequence number: the position delete (seq <=) must not touch them
+    t.append(_kv(spark, [(2, "b2", 22)]))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a", 1), (2, "b2", 22)
+    ]
+
+
+def test_delete_where_partitioned_table(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd5"))
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(12)],
+        "id bigint, grp string, v bigint",
+    )
+    t.append(df, partition_by=["grp"])
+    assert t.delete_where(spark, "grp = 'a' AND v < 6") == 3
+    got = sorted((r.id, r.grp) for r in t.read(spark).collect())
+    assert len(got) == 9
+    assert all(not (g == "a" and i < 6) for i, g in got)
+
+
+def test_delete_where_composes_with_upserts(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd6"))
+    t.upsert(_kv(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]), ["id"])
+    t.upsert(_kv(spark, [(2, "B", 20)]), ["id"])
+    # delete the upserted row — position delete lands on the NEW file
+    assert t.delete_where(spark, "name = 'B'") == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_compact_after_delete_drops_tombstones(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd7"))
+    t.append(_kv(spark, [(i, "x", i) for i in range(10)]))
+    t.delete_where(spark, "id % 2 = 0")
+    t.compact(spark)
+    # the replace snapshot carries plain data files only
+    files = t.data_files()  # would raise if delete files were still live
+    assert files
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+
+
+def test_data_files_refuses_pos_deleted_table(spark, tmp_path):
+    t = I.IcebergFsTable(str(tmp_path / "pd8"))
+    t.append(_kv(spark, [(1, "a", 1), (2, "b", 2)]))
+    t.delete_where(spark, "id = 1")
+    with pytest.raises(ValueError, match="delete files"):
+        t.data_files()
+
+
+def test_pos_delete_files_are_spec_shaped(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = I.IcebergFsTable(str(tmp_path / "pd9"))
+    t.append(_kv(spark, [(i, "x", i) for i in range(8)]))
+    t.delete_where(spark, "id >= 5")
+    _data, _eq, pos = t._live()
+    assert len(pos) >= 1
+    for f in pos:
+        assert f["content"] == I.FILE_CONTENT_POS_DELETES
+        tbl = pq.read_table(f["file_path"])
+        assert tbl.column_names == ["file_path", "pos"]
+        rows = list(
+            zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist())
+        )
+        assert rows == sorted(rows)  # spec: sorted by (file_path, pos)
+        # paths are normalized os paths that point at live data files
+        assert all(p.startswith("/") and os.path.exists(p) for p, _ in rows)

@@ -309,3 +309,50 @@ def test_iceberg_rest_catalog_e2e(tmp_path):
         assert sorted(r["id"] for r in back.collect()) == list(range(8))
     finally:
         spark.stop()
+
+
+@pytest.mark.skipif(
+    not KAFKA,
+    reason="needs KAFKA_BOOTSTRAP (integration/README.md) — no jar needed",
+)
+def test_kafka_native_transport_e2e(tmp_path):
+    """The jar-free wire-protocol transport against a REAL broker —
+    proves the pure-Python client (util/kafka) interoperates beyond the
+    loopback harness: real brokers validate record-batch CRCs and
+    reject malformed frames server-side."""
+    spark = _session(tmp_path)
+    try:
+        from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+        from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+        df = spark.range(0, 100).selectExpr(
+            "id", "concat('e-', id) AS tag"
+        )
+        KafkaSinkConfig(
+            "t-native-e2e",
+            {
+                "connector": "kafka",
+                "transport": "native",
+                "bootstrap.servers": KAFKA,
+                "topic": "t-native-e2e",
+                "key.column": "id",
+                "headers": {"X-Tag": "tag"},
+            },
+        ).write(df)
+        back = KafkaSourceConfig(
+            "t-native-e2e",
+            {
+                "connector": "kafka",
+                "transport": "native",
+                "bootstrap.servers": KAFKA,
+                "topic": "t-native-e2e",
+                "headers": True,
+            },
+        ).load(spark)
+        import json
+
+        rows = back.collect()
+        ids = {json.loads(bytes(r.value).decode())["id"] for r in rows}
+        assert ids == set(range(100))
+    finally:
+        spark.stop()
