@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # —— NEW this round ——
         "kafka_roundtrip": connectors.kafka_roundtrip,
+        "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "iceberg_delete_roundtrip": connectors.iceberg_delete_roundtrip,
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
@@ -112,8 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_gopher_rules": llm_filters.docs_gopher_rules,
         "docs_badwords": llm_filters.docs_badwords,
-        "docs_shuffle_shards": sampling.docs_shuffle_shards,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "emb_decontaminate": similarity.emb_decontaminate,
         "ann_recall_stats": similarity.ann_recall_stats,

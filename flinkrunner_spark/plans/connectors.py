@@ -486,3 +486,59 @@ def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(docs)
     t.delete_where(spark, f"n_chars < {DELETE_LO}")
     return _lang_profile(t.read(spark))
+
+
+def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → native kafka produce → STREAMING read through the
+    `kafka-native` Python Data Source (true micro-batch source: offset
+    dicts checkpointed by the engine, one task per kafka partition,
+    ``max.offsets.per.trigger`` backpressure forcing a multi-batch
+    catch-up) → JSON parse → per-language profile. Exactly oracled
+    against the original parquet: the micro-batch seams must be
+    loss-free and duplicate-free for the profile to match. The
+    streaming twin of `kafka_roundtrip` — reference parity for the
+    Flink consumer's continuous mode (KafkaSourceConfig.scala:1-133)
+    without the spark-sql-kafka jar."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n_docs = docs.count()
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        KafkaSinkConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_stream_rt", "key.column": "doc_id"},
+        ).write(docs)
+        sdf = KafkaSourceConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_stream_rt", "streaming": True,
+             # ≥3 catch-up micro-batches at any sf ≥ 0.001
+             "max.offsets.per.trigger": max(n_docs // 3, 64)},
+        ).load(spark)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("q_kafka_stream_rt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.sql("SELECT value FROM q_kafka_stream_rt")
+        parsed = back.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

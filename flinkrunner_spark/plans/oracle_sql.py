@@ -1473,6 +1473,7 @@ ORACLES["cassandra_roundtrip"] = _LPO
 # r6: the kafka wire roundtrip (native jar-free transport through the
 # loopback broker) profiles back to the same aggregate
 ORACLES["kafka_roundtrip"] = _LPO
+ORACLES["stream_kafka_roundtrip"] = _LPO
 
 # r6: position-delete roundtrip — survivors of a row-level DELETE equal
 # the original parquet under the same predicate

@@ -206,14 +206,38 @@ class KafkaSourceConfig(SourceConfig):
 
         return spec_df.mapInPandas(fetch_partitions, schema)
 
+    def _load_native_stream(self, spark: SparkSession) -> DataFrame:
+        """TRUE streaming over the jar-free transport: the
+        `kafka-native` Python Data Source (`sources/kafka_datasource`)
+        — offset-dict checkpointing by the engine, one task per kafka
+        partition per micro-batch, ``maxOffsetsPerTrigger``
+        backpressure. The reference's streaming kafka consumer shape
+        (KafkaSourceConfig.scala:1-133) without the spark-sql-kafka
+        jar."""
+        from flinkrunner_spark.sources import kafka_datasource as KD
+
+        KD.register(spark)
+        host, port = self._bootstrap()
+        reader = (
+            spark.readStream.format("kafka-native")
+            .option("bootstrap", f"{host}:{port}")
+            .option("topic", self.conf.get("topic", self.name))
+            .option(
+                "startingOffsets",
+                str(self.conf.get("starting.offsets", "earliest")),
+            )
+        )
+        if bool(self.conf.get("headers")):
+            reader = reader.option("includeHeaders", "true")
+        mot = self.conf.get("max.offsets.per.trigger")
+        if mot:
+            reader = reader.option("maxOffsetsPerTrigger", str(mot))
+        return reader.load()
+
     def load(self, spark: SparkSession) -> DataFrame:
         if self.conf.get("transport") == "native":
             if self.streaming:
-                raise RuntimeError(
-                    "the native kafka transport is a bounded snapshot "
-                    "source; continuous readStream needs the "
-                    "spark-sql-kafka jar (or poll load() per batch)"
-                )
+                return self._apply_watermark(self._load_native_stream(spark))
             return self._apply_watermark(self._load_native(spark))
         options = {
             "kafka.bootstrap.servers": self.conf.get("bootstrap.servers", "localhost:9092"),

@@ -1,0 +1,252 @@
+"""`kafka-native` — a Spark 4 Python Data Source over the jar-free
+Kafka wire client (`util/kafka`).
+
+The reference's Kafka source (`model/source/KafkaSourceConfig.scala:
+1-133`) is a first-class STREAMING source; Spark's own kafka datasource
+needs the spark-sql-kafka jar. This module closes that gap with the
+public Python Data Source API (SPARK-44076): a batch reader AND a true
+micro-batch streaming reader — offset-range planning on the driver
+(tiny Metadata/ListOffsets calls), record fetching on executors (one
+``InputPartition`` per kafka partition, the exact parallelism shape the
+Flink consumer uses), offsets checkpointed by the engine like any other
+streaming source, so exactly-once sinks and failure recovery work the
+standard Structured Streaming way.
+
+Usage (strings only — DSv2 option maps are string-typed)::
+
+    spark.dataSource.register(KafkaNativeDataSource)
+    df = (spark.readStream.format("kafka-native")
+          .option("bootstrap", "host:9092").option("topic", "t")
+          .option("includeHeaders", "true").load())
+
+Columns match Spark's kafka datasource (key/value binary, topic,
+partition, offset, timestamp, timestampType [+ headers]), so downstream
+parsing is transport-agnostic.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+BASE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+HEADERS_COL = ", headers array<struct<key: string, value: binary>>"
+
+
+class KafkaRange(InputPartition):
+    """One kafka partition's [start, end) offset range — the unit of
+    executor-side work for both batch and micro-batch reads."""
+
+    def __init__(self, topic: str, partition: int, start: int, end: int):
+        self.topic = topic
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+def _parse_bootstrap(opts: dict) -> tuple[str, int]:
+    first = str(opts.get("bootstrap", "localhost:9092")).split(",")[0].strip()
+    host, _, port = first.partition(":")
+    return host, int(port or 9092)
+
+
+def _include_headers(opts: dict) -> bool:
+    return str(opts.get("includeheaders", opts.get("includeHeaders", ""))).lower() == "true"
+
+
+def _fetch_range(opts: dict, p: KafkaRange, with_headers: bool):
+    """Executor-side: drain one offset range, yielding schema-shaped
+    tuples. CRC32C verification happens inside the batch decode."""
+    from flinkrunner_spark.util.kafka import KafkaClient
+
+    host, port = _parse_bootstrap(opts)
+    with KafkaClient(host, port) as client:
+        off = p.start
+        while off < p.end:
+            recs, _hwm = client.fetch(p.topic, p.partition, off)
+            if not recs:
+                break
+            for r in recs:
+                if r.offset >= p.end:
+                    break
+                row = (
+                    r.key,
+                    r.value,
+                    p.topic,
+                    p.partition,
+                    r.offset,
+                    datetime.fromtimestamp(r.timestamp_ms / 1e3, timezone.utc),
+                    0,  # CreateTime
+                )
+                if with_headers:
+                    row = row + ([(hk, hv) for hk, hv in r.headers],)
+                yield row
+            off = recs[-1].offset + 1
+
+
+class KafkaNativeBatchReader(DataSourceReader):
+    """Bounded snapshot: end offsets pinned at planning time, one task
+    per kafka partition — a consistent cut no concurrent producer can
+    smear."""
+
+    def __init__(self, opts: dict):
+        self.opts = opts
+        self.with_headers = _include_headers(opts)
+
+    def partitions(self):
+        from flinkrunner_spark.util.kafka import (
+            EARLIEST_TIMESTAMP,
+            LATEST_TIMESTAMP,
+            KafkaClient,
+        )
+
+        host, port = _parse_bootstrap(self.opts)
+        topic = self.opts["topic"]
+        starting = str(self.opts.get("startingoffsets", "earliest")).lower()
+        out = []
+        with KafkaClient(host, port) as c:
+            for p in c.metadata([topic])[0].partitions:
+                lo = c.list_offset(
+                    topic, p.partition,
+                    LATEST_TIMESTAMP if starting == "latest"
+                    else EARLIEST_TIMESTAMP,
+                )
+                hi = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
+                if lo < hi:
+                    out.append(KafkaRange(topic, p.partition, lo, hi))
+        return out or [KafkaRange(topic, 0, 0, 0)]
+
+    def read(self, partition: KafkaRange):
+        yield from _fetch_range(self.opts, partition, self.with_headers)
+
+
+class KafkaNativeStreamReader(DataSourceStreamReader):
+    """True micro-batch source: offsets are a {partition: next_offset}
+    dict the engine checkpoints; each trigger reads [start, latest)
+    split one ``InputPartition`` per kafka partition. State is O(number
+    of partitions) on the driver — nothing buffered, replays come from
+    the broker by offset exactly like the JVM kafka source.
+
+    ``maxOffsetsPerTrigger`` (total across partitions, pro-rated evenly)
+    bounds each micro-batch — the backpressure knob for catch-up reads
+    over a 100 TB-scale retention window. The cap is applied in
+    ``latestOffset`` (admission control), NEVER in ``partitions``:
+    truncating planned ranges after the engine has fixed the batch end
+    would silently drop the truncated offsets from the checkpoint
+    lineage. After a restart the first trigger is uncapped (the
+    checkpointed start is not visible to ``latestOffset``); every
+    subsequent trigger is capped from the last planned end."""
+
+    def __init__(self, opts: dict):
+        self.opts = opts
+        self.with_headers = _include_headers(opts)
+        self.topic = opts["topic"]
+        self.max_per_trigger = int(opts.get("maxoffsetspertrigger", 0)) or None
+        self._cursor: dict | None = None  # last planned end per partition
+
+    def _client(self):
+        from flinkrunner_spark.util.kafka import KafkaClient
+
+        host, port = _parse_bootstrap(self.opts)
+        return KafkaClient(host, port)
+
+    def _offsets(self, position: int) -> dict:
+        with self._client() as c:
+            return {
+                str(p.partition): c.list_offset(self.topic, p.partition, position)
+                for p in c.metadata([self.topic])[0].partitions
+            }
+
+    def initialOffset(self) -> dict:
+        from flinkrunner_spark.util.kafka import (
+            EARLIEST_TIMESTAMP,
+            LATEST_TIMESTAMP,
+        )
+
+        starting = str(self.opts.get("startingoffsets", "earliest")).lower()
+        return self._offsets(
+            LATEST_TIMESTAMP if starting == "latest" else EARLIEST_TIMESTAMP
+        )
+
+    def latestOffset(self) -> dict:
+        from flinkrunner_spark.util.kafka import (
+            EARLIEST_TIMESTAMP,
+            LATEST_TIMESTAMP,
+        )
+
+        latest = self._offsets(LATEST_TIMESTAMP)
+        if self.max_per_trigger:
+            if self._cursor is None:
+                # engine calls may land on a fresh worker, so the cursor
+                # self-initializes here from startingOffsets; after a
+                # restart `partitions` re-syncs it to the checkpointed
+                # start (one possibly-empty trigger, never data loss)
+                starting = str(
+                    self.opts.get("startingoffsets", "earliest")
+                ).lower()
+                self._cursor = self._offsets(
+                    LATEST_TIMESTAMP
+                    if starting == "latest"
+                    else EARLIEST_TIMESTAMP
+                )
+            per_part = max(self.max_per_trigger // max(len(latest), 1), 1)
+            latest = {
+                pid: min(
+                    int(hi), int(self._cursor.get(pid, int(hi))) + per_part
+                )
+                for pid, hi in latest.items()
+            }
+        return latest
+
+    def partitions(self, start: dict, end: dict):
+        self._cursor = {
+            pid: max(int(v), int(start.get(pid, 0)))
+            for pid, v in end.items()
+        }
+        out = []
+        for pid, hi in sorted(end.items(), key=lambda kv: int(kv[0])):
+            lo = int(start.get(pid, 0))
+            if lo < int(hi):
+                out.append(KafkaRange(self.topic, int(pid), lo, int(hi)))
+        return out or [KafkaRange(self.topic, 0, 0, 0)]
+
+    def read(self, partition: KafkaRange):
+        yield from _fetch_range(self.opts, partition, self.with_headers)
+
+    def commit(self, end: dict) -> None:
+        pass  # broker-side offsets are not tracked; the checkpoint is truth
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaNativeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka-native"
+
+    def schema(self) -> str:
+        base = BASE_SCHEMA
+        if _include_headers(self.options):
+            base += HEADERS_COL
+        return base
+
+    def reader(self, schema) -> KafkaNativeBatchReader:
+        return KafkaNativeBatchReader(dict(self.options))
+
+    def streamReader(self, schema) -> KafkaNativeStreamReader:
+        return KafkaNativeStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent registration of the `kafka-native` format."""
+    spark.dataSource.register(KafkaNativeDataSource)
