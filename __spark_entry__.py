@@ -36,14 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-6 rotation: the
-    # FOUR new keys first (kafka_roundtrip over the loopback wire-
-    # protocol broker; rabbitmq_roundtrip over the loopback AMQP
-    # broker; iceberg_catalog_roundtrip over the loopback REST catalog;
+    # SEVEN new keys first (kafka_roundtrip + stream_kafka_roundtrip +
+    # kafka_avro_roundtrip over the loopback wire-protocol broker and
+    # HTTP schema registry; iceberg_delete_roundtrip over position
+    # delete files; rabbitmq_roundtrip over the loopback AMQP broker;
+    # iceberg_catalog_roundtrip over the loopback REST catalog;
     # cassandra_roundtrip over the loopback CQL server),
     # then every key whose implementation files changed since their r5
-    # rows — plans/connectors.py + sinks/sources factories (the seven
-    # existing connector roundtrips, five of which flip their r5
-    # hash-red driver rows green via the BIGINT oracle casts),
+    # rows — plans/connectors.py + sinks/sources factories + iceberg.py
+    # (the seven existing connector roundtrips, five of which flip
+    # their r5 hash-red driver rows green via the BIGINT oracle casts),
     # llm/bpe.py (incremental trainer, 300-merge budget) and
     # operators/graph.py (enforced rounds guard) which re-verifies
     # docs_dup_clusters and its consumer docs_pipeline — then r5-green
@@ -53,11 +55,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampling,filters,spans,mm_transforms}.py, plans/{analytics,events,
     # docstreams}.py and streaming/pipelines.py are byte-identical to
     # their r4/r5-verified state (round-6 additions live in new modules
-    # — util/{amqp,cql}.py, iceberg_rest.py, testing.py).
+    # — util/{amqp,cql,kafka}.py, iceberg_rest.py, testing.py,
+    # sources/kafka_datasource.py, serde/registry.py).
     return {
         # —— NEW this round ——
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
+        "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,
         "iceberg_delete_roundtrip": connectors.iceberg_delete_roundtrip,
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
@@ -111,9 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": llm_vocab.docs_tfidf,
         "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
         "docs_gopher_rules": llm_filters.docs_gopher_rules,
         "docs_badwords": llm_filters.docs_badwords,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "emb_decontaminate": similarity.emb_decontaminate,

@@ -542,3 +542,53 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(parsed)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → confluent-avro values resolved through a REAL
+    Schema Registry over HTTP (`serde/registry.HttpSchemaRegistry`
+    against the loopback registry — subject registration, canonical-id
+    assignment, basic auth) → native kafka produce → native read → a
+    COLD registry client resolves the frame's schema id back over the
+    wire → Avro decode → per-language profile. Exactly oracled: the
+    registry wire format (magic byte + schema id), the Avro binary
+    encoding and the kafka record batches must all round-trip losslessly.
+    Reference parity for the schema.registry.url path of
+    `serde/ConfluentAvroRegistryKafkaRecordSerializationSchema.scala` —
+    previously only the in-memory registry seam was exercised."""
+    from flinkrunner_spark import serde
+    from flinkrunner_spark.serde.registry import HttpSchemaRegistry
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import (
+        LoopbackKafkaBroker,
+        LoopbackSchemaRegistry,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackSchemaRegistry(auth="rt:secret") as reg:
+        with LoopbackKafkaBroker(num_partitions=4) as broker:
+            KafkaSinkConfig(
+                "rt",
+                {"connector": "kafka", "transport": "native",
+                 "bootstrap.servers": f"localhost:{broker.port}",
+                 "topic": "docs_avro_rt", "key.column": "doc_id",
+                 "value.format": "confluent-avro",
+                 "schema.registry.url": reg.uri,
+                 "schema.registry.auth": "rt:secret"},
+            ).write(docs)
+            back = KafkaSourceConfig(
+                "rt",
+                {"connector": "kafka", "transport": "native",
+                 "bootstrap.servers": f"localhost:{broker.port}",
+                 "topic": "docs_avro_rt"},
+            ).load(spark)
+            cold = HttpSchemaRegistry(reg.uri, auth="rt:secret")
+            parsed = serde.confluent_avro_decode(
+                back, cold, "docs_avro_rt-value"
+            )
+            profile = _lang_profile(parsed)
+            rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

@@ -186,12 +186,21 @@ class KafkaSinkConfig(SinkConfig):
                 )
             elif vfmt == "confluent-avro":
                 from flinkrunner_spark import serde
+                from flinkrunner_spark.serde.registry import (
+                    registry_from_conf,
+                )
 
-                registry = getattr(self, "schema_registry", None)
+                # injected client first (the reference's
+                # schemaRegistryClientOpt seam), else the HTTP client
+                # from schema.registry.url — the reference's config key
+                registry = getattr(
+                    self, "schema_registry", None
+                ) or registry_from_conf(self.conf)
                 if registry is None:
                     raise ValueError(
                         "confluent-avro value.format needs a "
-                        "schema_registry on the sink config"
+                        "schema_registry on the sink config or a "
+                        "schema.registry.url conf entry"
                     )
                 subject = f"{self.conf.get('topic', self.name)}-value"
                 # key AND header source columns pass through the encode in

@@ -683,9 +683,6 @@ class RabbitMQSourceConfig(SourceConfig):
         if not queue:
             raise ValueError(f"rabbitmq source {self.name} requires 'queue'")
         max_messages = int(self.conf.get("max.messages", 1_000_000))
-        no_ack = not bool(self.conf.get("use.correlation.id", False)) and (
-            not self.conf.get("ack", True)
-        )
 
         def drain(it):
             import pandas as pd
@@ -695,10 +692,15 @@ class RabbitMQSourceConfig(SourceConfig):
             rows = []
             for _pdf in it:
                 with AmqpClient(uri) as c:
-                    while len(rows) < max_messages:
-                        msg = c.get(queue, no_ack=no_ack)
-                        if msg is None:
-                            break
+                    # push-mode drain: queue.declare-ok's message_count
+                    # pins the snapshot depth, basic.consume streams it
+                    # with ONE start roundtrip + one multi-ack per
+                    # prefetch window — not 2 wire roundtrips per
+                    # message (the basic.get loop cost that dominated
+                    # at 60k+ messages)
+                    depth = c.queue_declare(queue)
+                    count = min(depth, max_messages)
+                    for msg in c.consume_drain(queue, count):
                         rows.append((
                             queue,
                             msg.routing_key,
@@ -707,8 +709,6 @@ class RabbitMQSourceConfig(SourceConfig):
                             msg.properties.get("message_id"),
                             msg.body.decode("utf-8", errors="replace"),
                         ))
-                        if not no_ack:
-                            c.ack(msg.delivery_tag)
             yield pd.DataFrame(
                 rows,
                 columns=[

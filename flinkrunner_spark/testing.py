@@ -26,7 +26,10 @@ from flinkrunner_spark.util import amqp as A
 class LoopbackAmqpBroker:
     """AMQP 0-9-1 broker core: PLAIN handshake, queue.declare,
     basic.publish (messages stored per queue), basic.get (FIFO serve),
-    basic.ack. Thread-per-connection; state under one lock."""
+    basic.qos / basic.consume / basic.cancel (push deliveries bounded
+    by the prefetch window, multi-ack handling, un-acked requeue on
+    connection drop), basic.ack. Thread-per-connection; state under
+    one lock."""
 
     def __init__(self):
         import socketserver
@@ -63,6 +66,11 @@ class LoopbackAmqpBroker:
 
     def _serve(self, sock):
         buf = b""
+        # per-connection consumer state
+        prefetch = [0]  # 0 = unlimited
+        consuming = [None]  # (queue, consumer_tag) while active
+        next_tag = [1]
+        unacked: dict[int, tuple] = {}  # tag -> (queue, props, body)
 
         def read_frame():
             nonlocal buf
@@ -76,6 +84,56 @@ class LoopbackAmqpBroker:
                     if not chunk:
                         return None
                     buf += chunk
+
+        def push_deliveries(channel: int):
+            """Deliver while the prefetch window has room — the consume
+            flow-control loop a real broker runs."""
+            if consuming[0] is None:
+                return
+            q, ctag = consuming[0]
+            while True:
+                with self.lock:
+                    window_full = (
+                        prefetch[0] and len(unacked) >= prefetch[0]
+                    )
+                    msgs = self.queues.setdefault(q, [])
+                    if window_full or not msgs:
+                        return
+                    props, body = msgs.pop(0)
+                    tag = next_tag[0]
+                    next_tag[0] += 1
+                    unacked[tag] = (q, props, body)
+                sock.sendall(
+                    A.method_frame(
+                        channel,
+                        A.BASIC,
+                        A.BASIC_DELIVER,
+                        A.shortstr(ctag)
+                        + struct.pack(">QB", tag, 0)
+                        + A.shortstr("")
+                        + A.shortstr(q),
+                    )
+                    + A.content_header_frame(
+                        channel,
+                        len(body),
+                        content_type=props.get("content_type"),
+                        delivery_mode=props.get("delivery_mode"),
+                        correlation_id=props.get("correlation_id"),
+                        message_id=props.get("message_id"),
+                    )
+                    + b"".join(A.body_frames(channel, body, 131072))
+                )
+
+        def requeue_unacked():
+            if unacked:
+                with self.lock:
+                    # FIFO-front requeue in tag order: redelivery order
+                    for tag in sorted(unacked, reverse=True):
+                        q, props, body = unacked[tag]
+                        self.queues.setdefault(q, []).insert(
+                            0, (props, body)
+                        )
+                    unacked.clear()
 
         hdr = b""
         while len(hdr) < 8:
@@ -100,6 +158,7 @@ class LoopbackAmqpBroker:
         while True:
             fr = read_frame()
             if fr is None:
+                requeue_unacked()
                 return
             if fr.type != A.FRAME_METHOD:
                 continue
@@ -190,9 +249,45 @@ class LoopbackAmqpBroker:
                         )
                         + b"".join(A.body_frames(fr.channel, body, 131072))
                     )
+            elif key == (A.BASIC, A.BASIC_QOS):
+                prefetch[0] = struct.unpack_from(">H", fr.args, 4)[0]
+                sock.sendall(
+                    A.method_frame(fr.channel, A.BASIC, A.BASIC_QOS_OK)
+                )
+            elif key == (A.BASIC, A.BASIC_CONSUME):
+                n = fr.args[2]
+                q = fr.args[3 : 3 + n].decode()
+                off = 3 + n
+                m = fr.args[off]
+                ctag = fr.args[off + 1 : off + 1 + m].decode() or "ctag-1"
+                consuming[0] = (q, ctag)
+                sock.sendall(
+                    A.method_frame(
+                        fr.channel, A.BASIC, A.BASIC_CONSUME_OK,
+                        A.shortstr(ctag),
+                    )
+                )
+                push_deliveries(fr.channel)
+            elif key == (A.BASIC, A.BASIC_CANCEL):
+                n = fr.args[0]
+                ctag = fr.args[1 : 1 + n].decode()
+                consuming[0] = None
+                sock.sendall(
+                    A.method_frame(
+                        fr.channel, A.BASIC, A.BASIC_CANCEL_OK,
+                        A.shortstr(ctag),
+                    )
+                )
             elif key == (A.BASIC, A.BASIC_ACK):
-                pass
+                tag, multiple = struct.unpack_from(">QB", fr.args, 0)
+                if multiple:
+                    for t in [t for t in unacked if t <= tag]:
+                        unacked.pop(t, None)
+                else:
+                    unacked.pop(tag, None)
+                push_deliveries(fr.channel)
             elif key == (A.CONNECTION, A.CONNECTION_CLOSE):
+                requeue_unacked()
                 sock.sendall(
                     A.method_frame(0, A.CONNECTION, A.CONNECTION_CLOSE_OK)
                 )
@@ -820,3 +915,152 @@ class LoopbackKafkaBroker:
                 out += struct.pack(">i", 0)  # aborted txns
                 out += K.enc_bytes(record_set)
         return out
+
+
+class LoopbackSchemaRegistry:
+    """Confluent Schema Registry core over real HTTP: POST
+    /subjects/{s}/versions (canonical-schema dedup — identical schemas
+    get one global id, like the real registry), GET /schemas/ids/{id},
+    GET /subjects/{s}/versions/latest, with the registry's v1 error
+    bodies (40401 unknown subject, 40403 unknown id) and optional basic
+    auth. Backed by `avro_codec.LocalSchemaRegistry`, so the server
+    dedups/parses with the SAME codec the client encodes against."""
+
+    def __init__(self, auth: str | None = None):
+        from http.server import BaseHTTPRequestHandler
+
+        # raw Avro JSON by id (the wire serves real schemas); ids dedup
+        # on the CANONICAL PARSED form, computed with the same tested
+        # codec (`avro_codec.parse_schema`) the clients encode against
+        self._by_id: dict[int, dict] = {}
+        self._by_subject: dict[str, int] = {}
+        self._canon: dict[str, int] = {}
+        self._next = 1
+        self.auth = auth
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header(
+                    "Content-Type", "application/vnd.schemaregistry.v1+json"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authed(self):
+                if srv.auth is None:
+                    return True
+                import base64 as _b64
+
+                want = "Basic " + _b64.b64encode(srv.auth.encode()).decode()
+                if self.headers.get("Authorization") != want:
+                    self._json(
+                        401, {"error_code": 401, "message": "unauthorized"}
+                    )
+                    return False
+                return True
+
+            def do_GET(self):
+                if not self._authed():
+                    return
+                parts = self.path.strip("/").split("/")
+                with srv.lock:
+                    if parts[:2] == ["schemas", "ids"] and len(parts) == 3:
+                        sid = int(parts[2])
+                        if sid not in srv._by_id:
+                            return self._json(
+                                404,
+                                {"error_code": 40403,
+                                 "message": f"Schema {sid} not found"},
+                            )
+                        return self._json(
+                            200, {"schema": json.dumps(srv._by_id[sid])}
+                        )
+                    if (
+                        parts[:1] == ["subjects"]
+                        and len(parts) == 4
+                        and parts[2] == "versions"
+                        and parts[3] == "latest"
+                    ):
+                        subject = parts[1]
+                        if subject not in srv._by_subject:
+                            return self._json(
+                                404,
+                                {"error_code": 40401,
+                                 "message": f"Subject '{subject}' not found."},
+                            )
+                        sid = srv._by_subject[subject]
+                        return self._json(
+                            200,
+                            {
+                                "subject": subject,
+                                "version": 1,
+                                "id": sid,
+                                "schema": json.dumps(srv._by_id[sid]),
+                            },
+                        )
+                return self._json(404, {"error": self.path})
+
+            def do_POST(self):
+                if not self._authed():
+                    return
+                parts = self.path.strip("/").split("/")
+                if (
+                    parts[:1] == ["subjects"]
+                    and len(parts) == 3
+                    and parts[2] == "versions"
+                ):
+                    from flinkrunner_spark.serde.avro_codec import (
+                        parse_schema,
+                    )
+
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n).decode())
+                    try:
+                        schema = json.loads(body["schema"])
+                        canon = json.dumps(
+                            parse_schema(schema), sort_keys=True
+                        )
+                    except (KeyError, ValueError):
+                        return self._json(
+                            422,
+                            {"error_code": 42201,
+                             "message": "Invalid schema"},
+                        )
+                    with srv.lock:
+                        sid = srv._canon.get(canon)
+                        if sid is None:
+                            sid = srv._next
+                            srv._next += 1
+                            srv._canon[canon] = sid
+                            srv._by_id[sid] = schema
+                        srv._by_subject[parts[1]] = sid
+                    return self._json(200, {"id": sid})
+                return self._json(404, {"error": self.path})
+
+        from http.server import ThreadingHTTPServer as _T
+
+        self.lock = threading.Lock()
+        self.server = _T(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    @property
+    def uri(self) -> str:
+        return f"http://localhost:{self.port}"
+
+    def __enter__(self) -> "LoopbackSchemaRegistry":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()

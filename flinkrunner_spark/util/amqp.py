@@ -50,7 +50,14 @@ CHANNEL_CLOSE = 40
 CHANNEL_CLOSE_OK = 41
 QUEUE_DECLARE = 10
 QUEUE_DECLARE_OK = 11
+BASIC_QOS = 10
+BASIC_QOS_OK = 11
+BASIC_CONSUME = 20
+BASIC_CONSUME_OK = 21
+BASIC_CANCEL = 30
+BASIC_CANCEL_OK = 31
 BASIC_PUBLISH = 40
+BASIC_DELIVER = 60
 BASIC_GET = 70
 BASIC_GET_OK = 71
 BASIC_GET_EMPTY = 72
@@ -321,6 +328,23 @@ def parse_get_ok_args(args: bytes) -> GetOk:
     return GetOk(tag, redelivered, exchange, rk, count)
 
 
+def parse_deliver_args(args: bytes) -> GetOk:
+    """basic.deliver → the same message shape as get-ok (consumer-tag
+    skipped, message_count absent on push deliveries)."""
+    n = args[0]
+    off = 1 + n  # consumer-tag
+    (tag,) = struct.unpack_from(">Q", args, off)
+    off += 8
+    redelivered = bool(args[off])
+    off += 1
+    n = args[off]
+    exchange = args[off + 1 : off + 1 + n].decode()
+    off += 1 + n
+    n = args[off]
+    rk = args[off + 1 : off + 1 + n].decode()
+    return GetOk(tag, redelivered, exchange, rk, 0)
+
+
 def parse_content_header(payload: bytes) -> tuple[int, dict]:
     """Content header payload → (body size, decoded basic properties)."""
     _cls, _wt, size, flags = struct.unpack_from(">HHQH", payload, 0)
@@ -543,12 +567,106 @@ class AmqpClient:
         msg.body = body
         return msg
 
-    def ack(self, delivery_tag: int):
+    def ack(self, delivery_tag: int, multiple: bool = False):
         self._send(
             method_frame(
-                1, BASIC, BASIC_ACK, struct.pack(">QB", delivery_tag, 0)
+                1, BASIC, BASIC_ACK,
+                struct.pack(">QB", delivery_tag, 1 if multiple else 0),
             )
         )
+
+    def qos(self, prefetch_count: int):
+        """basic.qos — bound in-flight unacked deliveries (the consume
+        flow-control window)."""
+        self._send(
+            method_frame(
+                1, BASIC, BASIC_QOS,
+                struct.pack(">IHB", 0, prefetch_count, 0),
+            )
+        )
+        self._expect(BASIC, BASIC_QOS_OK)
+
+    def _read_delivery(self) -> GetOk:
+        fr = self._read_frame()
+        if (fr.class_id, fr.method_id) != (BASIC, BASIC_DELIVER):
+            raise AmqpError(
+                f"expected basic.deliver, got ({fr.class_id},{fr.method_id})"
+            )
+        msg = parse_deliver_args(fr.args)
+        hdr = self._read_frame()
+        if hdr.type != FRAME_HEADER:
+            raise AmqpError("expected content header after deliver")
+        size, props = parse_content_header(hdr.payload)
+        msg.properties = props
+        body = b""
+        while len(body) < size:
+            bf = self._read_frame()
+            if bf.type != FRAME_BODY:
+                raise AmqpError("expected content body frame")
+            body += bf.payload
+        msg.body = body
+        return msg
+
+    def consume_drain(
+        self,
+        queue: str,
+        count: int,
+        prefetch: int = 500,
+        ack_every: int = 500,
+    ):
+        """Drain exactly ``count`` messages via basic.consume — the push
+        path: ONE roundtrip to start plus one multi-ack frame per
+        ``ack_every`` deliveries, vs the 2-roundtrips-PER-MESSAGE cost
+        of a basic.get poll loop (the difference between O(count) wire
+        latencies and O(count / ack_every)). ``count`` normally comes
+        from queue.declare-ok's message_count — the broker's own depth
+        snapshot. Yields messages; if the consumer abandons the
+        generator early, un-acked deliveries requeue on connection
+        close (standard AMQP semantics)."""
+        if prefetch:
+            # acking less often than the window refills would deadlock
+            # the flow-control loop: broker waits for an ack, we wait
+            # for a delivery
+            ack_every = min(ack_every, prefetch)
+        self.qos(prefetch)
+        self._send(
+            method_frame(
+                1, BASIC, BASIC_CONSUME,
+                struct.pack(">H", 0)
+                + shortstr(queue)
+                + shortstr("")  # server-assigned consumer tag
+                + struct.pack("B", 0)  # no-local|no-ack|exclusive|nowait
+                + field_table(None),
+            )
+        )
+        ok = self._expect(BASIC, BASIC_CONSUME_OK)
+        n = ok.args[0]
+        tag = ok.args[1 : 1 + n].decode()
+        got = 0
+        last = 0
+        while got < count:
+            msg = self._read_delivery()
+            got += 1
+            last = msg.delivery_tag
+            if got % ack_every == 0:
+                self.ack(last, multiple=True)
+            yield msg
+        if count % ack_every:
+            self.ack(last, multiple=True)
+        self._send(
+            method_frame(
+                1, BASIC, BASIC_CANCEL,
+                shortstr(tag) + struct.pack("B", 0),
+            )
+        )
+        # deliveries already pushed inside the prefetch window may
+        # arrive before cancel-ok; leave them un-acked (they requeue)
+        while True:
+            fr = self._read_frame()
+            if fr.type == FRAME_METHOD and (
+                fr.class_id, fr.method_id
+            ) == (BASIC, BASIC_CANCEL_OK):
+                break
 
     def close(self):
         if self._sock is None:
