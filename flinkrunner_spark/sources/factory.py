@@ -115,96 +115,37 @@ class KafkaSourceConfig(SourceConfig):
 
     def _load_native(self, spark: SparkSession) -> DataFrame:
         """Jar-free BOUNDED snapshot read over the pure-Python wire
-        client (`util/kafka`) — the kafka-partition-parallel shape the
-        Flink consumer uses (reference KafkaSourceConfig.scala:1-133):
-        the driver makes exactly two tiny calls (Metadata + ListOffsets
-        per partition) to pin [start, end) offset ranges, then a
-        mapInPandas stage — one Spark task per kafka partition — fetches
-        and CRC-verifies v2 record batches executor-side. Columns match
-        the Spark kafka datasource (key/value binary, topic, partition,
-        offset, timestamp, timestampType [+ headers with
-        ``includeHeaders``]), so downstream parsing is transport-
-        agnostic. End offsets are captured at plan time: the read is a
-        consistent snapshot no concurrent producer can smear."""
-        from flinkrunner_spark.util.kafka import (
-            EARLIEST_TIMESTAMP,
-            LATEST_TIMESTAMP,
-            KafkaClient,
-        )
+        client (`util/kafka`) through the `kafka-native` Python Data
+        Source (`sources/kafka_datasource`) — the kafka-partition-
+        parallel shape the Flink consumer uses (reference
+        KafkaSourceConfig.scala:1-133): the driver makes tiny Metadata +
+        ListOffsets calls to pin [start, end) offset ranges, then one
+        Spark task per kafka partition fetches and CRC-verifies v2
+        record batches executor-side. Columns match the Spark kafka
+        datasource (key/value binary, topic, partition, offset,
+        timestamp, timestampType [+ headers with ``includeHeaders``]),
+        so downstream parsing is transport-agnostic. End offsets are
+        captured at plan time: the read is a consistent snapshot no
+        concurrent producer can smear."""
+        from flinkrunner_spark.sources import kafka_datasource as KD
 
+        KD.register(spark)
         host, port = self._bootstrap()
-        topic = self.conf.get("topic", self.name)
         include_headers = bool(self.conf.get("headers")) or str(
             self.conf.get("options", {}).get("includeHeaders", "")
         ).lower() == "true"
-        starting = self.conf.get("starting.offsets", "earliest")
-        with KafkaClient(host, port) as c:
-            parts = c.metadata([topic])[0].partitions
-            specs = []
-            for p in parts:
-                lo = c.list_offset(
-                    topic, p.partition,
-                    LATEST_TIMESTAMP if starting == "latest"
-                    else EARLIEST_TIMESTAMP,
-                )
-                hi = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
-                specs.append((topic, p.partition, lo, hi))
-
-        spec_df = spark.createDataFrame(
-            specs, "topic string, partition int, start_off long, end_off long"
-        ).repartition(max(len(specs), 1), "partition")
-        schema = (
-            "key binary, value binary, topic string, partition int, "
-            "offset long, timestamp timestamp, timestampType int"
+        reader = (
+            spark.read.format("kafka-native")
+            .option("bootstrap", f"{host}:{port}")
+            .option("topic", self.conf.get("topic", self.name))
+            .option(
+                "startingOffsets",
+                str(self.conf.get("starting.offsets", "earliest")),
+            )
         )
         if include_headers:
-            schema += ", headers array<struct<key: string, value: binary>>"
-
-        def fetch_partitions(batches):
-            import pandas as pd
-
-            from flinkrunner_spark.util.kafka import KafkaClient as _C
-
-            for pdf in batches:
-                for topic_, pid, lo, hi in zip(
-                    pdf["topic"], pdf["partition"],
-                    pdf["start_off"], pdf["end_off"],
-                ):
-                    if lo >= hi:
-                        continue
-                    rows = []
-                    with _C(host, port) as client:
-                        off = int(lo)
-                        while off < int(hi):
-                            recs, _hwm = client.fetch(topic_, int(pid), off)
-                            if not recs:
-                                break
-                            for r in recs:
-                                if r.offset >= hi:
-                                    break
-                                row = [
-                                    r.key, r.value, topic_, int(pid),
-                                    r.offset,
-                                    pd.Timestamp(r.timestamp_ms, unit="ms"),
-                                    0,
-                                ]
-                                if include_headers:
-                                    row.append(
-                                        [
-                                            {"key": hk, "value": hv}
-                                            for hk, hv in r.headers
-                                        ]
-                                    )
-                                rows.append(row)
-                            off = recs[-1].offset + 1
-                    cols = [
-                        "key", "value", "topic", "partition", "offset",
-                        "timestamp", "timestampType",
-                    ] + (["headers"] if include_headers else [])
-                    if rows:
-                        yield pd.DataFrame(rows, columns=cols)
-
-        return spec_df.mapInPandas(fetch_partitions, schema)
+            reader = reader.option("includeHeaders", "true")
+        return reader.load()
 
     def _load_native_stream(self, spark: SparkSession) -> DataFrame:
         """TRUE streaming over the jar-free transport: the
