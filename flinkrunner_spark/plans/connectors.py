@@ -592,3 +592,54 @@ def kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             profile = _lang_profile(parsed)
             rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def stream_rabbitmq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → AMQP publish → STREAMING read through the
+    `rabbitmq-native` Simple stream reader (basic.consume deliveries
+    held un-acked until each engine commit; per-read cap forcing a
+    multi-batch catch-up; the reference's parallelism-1 consumer shape,
+    RabbitMQSourceConfig.scala:27-66) → per-language profile. Exactly
+    oracled against the original parquet: batch seams must neither
+    lose nor duplicate a message for the profile to match. The
+    streaming twin of `rabbitmq_roundtrip`."""
+    from flinkrunner_spark.sinks.factory import RabbitMQSinkConfig
+    from flinkrunner_spark.sources.factory import RabbitMQSourceConfig
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n_docs = docs.count()
+    with LoopbackAmqpBroker() as broker:
+        RabbitMQSinkConfig(
+            "rt",
+            {"connector": "rabbitmq", "uri": broker.uri,
+             "queue": "docs_stream_rt", "use.correlation.id": True,
+             "correlation.id.column": "doc_id"},
+        ).write(docs)
+        sdf = RabbitMQSourceConfig(
+            "rt",
+            {"connector": "rabbitmq", "uri": broker.uri,
+             "queue": "docs_stream_rt", "streaming": True,
+             "schema": ("doc_id long, text string, lang string, "
+                        "source string, n_chars int"),
+             # ≥3 catch-up micro-batches at any sf ≥ 0.001
+             "max.messages.per.read": max(n_docs // 3, 64)},
+        ).load(spark)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("q_rabbitmq_stream_rt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.sql(
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM q_rabbitmq_stream_rt"
+        )
+        profile = _lang_profile(back)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

@@ -1475,6 +1475,7 @@ ORACLES["cassandra_roundtrip"] = _LPO
 ORACLES["kafka_roundtrip"] = _LPO
 ORACLES["stream_kafka_roundtrip"] = _LPO
 ORACLES["kafka_avro_roundtrip"] = _LPO
+ORACLES["stream_rabbitmq_roundtrip"] = _LPO
 
 # r6: position-delete roundtrip — survivors of a row-level DELETE equal
 # the original parquet under the same predicate

@@ -606,13 +606,40 @@ class RabbitMQSourceConfig(SourceConfig):
         "correlation_id string, message_id string, value string"
     )
 
+    def _load_stream(self, spark: SparkSession) -> DataFrame:
+        """TRUE streaming via the `rabbitmq-native` Python Data Source
+        (`sources/rabbitmq_datasource`): single-consumer driver-side
+        reads (the reference's parallelism-1 mandate), basic.consume
+        deliveries held un-acked until the engine COMMITS each batch —
+        a crash requeues them at the broker. Restart redeliveries are
+        at-least-once by queue semantics; with ``use.correlation.id``
+        the reference dedups them back to exactly-once — do the same
+        downstream (dropDuplicates on correlation_id, or
+        SBFDeduplicationFilter for unbounded streams)."""
+        from flinkrunner_spark.sources import rabbitmq_datasource as RD
+
+        RD.register(spark)
+        reader = (
+            spark.readStream.format("rabbitmq-native")
+            .option("uri", self.conf["uri"])
+            .option("queue", self.conf.get("queue", self.name))
+        )
+        mpr = self.conf.get("max.messages.per.read")
+        if mpr:
+            reader = reader.option("maxMessagesPerRead", str(mpr))
+        out = reader.load()
+        ddl = self.conf.get("schema")
+        if ddl:
+            from pyspark.sql import functions as F
+
+            out = out.select(
+                "queue",
+                "correlation_id",
+                F.from_json("value", ddl).alias("r"),
+            ).select("queue", "correlation_id", "r.*")
+        return out
+
     def load(self, spark: SparkSession) -> DataFrame:
-        if self.streaming:
-            raise NotImplementedError(
-                "streaming rabbitmq needs a push consumer (basic.consume "
-                "with a long-lived channel); the fallback offers bounded "
-                "snapshot reads (poll load() per batch)"
-            )
         uri = self.conf.get("uri")
         if not uri:
             raise NotImplementedError(
@@ -623,6 +650,8 @@ class RabbitMQSourceConfig(SourceConfig):
         queue = self.conf.get("queue")
         if not queue:
             raise ValueError(f"rabbitmq source {self.name} requires 'queue'")
+        if self.streaming:
+            return self._apply_watermark(self._load_stream(spark))
         max_messages = int(self.conf.get("max.messages", 1_000_000))
 
         def drain(it):

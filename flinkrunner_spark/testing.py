@@ -286,6 +286,16 @@ class LoopbackAmqpBroker:
                 else:
                     unacked.pop(tag, None)
                 push_deliveries(fr.channel)
+            elif key == (A.BASIC, A.BASIC_REJECT):
+                tag, requeue = struct.unpack_from(">QB", fr.args, 0)
+                item = unacked.pop(tag, None)
+                if item is not None and requeue:
+                    q, props, body = item
+                    with self.lock:
+                        self.queues.setdefault(q, []).insert(
+                            0, (props, body)
+                        )
+                push_deliveries(fr.channel)
             elif key == (A.CONNECTION, A.CONNECTION_CLOSE):
                 requeue_unacked()
                 sock.sendall(

@@ -58,6 +58,7 @@ BASIC_CANCEL = 30
 BASIC_CANCEL_OK = 31
 BASIC_PUBLISH = 40
 BASIC_DELIVER = 60
+BASIC_REJECT = 90
 BASIC_GET = 70
 BASIC_GET_OK = 71
 BASIC_GET_EMPTY = 72
@@ -607,12 +608,22 @@ class AmqpClient:
         msg.body = body
         return msg
 
+    def reject(self, delivery_tag: int, requeue: bool = True):
+        """basic.reject — return (or drop) one un-acked delivery."""
+        self._send(
+            method_frame(
+                1, BASIC, BASIC_REJECT,
+                struct.pack(">QB", delivery_tag, 1 if requeue else 0),
+            )
+        )
+
     def consume_drain(
         self,
         queue: str,
         count: int,
         prefetch: int = 500,
         ack_every: int = 500,
+        ack: bool = True,
     ):
         """Drain exactly ``count`` messages via basic.consume — the push
         path: ONE roundtrip to start plus one multi-ack frame per
@@ -622,12 +633,26 @@ class AmqpClient:
         from queue.declare-ok's message_count — the broker's own depth
         snapshot. Yields messages; if the consumer abandons the
         generator early, un-acked deliveries requeue on connection
-        close (standard AMQP semantics)."""
-        if prefetch:
+        close (standard AMQP semantics).
+
+        ``ack=False`` delivers WITHOUT acking (prefetch must be 0 /
+        unlimited, or ≥ count, or the un-refilled window deadlocks) —
+        the ack-on-commit shape a checkpointing streaming reader needs:
+        the caller acks later with ``ack(tag, multiple=True)`` on this
+        SAME connection, and a crash before that ack requeues
+        everything. Deliveries that race past ``count`` before
+        cancel-ok are basic.reject'ed back to the queue either way —
+        never left dangling un-acked."""
+        if ack and prefetch:
             # acking less often than the window refills would deadlock
             # the flow-control loop: broker waits for an ack, we wait
             # for a delivery
             ack_every = min(ack_every, prefetch)
+        if not ack and prefetch and prefetch < count:
+            raise AmqpError(
+                "ack=False with prefetch < count would deadlock: the "
+                "window never refills without acks"
+            )
         self.qos(prefetch)
         self._send(
             method_frame(
@@ -648,10 +673,10 @@ class AmqpClient:
             msg = self._read_delivery()
             got += 1
             last = msg.delivery_tag
-            if got % ack_every == 0:
+            if ack and got % ack_every == 0:
                 self.ack(last, multiple=True)
             yield msg
-        if count % ack_every:
+        if ack and count % ack_every:
             self.ack(last, multiple=True)
         self._send(
             method_frame(
@@ -659,14 +684,24 @@ class AmqpClient:
                 shortstr(tag) + struct.pack("B", 0),
             )
         )
-        # deliveries already pushed inside the prefetch window may
-        # arrive before cancel-ok; leave them un-acked (they requeue)
+        # deliveries already pushed inside the prefetch window may race
+        # past `count` before cancel-ok lands: read each one fully and
+        # basic.reject it back to the queue (leaving them un-acked
+        # would strand them until connection close)
         while True:
             fr = self._read_frame()
-            if fr.type == FRAME_METHOD and (
-                fr.class_id, fr.method_id
-            ) == (BASIC, BASIC_CANCEL_OK):
+            if fr.type != FRAME_METHOD:
+                continue
+            if (fr.class_id, fr.method_id) == (BASIC, BASIC_CANCEL_OK):
                 break
+            if (fr.class_id, fr.method_id) == (BASIC, BASIC_DELIVER):
+                stray = parse_deliver_args(fr.args)
+                hdr = self._read_frame()
+                size, _props = parse_content_header(hdr.payload)
+                skipped = 0
+                while skipped < size:
+                    skipped += len(self._read_frame().payload)
+                self.reject(stray.delivery_tag, requeue=True)
 
     def close(self):
         if self._sock is None:
