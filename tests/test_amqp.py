@@ -183,12 +183,14 @@ def test_rabbitmq_source_gates(spark):
         source_from_config(
             "r", {"connector": "rabbitmq", "queue": "q"}
         ).load(spark)
-    with pytest.raises(NotImplementedError, match="push consumer"):
-        source_from_config(
-            "r",
-            {"connector": "rabbitmq", "queue": "q",
-             "uri": "amqp://x", "streaming": True},
-        ).load(spark)
+    # streaming is now a real path (rabbitmq-native reader): the plan
+    # builds lazily — no broker contact until the query starts
+    sdf = source_from_config(
+        "r",
+        {"connector": "rabbitmq", "queue": "q",
+         "uri": "amqp://x", "streaming": True},
+    ).load(spark)
+    assert sdf.isStreaming
 
 
 def test_rabbitmq_sink_source_e2e_loopback(spark):
