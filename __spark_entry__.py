@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "stream_rabbitmq_roundtrip": connectors.stream_rabbitmq_roundtrip,
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
+        "iceberg_glue_roundtrip": connectors.iceberg_glue_roundtrip,
         "cassandra_roundtrip": connectors.cassandra_roundtrip,
         # —— plans/connectors.py changed (BIGINT oracle casts — the r5
         # verdict's top item; all seven re-verify) ——
@@ -114,8 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_session_append": events.stream_win_session_append,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
-        "docs_stratified_sample": sampling.docs_stratified_sample,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_gopher_rules": llm_filters.docs_gopher_rules,
         "docs_badwords": llm_filters.docs_badwords,

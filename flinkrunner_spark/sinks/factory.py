@@ -520,8 +520,21 @@ class IcebergSinkConfig(SinkConfig):
         catalog (`catalog.uri`): first write registers the table, later
         appends push add-snapshot/set-snapshot-ref commits — keeping
         catalog readers (trino, other spark clusters) at the same tip
-        as the version-hint. No catalog configured → filesystem-only,
-        unchanged behavior."""
+        as the version-hint. ``catalog.type: glue`` publishes the
+        iceberg-on-glue metadata_location pointer instead (CreateTable
+        first, compare-then-swap UpdateTable after — `glue_catalog`).
+        No catalog configured → filesystem-only, unchanged behavior."""
+        if str(self.conf.get("catalog.type", "")).lower() == "glue":
+            from flinkrunner_spark.glue_catalog import glue_from_conf
+
+            cat = glue_from_conf(self.conf)
+            db = self.conf.get("namespace", "default")
+            table = self.conf.get("table", self.name)
+            if not md_before:
+                cat.register_fs_table(db, table, t)
+            else:
+                cat.commit_swap(db, table, t)
+            return
         uri = self.conf.get("catalog.uri")
         if not uri:
             return

@@ -320,6 +320,17 @@ class IcebergSourceConfig(SourceConfig):
         if path is None and "/" in str(table):
             path = table
         cat_type = str(self.conf.get("catalog.type", "")).lower()
+        if path is None and cat_type == "glue":
+            # reference IcebergCommonConfig.scala:14-78 routes
+            # catalog.type 'glue' to the iceberg-aws GlueCatalog; the
+            # pure-Python client resolves Parameters.metadata_location
+            # and the filesystem reader takes over.
+            from flinkrunner_spark.glue_catalog import glue_from_conf
+
+            cat = glue_from_conf(self.conf)
+            path = cat.table_location(
+                self.conf.get("namespace", "default"), table
+            )
         if path is None and cat_type in ("rest", "iceberg"):
             # reference IcebergCommonConfig.scala:56-76 routes
             # catalog.type 'iceberg' to the RESTCatalog impl; here the

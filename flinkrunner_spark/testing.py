@@ -1074,3 +1074,125 @@ class LoopbackSchemaRegistry:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class LoopbackGlueCatalog:
+    """AWS Glue Data Catalog core over real HTTP: the x-amz-json-1.1
+    POST dispatch (`X-Amz-Target: AWSGlue.<Op>`) for GetDatabase /
+    CreateDatabase / GetTable / CreateTable / UpdateTable with Glue's
+    error envelopes (EntityNotFoundException / AlreadyExistsException),
+    requiring a SigV4 Authorization header on every call (presence +
+    credential-scope service check — full signature verification is the
+    signer's own test surface, `tests/test_aws_signer.py`). Backs the
+    iceberg-on-glue convention: Parameters.metadata_location is the
+    committed pointer."""
+
+    def __init__(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.databases: dict[str, dict[str, dict]] = {}  # db -> name -> TableInput
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/x-amz-json-1.1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                auth = self.headers.get("Authorization", "")
+                if "AWS4-HMAC-SHA256" not in auth or "/glue/" not in auth:
+                    return self._json(
+                        403,
+                        {"__type": "AccessDeniedException",
+                         "Message": "missing or non-glue SigV4 signature"},
+                    )
+                target = self.headers.get("X-Amz-Target", "")
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n).decode() or "{}")
+                op = target.split(".", 1)[-1]
+                with srv.lock:
+                    handler = getattr(srv, f"_op_{op}", None)
+                    if handler is None:
+                        return self._json(
+                            400,
+                            {"__type": "InvalidRequestException",
+                             "Message": f"unknown target {target}"},
+                        )
+                    code, obj = handler(body)
+                return self._json(code, obj)
+
+        from http.server import ThreadingHTTPServer as _T
+
+        self.lock = threading.Lock()
+        self.server = _T(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    # -- operations (called under the lock) ---------------------------------
+
+    def _op_GetDatabase(self, body):
+        name = body.get("Name", "")
+        if name not in self.databases:
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"Database {name} not found"}
+        return 200, {"Database": {"Name": name}}
+
+    def _op_CreateDatabase(self, body):
+        name = body.get("DatabaseInput", {}).get("Name", "")
+        if name in self.databases:
+            return 400, {"__type": "AlreadyExistsException",
+                         "Message": f"Database {name} already exists"}
+        self.databases[name] = {}
+        return 200, {}
+
+    def _op_GetTable(self, body):
+        db, name = body.get("DatabaseName", ""), body.get("Name", "")
+        table = self.databases.get(db, {}).get(name)
+        if table is None:
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"Table {db}.{name} not found"}
+        return 200, {"Table": table}
+
+    def _op_CreateTable(self, body):
+        db = body.get("DatabaseName", "")
+        ti = body.get("TableInput", {})
+        name = ti.get("Name", "")
+        if db not in self.databases:
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"Database {db} not found"}
+        if name in self.databases[db]:
+            return 400, {"__type": "AlreadyExistsException",
+                         "Message": f"Table {db}.{name} already exists"}
+        self.databases[db][name] = ti
+        return 200, {}
+
+    def _op_UpdateTable(self, body):
+        db = body.get("DatabaseName", "")
+        ti = body.get("TableInput", {})
+        name = ti.get("Name", "")
+        if name not in self.databases.get(db, {}):
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"Table {db}.{name} not found"}
+        self.databases[db][name] = ti
+        return 200, {}
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://localhost:{self.port}/"
+
+    def __enter__(self) -> "LoopbackGlueCatalog":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()

@@ -1,0 +1,187 @@
+"""AWS Glue Data Catalog client tests (`glue_catalog.py`).
+
+Reference parity: `model/IcebergCommonConfig.scala:14-78` catalog.type
+glue → iceberg-aws GlueCatalog. Request construction is pinned offline;
+the loopback endpoint proves the signed x-amz-json-1.1 conversation and
+the metadata_location pointer protocol end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flinkrunner_spark.glue_catalog import (
+    GlueCatalog,
+    GlueCatalogError,
+    GlueCommitConflict,
+    glue_from_conf,
+)
+from flinkrunner_spark.testing import LoopbackGlueCatalog
+
+CREDS = {
+    "region": "us-east-1",
+    "aws.access.key.id": "k",
+    "aws.secret.access.key": "s",
+}
+
+
+def _cat(ep):
+    return GlueCatalog({**CREDS, "endpoint": ep})
+
+
+# -- offline request construction -------------------------------------------
+
+
+def test_request_shapes():
+    c = GlueCatalog(CREDS)
+    t, b = c.get_table_request("db1", "t1")
+    assert t == "AWSGlue.GetTable"
+    assert json.loads(b) == {"DatabaseName": "db1", "Name": "t1"}
+    t, b = c.create_table_request("db1", "t1", "/wh/t1/metadata/v1.metadata.json")
+    body = json.loads(b)
+    assert t == "AWSGlue.CreateTable"
+    p = body["TableInput"]["Parameters"]
+    assert p["table_type"] == "ICEBERG"
+    assert p["metadata_location"].endswith("v1.metadata.json")
+    assert "previous_metadata_location" not in p
+    t, b = c.update_table_request(
+        "db1", "t1", "/wh/t1/metadata/v2.metadata.json",
+        "/wh/t1/metadata/v1.metadata.json",
+    )
+    p = json.loads(b)["TableInput"]["Parameters"]
+    assert p["metadata_location"].endswith("v2.metadata.json")
+    assert p["previous_metadata_location"].endswith("v1.metadata.json")
+
+
+def test_signed_headers_offline():
+    c = GlueCatalog(CREDS)
+    t, b = c.get_table_request("d", "t")
+    hdrs = c.signed_headers(t, b, "20260101T000000Z")
+    auth = hdrs["authorization"]
+    assert auth.startswith("AWS4-HMAC-SHA256 Credential=k/20260101/us-east-1/glue/aws4_request")
+    assert "SignedHeaders=" in auth and "Signature=" in auth
+    assert hdrs["x-amz-target"] == "AWSGlue.GetTable"
+
+
+def test_credentials_gate():
+    c = GlueCatalog({"region": "us-east-1"})
+    with pytest.raises(NotImplementedError, match="credentials"):
+        c._call(*c.get_database_request("d"))
+
+
+# -- loopback endpoint -------------------------------------------------------
+
+
+def test_database_and_table_lifecycle():
+    with LoopbackGlueCatalog() as g:
+        c = _cat(g.endpoint)
+        with pytest.raises(GlueCatalogError, match="EntityNotFound"):
+            c.metadata_location("db", "t")
+        c.ensure_database("db")
+        c.ensure_database("db")  # idempotent
+        c._call(*c.create_table_request("db", "t", "/wh/t/metadata/v1.metadata.json"))
+        assert c.metadata_location("db", "t").endswith("v1.metadata.json")
+        assert c.table_location("db", "t") == "/wh/t"
+        c._call(
+            *c.update_table_request(
+                "db", "t", "/wh/t/metadata/v2.metadata.json",
+                "/wh/t/metadata/v1.metadata.json",
+            )
+        )
+        assert c.metadata_location("db", "t").endswith("v2.metadata.json")
+
+
+def test_unsigned_requests_rejected():
+    import urllib.error
+    import urllib.request
+
+    with LoopbackGlueCatalog() as g:
+        req = urllib.request.Request(
+            g.endpoint,
+            data=b"{}",
+            headers={"X-Amz-Target": "AWSGlue.GetDatabase"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 403
+
+
+def test_non_iceberg_table_refused():
+    with LoopbackGlueCatalog() as g:
+        c = _cat(g.endpoint)
+        c.ensure_database("db")
+        g.databases["db"]["hive_t"] = {
+            "Name": "hive_t", "Parameters": {"table_type": "HIVE"},
+        }
+        with pytest.raises(GlueCatalogError, match="not an iceberg table"):
+            c.metadata_location("db", "hive_t")
+
+
+def test_commit_swap_conflict_detection(spark, tmp_path):
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(spark.range(5).selectExpr("id"))
+    with LoopbackGlueCatalog() as g:
+        c = _cat(g.endpoint)
+        c.register_fs_table("db", "t", t)
+        v_reg = t._version()
+        first = c.metadata_location("db", "t")
+        assert first.endswith(f"v{v_reg}.metadata.json")
+        t.append(spark.range(5, 10).selectExpr("id"))
+        c.commit_swap("db", "t", t)  # pointer follows the new version
+        assert c.metadata_location("db", "t").endswith(
+            f"v{t._version()}.metadata.json"
+        )
+        c.commit_swap("db", "t", t)  # already at tip: no-op
+        # a third commit appears concurrently: local table moves on but
+        # the catalog pointer is rewound by "someone else"
+        t.append(spark.range(10, 15).selectExpr("id"))
+        g.databases["db"]["t"]["Parameters"]["metadata_location"] = first
+        with pytest.raises(GlueCommitConflict, match="concurrent commit"):
+            c.commit_swap("db", "t", t)
+
+
+def test_glue_from_conf_strips_prefix():
+    c = glue_from_conf(
+        {"catalog.type": "glue", "catalog.region": "eu-west-1",
+         "catalog.aws.access.key.id": "k", "namespace": "n"}
+    )
+    assert c.region == "eu-west-1"
+    assert c.conf["aws.access.key.id"] == "k"
+    assert "type" not in c.conf
+
+
+def test_sink_source_roundtrip_through_glue(spark, tmp_path):
+    """Config-surface e2e: sink publishes through catalog.type glue,
+    source resolves the table with no path config."""
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS v")
+    loc = str(tmp_path / "t")
+    with LoopbackGlueCatalog() as g:
+        cat_conf = {
+            "catalog.type": "glue",
+            "catalog.endpoint": g.endpoint,
+            "catalog.region": "us-east-1",
+            "catalog.aws.access.key.id": "k",
+            "catalog.aws.secret.access.key": "s",
+        }
+        sink = IcebergSinkConfig(
+            "t",
+            {"connector": "iceberg", "path": loc, "namespace": "db",
+             "table": "t", **cat_conf},
+        )
+        sink.write(df.filter("id < 50"))
+        sink.write(df.filter("id >= 50"))
+        back = IcebergSourceConfig(
+            "t",
+            {"connector": "iceberg", "namespace": "db", "table": "t",
+             **cat_conf},
+        ).load(spark)
+        assert back.count() == 100
+        assert sorted(r.id for r in back.collect()) == list(range(100))
