@@ -32,7 +32,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 BASE_SCHEMA = (
@@ -246,7 +249,103 @@ class KafkaNativeDataSource(DataSource):
     def streamReader(self, schema) -> KafkaNativeStreamReader:
         return KafkaNativeStreamReader(dict(self.options))
 
+    def writer(self, schema, overwrite: bool) -> "KafkaNativeWriter":
+        if overwrite:
+            raise ValueError(
+                "kafka topics are append-only logs — mode('overwrite') "
+                "has no meaning; use mode('append')"
+            )
+        return KafkaNativeWriter(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> "KafkaNativeStreamWriter":
+        return KafkaNativeStreamWriter(dict(self.options))
+
 
 def register(spark) -> None:
     """Idempotent registration of the `kafka-native` format."""
     spark.dataSource.register(KafkaNativeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writers: df.write.format("kafka-native") / writeStream — the DSv2 face
+# of the sink's native transport. Input rows carry the kafka record
+# shape (value [+ key, headers]) that KafkaSinkConfig.prepare_records
+# emits; each task produces its rows over its own socket, and the
+# commit message reports the count (Kafka has no cross-partition
+# transaction to coordinate jar-free, so commit is informational — the
+# same at-least-once contract as the JVM sink without transactions).
+# ---------------------------------------------------------------------------
+
+
+class KafkaWriteResult(WriterCommitMessage):
+    def __init__(self, count: int):
+        self.count = count
+
+
+class KafkaNativeWriter(DataSourceWriter):
+    def __init__(self, opts: dict):
+        self.opts = opts
+
+    def write(self, rows) -> "KafkaWriteResult":
+        from pyspark import TaskContext
+
+        from flinkrunner_spark.util.kafka import (
+            KafkaClient,
+            KafkaRecord,
+            produce_records,
+        )
+
+        host, port = _parse_bootstrap(self.opts)
+        topic = self.opts["topic"]
+        batch_size = int(self.opts.get("batchsize", 500))
+
+        def as_bytes(v):
+            if v is None:
+                return None
+            return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+        recs = []
+        for row in rows:
+            d = row.asDict()
+            headers = [
+                (h["key"], as_bytes(h["value"]))
+                for h in (d.get("headers") or [])
+            ]
+            recs.append(
+                KafkaRecord(
+                    value=as_bytes(d.get("value")),
+                    key=as_bytes(d.get("key")),
+                    headers=headers,
+                )
+            )
+        if not recs:
+            return KafkaWriteResult(0)
+        with KafkaClient(host, port) as c:
+            n_parts = len(c.metadata([topic])[0].partitions)
+            ctx = TaskContext.get()
+            seed = ctx.partitionId() if ctx is not None else 0
+            sent = produce_records(
+                c, topic, recs, n_parts,
+                batch_size=batch_size, sticky_seed=seed,
+            )
+        return KafkaWriteResult(sent)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        pass  # already-produced records stay (at-least-once, as JVM sink)
+
+
+class KafkaNativeStreamWriter(DataSourceStreamWriter):
+    def __init__(self, opts: dict):
+        self._w = KafkaNativeWriter(opts)
+
+    def write(self, rows):
+        return self._w.write(rows)
+
+    def commit(self, messages, batchId) -> None:
+        pass
+
+    def abort(self, messages, batchId) -> None:
+        pass

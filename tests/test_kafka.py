@@ -468,3 +468,77 @@ def test_kafka_sink_native_confluent_avro_values(spark):
         decoded = serde.confluent_avro_decode(back, registry, "av-value")
         rows = {r.id: r.user for r in decoded.select("id", "user").collect()}
         assert rows == {i: f"u-{i}" for i in range(50)}
+
+
+def test_kafka_dsv2_writer_batch(spark):
+    """df.write.format('kafka-native') — the DSv2 writer face of the
+    native transport; murmur2 partitioner parity held on read-back."""
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    KD.register(spark)
+    with LoopbackKafkaBroker(num_partitions=3) as b:
+        df = spark.range(0, 60).selectExpr(
+            "CAST(id AS STRING) AS key",
+            "concat('v-', id) AS value",
+        )
+        (
+            df.write.format("kafka-native")
+            .option("bootstrap", f"localhost:{b.port}")
+            .option("topic", "wt")
+            .mode("append")
+            .save()
+        )
+        back = (
+            spark.read.format("kafka-native")
+            .option("bootstrap", f"localhost:{b.port}")
+            .option("topic", "wt")
+            .load()
+        )
+        rows = back.collect()
+        assert len(rows) == 60
+        for r in rows:
+            assert r.partition == partition_for_key(bytes(r.key), 3)
+        vals = {bytes(r.value).decode() for r in rows}
+        assert vals == {f"v-{i}" for i in range(60)}
+        # topics are logs: overwrite is refused
+        with pytest.raises(Exception, match="append-only"):
+            (
+                df.write.format("kafka-native")
+                .option("bootstrap", f"localhost:{b.port}")
+                .option("topic", "wt")
+                .mode("overwrite")
+                .save()
+            )
+
+
+def test_kafka_dsv2_stream_writer(spark, tmp_path):
+    """writeStream.format('kafka-native') — per-micro-batch produce
+    through the DSv2 stream writer (no foreachBatch wrapper)."""
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    KD.register(spark)
+    src_dir = str(tmp_path / "in")
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        spark.range(0, 20).selectExpr(
+            "CAST(id AS STRING) AS value"
+        ).write.json(src_dir)
+        sdf = (
+            spark.readStream.schema("value string").json(src_dir)
+        )
+        q = (
+            sdf.writeStream.format("kafka-native")
+            .option("bootstrap", f"localhost:{b.port}")
+            .option("topic", "ws")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        back = (
+            spark.read.format("kafka-native")
+            .option("bootstrap", f"localhost:{b.port}")
+            .option("topic", "ws")
+            .load()
+        )
+        vals = {bytes(r.value).decode() for r in back.collect()}
+        assert vals == {str(i) for i in range(20)}

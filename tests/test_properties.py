@@ -193,3 +193,79 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(e_df, n_df).collect()
     }
     assert got == _uf_components(edges, nodes)
+
+
+# -- kafka wire codec (util/kafka) -------------------------------------------
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_kafka_varint_roundtrip_any_int(v):
+    from flinkrunner_spark.util.kafka import dec_varint, enc_varint
+
+    buf = enc_varint(v)
+    got, pos = dec_varint(buf, 0)
+    assert got == v and pos == len(buf)
+
+
+@given(st.binary(min_size=0, max_size=256))
+def test_crc32c_matches_bytewise_incremental(data):
+    from flinkrunner_spark.util.kafka import crc32c
+
+    acc = 0
+    for b in data:
+        acc = crc32c(bytes([b]), acc)
+    assert acc == crc32c(data)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.binary(max_size=64)),  # key
+            st.one_of(st.none(), st.binary(max_size=256)),  # value
+            st.lists(
+                st.tuples(
+                    st.text(
+                        alphabet=st.characters(
+                            min_codepoint=32, max_codepoint=0x10FFFF,
+                            exclude_categories=("Cs",),
+                        ),
+                        max_size=16,
+                    ),
+                    st.one_of(st.none(), st.binary(max_size=32)),
+                ),
+                max_size=4,
+            ),
+            st.integers(min_value=0, max_value=2**40),  # timestamp
+        ),
+        min_size=1,
+        max_size=32,
+    ),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=60, deadline=None)
+def test_kafka_record_batch_roundtrip_any_records(recs, base_offset):
+    from flinkrunner_spark.util.kafka import (
+        KafkaRecord,
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    records = [
+        KafkaRecord(value=v, key=k, headers=list(h), timestamp_ms=ts)
+        for k, v, h, ts in recs
+    ]
+    out = decode_record_batches(encode_record_batch(records, base_offset))
+    assert len(out) == len(records)
+    for i, (orig, got) in enumerate(zip(records, out)):
+        assert got.key == orig.key
+        assert got.value == orig.value
+        assert got.headers == orig.headers
+        assert got.timestamp_ms == orig.timestamp_ms
+        assert got.offset == base_offset + i
+
+
+@given(st.binary(min_size=1, max_size=64), st.integers(2, 64))
+def test_kafka_partitioner_in_range(key, n):
+    from flinkrunner_spark.util.kafka import partition_for_key
+
+    assert 0 <= partition_for_key(key, n) < n
