@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
         "iceberg_glue_roundtrip": connectors.iceberg_glue_roundtrip,
         "cassandra_roundtrip": connectors.cassandra_roundtrip,
+        "kinesis_roundtrip": connectors.kinesis_roundtrip,
+        "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         # —— plans/connectors.py changed (BIGINT oracle casts — the r5
         # verdict's top item; all seven re-verify) ——
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
@@ -113,9 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
         "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_gopher_rules": llm_filters.docs_gopher_rules,

@@ -692,3 +692,101 @@ def iceberg_glue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(back)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Kinesis sink (PutRecords batches under the API
+    limits, every call a SigV4-signed x-amz-json-1.1 POST from executor
+    partitions) → polling source (ListShards → GetShardIterator
+    TRIM_HORIZON → GetRecords to the shard tip, shard-parallel
+    mapInPandas) → JSON parse → per-language profile, against the
+    in-process loopback Kinesis endpoint (`flinkrunner_spark.testing`
+    — MD5 hash-key-ring shard routing, monotonic sequence numbers,
+    signature-scope enforcement). Exactly oracled against the original
+    parquet: base64 data framing, partition-key routing and the
+    iterate-to-tip loop must be lossless. Closes the reference's
+    Kinesis e2e (`model/source/KinesisSourceConfig.scala`,
+    `model/sink/KinesisSinkConfig.scala:25-67`) without AWS."""
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackKinesis(num_shards=3) as ks:
+        creds = {
+            "aws.access.key.id": "rt-key",
+            "aws.secret.access.key": "rt-secret",
+        }
+        KinesisSinkConfig(
+            "rt",
+            {"connector": "kinesis", "stream": "docs_rt",
+             "key.column": "doc_id", "region": "us-east-1",
+             "endpoint": ks.endpoint, **creds},
+        ).write(docs)
+        back = KinesisSourceConfig(
+            "rt",
+            {"connector": "kinesis", "stream": "docs_rt",
+             "starting.position": "TRIM_HORIZON",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             **creds},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
+
+
+def elasticsearch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Elasticsearch bulk sink (NDJSON action/doc bodies
+    batched under bulk.flush.max.actions, POSTed from executor
+    partitions with per-item failure accounting) → read back through
+    the search API → per-language profile, against the in-process
+    loopback Elasticsearch (`flinkrunner_spark.testing` — indexes by
+    _id with upsert semantics, serves match_all hits). Exactly oracled:
+    bulk framing, id routing and JSON round-tripping must be lossless.
+    The reference has a SINK only (`model/sink/ElasticsearchSinkConfig
+    .scala`), so the read-back is the verification harness, not a
+    source config."""
+    import json as _json
+    import urllib.request
+
+    from flinkrunner_spark.sinks.factory import ElasticsearchSinkConfig
+    from flinkrunner_spark.testing import LoopbackElasticsearch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackElasticsearch() as es:
+        ElasticsearchSinkConfig(
+            "rt",
+            {"connector": "elasticsearch", "index": "docs_rt",
+             "id.column": "doc_id", "transports": [es.transport],
+             "bulk.flush.max.actions": 500},
+        ).write(docs)
+        with urllib.request.urlopen(
+            f"{es.transport}/docs_rt/_search?size=10000000"
+        ) as r:
+            hits = _json.loads(r.read().decode())["hits"]["hits"]
+    rows = [
+        (
+            h["_source"]["doc_id"],
+            h["_source"]["text"],
+            h["_source"]["lang"],
+            h["_source"]["source"],
+            h["_source"]["n_chars"],
+        )
+        for h in hits
+    ]
+    back = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    return _lang_profile(back)

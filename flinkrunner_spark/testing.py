@@ -1196,3 +1196,285 @@ class LoopbackGlueCatalog:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class LoopbackKinesis:
+    """Kinesis Data Streams core over real HTTP: the x-amz-json-1.1
+    dispatch for ListShards / GetShardIterator (TRIM_HORIZON / LATEST /
+    AT_TIMESTAMP) / GetRecords / PutRecords, with SigV4 Authorization
+    presence + credential-scope checks. Partition keys route to shards
+    over the MD5 hash-key ring exactly like the real service, sequence
+    numbers are per-shard monotonic, and shard iterators are stateless
+    (stream, shard, index) tokens — so the polling source's
+    iterate-to-tip loop (MillisBehindLatest == 0) terminates the same
+    way it does against AWS."""
+
+    def __init__(self, num_shards: int = 2):
+        from http.server import BaseHTTPRequestHandler
+
+        self.num_shards = int(num_shards)
+        # stream -> shard_id -> list[(seq, partition_key, data_b64, ts)]
+        self.streams: dict[str, dict[str, list]] = {}
+        self._seq = 0
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/x-amz-json-1.1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                auth = self.headers.get("Authorization", "")
+                if "AWS4-HMAC-SHA256" not in auth or "/kinesis/" not in auth:
+                    return self._json(
+                        403,
+                        {"__type": "AccessDeniedException",
+                         "Message": "missing or non-kinesis SigV4 signature"},
+                    )
+                target = self.headers.get("X-Amz-Target", "")
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n).decode() or "{}")
+                op = target.split(".", 1)[-1]
+                with srv.lock:
+                    handler = getattr(srv, f"_op_{op}", None)
+                    if handler is None:
+                        return self._json(
+                            400,
+                            {"__type": "InvalidRequestException",
+                             "Message": f"unknown target {target}"},
+                        )
+                    code, obj = handler(body)
+                return self._json(code, obj)
+
+        from http.server import ThreadingHTTPServer as _T
+
+        self.lock = threading.Lock()
+        self.server = _T(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    # -- state helpers (under the lock) -------------------------------------
+
+    def _shards(self, stream: str) -> dict[str, list]:
+        return self.streams.setdefault(
+            stream,
+            {
+                f"shardId-{i:012d}": []
+                for i in range(self.num_shards)
+            },
+        )
+
+    def _route(self, partition_key: str) -> int:
+        import hashlib as _hl
+
+        h = int(_hl.md5(partition_key.encode()).hexdigest(), 16)
+        # even hash-key ranges over the 128-bit ring, like the service
+        return min(h * self.num_shards >> 128, self.num_shards - 1)
+
+    def _iter_token(self, stream: str, shard: str, idx: int) -> str:
+        import base64 as _b64
+
+        return _b64.b64encode(
+            json.dumps([stream, shard, idx]).encode()
+        ).decode()
+
+    # -- operations ----------------------------------------------------------
+
+    def _op_ListShards(self, body):
+        stream = body.get("StreamName", "")
+        shards = self._shards(stream)
+        return 200, {"Shards": [{"ShardId": s} for s in sorted(shards)]}
+
+    def _op_PutRecords(self, body):
+        stream = body.get("StreamName", "")
+        shards = self._shards(stream)
+        names = sorted(shards)
+        out = []
+        for rec in body.get("Records", []):
+            pk = rec.get("PartitionKey", "")
+            shard = names[self._route(pk)]
+            self._seq += 1
+            seq = str(self._seq)
+            shards[shard].append(
+                (seq, pk, rec.get("Data", ""), float(self._seq))
+            )
+            out.append({"SequenceNumber": seq, "ShardId": shard})
+        return 200, {"FailedRecordCount": 0, "Records": out}
+
+    def _op_GetShardIterator(self, body):
+        import base64 as _b64
+
+        stream = body.get("StreamName", "")
+        shard = body.get("ShardId", "")
+        kind = body.get("ShardIteratorType", "TRIM_HORIZON")
+        log = self._shards(stream).get(shard)
+        if log is None:
+            return 400, {"__type": "ResourceNotFoundException",
+                         "Message": f"shard {shard} not found"}
+        if kind == "TRIM_HORIZON":
+            idx = 0
+        elif kind == "LATEST":
+            idx = len(log)
+        elif kind == "AT_TIMESTAMP":
+            ts = float(body.get("Timestamp", 0))
+            idx = next(
+                (i for i, r in enumerate(log) if r[3] >= ts), len(log)
+            )
+        else:
+            return 400, {"__type": "InvalidArgumentException",
+                         "Message": f"iterator type {kind}"}
+        return 200, {"ShardIterator": self._iter_token(stream, shard, idx)}
+
+    def _op_GetRecords(self, body):
+        import base64 as _b64
+
+        try:
+            stream, shard, idx = json.loads(
+                _b64.b64decode(body.get("ShardIterator", "")).decode()
+            )
+        except Exception:
+            return 400, {"__type": "InvalidArgumentException",
+                         "Message": "bad shard iterator"}
+        log = self._shards(stream).get(shard, [])
+        limit = int(body.get("Limit", 10_000))
+        chunk = log[idx : idx + limit]
+        nxt = idx + len(chunk)
+        return 200, {
+            "Records": [
+                {
+                    "SequenceNumber": seq,
+                    "PartitionKey": pk,
+                    "Data": data,
+                    "ApproximateArrivalTimestamp": ts,
+                }
+                for seq, pk, data, ts in chunk
+            ],
+            "NextShardIterator": self._iter_token(stream, shard, nxt),
+            "MillisBehindLatest": 0 if nxt >= len(log) else 1000,
+        }
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://localhost:{self.port}/"
+
+    def __enter__(self) -> "LoopbackKinesis":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+class LoopbackElasticsearch:
+    """Elasticsearch core over real HTTP: POST /_bulk (NDJSON
+    action/doc pairs, per-item statuses, upsert-by-_id semantics) and
+    GET /{index}/_search (match_all with size) — enough to prove the
+    bulk sink's body construction, batching and partial-failure
+    accounting against a server that actually indexes."""
+
+    def __init__(self):
+        from http.server import BaseHTTPRequestHandler
+
+        self.indexes: dict[str, dict[str, dict]] = {}  # index -> _id -> doc
+        self._auto = 0
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if not self.path.rstrip("/").endswith("_bulk"):
+                    return self._json(404, {"error": self.path})
+                n = int(self.headers.get("Content-Length", 0))
+                lines = [
+                    ln
+                    for ln in self.rfile.read(n).decode().splitlines()
+                    if ln.strip()
+                ]
+                items = []
+                with srv.lock:
+                    for a, d in zip(lines[0::2], lines[1::2]):
+                        action = json.loads(a)
+                        meta = action.get("index") or action.get("create") or {}
+                        index = meta.get("_index", "")
+                        _id = meta.get("_id")
+                        if _id is None:
+                            srv._auto += 1
+                            _id = f"auto-{srv._auto}"
+                        srv.indexes.setdefault(index, {})[str(_id)] = (
+                            json.loads(d)
+                        )
+                        items.append(
+                            {"index": {"_index": index, "_id": str(_id),
+                                       "status": 201}}
+                        )
+                return self._json(
+                    200, {"took": 1, "errors": False, "items": items}
+                )
+
+            def do_GET(self):
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                segs = parts.path.strip("/").split("/")
+                if len(segs) == 2 and segs[1] == "_search":
+                    size = int(
+                        parse_qs(parts.query).get("size", ["10"])[0]
+                    )
+                    with srv.lock:
+                        docs = list(
+                            srv.indexes.get(segs[0], {}).items()
+                        )[:size]
+                    return self._json(
+                        200,
+                        {
+                            "hits": {
+                                "total": {"value": len(docs)},
+                                "hits": [
+                                    {"_id": i, "_source": d}
+                                    for i, d in docs
+                                ],
+                            }
+                        },
+                    )
+                return self._json(404, {"error": self.path})
+
+        from http.server import ThreadingHTTPServer as _T
+
+        self.lock = threading.Lock()
+        self.server = _T(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    @property
+    def transport(self) -> str:
+        return f"http://localhost:{self.port}"
+
+    def __enter__(self) -> "LoopbackElasticsearch":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()

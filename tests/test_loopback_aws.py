@@ -1,0 +1,200 @@
+"""Loopback Kinesis / Elasticsearch harness tests — the e2e proof for
+the two AWS-shaped sinks that were previously network-gated-only
+(reference `model/sink/KinesisSinkConfig.scala:25-67`,
+`model/sink/ElasticsearchSinkConfig.scala`; source
+`model/source/KinesisSourceConfig.scala`).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from flinkrunner_spark.testing import LoopbackElasticsearch, LoopbackKinesis
+
+
+# -- kinesis ----------------------------------------------------------------
+
+
+def _signed_post(endpoint, target, body: bytes) -> dict:
+    from flinkrunner_spark.util.aws_signer import AwsCredentials, sign_request
+
+    hdrs = sign_request(
+        method="POST",
+        url=endpoint,
+        headers={
+            "Content-Type": "application/x-amz-json-1.1",
+            "X-Amz-Target": target,
+        },
+        payload=body,
+        credentials=AwsCredentials("k", "s", None),
+        region="us-east-1",
+        amz_date="20260101T000000Z",
+        service="kinesis",
+    )
+    req = urllib.request.Request(endpoint, data=body, headers=hdrs, method="POST")
+    return json.loads(urllib.request.urlopen(req).read().decode())
+
+
+def test_kinesis_put_list_iterate_get():
+    import base64
+
+    with LoopbackKinesis(num_shards=2) as ks:
+        recs = [
+            {"Data": base64.b64encode(f"m{i}".encode()).decode(),
+             "PartitionKey": f"k{i}"}
+            for i in range(50)
+        ]
+        out = _signed_post(
+            ks.endpoint, "Kinesis_20131202.PutRecords",
+            json.dumps({"StreamName": "s", "Records": recs}).encode(),
+        )
+        assert out["FailedRecordCount"] == 0
+        assert len(out["Records"]) == 50
+        shards = _signed_post(
+            ks.endpoint, "Kinesis_20131202.ListShards",
+            json.dumps({"StreamName": "s"}).encode(),
+        )["Shards"]
+        assert len(shards) == 2
+        got = []
+        for sh in shards:
+            it = _signed_post(
+                ks.endpoint, "Kinesis_20131202.GetShardIterator",
+                json.dumps({"StreamName": "s", "ShardId": sh["ShardId"],
+                            "ShardIteratorType": "TRIM_HORIZON"}).encode(),
+            )["ShardIterator"]
+            rr = _signed_post(
+                ks.endpoint, "Kinesis_20131202.GetRecords",
+                json.dumps({"ShardIterator": it, "Limit": 100}).encode(),
+            )
+            assert rr["MillisBehindLatest"] == 0
+            got += [
+                base64.b64decode(r["Data"]).decode() for r in rr["Records"]
+            ]
+        assert sorted(got) == sorted(f"m{i}" for i in range(50))
+        # both shards got traffic (hash-ring routing spreads keys)
+        # and sequence numbers are monotonic within each shard
+        for sh in shards:
+            assert ks.streams["s"][sh["ShardId"]]
+            seqs = [int(r[0]) for r in ks.streams["s"][sh["ShardId"]]]
+            assert seqs == sorted(seqs)
+
+
+def test_kinesis_latest_iterator_skips_history():
+    import base64
+
+    with LoopbackKinesis(num_shards=1) as ks:
+        put = lambda i: _signed_post(  # noqa: E731
+            ks.endpoint, "Kinesis_20131202.PutRecords",
+            json.dumps({"StreamName": "s", "Records": [
+                {"Data": base64.b64encode(f"m{i}".encode()).decode(),
+                 "PartitionKey": "k"}]}).encode(),
+        )
+        put(1)
+        it = _signed_post(
+            ks.endpoint, "Kinesis_20131202.GetShardIterator",
+            json.dumps({"StreamName": "s", "ShardId": "shardId-000000000000",
+                        "ShardIteratorType": "LATEST"}).encode(),
+        )["ShardIterator"]
+        put(2)
+        rr = _signed_post(
+            ks.endpoint, "Kinesis_20131202.GetRecords",
+            json.dumps({"ShardIterator": it, "Limit": 100}).encode(),
+        )
+        import base64 as b64
+
+        assert [b64.b64decode(r["Data"]).decode() for r in rr["Records"]] == ["m2"]
+
+
+def test_kinesis_unsigned_rejected():
+    with LoopbackKinesis() as ks:
+        req = urllib.request.Request(
+            ks.endpoint, data=b"{}",
+            headers={"X-Amz-Target": "Kinesis_20131202.ListShards"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 403
+
+
+def test_kinesis_sink_source_e2e(spark):
+    """The full config-surface path the driver key exercises, at unit
+    scale: executor-signed PutRecords → shard-parallel polling read."""
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+
+    df = spark.range(0, 100).selectExpr("id", "id % 5 AS grp")
+    with LoopbackKinesis(num_shards=3) as ks:
+        creds = {"aws.access.key.id": "k", "aws.secret.access.key": "s"}
+        KinesisSinkConfig(
+            "t",
+            {"connector": "kinesis", "stream": "ids", "key.column": "id",
+             "region": "us-east-1", "endpoint": ks.endpoint, **creds},
+        ).write(df)
+        back = KinesisSourceConfig(
+            "t",
+            {"connector": "kinesis", "stream": "ids",
+             "starting.position": "TRIM_HORIZON",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             **creds},
+        ).load(spark)
+        rows = back.collect()
+        assert len(rows) == 100
+        ids = {json.loads(r.value)["id"] for r in rows}
+        assert ids == set(range(100))
+        assert {r.partition_key for r in rows} == {str(i) for i in range(100)}
+        assert len({r.shard_id for r in rows}) == 3
+
+
+# -- elasticsearch ----------------------------------------------------------
+
+
+def test_es_bulk_and_search():
+    with LoopbackElasticsearch() as es:
+        body = "\n".join([
+            json.dumps({"index": {"_index": "i1", "_id": "a"}}),
+            json.dumps({"x": 1}),
+            json.dumps({"index": {"_index": "i1", "_id": "b"}}),
+            json.dumps({"x": 2}),
+            json.dumps({"index": {"_index": "i1", "_id": "a"}}),  # upsert
+            json.dumps({"x": 10}),
+        ]) + "\n"
+        req = urllib.request.Request(
+            f"{es.transport}/_bulk", data=body.encode(),
+            headers={"Content-Type": "application/x-ndjson"}, method="POST",
+        )
+        out = json.loads(urllib.request.urlopen(req).read().decode())
+        assert out["errors"] is False and len(out["items"]) == 3
+        hits = json.loads(
+            urllib.request.urlopen(
+                f"{es.transport}/i1/_search?size=100"
+            ).read().decode()
+        )["hits"]["hits"]
+        docs = {h["_id"]: h["_source"] for h in hits}
+        assert docs == {"a": {"x": 10}, "b": {"x": 2}}  # id upsert won
+
+
+def test_es_sink_e2e(spark):
+    from flinkrunner_spark.sinks.factory import ElasticsearchSinkConfig
+
+    df = spark.range(0, 120).selectExpr("id", "concat('n', id) AS name")
+    with LoopbackElasticsearch() as es:
+        ElasticsearchSinkConfig(
+            "t",
+            {"connector": "elasticsearch", "index": "ids",
+             "id.column": "id", "transports": [es.transport],
+             "bulk.flush.max.actions": 32},
+        ).write(df)
+        hits = json.loads(
+            urllib.request.urlopen(
+                f"{es.transport}/ids/_search?size=1000"
+            ).read().decode()
+        )["hits"]["hits"]
+        assert len(hits) == 120
+        assert {h["_source"]["name"] for h in hits} == {
+            f"n{i}" for i in range(120)
+        }
