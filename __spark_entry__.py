@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_glue_roundtrip": connectors.iceberg_glue_roundtrip,
         "cassandra_roundtrip": connectors.cassandra_roundtrip,
         "kinesis_roundtrip": connectors.kinesis_roundtrip,
+        "stream_kinesis_roundtrip": connectors.stream_kinesis_roundtrip,
         "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         # —— plans/connectors.py changed (BIGINT oracle casts — the r5
         # verdict's top item; all seven re-verify) ——
@@ -114,8 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_join": events.stream_asof_join,
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
-        "stream_win_session_append": events.stream_win_session_append,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "stream_win_session_append": events.stream_win_session_append,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
         "docs_stratified_sample": sampling.docs_stratified_sample,

@@ -790,3 +790,62 @@ def elasticsearch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, lang string, source string, n_chars int",
     )
     return _lang_profile(back)
+
+
+def stream_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Kinesis PutRecords → STREAMING read through the
+    `kinesis-native` Simple stream reader (per-shard SEQUENCE-NUMBER
+    offsets checkpointed by the engine, deterministic
+    AFTER_SEQUENCE_NUMBER replay, per-shard rate cap forcing a
+    multi-batch catch-up) → JSON parse → per-language profile. Exactly
+    oracled against the original parquet: shard routing and batch seams
+    must neither lose nor duplicate a record. The streaming twin of
+    `kinesis_roundtrip` — the reference's continuous consumer
+    (`model/source/KinesisSourceConfig.scala`) without the connector
+    jar."""
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n_docs = docs.count()
+    with LoopbackKinesis(num_shards=3) as ks:
+        creds = {
+            "aws.access.key.id": "rt-key",
+            "aws.secret.access.key": "rt-secret",
+        }
+        KinesisSinkConfig(
+            "rt",
+            {"connector": "kinesis", "stream": "docs_stream_rt",
+             "key.column": "doc_id", "region": "us-east-1",
+             "endpoint": ks.endpoint, **creds},
+        ).write(docs)
+        sdf = KinesisSourceConfig(
+            "rt",
+            {"connector": "kinesis", "stream": "docs_stream_rt",
+             "streaming": True, "aws.region": "us-east-1",
+             "aws.endpoint": ks.endpoint,
+             # ≥3 catch-up micro-batches at any sf ≥ 0.001
+             "max.records.per.shard": max(n_docs // 9, 32), **creds},
+        ).load(spark)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("q_kinesis_stream_rt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        parsed = spark.sql("SELECT value FROM q_kinesis_stream_rt").select(
+            F.from_json(
+                F.col("value"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

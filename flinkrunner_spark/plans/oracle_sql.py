@@ -1478,6 +1478,7 @@ ORACLES["stream_kafka_roundtrip"] = _LPO
 ORACLES["kafka_avro_roundtrip"] = _LPO
 ORACLES["stream_rabbitmq_roundtrip"] = _LPO
 ORACLES["kinesis_roundtrip"] = _LPO
+ORACLES["stream_kinesis_roundtrip"] = _LPO
 ORACLES["elasticsearch_roundtrip"] = _LPO
 
 # r6: position-delete roundtrip — survivors of a row-level DELETE equal

@@ -546,10 +546,7 @@ class KinesisSourceConfig(SourceConfig):
                 "connector jar; unset use.efo for the polling fallback"
             )
         if self.streaming:
-            raise NotImplementedError(
-                "streaming kinesis needs the connector jar; the fallback "
-                "offers bounded snapshot reads (poll load() per batch)"
-            )
+            return self._apply_watermark(self._load_stream(spark))
         if not self.conf.get("aws.access.key.id"):
             raise NotImplementedError(
                 "kinesis source: request construction + SigV4 signing are "
@@ -564,6 +561,56 @@ class KinesisSourceConfig(SourceConfig):
                 (stream, sh["ShardId"]) for sh in resp.get("Shards", [])
             ]
         cfg = self  # executor closure
+
+        return self._load_polling(spark, shards, cfg)
+
+    def _load_stream(self, spark: SparkSession) -> DataFrame:
+        """TRUE streaming via the `kinesis-native` Python Data Source
+        (`sources/kinesis_datasource`): per-shard sequence-number
+        offsets checkpointed by the engine, deterministic replay by
+        AFTER_SEQUENCE_NUMBER (Kinesis retains by sequence for the
+        retention window — real exactly-once recovery, no dedup
+        needed). The reference's streaming consumer shape
+        (KinesisSourceConfig.scala) without the connector jar."""
+        if not self.conf.get("aws.access.key.id"):
+            raise NotImplementedError(
+                "streaming kinesis: the kinesis-native reader is "
+                "implemented, but polling needs credentials "
+                "(aws.access.key.id / aws.secret.access.key) and a "
+                "reachable aws.endpoint (e.g. localstack)"
+            )
+        from flinkrunner_spark.sources import kinesis_datasource as KD
+
+        KD.register(spark)
+        streams = self.streams()
+        if len(streams) != 1:
+            raise ValueError(
+                "streaming kinesis reads one stream per source; union "
+                "multiple sources for fan-in"
+            )
+        reader = (
+            spark.readStream.format("kinesis-native")
+            .option("stream", streams[0])
+            .option("region", self.conf.get("aws.region", "us-east-1"))
+            .option("accessKey", self.conf.get("aws.access.key.id", ""))
+            .option("secretKey", self.conf.get("aws.secret.access.key", ""))
+            .option(
+                "startingPosition",
+                str(self.conf.get("starting.position", "TRIM_HORIZON")),
+            )
+        )
+        if self.conf.get("aws.session.token"):
+            reader = reader.option(
+                "sessionToken", self.conf["aws.session.token"]
+            )
+        if self.conf.get("aws.endpoint"):
+            reader = reader.option("endpoint", self.conf["aws.endpoint"])
+        mps = self.conf.get("max.records.per.shard")
+        if mps:
+            reader = reader.option("maxRecordsPerShard", str(mps))
+        return reader.load()
+
+    def _load_polling(self, spark: SparkSession, shards, cfg) -> DataFrame:
 
         def poll(it):
             import pandas as pd

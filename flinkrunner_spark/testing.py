@@ -1329,6 +1329,16 @@ class LoopbackKinesis:
             idx = next(
                 (i for i, r in enumerate(log) if r[3] >= ts), len(log)
             )
+        elif kind in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
+            seq = str(body.get("StartingSequenceNumber", ""))
+            idx = next(
+                (i for i, r in enumerate(log) if r[0] == seq), None
+            )
+            if idx is None:
+                return 400, {"__type": "InvalidArgumentException",
+                             "Message": f"unknown sequence number {seq}"}
+            if kind == "AFTER_SEQUENCE_NUMBER":
+                idx += 1
         else:
             return 400, {"__type": "InvalidArgumentException",
                          "Message": f"iterator type {kind}"}
