@@ -1232,7 +1232,9 @@ class LoopbackKinesis:
 
             def do_POST(self):
                 auth = self.headers.get("Authorization", "")
-                if "AWS4-HMAC-SHA256" not in auth or "/kinesis/" not in auth:
+                if "AWS4-HMAC-SHA256" not in auth or not (
+                    "/kinesis/" in auth or "/firehose/" in auth
+                ):
                     return self._json(
                         403,
                         {"__type": "AccessDeniedException",
@@ -1309,6 +1311,21 @@ class LoopbackKinesis:
             )
             out.append({"SequenceNumber": seq, "ShardId": shard})
         return 200, {"FailedRecordCount": 0, "Records": out}
+
+    def _op_PutRecordBatch(self, body):
+        """Firehose PutRecordBatch — the delivery-stream twin
+        (FirehoseSinkConfig shares the batching/signing machinery);
+        records land in ``deliveries[stream]`` for assertion."""
+        stream = body.get("DeliveryStreamName", "")
+        store = getattr(self, "deliveries", None)
+        if store is None:
+            store = self.deliveries = {}
+        out = []
+        for rec in body.get("Records", []):
+            self._seq += 1
+            store.setdefault(stream, []).append(rec.get("Data", ""))
+            out.append({"RecordId": str(self._seq)})
+        return 200, {"FailedPutCount": 0, "RequestResponses": out}
 
     def _op_GetShardIterator(self, body):
         import base64 as _b64
