@@ -65,7 +65,14 @@ class RabbitmqSimpleStreamReader(SimpleDataSourceStreamReader):
         i = int(start["index"])
         rows = []
         if n:
-            for msg in c.consume_drain(self.queue, n, prefetch=0, ack=False):
+            # prefetch = this batch + the still-un-acked (un-committed)
+            # window: the broker then delivers EXACTLY n new messages —
+            # an unlimited window would push the whole backlog and force
+            # O(backlog) stray-rejects per capped read
+            window = n + len(self._tags)
+            for msg in c.consume_drain(
+                self.queue, n, prefetch=window, ack=False
+            ):
                 row = (
                     self.queue,
                     msg.routing_key,
