@@ -92,3 +92,23 @@ class RunnerConfig:
 
 
 _MISSING = object()
+
+
+def parse_bootstrap(servers) -> tuple[str, int]:
+    """First host:port of a kafka ``bootstrap.servers`` list — shared by
+    the sink, source and data-source transports so host parsing has one
+    home."""
+    first = str(servers or "localhost:9092").split(",")[0].strip()
+    host, _, port = first.partition(":")
+    return host, int(port or 9092)
+
+
+def strip_catalog_conf(conf: dict, exclude: tuple = ()) -> dict:
+    """``catalog.*`` keys with the prefix stripped (minus ``exclude``) —
+    the catalog-client constructor shape shared by the iceberg sink,
+    source and glue paths."""
+    return {
+        k.split("catalog.", 1)[1]: v
+        for k, v in conf.items()
+        if k.startswith("catalog.") and k not in exclude
+    }

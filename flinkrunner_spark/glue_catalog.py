@@ -221,21 +221,27 @@ class GlueCatalog:
 
     def commit_swap(self, db: str, name: str, fs_table) -> None:
         """Later publishes: compare-then-swap the metadata pointer. The
-        check rejects stale swaps (a concurrent writer moved the
-        pointer); losers re-read and retry against the new tip."""
+        pointer may legitimately lag by SEVERAL versions (filesystem
+        commits made without the catalog in between), so any OLDER
+        version of this table's own metadata lineage advances; a pointer
+        that is newer than ours, or from a different lineage entirely,
+        is a concurrent writer — raise, re-read and retry."""
+        import re
+
         current = self.metadata_location(db, name)
-        new = os.path.join(
-            fs_table.meta_dir, f"v{fs_table._version()}.metadata.json"
-        )
+        ours = int(fs_table._version())
+        new = os.path.join(fs_table.meta_dir, f"v{ours}.metadata.json")
         if current == new:
             return  # already at this tip
-        expected_prev = os.path.join(
-            fs_table.meta_dir, f"v{fs_table._version() - 1}.metadata.json"
+        m = re.fullmatch(
+            re.escape(fs_table.meta_dir) + r"/v(\d+)\.metadata\.json",
+            current,
         )
-        if current != expected_prev:
+        if m is None or int(m.group(1)) > ours:
             raise GlueCommitConflict(
-                f"glue pointer for {db}.{name} is {current!r}, expected "
-                f"{expected_prev!r} — concurrent commit; re-read and retry"
+                f"glue pointer for {db}.{name} is {current!r} — not an "
+                f"older version of {new!r}; concurrent commit, re-read "
+                "and retry"
             )
         self._call(
             *self.update_table_request(db, name, new, current)
@@ -244,10 +250,6 @@ class GlueCatalog:
 
 def glue_from_conf(conf: dict) -> GlueCatalog:
     """Build from the sink/source's ``catalog.*`` config keys."""
-    return GlueCatalog(
-        {
-            k.split("catalog.", 1)[1]: v
-            for k, v in conf.items()
-            if k.startswith("catalog.") and k != "catalog.type"
-        }
-    )
+    from flinkrunner_spark.config import strip_catalog_conf
+
+    return GlueCatalog(strip_catalog_conf(conf, exclude=("catalog.type",)))

@@ -1056,9 +1056,20 @@ class IcebergFsTable:
                         f"iceberg fallback reads parquet data files only, "
                         f"got {f['file_format']!r}"
                     )
-                if partition_filter and any(
-                    f["partition"].get(k) != v
-                    for k, v in partition_filter.items()
+                # GLOBAL delete files (position deletes commit with an
+                # all-None partition tuple) apply across partitions —
+                # pruning them by the filter would resurrect deleted
+                # rows in partition-filtered reads
+                is_global_delete = mf["content"] == CONTENT_DELETES and all(
+                    v is None for v in f["partition"].values()
+                )
+                if (
+                    partition_filter
+                    and not is_global_delete
+                    and any(
+                        f["partition"].get(k) != v
+                        for k, v in partition_filter.items()
+                    )
                 ):
                     continue
                 if mf["content"] == CONTENT_DATA:

@@ -236,11 +236,9 @@ class KafkaSinkConfig(SinkConfig):
         return out.select(*keep)
 
     def _bootstrap(self) -> tuple[str, int]:
-        first = str(
-            self.conf.get("bootstrap.servers", "localhost:9092")
-        ).split(",")[0].strip()
-        host, _, port = first.partition(":")
-        return host, int(port or 9092)
+        from flinkrunner_spark.config import parse_bootstrap
+
+        return parse_bootstrap(self.conf.get("bootstrap.servers"))
 
     def write_native(self, df: DataFrame):
         """Jar-free produce path over the pure-Python wire client
@@ -251,6 +249,13 @@ class KafkaSinkConfig(SinkConfig):
         producers; unkeyed rows go sticky-per-task (KIP-480 shape).
         Nothing routes through the driver except one metadata call for
         the partition count."""
+        self._produce_prepared(self.prepare_records(df))
+
+    def _produce_prepared(self, prepared: DataFrame):
+        """Produce an ALREADY-prepared (key/value[/headers]) frame —
+        the seam write_stream's foreachBatch uses so preparation runs
+        exactly once (a second prepare_records pass would look for the
+        original key/header source columns, gone after the first)."""
         from flinkrunner_spark.util.kafka import KafkaClient
 
         host, port = self._bootstrap()
@@ -297,7 +302,7 @@ class KafkaSinkConfig(SinkConfig):
                     batch_size=batch_size, sticky_seed=seed,
                 )
 
-        self.prepare_records(df).foreachPartition(send_partition)
+        prepared.foreachPartition(send_partition)
 
     def write(self, df: DataFrame):
         if self.conf.get("transport") == "native":
@@ -314,7 +319,7 @@ class KafkaSinkConfig(SinkConfig):
             return (
                 self.prepare_records(df)
                 .writeStream.foreachBatch(
-                    lambda bdf, _epoch: self.write_native(bdf)
+                    lambda bdf, _epoch: self._produce_prepared(bdf)
                 )
                 .option("checkpointLocation", self.conf["checkpoint"])
                 .start()
@@ -543,14 +548,14 @@ class IcebergSinkConfig(SinkConfig):
             RestCatalogError,
         )
 
+        from flinkrunner_spark.config import strip_catalog_conf
+
         cat = RestCatalog(
             uri,
-            {
-                k.split("catalog.", 1)[1]: v
-                for k, v in self.conf.items()
-                if k.startswith("catalog.")
-                and k not in ("catalog.uri", "catalog.name", "catalog.type")
-            },
+            strip_catalog_conf(
+                self.conf,
+                exclude=("catalog.uri", "catalog.name", "catalog.type"),
+            ),
         ).authenticate()
         ns = self.conf.get("namespace", "default")
         table = self.conf.get("table", self.name)

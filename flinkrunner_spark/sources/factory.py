@@ -8,8 +8,10 @@ whose ``load(spark)`` returns a DataFrame (batch) or streaming DataFrame
 |-----------------------------------|-----------------------------------|
 | FileSourceConfig (csv/json/avro/  | file: spark.read/readStream with  |
 |   parquet, delimited variants)    |   format map (psv/tsv → csv+sep)  |
-| KafkaSourceConfig                 | kafka: format("kafka") (needs the |
-|                                   |   kafka jar on the cluster)       |
+| KafkaSourceConfig                 | kafka: format("kafka") with the   |
+|                                   |   jar, or transport "native" —    |
+|                                   |   jar-free wire client, batch +   |
+|                                   |   TRUE streaming (kafka-native)   |
 | SocketSourceConfig                | socket: format("socket") (stream) |
 | GeneratorSourceConfig             | rate: format("rate") + generator  |
 |                                   |   column exprs                    |
@@ -22,10 +24,12 @@ whose ``load(spark)`` returns a DataFrame (batch) or streaming DataFrame
 |                                   |   streaming); catalogs via jar    |
 | KinesisSourceConfig               | kinesis: signed ListShards/Get-   |
 |                                   |   ShardIterator/GetRecords polls  |
-|                                   |   (bounded, shard-parallel; gated |
-|                                   |   on credentials/endpoint)        |
-| RabbitMQSourceConfig              | no Spark connector in this env —  |
-|                                   |   config accepted, load() raises  |
+|                                   |   (bounded shard-parallel + TRUE  |
+|                                   |   streaming w/ sequence replay;   |
+|                                   |   gated on credentials/endpoint)  |
+| RabbitMQSourceConfig              | rabbitmq: AMQP 0-9-1 wire client  |
+|                                   |   — bounded consume drain + TRUE  |
+|                                   |   streaming with ack-on-commit    |
 | in-memory (CheckResults mocks)    | memory: inline rows + schema      |
 """
 
@@ -107,11 +111,9 @@ class FileSourceConfig(SourceConfig):
 
 class KafkaSourceConfig(SourceConfig):
     def _bootstrap(self) -> tuple[str, int]:
-        first = str(
-            self.conf.get("bootstrap.servers", "localhost:9092")
-        ).split(",")[0].strip()
-        host, _, port = first.partition(":")
-        return host, int(port or 9092)
+        from flinkrunner_spark.config import parse_bootstrap
+
+        return parse_bootstrap(self.conf.get("bootstrap.servers"))
 
     def _load_native(self, spark: SparkSession) -> DataFrame:
         """Jar-free BOUNDED snapshot read over the pure-Python wire
@@ -339,15 +341,15 @@ class IcebergSourceConfig(SourceConfig):
             # warehouses; remote FileIO schemes stay jar-gated).
             from flinkrunner_spark.iceberg_rest import RestCatalog
 
+            from flinkrunner_spark.config import strip_catalog_conf
+
             cat = RestCatalog(
                 self.conf.get("catalog.uri", ""),
-                {
-                    k.split("catalog.", 1)[1]: v
-                    for k, v in self.conf.items()
-                    if k.startswith("catalog.")
-                    and k not in ("catalog.uri", "catalog.name",
-                                  "catalog.type")
-                },
+                strip_catalog_conf(
+                    self.conf,
+                    exclude=("catalog.uri", "catalog.name",
+                             "catalog.type"),
+                ),
             ).authenticate()
             ns = self.conf.get("namespace", "default")
             path = cat.fs_table(ns, table).location

@@ -57,9 +57,9 @@ class KafkaRange(InputPartition):
 
 
 def _parse_bootstrap(opts: dict) -> tuple[str, int]:
-    first = str(opts.get("bootstrap", "localhost:9092")).split(",")[0].strip()
-    host, _, port = first.partition(":")
-    return host, int(port or 9092)
+    from flinkrunner_spark.config import parse_bootstrap
+
+    return parse_bootstrap(opts.get("bootstrap"))
 
 
 def _include_headers(opts: dict) -> bool:
@@ -68,16 +68,36 @@ def _include_headers(opts: dict) -> bool:
 
 def _fetch_range(opts: dict, p: KafkaRange, with_headers: bool):
     """Executor-side: drain one offset range, yielding schema-shaped
-    tuples. CRC32C verification happens inside the batch decode."""
+    tuples. CRC32C verification happens inside the batch decode.
+
+    The range was pinned from ListOffsets, so every offset in
+    [start, end) exists on the broker: a transient empty Fetch (leader
+    change, follower lag right after failover) retries and then RAISES
+    — silently truncating would record the dropped offsets as consumed
+    in the streaming checkpoint, permanent data loss instead of a
+    retried task."""
+    import time as _time
+
     from flinkrunner_spark.util.kafka import KafkaClient
 
     host, port = _parse_bootstrap(opts)
     with KafkaClient(host, port) as client:
         off = p.start
+        empty = 0
         while off < p.end:
             recs, _hwm = client.fetch(p.topic, p.partition, off)
             if not recs:
-                break
+                empty += 1
+                if empty > 3:
+                    raise RuntimeError(
+                        f"kafka fetch returned no records at offset "
+                        f"{off} of planned range [{p.start}, {p.end}) "
+                        f"for {p.topic}/{p.partition} after {empty - 1} "
+                        "retries — failing the task so Spark retries it"
+                    )
+                _time.sleep(0.2 * empty)
+                continue
+            empty = 0
             for r in recs:
                 if r.offset >= p.end:
                     break

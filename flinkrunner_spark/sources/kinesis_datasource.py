@@ -99,13 +99,17 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
                 "StartingSequenceNumber": last_seq,
             }
         else:
-            pos = str(
-                self.opts.get("startingposition", "TRIM_HORIZON")
-            ).upper()
+            # an empty checkpoint entry always means "from the shard
+            # start": LATEST is resolved ONCE in initialOffset (which
+            # pins the tip sequence); a shard that was empty then — or
+            # appeared later via resharding — holds only records newer
+            # than query start, so TRIM_HORIZON is the loss-free
+            # position (a fresh LATEST iterator here would skip
+            # anything produced before this trigger)
             body = {
                 "StreamName": self.stream,
                 "ShardId": shard,
-                "ShardIteratorType": pos,
+                "ShardIteratorType": "TRIM_HORIZON",
             }
         return self._post(
             "Kinesis_20131202.GetShardIterator", json.dumps(body).encode()

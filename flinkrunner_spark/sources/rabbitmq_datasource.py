@@ -68,8 +68,12 @@ class RabbitmqSimpleStreamReader(SimpleDataSourceStreamReader):
             # prefetch = this batch + the still-un-acked (un-committed)
             # window: the broker then delivers EXACTLY n new messages —
             # an unlimited window would push the whole backlog and force
-            # O(backlog) stray-rejects per capped read
+            # O(backlog) stray-rejects per capped read. basic.qos is a
+            # uint16 field: past 65535 (a badly lagging engine) fall
+            # back to unlimited — correct, occasionally wasteful
             window = n + len(self._tags)
+            if window > 0xFFFF:
+                window = 0
             for msg in c.consume_drain(
                 self.queue, n, prefetch=window, ack=False
             ):

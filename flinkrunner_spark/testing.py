@@ -304,6 +304,37 @@ class LoopbackAmqpBroker:
                 return
 
 
+def _split_cql_statements(body: str) -> list[str]:
+    """Split a batch body into statements at top-level ';' — respecting
+    single-quoted string literals ('' = escaped quote), so row text
+    containing semicolons never splits mid-literal."""
+    out, cur, i, in_str = [], [], 0, False
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(c)
+        else:
+            if c == "'":
+                in_str = True
+                cur.append(c)
+            elif c == ";":
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return [s for s in out if s]
+
+
 def _split_cql_list(s: str) -> list[str]:
     """Split a comma-separated CQL list at top level, respecting
     single-quoted strings ('' = escaped quote)."""
@@ -345,6 +376,8 @@ def _parse_cql_literal(tok: str):
         return tok[1:-1].replace("''", "'")
     if tok.startswith("0x"):
         return bytes.fromhex(tok[2:])
+    if tok in ("NaN", "Infinity", "-Infinity"):  # CQL non-finite floats
+        return float(tok.replace("Infinity", "inf"))
     if any(c in tok for c in ".eE") and not tok.lstrip("-").isdigit():
         return float(tok)
     return int(tok)
@@ -471,9 +504,9 @@ class LoopbackCqlServer:
         if qs.upper().startswith("BEGIN"):
             body = qs.split("\n", 1)[1]
             body = body.rsplit("APPLY BATCH", 1)[0]
-            for stmt in body.split(";\n"):
-                if stmt.strip():
-                    self._exec_one(stmt)
+            # quote-aware split: row text may legitimately contain ';'
+            for stmt in _split_cql_statements(body):
+                self._exec_one(stmt)
             return None
         if qs.upper().startswith("SELECT"):
             import re

@@ -578,7 +578,14 @@ class AmqpClient:
 
     def qos(self, prefetch_count: int):
         """basic.qos — bound in-flight unacked deliveries (the consume
-        flow-control window)."""
+        flow-control window). The wire field is an unsigned SHORT:
+        anything past 65535 cannot be expressed — pass 0 (unlimited)
+        instead of overflowing."""
+        if not 0 <= prefetch_count <= 0xFFFF:
+            raise AmqpError(
+                f"basic.qos prefetch-count {prefetch_count} out of the "
+                "uint16 wire range — use 0 for an unlimited window"
+            )
         self._send(
             method_frame(
                 1, BASIC, BASIC_QOS,

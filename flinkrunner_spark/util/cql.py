@@ -153,6 +153,14 @@ def cql_literal(v) -> str:
     if isinstance(v, (int,)):
         return str(v)
     if isinstance(v, float):
+        # CQL's non-finite spellings — repr() would emit 'inf'/'nan',
+        # which no CQL parser accepts
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return "0x" + bytes(v).hex()

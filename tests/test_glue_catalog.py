@@ -137,10 +137,25 @@ def test_commit_swap_conflict_detection(spark, tmp_path):
             f"v{t._version()}.metadata.json"
         )
         c.commit_swap("db", "t", t)  # already at tip: no-op
-        # a third commit appears concurrently: local table moves on but
-        # the catalog pointer is rewound by "someone else"
+        # the pointer may lag by SEVERAL versions (filesystem commits
+        # without the catalog in between): rewound to an OLDER version
+        # of our own lineage, the swap still advances
         t.append(spark.range(10, 15).selectExpr("id"))
         g.databases["db"]["t"]["Parameters"]["metadata_location"] = first
+        c.commit_swap("db", "t", t)
+        assert c.metadata_location("db", "t").endswith(
+            f"v{t._version()}.metadata.json"
+        )
+        # a pointer NEWER than ours, or from a foreign lineage, IS a
+        # concurrent writer
+        g.databases["db"]["t"]["Parameters"]["metadata_location"] = (
+            f"{t.meta_dir}/v999.metadata.json"
+        )
+        with pytest.raises(GlueCommitConflict, match="concurrent commit"):
+            c.commit_swap("db", "t", t)
+        g.databases["db"]["t"]["Parameters"]["metadata_location"] = (
+            "/elsewhere/other/metadata/v1.metadata.json"
+        )
         with pytest.raises(GlueCommitConflict, match="concurrent commit"):
             c.commit_swap("db", "t", t)
 

@@ -871,3 +871,21 @@ def test_pos_delete_files_are_spec_shaped(spark, tmp_path):
         assert rows == sorted(rows)  # spec: sorted by (file_path, pos)
         # paths are normalized os paths that point at live data files
         assert all(p.startswith("/") and os.path.exists(p) for p, _ in rows)
+
+
+def test_delete_where_survives_partition_filtered_reads(spark, tmp_path):
+    """Regression: global position-delete files (all-None partition
+    tuples) must NOT be pruned by partition_filter — pruning them
+    resurrected deleted rows in partition-scoped reads."""
+    t = I.IcebergFsTable(str(tmp_path / "pdpf"))
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i) for i in range(12)],
+        "id bigint, grp string, v bigint",
+    )
+    t.append(df, partition_by=["grp"])
+    assert t.delete_where(spark, "grp = 'a' AND v < 6") == 3
+    got = sorted(
+        r.id
+        for r in t.read(spark, partition_filter={"grp": "a"}).collect()
+    )
+    assert got == [6, 8, 10]  # the deleted ids 0,2,4 stay dead

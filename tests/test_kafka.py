@@ -542,3 +542,39 @@ def test_kafka_dsv2_stream_writer(spark, tmp_path):
         )
         vals = {bytes(r.value).decode() for r in back.collect()}
         assert vals == {str(i) for i in range(20)}
+
+
+def test_kafka_sink_write_stream_native_keyed(spark, tmp_path):
+    """Regression: the native write_stream path prepared records twice,
+    crashing the first micro-batch whenever key.column or headers was
+    configured (the second pass could not find the source columns)."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    src_dir = str(tmp_path / "in")
+    spark.range(0, 15).selectExpr(
+        "id", "concat('t', id % 3) AS tag"
+    ).write.json(src_dir)
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        sdf = spark.readStream.schema("id long, tag string").json(src_dir)
+        q = KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "wsk",
+             "key.column": "id", "headers": {"X-Tag": "tag"},
+             "checkpoint": str(tmp_path / "ckpt")},
+        ).write_stream(sdf)
+        q.processAllAvailable()
+        q.stop()
+        back = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "wsk",
+             "headers": True},
+        ).load(spark)
+        rows = back.collect()
+        assert len(rows) == 15
+        assert {bytes(r.key).decode() for r in rows} == {
+            str(i) for i in range(15)
+        }
+        assert all(r.headers[0].key == "X-Tag" for r in rows)
