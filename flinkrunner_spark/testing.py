@@ -5,6 +5,13 @@ the actual wire protocols the connectors emit, so sink/source paths run
 END-TO-END (executor workers → TCP → protocol frames → state) without
 external infrastructure.
 
+Sizing: each harness is a single-process pure-Python server — O(rows)
+parse/serve cost sized for the correctness gate's data scales (sf0.01
+driver runs, sf0.1 bench ≈ 60k documents). They are verification
+endpoints, not throughput subjects: scale claims for the connector
+paths live in the CLIENT side (executor-parallel produce/poll, bounded
+batching), which talks to real brokers/services unchanged.
+
 Used by the driver-verified connector roundtrip queries
 (`plans/connectors.py`) and the offline test suite alike. Each harness
 implements only the server side of the conversation the clients speak;

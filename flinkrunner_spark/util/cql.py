@@ -448,9 +448,11 @@ class CqlClient:
         user: str | None = None,
         password: str | None = None,
         connect_timeout: float = 10.0,
+        request_timeout: float = 120.0,
     ):
         self.host, self.port = host, port
         self.user, self.password = user, password
+        self.request_timeout = request_timeout
         self.connect_timeout = connect_timeout
         self._sock: socket.socket | None = None
 
@@ -476,6 +478,9 @@ class CqlClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.connect_timeout
         )
+        # reads after the handshake wait on QUERY responses — a large
+        # SELECT legitimately takes longer than a TCP connect
+        self._sock.settimeout(self.request_timeout)
         self._sock.sendall(startup_frame())
         opcode, body = self._read_response()
         if opcode == OP_AUTHENTICATE:
