@@ -269,3 +269,49 @@ def test_kafka_partitioner_in_range(key, n):
     from flinkrunner_spark.util.kafka import partition_for_key
 
     assert 0 <= partition_for_key(key, n) < n
+
+
+# -- cql literal rendering (util/cql + loopback parser) ----------------------
+
+
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False),  # NaN breaks == roundtrip; pinned below
+        st.binary(max_size=64),
+        st.text(max_size=64),
+    )
+)
+def test_cql_literal_parse_roundtrip(v):
+    from flinkrunner_spark.testing import _parse_cql_literal
+    from flinkrunner_spark.util.cql import cql_literal
+
+    # booleans render before ints (bool is an int subclass) — mirror
+    # the renderer's dispatch when comparing
+    lit = cql_literal(v)
+    # the loopback parser sees the literal exactly as the batch splitter
+    # hands it over
+    got = _parse_cql_literal(lit)
+    if isinstance(v, float) and v in (float("inf"), float("-inf")):
+        assert got == v
+    elif isinstance(v, float):
+        assert got == v or (got == int(v) and float(got) == v)
+    elif isinstance(v, bytes):
+        assert got == v
+    else:
+        assert got == v
+
+
+def test_cql_literal_nonfinite_spellings():
+    from flinkrunner_spark.testing import _parse_cql_literal
+    from flinkrunner_spark.util.cql import cql_literal
+
+    assert cql_literal(float("inf")) == "Infinity"
+    assert cql_literal(float("-inf")) == "-Infinity"
+    assert cql_literal(float("nan")) == "NaN"
+    assert _parse_cql_literal("Infinity") == float("inf")
+    assert _parse_cql_literal("-Infinity") == float("-inf")
+    got = _parse_cql_literal("NaN")
+    assert got != got  # NaN
