@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,
+        "kafka_glue_avro_roundtrip": connectors.kafka_glue_avro_roundtrip,
         "iceberg_delete_roundtrip": connectors.iceberg_delete_roundtrip,
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "stream_rabbitmq_roundtrip": connectors.stream_rabbitmq_roundtrip,
@@ -114,8 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_filter_by_control": events.stream_filter_by_control,
         "stream_asof_join": events.stream_asof_join,
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
-        "stream_win_sliding_append": events.stream_win_sliding_append,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,

@@ -253,3 +253,95 @@ def glue_from_conf(conf: dict) -> GlueCatalog:
     from flinkrunner_spark.config import strip_catalog_conf
 
     return GlueCatalog(strip_catalog_conf(conf, exclude=("catalog.type",)))
+
+
+class GlueSchemaRegistry(GlueCatalog):
+    """AWS Glue SCHEMA REGISTRY client — the network twin of
+    `avro_codec.LocalGlueRegistry`, satisfying the same three-method
+    contract (``register(name, schema) -> 16-byte uuid``,
+    ``schema_by_uuid(uuid) -> parsed``, ``uuid_by_name(name) ->
+    uuid``) over the public Glue API (RegisterSchemaVersion /
+    CreateSchema / GetSchemaVersion as SigV4-signed x-amz-json-1.1
+    POSTs — the AWSKafkaAvroSerializer's resolution path in the
+    reference's GlueAvroRegistryKafkaRecord*Schema.scala, selected by
+    ``schema.registry`` type aws_glue in SchemaRegistryConfig.scala).
+    Resolution is driver-side and memoized: the registry sees
+    O(queries) calls at any data scale."""
+
+    def __init__(self, conf: dict | None = None):
+        super().__init__(conf)
+        self.registry_name = (self.conf or {}).get(
+            "registry.name", "default-registry"
+        )
+        self._by_uuid: dict[bytes, dict] = {}
+
+    @staticmethod
+    def _to_bytes(version_id: str) -> bytes:
+        import uuid as _uuid
+
+        return _uuid.UUID(version_id).bytes
+
+    def register(self, name: str, schema) -> bytes:
+        from flinkrunner_spark.serde.avro_codec import parse_schema
+
+        parsed = parse_schema(schema)  # validate before the wire
+        definition = json.dumps(
+            json.loads(schema) if isinstance(schema, str) else schema
+        )
+        sid = {"RegistryName": self.registry_name, "SchemaName": name}
+        try:
+            out = self._call(
+                "AWSGlue.RegisterSchemaVersion",
+                json.dumps(
+                    {"SchemaId": sid, "SchemaDefinition": definition}
+                ).encode(),
+            )
+        except GlueCatalogError as e:
+            if "EntityNotFound" not in str(e):
+                raise
+            out = self._call(
+                "AWSGlue.CreateSchema",
+                json.dumps(
+                    {
+                        "RegistryId": {"RegistryName": self.registry_name},
+                        "SchemaName": name,
+                        "DataFormat": "AVRO",
+                        "Compatibility": "BACKWARD",
+                        "SchemaDefinition": definition,
+                    }
+                ).encode(),
+            )
+        vid = self._to_bytes(out["SchemaVersionId"])
+        self._by_uuid[vid] = parsed
+        return vid
+
+    def schema_by_uuid(self, vid: bytes) -> dict:
+        vid = bytes(vid)
+        if vid not in self._by_uuid:
+            import uuid as _uuid
+
+            from flinkrunner_spark.serde.avro_codec import parse_schema
+
+            out = self._call(
+                "AWSGlue.GetSchemaVersion",
+                json.dumps(
+                    {"SchemaVersionId": str(_uuid.UUID(bytes=vid))}
+                ).encode(),
+            )
+            self._by_uuid[vid] = parse_schema(out["SchemaDefinition"])
+        return self._by_uuid[vid]
+
+    def uuid_by_name(self, name: str) -> bytes:
+        out = self._call(
+            "AWSGlue.GetSchemaVersion",
+            json.dumps(
+                {
+                    "SchemaId": {
+                        "RegistryName": self.registry_name,
+                        "SchemaName": name,
+                    },
+                    "SchemaVersionNumber": {"LatestVersion": True},
+                }
+            ).encode(),
+        )
+        return self._to_bytes(out["SchemaVersionId"])

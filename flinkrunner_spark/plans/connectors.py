@@ -849,3 +849,65 @@ def stream_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(parsed)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def kafka_glue_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → glue-avro values resolved through the AWS GLUE
+    SCHEMA REGISTRY over its real API (`glue_catalog.GlueSchemaRegistry`
+    against the loopback Glue endpoint — RegisterSchemaVersion /
+    GetSchemaVersion as SigV4-signed calls, deterministic version
+    uuids) → native kafka produce → native read → a COLD registry
+    client resolves the frame's 16-byte version uuid back over the
+    wire → Avro decode → per-language profile. Exactly oracled: the
+    Glue wire framing (header version 3 + compression byte + version
+    uuid), the Avro binary and the kafka batches must all round-trip
+    losslessly. Reference parity for schema.registry type aws_glue
+    (`SchemaRegistryConfig.scala`,
+    `serde/GlueAvroRegistryKafkaRecordSerializationSchema.scala`) —
+    the glue twin of `kafka_avro_roundtrip`."""
+    from flinkrunner_spark import serde
+    from flinkrunner_spark.glue_catalog import GlueSchemaRegistry
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import (
+        LoopbackGlueCatalog,
+        LoopbackKafkaBroker,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackGlueCatalog() as glue:
+        reg_conf = {
+            "schema.registry.region": "us-east-1",
+            "schema.registry.endpoint": glue.endpoint,
+            "schema.registry.aws.access.key.id": "rt-key",
+            "schema.registry.aws.secret.access.key": "rt-secret",
+            "schema.registry.registry.name": "rt",
+        }
+        with LoopbackKafkaBroker(num_partitions=4) as broker:
+            KafkaSinkConfig(
+                "rt",
+                {"connector": "kafka", "transport": "native",
+                 "bootstrap.servers": f"localhost:{broker.port}",
+                 "topic": "docs_glue_rt", "key.column": "doc_id",
+                 "value.format": "glue-avro", **reg_conf},
+            ).write(docs)
+            back = KafkaSourceConfig(
+                "rt",
+                {"connector": "kafka", "transport": "native",
+                 "bootstrap.servers": f"localhost:{broker.port}",
+                 "topic": "docs_glue_rt"},
+            ).load(spark)
+            cold = GlueSchemaRegistry(
+                {"region": "us-east-1", "endpoint": glue.endpoint,
+                 "aws.access.key.id": "rt-key",
+                 "aws.secret.access.key": "rt-secret",
+                 "registry.name": "rt"}
+            )
+            parsed = serde.glue_avro_decode(
+                back, cold, "docs_glue_rt-value"
+            )
+            profile = _lang_profile(parsed)
+            rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

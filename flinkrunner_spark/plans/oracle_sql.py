@@ -1476,6 +1476,7 @@ ORACLES["cassandra_roundtrip"] = _LPO
 ORACLES["kafka_roundtrip"] = _LPO
 ORACLES["stream_kafka_roundtrip"] = _LPO
 ORACLES["kafka_avro_roundtrip"] = _LPO
+ORACLES["kafka_glue_avro_roundtrip"] = _LPO
 ORACLES["stream_rabbitmq_roundtrip"] = _LPO
 ORACLES["kinesis_roundtrip"] = _LPO
 ORACLES["stream_kinesis_roundtrip"] = _LPO

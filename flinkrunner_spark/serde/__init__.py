@@ -158,7 +158,10 @@ def _py_encode_map(
             for _, row in pdf.iterrows():
                 rec = {c: norm(c, row[c]) for c in cols}
                 payload = AC.encode_record(parsed, rec)
-                if schema_id is not None:
+                if isinstance(schema_id, (bytes, bytearray)):
+                    # 16-byte version uuid → Glue registry wire format
+                    payload = AC.glue_frame(bytes(schema_id), payload)
+                elif schema_id is not None:
                     payload = AC.confluent_frame(schema_id, payload)
                 vals.append(payload)
             out = {k: pdf[k] for k in keep}
@@ -178,8 +181,13 @@ def _encode_out_schema(df: DataFrame, keep: tuple[str, ...]) -> str:
 
 
 def _py_decode_map(
-    parsed: dict, framed: bool, col: str, expected_id: int | None = None
+    parsed: dict,
+    framed: bool,
+    col: str,
+    expected_id: int | bytes | None = None,
 ):
+    glue = isinstance(expected_id, (bytes, bytearray))
+
     def fn(it):
         import pandas as pd
 
@@ -189,14 +197,19 @@ def _py_decode_map(
             for v in pdf[col]:
                 b = bytes(v)
                 if framed:
-                    sid, b = AC.confluent_unframe(b)
+                    if glue:
+                        sid, b = AC.glue_unframe(b)
+                    else:
+                        sid, b = AC.confluent_unframe(b)
                     # a message framed under a DIFFERENT schema id would
                     # otherwise decode against the subject's schema into
                     # silent garbage — fail loudly instead
-                    if expected_id is not None and sid != expected_id:
+                    if expected_id is not None and sid != (
+                        bytes(expected_id) if glue else expected_id
+                    ):
                         raise ValueError(
-                            f"confluent frame carries schema id {sid}, "
-                            f"expected {expected_id} for this subject"
+                            f"frame carries schema id {sid!r}, "
+                            f"expected {expected_id!r} for this subject"
                         )
                 recs.append(AC.decode_record(parsed, b))
             out = pd.DataFrame(recs, columns=names)
@@ -286,6 +299,43 @@ def confluent_avro_decode(
     parsed = registry.schema_by_id(sid)
     return df.select(col).mapInPandas(
         _py_decode_map(parsed, True, col, expected_id=sid),
+        schema=_spark_ddl_for_avro(parsed),
+    )
+
+
+def glue_avro_encode(
+    df: DataFrame,
+    registry,
+    name: str,
+    out_col: str = "value",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rows -> Glue-registry-framed Avro (header version 3 + compression
+    byte + 16-byte schema-version uuid + binary) — the wire format the
+    reference's GlueAvroRegistryKafkaRecordSerializationSchema produces.
+    ``registry`` is `avro_codec.LocalGlueRegistry` or the network
+    `glue_catalog.GlueSchemaRegistry` (same 3-method contract)."""
+    record_cols = list(df.columns)
+    schema = avro_schema_for_df(df.select(*record_cols))
+    vid = registry.register(name, schema)
+    parsed = AC.parse_schema(schema)
+    out = df.mapInPandas(
+        _py_encode_map(parsed, vid, record_cols, tuple(keep)),
+        schema=_encode_out_schema(df, tuple(keep)),
+    )
+    return out if out_col == "value" else out.withColumnRenamed("value", out_col)
+
+
+def glue_avro_decode(
+    df: DataFrame, registry, name: str, col: str = "value"
+) -> DataFrame:
+    """Glue-framed Avro -> rows, resolving the schema through the
+    registry by name; a frame carrying a different version uuid raises
+    instead of silently decoding garbage."""
+    vid = registry.uuid_by_name(name)
+    parsed = registry.schema_by_uuid(vid)
+    return df.select(col).mapInPandas(
+        _py_decode_map(parsed, True, col, expected_id=vid),
         schema=_spark_ddl_for_avro(parsed),
     )
 

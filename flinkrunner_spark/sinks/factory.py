@@ -214,6 +214,42 @@ class KafkaSinkConfig(SinkConfig):
                 out = serde.confluent_avro_encode(
                     df, registry, subject, keep=tuple(passthrough)
                 )
+            elif vfmt == "glue-avro":
+                from flinkrunner_spark import serde
+
+                # the reference's schema.registry type aws_glue path
+                # (SchemaRegistryConfig.scala → AWSKafkaAvroSerializer):
+                # injected registry first, else the network client from
+                # the schema.registry.* conf keys
+                registry = getattr(self, "schema_registry", None)
+                if registry is None and self.conf.get(
+                    "schema.registry.region"
+                ):
+                    from flinkrunner_spark.glue_catalog import (
+                        GlueSchemaRegistry,
+                    )
+
+                    registry = GlueSchemaRegistry(
+                        {
+                            k.split("schema.registry.", 1)[1]: v
+                            for k, v in self.conf.items()
+                            if k.startswith("schema.registry.")
+                        }
+                    )
+                if registry is None:
+                    raise ValueError(
+                        "glue-avro value.format needs a schema_registry "
+                        "on the sink config or schema.registry.* conf "
+                        "(region + credentials)"
+                    )
+                name = f"{self.conf.get('topic', self.name)}-value"
+                passthrough = dict.fromkeys(
+                    ([key_col] if key_col else [])
+                    + list(self.conf.get("headers", {}).values())
+                )
+                out = serde.glue_avro_encode(
+                    df, registry, name, keep=tuple(passthrough)
+                )
             else:
                 raise ValueError(f"unsupported value.format: {vfmt}")
         if key_col:

@@ -1225,6 +1225,79 @@ class LoopbackGlueCatalog:
         self.databases[db][name] = ti
         return 200, {}
 
+    # -- schema registry ops (AWSKafkaAvroSerializer's resolution path) -----
+
+    def _schemas(self) -> dict:
+        if not hasattr(self, "schemas"):
+            # (registry, name) -> {"versions": {uuid_str: definition}}
+            self.schemas: dict = {}
+        return self.schemas
+
+    @staticmethod
+    def _version_uuid(definition: str) -> str:
+        """Deterministic per canonical definition — stable version ids
+        like the real registry's (one uuid per schema version), and
+        identical to `LocalGlueRegistry`'s md5 derivation so loopback
+        and in-memory paths frame the same bytes."""
+        import hashlib
+        import uuid as _uuid
+
+        from flinkrunner_spark.serde.avro_codec import parse_schema
+
+        canon = json.dumps(parse_schema(definition), sort_keys=True)
+        return str(_uuid.UUID(bytes=hashlib.md5(canon.encode()).digest()))
+
+    def _op_CreateSchema(self, body):
+        reg = body.get("RegistryId", {}).get("RegistryName", "")
+        name = body.get("SchemaName", "")
+        definition = body.get("SchemaDefinition", "")
+        key = (reg, name)
+        store = self._schemas()
+        if key in store:
+            return 400, {"__type": "AlreadyExistsException",
+                         "Message": f"Schema {name} already exists"}
+        vid = self._version_uuid(definition)
+        store[key] = {"versions": {vid: definition}, "latest": vid}
+        return 200, {"SchemaVersionId": vid, "SchemaName": name}
+
+    def _op_RegisterSchemaVersion(self, body):
+        sid = body.get("SchemaId", {})
+        key = (sid.get("RegistryName", ""), sid.get("SchemaName", ""))
+        store = self._schemas()
+        if key not in store:
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"Schema {key[1]} not found"}
+        definition = body.get("SchemaDefinition", "")
+        vid = self._version_uuid(definition)
+        store[key]["versions"][vid] = definition
+        store[key]["latest"] = vid
+        return 200, {"SchemaVersionId": vid, "Status": "AVAILABLE"}
+
+    def _op_GetSchemaVersion(self, body):
+        store = self._schemas()
+        vid = body.get("SchemaVersionId")
+        if vid:
+            for entry in store.values():
+                if vid in entry["versions"]:
+                    return 200, {
+                        "SchemaVersionId": vid,
+                        "SchemaDefinition": entry["versions"][vid],
+                        "DataFormat": "AVRO",
+                    }
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"version {vid} not found"}
+        sid = body.get("SchemaId", {})
+        key = (sid.get("RegistryName", ""), sid.get("SchemaName", ""))
+        if key not in store:
+            return 400, {"__type": "EntityNotFoundException",
+                         "Message": f"Schema {key[1]} not found"}
+        latest = store[key]["latest"]
+        return 200, {
+            "SchemaVersionId": latest,
+            "SchemaDefinition": store[key]["versions"][latest],
+            "DataFormat": "AVRO",
+        }
+
     @property
     def endpoint(self) -> str:
         return f"http://localhost:{self.port}/"
