@@ -289,29 +289,66 @@ class GlueSchemaRegistry(GlueCatalog):
             json.loads(schema) if isinstance(schema, str) else schema
         )
         sid = {"RegistryName": self.registry_name, "SchemaName": name}
-        try:
-            out = self._call(
+
+        def register_version():
+            return self._call(
                 "AWSGlue.RegisterSchemaVersion",
                 json.dumps(
                     {"SchemaId": sid, "SchemaDefinition": definition}
                 ).encode(),
             )
+
+        try:
+            out = register_version()
         except GlueCatalogError as e:
             if "EntityNotFound" not in str(e):
                 raise
-            out = self._call(
-                "AWSGlue.CreateSchema",
+            try:
+                out = self._call(
+                    "AWSGlue.CreateSchema",
+                    json.dumps(
+                        {
+                            "RegistryId": {
+                                "RegistryName": self.registry_name
+                            },
+                            "SchemaName": name,
+                            "DataFormat": "AVRO",
+                            "Compatibility": "BACKWARD",
+                            "SchemaDefinition": definition,
+                        }
+                    ).encode(),
+                )
+            except GlueCatalogError as e2:
+                # create race: a concurrent writer created the schema
+                # between our two calls — registering the version now
+                # succeeds
+                if "AlreadyExists" not in str(e2):
+                    raise
+                out = register_version()
+        vid = self._to_bytes(out["SchemaVersionId"])
+        # registration is ASYNC on real Glue: PENDING resolves, FAILURE
+        # (incompatible evolution) never becomes AVAILABLE — framing
+        # messages with a failed version id would make the topic
+        # permanently undecodable, so wait for AVAILABLE
+        status = out.get("Status", "AVAILABLE")
+        tries = 0
+        while status == "PENDING" and tries < 20:
+            import time as _time
+
+            _time.sleep(0.25)
+            chk = self._call(
+                "AWSGlue.GetSchemaVersion",
                 json.dumps(
-                    {
-                        "RegistryId": {"RegistryName": self.registry_name},
-                        "SchemaName": name,
-                        "DataFormat": "AVRO",
-                        "Compatibility": "BACKWARD",
-                        "SchemaDefinition": definition,
-                    }
+                    {"SchemaVersionId": out["SchemaVersionId"]}
                 ).encode(),
             )
-        vid = self._to_bytes(out["SchemaVersionId"])
+            status = chk.get("Status", "AVAILABLE")
+            tries += 1
+        if status not in ("AVAILABLE",):
+            raise GlueCatalogError(
+                f"schema version for {name!r} ended in status {status!r} "
+                "— not usable for framing (incompatible evolution?)"
+            )
         self._by_uuid[vid] = parsed
         return vid
 
@@ -344,4 +381,31 @@ class GlueSchemaRegistry(GlueCatalog):
                 }
             ).encode(),
         )
-        return self._to_bytes(out["SchemaVersionId"])
+        vid = self._to_bytes(out["SchemaVersionId"])
+        # the response already carries the definition — memoize it so a
+        # cold decode pays one registry call, not two
+        if vid not in self._by_uuid and out.get("SchemaDefinition"):
+            from flinkrunner_spark.serde.avro_codec import parse_schema
+
+            self._by_uuid[vid] = parse_schema(out["SchemaDefinition"])
+        return vid
+
+
+def glue_registry_from_conf(conf: dict):
+    """Build a `GlueSchemaRegistry` from ``schema.registry.*`` sink conf
+    — the aws_glue branch of the reference's SchemaRegistryConfig.
+    Returns None unless both region and credentials are present (the
+    caller can then raise its own contract error naming the right
+    keys)."""
+    if not (
+        conf.get("schema.registry.region")
+        and conf.get("schema.registry.aws.access.key.id")
+    ):
+        return None
+    return GlueSchemaRegistry(
+        {
+            k.split("schema.registry.", 1)[1]: v
+            for k, v in conf.items()
+            if k.startswith("schema.registry.")
+        }
+    )

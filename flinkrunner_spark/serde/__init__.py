@@ -119,12 +119,13 @@ def _spark_ddl_for_avro(parsed: dict) -> str:
 
 def _py_encode_map(
     parsed: dict,
-    schema_id: int | None,
+    schema_id: int | bytes | None,
     cols: list[str],
     keep: tuple[str, ...] = (),
 ):
     """mapInPandas closure: rows -> avro binary (optionally Confluent-
-    framed), with ``keep`` columns passed through alongside the value
+    framed for an int id, Glue-framed for a 16-byte version uuid), with
+    ``keep`` columns passed through alongside the value
     (one Arrow pass — no re-join needed to retain e.g. a Kafka key).
     Timestamps/ndarray values normalize to codec types first."""
 

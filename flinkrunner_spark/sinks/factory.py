@@ -221,26 +221,19 @@ class KafkaSinkConfig(SinkConfig):
                 # (SchemaRegistryConfig.scala → AWSKafkaAvroSerializer):
                 # injected registry first, else the network client from
                 # the schema.registry.* conf keys
-                registry = getattr(self, "schema_registry", None)
-                if registry is None and self.conf.get(
-                    "schema.registry.region"
-                ):
-                    from flinkrunner_spark.glue_catalog import (
-                        GlueSchemaRegistry,
-                    )
+                from flinkrunner_spark.glue_catalog import (
+                    glue_registry_from_conf,
+                )
 
-                    registry = GlueSchemaRegistry(
-                        {
-                            k.split("schema.registry.", 1)[1]: v
-                            for k, v in self.conf.items()
-                            if k.startswith("schema.registry.")
-                        }
-                    )
+                registry = getattr(
+                    self, "schema_registry", None
+                ) or glue_registry_from_conf(self.conf)
                 if registry is None:
                     raise ValueError(
                         "glue-avro value.format needs a schema_registry "
-                        "on the sink config or schema.registry.* conf "
-                        "(region + credentials)"
+                        "on the sink config, or schema.registry.region "
+                        "+ schema.registry.aws.access.key.id / "
+                        "schema.registry.aws.secret.access.key conf"
                     )
                 name = f"{self.conf.get('topic', self.name)}-value"
                 passthrough = dict.fromkeys(

@@ -1131,6 +1131,9 @@ class LoopbackGlueCatalog:
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.databases: dict[str, dict[str, dict]] = {}  # db -> name -> TableInput
+        # (registry, name) -> {"versions": {uuid: def}, "order": [uuid],
+        #  "latest": uuid} — schema registry store
+        self.schemas: dict = {}
         srv = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -1227,12 +1230,6 @@ class LoopbackGlueCatalog:
 
     # -- schema registry ops (AWSKafkaAvroSerializer's resolution path) -----
 
-    def _schemas(self) -> dict:
-        if not hasattr(self, "schemas"):
-            # (registry, name) -> {"versions": {uuid_str: definition}}
-            self.schemas: dict = {}
-        return self.schemas
-
     @staticmethod
     def _version_uuid(definition: str) -> str:
         """Deterministic per canonical definition — stable version ids
@@ -1252,50 +1249,66 @@ class LoopbackGlueCatalog:
         name = body.get("SchemaName", "")
         definition = body.get("SchemaDefinition", "")
         key = (reg, name)
-        store = self._schemas()
-        if key in store:
+        if key in self.schemas:
             return 400, {"__type": "AlreadyExistsException",
                          "Message": f"Schema {name} already exists"}
         vid = self._version_uuid(definition)
-        store[key] = {"versions": {vid: definition}, "latest": vid}
-        return 200, {"SchemaVersionId": vid, "SchemaName": name}
+        self.schemas[key] = {
+            "versions": {vid: definition}, "order": [vid], "latest": vid,
+        }
+        return 200, {"SchemaVersionId": vid, "SchemaName": name,
+                     "SchemaVersionStatus": "AVAILABLE"}
 
     def _op_RegisterSchemaVersion(self, body):
         sid = body.get("SchemaId", {})
         key = (sid.get("RegistryName", ""), sid.get("SchemaName", ""))
-        store = self._schemas()
-        if key not in store:
+        if key not in self.schemas:
             return 400, {"__type": "EntityNotFoundException",
                          "Message": f"Schema {key[1]} not found"}
         definition = body.get("SchemaDefinition", "")
         vid = self._version_uuid(definition)
-        store[key]["versions"][vid] = definition
-        store[key]["latest"] = vid
+        entry = self.schemas[key]
+        if vid not in entry["versions"]:
+            entry["versions"][vid] = definition
+            entry["order"].append(vid)
+        entry["latest"] = vid
         return 200, {"SchemaVersionId": vid, "Status": "AVAILABLE"}
 
     def _op_GetSchemaVersion(self, body):
-        store = self._schemas()
         vid = body.get("SchemaVersionId")
         if vid:
-            for entry in store.values():
+            for entry in self.schemas.values():
                 if vid in entry["versions"]:
                     return 200, {
                         "SchemaVersionId": vid,
                         "SchemaDefinition": entry["versions"][vid],
                         "DataFormat": "AVRO",
+                        "Status": "AVAILABLE",
                     }
             return 400, {"__type": "EntityNotFoundException",
                          "Message": f"version {vid} not found"}
         sid = body.get("SchemaId", {})
         key = (sid.get("RegistryName", ""), sid.get("SchemaName", ""))
-        if key not in store:
+        if key not in self.schemas:
             return 400, {"__type": "EntityNotFoundException",
                          "Message": f"Schema {key[1]} not found"}
-        latest = store[key]["latest"]
+        entry = self.schemas[key]
+        svn = body.get("SchemaVersionNumber", {})
+        if svn.get("VersionNumber"):
+            # pinned-version resolution — a real-API capability the
+            # harness must not silently alias to latest
+            n = int(svn["VersionNumber"])
+            if not 1 <= n <= len(entry["order"]):
+                return 400, {"__type": "EntityNotFoundException",
+                             "Message": f"version number {n} not found"}
+            vid = entry["order"][n - 1]
+        else:
+            vid = entry["latest"]
         return 200, {
-            "SchemaVersionId": latest,
-            "SchemaDefinition": store[key]["versions"][latest],
+            "SchemaVersionId": vid,
+            "SchemaDefinition": entry["versions"][vid],
             "DataFormat": "AVRO",
+            "Status": "AVAILABLE",
         }
 
     @property

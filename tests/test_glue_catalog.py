@@ -294,3 +294,63 @@ def test_kafka_sink_glue_avro_values(spark):
                 r.id: r.user for r in decoded.select("id", "user").collect()
             }
             assert rows == {i: f"u-{i}" for i in range(40)}
+
+
+def test_schema_registry_pinned_version_resolution():
+    """The harness honors SchemaVersionNumber: pinned versions resolve
+    to their own definition, never silently aliased to latest."""
+    import json as _json
+    import urllib.request
+
+    from flinkrunner_spark.util.aws_signer import AwsCredentials, sign_request
+
+    with LoopbackGlueCatalog() as g:
+        c = _sr(g.endpoint)
+        v1 = c.register("p-value", SR_SCHEMA)
+        evolved = dict(
+            SR_SCHEMA,
+            fields=SR_SCHEMA["fields"]
+            + [{"name": "x", "type": ["null", "long"], "default": None}],
+        )
+        c.register("p-value", evolved)
+
+        def get_version(n):
+            body = _json.dumps({
+                "SchemaId": {"RegistryName": "r1", "SchemaName": "p-value"},
+                "SchemaVersionNumber": {"VersionNumber": n},
+            }).encode()
+            hdrs = sign_request(
+                method="POST", url=g.endpoint,
+                headers={"Content-Type": "application/x-amz-json-1.1",
+                         "X-Amz-Target": "AWSGlue.GetSchemaVersion"},
+                payload=body,
+                credentials=AwsCredentials("k", "s", None),
+                region="us-east-1", amz_date="20260101T000000Z",
+                service="glue",
+            )
+            req = urllib.request.Request(
+                g.endpoint, data=body, headers=hdrs, method="POST"
+            )
+            return _json.loads(urllib.request.urlopen(req).read().decode())
+
+        out1 = get_version(1)
+        assert len(_json.loads(out1["SchemaDefinition"])["fields"]) == 2
+        out2 = get_version(2)
+        assert len(_json.loads(out2["SchemaDefinition"])["fields"]) == 3
+        import uuid as _uuid
+
+        assert _uuid.UUID(out1["SchemaVersionId"]).bytes == v1
+
+
+def test_glue_avro_gate_names_the_right_keys(spark):
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    sink = KafkaSinkConfig(
+        "t",
+        {"connector": "kafka", "value.format": "glue-avro",
+         # region present but credentials absent: the gate must fire
+         # with the schema.registry.* key names, not die mid-encode
+         "schema.registry.region": "us-east-1"},
+    )
+    with pytest.raises(ValueError, match="schema.registry.aws.access.key.id"):
+        sink.prepare_records(spark.range(3).selectExpr("id"))
