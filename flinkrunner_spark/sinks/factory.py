@@ -39,6 +39,35 @@ class SinkConfig:
         self.conf = dict(conf)
         self.connector = conf.get("connector", "file")
 
+    def expand_destination(self, template: str, kafka: bool = False) -> str:
+        """Dynamic destination names (reference
+        `util/SinkDestinationNameUtils.scala`): expand
+        ``<canonical-name>``/``<simple-name>`` tokens in kafka topics,
+        kinesis streams and elasticsearch indexes. A DataFrame is
+        homogeneous, so the record identity comes from the
+        ``record.name`` / ``record.namespace`` conf (the frame-level
+        analog of the per-value runtime class); kafka TEMPLATES
+        normalize first (lowercase, strip, underscores → periods).
+        Deviation from the reference: normalization applies only to
+        templates that actually carry tokens — the reference normalizes
+        every kafka topic unconditionally, which would silently rewrite
+        plain configured names (docs_rt → docs.rt) out from under
+        sources that address the topic by its configured string."""
+        if not ("<" in template and ">" in template):
+            return template
+        from flinkrunner_spark.util.destinations import (
+            expand_destination_template,
+            normalize_kafka_topic,
+        )
+
+        if kafka:
+            template = normalize_kafka_topic(template)
+        name = self.conf.get("record.name", "record")
+        ns = self.conf.get("record.namespace")
+        return expand_destination_template(
+            template, f"{ns}.{name}" if ns else name, name
+        )
+
     def write(self, df: DataFrame):
         raise NotImplementedError
 
@@ -148,7 +177,9 @@ class KafkaSinkConfig(SinkConfig):
             "kafka.bootstrap.servers": self.conf.get(
                 "bootstrap.servers", "localhost:9092"
             ),
-            "topic": self.conf.get("topic", self.name),
+            "topic": self.expand_destination(
+                self.conf.get("topic", self.name), kafka=True
+            ),
             **self.conf.get("options", {}),
         }
         if self.conf.get("headers"):
@@ -288,7 +319,9 @@ class KafkaSinkConfig(SinkConfig):
         from flinkrunner_spark.util.kafka import KafkaClient
 
         host, port = self._bootstrap()
-        topic = self.conf.get("topic", self.name)
+        topic = self.expand_destination(
+            self.conf.get("topic", self.name), kafka=True
+        )
         batch_size = int(self.conf.get("batch.size", 500))
         with KafkaClient(host, port) as c:
             n_parts = len(c.metadata([topic])[0].partitions)
@@ -664,7 +697,9 @@ class KinesisSinkConfig(SinkConfig):
     _RESP_RECORDS_FIELD = "Records"
 
     def _stream_field(self):
-        return "StreamName", self.conf.get("stream", self.name)
+        return "StreamName", self.expand_destination(
+            self.conf.get("stream", self.name)
+        )
 
     def failed_records(self, resp: dict, records: list[dict]) -> list[dict]:
         """The record subset a 200 response reports as failed —
@@ -845,7 +880,9 @@ class FirehoseSinkConfig(KinesisSinkConfig):
     _RESP_RECORDS_FIELD = "RequestResponses"
 
     def _stream_field(self):
-        return "DeliveryStreamName", self.conf.get("stream", self.name)
+        return "DeliveryStreamName", self.expand_destination(
+            self.conf.get("stream", self.name)
+        )
 
     def _record(self, b64data: str, key: str | None) -> dict:
         return {"Data": b64data}
@@ -865,7 +902,7 @@ class ElasticsearchSinkConfig(SinkConfig):
         """-> one row per bulk call: (n_actions, n_bytes, body NDJSON)."""
         from pyspark.sql import functions as F
 
-        index = self.conf.get("index", self.name)
+        index = self.expand_destination(self.conf.get("index", self.name))
         max_n = int(self.conf.get("bulk.flush.max.actions", 1000))
         max_b = int(
             float(self.conf.get("bulk.flush.max.size.mb", 5)) * 1024 * 1024
