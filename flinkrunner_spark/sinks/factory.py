@@ -233,7 +233,16 @@ class KafkaSinkConfig(SinkConfig):
                         "schema_registry on the sink config or a "
                         "schema.registry.url conf entry"
                     )
-                subject = f"{self.conf.get('topic', self.name)}-value"
+                # subject derives from the EXPANDED topic (the one the
+                # records actually land on) — a token-bearing template
+                # would otherwise register under a subject no consumer
+                # of the real topic looks up
+                subject = (
+                    self.expand_destination(
+                        self.conf.get("topic", self.name), kafka=True
+                    )
+                    + "-value"
+                )
                 # key AND header source columns pass through the encode in
                 # one Arrow pass (the encode otherwise projects them away,
                 # breaking the headers attach below); the record itself
@@ -266,7 +275,13 @@ class KafkaSinkConfig(SinkConfig):
                         "+ schema.registry.aws.access.key.id / "
                         "schema.registry.aws.secret.access.key conf"
                     )
-                name = f"{self.conf.get('topic', self.name)}-value"
+                # schema name from the EXPANDED topic, same as confluent
+                name = (
+                    self.expand_destination(
+                        self.conf.get("topic", self.name), kafka=True
+                    )
+                    + "-value"
+                )
                 passthrough = dict.fromkeys(
                     ([key_col] if key_col else [])
                     + list(self.conf.get("headers", {}).values())

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+
 BASE_SCHEMA = (
     "key binary, value binary, topic string, partition int, "
     "offset long, timestamp timestamp, timestampType int"
@@ -165,9 +166,24 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
     ``latestOffset`` (admission control), NEVER in ``partitions``:
     truncating planned ranges after the engine has fixed the batch end
     would silently drop the truncated offsets from the checkpoint
-    lineage. After a restart the first trigger is uncapped (the
-    checkpointed start is not visible to ``latestOffset``); every
-    subsequent trigger is capped from the last planned end."""
+    lineage. The cap is computed from ``_cursor`` — the last batch end
+    this reader instance has seen, synced by ``partitions`` on every
+    planned batch. When the cursor is UNKNOWN the trigger is
+    deliberately UNCAPPED — and the cursor is unknown exactly on the
+    first trigger of every run, because the engine asks for
+    ``latestOffset`` before it resolves the batch start (before even
+    ``initialOffset`` on a fresh query — verified against Spark 4.1),
+    so the true start (fresh OR checkpointed) is simply not visible
+    yet. Guessing it from ``startingOffsets`` instead would, after a
+    restart, return an end BELOW the checkpointed position; the engine
+    records that smaller end as the new offset and re-reads the gap on
+    the following trigger — duplicates, breaking exactly-once
+    recovery. One uncapped batch per (re)start is the safe trade this
+    API allows (``DataSourceStreamReader.latestOffset`` takes no start
+    / ReadLimit); admission control engages from the second trigger.
+    Catch-up reads over a huge retention window should combine the cap
+    with ``startingOffsets=latest`` or an explicit checkpoint seed if
+    the very first batch must also be bounded."""
 
     def __init__(self, opts: dict):
         self.opts = opts
@@ -196,31 +212,20 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
         )
 
         starting = str(self.opts.get("startingoffsets", "earliest")).lower()
-        return self._offsets(
+        start = self._offsets(
             LATEST_TIMESTAMP if starting == "latest" else EARLIEST_TIMESTAMP
         )
+        # defensive seed only: the engine's first latestOffset call
+        # actually PRECEDES this one (see class docstring), so trigger
+        # one stays uncapped; from here on the cursor is never behind
+        self._cursor = dict(start)
+        return start
 
     def latestOffset(self) -> dict:
-        from flinkrunner_spark.util.kafka import (
-            EARLIEST_TIMESTAMP,
-            LATEST_TIMESTAMP,
-        )
+        from flinkrunner_spark.util.kafka import LATEST_TIMESTAMP
 
         latest = self._offsets(LATEST_TIMESTAMP)
-        if self.max_per_trigger:
-            if self._cursor is None:
-                # engine calls may land on a fresh worker, so the cursor
-                # self-initializes here from startingOffsets; after a
-                # restart `partitions` re-syncs it to the checkpointed
-                # start (one possibly-empty trigger, never data loss)
-                starting = str(
-                    self.opts.get("startingoffsets", "earliest")
-                ).lower()
-                self._cursor = self._offsets(
-                    LATEST_TIMESTAMP
-                    if starting == "latest"
-                    else EARLIEST_TIMESTAMP
-                )
+        if self.max_per_trigger and self._cursor is not None:
             per_part = max(self.max_per_trigger // max(len(latest), 1), 1)
             latest = {
                 pid: min(

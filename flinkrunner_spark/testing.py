@@ -726,13 +726,18 @@ class LoopbackKafkaBroker:
     round-tripped frames. Thread-per-connection; the log is a
     per-partition list of (base_offset, batch_bytes) under one lock."""
 
-    def __init__(self, num_partitions: int = 4):
+    def __init__(
+        self, num_partitions: int = 4, transient_metadata_errors: int = 0
+    ):
         import socketserver
 
         from flinkrunner_spark.util import kafka as K
 
         self.K = K
         self.num_partitions = int(num_partitions)
+        # serve this many LEADER_NOT_AVAILABLE(5) metadata responses
+        # before going healthy — the real-broker auto-create shape
+        self.transient_metadata_errors = int(transient_metadata_errors)
         # topic -> partition -> list[(base_offset, batch_bytes)]
         self.logs: dict[str, dict[int, list[tuple[int, bytes]]]] = {}
         self.lock = threading.Lock()
@@ -848,11 +853,15 @@ class LoopbackKafkaBroker:
                 + struct.pack(">i", 0)  # controller_id
                 + struct.pack(">i", len(topics))
             )
+            perr = 0
+            if self.transient_metadata_errors > 0:
+                self.transient_metadata_errors -= 1
+                perr = 5  # LEADER_NOT_AVAILABLE, as during auto-create
             for t, parts in topics.items():
                 out += struct.pack(">h", 0) + K.enc_string(t) + b"\x00"
                 out += struct.pack(">i", len(parts))
                 for pid in sorted(parts):
-                    out += struct.pack(">hii", 0, pid, 0)
+                    out += struct.pack(">hii", perr, pid, 0)
                     out += struct.pack(">ii", 1, 0)  # replicas [0]
                     out += struct.pack(">ii", 1, 0)  # isr [0]
         return out

@@ -324,9 +324,14 @@ _ERRORS = {
     0: "NONE",
     1: "OFFSET_OUT_OF_RANGE",
     3: "UNKNOWN_TOPIC_OR_PARTITION",
+    5: "LEADER_NOT_AVAILABLE",
     6: "NOT_LEADER_OR_FOLLOWER",
     42: "INVALID_REQUEST",
 }
+
+# codes real brokers return transiently (topic auto-creation, leader
+# failover) — callers retry these with backoff instead of failing hard
+RETRIABLE_ERRORS = frozenset({5, 6})
 
 
 class KafkaProtocolError(RuntimeError):
@@ -335,6 +340,10 @@ class KafkaProtocolError(RuntimeError):
             f"kafka error {code} ({_ERRORS.get(code, 'UNKNOWN')}) in {where}"
         )
         self.code = code
+
+    @property
+    def retriable(self) -> bool:
+        return self.code in RETRIABLE_ERRORS
 
 
 @dataclass
@@ -434,7 +443,28 @@ class KafkaClient:
 
     # -- Metadata v1 ------------------------------------------------------
 
-    def metadata(self, topics: list[str] | None = None) -> list[TopicMeta]:
+    def metadata(
+        self, topics: list[str] | None = None,
+        retries: int = 5, backoff_s: float = 0.2,
+    ) -> list[TopicMeta]:
+        """Metadata with bounded retry on RETRIABLE per-partition codes
+        (LEADER_NOT_AVAILABLE=5 during topic auto-creation,
+        NOT_LEADER_OR_FOLLOWER=6 during failover) — real brokers return
+        these routinely on first contact with a fresh topic; failing
+        hard there would break the first produce after auto-create."""
+        import time as _time
+
+        attempt = 0
+        while True:
+            try:
+                return self._metadata_once(topics)
+            except KafkaProtocolError as e:
+                if not e.retriable or attempt >= retries:
+                    raise
+                attempt += 1
+                _time.sleep(backoff_s * attempt)
+
+    def _metadata_once(self, topics: list[str] | None = None) -> list[TopicMeta]:
         if topics is None:
             body = struct.pack(">i", -1)
         else:

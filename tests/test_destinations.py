@@ -96,6 +96,47 @@ def test_kafka_sink_expands_topic_template(spark):
         ).expand_destination("docs_plain", kafka=True)
 
 
+def test_avro_subject_uses_expanded_topic(spark):
+    """Regression (r6 advice): with a dynamic topic template, the
+    registry subject must derive from the EXPANDED topic (the one the
+    records land on), not the raw token-bearing template — otherwise
+    consumers of the real topic can't resolve the schema."""
+    from flinkrunner_spark.serde.avro_codec import LocalSchemaRegistry
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    df = spark.range(0, 5).selectExpr("id", "concat('u', id) AS user")
+    registry = LocalSchemaRegistry()
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        sink = KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}",
+             "topic": "Events_<simple-name>", "record.name": "Doc",
+             "value.format": "confluent-avro"},
+        )
+        sink.schema_registry = registry
+        sink.write(df)
+        # schema registered under the expanded topic's subject...
+        assert registry.id_by_subject("events.Doc-value") >= 1
+        # ...and decodes for a consumer reading that topic
+        from flinkrunner_spark import serde
+
+        back = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}",
+             "topic": "events.Doc"},
+        ).load(spark)
+        decoded = serde.confluent_avro_decode(
+            back, registry, "events.Doc-value"
+        )
+        assert {r.user for r in decoded.select("user").collect()} == {
+            f"u{i}" for i in range(5)
+        }
+
+
 def test_kinesis_and_es_destinations_expand():
     from flinkrunner_spark.sinks.factory import (
         ElasticsearchSinkConfig,

@@ -196,6 +196,26 @@ def test_broker_api_versions_and_metadata():
             assert [p.partition for p in md[0].partitions] == [0, 1]
 
 
+def test_metadata_retries_transient_leader_not_available():
+    """Regression (r6 advice): real brokers return LEADER_NOT_AVAILABLE
+    (5) routinely during topic auto-creation/failover; metadata() must
+    retry with backoff instead of failing the first contact hard."""
+    with LoopbackKafkaBroker(
+        num_partitions=2, transient_metadata_errors=2
+    ) as b:
+        with KafkaClient("localhost", b.port) as c:
+            md = c.metadata(["fresh-topic"], backoff_s=0.01)
+            assert [p.partition for p in md[0].partitions] == [0, 1]
+    # exhausted retries surface the retriable error (bounded, not forever)
+    with LoopbackKafkaBroker(
+        num_partitions=2, transient_metadata_errors=99
+    ) as b:
+        with KafkaClient("localhost", b.port) as c:
+            with pytest.raises(KafkaProtocolError) as ei:
+                c.metadata(["t"], retries=2, backoff_s=0.01)
+            assert ei.value.code == 5 and ei.value.retriable
+
+
 def test_produce_fetch_roundtrip_all_partitions():
     with LoopbackKafkaBroker(num_partitions=3) as b:
         with KafkaClient("localhost", b.port) as c:
@@ -439,6 +459,104 @@ def test_kafka_native_stream_checkpoint_restart(spark, tmp_path):
         )
         # resumed AFTER the checkpoint: no record lost, none duplicated
         assert ids == list(range(50))
+
+
+def test_kafka_native_stream_restart_with_trigger_cap(spark, tmp_path):
+    """Regression (r6 advice): with maxOffsetsPerTrigger set, a
+    restarted query must NOT cap its first trigger from
+    startingOffsets — that returns a batch end BELOW the checkpointed
+    start, which the engine records as the new offset and then
+    re-reads the gap (duplicates). The first trigger of every run is
+    uncapped (the engine calls latestOffset before the start is
+    visible); the cap engages from trigger two via partitions()."""
+    import json
+
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    KD.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+        sink = KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "cap"},
+        )
+        sink.write(spark.range(0, 10).selectExpr("id"))
+        q = (
+            spark.readStream.format("kafka-native")
+            .option("bootstrap", f"localhost:{b.port}")
+            .option("topic", "cap")
+            .option("maxOffsetsPerTrigger", "8")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()  # trigger 1: uncapped by design
+        sink.write(spark.range(10, 50).selectExpr("id"))
+        q.processAllAvailable()  # capped catch-up: 40 rows / 8-cap
+        nb = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        assert len(nb) >= 4  # 10 uncapped + >=3 capped batches of <=~8
+        assert max(nb[1:]) <= 10  # post-first triggers honor the cap
+
+        sink.write(spark.range(50, 70).selectExpr("id"))
+        q2 = (
+            spark.readStream.format("kafka-native")
+            .option("bootstrap", f"localhost:{b.port}")
+            .option("topic", "cap")
+            .option("maxOffsetsPerTrigger", "8")
+            .load()
+            .selectExpr("CAST(value AS STRING) AS v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q2.processAllAvailable()  # restart: uncapped, NEVER regressed
+        q2.stop()
+        ids = sorted(
+            json.loads(r.v)["id"]
+            for r in spark.read.parquet(out).collect()
+        )
+        assert ids == list(range(70))  # no record lost, NONE duplicated
+
+
+def test_kafka_stream_reader_restart_latest_offset_uncapped(spark):
+    """Unit form of the restart contract: a reader with an unknown
+    cursor (post-restart) returns the UNCAPPED broker latest; a reader
+    seeded via initialOffset caps from the seeded start."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.kafka_datasource import (
+        KafkaNativeStreamReader,
+    )
+
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "u"},
+        ).write(spark.range(0, 100).selectExpr("id"))
+        opts = {
+            "bootstrap": f"localhost:{b.port}",
+            "topic": "u",
+            "maxoffsetspertrigger": "10",
+        }
+        # restart shape: no initialOffset call, cursor unknown
+        restarted = KafkaNativeStreamReader(dict(opts))
+        assert restarted.latestOffset() == {"0": 100}
+        # fresh-query shape: initialOffset seeds the cursor => capped
+        fresh = KafkaNativeStreamReader(dict(opts))
+        assert fresh.initialOffset() == {"0": 0}
+        assert fresh.latestOffset() == {"0": 10}
+        # after the engine plans a batch, the cap advances from its end
+        fresh.partitions({"0": 0}, {"0": 10})
+        assert fresh.latestOffset() == {"0": 20}
 
 
 def test_kafka_sink_native_confluent_avro_values(spark):
