@@ -63,7 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # iceberg_rest.py, glue_catalog.py, testing.py, serde/registry.py,
     # sources/{kafka,rabbitmq,kinesis}_datasource.py).
     return {
-        # —— NEW this round ——
+        # —— NEW this round (r7) ——
+        "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
+        "iceberg_transform_pruned": connectors.iceberg_transform_pruned,
+        # —— r6 ——
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,

@@ -10,8 +10,12 @@ explicit, honest SUBSET:
 
 * parquet data files; schemas of primitives + lists of primitives;
   append / overwrite / replace (compaction) snapshots with full lineage;
-  IDENTITY-transform partition specs (hive-style layout, per-file
-  partition tuples in manifests, manifest-level partition pruning);
+  partition specs with the reference's full transform set
+  (`model/IcebergPartitionColumn.scala:14-27`): identity, year, month,
+  day, hour, bucket[N], truncate[W] — spec-exact murmur3 bucketing and
+  epoch ordinals via ``iceberg_transforms`` (hive-style layout,
+  per-file partition tuples in manifests, manifest-level partition
+  pruning on the transformed values);
   per-file numeric column bounds from parquet footers with
   ``range_filter`` data skipping; time travel by snapshot-id or
   as-of-timestamp; snapshot expiration with unreferenced-file GC;
@@ -28,9 +32,8 @@ explicit, honest SUBSET:
   Flink's ``.upsert(primaryKey.nonEmpty)`` sink produces);
 * reads resolve version-hint → metadata → current snapshot → manifest
   list → manifests → live data + equality-delete files, and REFUSE
-  (with a clear error) features outside the subset: POSITION delete
-  files, non-identity partition transforms, non-parquet data files —
-  never a silently wrong result;
+  (with a clear error) features outside the subset (e.g. non-parquet
+  data files, unknown transforms) — never a silently wrong result;
 * data files are written without parquet field-ids (Spark's writer can't
   attach them), so the table carries the spec's sanctioned fallback for
   exactly that case: a ``schema.name-mapping.default`` property mapping
@@ -309,22 +312,41 @@ def _norm_path(col):
     return F.regexp_replace(col, "^file:/*", "/")
 
 
+def partition_result_type(pf: dict, ice_schema: dict) -> str:
+    """Iceberg type of one partition FIELD: the transform's result type
+    over its source column (identity/truncate keep the source type, the
+    time transforms and bucket produce int ordinals)."""
+    from flinkrunner_spark import iceberg_transforms as T
+
+    src = next(
+        f for f in ice_schema["fields"] if f["id"] == pf["source-id"]
+    )
+    pt = T.ParsedTransform(
+        src["name"],
+        pf["transform"],
+        T.parse_spec_entry(
+            {"column": src["name"], "transform": pf["transform"]}
+        ).param,
+    )
+    return T.result_ice_type(pt, src["type"])
+
+
 def manifest_entry_schema(spec_fields: list, ice_schema: dict) -> dict:
     """MANIFEST_ENTRY_SCHEMA with the r102 partition struct filled in
-    from the table's partition spec (identity transforms: the avro field
-    type is the source column's primitive, nullable; avro field-id is the
-    spec's partition field-id per the spec's manifest layout)."""
+    from the table's partition spec (the avro field type is the
+    TRANSFORM'S RESULT primitive — source type for identity/truncate,
+    int ordinals for time transforms and bucket — nullable; avro
+    field-id is the spec's partition field-id per the spec's manifest
+    layout)."""
     import copy
 
     schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
-    by_id = {f["id"]: f for f in ice_schema["fields"]}
     part_fields = []
     for pf in spec_fields:
-        src = by_id[pf["source-id"]]
         part_fields.append(
             {
                 "name": pf["name"],
-                "type": ["null", src["type"]],
+                "type": ["null", partition_result_type(pf, ice_schema)],
                 "field-id": pf["field-id"],
                 "default": None,
             }
@@ -403,11 +425,18 @@ class IcebergFsTable:
             "metadata-log": [],
         }
 
-    def create(self, spark_schema, partition_by: list[str] | None = None) -> None:
-        """Create the table; ``partition_by`` columns become an
-        identity-transform partition spec (the fallback's supported
-        transform — hive-style data paths, per-file partition tuples in
-        manifests, pruned reads)."""
+    def create(self, spark_schema, partition_by: list | None = None) -> None:
+        """Create the table; ``partition_by`` entries become the
+        partition spec. Each entry is a bare column name (identity), the
+        compact call form ``"day(ts)"`` / ``"bucket[8](user_id)"`` /
+        ``"truncate[4](name)"``, or the reference's config shape
+        ``{"column": c, "transform": t}``
+        (`model/IcebergPartitionColumn.scala:30-37` — transforms
+        identity/year/month/day/hour/bucket[N]/truncate[W]). Hive-style
+        data paths carry the TRANSFORMED values, per-file partition
+        tuples land in manifests, and reads prune on them."""
+        from flinkrunner_spark import iceberg_transforms as T
+
         if self.exists():
             raise ValueError(f"iceberg table already exists: {self.location}")
         ice, last_col = iceberg_schema_from_spark(spark_schema)
@@ -415,20 +444,34 @@ class IcebergFsTable:
         if partition_by:
             by_name = {f["name"]: f for f in ice["fields"]}
             fields = []
-            for i, col in enumerate(partition_by):
-                if col not in by_name:
-                    raise ValueError(f"unknown partition column {col!r}")
-                if by_name[col]["type"] not in _PARTITIONABLE:
+            for i, entry in enumerate(partition_by):
+                pt = T.parse_spec_entry(entry)
+                if pt.column not in by_name:
                     raise ValueError(
-                        f"iceberg fallback partitions on "
-                        f"{sorted(_PARTITIONABLE)} columns only "
-                        f"({col!r} is {by_name[col]['type']!r})"
+                        f"unknown partition column {pt.column!r}"
+                    )
+                src_type = by_name[pt.column]["type"]
+                if pt.transform == "identity":
+                    if src_type not in _PARTITIONABLE:
+                        raise ValueError(
+                            f"identity partitions need "
+                            f"{sorted(_PARTITIONABLE)} columns "
+                            f"({pt.column!r} is {src_type!r}); use a "
+                            "transform (day/bucket/...) for other types"
+                        )
+                else:
+                    T.validate_source(pt, src_type)
+                name = T.field_name(pt)
+                if name in by_name and pt.transform != "identity":
+                    raise ValueError(
+                        f"partition field name {name!r} collides with an "
+                        "existing column"
                     )
                 fields.append(
                     {
-                        "name": col,
-                        "transform": "identity",
-                        "source-id": by_name[col]["id"],
+                        "name": name,
+                        "transform": pt.transform,
+                        "source-id": by_name[pt.column]["id"],
                         "field-id": 1000 + i,
                     }
                 )
@@ -440,18 +483,37 @@ class IcebergFsTable:
     # -- write path ---------------------------------------------------------
 
     def _spec_fields(self, md: dict) -> list:
+        from flinkrunner_spark import iceberg_transforms as T
+
         spec = next(
             s for s in md["partition-specs"]
             if s["spec-id"] == md["default-spec-id"]
         )
         for f in spec["fields"]:
-            if f.get("transform") != "identity":
-                raise ValueError(
-                    f"iceberg fallback supports identity partition "
-                    f"transforms only, got {f.get('transform')!r} "
-                    "(use the iceberg-spark runtime jar)"
-                )
+            # unknown transform names fail loudly, never a wrong layout
+            T.parse_spec_entry(
+                {"column": f["name"], "transform": f.get("transform")}
+            )
         return spec["fields"]
+
+    @staticmethod
+    def _identity_fields(spec_fields: list) -> list:
+        """The spec fields whose source column is REPLACED in data files
+        (identity transform: hive layout drops the column from the file
+        and reads reconstruct it from the partition tuple). Non-identity
+        transforms keep the source column IN the data file — the
+        transform is not invertible."""
+        return [f for f in spec_fields if f["transform"] == "identity"]
+
+    @staticmethod
+    def _parsed_transform(pf: dict, by_id: dict):
+        from flinkrunner_spark import iceberg_transforms as T
+
+        src = by_id[pf["source-id"]]
+        pt = T.parse_spec_entry(
+            {"column": src["name"], "transform": pf["transform"]}
+        )
+        return pt, src["type"]
 
     @staticmethod
     def _column_bounds(meta, md: dict):
@@ -522,10 +584,27 @@ class IcebergFsTable:
         them by the full manifest path either way."""
         import pyarrow.parquet as pq
 
+        from flinkrunner_spark import iceberg_transforms as T
+
         spec_fields = self._spec_fields(md)
         by_id = {f["id"]: f for f in current_schema(md)["fields"]}
+        # non-identity transforms: compute the partition value as an
+        # extra column (JVM expressions / vectorized murmur3 — see
+        # iceberg_transforms); partitionBy removes exactly that computed
+        # column from the files, so the SOURCE column stays stored.
+        # Identity fields partition on the source column itself (removed
+        # from files, reconstructed on read — the spec's hive layout).
+        write_df = df
+        result_types = {}
+        for pf in spec_fields:
+            pt, src_type = self._parsed_transform(pf, by_id)
+            result_types[pf["name"]] = T.result_ice_type(pt, src_type)
+            if pf["transform"] != "identity":
+                write_df = write_df.withColumn(
+                    pf["name"], T.spark_column(pt, src_type)
+                )
         tmp = os.path.join(self.location, f"_tmp-write-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
+        writer = write_df.write.mode("overwrite")
         if spec_fields:
             writer = writer.partitionBy(*[f["name"] for f in spec_fields])
         writer.parquet(tmp)
@@ -556,7 +635,7 @@ class IcebergFsTable:
                     )
                     for pf in spec_fields:
                         partition[pf["name"]] = self._parse_hive_value(
-                            parts[pf["name"]], by_id[pf["source-id"]]["type"]
+                            parts[pf["name"]], result_types[pf["name"]]
                         )
                 meta = pq.ParquetFile(dst).metadata
                 lowers, uppers = self._column_bounds(meta, md)
@@ -773,16 +852,27 @@ class IcebergFsTable:
         missing = [k for k in key_cols if k not in df.columns]
         if missing:
             raise ValueError(f"unknown upsert key column(s) {missing}")
+        from flinkrunner_spark import iceberg_transforms as T
+
         if self.exists():
             md = self.metadata()
-            spec_cols = [f["name"] for f in self._spec_fields(md)]
+            by_id = {
+                f["id"]: f for f in current_schema(md)["fields"]
+            }
+            spec_cols = [
+                by_id[f["source-id"]]["name"]
+                for f in self._spec_fields(md)
+            ]
         else:
-            spec_cols = list(partition_by or [])
+            spec_cols = [
+                T.parse_spec_entry(e).column for e in (partition_by or [])
+            ]
         if any(c not in key_cols for c in spec_cols):
             raise ValueError(
                 "upsert on a partitioned table requires the partition "
-                f"columns {spec_cols} to be part of the key {key_cols} "
-                "(equality deletes are partition-scoped)"
+                f"SOURCE columns {spec_cols} to be part of the key "
+                f"{key_cols} (equality deletes are partition-scoped — "
+                "the delete rows must be able to compute their partition)"
             )
         dup = (
             df.groupBy(*key_cols)
@@ -859,16 +949,39 @@ class IcebergFsTable:
         matches = merged.filter(cond).select(
             F.col("_fp").alias("file_path"), F.col("_rix").alias("pos")
         )
+        # spec: a PARTITION-SCOPED delete file must carry the partition
+        # tuple of the data files it targets — external readers
+        # (iceberg-spark, Trino) prune delete files by partition, and an
+        # all-null tuple on a partitioned table would make them skip the
+        # deletes and resurrect rows. Each position belongs to exactly
+        # one data file, whose manifest partition tuple we already hold:
+        # broadcast the (file → tuple) map and split the output by it.
+        from urllib.parse import unquote
+
+        pkey_of = {
+            e["file_path"]: json.dumps(
+                {c: e["partition"].get(c) for c in part_cols},
+                sort_keys=True,
+                separators=(",", ":"),
+            )
+            for e in entries
+        }
+        map_df = spark.createDataFrame(
+            list(pkey_of.items()), "file_path string, _pkey string"
+        )
+        matches = matches.join(F.broadcast(map_df), "file_path")
         # spec: rows within a position delete file sort by (file_path,
         # pos). Range-partition + sort-within gives globally ranged,
         # internally sorted files — no single-file bottleneck when the
-        # delete is wide.
+        # delete is wide; partitionBy(_pkey) then splits each sorted run
+        # by partition (a run's subsequence stays sorted).
         n_out = max(1, min(32, len(entries) // 8 + 1))
         tmp = os.path.join(self.location, f"_tmp-posdel-{uuid.uuid4().hex}")
         (
             matches.repartitionByRange(n_out, "file_path", "pos")
             .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite")
+            .write.partitionBy("_pkey")
+            .mode("overwrite")
             .parquet(tmp)
         )
         del_dir = os.path.join(self.data_dir, "_deletes")
@@ -876,6 +989,10 @@ class IcebergFsTable:
         commit_uuid = uuid.uuid4().hex
         files, n_deleted, i = [], 0, 0
         for root, _dirs, names in sorted(os.walk(tmp)):
+            rel = os.path.relpath(root, tmp)
+            if not rel.startswith("_pkey="):
+                continue
+            partition = json.loads(unquote(rel.split("=", 1)[1]))
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
@@ -892,7 +1009,9 @@ class IcebergFsTable:
                         "content": FILE_CONTENT_POS_DELETES,
                         "file_path": dst,
                         "file_format": "PARQUET",
-                        "partition": {c: None for c in part_cols},
+                        "partition": {
+                            c: partition.get(c) for c in part_cols
+                        },
                         "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
                         "lower_bounds": None,
@@ -1056,8 +1175,9 @@ class IcebergFsTable:
                         f"iceberg fallback reads parquet data files only, "
                         f"got {f['file_format']!r}"
                     )
-                # GLOBAL delete files (position deletes commit with an
-                # all-None partition tuple) apply across partitions —
+                # GLOBAL delete files (all-None partition tuple — the
+                # pre-r7 delete_where wrote those; current commits are
+                # partition-scoped per spec) apply across partitions —
                 # pruning them by the filter would resurrect deleted
                 # rows in partition-filtered reads
                 is_global_delete = mf["content"] == CONTENT_DELETES and all(
@@ -1153,18 +1273,22 @@ class IcebergFsTable:
             return self._read_merged(
                 spark, entries, del_entries, pos_del_entries, md, ice
             )
-        if not spec_fields:
+        id_fields = self._identity_fields(spec_fields)
+        if not id_fields:
+            # unpartitioned, or transform-only partitions: data files
+            # store every source column (transforms are not invertible,
+            # so nothing was replaced) — one straight schema'd scan
             return spark.read.schema(ddl).parquet(
                 *[f["file_path"] for f in entries]
             )
-        # partitioned: files carry non-partition columns; partition values
-        # come back as metadata constants per file group (identity
-        # transform — the spec sanctions replacing the source column)
-        part_cols = [f["name"] for f in spec_fields]
+        # identity partitions: files carry non-partition columns;
+        # partition values come back as metadata constants per file group
+        # (the spec sanctions replacing the source column)
+        part_cols = [f["name"] for f in id_fields]
         by_id = {f["id"]: f for f in ice["fields"]}
         part_types = {
             pf["name"]: _spark_type_from_iceberg(by_id[pf["source-id"]]["type"])
-            for pf in spec_fields
+            for pf in id_fields
         }
         file_ddl = spark_ddl_from_iceberg(
             {
@@ -1246,13 +1370,16 @@ class IcebergFsTable:
 
         ice = ice or current_schema(md)
         by_id = {f["id"]: f for f in ice["fields"]}
-        spec_fields = self._spec_fields(md)
-        part_cols = [f["name"] for f in spec_fields]
+        # only IDENTITY partition fields were removed from data files and
+        # need reconstructing as per-group constants; transform fields'
+        # source columns are stored in the files themselves
+        id_fields = self._identity_fields(self._spec_fields(md))
+        part_cols = [f["name"] for f in id_fields]
         part_types = {
             pf["name"]: _spark_type_from_iceberg(
                 by_id[pf["source-id"]]["type"]
             )
-            for pf in spec_fields
+            for pf in id_fields
         }
         with_pos = bool(pos_del_entries) or keep_position_cols
 
@@ -1420,20 +1547,20 @@ class IcebergFsTable:
 
         md = self.metadata()
         ice = current_schema(md)
-        spec_fields = self._spec_fields(md)
-        part_cols = [f["name"] for f in spec_fields]
+        id_fields = self._identity_fields(self._spec_fields(md))
+        part_cols = [f["name"] for f in id_fields]
         entries = self.incremental_entries(from_snapshot_id, to_snapshot_id)
         ddl = spark_ddl_from_iceberg(ice)
         if not entries:
             return spark.createDataFrame([], ddl)
-        if not spec_fields:
+        if not id_fields:
             return spark.read.schema(ddl).parquet(
                 *[f["file_path"] for f in entries]
             )
         by_id = {f["id"]: f for f in ice["fields"]}
         part_types = {
             pf["name"]: _spark_type_from_iceberg(by_id[pf["source-id"]]["type"])
-            for pf in spec_fields
+            for pf in id_fields
         }
         file_ddl = spark_ddl_from_iceberg(
             {"fields": [f for f in ice["fields"] if f["name"] not in part_cols]}
@@ -1492,16 +1619,20 @@ class IcebergFsTable:
                     f"(found a {s.get('summary', {}).get('operation')!r} "
                     "snapshot); use the iceberg-spark runtime jar"
                 )
-        if self._spec_fields(md):
+        if self._identity_fields(self._spec_fields(md)):
             raise ValueError(
-                "jar-free streaming source reads unpartitioned tables "
-                "only (hive-layout partition reconstruction needs "
-                "per-file constants a file stream cannot attach)"
+                "jar-free streaming source cannot read IDENTITY-"
+                "partitioned tables (hive-layout partition "
+                "reconstruction needs per-file constants a file stream "
+                "cannot attach); transform-partitioned and "
+                "unpartitioned tables stream fine — their data files "
+                "store every source column"
             )
         ddl = spark_ddl_from_iceberg(current_schema(md))
         return (
             spark.readStream.schema(ddl)
             .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
             .parquet(self.data_dir)
         )
 

@@ -911,3 +911,112 @@ def kafka_glue_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             profile = _lang_profile(parsed)
             rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+# ——— r7: non-identity partition transforms (reference parity:
+# `model/IcebergPartitionColumn.scala:14-27` — the reference builds its
+# PartitionSpec from `partition.spec` config entries with year/month/day/
+# hour/bucket[N]/truncate[W] transforms; `iceberg_transforms.py`
+# re-implements the spec's epoch ordinals + murmur3 bucketing).
+
+_DAY_US = 86_400_000_000
+
+ICEBERG_TRANSFORM_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(user_id) AS BIGINT) AS sum_users,
+  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+  CAST(MIN(FLOOR(epoch_us(ts) / 86400000000.0)) AS BIGINT) AS min_day,
+  CAST(MAX(FLOOR(epoch_us(ts) / 86400000000.0)) AS BIGINT) AS max_day
+FROM events GROUP BY event_type
+"""
+
+
+def _transform_profile(df: DataFrame) -> DataFrame:
+    from flinkrunner_spark import iceberg_transforms as T
+
+    # events.ts is timestamp_ntz (parquet TIMESTAMP(NANOS) reads as
+    # ntz in Spark 4) — iceberg type "timestamp", local-value ordinals
+    day = (
+        T.spark_column(T.parse_spec_entry("day(ts)"), "timestamp")
+        .cast("long")
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_users"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.min(day).alias("min_day"),
+        F.max(day).alias("max_day"),
+    )
+
+
+def iceberg_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Iceberg table partitioned by day(ts) + bucket[8](user_id)
+    (spec-exact transforms: epoch-day ordinals, murmur3 buckets — the
+    hive paths and manifest tuples carry the TRANSFORMED values while the
+    source columns stay stored in the files) → full read-back → per-type
+    profile including the min/max day ordinals. Oracled against the
+    original parquet: proves transform-partitioned layout loses nothing
+    and the ordinals match DuckDB's epoch arithmetic exactly."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    loc = _loc("iceberg-events-transform", sf_dir)
+    if os.path.exists(loc):
+        import shutil
+
+        shutil.rmtree(loc)
+    t = IcebergFsTable(loc)
+    t.append(events, partition_by=["day(ts)", "bucket[8](user_id)"])
+    return _transform_profile(t.read(spark))
+
+
+ICEBERG_TRANSFORM_PRUNED_ORACLE = """
+WITH d AS (
+  SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 86400000000.0) AS BIGINT) + 1 AS day0
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(user_id) AS BIGINT) AS sum_users,
+  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events, d
+WHERE FLOOR(epoch_us(ts) / 86400000000.0) = d.day0
+GROUP BY event_type
+"""
+
+
+def iceberg_transform_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level pruning on a TRANSFORMED partition value, under the
+    correctness gate: the day-partitioned table is scanned with a
+    ``partition_filter`` on one day ordinal (the day after the earliest
+    event — deterministic per dataset), the plan is asserted to touch a
+    strict subset of the data files, and the oracle filters the original
+    parquet by the same epoch arithmetic. The 100 TB point of transform
+    partitioning: a one-day query on a year of data opens one day's
+    files, decided from manifest metadata alone."""
+    from flinkrunner_spark import iceberg_transforms as T
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    loc = _loc("iceberg-events-transform", sf_dir)
+    if not IcebergFsTable(loc).exists():
+        IcebergFsTable(loc).append(
+            events, partition_by=["day(ts)", "bucket[8](user_id)"]
+        )
+    t = IcebergFsTable(loc)
+    day_col = T.spark_column(T.parse_spec_entry("day(ts)"), "timestamp")
+    day0 = int(
+        events.agg(F.min(day_col).alias("d")).first()["d"]
+    ) + 1  # one bounded 1-row aggregate, never a data collect
+    pf = {"ts_day": day0}
+    pruned = t.data_files(partition_filter=pf)
+    assert 0 < len(pruned) < len(t.data_files()), "pruning changed no IO"
+    back = t.read(spark, partition_filter=pf)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_users"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

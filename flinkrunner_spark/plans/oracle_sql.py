@@ -1699,3 +1699,15 @@ FROM r
 """
 
 ORACLES["iceberg_stream_roundtrip"] = _LPO
+
+# ——— round 7: non-identity partition transforms (day/bucket/truncate) —
+# the roundtrip profiles the original parquet; the pruned scan filters by
+# the same epoch-day arithmetic the transform computes.
+
+from flinkrunner_spark.plans.connectors import (  # noqa: E402
+    ICEBERG_TRANSFORM_ORACLE as _ITO,
+    ICEBERG_TRANSFORM_PRUNED_ORACLE as _ITPO,
+)
+
+ORACLES["iceberg_transform_roundtrip"] = _ITO
+ORACLES["iceberg_transform_pruned"] = _ITPO

@@ -565,7 +565,8 @@ class IcebergSinkConfig(SinkConfig):
     set: partitioned tables, row-level ops, any catalog). Without the
     jar, a `path` (or filesystem-path-shaped `table`) engages the
     pure-Python HadoopTables-layout fallback (`flinkrunner_spark.iceberg`
-    — spec-subset: unpartitioned, parquet, append/overwrite), so local
+    — parquet, append/overwrite/upsert, identity + year/month/day/hour/
+    bucket[N]/truncate[W] partition transforms), so local
     and test pipelines run the real table format end-to-end jar-free."""
 
     def write(self, df: DataFrame):
@@ -577,7 +578,10 @@ class IcebergSinkConfig(SinkConfig):
 
             t = IcebergFsTable(path)
             md_before = t.metadata() if t.exists() else {}
-            part = self.conf.get("partition-by")  # identity transforms
+            # entries: bare column (identity), "day(ts)"-style calls, or
+            # the reference's {column, transform} dicts
+            # (model/IcebergPartitionColumn.scala) — full transform set
+            part = self.conf.get("partition-by")
             pk = self.conf.get("primary.key") or self.conf.get("primary-key")
             if pk:  # reference: .upsert(primaryKey.nonEmpty), line 140
                 keys = [pk] if isinstance(pk, str) else list(pk)

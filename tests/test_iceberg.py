@@ -121,15 +121,17 @@ def test_schema_mismatch_and_unsupported_refused(spark, tmp_path):
         I.iceberg_schema_from_spark(
             spark.createDataFrame([({"a": 1},)], "m map<string,int>").schema
         )
-    # non-identity partition transforms refused on read
+    # UNKNOWN partition transforms still refused on read (bucket/
+    # truncate/time transforms are supported since r7 — see
+    # tests/test_iceberg_transforms.py)
     md = t.metadata()
     md["partition-specs"] = [
-        {"spec-id": 0, "fields": [{"name": "id_bucket", "transform":
-                                   "bucket[16]", "source-id": 1,
+        {"spec-id": 0, "fields": [{"name": "id_z", "transform":
+                                   "zorder", "source-id": 1,
                                    "field-id": 1000}]}
     ]
     t._commit(md, t._version() + 1)
-    with pytest.raises(ValueError, match="identity"):
+    with pytest.raises(ValueError, match="invalid iceberg partition"):
         t.read(spark)
 
 
