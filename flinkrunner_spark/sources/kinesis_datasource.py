@@ -91,7 +91,17 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         return sorted(sh["ShardId"] for sh in resp.get("Shards", []))
 
     def _iterator(self, shard: str, last_seq: str) -> str:
-        if last_seq:
+        if last_seq.startswith("@ts:"):
+            # LATEST pinned as a TIMESTAMP position (see initialOffset):
+            # resolves in O(1) on the server and replays to the same
+            # boundary after a restart
+            body = {
+                "StreamName": self.stream,
+                "ShardId": shard,
+                "ShardIteratorType": "AT_TIMESTAMP",
+                "Timestamp": float(last_seq[4:]) / 1000.0,
+            }
+        elif last_seq:
             body = {
                 "StreamName": self.stream,
                 "ShardId": shard,
@@ -119,9 +129,21 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         self, shard: str, last_seq: str, stop_seq: str | None, cap: int
     ):
         """Rows after ``last_seq`` up to ``stop_seq`` (inclusive; None =
-        to the tip), capped at ``cap`` records."""
+        to the tip), capped at ``cap`` records. The stop is a NUMERIC
+        BOUND, not an exact-match: Kinesis sequence numbers order
+        numerically within a shard, so a replayed batch whose stop
+        record has aged out of retention still stops at the bound
+        instead of silently draining to the tip (returning more rows
+        than the original batch planned)."""
         import base64
 
+        def _num(s):
+            try:
+                return int(s)
+            except (TypeError, ValueError):
+                return None
+
+        stop_n = _num(stop_seq) if stop_seq is not None else None
         rows = []
         itr = self._iterator(shard, last_seq)
         while itr and len(rows) < cap:
@@ -133,11 +155,14 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
                 ).encode(),
             )
             for r in rr.get("Records", []):
+                seq = r.get("SequenceNumber")
+                if stop_n is not None and (_num(seq) or 0) > stop_n:
+                    return rows  # past the replay bound
                 rows.append(
                     (
                         self.stream,
                         shard,
-                        r.get("SequenceNumber"),
+                        seq,
                         r.get("PartitionKey"),
                         float(r.get("ApproximateArrivalTimestamp") or 0.0),
                         base64.b64decode(r.get("Data", "")).decode(
@@ -145,7 +170,7 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
                         ),
                     )
                 )
-                if stop_seq is not None and rows[-1][2] == stop_seq:
+                if stop_seq is not None and seq == stop_seq:
                     return rows
             itr = rr.get("NextShardIterator")
             if not rr.get("Records") and rr.get("MillisBehindLatest", 0) == 0:
@@ -157,13 +182,18 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         # empty last-seq = "resolve the configured starting position on
         # first read"; LATEST must pin the tip NOW so records produced
-        # after query start are not skipped
+        # after query start are not skipped. The pin is an AT_TIMESTAMP
+        # position ("@ts:<epoch_ms>"), resolved O(1) — never a drain of
+        # the shard's whole retention window through the driver (on a
+        # real stream that is hours of data per shard at query start).
+        # Kinesis exposes no "tip sequence number" API; a raw LATEST
+        # iterator is neither serializable nor replayable, while the
+        # timestamp pin restarts to the same boundary.
         if str(self.opts.get("startingposition", "")).upper() == "LATEST":
-            out = {}
-            for shard in self._shard_ids():
-                rows = self._drain(shard, "", None, 10**9)
-                out[shard] = rows[-1][2] if rows else ""
-            return out
+            import time
+
+            pin = f"@ts:{int(time.time() * 1000)}"
+            return {shard: pin for shard in self._shard_ids()}
         return {shard: "" for shard in self._shard_ids()}
 
     def read(self, start: dict):
@@ -184,7 +214,10 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         rows = []
         for shard, stop_seq in sorted(end.items()):
             lo = start.get(shard, "")
-            if stop_seq and stop_seq != lo:
+            # an "@ts:" end means that batch planned NO rows for the
+            # shard (the position rode through unchanged) — nothing to
+            # replay; real ends are sequence numbers and bound the drain
+            if stop_seq and stop_seq != lo and not stop_seq.startswith("@"):
                 rows.extend(self._drain(shard, lo, stop_seq, 10**9))
         return iter(rows)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import struct
 import threading
+import time
 
 from flinkrunner_spark.util import amqp as A
 
@@ -1441,8 +1442,11 @@ class LoopbackKinesis:
             shard = names[self._route(pk)]
             self._seq += 1
             seq = str(self._seq)
+            # real wall-clock arrival timestamps, like the service —
+            # AT_TIMESTAMP positions (the LATEST pin) resolve against
+            # these
             shards[shard].append(
-                (seq, pk, rec.get("Data", ""), float(self._seq))
+                (seq, pk, rec.get("Data", ""), time.time())
             )
             out.append({"SequenceNumber": seq, "ShardId": shard})
         return 200, {"FailedRecordCount": 0, "Records": out}

@@ -308,3 +308,93 @@ def test_firehose_sink_e2e(spark):
         ]
         assert len(stored) == 80
         assert {r["tag"] for r in stored} == {f"f{i}" for i in range(80)}
+
+
+def test_kinesis_latest_pins_tip_without_draining_history(spark):
+    """Regression (r6 advice): startingposition=LATEST must pin the tip
+    in O(1) — an AT_TIMESTAMP position ("@ts:<ms>") — NOT by reading
+    every shard's full retention window through the driver. History is
+    skipped, records produced after query start stream in."""
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.kinesis_datasource import (
+        KinesisSimpleStreamReader,
+    )
+
+    with LoopbackKinesis(num_shards=2) as ks:
+        creds = {"aws.access.key.id": "k", "aws.secret.access.key": "s"}
+        sink = KinesisSinkConfig(
+            "t",
+            {"connector": "kinesis", "stream": "lt", "key.column": "id",
+             "region": "us-east-1", "endpoint": ks.endpoint, **creds},
+        )
+        sink.write(spark.range(0, 500).selectExpr("id"))  # history
+
+        reader = KinesisSimpleStreamReader(
+            {"stream": "lt", "region": "us-east-1",
+             "endpoint": ks.endpoint, "accesskey": "k", "secretkey": "s",
+             "startingposition": "LATEST"}
+        )
+        calls_before = ks._seq  # GetRecords never mutates _seq; produce does
+        off = reader.initialOffset()
+        assert set(off) == {"shardId-000000000000", "shardId-000000000001"}
+        assert all(v.startswith("@ts:") for v in off.values()), off
+        assert ks._seq == calls_before  # no data touched at pin time
+
+        # history is invisible from the pin...
+        rows, end = reader.read(off)
+        assert list(rows) == []
+        assert end == off  # the position rides through unchanged
+        # ...but post-start records arrive (wall clock moved past the pin)
+        import time as _t
+
+        _t.sleep(0.01)
+        sink.write(spark.range(500, 520).selectExpr("id"))
+        rows, end2 = reader.read(end)
+        got = sorted(json.loads(r[5])["id"] for r in rows)
+        assert got == list(range(500, 520))
+        assert all(not v.startswith("@ts:") for v in end2.values())
+        # replay of the first (empty) batch plans nothing
+        assert list(reader.readBetweenOffsets(off, end)) == []
+        # replay of the data batch is exact
+        replay = sorted(
+            json.loads(r[5])["id"]
+            for r in reader.readBetweenOffsets(end, end2)
+        )
+        assert replay == list(range(500, 520))
+
+
+def test_kinesis_replay_stops_at_sequence_bound(spark):
+    """Regression (r6 advice): readBetweenOffsets must stop at the
+    NUMERIC sequence bound — if the exact stop record has aged out of
+    retention, the drain otherwise runs to the tip and the replayed
+    batch returns MORE rows than originally planned."""
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.kinesis_datasource import (
+        KinesisSimpleStreamReader,
+    )
+
+    with LoopbackKinesis(num_shards=1) as ks:
+        creds = {"aws.access.key.id": "k", "aws.secret.access.key": "s"}
+        KinesisSinkConfig(
+            "t",
+            {"connector": "kinesis", "stream": "bd", "key.column": "id",
+             "region": "us-east-1", "endpoint": ks.endpoint, **creds},
+        ).write(spark.range(0, 20).selectExpr("id"))
+        reader = KinesisSimpleStreamReader(
+            {"stream": "bd", "region": "us-east-1",
+             "endpoint": ks.endpoint, "accesskey": "k", "secretkey": "s"}
+        )
+        shard = "shardId-000000000000"
+        rows, end = reader.read({shard: ""})
+        seqs = [r[2] for r in rows]
+        assert len(seqs) == 20
+        # simulate a trimmed stop record: drop the 10th record from the
+        # log, then replay to its (now absent) sequence number
+        with ks.lock:
+            log = ks.streams["bd"][shard]
+            stop = log[9][0]
+            del log[9]
+        replay = list(reader.readBetweenOffsets({shard: ""}, {shard: stop}))
+        # bounded at the sequence number: 9 survivors ≤ stop, and NONE
+        # of the 10 records beyond the bound leak into the batch
+        assert [r[2] for r in replay] == seqs[:9]
