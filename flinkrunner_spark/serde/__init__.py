@@ -117,6 +117,50 @@ def _spark_ddl_for_avro(parsed: dict) -> str:
     return ", ".join(cols)
 
 
+def _norm_column(s, nullable: bool) -> list:
+    """One pandas Series -> a list of codec-ready python values,
+    column-wise (the r6 verdict's hot-path fix: ``iterrows`` built a
+    Series per row at 3–10× the cost; ``tolist()`` converts numpy
+    scalars to natives in C and the fixups touch only the values that
+    need them). NaN maps to null ONLY for nullable fields — it is a
+    legitimate double value otherwise."""
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_dtype(s.dtype):  # naive datetimes
+        vals = (s.astype("int64") // 1000).tolist()  # ns -> micros
+        if s.isna().any():
+            vals = [
+                None if m else v for v, m in zip(vals, s.isna().tolist())
+            ]
+        return vals
+    out = []
+    for v in s.tolist():
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        elif isinstance(v, pd.Timestamp):
+            v = v.value // 1000  # ns -> micros (tz-aware path)
+        if v is None or v is pd.NaT or v is pd.NA:
+            v = None
+        elif nullable and isinstance(v, float) and v != v:
+            v = None
+        out.append(v)
+    return out
+
+
+def _norm_columns(pdf, cols: list[str], kinds: dict) -> list[tuple]:
+    """The batch as row TUPLES in ``cols`` order (zipped normalized
+    column arrays — no per-row pandas object anywhere)."""
+    return list(
+        zip(
+            *[
+                _norm_column(pdf[c], kinds[c][0].startswith("nullable"))
+                for c in cols
+            ]
+        )
+    )
+
+
 def _py_encode_map(
     parsed: dict,
     schema_id: int | bytes | None,
@@ -127,44 +171,26 @@ def _py_encode_map(
     framed for an int id, Glue-framed for a 16-byte version uuid), with
     ``keep`` columns passed through alongside the value
     (one Arrow pass — no re-join needed to retain e.g. a Kafka key).
-    Timestamps/ndarray values normalize to codec types first."""
+    Values normalize column-wise and encode through a PRE-BOUND field
+    encoder (kind dispatch + column positions resolved once per task,
+    not once per row)."""
 
     kinds = dict(parsed["fields"])
 
     def fn(it):
-        import numpy as np
         import pandas as pd
 
-        def norm(c, v):
-            if isinstance(v, np.ndarray):
-                return v.tolist()
-            if isinstance(v, pd.Timestamp):
-                return v.value // 1000  # ns -> micros
-            if isinstance(v, np.generic):
-                v = v.item()
-            if v is None or v is pd.NaT or v is pd.NA:
-                return None
-            # pandas spells missing floats as NaN — map to null ONLY for
-            # nullable fields (NaN is a legitimate double value otherwise)
-            if (
-                isinstance(v, float)
-                and v != v
-                and kinds[c][0].startswith("nullable")
-            ):
-                return None
-            return v
+        encode = AC.bind_row_encoder(parsed, cols)
+        if isinstance(schema_id, (bytes, bytearray)):
+            sid = bytes(schema_id)  # 16-byte uuid → Glue wire format
+            frame = lambda p: AC.glue_frame(sid, p)  # noqa: E731
+        elif schema_id is not None:
+            frame = lambda p: AC.confluent_frame(schema_id, p)  # noqa: E731
+        else:
+            frame = lambda p: p  # noqa: E731
 
         for pdf in it:
-            vals = []
-            for _, row in pdf.iterrows():
-                rec = {c: norm(c, row[c]) for c in cols}
-                payload = AC.encode_record(parsed, rec)
-                if isinstance(schema_id, (bytes, bytearray)):
-                    # 16-byte version uuid → Glue registry wire format
-                    payload = AC.glue_frame(bytes(schema_id), payload)
-                elif schema_id is not None:
-                    payload = AC.confluent_frame(schema_id, payload)
-                vals.append(payload)
+            vals = [frame(encode(t)) for t in _norm_columns(pdf, cols, kinds)]
             out = {k: pdf[k] for k in keep}
             out["value"] = pd.Series(vals, dtype=object, index=pdf.index)
             yield pd.DataFrame(out)
@@ -437,7 +463,6 @@ def write_avro_files(
         import os
         import uuid
 
-        import numpy as np
         import pandas as pd
         from pyspark import TaskContext
 
@@ -445,27 +470,12 @@ def write_avro_files(
 
         pid = TaskContext.get().partitionId()
 
-        def norm(c, v):
-            if isinstance(v, np.ndarray):
-                return v.tolist()
-            if isinstance(v, pd.Timestamp):
-                return v.value // 1000
-            if isinstance(v, np.generic):
-                v = v.item()
-            if v is None or v is pd.NaT or v is pd.NA:
-                return None
-            if (
-                isinstance(v, float)
-                and v != v
-                and kinds[c][0].startswith("nullable")
-            ):
-                return None
-            return v
-
         recs = []
         for pdf in it:
-            for _, row in pdf.iterrows():
-                recs.append({c: norm(c, row[c]) for c in cols})
+            # column-wise normalization (no per-row pandas objects);
+            # write_container's record dicts come from one C-level zip
+            for t in _norm_columns(pdf, cols, kinds):
+                recs.append(dict(zip(cols, t)))
         n = len(recs)
         if n:
             blob = _AC.write_container(

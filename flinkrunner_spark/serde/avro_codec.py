@@ -191,36 +191,63 @@ def _write_array(out: bytearray, prim: str, v) -> None:
     _write_long(out, 0)  # block terminator
 
 
+def _write_field(out: bytearray, kind: str, prim, v) -> None:
+    """One field's value by its parsed (kind, prim) dispatch — shared by
+    the dict path (encode_record) and the pre-bound tuple path
+    (bind_row_encoder)."""
+    if kind == "prim":
+        _write_prim(out, prim, v)
+    elif kind == "array":
+        _write_array(out, prim, v)
+    elif kind == "record":
+        out += encode_record(prim, v or {})
+    elif kind == "array_record":
+        _write_record_array(out, prim, v)
+    elif v is None:  # nullable / nullable_array / nullable_record
+        _write_long(out, 0)  # union branch 0 = null
+    elif kind == "nullable":
+        _write_long(out, 1)
+        _write_prim(out, prim, v)
+    elif kind == "nullable_record":
+        _write_long(out, 1)
+        out += encode_record(prim, v)
+    elif kind == "nullable_array_record":
+        _write_long(out, 1)
+        _write_record_array(out, prim, v)
+    else:  # nullable_array
+        _write_long(out, 1)
+        _write_array(out, prim, v)
+
+
 def encode_record(schema: dict, rec: dict) -> bytes:
     """Encode one record (dict) to Avro binary per the parsed schema.
     Nested records are dicts; a nested record encodes as the plain
     concatenation of its fields (Avro spec — records carry no header)."""
     out = bytearray()
     for name, (kind, prim) in schema["fields"]:
-        v = rec.get(name)
-        if kind == "prim":
-            _write_prim(out, prim, v)
-        elif kind == "array":
-            _write_array(out, prim, v)
-        elif kind == "record":
-            out += encode_record(prim, v or {})
-        elif kind == "array_record":
-            _write_record_array(out, prim, v)
-        elif v is None:  # nullable / nullable_array / nullable_record
-            _write_long(out, 0)  # union branch 0 = null
-        elif kind == "nullable":
-            _write_long(out, 1)
-            _write_prim(out, prim, v)
-        elif kind == "nullable_record":
-            _write_long(out, 1)
-            out += encode_record(prim, v)
-        elif kind == "nullable_array_record":
-            _write_long(out, 1)
-            _write_record_array(out, prim, v)
-        else:  # nullable_array
-            _write_long(out, 1)
-            _write_array(out, prim, v)
+        _write_field(out, kind, prim, rec.get(name))
     return bytes(out)
+
+
+def bind_row_encoder(schema: dict, cols: list[str]):
+    """PRE-BOUND row encoder for the Arrow hot path: the per-field kind
+    dispatch and the column positions are resolved ONCE, then each row
+    arrives as a plain value tuple in ``cols`` order (from zipped column
+    arrays — no per-row dict, no pandas Series). Fields absent from
+    ``cols`` encode as null, exactly like encode_record's rec.get()."""
+    pos = {c: i for i, c in enumerate(cols)}
+    steps = [
+        (kind, prim, pos.get(name))
+        for name, (kind, prim) in schema["fields"]
+    ]
+
+    def encode(values) -> bytes:
+        out = bytearray()
+        for kind, prim, i in steps:
+            _write_field(out, kind, prim, None if i is None else values[i])
+        return bytes(out)
+
+    return encode
 
 
 def _write_record_array(out: bytearray, parsed: dict, v) -> None:

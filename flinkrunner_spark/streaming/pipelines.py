@@ -530,9 +530,22 @@ def streaming_asof_join(
         last_right = pdf.loc[right]
         if len(last_right):
             grp = last_right.groupby("user_id").last()
+            # column-wise extraction, no per-row Series construction
             latest.update(
-                (int(u), (int(r["event_id"]), int(pd.Timestamp(r["ts"]).value // 1000)))
-                for u, r in grp.iterrows()
+                zip(
+                    (int(u) for u in grp.index.tolist()),
+                    zip(
+                        (int(e) for e in grp["event_id"].tolist()),
+                        (
+                            int(v)
+                            for v in (
+                                grp["ts"].astype("datetime64[us]")
+                                .astype("int64")
+                                .tolist()
+                            )
+                        ),
+                    ),
+                )
             )
         state.update((pickle.dumps(latest),))
         yield out
