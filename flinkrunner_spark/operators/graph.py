@@ -11,12 +11,22 @@ neighbor-min alone is monotone after that seed — see the loop comment).
 Each round is one shuffle-join (labels ⋈ edges) plus one aggregation,
 all JVM-side; the driver only reads a scalar label-sum per round. Rounds
 needed = graph diameter, which for near-dup clusters is small (dup sets
-are near-cliques — LSH links most pairs directly). For adversarially long
-chain graphs the Kiveris et al. two-phase star algorithm ("Connected
-Components in MapReduce and Beyond", SoCC'14) bounds rounds at O(log²n)
-with the same join primitive; the propagation loop below is the right
-trade for dedup workloads and stays exact regardless — it just takes more
-rounds on a chain.
+are near-cliques — LSH links most pairs directly).
+
+HIGH-DIAMETER escape hatch (automatic): propagation alone needs
+diameter-many rounds, so a chain-shaped graph would exhaust any sane
+cap. From round ``SHORTCUT_AFTER + 1`` the loop interleaves POINTER
+DOUBLING — ``label' [v] = label[label[v]]``, one self-join of the labels
+frame — the shortcutting step of the classic hook-and-shortcut CC family
+(Shiloach/Vishkin; the same device bounds the Kiveris et al. SoCC'14
+two-phase star algorithm). Propagation moves a label one hop per round;
+shortcutting squares the distance already covered, so chains converge in
+O(log n) rounds instead of O(n). Both steps are pointwise monotone
+non-increasing (labels never leave the component: label[v] ≤ v always,
+and label[label[v]] ≤ label[v]), so the exact label-sum convergence test
+is unchanged. Dedup-shaped graphs (near-cliques) converge in ≤ 3 rounds
+and never reach the shortcut — their physical plan is byte-identical to
+the propagation-only loop.
 
 Scale notes (100 TB):
 * State per round is one (node, label) frame — never driver-side; the
@@ -38,6 +48,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 50
+# propagation rounds before pointer-doubling interleaves: real dedup
+# graphs converge inside this (measured rounds=2 at 64x scale), so their
+# plans never change; only high-diameter graphs pay the extra self-join
+SHORTCUT_AFTER = 3
 
 
 def _free_checkpoint(df: DataFrame) -> None:
@@ -107,6 +121,7 @@ def connected_components(
     prev_sum = None
     converged = False
     rounds = 0
+    shortcut_rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         updated = (
@@ -115,14 +130,39 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .select(F.col("v").alias("id"), "label")
         ).localCheckpoint(eager=False)
-        # first action over `updated`: materializes the checkpoint AND
-        # returns the convergence scalar in the same job
-        cur_sum = updated.agg(
+        if rounds > SHORTCUT_AFTER:
+            # pointer doubling: label'[v] = label[label[v]] — squares
+            # the hop distance propagation has covered so far, turning
+            # diameter-many rounds into O(log diameter) on chains. A
+            # label value is always some edge-touching node's id, so the
+            # self-join hits; left+coalesce guards the invariant anyway.
+            shortcut_rounds += 1
+            jumped = (
+                updated.alias("a")
+                .join(
+                    updated.alias("b"),
+                    F.col("a.label") == F.col("b.id"),
+                    "left",
+                )
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")).alias(
+                        "label"
+                    ),
+                )
+            ).localCheckpoint(eager=False)
+        else:
+            jumped = updated
+        # first action over the round frame: materializes the checkpoint
+        # AND returns the convergence scalar in the same job
+        cur_sum = jumped.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
-        labels = updated
+        labels = jumped
         _free_checkpoint(ckpt)  # superseded — round N+1 is materialized
-        ckpt = updated
+        if jumped is not updated:
+            _free_checkpoint(updated)  # intermediate, nothing reads it
+        ckpt = jumped
         if cur_sum == prev_sum:
             converged = True
             break
@@ -130,23 +170,21 @@ def connected_components(
 
     if stats is not None:
         stats["rounds"] = rounds
+        stats["shortcut_rounds"] = shortcut_rounds
         stats["converged"] = converged
     if not converged:
         # The rounds guard exists to bound runaway iteration, not to
-        # return silently-wrong labels: rounds needed = component
-        # diameter, and a graph that exhausts the cap has components
-        # wider than any near-dup cluster should be. Raising is the
-        # honest outcome; the 64x scale row in BASELINE_LOCAL.md pins
-        # real dedup graphs far below the cap, and adversarial chains
-        # belong on the Kiveris et al. two-phase algorithm (see module
-        # docstring) or an explicit larger max_rounds.
+        # return silently-wrong labels. With pointer doubling engaged
+        # the effective reach after the cap is ~2^(max_rounds -
+        # SHORTCUT_AFTER) hops — a graph that still exhausts it is
+        # pathological beyond any real corpus; raising stays the honest
+        # outcome.
         _free_checkpoint(sym)
         _free_checkpoint(ckpt)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} "
-            "rounds — component diameter exceeds the guard; raise "
-            "max_rounds or switch to a log-round two-phase algorithm "
-            "for chain-shaped graphs"
+            "rounds even with pointer-doubling shortcuts — raise "
+            "max_rounds if the graph is legitimately this deep"
         )
 
     result = (

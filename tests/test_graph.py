@@ -48,18 +48,44 @@ def test_rounds_reported_and_chain_worst_case(spark):
     out = connected_components(e, n, stats=stats)
     assert {r["component"] for r in out.collect()} == {0}
     assert stats["converged"] and stats["rounds"] <= 3
+    # a near-clique never reaches the shortcut — its plan is the pure
+    # propagation loop (r6 verdict: docs_dup_clusters plan unchanged)
+    assert stats["shortcut_rounds"] == 0
 
-    # chain of 20: needs ~20 rounds, still under the default guard
+    # chain of 20 (diameter 19): pointer doubling engages after round 3
+    # and squares the covered distance — convergence in O(log n), far
+    # under the old ~diameter rounds
     stats = {}
     e = spark.createDataFrame([(i, i + 1) for i in range(19)], ["src", "dst"])
     n = spark.range(20).select(F.col("id").cast("long"))
     out = connected_components(e, n, stats=stats)
     assert {r["component"] for r in out.collect()} == {0}
-    assert stats["converged"] and 10 <= stats["rounds"] <= 21
+    assert stats["converged"] and 4 <= stats["rounds"] <= 10
+    assert stats["shortcut_rounds"] >= 1
 
-    # guard: a chain wider than max_rounds RAISES instead of returning
-    # silently-wrong labels
+    # guard: a cap too small to cover the diameter still RAISES instead
+    # of returning silently-wrong labels
     e = spark.createDataFrame([(i, i + 1) for i in range(19)], ["src", "dst"])
     n = spark.range(20).select(F.col("id").cast("long"))
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, n, max_rounds=5)
+        connected_components(e, n, max_rounds=4)
+
+
+def test_ten_thousand_chain_converges_logarithmically(spark):
+    """r6 verdict #5's done-criterion: a 10k-node chain (diameter 9999 —
+    propagation alone would need ~10k rounds and the old code RAISED at
+    the 50-round guard) converges via the interleaved pointer-doubling
+    in O(log n) rounds, with exact labels."""
+    from pyspark.sql import functions as F
+
+    stats = {}
+    e = spark.range(9999).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    n = spark.range(10000).select(F.col("id").cast("long"))
+    out = connected_components(e, n, stats=stats)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(10000)}
+    assert stats["converged"]
+    assert stats["rounds"] <= 20, stats  # ~log2(10^4) + seed + confirm
+    assert stats["shortcut_rounds"] >= 5
