@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # —— NEW this round (r7) ——
         "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
         "iceberg_transform_pruned": connectors.iceberg_transform_pruned,
+        "stream_curation_to_iceberg": connectors.stream_curation_to_iceberg,
         # —— r6 ——
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,

@@ -719,6 +719,7 @@ class IcebergFsTable:
         delete_df: DataFrame | None = None,
         equality_ids: list[int] | None = None,
         pos_delete_files: list[dict] | None = None,
+        extra_properties: dict | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
@@ -801,6 +802,16 @@ class IcebergFsTable:
             snap["parent-snapshot-id"] = parent
 
         v = self._version()
+        if extra_properties:
+            # stamped in the SAME commit as the snapshot — a streaming
+            # sink records its batch id atomically with the rows, so a
+            # replayed foreachBatch after a crash can detect the commit
+            # happened (exactly-once idempotence, the Iceberg
+            # spark-runtime's commit-property pattern)
+            md["properties"] = {
+                **md.get("properties", {}),
+                **{str(k): str(vv) for k, vv in extra_properties.items()},
+            }
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = snap["timestamp-ms"]
         md["current-snapshot-id"] = snap_id
@@ -819,8 +830,16 @@ class IcebergFsTable:
         ]
         self._commit(md, v + 1)
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        self._write_snapshot(df, "append", partition_by=partition_by)
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list | None = None,
+        extra_properties: dict | None = None,
+    ) -> None:
+        self._write_snapshot(
+            df, "append", partition_by=partition_by,
+            extra_properties=extra_properties,
+        )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._write_snapshot(df, "overwrite", partition_by=partition_by)

@@ -1020,3 +1020,61 @@ def iceberg_transform_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+def stream_curation_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPOSED FLAGSHIP PIPELINE (r6 verdict #4): kafka-native
+    streaming source → Gopher/C4 curation screens → stateful exact-dedup
+    keeper → PII redaction → Iceberg sink via foreachBatch with batch-id
+    idempotence — every stage individually driver-green, composed here
+    the way a user deploys them, oracled against the batch composition
+    of the same stages over the original parquet. max.offsets.per.trigger
+    forces the catch-up through several micro-batches, so the dedup
+    state and the iceberg batch commits must both survive batch seams
+    for the profile to match; kill-and-resume (checkpoint restart
+    mid-stream plus a replayed-batch no-op) is pinned by
+    tests/test_curation_pipeline.py."""
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.streaming.curation_pipeline import (
+        start_curation_to_iceberg,
+    )
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    n_docs = docs.count()
+    loc = _loc("curation-iceberg", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    ckpt = os.path.join(loc, "_checkpoint")
+    table = os.path.join(loc, "table")
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        KafkaSinkConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_curation", "key.column": "doc_id"},
+        ).write(docs)
+        stream = KafkaSourceConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_curation", "streaming": True,
+             # ≥3 catch-up micro-batches at any sf ≥ 0.001
+             "max.offsets.per.trigger": max(n_docs // 3, 64)},
+        ).load(spark)
+        q = start_curation_to_iceberg(stream, table, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    back = IcebergFsTable(table).read(spark)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("redacted")).alias("sum_red_len"),
+    )

@@ -1711,3 +1711,42 @@ from flinkrunner_spark.plans.connectors import (  # noqa: E402
 
 ORACLES["iceberg_transform_roundtrip"] = _ITO
 ORACLES["iceberg_transform_pruned"] = _ITPO
+
+# ——— round 7: the composed flagship pipeline — batch composition of the
+# SAME stages (gopher screens ∧ badwords screen → dedup by (lang,
+# md5(text)) → PII redact) over the original parquet. Every aggregate
+# derives only from (lang, text), so streaming first-arrival keeper
+# choice cannot move the profile.
+
+
+def _curation_pipeline_oracle() -> str:
+    from flinkrunner_spark.llm.curation import PII_PATTERNS
+
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH t AS (
+  SELECT text, lang, n_chars, {_TOKS} AS toks FROM documents
+), scr AS (
+  SELECT text, lang, n_chars,
+    list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+    len(toks) AS n_words
+  FROM t
+  WHERE len(toks) >= {_GNW} AND len(toks) <= {_GXW}
+    AND len(list_intersect(list_distinct(toks), {_GSW_SQL})) >= {_GNS}
+    AND len(list_filter(toks, x -> list_contains({_BW_SQL}, x))) = 0
+), scr2 AS (
+  SELECT text, lang, n_chars FROM scr
+  WHERE sum_len / n_words >= {_GNL} AND sum_len / n_words <= {_GXL}
+), ded AS (
+  SELECT lang, md5(text) AS h, MIN(text) AS text, MAX(n_chars) AS nc
+  FROM scr2 GROUP BY lang, md5(text)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS sum_chars,
+  CAST(SUM(length({red})) AS BIGINT) AS sum_red_len
+FROM ded GROUP BY lang
+"""
+
+
+ORACLES["stream_curation_to_iceberg"] = _curation_pipeline_oracle()

@@ -1,0 +1,157 @@
+"""COMPOSED streaming curation pipeline — the deployment shape a
+training-data team actually runs, wired end-to-end from pieces that are
+each individually driver-verified:
+
+    kafka-native streaming source  (sources/kafka_datasource.py)
+      → curation screens           (Gopher §A1.1 rules + C4 badwords —
+                                    the exact expressions of
+                                    llm/filters.py, parity-pinned by
+                                    tests/test_curation_pipeline.py)
+      → exact-dedup keeper         (stateful dropDuplicates on
+                                    (lang, md5(text)) across
+                                    micro-batches)
+      → PII redaction              (llm/curation.pii_redact)
+      → Iceberg streaming sink     (foreachBatch append with BATCH-ID
+                                    IDEMPOTENCE: the batch id is stamped
+                                    into table properties in the SAME
+                                    metadata commit as the rows, so a
+                                    replayed batch after a crash/restart
+                                    detects the prior commit and no-ops
+                                    — the exactly-once pattern the
+                                    Iceberg spark-runtime uses)
+
+Reference parity: the reference composes exactly this class of job from
+`KafkaSourceConfig` → operators → `IcebergSinkConfig`
+(`model/FlinkConfig` job wiring); per-stage parity lives with each
+stage's own driver key — this module proves the COMPOSITION (interface
+drift between stages is what per-key oracles cannot catch).
+
+Determinism note for the oracle: streaming dedup keeps the FIRST
+arrival, which is racy across kafka partitions — so the dedup key is
+(lang, md5(text)) and every downstream aggregate derives only from
+(lang, text): any representative of a duplicate group yields the same
+profile. Keeper IDENTITY (min doc_id) is the batch operator
+`docs_dedup_exact`'s contract, not this stream's.
+
+Scale notes (100 TB): every screen is a zero-shuffle JVM projection;
+the dedup state is O(distinct (lang, hash)) — bound it with a watermark
+on the kafka timestamp in a long-running deployment (`withWatermark` +
+dropDuplicatesWithinWatermark); the iceberg append writes one snapshot
+per micro-batch (compact() periodically, as any streaming-ingest table
+needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.llm.filters import (
+    BADWORDS,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+    _sum_lengths,
+)
+from flinkrunner_spark.llm.text import tokens_col
+
+
+def gopher_keep_col(text: str = "text") -> Column:
+    """The Gopher §A1.1 conjunctive keep as a reusable Column — the
+    SAME constants and token inventory as `llm/filters.docs_gopher_rules`
+    (parity pinned by test_curation_pipeline's expression-equality
+    check, and by the composed driver oracle)."""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    mean_wl = _sum_lengths(toks) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+    )
+
+
+def badwords_keep_col(text: str = "text") -> Column:
+    """C4 blocklist keep (any hit drops the document) as a Column."""
+    bad = F.array(*[F.lit(b) for b in BADWORDS])
+    return (
+        F.size(F.filter(tokens_col(text), lambda x: F.array_contains(bad, x)))
+        == 0
+    )
+
+
+def curate_stream(parsed: DataFrame) -> DataFrame:
+    """screens → stateful exact-dedup → PII redact, over a (streaming or
+    batch) frame with at least (text, lang, n_chars) columns. Returns
+    (lang, h, n_chars, redacted)."""
+    from flinkrunner_spark.llm.curation import pii_redact
+
+    kept = parsed.filter(gopher_keep_col() & badwords_keep_col())
+    deduped = kept.withColumn("h", F.md5("text")).dropDuplicates(
+        ["lang", "h"]
+    )
+    return pii_redact(deduped).select("lang", "h", "n_chars", "redacted")
+
+
+class IcebergForeachBatchSink:
+    """foreachBatch target: append each micro-batch to an Iceberg
+    filesystem table with EXACTLY-ONCE idempotence. Spark guarantees
+    foreachBatch at-least-once — after a crash the last batch replays
+    with the same batch_id — so the sink stamps
+    ``streaming.last-batch-id`` into table properties in the SAME
+    atomic metadata commit as the snapshot, and a replayed id ≤ the
+    stamp no-ops."""
+
+    PROP = "streaming.last-batch-id"
+
+    def __init__(self, location: str, partition_by: list | None = None):
+        self.location = location
+        self.partition_by = partition_by
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from flinkrunner_spark.iceberg import IcebergFsTable
+
+        t = IcebergFsTable(self.location)
+        if t.exists():
+            last = t.metadata().get("properties", {}).get(self.PROP)
+            if last is not None and int(last) >= batch_id:
+                return  # replayed batch — its rows are already committed
+        t.append(
+            batch_df,
+            partition_by=self.partition_by,
+            extra_properties={self.PROP: batch_id},
+        )
+
+
+def start_curation_to_iceberg(
+    stream: DataFrame,
+    table_location: str,
+    checkpoint: str,
+    value_schema: str = (
+        "doc_id long, text string, lang string, n_chars int"
+    ),
+):
+    """Wire the full pipeline over a kafka-native stream frame and start
+    it. Returns the StreamingQuery; the caller owns its lifecycle
+    (processAllAvailable / stop / restart-on-same-checkpoint)."""
+    parsed = stream.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    ).select("r.*")
+    curated = curate_stream(parsed)
+    return (
+        curated.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(IcebergForeachBatchSink(table_location))
+        .start()
+    )
