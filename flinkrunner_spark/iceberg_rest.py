@@ -257,16 +257,28 @@ class RestCatalog:
     def load_table(self, namespace, table: str) -> dict:
         return self._call(*self.load_table_request(namespace, table))
 
-    @staticmethod
-    def _local_location(loc: str) -> str:
+    def _local_location(self, loc: str) -> str:
+        """Catalog location → locally readable path. A configurable
+        ``warehouse.mapping`` ({location_prefix: mounted_path}, longest
+        prefix wins) lets catalog-resolved tables live under ANY mounted
+        root — e.g. an object-store warehouse exposed through a fuse/NFS
+        mount, or a test warehouse relocated per run (r6 verdict #8).
+        Unmapped remote schemes still refuse honestly: guessing a path
+        would read the wrong table or none."""
+        mapping = self.conf.get("warehouse.mapping") or {}
+        for prefix in sorted(mapping, key=len, reverse=True):
+            if loc.startswith(prefix):
+                loc = mapping[prefix] + loc[len(prefix):]
+                break
         if loc.startswith("file://"):
             return loc[len("file://"):]
         if loc.startswith("/"):
             return loc
         raise RestCatalogError(
             f"table location {loc!r} is not a locally reachable "
-            "filesystem path; remote warehouses need the iceberg runtime "
-            "jar + a FileIO for that scheme"
+            "filesystem path; map its prefix to a mounted root via the "
+            "catalog's warehouse.mapping conf, or use the iceberg "
+            "runtime jar + a FileIO for that scheme"
         )
 
     def fs_table(self, namespace, table: str):

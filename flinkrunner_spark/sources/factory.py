@@ -177,19 +177,36 @@ class KafkaSourceConfig(SourceConfig):
             reader = reader.option("maxOffsetsPerTrigger", str(mot))
         return reader.load()
 
+    def _jar_options(self) -> dict:
+        """The `format("kafka")` option map — kept in LOCKSTEP with the
+        native path's reader options (same conf keys drive both; the
+        golden-config parity test pins them against silent divergence,
+        r6 verdict #7)."""
+        options = {
+            "kafka.bootstrap.servers": self.conf.get(
+                "bootstrap.servers", "localhost:9092"
+            ),
+            "subscribe": self.conf.get("topic", self.name),
+            "startingOffsets": self.conf.get("starting.offsets", "earliest"),
+        }
+        if bool(self.conf.get("headers")):
+            options["includeHeaders"] = "true"
+        mot = self.conf.get("max.offsets.per.trigger")
+        if mot and self.streaming:
+            # previously only reachable via raw options{} on the jar
+            # path while the native path honored the top-level conf —
+            # exactly the mapping drift the parity test exists to catch
+            options["maxOffsetsPerTrigger"] = str(mot)
+        options.update(self.conf.get("options", {}))
+        return options
+
     def load(self, spark: SparkSession) -> DataFrame:
         if self.conf.get("transport") == "native":
             if self.streaming:
                 return self._apply_watermark(self._load_native_stream(spark))
             return self._apply_watermark(self._load_native(spark))
-        options = {
-            "kafka.bootstrap.servers": self.conf.get("bootstrap.servers", "localhost:9092"),
-            "subscribe": self.conf.get("topic", self.name),
-            "startingOffsets": self.conf.get("starting.offsets", "earliest"),
-            **self.conf.get("options", {}),
-        }
         reader = spark.readStream if self.streaming else spark.read
-        df = reader.format("kafka").options(**options).load()
+        df = reader.format("kafka").options(**self._jar_options()).load()
         return self._apply_watermark(df)
 
 

@@ -132,10 +132,36 @@ def test_append_commit_payload():
 
 
 def test_local_location_gate():
-    assert RestCatalog._local_location("file:///wh/t") == "/wh/t"
-    assert RestCatalog._local_location("/wh/t") == "/wh/t"
+    cat = RestCatalog("http://localhost:1")
+    assert cat._local_location("file:///wh/t") == "/wh/t"
+    assert cat._local_location("/wh/t") == "/wh/t"
     with pytest.raises(RestCatalogError, match="s3://wh/t"):
-        RestCatalog._local_location("s3://wh/t")
+        cat._local_location("s3://wh/t")
+
+
+def test_warehouse_mapping_rewrites_locations():
+    """r6 verdict #8: a configurable warehouse.mapping rewrites catalog
+    locations onto mounted roots (longest prefix wins); unmapped remote
+    schemes still refuse."""
+    cat = RestCatalog(
+        "http://localhost:1",
+        {"warehouse.mapping": {
+            "s3://wh": "/mnt/wh",
+            "s3://wh/hot": "/fastdisk/hot",
+        }},
+    )
+    assert cat._local_location("s3://wh/db/t1") == "/mnt/wh/db/t1"
+    # longest prefix wins
+    assert cat._local_location("s3://wh/hot/t2") == "/fastdisk/hot/t2"
+    # mapping may land on a file:// mount too
+    cat2 = RestCatalog(
+        "http://localhost:1",
+        {"warehouse.mapping": {"s3://other": "file:///nfs/other"}},
+    )
+    assert cat2._local_location("s3://other/t") == "/nfs/other/t"
+    # unmapped schemes keep the honest refusal
+    with pytest.raises(RestCatalogError, match="gs://elsewhere"):
+        cat._local_location("gs://elsewhere/t")
 
 
 def test_missing_uri():
@@ -210,3 +236,43 @@ def test_catalog_auth_e2e(spark, tmp_path):
         # and an unauthenticated client is refused
         with pytest.raises(RestCatalogError, match="401"):
             RestCatalog(srv.uri).load_table("db", "t2")
+
+
+def test_catalog_resolves_remote_location_through_mapping(spark, tmp_path):
+    """End-to-end through the loopback catalog: a table whose RECORDED
+    location is an object-store URI (written by a cloud writer) resolves
+    and reads on this machine because the warehouse is mounted — the
+    client's warehouse.mapping rewrites the prefix onto the mount
+    (r6 verdict #8's done-criterion: roundtrip through a non-default
+    warehouse root)."""
+    import json as _json
+    import os
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    root = str(tmp_path / "mounted-wh" / "t1")
+    t = IcebergFsTable(root)
+    df = spark.range(25).selectExpr("id", "concat('n', id) AS name")
+    t.append(df)
+    # simulate the cloud writer's metadata: the table-level location is
+    # the object-store URI the warehouse lives under
+    v = t._version()
+    mpath = os.path.join(t.meta_dir, f"v{v}.metadata.json")
+    md = _json.load(open(mpath))
+    md["location"] = "s3://corp-warehouse/t1"
+    with open(mpath, "w") as fh:
+        _json.dump(md, fh)
+
+    with FakeRestCatalog() as srv:
+        RestCatalog(srv.uri).create_namespace("db")
+        RestCatalog(srv.uri).register_fs_table("db", "t1", t)
+        # without the mapping: honest refusal naming the conf key
+        with pytest.raises(RestCatalogError, match="warehouse.mapping"):
+            RestCatalog(srv.uri).read(spark, "db", "t1")
+        # with it: full read through the mounted root
+        mapped = RestCatalog(
+            srv.uri,
+            {"warehouse.mapping": {"s3://corp-warehouse/t1": root}},
+        )
+        back = mapped.read(spark, "db", "t1")
+        assert sorted(r["id"] for r in back.collect()) == list(range(25))
