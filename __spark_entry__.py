@@ -35,33 +35,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-6 rotation: the
-    # THIRTEEN new keys first — the kafka family (kafka_roundtrip,
-    # stream_kafka_roundtrip, kafka_avro_roundtrip,
-    # kafka_glue_avro_roundtrip: loopback wire-protocol broker + HTTP /
-    # Glue schema registries), iceberg_delete_roundtrip (position
-    # delete files), rabbitmq_roundtrip + stream_rabbitmq_roundtrip
-    # (loopback AMQP, ack-on-commit streaming), iceberg_catalog_/
-    # iceberg_glue_roundtrip (loopback REST / Glue catalogs),
-    # cassandra_roundtrip (loopback CQL), kinesis_roundtrip +
-    # stream_kinesis_roundtrip (loopback Kinesis, sequence-replay
-    # streaming), elasticsearch_roundtrip (loopback _bulk) —
-    # then every key whose implementation files changed since their r5
-    # rows: plans/connectors.py + sinks/sources factories + iceberg.py
-    # (the seven existing connector roundtrips, five of which flip
-    # their r5 hash-red driver rows green via the BIGINT oracle casts),
-    # llm/bpe.py (incremental trainer, 300-merge budget) and
-    # operators/graph.py (enforced rounds guard) which re-verifies
-    # docs_dup_clusters and its consumer docs_pipeline — then r5-green
-    # filler to exactly 50 (similarity + stream mirrors, newest greens
-    # first). The tail holds only keys whose files have ZERO changed
-    # lines since their last green row: llm/{text,dedup,curation,
-    # multimodal,vocab,sampling,filters,spans,mm_transforms}.py,
-    # plans/{analytics,events,docstreams}.py and streaming/pipelines.py
-    # are byte-identical to their r4/r5-verified state (round-6
-    # additions live in new modules — util/{amqp,cql,kafka}.py,
-    # iceberg_rest.py, glue_catalog.py, testing.py, serde/registry.py,
-    # sources/{kafka,rabbitmq,kinesis}_datasource.py).
+    # (insertion order) of this dict each round. Round-7 rotation: the
+    # THREE new keys first (iceberg_transform_roundtrip +
+    # iceberg_transform_pruned — the full partition-transform set with
+    # manifest pruning on transformed values — and
+    # stream_curation_to_iceberg, the composed kafka→curation→dedup→
+    # iceberg flagship with an exactly-once foreachBatch sink), then
+    # every key whose implementation files changed since their r6
+    # rows — the r7 diff touches iceberg.py (+iceberg_transforms.py,
+    # iceberg_rest.py: transforms, partition-scoped position deletes,
+    # extra_properties, warehouse mapping) → the whole iceberg family;
+    # serde/__init__.py + serde/avro_codec.py (column-wise encode,
+    # pre-bound field encoders) → the avro/kafka-avro keys;
+    # util/kafka.py + sources/{kafka,kinesis}_datasource.py +
+    # sinks/sources factories + testing.py (restart-cap fix, metadata
+    # retry, expanded-topic subjects, kinesis LATEST pin, jar-option
+    # parity, wall-clock loopback arrivals) → every connector
+    # roundtrip; operators/graph.py (pointer-doubling fallback) →
+    # docs_dup_clusters + docs_pipeline; streaming/pipelines.py
+    # (column-wise as-of state refresh) → ALL 18 stream_* mirrors,
+    # which route through run_to_memory there. That stale set is 43
+    # keys; r6-green filler (similarity + bpe, files unchanged) pads to
+    # exactly 50. The tail holds only keys whose files have ZERO
+    # changed lines since their last green row:
+    # llm/{text,dedup,curation,multimodal,vocab,sampling,filters,
+    # spans,mm_transforms}.py, plans/{analytics,events,docstreams}.py
+    # are byte-identical to their verified state (r7 additions live in
+    # new modules: iceberg_transforms.py,
+    # streaming/curation_pipeline.py, sf1_fixture.py).
     return {
         # —— NEW this round (r7) ——
         "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
@@ -90,25 +91,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
         "iceberg_incremental_roundtrip": connectors.iceberg_incremental_roundtrip,
         "iceberg_stream_roundtrip": connectors.iceberg_stream_roundtrip,
-        # —— llm/bpe.py changed (incremental trainer) ——
-        "docs_bpe_encode": llm_bpe.docs_bpe_encode,
-        # —— operators/graph.py changed (rounds guard): CC consumers ——
+        # —— operators/graph.py changed (pointer-doubling fallback): CC
+        # consumers re-verify ——
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "docs_pipeline": pipeline.docs_pipeline,
-        # —— r5-green filler to 50, newest greens first (files unchanged
-        # since their r5 rows) ——
-        "emb_knn": similarity.emb_knn,
-        "emb_dup_pairs": similarity.emb_dup_pairs,
-        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
-        "emb_knn_ivf": similarity.emb_knn_ivf,
-        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
-        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
-        "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
-        "docs_cluster_assign": similarity.docs_cluster_assign,
-        "emb_knn_join": similarity.emb_knn_join,
-        "docs_dup_spans": llm_spans.docs_dup_spans,
-        "emb_semantic_dedup": similarity.emb_semantic_dedup,
-        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
+        # —— streaming/pipelines.py changed (column-wise as-of state
+        # refresh): EVERY stream mirror routes through run_to_memory in
+        # that file, so the whole family re-verifies in-cap ——
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
         "stream_agg_basic_update": events.stream_agg_basic_update,
@@ -124,9 +113,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_filter_by_control": events.stream_filter_by_control,
         "stream_asof_join": events.stream_asof_join,
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
+        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
+        # —— r6-green filler to exactly 50 (files unchanged since their
+        # green rows) ——
+        "docs_bpe_encode": llm_bpe.docs_bpe_encode,
+        "emb_knn": similarity.emb_knn,
+        "emb_dup_pairs": similarity.emb_dup_pairs,
+        "emb_knn_ivf": similarity.emb_knn_ivf,
+        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
+        "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
+        "docs_cluster_assign": similarity.docs_cluster_assign,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
+        "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
+        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
+        "emb_knn_join": similarity.emb_knn_join,
+        "docs_dup_spans": llm_spans.docs_dup_spans,
+        "emb_semantic_dedup": similarity.emb_semantic_dedup,
+        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
         "docs_stratified_sample": sampling.docs_stratified_sample,
@@ -137,7 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "emb_decontaminate": similarity.emb_decontaminate,
         "ann_recall_stats": similarity.ann_recall_stats,
-        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "mm_features": mm_transforms.mm_features,
         "mm_resize": mm_transforms.mm_resize,
         "docs_decontaminate": curation.docs_decontaminate,

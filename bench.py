@@ -136,17 +136,20 @@ def main() -> None:
     print(json.dumps(compact))
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if rnd is None:
-        import re
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT")  # e.g. sf1 passes
+    if out_name is None:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re
 
-        ns = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
-        ]
-        rnd = str(max(ns, default=0) + 1)
-    with open(os.path.join(repo, f"BENCH_LOCAL_r{int(rnd):02d}.json"), "w") as f:
+            ns = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(ns, default=0) + 1)
+        out_name = f"BENCH_LOCAL_r{int(rnd):02d}.json"
+    with open(os.path.join(repo, out_name), "w") as f:
         f.write(line + "\n")
 
 

@@ -110,16 +110,20 @@ class RestCatalog:
         location: str,
         partition_by: list[str] | None = None,
     ):
+        from flinkrunner_spark import iceberg_transforms as T
         from flinkrunner_spark.iceberg import iceberg_schema_from_spark
 
         ice_schema, _last = iceberg_schema_from_spark(spark_schema)
         by_name = {f["name"]: f for f in ice_schema["fields"]}
         spec_fields = []
-        for i, col in enumerate(partition_by or []):
+        for i, entry in enumerate(partition_by or []):
+            # full transform set, same entry forms as IcebergFsTable
+            # (bare column / "day(ts)" calls / {column, transform})
+            pt = T.parse_spec_entry(entry)
             spec_fields.append({
-                "name": col,
-                "transform": "identity",
-                "source-id": by_name[col]["id"],
+                "name": T.field_name(pt),
+                "transform": pt.transform,
+                "source-id": by_name[pt.column]["id"],
                 "field-id": 1000 + i,
             })
         body = {

@@ -276,3 +276,21 @@ def test_catalog_resolves_remote_location_through_mapping(spark, tmp_path):
         )
         back = mapped.read(spark, "db", "t1")
         assert sorted(r["id"] for r in back.collect()) == list(range(25))
+
+
+def test_create_table_request_transform_spec(spark):
+    """Catalog CREATE carries the full transform set (r7): the
+    partition-spec JSON matches what IcebergFsTable.create writes."""
+    df = spark.sql(
+        "SELECT 1L AS id, TIMESTAMP '2020-01-01' AS ts, 'x' AS name"
+    )
+    cat = RestCatalog("http://c")
+    _m, _p, body = cat.create_table_request(
+        "db", "t", df.schema, "/wh/t",
+        partition_by=["day(ts)", "bucket[16](id)", "truncate[4](name)"],
+    )
+    spec = json.loads(body)["partition-spec"]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("ts_day", "day"), ("id_bucket", "bucket[16]"),
+        ("name_trunc", "truncate[4]"),
+    ]
