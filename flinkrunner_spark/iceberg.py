@@ -604,9 +604,25 @@ class IcebergFsTable:
                     pf["name"], T.spark_column(pt, src_type)
                 )
         tmp = os.path.join(self.location, f"_tmp-write-{uuid.uuid4().hex}")
-        writer = write_df.write.mode("overwrite")
         if spec_fields:
-            writer = writer.partitionBy(*[f["name"] for f in spec_fields])
+            # Cluster rows by partition value before the partitioned
+            # write: without this every task writes a file for every
+            # partition value it holds (tasks × partitions files — the
+            # classic small-files explosion; at 32 tasks × ~240
+            # day/bucket partitions that is thousands of tiny parquet
+            # files per commit, each paying a footer read at manifest
+            # time). After the hash exchange each partition value lands
+            # in ONE task, so the file count tracks the partition count.
+            # A single giant partition still serializes through one
+            # task — the standard mitigation (salting the repartition /
+            # maxRecordsPerFile) applies upstream if a spec is that
+            # skewed; iceberg specs normally include a bucket or time
+            # transform precisely so partitions stay bounded.
+            names = [f["name"] for f in spec_fields]
+            writer = write_df.repartition(*names).write.mode("overwrite")
+            writer = writer.partitionBy(*names)
+        else:
+            writer = write_df.write.mode("overwrite")
         writer.parquet(tmp)
 
         base_dir = (
@@ -614,7 +630,7 @@ class IcebergFsTable:
             if content == CONTENT_DATA
             else os.path.join(self.data_dir, "_deletes")
         )
-        files = []
+        placed: list[tuple[str, dict]] = []
         commit_uuid = uuid.uuid4().hex
         i = 0
         for root, _dirs, names in sorted(os.walk(tmp)):
@@ -637,22 +653,38 @@ class IcebergFsTable:
                         partition[pf["name"]] = self._parse_hive_value(
                             parts[pf["name"]], result_types[pf["name"]]
                         )
-                meta = pq.ParquetFile(dst).metadata
-                lowers, uppers = self._column_bounds(meta, md)
-                files.append(
-                    {
-                        "content": content,
-                        "file_path": dst,
-                        "file_format": "PARQUET",
-                        "partition": partition,
-                        "record_count": meta.num_rows,
-                        "file_size_in_bytes": os.path.getsize(dst),
-                        "lower_bounds": lowers,
-                        "upper_bounds": uppers,
-                        "equality_ids": equality_ids,
-                    }
-                )
+                placed.append((dst, partition))
                 i += 1
+
+        # Footer stats read in a thread pool: each file costs a parquet
+        # footer open (IO + thrift decode, GIL-released in the arrow
+        # C++ core), and a partitioned commit easily lands hundreds of
+        # files — serially that loop, not the write, dominated commit
+        # time. Results keep ``placed`` order so manifest entries stay
+        # deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stat(args):
+            dst, partition = args
+            meta = pq.ParquetFile(dst).metadata
+            lowers, uppers = self._column_bounds(meta, md)
+            return {
+                "content": content,
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "partition": partition,
+                "record_count": meta.num_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lowers,
+                "upper_bounds": uppers,
+                "equality_ids": equality_ids,
+            }
+
+        if len(placed) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(placed))) as ex:
+                files = list(ex.map(_stat, placed))
+        else:
+            files = [_stat(p) for p in placed]
         shutil.rmtree(tmp, ignore_errors=True)
         return files
 

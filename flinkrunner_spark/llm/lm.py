@@ -1,0 +1,72 @@
+"""Corpus-trained bigram language-model scoring (the CCNet-style
+perplexity screen, Spark-shaped).
+
+``docs_lm_score`` trains a maximum-likelihood bigram LM on the corpus
+itself (no smoothing needed — every document's bigrams are, by
+construction, in the training counts) and scores each document with its
+per-bigram cross-entropy in nats. Low-entropy documents are repetitive/
+templated text; high-entropy documents are unusual relative to the
+corpus — both tails are what a perplexity filter trims (CCNet,
+arXiv:1911.00359 §4.3 uses a KenLM 5-gram the same way; the sufficient
+statistics and the join shape are identical, only the model order
+differs).
+
+Reference scope note: no reference counterpart — LLM-data-pipeline
+extension family (SURVEY.md §2.5).
+
+100 TB shape: the model IS two count tables — bigram counts
+(O(distinct bigrams)) and bigram-prefix counts (O(vocabulary)) — built
+with map-side partial aggregation and ONE shuffle each, exactly like
+``docs_topk_ngrams``. Scoring joins the exploded doc bigrams against
+those counts: hash joins keyed on the bigram/prefix (broadcast when the
+vocabulary is small; AQE decides), then one doc_id-keyed aggregation.
+Document text never shuffles — only (doc_id, bigram) pairs move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.llm.text import tokens_col
+
+
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy: xent_nats =
+    -avg(ln c(w1 w2) / c(w1 ·)) over the doc's bigram positions.
+
+    MLE conditionals from the corpus' own counts; documents with fewer
+    than 2 tokens have no bigram positions and drop out (both engines).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (
+        docs.select("doc_id", tokens_col().alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 2)
+    )
+    # (w1, 'w1 w2') per position — built as one JVM transform over the
+    # token array, exploded once; the oracle zips the same two lists.
+    pair = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
+            ).alias("bigram"),
+        ),
+    )
+    pairs = base.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", "p.w1", "p.bigram"
+    )
+    c2 = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    nll = -F.log(F.col("c2") / F.col("c1"))
+    return (
+        pairs.join(c2, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("xent_nats"),
+        )
+    )

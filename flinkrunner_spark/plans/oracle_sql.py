@@ -1750,3 +1750,65 @@ FROM ded GROUP BY lang
 
 
 ORACLES["stream_curation_to_iceberg"] = _curation_pipeline_oracle()
+
+
+# ——— r7 additions: chunking, bigram-LM scoring, SQ8 quantized ANN
+# (llm/chunking.py, llm/lm.py, llm/pq.py) — each mirrored
+# expression-for-expression; emb_knn_pq stays rows-only (trained
+# codebooks), numpy-mirror-tested in tests/test_llm_round7.py.
+
+ORACLES["docs_chunk"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks)-1, 48)) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_idx,
+  CAST(len(list_slice(toks, start+1, start+64)) AS INTEGER) AS n_tokens,
+  md5(array_to_string(list_slice(toks, start+1, start+64), ' ')) AS chunk_hash
+FROM s
+"""
+
+ORACLES["docs_lm_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i])) AS w1,
+    unnest(list_transform(generate_series(1, len(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2),
+c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  {_r6("AVG(-ln(c2.c2 / c1.c1))")} AS xent_nats
+FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+_SQDOT = (
+    "list_reduce(list_transform(generate_series(1, 64),"
+    " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+ORACLES["emb_knn_sq8"] = f"""
+WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+st AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM (
+    SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+    FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u
+    GROUP BY i) s),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dq AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, 64),
+      i -> CASE WHEN mx[i] = mn[i] THEN mn[i]
+           ELSE mn[i] + floor(((v[i] - mn[i]) / (mx[i] - mn[i])) * 255.0 + 0.5)
+                * ((mx[i] - mn[i]) / 255.0) END) AS d,
+    qv
+  FROM e CROSS JOIN st CROSS JOIN q
+  WHERE vec_id <> 0)
+SELECT vec_id,
+  {_r6(f"{_SQDOT.format(a='d', b='qv')} / SQRT({_SQDOT.format(a='d', b='d')} * {_SQDOT.format(a='qv', b='qv')})")} AS acos
+FROM dq
+ORDER BY acos DESC, vec_id
+LIMIT 10
+"""
