@@ -37,9 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-7 rotation:
-    # the SEVEN new keys first — second wave docs_chunk/docs_lm_score/
-    # emb_knn_sq8 (exact oracles) + emb_knn_pq (rows-only, trained
-    # codebooks), then the first wave (iceberg_transform_roundtrip +
+    # the EIGHT new keys first — second wave docs_chunk/
+    # docs_chunk_dedup/docs_lm_score/emb_knn_sq8 (exact oracles) +
+    # emb_knn_pq (rows-only, trained codebooks), then the first wave
+    # (iceberg_transform_roundtrip +
     # iceberg_transform_pruned — the full partition-transform set with
     # manifest pruning on transformed values — and
     # stream_curation_to_iceberg, the composed kafka→curation→dedup→
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # llm/pq.py — new modules; emb_knn_pq is rows-only by design:
         # trained codebooks, numpy-mirror-tested) ——
         "docs_chunk": chunking.docs_chunk,
+        "docs_chunk_dedup": chunking.docs_chunk_dedup,
         "docs_lm_score": lm.docs_lm_score,
         "emb_knn_sq8": pq.emb_knn_sq8,
         "emb_knn_pq": pq.emb_knn_pq,
@@ -132,8 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the 4 new r7 keys above) ——
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
-        "docs_cluster_assign": similarity.docs_cluster_assign,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "docs_cluster_assign": similarity.docs_cluster_assign,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_knn_ivf": similarity.emb_knn_ivf,

@@ -1528,6 +1528,122 @@ class IcebergFsTable:
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))
 
+    # -- metadata tables ----------------------------------------------------
+    # The spec's inspection surface (the `<table>.snapshots / history /
+    # files / manifests` tables the iceberg-spark runtime exposes;
+    # https://iceberg.apache.org/docs/latest/spark-queries/#inspecting-tables)
+    # as DataFrames. Snapshot/history/manifest rows are O(commits) —
+    # inherently tiny; `files_df` materializes the manifest entries the
+    # planner already holds in memory (one row per live file — the same
+    # list every scan plan walks; at extreme file counts the jar
+    # parallelizes manifest reads, which `_live` could adopt without
+    # changing this surface).
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """`snapshots` metadata table: one row per snapshot with lineage."""
+        rows = [
+            (
+                s["timestamp-ms"],
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s.get("summary", {}).get("operation", "append"),
+                s["manifest-list"],
+                s.get("sequence-number"),
+            )
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string, sequence_number long",
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """`history` metadata table: the snapshot-log with an
+        ``is_current_ancestor`` flag (whether the entry is on the parent
+        chain of the current snapshot — rolled-back commits are not)."""
+        md = self.metadata()
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        ancestors = set()
+        cur = md.get("current-snapshot-id")
+        while cur not in (None, -1) and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [
+            (
+                e["timestamp-ms"],
+                e["snapshot-id"],
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in ancestors,
+            )
+            for e in md.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
+    def files_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """`files` metadata table: every live file of a snapshot
+        (default current) — data files AND delete files, distinguished
+        by the spec's ``content`` code (0 data, 1 position deletes,
+        2 equality deletes). Partition tuples render as JSON strings so
+        the schema is stable across specs."""
+        data, eq_dels, pos_dels = self._live(snapshot_id)
+        rows = [
+            (
+                int(f.get("content", CONTENT_DATA)),
+                f["file_path"],
+                f.get("file_format", "PARQUET"),
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+                f["record_count"],
+                f["file_size_in_bytes"],
+                f.get("_seq"),
+            )
+            for f in data + eq_dels + pos_dels
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "partition string, record_count long, file_size_in_bytes long, "
+            "sequence_number long",
+        )
+
+    def manifests_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """`manifests` metadata table: the manifest-list entries of a
+        snapshot (default current)."""
+        md = self.metadata()
+        recs = self._manifest_list_records(md, snapshot_id)
+        rows = [
+            (
+                m["manifest_path"],
+                m["manifest_length"],
+                m["partition_spec_id"],
+                m["content"],
+                m["sequence_number"],
+                m["min_sequence_number"],
+                m["added_snapshot_id"],
+                m["added_files_count"],
+                m["existing_files_count"],
+                m["deleted_files_count"],
+                m["added_rows_count"],
+            )
+            for m in recs
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, min_sequence_number long, "
+            "added_snapshot_id long, added_files_count int, "
+            "existing_files_count int, deleted_files_count int, "
+            "added_rows_count long",
+        )
+
     # -- incremental / streaming reads --------------------------------------
 
     def incremental_entries(

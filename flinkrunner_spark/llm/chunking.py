@@ -27,6 +27,7 @@ from flinkrunner_spark.llm.text import tokens_col
 
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
+CHUNK_DUP_MIN_TOKENS = 16  # dedup ignores short tail windows
 
 
 def docs_chunk(
@@ -56,5 +57,40 @@ def docs_chunk(
             F.floor(F.col("start") / stride).cast("int").alias("chunk_idx"),
             F.size(chunk).cast("int").alias("n_tokens"),
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+def docs_chunk_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = CHUNK_DUP_MIN_TOKENS,
+) -> DataFrame:
+    """Chunk-level dedup (the sub-document/paragraph dedup of
+    RefinedWeb, arXiv:2306.01116 §G): duplicated chunk hashes across
+    the corpus, keeping the lowest (doc_id, chunk_idx) occurrence —
+    the keeper rule every dedup family here shares. Emits one row per
+    DUPLICATED hash with its copy count and keeper coordinates; short
+    tail windows (< ``min_tokens``) are excluded so stride remainders
+    don't alias as duplicates.
+
+    100 TB shape: one hash-keyed exchange of (hash, doc_id, chunk_idx)
+    triples — map-side combined min/count aggregates; chunk text never
+    materializes, documents never shuffle."""
+    chunks = docs_chunk(spark, sf_dir).filter(
+        F.col("n_tokens") >= min_tokens
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("keep"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "chunk_hash",
+            "n_copies",
+            F.col("keep.doc_id").alias("keep_doc"),
+            F.col("keep.chunk_idx").alias("keep_idx"),
         )
     )

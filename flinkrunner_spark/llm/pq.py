@@ -11,11 +11,12 @@ Two quantizers:
   reproduced expression-for-expression in the DuckDB oracle: an EXACTLY
   ORACLED quantized index.
 * ``emb_knn_pq`` — product quantization (PQ, Jégou et al. 2011): the
-  vector splits into M=8 subspaces, each with its own K=64-centroid
-  codebook trained by the deterministic sampled Lloyd's shared with the
-  IVF quantizer; a vector stores as M code bytes (8 bytes vs 256 float
-  bytes — 32×), a query scores candidates via ADC table lookups, and
-  the ADC shortlist re-ranks by exact cosine (faiss IndexRefineFlat).
+  vector splits into M=8 subspaces, each with its own K=256-centroid
+  codebook trained by the IVF quantizer's deterministic sampled-Lloyd's
+  recipe in BLAS form (``_lloyds_blas`` — one GEMM per sweep); a vector
+  stores as M code bytes (8 bytes vs 256 float bytes — 32×), a query
+  scores candidates via ADC table lookups, and the ADC shortlist
+  re-ranks by exact cosine (faiss IndexRefineFlat).
   Training is not SQL-expressible → rows-only driver key; the numpy
   mirror in tests re-derives codebooks, codes, and the top-k exactly.
 
@@ -27,7 +28,7 @@ brute → IVF → quantized (this module).
 partial min/max buffers, no shuffle of vectors); code assignment and
 scoring are zero-shuffle projections against broadcast stats; the only
 exchange is the global top-k (TakeOrdered). PQ trains on the bounded
-hash-ordered sample (≤65,536 rows, fixed as the corpus grows), encodes
+hash-ordered sample (≤16,384 rows, fixed as the corpus grows), encodes
 via Arrow-batched numpy (vectorized across rows × subspaces × codes),
 and ships the query's ADC tables (M×K doubles) in the task closure —
 search is a scan of M byte-lookups per row, no vector data moves.
@@ -39,10 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkrunner_spark.llm.similarity import (
-    KMEANS_SAMPLE_CAP,
     KNN_K,
     _emb,
-    _lloyds,
     as_double,
     dot,
 )
@@ -50,7 +49,32 @@ from flinkrunner_spark.llm.similarity import (
 EMB_DIM = 64
 SQ_LEVELS = 255  # 8-bit levels
 PQ_M = 8  # subspaces
-PQ_K = 64  # centroids per subspace (6-bit codes; 48-bit total)
+PQ_K = 256  # centroids per subspace (8-bit codes; 64-bit total — the standard PQ8x8)
+PQ_TRAIN_CAP = 16384  # bounded training sample (faiss's train-on-sample recipe)
+
+
+def _lloyds_blas(sample, k: int, iters: int = 20):
+    """Deterministic Lloyd's over an in-memory sample — the IVF
+    quantizer's recipe (strided hash-order init, first-argmin ties,
+    emptied cells keep their centroid) with the distance computed in
+    BLAS form: argmin ||x-c||² = argmin(c·c − 2 x·C^T), one GEMM per
+    sweep instead of an (n, k, dim) broadcast tensor — the difference
+    between ~16 s and <1 s at the training cap. Distances here exist
+    only to pick argmins; the numpy mirror in tests re-derives
+    codebooks through this same expression, so assignment is
+    reproducible bit-for-bit."""
+    import numpy as np
+
+    n = len(sample)
+    cents = sample[[(i * n) // k for i in range(k)]].copy()
+    for _ in range(iters):
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
+        lab = d.argmin(axis=1)  # first (lowest) cell on ties
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
 
 
 def emb_knn_sq8(
@@ -106,8 +130,8 @@ def emb_knn_sq8(
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str, m: int = PQ_M, kc: int = PQ_K):
     """Train M per-subspace codebooks on the bounded deterministic sample
-    (hash-ordered top-``KMEANS_SAMPLE_CAP`` of the L2-NORMALIZED corpus —
-    the same faiss train-on-sample recipe as the IVF quantizer). Returns
+    (hash-ordered top-``PQ_TRAIN_CAP`` of the L2-NORMALIZED corpus — the
+    faiss train-on-sample recipe, cap fixed as the corpus grows). Returns
     a numpy array of shape (m, kc, dim/m)."""
     import numpy as np
 
@@ -115,18 +139,21 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str, m: int = PQ_M, kc: int = PQ_
     rows = (
         emb.select("vec_id", as_double("embedding").alias("e"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(KMEANS_SAMPLE_CAP)
+        .limit(PQ_TRAIN_CAP)
         .collect()
     )
     S = np.array([r["e"] for r in rows], dtype=np.float64)
     S = S / np.linalg.norm(S, axis=1, keepdims=True)
     sub = S.shape[1] // m
     return np.stack(
-        [_lloyds(S[:, j * sub : (j + 1) * sub].copy(), kc) for j in range(m)]
+        [
+            _lloyds_blas(S[:, j * sub : (j + 1) * sub].copy(), kc)
+            for j in range(m)
+        ]
     )
 
 
-PQ_SHORTLIST = 100  # ADC shortlist size feeding the exact re-rank
+PQ_SHORTLIST = 250  # ADC shortlist feeding the exact re-rank (fixed as the corpus grows)
 
 
 def emb_knn_pq(
@@ -140,7 +167,7 @@ def emb_knn_pq(
 ) -> DataFrame:
     """PQ/ADC top-k with exact re-rank: encode every (normalized) vector
     as M sub-codes by nearest sub-centroid (squared euclidean,
-    first-on-ties — _lloyds parity); score candidates as the sum of the
+    first-on-ties — ``_lloyds_blas`` parity); score candidates as the sum of the
     query's per-subspace inner products with the candidate's
     reconstruction (ADC table lookups); keep the top ``shortlist`` by
     ADC and re-rank THOSE by exact cosine — the standard
@@ -178,9 +205,8 @@ def emb_knn_pq(
             E = E / np.linalg.norm(E, axis=1, keepdims=True)
             score = np.zeros(len(E))
             for j in range(m):
-                d = (
-                    (E[:, None, j * sub : (j + 1) * sub] - C[j][None, :, :]) ** 2
-                ).sum(axis=2)
+                Ej = E[:, j * sub : (j + 1) * sub]
+                d = (C[j] * C[j]).sum(axis=1)[None, :] - 2.0 * (Ej @ C[j].T)
                 codes = d.argmin(axis=1)  # first (lowest code) on ties
                 score += adc[j, codes]
             yield pd.DataFrame(

@@ -1812,3 +1812,14 @@ FROM dq
 ORDER BY acos DESC, vec_id
 LIMIT 10
 """
+
+ORACLES["docs_chunk_dedup"] = f"""
+WITH c AS ({ORACLES["docs_chunk"]}),
+cf AS (SELECT * FROM c WHERE n_tokens >= 16),
+d AS (SELECT chunk_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
+      FROM cf GROUP BY chunk_hash HAVING COUNT(*) > 1)
+SELECT d.chunk_hash, d.n_copies, d.keep_doc,
+  CAST(MIN(cf.chunk_idx) AS INTEGER) AS keep_idx
+FROM d JOIN cf ON cf.chunk_hash = d.chunk_hash AND cf.doc_id = d.keep_doc
+GROUP BY d.chunk_hash, d.n_copies, d.keep_doc
+"""

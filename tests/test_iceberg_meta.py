@@ -1,0 +1,78 @@
+"""Iceberg metadata tables (`snapshots_df` / `history_df` / `files_df`
+/ `manifests_df`) — the spec's inspection surface over the pure-Python
+table layout."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkrunner_spark.iceberg import IcebergFsTable  # noqa: E402
+
+
+def _mk(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(df)
+    return t, df
+
+
+def test_snapshots_and_history_lineage(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, [(1, "a", 1.0), (2, "b", 2.0)])
+    t.append(spark.createDataFrame([(3, "a", 3.0)], "id long, grp string, v double"))
+    snaps = t.snapshots_df(spark).collect()
+    assert len(snaps) == 2
+    assert snaps[0]["operation"] == "append"
+    assert snaps[0]["parent_id"] is None
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+    assert snaps[1]["sequence_number"] == snaps[0]["sequence_number"] + 1
+    hist = t.history_df(spark).collect()
+    assert [h["snapshot_id"] for h in hist] == [
+        s["snapshot_id"] for s in snaps
+    ]
+    assert all(h["is_current_ancestor"] for h in hist)
+
+
+def test_files_df_counts_and_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i)) for i in range(10)],
+        "id long, grp string, v double",
+    )
+    t = IcebergFsTable(str(tmp_path / "tp"))
+    t.append(df, partition_by=["grp"])
+    files = t.files_df(spark).collect()
+    assert sum(f["record_count"] for f in files) == 10
+    assert all(f["content"] == 0 for f in files)
+    parts = {json.loads(f["partition"])["grp"] for f in files}
+    assert parts == {"g0", "g1"}
+    assert all(f["file_size_in_bytes"] > 0 for f in files)
+    # file paths resolve on disk
+    assert all(os.path.exists(f["file_path"]) for f in files)
+
+
+def test_files_df_shows_delete_files_after_upsert(spark, tmp_path):
+    t = IcebergFsTable(str(tmp_path / "tu"))
+    ddl = "id long, grp string, v double"
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ddl))
+    t.upsert(spark.createDataFrame([(2, "b", 20.0)], ddl), ["id"])
+    files = t.files_df(spark).collect()
+    contents = sorted({f["content"] for f in files})
+    assert contents == [0, 2]  # data + equality deletes
+    eq = [f for f in files if f["content"] == 2]
+    assert all("_deletes" in f["file_path"] for f in eq)
+
+
+def test_manifests_df_matches_snapshot(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, [(1, "a", 1.0)])
+    t.append(spark.createDataFrame([(2, "b", 2.0)], "id long, grp string, v double"))
+    snaps = {s["snapshot_id"] for s in t.snapshots_df(spark).collect()}
+    mans = t.manifests_df(spark).collect()
+    # current snapshot carries its own manifest plus the inherited one
+    assert len(mans) == 2
+    assert {m["added_snapshot_id"] for m in mans} == snaps
+    assert all(m["content"] == 0 for m in mans)
+    assert all(m["added_files_count"] >= 1 for m in mans)
+    assert all(os.path.exists(m["path"]) for m in mans)

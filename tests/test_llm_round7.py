@@ -54,6 +54,26 @@ def test_docs_chunk_covering_and_hashes(spark):
     assert seen_docs == expected
 
 
+def test_docs_chunk_dedup_keeper_rule(spark):
+    """Every duplicated hash keeps its lexicographically-lowest
+    (doc_id, chunk_idx) occurrence, counts all copies, and ignores
+    short tail windows — recomputed from docs_chunk output in pandas."""
+    chunks = chunking.docs_chunk(spark, SF).toPandas()
+    out = chunking.docs_chunk_dedup(spark, SF).toPandas()
+    big = chunks[chunks["n_tokens"] >= chunking.CHUNK_DUP_MIN_TOKENS]
+    groups = big.groupby("chunk_hash")
+    expected = {}
+    for h, g in groups:
+        if len(g) > 1:
+            keep = min(zip(g["doc_id"], g["chunk_idx"]))
+            expected[h] = (len(g), keep[0], keep[1])
+    got = {
+        r["chunk_hash"]: (r["n_copies"], r["keep_doc"], r["keep_idx"])
+        for _, r in out.iterrows()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_docs_lm_score_matches_counter_mirror(spark):
     """The bigram cross-entropy must agree with an independent
     Counter-based mirror: same MLE conditionals, same per-doc average."""
@@ -118,13 +138,13 @@ def test_emb_knn_pq_matches_numpy_mirror(spark):
         range(len(ids)),
         key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
     )
-    S = E[hkeys[: similarity.KMEANS_SAMPLE_CAP]]
+    S = E[hkeys[: pq.PQ_TRAIN_CAP]]
     S = S / np.linalg.norm(S, axis=1, keepdims=True)
     m, kc = pq.PQ_M, pq.PQ_K
     sub = S.shape[1] // m
     C = np.stack(
         [
-            similarity._lloyds(S[:, j * sub : (j + 1) * sub].copy(), kc)
+            pq._lloyds_blas(S[:, j * sub : (j + 1) * sub].copy(), kc)
             for j in range(m)
         ]
     )
@@ -134,9 +154,8 @@ def test_emb_knn_pq_matches_numpy_mirror(spark):
     score = np.zeros(len(N))
     for j in range(m):
         adc = C[j] @ qn[j * sub : (j + 1) * sub]
-        d = ((N[:, None, j * sub : (j + 1) * sub] - C[j][None, :, :]) ** 2).sum(
-            axis=2
-        )
+        Nj = N[:, j * sub : (j + 1) * sub]
+        d = (C[j] * C[j]).sum(axis=1)[None, :] - 2.0 * (Nj @ C[j].T)
         score += adc[d.argmin(axis=1)]
     short = sorted(
         [(s, v) for s, v in zip(np.round(score, 6), ids) if v != 0],
