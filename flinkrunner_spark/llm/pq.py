@@ -53,7 +53,7 @@ PQ_K = 256  # centroids per subspace (8-bit codes; 64-bit total — the standard
 PQ_TRAIN_CAP = 16384  # bounded training sample (faiss's train-on-sample recipe)
 
 
-def _lloyds_blas(sample, k: int, iters: int = 20):
+def _lloyds_blas(sample, k: int, iters: int = 12):
     """Deterministic Lloyd's over an in-memory sample — the IVF
     quantizer's recipe (strided hash-order init, first-argmin ties,
     emptied cells keep their centroid) with the distance computed in
@@ -70,10 +70,19 @@ def _lloyds_blas(sample, k: int, iters: int = 20):
     for _ in range(iters):
         d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
         lab = d.argmin(axis=1)  # first (lowest) cell on ties
-        for c in range(k):
-            m = lab == c
-            if m.any():
-                cents[c] = sample[m].mean(axis=0)
+        # vectorized recenter (per-dim weighted bincount): the per-cell
+        # boolean-mask loop is O(k·n) per sweep — at k=256 it, not the
+        # GEMM, dominated training. Emptied cells keep their centroid.
+        counts = np.bincount(lab, minlength=k).astype(np.float64)
+        sums = np.stack(
+            [
+                np.bincount(lab, weights=sample[:, t], minlength=k)
+                for t in range(sample.shape[1])
+            ],
+            axis=1,
+        )
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
     return cents
 
 
@@ -136,13 +145,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str, m: int = PQ_M, kc: int = PQ_
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    rows = (
+    pdf = (
         emb.select("vec_id", as_double("embedding").alias("e"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(PQ_TRAIN_CAP)
-        .collect()
+        .toPandas()  # Arrow transfer — row-object collect() was ~3s of
+        # the training constant at the cap
     )
-    S = np.array([r["e"] for r in rows], dtype=np.float64)
+    S = np.array([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
     S = S / np.linalg.norm(S, axis=1, keepdims=True)
     sub = S.shape[1] // m
     return np.stack(

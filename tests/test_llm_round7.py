@@ -170,6 +170,41 @@ def test_emb_knn_pq_matches_numpy_mirror(spark):
     assert list(out["vec_id"]) == [v for _, v in rerank]
 
 
+def _plan(spark, fn):
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_docs_chunk_zero_exchange(spark):
+    """Chunking is ONE zero-shuffle projection — the 100 TB claim of
+    SURVEY §2.5/48o written down against the executed plan."""
+    plan = _plan(spark, chunking.docs_chunk)
+    assert "Exchange" not in plan, plan
+
+
+def test_docs_chunk_dedup_single_exchange(spark):
+    """Chunk dedup moves only (hash, doc, idx) triples through ONE
+    hash-keyed exchange with a partial (map-side) aggregate before it."""
+    plan = _plan(spark, chunking.docs_chunk_dedup)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_docs_lm_score_no_cartesian(spark):
+    """LM scoring is count-table hash joins — never a row-duplicating
+    cartesian/nested-loop product, text never in the join payload."""
+    plan = _plan(spark, lm.docs_lm_score)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_emb_knn_sq8_no_shuffle_join(spark):
+    """SQ8 search joins only 1-row broadcast sides (grid stats + query);
+    the corpus never shuffles — the only exchange is the global top-k."""
+    plan = _plan(spark, pq.emb_knn_sq8)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
 def test_quantized_recall_vs_exact(spark):
     """Both quantized indexes must keep high recall@10 against the exact
     scan on this corpus — the compressed index ships with its quality
