@@ -37,10 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-7 rotation:
-    # the EIGHT new keys first — second wave docs_chunk/
-    # docs_chunk_dedup/docs_lm_score/emb_knn_sq8 (exact oracles) +
-    # emb_knn_pq (rows-only, trained codebooks), then the first wave
-    # (iceberg_transform_roundtrip +
+    # the NINE new keys first — third wave kinesis_efo_roundtrip (the
+    # jar-free HTTP/2 SubscribeToShard transport), second wave
+    # docs_chunk/docs_chunk_dedup/docs_lm_score/emb_knn_sq8 (exact
+    # oracles) + emb_knn_pq (rows-only, trained codebooks), then the
+    # first wave (iceberg_transform_roundtrip +
     # iceberg_transform_pruned — the full partition-transform set with
     # manifest pruning on transformed values — and
     # stream_curation_to_iceberg, the composed kafka→curation→dedup→
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring + quantized ANN (llm/chunking.py, llm/lm.py,
         # llm/pq.py — new modules; emb_knn_pq is rows-only by design:
         # trained codebooks, numpy-mirror-tested) ——
+        "kinesis_efo_roundtrip": connectors.kinesis_efo_roundtrip,
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
         "docs_lm_score": lm.docs_lm_score,
@@ -133,8 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green rows; 4 former filler keys moved past the cap to make
         # room for the 4 new r7 keys above) ——
         "emb_knn": similarity.emb_knn,
-        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
         "emb_dup_pairs": similarity.emb_dup_pairs,

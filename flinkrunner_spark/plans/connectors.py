@@ -744,6 +744,58 @@ def kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, profile.schema)
 
 
+def kinesis_efo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Kinesis sink (signed PutRecords) → ENHANCED FAN-OUT
+    source: RegisterStreamConsumer over x-amz-json, then per-shard
+    SubscribeToShard over the jar-free HTTP/2 client (`util/h2` — RFC
+    7540 frames + Appendix-C-validated HPACK) decoding CRC-checked
+    ``application/vnd.amazon.eventstream`` push messages
+    (`util/eventstream`), drained shard-parallel to the tip → JSON
+    parse → per-language profile. The loopback HTTP/2 endpoint
+    (`testing.LoopbackKinesisEfo`) speaks the genuine wire format and
+    deliberately splits events across DATA frames, so framing, HPACK,
+    event assembly and flow-control replenishment all sit under the
+    driver oracle. Closes the reference's EFO transport
+    (`model/source/KinesisSourceConfig.scala` efo options) without the
+    connector jar."""
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis, LoopbackKinesisEfo
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackKinesis(num_shards=3) as ks, LoopbackKinesisEfo(ks) as efo:
+        creds = {
+            "aws.access.key.id": "rt-key",
+            "aws.secret.access.key": "rt-secret",
+        }
+        KinesisSinkConfig(
+            "rt",
+            {"connector": "kinesis", "stream": "docs_efo_rt",
+             "key.column": "doc_id", "region": "us-east-1",
+             "endpoint": ks.endpoint, **creds},
+        ).write(docs)
+        back = KinesisSourceConfig(
+            "rt",
+            {"connector": "kinesis", "stream": "docs_efo_rt",
+             "starting.position": "TRIM_HORIZON", "use.efo": True,
+             "efo.consumer.name": "rt-consumer",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             "efo.endpoint": efo.endpoint, **creds},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
+
+
 def elasticsearch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → Elasticsearch bulk sink (NDJSON action/doc bodies
     batched under bulk.flush.max.actions, POSTed from executor

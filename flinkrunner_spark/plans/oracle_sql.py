@@ -1479,6 +1479,7 @@ ORACLES["kafka_avro_roundtrip"] = _LPO
 ORACLES["kafka_glue_avro_roundtrip"] = _LPO
 ORACLES["stream_rabbitmq_roundtrip"] = _LPO
 ORACLES["kinesis_roundtrip"] = _LPO
+ORACLES["kinesis_efo_roundtrip"] = _LPO
 ORACLES["stream_kinesis_roundtrip"] = _LPO
 ORACLES["elasticsearch_roundtrip"] = _LPO
 

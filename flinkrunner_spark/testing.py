@@ -1466,6 +1466,40 @@ class LoopbackKinesis:
             out.append({"RecordId": str(self._seq)})
         return 200, {"FailedPutCount": 0, "RequestResponses": out}
 
+    def _op_RegisterStreamConsumer(self, body):
+        arn = f"{body.get('StreamARN', '')}/consumer/{body.get('ConsumerName', '')}:1"
+        consumers = getattr(self, "consumers", None)
+        if consumers is None:
+            consumers = self.consumers = {}
+        if arn in consumers:
+            return 400, {"__type": "ResourceInUseException",
+                         "Message": "consumer exists"}
+        consumers[arn] = body.get("ConsumerName", "")
+        return 200, {
+            "Consumer": {
+                "ConsumerARN": arn,
+                "ConsumerName": consumers[arn],
+                "ConsumerStatus": "ACTIVE",
+            }
+        }
+
+    def _op_DescribeStreamConsumer(self, body):
+        arn = (
+            body.get("ConsumerARN")
+            or f"{body.get('StreamARN', '')}/consumer/{body.get('ConsumerName', '')}:1"
+        )
+        consumers = getattr(self, "consumers", {})
+        if arn not in consumers:
+            return 400, {"__type": "ResourceNotFoundException",
+                         "Message": "no such consumer"}
+        return 200, {
+            "ConsumerDescription": {
+                "ConsumerARN": arn,
+                "ConsumerName": consumers[arn],
+                "ConsumerStatus": "ACTIVE",
+            }
+        }
+
     def _op_GetShardIterator(self, body):
         import base64 as _b64
 
@@ -1539,6 +1573,178 @@ class LoopbackKinesis:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class LoopbackKinesisEfo:
+    """Enhanced-fan-out endpoint over REAL HTTP/2 (h2c, prior
+    knowledge): serves SubscribeToShard against a ``LoopbackKinesis``
+    store — the same frames, HPACK header blocks and
+    ``application/vnd.amazon.eventstream`` messages (CRC-checked
+    preludes, :message-type/:event-type headers, JSON event payloads)
+    AWS pushes, so the jar-free EFO client (`util/h2`,
+    `util/eventstream`, `KinesisSourceConfig.subscribe_drain`) is
+    proven against a server speaking the genuine wire format. Events
+    are emitted in small record batches and deliberately SPLIT across
+    DATA frames mid-message, so the client's incremental assembler is
+    exercised, not just happy-path whole-frame messages. SigV4
+    Authorization presence + kinesis credential scope are enforced
+    like the HTTP/1.1 loopback."""
+
+    BATCH = 3  # records per SubscribeToShardEvent
+
+    def __init__(self, core: LoopbackKinesis):
+        import socket as _socket
+
+        self.core = core
+        self.sock = _socket.socket()
+        self.sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self.sock.bind(("localhost", 0))
+        self.port = self.sock.getsockname()[1]
+        self.sock.listen(8)
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://localhost:{self.port}/"
+
+    def _serve(self) -> None:
+        while not self._stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _handle(self, sock) -> None:
+        from flinkrunner_spark.util import eventstream, h2
+
+        try:
+            server = h2.H2ServerConnection(sock)
+            sid, headers, body = server.read_request()
+            hmap = dict(headers)
+            auth = hmap.get("authorization", "")
+            if "AWS4-HMAC-SHA256" not in auth or "/kinesis/" not in auth:
+                server.send_response_headers(
+                    sid,
+                    [(":status", "403"),
+                     ("content-type", "application/x-amz-json-1.1")],
+                )
+                server.send_data(sid, b'{"__type":"AccessDeniedException"}',
+                                 end=True)
+                return
+            req = json.loads(body.decode() or "{}")
+            shard = req.get("ShardId", "")
+            arn = req.get("ConsumerARN", "")
+            # ConsumerARN embeds the stream ARN: .../stream/<name>/consumer/...
+            stream = arn.split(":stream/", 1)[-1].split("/", 1)[0]
+            start = req.get("StartingPosition", {})
+            with self.core.lock:
+                known = arn in getattr(self.core, "consumers", {})
+                log = list(self.core._shards(stream).get(shard, []))
+            if not known:
+                server.send_response_headers(
+                    sid,
+                    [(":status", "400"),
+                     ("content-type", "application/x-amz-json-1.1")],
+                )
+                server.send_data(
+                    sid, b'{"__type":"ResourceNotFoundException"}', end=True
+                )
+                return
+            kind = start.get("Type", "TRIM_HORIZON")
+            if kind == "TRIM_HORIZON":
+                idx = 0
+            elif kind == "LATEST":
+                idx = len(log)
+            elif kind == "AT_TIMESTAMP":
+                ts = float(start.get("Timestamp", 0))
+                idx = next(
+                    (i for i, r in enumerate(log) if r[3] >= ts), len(log)
+                )
+            else:  # AT/AFTER_SEQUENCE_NUMBER
+                seq = str(start.get("SequenceNumber", ""))
+                idx = next(
+                    (i for i, r in enumerate(log) if r[0] == seq), len(log)
+                )
+                if kind == "AFTER_SEQUENCE_NUMBER":
+                    idx += 1
+            server.send_response_headers(
+                sid,
+                [(":status", "200"),
+                 ("content-type", "application/vnd.amazon.eventstream")],
+            )
+            pos = i0 = idx
+            while True:
+                chunk = log[pos : pos + self.BATCH]
+                pos += len(chunk)
+                ev = {
+                    "Records": [
+                        {
+                            "SequenceNumber": seq,
+                            "PartitionKey": pk,
+                            "Data": data,
+                            "ApproximateArrivalTimestamp": ts,
+                        }
+                        for seq, pk, data, ts in chunk
+                    ],
+                    "ContinuationSequenceNumber": (
+                        chunk[-1][0] if chunk else (log[-1][0] if log else "0")
+                    ),
+                    "MillisBehindLatest": 0 if pos >= len(log) else 1000,
+                }
+                msg = eventstream.encode_message(
+                    {
+                        ":message-type": "event",
+                        ":event-type": "SubscribeToShardEvent",
+                        ":content-type": "application/json",
+                    },
+                    json.dumps(ev).encode(),
+                )
+                if pos == i0 + len(chunk) and len(msg) > 10:
+                    # split the FIRST event across two DATA frames so the
+                    # client's assembler must handle mid-message seams
+                    server.send_data(sid, msg[: len(msg) // 2])
+                    server.send_data(sid, msg[len(msg) // 2 :])
+                else:
+                    server.send_data(sid, msg)
+                if pos >= len(log):
+                    break
+            server.send_data(sid, b"", end=True)
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            # graceful close: the client streams WINDOW_UPDATE frames at
+            # us while we push DATA; closing with those unread turns the
+            # FIN into a TCP RST and the client's in-flight reads fail.
+            # Half-close our side, drain whatever the client sent, then
+            # close.
+            import socket as _socket
+
+            try:
+                sock.shutdown(_socket.SHUT_WR)
+                sock.settimeout(2.0)
+                while sock.recv(65536):
+                    pass
+            except OSError:
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def __enter__(self) -> "LoopbackKinesisEfo":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
 
 
 class LoopbackElasticsearch:

@@ -1,0 +1,293 @@
+"""HPACK / HTTP/2 framing / AWS event-stream vectors — the wire layer
+under Kinesis enhanced fan-out (SubscribeToShard is HTTP/2-only).
+
+HPACK is pinned to RFC 7541's published worked examples (Appendix C),
+including the huffman-coded request/response sequences with dynamic-
+table evictions — the same validate-against-spec-vectors discipline as
+util/kafka.py (RFC 3720 CRC32C) and util/aws_signer.py (SigV4 worked
+examples)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkrunner_spark.util import hpack  # noqa: E402
+
+
+def test_huffman_appendix_c_vectors():
+    cases = {
+        b"www.example.com": "f1e3c2e5f23a6ba0ab90f4ff",
+        b"no-cache": "a8eb10649cbf",
+        b"custom-key": "25a849e95ba97d7f",
+        b"custom-value": "25a849e95bb8e8b4bf",
+        b"302": "6402",
+        b"private": "aec3771a4b",
+        b"Mon, 21 Oct 2013 20:13:21 GMT": (
+            "d07abe941054d444a8200595040b8166e082a62d1bff"
+        ),
+        b"https://www.example.com": "9d29ad171863c78f0b97c8e9ae82ae43d3",
+        b"307": "640eff",
+        b"gzip": "9bd9ab",
+    }
+    for raw, hexed in cases.items():
+        assert hpack.huffman_encode(raw).hex() == hexed
+        assert hpack.huffman_decode(bytes.fromhex(hexed)) == raw
+
+
+def test_hpack_integer_examples():
+    # RFC 7541 C.1: 10 in 5-bit prefix; 1337 in 5-bit prefix; 42 in 8-bit
+    assert hpack.encode_int(10, 5) == bytes([0x0A])
+    assert hpack.encode_int(1337, 5) == bytes([0x1F, 0x9A, 0x0A])
+    assert hpack.encode_int(42, 8) == bytes([0x2A])
+    assert hpack.decode_int(bytes([0x1F, 0x9A, 0x0A]), 0, 5) == (1337, 3)
+
+
+def test_hpack_request_sequence_huffman():
+    """Appendix C.4: three requests on one connection, huffman strings,
+    dynamic table carries entries between blocks."""
+    dec = hpack.Decoder()
+    h1 = dec.decode(bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff"))
+    assert h1 == [
+        (":method", "GET"),
+        (":scheme", "http"),
+        (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    h2 = dec.decode(bytes.fromhex("828684be5886a8eb10649cbf"))
+    assert h2 == [
+        (":method", "GET"),
+        (":scheme", "http"),
+        (":path", "/"),
+        (":authority", "www.example.com"),
+        ("cache-control", "no-cache"),
+    ]
+    h3 = dec.decode(
+        bytes.fromhex(
+            "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf"
+        )
+    )
+    assert h3 == [
+        (":method", "GET"),
+        (":scheme", "https"),
+        (":path", "/index.html"),
+        (":authority", "www.example.com"),
+        ("custom-key", "custom-value"),
+    ]
+    assert dec.dynamic[0] == ("custom-key", "custom-value")
+
+
+def test_hpack_response_sequence_with_eviction():
+    """Appendix C.5: responses without huffman, dynamic table limited to
+    256 bytes so the third block evicts."""
+    dec = hpack.Decoder(max_table_size=256)
+    b1 = bytes.fromhex(
+        "4803333032580770726976617465611d4d6f6e2c203231204f637420323031"
+        "332032303a31333a323120474d546e1768747470733a2f2f7777772e657861"
+        "6d706c652e636f6d"
+    )
+    h1 = dec.decode(b1)
+    assert h1 == [
+        (":status", "302"),
+        ("cache-control", "private"),
+        ("date", "Mon, 21 Oct 2013 20:13:21 GMT"),
+        ("location", "https://www.example.com"),
+    ]
+    h2 = dec.decode(bytes.fromhex("4803333037c1c0bf"))
+    assert h2[0] == (":status", "307")
+    assert h2[1:] == h1[1:]
+    # :status 302 was evicted when 307 entered the 256-byte table
+    assert (":status", "302") not in dec.dynamic
+    b3 = bytes.fromhex(
+        "88c16196d07abe941054d444a8200595040b8166e084a62d1bffc05a839bd9"
+        "ab77ad94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5"
+        "291f9587316065c003ed4ee5b1063d5007"
+    )
+    h3 = dec.decode(b3)
+    assert h3[0] == (":status", "200")
+    assert ("content-encoding", "gzip") in h3
+    assert h3[-1] == (
+        "set-cookie",
+        "foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+    )
+
+
+def test_hpack_encoder_decoder_roundtrip():
+    enc = hpack.Encoder()
+    headers = [
+        (":method", "POST"),
+        (":scheme", "https"),
+        (":path", "/"),
+        (":authority", "kinesis.us-east-1.amazonaws.com"),
+        ("content-type", "application/x-amz-json-1.1"),
+        ("x-amz-target", "Kinesis_20131202.SubscribeToShard"),
+        ("authorization", "AWS4-HMAC-SHA256 Credential=..."),
+    ]
+    assert hpack.Decoder().decode(enc.encode(headers)) == headers
+
+
+# -- AWS event-stream framing ----------------------------------------------
+
+from flinkrunner_spark.util import eventstream  # noqa: E402
+
+
+def test_eventstream_roundtrip_and_crc():
+    import json
+    import struct
+
+    payload = json.dumps({"Records": [], "MillisBehindLatest": 0}).encode()
+    msg = eventstream.encode_message(
+        {":message-type": "event", ":event-type": "SubscribeToShardEvent",
+         "n": 7, "flag": True, "blob": b"\x01\x02"},
+        payload,
+    )
+    headers, got, end = eventstream.decode_message(msg)
+    assert end == len(msg)
+    assert got == payload
+    assert headers[":event-type"] == "SubscribeToShardEvent"
+    assert headers["n"] == 7 and headers["flag"] is True
+    assert headers["blob"] == b"\x01\x02"
+    # flip one payload byte -> message CRC must fail
+    bad = bytearray(msg)
+    bad[14] ^= 0xFF
+    import pytest
+
+    with pytest.raises(ValueError):
+        eventstream.decode_message(bytes(bad))
+    # corrupt the prelude -> prelude CRC must fail before anything parses
+    bad2 = bytearray(msg)
+    bad2[1] ^= 0x01
+    with pytest.raises((ValueError, struct.error)):
+        eventstream.decode_message(bytes(bad2))
+
+
+def test_eventstream_assembler_arbitrary_seams():
+    msgs = [
+        eventstream.encode_message(
+            {":message-type": "event", ":event-type": "E"},
+            f"payload-{i}".encode(),
+        )
+        for i in range(5)
+    ]
+    blob = b"".join(msgs)
+    for cut in (1, 3, 7, 16):  # feed in tiny uneven chunks
+        asm = eventstream.MessageAssembler()
+        out = []
+        for i in range(0, len(blob), cut):
+            out += asm.feed(blob[i : i + cut])
+        assert [p.decode() for _, p in out] == [
+            f"payload-{i}" for i in range(5)
+        ]
+
+
+# -- EFO end-to-end over the loopback HTTP/2 endpoint ----------------------
+
+
+def test_efo_subscribe_drain_direct():
+    """subscribe_drain against the loopback: registration over
+    x-amz-json HTTP/1.1, subscription over HTTP/2 + event-stream, rows
+    equal to what the shard log holds — no Spark in the loop."""
+    import base64
+    import json
+
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis, LoopbackKinesisEfo
+
+    with LoopbackKinesis(num_shards=1) as ks, LoopbackKinesisEfo(ks) as efo:
+        recs = [
+            {"Data": base64.b64encode(f"m{i}".encode()).decode(),
+             "PartitionKey": f"k{i}"}
+            for i in range(10)
+        ]
+        _signed_post_ks(
+            ks.endpoint, "Kinesis_20131202.PutRecords",
+            json.dumps({"StreamName": "s", "Records": recs}).encode(),
+        )
+        cfg = KinesisSourceConfig(
+            "t",
+            {"connector": "kinesis", "stream": "s", "use.efo": True,
+             "efo.consumer.name": "c1",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             "efo.endpoint": efo.endpoint,
+             "aws.access.key.id": "k", "aws.secret.access.key": "s"},
+        )
+        rows = cfg.subscribe_drain("s", "shardId-000000000000")
+        assert [r[5] for r in rows] == [f"m{i}" for i in range(10)]
+        # registered once; a second resolve reuses it (ResourceInUse path)
+        assert cfg.consumer_arn("s").endswith("/consumer/c1:1")
+
+
+def test_efo_unknown_consumer_rejected():
+    import pytest
+
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis, LoopbackKinesisEfo
+
+    with LoopbackKinesis(num_shards=1) as ks, LoopbackKinesisEfo(ks) as efo:
+        cfg = KinesisSourceConfig(
+            "t",
+            {"connector": "kinesis", "stream": "s", "use.efo": True,
+             "efo.consumer.arn":
+                 "arn:aws:kinesis:us-east-1:0:stream/s/consumer/ghost:1",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             "efo.endpoint": efo.endpoint,
+             "aws.access.key.id": "k", "aws.secret.access.key": "s"},
+        )
+        with pytest.raises(ConnectionError):
+            cfg.subscribe_drain("s", "shardId-000000000000")
+
+
+def test_efo_sink_source_e2e(spark):
+    """Full Spark path: executor-signed PutRecords → shard-parallel
+    HTTP/2 push drain, rows identical to the polling read."""
+    import json
+
+    from flinkrunner_spark.sinks.factory import KinesisSinkConfig
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis, LoopbackKinesisEfo
+
+    df = spark.range(0, 60).selectExpr("id", "id % 5 AS grp")
+    with LoopbackKinesis(num_shards=3) as ks, LoopbackKinesisEfo(ks) as efo:
+        creds = {"aws.access.key.id": "k", "aws.secret.access.key": "s"}
+        KinesisSinkConfig(
+            "t",
+            {"connector": "kinesis", "stream": "ids", "key.column": "id",
+             "region": "us-east-1", "endpoint": ks.endpoint, **creds},
+        ).write(df)
+        base = {
+            "connector": "kinesis", "stream": "ids",
+            "starting.position": "TRIM_HORIZON",
+            "aws.region": "us-east-1", "aws.endpoint": ks.endpoint, **creds,
+        }
+        efo_rows = KinesisSourceConfig(
+            "t",
+            {**base, "use.efo": True, "efo.consumer.name": "spark-efo",
+             "efo.endpoint": efo.endpoint},
+        ).load(spark).collect()
+        poll_rows = KinesisSourceConfig("t", base).load(spark).collect()
+        assert sorted(map(tuple, efo_rows)) == sorted(map(tuple, poll_rows))
+        assert len(efo_rows) == 60
+        ids = {json.loads(r.value)["id"] for r in efo_rows}
+        assert ids == set(range(60))
+        assert len({r.shard_id for r in efo_rows}) == 3
+
+
+def _signed_post_ks(endpoint, target, body: bytes) -> dict:
+    import json
+    import urllib.request
+
+    from flinkrunner_spark.util.aws_signer import AwsCredentials, sign_request
+
+    hdrs = sign_request(
+        method="POST", url=endpoint,
+        headers={"Content-Type": "application/x-amz-json-1.1",
+                 "X-Amz-Target": target},
+        payload=body, credentials=AwsCredentials("k", "s", None),
+        region="us-east-1", amz_date="20260101T000000Z", service="kinesis",
+    )
+    req = urllib.request.Request(
+        endpoint, data=body, headers=hdrs, method="POST"
+    )
+    return json.loads(urllib.request.urlopen(req).read().decode())
