@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkrunner_spark.llm import bpe as llm_bpe  # noqa: E402
-from flinkrunner_spark.llm import chunking, lm, pq  # noqa: E402
+from flinkrunner_spark.llm import chunking, dsir, lm, pq  # noqa: E402
 from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
@@ -131,11 +131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
-        # —— r6-green filler to exactly 50 (files unchanged since their
-        # green rows; 4 former filler keys moved past the cap to make
-        # room for the 4 new r7 keys above) ——
-        "emb_knn": similarity.emb_knn,
+        # —— NEW (r7, fourth wave): DSIR importance resampling
+        # (llm/dsir.py — new module; takes the one remaining slack slot,
+        # which previously held r6-green filler emb_knn) ——
+        "docs_dsir_sample": dsir.docs_dsir_sample,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,

@@ -1824,3 +1824,54 @@ SELECT d.chunk_hash, d.n_copies, d.keep_doc,
 FROM d JOIN cf ON cf.chunk_hash = d.chunk_hash AND cf.doc_id = d.keep_doc
 GROUP BY d.chunk_hash, d.n_copies, d.keep_doc
 """
+
+
+def _micro6(expr: str) -> str:
+    """Spark-parity 6-decimal quantization to integer micro-units: the
+    _r6 VARCHAR route (Spark ROUND semantics), then a x1e6 scale whose
+    product sits within 1 ulp of an integer, so ROUND(..., 0) has no .5
+    boundary to disagree on. Integer micro-nat sums are order-
+    independent — the llm/dsir.py determinism contract."""
+    return f"CAST(ROUND(({_r6(expr)}) * 1000000.0, 0) AS BIGINT)"
+
+
+_DSIR_LLR = _micro6(
+    "ln(((COALESCE(ct, 0) + 1.0) * (r_tot + 1024.0))"
+    " / ((COALESCE(cr, 0) + 1.0) * (t_tot + 1024.0)))"
+)
+_DSIR_GMD5 = "md5(CAST(d.doc_id AS VARCHAR) || ':dsir:g1')"
+_DSIR_U = f"({_hex8_to_long(_DSIR_GMD5)} + 0.5) / 4294967296.0"
+
+ORACLES["docs_dsir_sample"] = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, lang,
+        unnest(list_concat(toks,
+          CASE WHEN len(toks) >= 2 THEN list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END)) AS feat
+      FROM t),
+b AS (SELECT doc_id, lang,
+        {_hex8_to_long("md5(feat || ':dsir:v1')")} % 1024 AS bucket
+      FROM f),
+cnt AS (SELECT bucket, COUNT(*) AS cr,
+          COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        FROM b GROUP BY bucket),
+tot AS (SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM cnt),
+grid AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+llr AS (SELECT grid.bucket, {_DSIR_LLR} AS llr_micro
+        FROM grid LEFT JOIN cnt ON grid.bucket = cnt.bucket
+        CROSS JOIN tot),
+dw AS (SELECT doc_id, SUM(llr_micro) AS logw_micro
+       FROM b JOIN llr ON b.bucket = llr.bucket GROUP BY doc_id),
+s AS (SELECT d.doc_id, d.lang, d.source,
+        COALESCE(dw.logw_micro, 0) AS logw_micro,
+        {_micro6(f"-ln(-ln({_DSIR_U}))")} AS g_micro
+      FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id)
+SELECT doc_id, lang, source,
+  CAST(logw_micro AS DOUBLE) / 1000000.0 AS logw_nats,
+  CAST(logw_micro + g_micro AS DOUBLE) / 1000000.0 AS key_nats
+FROM s
+ORDER BY logw_micro + g_micro DESC, doc_id
+LIMIT 64
+"""
