@@ -321,12 +321,8 @@ def partition_result_type(pf: dict, ice_schema: dict) -> str:
     src = next(
         f for f in ice_schema["fields"] if f["id"] == pf["source-id"]
     )
-    pt = T.ParsedTransform(
-        src["name"],
-        pf["transform"],
-        T.parse_spec_entry(
-            {"column": src["name"], "transform": pf["transform"]}
-        ).param,
+    pt = T.parse_spec_entry(
+        {"column": src["name"], "transform": pf["transform"]}
     )
     return T.result_ice_type(pt, src["type"])
 
@@ -466,6 +462,17 @@ class IcebergFsTable:
                     raise ValueError(
                         f"partition field name {name!r} collides with an "
                         "existing column"
+                    )
+                if any(f["name"] == name for f in fields):
+                    # e.g. bucket[4](id) + bucket[8](id) both generate
+                    # 'id_bucket': the write path's withColumn would
+                    # silently overwrite one layout with the other —
+                    # fail at create() instead of committing a spec
+                    # that disagrees with the written files
+                    raise ValueError(
+                        f"duplicate partition field name {name!r} "
+                        f"(from {entry!r}); two spec entries may not "
+                        "generate the same field name"
                     )
                 fields.append(
                     {

@@ -648,10 +648,49 @@ class KinesisSourceConfig(SourceConfig):
         return out
 
     def subscribe_drain(self, stream: str, shard_id: str) -> list[tuple]:
-        """One shard's EFO subscription, drained to the tip: open the
-        HTTP/2 stream, decode event-stream messages as they push, stop
-        at MillisBehindLatest == 0 (the bounded-snapshot semantic shared
-        with the polling loop). Runs on executors, one socket per shard."""
+        """One shard's EFO drain to the tip: subscribe, decode
+        event-stream messages as they push, stop at
+        MillisBehindLatest == 0 (the bounded-snapshot semantic shared
+        with the polling loop). AWS terminates each SubscribeToShard
+        subscription after ~5 minutes; a shard with more catch-up data
+        than that ends the HTTP/2 stream early, so this RESUBSCRIBES
+        from the last ContinuationSequenceNumber until the tip event
+        arrives — never silently returning a partial shard — and raises
+        if a subscription round makes no progress. Runs on executors,
+        one socket per shard."""
+        rows: list[tuple] = []
+        starting = self._efo_starting()
+        for _round in range(256):  # 256 five-minute windows ≈ retention
+            done, cont = self._subscribe_once(stream, shard_id, starting, rows)
+            if done:
+                return rows
+            if not cont:
+                raise ConnectionError(
+                    f"EFO subscription for {stream}/{shard_id} ended "
+                    "before MillisBehindLatest==0 and sent no "
+                    "ContinuationSequenceNumber to resume from"
+                )
+            prev = starting
+            starting = {
+                "Type": "AFTER_SEQUENCE_NUMBER",
+                "SequenceNumber": cont,
+            }
+            if starting == prev:
+                raise ConnectionError(
+                    f"EFO subscription for {stream}/{shard_id} made no "
+                    f"progress past sequence {cont}; refusing to spin"
+                )
+        raise ConnectionError(
+            f"EFO drain for {stream}/{shard_id} did not reach the tip "
+            "after 256 subscription rounds"
+        )
+
+    def _subscribe_once(
+        self, stream: str, shard_id: str, starting: dict, rows: list
+    ) -> tuple[bool, str | None]:
+        """One SubscribeToShard subscription (one HTTP/2 stream):
+        appends decoded records to ``rows`` and returns (reached_tip,
+        last ContinuationSequenceNumber seen)."""
         import json as _json
         import socket as _socket
         import ssl as _ssl
@@ -680,7 +719,7 @@ class KinesisSourceConfig(SourceConfig):
             {
                 "ConsumerARN": self.consumer_arn(stream),
                 "ShardId": shard_id,
-                "StartingPosition": self._efo_starting(),
+                "StartingPosition": starting,
             }
         ).encode()
         amz = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
@@ -715,7 +754,7 @@ class KinesisSourceConfig(SourceConfig):
             ctx.set_alpn_protocols(["h2"])
             raw = ctx.wrap_socket(raw, server_hostname=u.hostname)
         conn = h2.H2Connection(raw)
-        rows: list[tuple] = []
+        cont: str | None = None
         try:
             status, _hdrs, chunks = conn.request(headers, body)
             if status != 200:
@@ -734,13 +773,14 @@ class KinesisSourceConfig(SourceConfig):
                         continue
                     ev = _json.loads(payload.decode())
                     rows += self.parse_records(ev, stream, shard_id)
+                    cont = ev.get("ContinuationSequenceNumber") or cont
                     if ev.get("MillisBehindLatest", 1) == 0:
                         done = True
                 if done:
                     break
         finally:
             conn.close()
-        return rows
+        return done, cont
 
     def _load_efo(self, spark: SparkSession, shards, cfg) -> DataFrame:
         def drain(it):

@@ -188,11 +188,20 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         # real stream that is hours of data per shard at query start).
         # Kinesis exposes no "tip sequence number" API; a raw LATEST
         # iterator is neither serializable nor replayable, while the
-        # timestamp pin restarts to the same boundary.
+        # timestamp pin restarts to the same boundary. AT_TIMESTAMP
+        # resolves against SERVICE-side ApproximateArrivalTimestamp, so
+        # a driver clock running AHEAD of the service would skip the
+        # first seconds of post-start records — back the pin off by a
+        # skew allowance (latest.skew.ms, default 5s): records produced
+        # after query start are never skipped for skew within the
+        # allowance, at the cost of possibly including up to that much
+        # pre-start data (LATEST is an approximate boundary in every
+        # connector; at-least-once is the safe side of it).
         if str(self.opts.get("startingposition", "")).upper() == "LATEST":
             import time
 
-            pin = f"@ts:{int(time.time() * 1000)}"
+            skew = int(self.opts.get("latest.skew.ms", "5000"))
+            pin = f"@ts:{int(time.time() * 1000) - skew}"
             return {shard: pin for shard in self._shard_ids()}
         return {shard: "" for shard in self._shard_ids()}
 

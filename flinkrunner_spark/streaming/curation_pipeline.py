@@ -109,28 +109,49 @@ class IcebergForeachBatchSink:
     filesystem table with EXACTLY-ONCE idempotence. Spark guarantees
     foreachBatch at-least-once — after a crash the last batch replays
     with the same batch_id — so the sink stamps
-    ``streaming.last-batch-id`` into table properties in the SAME
-    atomic metadata commit as the snapshot, and a replayed id ≤ the
-    stamp no-ops."""
+    ``streaming.last-batch-id.<scope>`` into table properties in the
+    SAME atomic metadata commit as the snapshot, and a replayed id ≤
+    the stamp no-ops.
+
+    The stamp MUST be scoped: Spark batch ids restart at 0 for every
+    new checkpoint, so an unscoped stamp would make a table that
+    outlives its checkpoint (or is shared by two queries) silently drop
+    the new query's first batches as "replays". ``scope`` identifies
+    the batch-id sequence — the checkpoint location is the natural key
+    (the iceberg-spark runtime scopes its equivalent stamp by query id
+    for the same reason); ``start_curation_to_iceberg`` derives it from
+    the checkpoint path automatically."""
 
     PROP = "streaming.last-batch-id"
 
-    def __init__(self, location: str, partition_by: list | None = None):
+    def __init__(
+        self,
+        location: str,
+        partition_by: list | None = None,
+        scope: str | None = None,
+    ):
         self.location = location
         self.partition_by = partition_by
+        self.prop = self.PROP + (f".{scope}" if scope else "")
+
+    @staticmethod
+    def scope_for_checkpoint(checkpoint: str) -> str:
+        import hashlib
+
+        return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from flinkrunner_spark.iceberg import IcebergFsTable
 
         t = IcebergFsTable(self.location)
         if t.exists():
-            last = t.metadata().get("properties", {}).get(self.PROP)
+            last = t.metadata().get("properties", {}).get(self.prop)
             if last is not None and int(last) >= batch_id:
                 return  # replayed batch — its rows are already committed
         t.append(
             batch_df,
             partition_by=self.partition_by,
-            extra_properties={self.PROP: batch_id},
+            extra_properties={self.prop: batch_id},
         )
 
 
@@ -152,6 +173,13 @@ def start_curation_to_iceberg(
     return (
         curated.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(IcebergForeachBatchSink(table_location))
+        .foreachBatch(
+            IcebergForeachBatchSink(
+                table_location,
+                scope=IcebergForeachBatchSink.scope_for_checkpoint(
+                    checkpoint
+                ),
+            )
+        )
         .start()
     )

@@ -1592,9 +1592,18 @@ class LoopbackKinesisEfo:
 
     BATCH = 3  # records per SubscribeToShardEvent
 
-    def __init__(self, core: LoopbackKinesis):
+    def __init__(
+        self,
+        core: LoopbackKinesis,
+        max_events_per_subscription: int | None = None,
+    ):
         import socket as _socket
 
+        # real AWS terminates every SubscribeToShard subscription after
+        # ~5 minutes; this caps a subscription at N events instead so
+        # the client's resubscribe-from-ContinuationSequenceNumber path
+        # is testable without a clock
+        self.max_events = max_events_per_subscription
         self.core = core
         self.sock = _socket.socket()
         self.sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
@@ -1677,9 +1686,16 @@ class LoopbackKinesisEfo:
                  ("content-type", "application/vnd.amazon.eventstream")],
             )
             pos = i0 = idx
+            sent_events = 0
             while True:
+                if self.max_events is not None and sent_events >= self.max_events:
+                    # subscription window over: end the HTTP/2 stream
+                    # WITHOUT a MillisBehindLatest==0 event, exactly how
+                    # AWS's 5-minute cut looks mid-catch-up
+                    break
                 chunk = log[pos : pos + self.BATCH]
                 pos += len(chunk)
+                sent_events += 1
                 ev = {
                     "Records": [
                         {

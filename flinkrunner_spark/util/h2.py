@@ -43,6 +43,18 @@ PADDED = 0x8
 
 DEFAULT_WINDOW = 65535
 
+try:  # non-blocking recv signals differently on TLS-wrapped sockets
+    import ssl as _ssl
+
+    _WOULD_BLOCK = (
+        BlockingIOError,
+        InterruptedError,
+        _ssl.SSLWantReadError,
+        _ssl.SSLWantWriteError,
+    )
+except ImportError:  # pragma: no cover - ssl is stdlib everywhere we run
+    _WOULD_BLOCK = (BlockingIOError, InterruptedError)
+
 
 def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
     return (
@@ -85,6 +97,7 @@ class H2Connection:
         self._decoder = hpack.Decoder()
         self._encoder = hpack.Encoder()
         self._next_stream = 1
+        self._consumed = 0
         self._lock = threading.Lock()
         self.sock.sendall(PREFACE + pack_frame(SETTINGS, 0, 0, b""))
         self._settings_acked = False
@@ -157,16 +170,28 @@ class H2Connection:
                 if fsid != sid:
                     continue
                 if ftype == DATA:
+                    # RFC 7540 §6.9.1: the FULL frame payload — pad
+                    # length byte and padding included — counts against
+                    # the flow-control windows, so account before
+                    # stripping, and even for frames that strip empty.
+                    conn._consumed += len(payload)
                     if flags & PADDED:
                         pad = payload[0]
                         payload = payload[1 : len(payload) - pad]
-                    if payload:
-                        # replenish connection + stream windows so the
-                        # long-lived event stream never hits the 64 KiB
-                        # default window
-                        inc = struct.pack(">I", len(payload))
+                    if conn._consumed >= DEFAULT_WINDOW // 2 and not (
+                        flags & END_STREAM
+                    ):
+                        # replenish connection + stream windows in
+                        # half-window batches (one update per ~32 KiB,
+                        # not per frame) so the long-lived event stream
+                        # never stalls AND the reverse direction stays
+                        # quiet enough that a send-only peer can't
+                        # wedge on our update traffic.
+                        inc = struct.pack(">I", conn._consumed)
                         conn._send(WINDOW_UPDATE, 0, 0, inc)
                         conn._send(WINDOW_UPDATE, 0, sid, inc)
+                        conn._consumed = 0
+                    if payload:
                         yield payload
                     if flags & END_STREAM:
                         stream_ended = True
@@ -202,6 +227,7 @@ class H2ServerConnection:
         self._decoder = hpack.Decoder()
         self._encoder = hpack.Encoder()
         self._lock = threading.Lock()
+        self._rbuf = bytearray()  # partial-frame bytes between drains
         got = read_exact(sock, len(PREFACE))
         if got != PREFACE:
             raise ConnectionError("bad h2 preface")
@@ -233,6 +259,9 @@ class H2ServerConnection:
                 if flags & END_STREAM:
                     stream_done = True
             elif ftype == DATA and fsid == sid:
+                if flags & PADDED:
+                    pad = payload[0]
+                    payload = payload[1 : len(payload) - pad]
                 body += payload
                 if flags & END_STREAM:
                     stream_done = True
@@ -248,19 +277,43 @@ class H2ServerConnection:
     def send_data(
         self, stream_id: int, chunk: bytes, end: bool = False
     ) -> None:
+        # Drain whatever the client has sent (WINDOW_UPDATE / PING)
+        # before every DATA write: a server that only ever writes while
+        # the client keeps sending updates fills both kernel buffers and
+        # the two ends deadlock on blocking sendall().
+        self.drain_client_frames()
         self._send(DATA, END_STREAM if end else 0, stream_id, chunk)
 
     def drain_client_frames(self) -> None:
-        """Consume WINDOW_UPDATE/PING frames the client sends while we
-        stream (non-blocking callers run this between sends via a short
-        socket timeout)."""
-        self.sock.settimeout(0.0)
+        """Consume frames the client sends while we stream.
+
+        Non-blocking: recv()s whatever bytes are available into a
+        persistent buffer, then parses only COMPLETE frames out of it —
+        a frame split across drains stays buffered (never dropped) and
+        completes on a later call. PINGs are acked; WINDOW_UPDATEs are
+        consumed (the subset never sends more than the default window
+        per frame, so increments need no tracking). Must only run after
+        ``read_request`` has returned — the one-request-per-connection
+        flow this subset implements."""
+        self.sock.setblocking(False)
         try:
             while True:
-                ftype, flags, fsid, payload = read_frame(self.sock)
-                if ftype == PING and fsid == 0 and not flags & ACK:
-                    self._send(PING, ACK, 0, payload)
-        except (BlockingIOError, TimeoutError, OSError):
+                chunk = self.sock.recv(65536)
+                if not chunk:
+                    break  # peer closed; parse what we have
+                self._rbuf += chunk
+        except _WOULD_BLOCK + (OSError,):
+            # would-block ends the drain; a reset surfaces on the next
+            # sendall with the clearer write-side error (old behavior)
             pass
         finally:
-            self.sock.settimeout(None)
+            self.sock.setblocking(True)
+        while len(self._rbuf) >= 9:
+            length = int.from_bytes(self._rbuf[:3], "big")
+            if len(self._rbuf) < 9 + length:
+                break  # partial frame — keep buffered for next drain
+            ftype, flags = self._rbuf[3], self._rbuf[4]
+            payload = bytes(self._rbuf[9 : 9 + length])
+            del self._rbuf[: 9 + length]
+            if ftype == PING and not flags & ACK:
+                self._send(PING, ACK, 0, payload)

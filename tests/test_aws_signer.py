@@ -382,9 +382,17 @@ def test_kinesis_source_gates(spark):
         KinesisSourceConfig(
             "src", {"connector": "kinesis", "stream": "a"}
         ).load(spark)
-    with pytest.raises(NotImplementedError, match="fan-out"):
+    # EFO is real as of r7 (SubscribeToShard over HTTP/2) but still
+    # needs credentials first, same as the polling path ...
+    with pytest.raises(NotImplementedError, match="credentials"):
         KinesisSourceConfig(
             "src", {"connector": "kinesis", "stream": "a", "use.efo": True}
+        ).load(spark)
+    # ... and is the BOUNDED path only: streaming + use.efo refuses.
+    with pytest.raises(NotImplementedError, match="use.efo"):
+        KinesisSourceConfig(
+            "src", {"connector": "kinesis", "stream": "a",
+                    "use.efo": True, "streaming": True}
         ).load(spark)
     with pytest.raises(NotImplementedError, match="streaming"):
         KinesisSourceConfig(

@@ -85,6 +85,36 @@ def test_iceberg_sink_replayed_batch_is_noop(spark, tmp_path):
     assert t.read(spark).count() == 15
 
 
+def test_iceberg_sink_fresh_checkpoint_not_mistaken_for_replay(
+    spark, tmp_path
+):
+    """Spark batch ids restart at 0 for every new checkpoint. A table
+    that outlives its checkpoint (or is shared by a second query) must
+    NOT drop the new query's batches as replays — the stamp is scoped
+    per batch-id sequence."""
+    loc = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id", "concat('x', id) AS s")
+    s1 = IcebergForeachBatchSink(
+        loc, scope=IcebergForeachBatchSink.scope_for_checkpoint("ckpt-a")
+    )
+    s1(df, 0)
+    s1(df, 1)
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    t = IcebergFsTable(loc)
+    assert t.read(spark).count() == 10
+    # new query, fresh checkpoint, batch ids restart at 0 — rows LAND
+    s2 = IcebergForeachBatchSink(
+        loc, scope=IcebergForeachBatchSink.scope_for_checkpoint("ckpt-b")
+    )
+    s2(df, 0)
+    assert t.read(spark).count() == 15
+    # while each scope's own replay guard still holds
+    s1(df, 1)
+    s2(df, 0)
+    assert t.read(spark).count() == 15
+
+
 def test_kill_and_resume_mid_stream(spark, tmp_path):
     """Start the composed pipeline with a small per-trigger cap, STOP it
     mid-catch-up (some but not all batches committed), restart on the

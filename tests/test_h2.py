@@ -291,3 +291,172 @@ def _signed_post_ks(endpoint, target, body: bytes) -> dict:
         endpoint, data=body, headers=hdrs, method="POST"
     )
     return json.loads(urllib.request.urlopen(req).read().decode())
+
+
+def test_efo_resubscribes_past_subscription_cap():
+    """AWS terminates every SubscribeToShard subscription after ~5
+    minutes; the loopback's event cap reproduces that cut mid-catch-up.
+    subscribe_drain must resubscribe from the last
+    ContinuationSequenceNumber (AFTER_SEQUENCE_NUMBER) until the tip —
+    never silently return a partial shard."""
+    import base64
+    import json
+
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis, LoopbackKinesisEfo
+
+    with LoopbackKinesis(num_shards=1) as ks, LoopbackKinesisEfo(
+        ks, max_events_per_subscription=2
+    ) as efo:
+        n = 50  # 17 events of 3 records → 9 subscriptions at cap=2
+        recs = [
+            {"Data": base64.b64encode(f"m{i}".encode()).decode(),
+             "PartitionKey": f"k{i}"}
+            for i in range(n)
+        ]
+        _signed_post_ks(
+            ks.endpoint, "Kinesis_20131202.PutRecords",
+            json.dumps({"StreamName": "s", "Records": recs}).encode(),
+        )
+        cfg = KinesisSourceConfig(
+            "t",
+            {"connector": "kinesis", "stream": "s", "use.efo": True,
+             "efo.consumer.name": "c1",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             "efo.endpoint": efo.endpoint,
+             "aws.access.key.id": "k", "aws.secret.access.key": "s"},
+        )
+        rows = cfg.subscribe_drain("s", "shardId-000000000000")
+        assert [r[5] for r in rows] == [f"m{i}" for i in range(n)]
+
+
+def test_efo_large_drain_no_tcp_deadlock():
+    """Scale regression for the mutual-backpressure deadlock: a shard
+    log large enough that per-frame reverse WINDOW_UPDATE traffic once
+    filled both kernel buffers (client blocked in sendall(update),
+    server blocked in sendall(DATA)). Fixed two ways — the client
+    batches updates at half-window granularity and the server drains
+    client frames before every DATA send — so the drain must finish."""
+    import base64
+    import json
+    import threading
+
+    from flinkrunner_spark.sources.factory import KinesisSourceConfig
+    from flinkrunner_spark.testing import LoopbackKinesis, LoopbackKinesisEfo
+
+    with LoopbackKinesis(num_shards=1) as ks, LoopbackKinesisEfo(ks) as efo:
+        n = 30_000  # 10k SubscribeToShardEvents on one subscription
+        payload = base64.b64encode(b"x" * 40).decode()
+        with ks.lock:  # bulk-load the shard log directly (test-only)
+            log = ks._shards("s").setdefault("shardId-000000000000", [])
+            for i in range(n):
+                log.append((str(1_000_000 + i), f"k{i}", payload, 1.0 + i))
+        cfg = KinesisSourceConfig(
+            "t",
+            {"connector": "kinesis", "stream": "s", "use.efo": True,
+             "efo.consumer.name": "c1",
+             "aws.region": "us-east-1", "aws.endpoint": ks.endpoint,
+             "efo.endpoint": efo.endpoint,
+             "aws.access.key.id": "k", "aws.secret.access.key": "s"},
+        )
+        out: list = []
+        t = threading.Thread(
+            target=lambda: out.extend(
+                cfg.subscribe_drain("s", "shardId-000000000000")
+            ),
+            daemon=True,
+        )
+        t.start()
+        t.join(timeout=120)
+        assert not t.is_alive(), "EFO drain deadlocked on large shard log"
+        assert len(out) == n
+
+
+def test_h2_padded_data_charges_full_payload_and_server_drain_buffers():
+    """Two RFC 7540 conformance details proven over a real socketpair:
+    (1) the client charges the FULL padded DATA payload to its
+    flow-control accounting (§6.9.1) and still yields stripped bytes;
+    (2) the server's non-blocking drain never drops a frame split
+    across drain calls — the partial stays buffered and the PING inside
+    it is acked once complete."""
+    import socket
+    import struct
+    import threading
+
+    from flinkrunner_spark.util import h2
+
+    c_sock, s_sock = socket.socketpair()
+    got: dict = {}
+
+    def client():
+        conn = h2.H2Connection(c_sock)
+        status, _hdrs, body = conn.request([
+            (":method", "GET"), (":scheme", "http"),
+            (":path", "/"), (":authority", "t"),
+        ])
+        got["status"] = status
+        got["body"] = b"".join(body)
+        got["consumed_ok"] = True
+        conn.close()
+
+    ct = threading.Thread(target=client, daemon=True)
+    ct.start()
+    server = h2.H2ServerConnection(s_sock)
+    sid, headers, _body = server.read_request()
+    server.send_response_headers(sid, [(":status", "200")])
+    # padded DATA: pad-length byte + data + padding; flow-control charge
+    # is the whole payload. Enough frames that under-accounting by the
+    # padding would desync the 64 KiB window if it were wrong.
+    data, pad = b"d" * 10, b"\x00" * 89
+    frame_payload = bytes([len(pad)]) + data + pad  # 100 bytes charged
+    for _ in range(1200):  # 120 KiB charged > default 64 KiB window
+        server._send(h2.DATA, h2.PADDED, sid, frame_payload)
+        server.drain_client_frames()
+    server.send_data(sid, b"", end=True)
+    ct.join(timeout=30)
+    assert not ct.is_alive(), "client stalled (flow-control accounting)"
+    assert got["status"] == 200
+    assert got["body"] == b"d" * 10 * 1200
+
+
+def test_h2_server_drain_buffers_split_frames():
+    """A frame split across two drain calls must stay buffered (never
+    dropped mid-frame) and complete on the later call — here a PING
+    whose first 5 bytes arrive alone is acked exactly once, and framing
+    stays in sync for the frames after it. No concurrent writer: this
+    drives the client side of the socketpair directly."""
+    import socket
+    import struct
+
+    from flinkrunner_spark.util import h2
+
+    c_sock, s_sock = socket.socketpair()
+    c_sock.sendall(h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b""))
+    server = h2.H2ServerConnection(s_sock)
+
+    def read_client_frames(n):
+        frames = []
+        for _ in range(n):
+            head = h2.read_exact(c_sock, 9)
+            length = int.from_bytes(head[:3], "big")
+            frames.append(
+                (head[3], head[4], h2.read_exact(c_sock, length))
+            )
+        return frames
+
+    # server's own SETTINGS from __init__
+    assert read_client_frames(1)[0][0] == h2.SETTINGS
+
+    ping = h2.pack_frame(h2.PING, 0, 0, b"12345678")
+    wu = h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", 100))
+    c_sock.sendall(ping[:5])
+    server.drain_client_frames()  # partial frame → buffered, not dropped
+    c_sock.sendall(ping[5:] + wu + ping)
+    server.drain_client_frames()  # completes → acked; framing stays sync'd
+    acks = read_client_frames(2)
+    assert [(t, f) for t, f, _ in acks] == [
+        (h2.PING, h2.ACK), (h2.PING, h2.ACK),
+    ]
+    assert all(p == b"12345678" for _, _, p in acks)
+    c_sock.close()
+    s_sock.close()

@@ -367,3 +367,24 @@ def test_read_stream_allows_transform_partitions(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="IDENTITY"):
         t2.read_stream(spark)
+
+
+def test_duplicate_generated_field_names_refused(spark, tmp_path):
+    """bucket[4](id) + bucket[8](id) both generate 'id_bucket' — a spec
+    whose written layout could not agree with its own fields. create()
+    must refuse clearly instead of committing the corrupt spec."""
+    df = _events_df(spark, 10)
+    t = I.IcebergFsTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="duplicate partition field"):
+        t.append(
+            df,
+            partition_by=["bucket[4](user_id)", "bucket[8](user_id)"],
+        )
+    # the same entry twice is the same refusal
+    t2 = I.IcebergFsTable(str(tmp_path / "t2"))
+    with pytest.raises(ValueError, match="duplicate partition field"):
+        t2.append(df, partition_by=["day(ts)", "day(ts)"])
+    # distinct field names on one source column remain fine
+    t3 = I.IcebergFsTable(str(tmp_path / "t3"))
+    t3.append(df, partition_by=["day(ts)", "month(ts)"])
+    assert t3.read(spark).count() == 10

@@ -329,10 +329,14 @@ def test_kinesis_latest_pins_tip_without_draining_history(spark):
         )
         sink.write(spark.range(0, 500).selectExpr("id"))  # history
 
+        # latest.skew.ms=0: exact-boundary pin for the loopback, where
+        # client and "service" share one clock. The default backs the
+        # pin off 5s so real-AWS clock skew can't skip post-start
+        # records — asserted separately below.
         reader = KinesisSimpleStreamReader(
             {"stream": "lt", "region": "us-east-1",
              "endpoint": ks.endpoint, "accesskey": "k", "secretkey": "s",
-             "startingposition": "LATEST"}
+             "startingposition": "LATEST", "latest.skew.ms": "0"}
         )
         calls_before = ks._seq  # GetRecords never mutates _seq; produce does
         off = reader.initialOffset()
@@ -361,6 +365,21 @@ def test_kinesis_latest_pins_tip_without_draining_history(spark):
             for r in reader.readBetweenOffsets(end, end2)
         )
         assert replay == list(range(500, 520))
+
+        # default pin backs off by the skew allowance (at-least-once on
+        # the boundary: driver clock ahead of the service must not make
+        # post-start records invisible forever)
+        import time as _time
+
+        dflt = KinesisSimpleStreamReader(
+            {"stream": "lt", "region": "us-east-1",
+             "endpoint": ks.endpoint, "accesskey": "k", "secretkey": "s",
+             "startingposition": "LATEST"}
+        )
+        now_ms = _time.time() * 1000
+        for v in dflt.initialOffset().values():
+            pin_ms = int(v.removeprefix("@ts:"))
+            assert 3000 <= now_ms - pin_ms <= 8000  # ~5s, clock-tolerant
 
 
 def test_kinesis_replay_stops_at_sequence_bound(spark):
