@@ -460,3 +460,75 @@ def test_h2_server_drain_buffers_split_frames():
     assert all(p == b"12345678" for _, _, p in acks)
     c_sock.close()
     s_sock.close()
+
+
+def test_h2_server_drain_property_random_seams():
+    """Property: any sequence of client frames (PING / WINDOW_UPDATE /
+    SETTINGS-ACK mixes), delivered in arbitrary byte-level splits across
+    drain calls, is parsed without desync — every PING acked exactly
+    once, in order, regardless of where the seams fall."""
+    import socket
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flinkrunner_spark.util import h2
+
+    frame_kinds = st.sampled_from(["ping", "wu", "settings_ack"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        kinds=st.lists(frame_kinds, min_size=1, max_size=12),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def run(kinds, seed):
+        import random
+
+        rng = random.Random(seed)
+        c_sock, s_sock = socket.socketpair()
+        try:
+            c_sock.sendall(
+                h2.PREFACE + h2.pack_frame(h2.SETTINGS, 0, 0, b"")
+            )
+            server = h2.H2ServerConnection(s_sock)
+            # consume the server's own SETTINGS
+            head = h2.read_exact(c_sock, 9)
+            h2.read_exact(c_sock, int.from_bytes(head[:3], "big"))
+
+            wire = bytearray()
+            pings = []
+            for i, kind in enumerate(kinds):
+                if kind == "ping":
+                    payload = struct.pack(">Q", i)
+                    pings.append(payload)
+                    wire += h2.pack_frame(h2.PING, 0, 0, payload)
+                elif kind == "wu":
+                    wire += h2.pack_frame(
+                        h2.WINDOW_UPDATE, 0, 0, struct.pack(">I", 1 + i)
+                    )
+                else:
+                    wire += h2.pack_frame(h2.SETTINGS, h2.ACK, 0, b"")
+            # deliver in random byte-level splits, draining between each
+            pos = 0
+            while pos < len(wire):
+                cut = rng.randint(1, len(wire) - pos)
+                c_sock.sendall(wire[pos : pos + cut])
+                pos += cut
+                server.drain_client_frames()
+            server.drain_client_frames()
+            # every PING acked exactly once, in order
+            c_sock.settimeout(5.0)
+            for expect in pings:
+                head = h2.read_exact(c_sock, 9)
+                length = int.from_bytes(head[:3], "big")
+                payload = h2.read_exact(c_sock, length)
+                assert head[3] == h2.PING and head[4] == h2.ACK
+                assert payload == expect
+            # nothing further pending
+            assert not server._rbuf
+        finally:
+            c_sock.close()
+            s_sock.close()
+
+    run()
