@@ -532,3 +532,59 @@ def test_h2_server_drain_property_random_seams():
             s_sock.close()
 
     run()
+
+
+def test_eventstream_property_roundtrip_random_messages():
+    """Property: any sequence of messages with random typed headers and
+    binary payloads roundtrips through encode → MessageAssembler at
+    random byte seams — headers, payload bytes, order and count all
+    preserved; CRCs computed over the same bytes both ways."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header_values = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+    )
+    messages = st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=33, max_codepoint=126
+                    ),
+                    min_size=1,
+                    max_size=20,
+                ),
+                header_values,
+                max_size=5,
+            ),
+            st.binary(max_size=200),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(msgs=messages, seed=st.integers(min_value=0, max_value=2**31))
+    def run(msgs, seed):
+        import random
+
+        rng = random.Random(seed)
+        blob = b"".join(
+            eventstream.encode_message(h, p) for h, p in msgs
+        )
+        asm = eventstream.MessageAssembler()
+        out = []
+        pos = 0
+        while pos < len(blob):
+            cut = rng.randint(1, len(blob) - pos)
+            out += asm.feed(blob[pos : pos + cut])
+            pos += cut
+        assert len(out) == len(msgs)
+        for (h, p), (gh, gp) in zip(msgs, out):
+            assert gp == p
+            assert gh == h
+    run()
