@@ -338,6 +338,11 @@ class KafkaSinkConfig(SinkConfig):
             self.conf.get("topic", self.name), kafka=True
         )
         batch_size = int(self.conf.get("batch.size", 500))
+        from flinkrunner_spark.util.kafka import codec_id
+
+        # compression.type: none (default) | gzip — resolved here so a
+        # bad codec name fails at plan time, not inside executor tasks
+        codec = codec_id(self.conf.get("compression.type", "none"))
         with KafkaClient(host, port) as c:
             n_parts = len(c.metadata([topic])[0].partitions)
 
@@ -376,7 +381,7 @@ class KafkaSinkConfig(SinkConfig):
             with _C(host, port) as client:
                 _produce(
                     client, topic, recs, n_parts,
-                    batch_size=batch_size, sticky_seed=seed,
+                    batch_size=batch_size, sticky_seed=seed, codec=codec,
                 )
 
         prepared.foreachPartition(send_partition)

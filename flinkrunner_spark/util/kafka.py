@@ -196,10 +196,32 @@ def _enc_record(
     return enc_varint(len(body)) + bytes(body)
 
 
+# record-batch attribute codec bits (Kafka protocol "attributes" & 0x07)
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
+_CODEC_NAMES = {2: "snappy", 3: "lz4", 4: "zstd"}
+_CODEC_BY_NAME = {"none": CODEC_NONE, "gzip": CODEC_GZIP}
+
+
+def codec_id(name: str) -> int:
+    """compression.type config value -> codec bits. gzip is the one
+    stdlib-codec (zlib); snappy/lz4/zstd need non-stdlib libraries and
+    are refused by name."""
+    norm = (name or "none").strip().lower()
+    if norm in _CODEC_BY_NAME:
+        return _CODEC_BY_NAME[norm]
+    raise ValueError(
+        f"compression.type {name!r} not supported by the jar-free "
+        "client (supported: none, gzip — snappy/lz4/zstd need "
+        "non-stdlib codecs)"
+    )
+
+
 def encode_record_batch(
-    records: list[KafkaRecord], base_offset: int = 0
+    records: list[KafkaRecord], base_offset: int = 0, codec: int = CODEC_NONE
 ) -> bytes:
-    """records -> one v2 batch (uncompressed, CREATE_TIME timestamps)."""
+    """records -> one v2 batch (CREATE_TIME timestamps; records block
+    gzip-deflated when codec=CODEC_GZIP — the attribute bits brokers
+    and every client read)."""
     if not records:
         raise ValueError("empty record batch")
     base_ts = records[0].timestamp_ms
@@ -208,9 +230,15 @@ def encode_record_batch(
         _enc_record(r, i, r.timestamp_ms - base_ts)
         for i, r in enumerate(records)
     )
+    if codec == CODEC_GZIP:
+        import gzip as _gzip
+
+        recs = _gzip.compress(recs, mtime=0)  # deterministic bytes
+    elif codec != CODEC_NONE:
+        raise ValueError(f"unsupported produce codec {codec}")
     # fields covered by the CRC (everything after the crc field)
     tail = (
-        struct.pack(">h", 0)  # attributes: no compression
+        struct.pack(">h", codec)  # attributes: compression bits 0-2
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
@@ -247,13 +275,24 @@ def decode_record_batches(buf: bytes) -> list[KafkaRecord]:
         if crc32c(tail) != crc_stored:
             raise ValueError("record batch CRC32C mismatch")
         (attributes,) = struct.unpack_from(">h", tail, 0)
-        if attributes & 0x07:
-            raise ValueError(
-                "compressed record batches not supported by the "
-                "jar-free client (produce uncompressed)"
-            )
+        codec = attributes & 0x07
         (base_ts,) = struct.unpack_from(">q", tail, 6)
         (count,) = struct.unpack_from(">i", tail, 36)
+        if codec == CODEC_GZIP:
+            # compression covers the records block only (everything
+            # after the 40-byte post-crc header); a real broker serves
+            # batches as their producer wrote them, so a consumer must
+            # decode gzip even though this client may produce plain
+            import gzip as _gzip
+
+            tail = tail[:40] + _gzip.decompress(tail[40:])
+        elif codec:
+            raise ValueError(
+                f"record batch compressed with "
+                f"{_CODEC_NAMES.get(codec, codec)} — the jar-free "
+                "client decodes none/gzip only (snappy/lz4/zstd need "
+                "non-stdlib codecs)"
+            )
         rpos = 40
         for _ in range(count):
             _length, rpos = dec_varint(tail, rpos)
@@ -625,6 +664,7 @@ def produce_records(
     num_partitions: int,
     batch_size: int = 500,
     sticky_seed: int = 0,
+    codec: int = CODEC_NONE,
 ) -> int:
     """Partition, batch and produce; returns the record count. Order is
     preserved within each partition (Kafka's only ordering contract)."""
@@ -635,6 +675,8 @@ def produce_records(
     for pid, recs in sorted(by_part.items()):
         for i in range(0, len(recs), batch_size):
             chunk = recs[i : i + batch_size]
-            client.produce(topic, pid, encode_record_batch(chunk))
+            client.produce(
+                topic, pid, encode_record_batch(chunk, codec=codec)
+            )
             sent += len(chunk)
     return sent

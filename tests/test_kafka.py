@@ -745,3 +745,102 @@ def test_kafka_native_32_way_parallel_produce(spark):
             by_part.setdefault(r.partition, []).append(r.offset)
         for offs in by_part.values():
             assert sorted(offs) == list(range(len(offs)))
+
+
+def test_gzip_batch_roundtrip_and_codec_refusals():
+    """gzip is the one stdlib codec: a gzip-flagged v2 batch roundtrips
+    through produce/fetch with the attribute bits set on the wire, and
+    a mixed log (plain + gzip batches) decodes seamlessly — the real-
+    broker shape where different producers chose different codecs.
+    Non-stdlib codecs are refused BY NAME, and bad compression.type
+    config fails at codec resolution."""
+    import struct
+
+    from flinkrunner_spark.util.kafka import (
+        CODEC_GZIP,
+        codec_id,
+        decode_record_batches,
+    )
+
+    recs = [
+        KafkaRecord(
+            value=f"v{i}".encode(),
+            key=f"k{i}".encode(),
+            headers=[("h", str(i).encode())],
+            timestamp_ms=7_000 + i,
+        )
+        for i in range(40)
+    ]
+    batch = encode_record_batch(recs, codec=CODEC_GZIP)
+    # attribute bits really say gzip (offset: 8+4 framing, 9 to tail)
+    (attrs,) = struct.unpack_from(">h", batch, 8 + 4 + 9)
+    assert attrs & 0x07 == CODEC_GZIP
+    got = decode_record_batches(batch)
+    assert [(r.value, r.key, r.headers, r.timestamp_ms) for r in got] == [
+        (r.value, r.key, r.headers, r.timestamp_ms) for r in recs
+    ]
+    # compressed beats plain for this repetitive payload
+    assert len(batch) < len(encode_record_batch(recs))
+
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            c.produce("t", 0, encode_record_batch(recs[:20]))
+            c.produce(
+                "t", 0, encode_record_batch(recs[20:], codec=CODEC_GZIP)
+            )
+            rs, hwm = c.fetch("t", 0, 0)
+            assert hwm == 40
+            assert [r.value for r in rs] == [r.value for r in recs]
+            assert [r.offset for r in rs] == list(range(40))
+
+    # snappy-flagged batch refused by name (flip attr bits, re-CRC)
+    from flinkrunner_spark.util.kafka import crc32c
+
+    plain = bytearray(encode_record_batch(recs[:2]))
+    tail_at = 8 + 4 + 9
+    struct.pack_into(">h", plain, tail_at, 2)  # snappy bits
+    struct.pack_into(
+        ">I", plain, 8 + 4 + 5, crc32c(bytes(plain[tail_at:]))
+    )
+    with pytest.raises(ValueError, match="snappy"):
+        decode_record_batches(bytes(plain))
+
+    assert codec_id("gzip") == CODEC_GZIP and codec_id("none") == 0
+    assert codec_id(None) == 0
+    with pytest.raises(ValueError, match="zstd"):
+        codec_id("zstd")
+
+
+def test_kafka_sink_native_gzip_e2e(spark):
+    """compression.type=gzip through the native sink: batches land
+    gzip-flagged on the broker and the source reads the rows back."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    df = spark.range(0, 50).selectExpr(
+        "CAST(id AS STRING) AS key", "concat('m', id) AS value"
+    )
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}",
+             "topic": "gz", "key.column": "key",
+             "compression.type": "gzip"},
+        ).write(df)
+        rows = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "gz"},
+        ).load(spark).collect()
+        assert sorted(bytes(r.value).decode() for r in rows) == sorted(
+            f"m{i}" for i in range(50)
+        )
+        # bad codec name fails fast at plan time
+        with pytest.raises(ValueError, match="lz4"):
+            KafkaSinkConfig(
+                "t",
+                {"connector": "kafka", "transport": "native",
+                 "bootstrap.servers": f"localhost:{b.port}",
+                 "topic": "gz", "compression.type": "lz4"},
+            ).write(df)
