@@ -855,7 +855,11 @@ class IcebergFsTable:
         md["last-updated-ms"] = snap["timestamp-ms"]
         md["current-snapshot-id"] = snap_id
         md["snapshots"] = md.get("snapshots", []) + [snap]
-        md["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+        # advance main WITHOUT clobbering other refs — tags/branches a
+        # user created must survive subsequent commits
+        refs = dict(md.get("refs") or {})
+        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        md["refs"] = refs
         md["snapshot-log"] = md.get("snapshot-log", []) + [
             {"timestamp-ms": snap["timestamp-ms"], "snapshot-id": snap_id}
         ]
@@ -1315,10 +1319,17 @@ class IcebergFsTable:
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
         range_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         from pyspark.sql import functions as F
 
         md = self.metadata()
+        if ref is not None:
+            # VERSION AS OF '<ref>': a tag/branch name resolves to its
+            # pinned snapshot and rides the normal time-travel path
+            if snapshot_id is not None or as_of_ms is not None:
+                raise ValueError("pass ref OR snapshot_id/as_of_ms")
+            snapshot_id = self._ref_snapshot(md, ref)
         ice = self._schema_for(md, snapshot_id, as_of_ms)
         ddl = spark_ddl_from_iceberg(ice)
         spec_fields = self._spec_fields(md)
@@ -1534,6 +1545,96 @@ class IcebergFsTable:
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))
+
+    # -- refs: tags + branches (spec v2 `refs` map) --------------------------
+    # `main` is maintained by every commit (a branch ref tracking
+    # current-snapshot-id, what the iceberg-spark runtime writes); tags
+    # pin a snapshot for reads (`VERSION AS OF 'name'` in Spark SQL /
+    # Trino `FOR VERSION AS OF`) and PROTECT it from expire_snapshots.
+    # Scope note: reads at any ref are supported; WRITES target main
+    # only — multi-branch write/merge (WAP) stays with the jar, and
+    # set_ref refuses to move `main` by hand for the same reason.
+
+    def refs(self) -> dict:
+        return dict(self.metadata().get("refs") or {})
+
+    def _ref_snapshot(self, md: dict, name: str) -> int:
+        ref = (md.get("refs") or {}).get(name)
+        if ref is None:
+            raise ValueError(
+                f"unknown ref {name!r} (existing: "
+                f"{sorted((md.get('refs') or {}))})"
+            )
+        return ref["snapshot-id"]
+
+    def set_ref(
+        self,
+        name: str,
+        ref_type: str = "tag",
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> dict:
+        """Create a tag or branch ref at ``snapshot_id`` (default: the
+        current snapshot). Refuses to reassign an existing name (drop it
+        first — matching CREATE TAG vs REPLACE TAG being distinct
+        statements) and to touch ``main`` (commit-maintained)."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be tag|branch, got {ref_type!r}")
+        if not name or name == "main":
+            raise ValueError(
+                "ref name must be non-empty and not 'main' (main tracks "
+                "the current snapshot and is maintained by commits)"
+            )
+        md = self.metadata()
+        sid = self._resolve_snapshot(md, snapshot_id=snapshot_id)
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        refs = dict(md.get("refs") or {})
+        if name in refs:
+            raise ValueError(
+                f"ref {name!r} already exists at snapshot "
+                f"{refs[name]['snapshot-id']}; drop_ref() first"
+            )
+        entry: dict = {"snapshot-id": sid, "type": ref_type}
+        if max_ref_age_ms is not None:
+            entry["max-ref-age-ms"] = int(max_ref_age_ms)
+        refs[name] = entry
+        md["refs"] = refs
+        self._commit(md, self._version() + 1)
+        return entry
+
+    def tag(self, name: str, snapshot_id: int | None = None, **kw) -> dict:
+        return self.set_ref(name, "tag", snapshot_id, **kw)
+
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None, **kw
+    ) -> dict:
+        return self.set_ref(name, "branch", snapshot_id, **kw)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del refs[name]
+        md["refs"] = refs
+        self._commit(md, self._version() + 1)
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """`refs` metadata table: one row per ref (name, type,
+        snapshot_id, max_ref_age_ms) — the inspection shape the
+        iceberg-spark runtime's `<table>.refs` exposes."""
+        rows = [
+            (n, r["type"], r["snapshot-id"], r.get("max-ref-age-ms"))
+            for n, r in sorted(self.refs().items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_ref_age_ms long",
+        )
 
     # -- metadata tables ----------------------------------------------------
     # The spec's inspection surface (the `<table>.snapshots / history /
@@ -1892,8 +1993,17 @@ class IcebergFsTable:
         snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        keep = snaps[-keep_last:]
-        expired = snaps[:-keep_last]
+        # ref'd snapshots are PROTECTED (the spec's retention rule:
+        # expiration never removes a snapshot any ref points at — a tag
+        # pins its snapshot until the tag is dropped)
+        ref_ids = {
+            r["snapshot-id"] for r in (md.get("refs") or {}).values()
+        }
+        keep = [
+            s for s in snaps
+            if s in snaps[-keep_last:] or s["snapshot-id"] in ref_ids
+        ]
+        expired = [s for s in snaps if s not in keep]
         if not expired:
             return []
 

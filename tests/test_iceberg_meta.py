@@ -76,3 +76,74 @@ def test_manifests_df_matches_snapshot(spark, tmp_path):
     assert all(m["content"] == 0 for m in mans)
     assert all(m["added_files_count"] >= 1 for m in mans)
     assert all(os.path.exists(m["path"]) for m in mans)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "concat('r', id) AS s")
+
+
+def test_refs_main_tracks_commits_and_tags_survive(spark, tmp_path):
+    """`main` is a branch ref advanced by every commit; user tags must
+    SURVIVE later commits (regression: the commit path used to rewrite
+    the whole refs map)."""
+    import pytest
+
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    s1 = t.metadata()["current-snapshot-id"]
+    assert t.refs()["main"] == {"snapshot-id": s1, "type": "branch"}
+
+    t.tag("v1")  # pins s1
+    t.append(_df(spark, 10, 20))
+    s2 = t.metadata()["current-snapshot-id"]
+    refs = t.refs()
+    assert refs["main"]["snapshot-id"] == s2  # main advanced
+    assert refs["v1"] == {"snapshot-id": s1, "type": "tag"}  # tag survived
+
+    # read at the tag = the rows as of s1; read plain = current
+    assert t.read(spark, ref="v1").count() == 10
+    assert t.read(spark).count() == 20
+    # branch ref + refs_df inspection shape
+    t.create_branch("audit", snapshot_id=s1)
+    rows = {r["name"]: r for r in t.refs_df(spark).collect()}
+    assert rows["v1"]["type"] == "tag"
+    assert rows["audit"]["type"] == "branch"
+    assert rows["main"]["snapshot_id"] == s2
+
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("v1")
+    with pytest.raises(ValueError, match="main"):
+        t.tag("main")
+    with pytest.raises(ValueError, match="main"):
+        t.drop_ref("main")
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.read(spark, ref="nope")
+    with pytest.raises(ValueError, match="ref OR"):
+        t.read(spark, ref="v1", snapshot_id=s1)
+
+
+def test_expire_snapshots_protects_refs(spark, tmp_path):
+    """A tagged snapshot (and its files) survives expire_snapshots until
+    the tag is dropped — the spec's retention rule."""
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.tag("keepme", snapshot_id=s1)
+    t.append(_df(spark, 5, 10))
+    t.append(_df(spark, 10, 15))
+
+    deleted = t.expire_snapshots(keep_last=1)
+    ids = {s["snapshot-id"] for s in t.snapshots()}
+    assert s1 in ids  # protected by the tag
+    assert len(ids) == 2  # newest + tagged; the middle one expired
+    # the tagged snapshot still READS intact (its files survived)
+    assert t.read(spark, ref="keepme").count() == 5
+    assert t.read(spark).count() == 15
+
+    t.drop_ref("keepme")
+    deleted2 = t.expire_snapshots(keep_last=1)
+    ids2 = {s["snapshot-id"] for s in t.snapshots()}
+    assert s1 not in ids2 and len(ids2) == 1
+    assert deleted2  # the formerly-pinned files are now GC'd
+    assert t.read(spark).count() == 15  # current unaffected
