@@ -360,6 +360,13 @@ class KafkaSinkConfig(SinkConfig):
                     return None
                 return v.encode("utf-8") if isinstance(v, str) else bytes(v)
 
+            import time as _time
+
+            # CreateTime parity with the Java producer: records without
+            # an explicit timestamp column are stamped at send time —
+            # epoch-0 timestamps would break every downstream
+            # event-time consumer (watermarks treat them as expired)
+            now_ms = int(_time.time() * 1000)
             recs = []
             for row in rows:
                 d = row.asDict()
@@ -367,11 +374,19 @@ class KafkaSinkConfig(SinkConfig):
                     (h["key"], as_bytes(h["value"]))
                     for h in (d.get("headers") or [])
                 ]
+                ts = d.get("timestamp")
+                if ts is None:
+                    ts_ms = now_ms
+                elif hasattr(ts, "timestamp"):  # datetime column
+                    ts_ms = int(ts.timestamp() * 1000)
+                else:
+                    ts_ms = int(ts)
                 recs.append(
                     _R(
                         value=as_bytes(d.get("value")),
                         key=as_bytes(d.get("key")),
                         headers=headers,
+                        timestamp_ms=ts_ms,
                     )
                 )
             if not recs:

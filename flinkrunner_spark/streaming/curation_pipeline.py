@@ -91,16 +91,34 @@ def badwords_keep_col(text: str = "text") -> Column:
     )
 
 
-def curate_stream(parsed: DataFrame) -> DataFrame:
+def curate_stream(
+    parsed: DataFrame,
+    dedup_within: str | None = None,
+    ts_col: str = "timestamp",
+) -> DataFrame:
     """screens → stateful exact-dedup → PII redact, over a (streaming or
     batch) frame with at least (text, lang, n_chars) columns. Returns
-    (lang, h, n_chars, redacted)."""
+    (lang, h, n_chars, redacted).
+
+    ``dedup_within`` (e.g. "24 hours") is the BOUNDED-STATE mode for a
+    long-running deployment: watermark on ``ts_col`` (the kafka record
+    timestamp) + ``dropDuplicatesWithinWatermark`` — dedup state is
+    evicted past the horizon instead of growing O(distinct keys)
+    forever. Within the horizon the semantics equal exact dedup; a
+    duplicate arriving later than the horizon re-admits (the documented
+    trade every watermarked dedup makes). Streaming-only; the default
+    (None) keeps exact unbounded-state dedup — the driver-oracled
+    contract."""
     from flinkrunner_spark.llm.curation import pii_redact
 
     kept = parsed.filter(gopher_keep_col() & badwords_keep_col())
-    deduped = kept.withColumn("h", F.md5("text")).dropDuplicates(
-        ["lang", "h"]
-    )
+    hashed = kept.withColumn("h", F.md5("text"))
+    if dedup_within is not None:
+        deduped = hashed.withWatermark(
+            ts_col, dedup_within
+        ).dropDuplicatesWithinWatermark(["lang", "h"])
+    else:
+        deduped = hashed.dropDuplicates(["lang", "h"])
     return pii_redact(deduped).select("lang", "h", "n_chars", "redacted")
 
 
@@ -162,14 +180,18 @@ def start_curation_to_iceberg(
     value_schema: str = (
         "doc_id long, text string, lang string, n_chars int"
     ),
+    dedup_within: str | None = None,
 ):
     """Wire the full pipeline over a kafka-native stream frame and start
     it. Returns the StreamingQuery; the caller owns its lifecycle
-    (processAllAvailable / stop / restart-on-same-checkpoint)."""
+    (processAllAvailable / stop / restart-on-same-checkpoint).
+    ``dedup_within`` opts into watermark-bounded dedup state (see
+    ``curate_stream``) using the kafka record timestamp."""
     parsed = stream.select(
-        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
-    ).select("r.*")
-    curated = curate_stream(parsed)
+        "timestamp",
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r"),
+    ).select("timestamp", "r.*")
+    curated = curate_stream(parsed, dedup_within=dedup_within)
     return (
         curated.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

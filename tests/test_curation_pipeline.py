@@ -175,3 +175,55 @@ def test_kill_and_resume_mid_stream(spark, tmp_path):
     }
     assert got == want  # exact set: nothing lost, nothing duplicated
     assert partial <= len(want)  # the kill point never overshot
+
+
+def test_bounded_state_dedup_matches_exact_within_horizon(spark, tmp_path):
+    """dedup_within (watermark + dropDuplicatesWithinWatermark) is the
+    bounded-state deployment mode: when every record arrives inside the
+    horizon — the loopback produce happens in seconds — its output
+    equals the exact-dedup composition, while the state store now
+    evicts keys past the watermark instead of growing forever."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    # inject real duplicates so the dedup has work to do
+    docs = docs.union(docs.limit(50))
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "bnd", "key.column": "doc_id"},
+        ).write(docs)
+        stream = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "bnd", "streaming": True},
+        ).load(spark)
+        q = start_curation_to_iceberg(
+            stream, table, ckpt, dedup_within="1 hour"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    got = {
+        (r["lang"], r["h"])
+        for r in IcebergFsTable(table).read(spark).collect()
+    }
+    want = {
+        (r["lang"], r["h"])
+        for r in curate_stream(
+            docs.select("text", "lang", "n_chars")
+        ).select("lang", "h").collect()
+    }
+    assert got == want
