@@ -421,7 +421,29 @@ class IcebergFsTable:
             "metadata-log": [],
         }
 
-    def create(self, spark_schema, partition_by: list | None = None) -> None:
+    @staticmethod
+    def _parse_sort_entry(entry) -> tuple[str, str]:
+        """One ``sort_by`` entry -> (column, direction). Accepts "col",
+        "col desc", ("col", "desc")."""
+        if isinstance(entry, (tuple, list)):
+            col, direction = entry[0], (entry[1] if len(entry) > 1 else "asc")
+        else:
+            parts = str(entry).split()
+            col = parts[0]
+            direction = parts[1] if len(parts) > 1 else "asc"
+        direction = direction.lower()
+        if direction not in ("asc", "desc"):
+            raise ValueError(
+                f"sort direction must be asc|desc, got {direction!r}"
+            )
+        return col, direction
+
+    def create(
+        self,
+        spark_schema,
+        partition_by: list | None = None,
+        sort_by: list | None = None,
+    ) -> None:
         """Create the table; ``partition_by`` entries become the
         partition spec. Each entry is a bare column name (identity), the
         compact call form ``"day(ts)"`` / ``"bucket[8](user_id)"`` /
@@ -484,10 +506,75 @@ class IcebergFsTable:
                 )
             md["partition-specs"] = [{"spec-id": 0, "fields": fields}]
             md["last-partition-id"] = 999 + len(fields)
+        if sort_by:
+            # spec sort order (WRITE clustering, not a read contract):
+            # every write sorts rows within each task/partition by these
+            # columns, so per-file column bounds are tight and
+            # range_filter scan planning skips whole files — the
+            # spec's write.sort-order, what `ALTER TABLE ... WRITE
+            # ORDERED BY` sets up on the jar.
+            by_name = {f["name"]: f for f in md["schemas"][0]["fields"]}
+            sfields = []
+            for entry in sort_by:
+                col, direction = self._parse_sort_entry(entry)
+                if col not in by_name:
+                    raise ValueError(f"unknown sort column {col!r}")
+                sfields.append(
+                    {
+                        "transform": "identity",
+                        "source-id": by_name[col]["id"],
+                        "direction": direction,
+                        # Iceberg defaults: asc→nulls-first, desc→nulls-last
+                        "null-order": (
+                            "nulls-first" if direction == "asc"
+                            else "nulls-last"
+                        ),
+                    }
+                )
+            md["sort-orders"] = [
+                {"order-id": 0, "fields": []},
+                {"order-id": 1, "fields": sfields},
+            ]
+            md["default-sort-order-id"] = 1
         os.makedirs(self.data_dir, exist_ok=True)
         self._commit(md, 1)
 
     # -- write path ---------------------------------------------------------
+
+    def _sort_columns(self, md: dict, available: set) -> list:
+        """Spark sort Columns for the table's default sort order; []
+        when unsorted or when a sort source column is absent from the
+        frame (equality-delete key frames)."""
+        from pyspark.sql import functions as F
+
+        oid = md.get("default-sort-order-id", 0)
+        order = next(
+            (o for o in md.get("sort-orders", []) if o["order-id"] == oid),
+            None,
+        )
+        if not order or not order["fields"]:
+            return []
+        by_id = {f["id"]: f["name"] for f in current_schema(md)["fields"]}
+        cols = []
+        for sf in order["fields"]:
+            name = by_id.get(sf["source-id"])
+            if name is None or name not in available:
+                return []
+            c = F.col(name)
+            if sf["direction"] == "desc":
+                c = (
+                    c.desc_nulls_last()
+                    if sf.get("null-order") == "nulls-last"
+                    else c.desc_nulls_first()
+                )
+            else:
+                c = (
+                    c.asc_nulls_last()
+                    if sf.get("null-order") == "nulls-last"
+                    else c.asc_nulls_first()
+                )
+            cols.append(c)
+        return cols
 
     def _spec_fields(self, md: dict) -> list:
         from flinkrunner_spark import iceberg_transforms as T
@@ -610,6 +697,13 @@ class IcebergFsTable:
                 write_df = write_df.withColumn(
                     pf["name"], T.spark_column(pt, src_type)
                 )
+        # default sort order: sort rows inside each task (and, for
+        # partitioned specs, inside each partition's task after the
+        # cluster exchange) so every data file carries TIGHT column
+        # bounds — what makes range_filter planning skip whole files.
+        # Delete frames carry key columns only; sort applies only when
+        # every sort column is present.
+        sort_cols = self._sort_columns(md, set(write_df.columns))
         tmp = os.path.join(self.location, f"_tmp-write-{uuid.uuid4().hex}")
         if spec_fields:
             # Cluster rows by partition value before the partitioned
@@ -626,9 +720,25 @@ class IcebergFsTable:
             # skewed; iceberg specs normally include a bucket or time
             # transform precisely so partitions stay bounded.
             names = [f["name"] for f in spec_fields]
-            writer = write_df.repartition(*names).write.mode("overwrite")
+            clustered = write_df.repartition(*names)
+            if sort_cols:
+                from pyspark.sql import functions as F
+
+                clustered = clustered.sortWithinPartitions(
+                    *[F.col(n) for n in names], *sort_cols
+                )
+            writer = clustered.write.mode("overwrite")
             writer = writer.partitionBy(*names)
         else:
+            if sort_cols:
+                # range distribution + in-task sort (the spec's
+                # write.distribution-mode=range for sorted tables):
+                # files get DISJOINT key ranges, not merely
+                # sorted-but-overlapping ones — that disjointness is
+                # what lets range_filter planning drop whole files
+                write_df = write_df.repartitionByRange(
+                    *sort_cols
+                ).sortWithinPartitions(*sort_cols)
             writer = write_df.write.mode("overwrite")
         writer.parquet(tmp)
 
@@ -759,11 +869,12 @@ class IcebergFsTable:
         equality_ids: list[int] | None = None,
         pos_delete_files: list[dict] | None = None,
         extra_properties: dict | None = None,
+        sort_by: list | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
                 raise ValueError("cannot commit deletes to a missing table")
-            self.create(df.schema, partition_by=partition_by)
+            self.create(df.schema, partition_by=partition_by, sort_by=sort_by)
         md = self.metadata()
         spec_fields = self._spec_fields(md)
         seq = md["last-sequence-number"] + 1
@@ -878,10 +989,14 @@ class IcebergFsTable:
         df: DataFrame,
         partition_by: list | None = None,
         extra_properties: dict | None = None,
+        sort_by: list | None = None,
     ) -> None:
+        """``sort_by`` (e.g. ["ts", "id desc"]) takes effect at table
+        CREATION and becomes the default write sort order every later
+        write applies."""
         self._write_snapshot(
             df, "append", partition_by=partition_by,
-            extra_properties=extra_properties,
+            extra_properties=extra_properties, sort_by=sort_by,
         )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:

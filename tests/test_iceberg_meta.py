@@ -147,3 +147,67 @@ def test_expire_snapshots_protects_refs(spark, tmp_path):
     assert s1 not in ids2 and len(ids2) == 1
     assert deleted2  # the formerly-pinned files are now GC'd
     assert t.read(spark).count() == 15  # current unaffected
+
+
+def test_sort_order_tightens_bounds_and_prunes_files(spark, tmp_path):
+    """A table created with sort_by range-distributes and sorts rows at
+    write, so data files carry DISJOINT key ranges — a range_filter
+    then plans a strict subset of files, where the same filter on an
+    unsorted copy of the same rows must read everything (every file's
+    bounds span the whole key range). Also pins the spec metadata shape
+    (`sort-orders` + `default-sort-order-id`) and that later appends
+    inherit the order."""
+    # shuffled keys across many input partitions → without sorting,
+    # every output file spans ~the full id range
+    df = (
+        spark.range(0, 4000)
+        .selectExpr("cast(hash(id) % 100000 as long) AS noise", "id")
+        .orderBy("noise")
+        .repartition(8)
+        .selectExpr("id", "concat('r', id) AS s")
+    )
+    sorted_t = IcebergFsTable(str(tmp_path / "sorted"))
+    sorted_t.append(df, sort_by=["id"])
+    sorted_t.append(df.selectExpr("id + 4000 AS id", "s"))  # inherits order
+
+    plain_t = IcebergFsTable(str(tmp_path / "plain"))
+    plain_t.append(df)
+    plain_t.append(df.selectExpr("id + 4000 AS id", "s"))
+
+    md = sorted_t.metadata()
+    assert md["default-sort-order-id"] == 1
+    [order] = [o for o in md["sort-orders"] if o["order-id"] == 1]
+    assert order["fields"][0]["direction"] == "asc"
+
+    flt = {"id": (100, 200)}
+    n_sorted_all = len(sorted_t.data_files())
+    n_sorted = len(sorted_t.data_files(range_filter=flt))
+    n_plain_all = len(plain_t.data_files())
+    n_plain = len(plain_t.data_files(range_filter=flt))
+    # the second append (ids 4000+) is wholly out of range, so both
+    # tables drop that half on bounds alone; within the overlapping
+    # half the unsorted files ALL span the filter (shuffled ids) while
+    # the sorted files carry disjoint ranges and mostly skip
+    assert n_plain == n_plain_all // 2  # unsorted half: nothing skipped
+    assert n_sorted < n_plain  # sorted: whole in-range files skipped
+    assert n_sorted <= max(2, n_plain // 3)
+
+    # correctness unchanged: the pruned scan returns the exact rows
+    got = sorted(
+        r["id"]
+        for r in sorted_t.read(spark, range_filter=flt)
+        .filter("id BETWEEN 100 AND 200")
+        .collect()
+    )
+    assert got == list(range(100, 201))
+    # desc + tuple forms parse; unknown column refuses
+    import pytest
+
+    t3 = IcebergFsTable(str(tmp_path / "t3"))
+    t3.append(df, sort_by=[("id", "desc")])
+    assert (
+        t3.metadata()["sort-orders"][1]["fields"][0]["null-order"]
+        == "nulls-last"
+    )
+    with pytest.raises(ValueError, match="unknown sort column"):
+        IcebergFsTable(str(tmp_path / "t4")).append(df, sort_by=["nope"])
