@@ -68,6 +68,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are byte-identical to their verified state (r7 additions live in
     # new modules: iceberg_transforms.py,
     # streaming/curation_pipeline.py, sf1_fixture.py).
+    # Fourth-wave r7 changes (review fixes: h2 flow control/drains, EFO
+    # resubscribe, scoped batch stamps, LATEST skew allowance; features:
+    # kafka gzip codec + CreateTime stamping, iceberg refs + sort
+    # orders, bounded-state dedup) touch ONLY
+    # util/{h2,kafka}.py, sources/{factory,kinesis_datasource}.py,
+    # sinks/factory.py, streaming/curation_pipeline.py, iceberg.py and
+    # testing.py — every key those files serve is already inside this
+    # cap (the connector families at 0-28 and the stream_* mirrors);
+    # no past-cap key's implementation changed.
     return {
         # —— NEW this round (r7, second wave): chunking + bigram-LM
         # scoring + quantized ANN (llm/chunking.py, llm/lm.py,
