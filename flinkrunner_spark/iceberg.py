@@ -740,6 +740,17 @@ class IcebergFsTable:
                     *sort_cols
                 ).sortWithinPartitions(*sort_cols)
             writer = write_df.write.mode("overwrite")
+        mrpf = int(
+            md.get("properties", {}).get("write.max-records-per-file", 0)
+            or 0
+        )
+        if mrpf > 0:
+            # rows-based analog of write.target-file-size-bytes: caps
+            # file size when one task holds a giant partition (the
+            # skew case the clustering comment above defers upstream) —
+            # set once via append(extra_properties=...), applies to
+            # every later write
+            writer = writer.option("maxRecordsPerFile", mrpf)
         writer.parquet(tmp)
 
         base_dir = (

@@ -211,3 +211,23 @@ def test_sort_order_tightens_bounds_and_prunes_files(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown sort column"):
         IcebergFsTable(str(tmp_path / "t4")).append(df, sort_by=["nope"])
+
+
+def test_max_records_per_file_property_bounds_files(spark, tmp_path):
+    """write.max-records-per-file (set once as a table property) caps
+    rows per data file on every LATER write — the giant-partition skew
+    mitigation, without touching the writer's code path."""
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(
+        _df(spark, 0, 10).coalesce(1),
+        extra_properties={"write.max-records-per-file": 500},
+    )
+    first_files = len(t.data_files())
+    t.append(_df(spark, 10, 2010).coalesce(1))  # 2000 rows, ONE task
+    import pyarrow.parquet as pq
+
+    new_files = [p for p in t.data_files()][first_files:]
+    rows_per_file = [pq.read_metadata(p).num_rows for p in t.data_files()]
+    assert len(t.data_files()) - first_files >= 4  # 2000/500
+    assert all(n <= 500 for n in rows_per_file[first_files:] or [0])
+    assert t.read(spark).count() == 2010
