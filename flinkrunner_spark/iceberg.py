@@ -1004,7 +1004,31 @@ class IcebergFsTable:
     ) -> None:
         """``sort_by`` (e.g. ["ts", "id desc"]) takes effect at table
         CREATION and becomes the default write sort order every later
-        write applies."""
+        write applies. Passing it against an EXISTING table whose order
+        differs raises — silently ignoring it would hand back unsorted
+        files and no file-skipping, the exact benefit asked for."""
+        if sort_by and self.exists():
+            md = self.metadata()
+            by_name = {f["name"]: f for f in current_schema(md)["fields"]}
+            want = [
+                (by_name.get(c, {}).get("id"), d)
+                for c, d in map(self._parse_sort_entry, sort_by)
+            ]
+            oid = md.get("default-sort-order-id", 0)
+            order = next(
+                (o for o in md.get("sort-orders", [])
+                 if o["order-id"] == oid),
+                {"fields": []},
+            )
+            have = [
+                (sf["source-id"], sf["direction"]) for sf in order["fields"]
+            ]
+            if want != have:
+                raise ValueError(
+                    f"table already exists with sort order {have} — "
+                    f"sort_by {sort_by!r} would be silently ignored; "
+                    "sort orders are set at creation"
+                )
         self._write_snapshot(
             df, "append", partition_by=partition_by,
             extra_properties=extra_properties, sort_by=sort_by,

@@ -307,7 +307,17 @@ class KafkaSinkConfig(SinkConfig):
                     ]
                 ),
             )
-        keep = [c for c in ("key", "value", "headers") if c in out.columns]
+        # On the NATIVE transport a `timestamp` column rides through
+        # (rows round-tripped from a kafka source preserve their
+        # CreateTime); records without it are stamped at send time
+        # (Java-producer behavior) — see write_native's record
+        # construction. The jar sink accepts only
+        # key/value/headers/topic/partition columns, so the column is
+        # dropped on that path as before.
+        cols = ("key", "value", "headers")
+        if self.conf.get("transport") == "native":
+            cols += ("timestamp",)
+        keep = [c for c in cols if c in out.columns]
         return out.select(*keep)
 
     def _bootstrap(self) -> tuple[str, int]:

@@ -671,8 +671,13 @@ class KinesisSourceConfig(SourceConfig):
                     "ContinuationSequenceNumber to resume from"
                 )
             prev = starting
+            # AT (not AFTER) the continuation: AWS's
+            # ContinuationSequenceNumber is the NEXT position to read —
+            # the checkpoint shape KCL's FanOutRecordsPublisher and the
+            # Flink fan-out subscriber resume AT; AFTER would skip one
+            # record per subscription cut.
             starting = {
-                "Type": "AFTER_SEQUENCE_NUMBER",
+                "Type": "AT_SEQUENCE_NUMBER",
                 "SequenceNumber": cont,
             }
             if starting == prev:

@@ -138,7 +138,15 @@ class IcebergForeachBatchSink:
     the batch-id sequence — the checkpoint location is the natural key
     (the iceberg-spark runtime scopes its equivalent stamp by query id
     for the same reason); ``start_curation_to_iceberg`` derives it from
-    the checkpoint path automatically."""
+    the checkpoint path automatically.
+
+    Upgrade note: tables stamped by the pre-scoping sink carry the
+    UNSCOPED key, which this sink deliberately does not read — honoring
+    it would reintroduce the silent-drop bug for any new query on the
+    table (a fresh checkpoint's batch 0..N would match the old stamp).
+    The cost is bounded and on the safe side: only a query that crashed
+    with a pending replay EXACTLY at the upgrade boundary appends that
+    one batch twice (at-least-once for one batch, never data loss)."""
 
     PROP = "streaming.last-batch-id"
 

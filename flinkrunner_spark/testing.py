@@ -1706,8 +1706,15 @@ class LoopbackKinesisEfo:
                         }
                         for seq, pk, data, ts in chunk
                     ],
+                    # AWS semantics: the NEXT position to read (advances
+                    # past delivered records; at the tip it's one past
+                    # the last sequence), resumed AT_SEQUENCE_NUMBER —
+                    # an AFTER-style "last delivered" value here would
+                    # mask a client that skips one record per cut
                     "ContinuationSequenceNumber": (
-                        chunk[-1][0] if chunk else (log[-1][0] if log else "0")
+                        log[pos][0]
+                        if pos < len(log)
+                        else str(int(log[-1][0]) + 1) if log else "0"
                     ),
                     "MillisBehindLatest": 0 if pos >= len(log) else 1000,
                 }

@@ -231,3 +231,22 @@ def test_max_records_per_file_property_bounds_files(spark, tmp_path):
     assert len(t.data_files()) - first_files >= 4  # 2000/500
     assert all(n <= 500 for n in rows_per_file[first_files:] or [0])
     assert t.read(spark).count() == 2010
+
+
+def test_sort_by_on_existing_table_refused_on_mismatch(spark, tmp_path):
+    import pytest
+
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10), sort_by=["id"])
+    # matching order re-stated: fine
+    t.append(_df(spark, 10, 20), sort_by=["id"])
+    # different order: loud refusal, not a silent no-op
+    with pytest.raises(ValueError, match="sort order"):
+        t.append(_df(spark, 20, 30), sort_by=["id desc"])
+    with pytest.raises(ValueError, match="sort order"):
+        t.append(_df(spark, 20, 30), sort_by=["s"])
+    # unsorted table + sort_by: also refused (orders are set at creation)
+    t2 = IcebergFsTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="sort order"):
+        t2.append(_df(spark, 10, 20), sort_by=["id"])

@@ -844,3 +844,37 @@ def test_kafka_sink_native_gzip_e2e(spark):
                  "bootstrap.servers": f"localhost:{b.port}",
                  "topic": "gz", "compression.type": "lz4"},
             ).write(df)
+
+
+def test_explicit_timestamp_column_preserved_native(spark):
+    """A `timestamp` column on the frame rides through prepare_records
+    (native transport) and lands as the record's CreateTime — rows
+    round-tripped from a kafka source keep their event time instead of
+    being re-stamped at send."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    df = spark.range(0, 10).selectExpr(
+        "CAST(id AS STRING) AS key",
+        "concat('m', id) AS value",
+        "timestamp_millis(1700000000000 + id * 1000) AS timestamp",
+    )
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}",
+             "topic": "ts", "key.column": "key"},
+        ).write(df)
+        rows = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "ts"},
+        ).load(spark).collect()
+        got = {
+            bytes(r.value).decode(): int(r.timestamp.timestamp() * 1000)
+            for r in rows
+        }
+        assert got == {
+            f"m{i}": 1700000000000 + i * 1000 for i in range(10)
+        }
