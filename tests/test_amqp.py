@@ -360,3 +360,44 @@ def test_rabbitmq_streaming_source(spark):
                     int(m.properties["correlation_id"]) in set(ids)
                     for m in redelivered
                 )
+
+
+def test_field_table_property_roundtrip_random():
+    """Property: any nested field table built from the encoder's value
+    domain (str / bool / int32 / int64 / nested table, shortstr keys)
+    roundtrips exactly through encode → parse, and parsing consumes
+    exactly the encoded bytes even when followed by trailing data —
+    the same random-structure discipline the h2/eventstream codecs get."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flinkrunner_spark.util.amqp import field_table, parse_field_table
+
+    keys = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=30,
+    )
+    scalars = st.one_of(
+        st.booleans(),  # before ints: bool is an int subclass in Python
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.integers(min_value=2**31, max_value=2**63 - 1),
+        st.integers(min_value=-(2**63), max_value=-(2**31) - 1),
+        st.text(max_size=50),
+    )
+    tables = st.recursive(
+        st.dictionaries(keys, scalars, max_size=6),
+        lambda inner: st.dictionaries(
+            keys, st.one_of(scalars, inner), max_size=4
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(d=tables)
+    def run(d):
+        blob = field_table(d)
+        got, end = parse_field_table(blob + b"\xde\xad\xbe\xef")
+        assert end == len(blob)  # exact consumption, trailing untouched
+        assert got == d
+    run()
