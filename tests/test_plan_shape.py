@@ -248,3 +248,59 @@ def test_new_ops_scans_prune_columns(spark, mod_fn, banned):
     assert lines
     for col in banned:
         assert all(col not in line for line in lines), (col, lines)
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators: the scale claims, asserted on the plan
+# ---------------------------------------------------------------------------
+
+
+def test_docs_chunk_is_zero_exchange_projection(spark):
+    """Chunking is tokenize → sequence → explode → slice → md5, all one
+    JVM projection; any Exchange would mean document text started
+    shuffling."""
+    from flinkrunner_spark.llm import chunking
+
+    plan = _plan(spark, chunking.docs_chunk)
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_docs_chunk_dedup_single_hash_exchange(spark):
+    """Chunk dedup moves only (hash, doc_id, chunk_idx) triples through
+    ONE hash exchange with map-side combine — chunk text never
+    materializes."""
+    from flinkrunner_spark.llm import chunking
+
+    plan = _plan(spark, chunking.docs_chunk_dedup)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan, plan  # map-side combine before the shuffle
+
+
+def test_emb_knn_sq8_stats_are_one_aggregate_no_vector_shuffle(spark):
+    """SQ8's quantization grid is one map-side-combined min/max
+    aggregate; vectors stay put. The only exchanges are the stats
+    single-partition gather and the global top-k (TakeOrdered plans no
+    sort materialization)."""
+    from flinkrunner_spark.llm import pq
+
+    plan = _plan(spark, pq.emb_knn_sq8)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 1, plan  # stats + query row
+    # no hash-partitioned repartition of the embeddings themselves
+    assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_docs_dsir_text_never_shuffles(spark):
+    """DSIR's exchanges move hashed-bucket instances and per-doc sums —
+    never the document text; the model rides a broadcast and the sample
+    is a TakeOrdered top-k."""
+    from flinkrunner_spark.llm import dsir
+
+    plan = _plan(spark, dsir.docs_dsir_sample)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 1, plan  # 1024-row LLR table
+    # the text column appears in scans/projections only, not in any
+    # exchange partitioning expression
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
