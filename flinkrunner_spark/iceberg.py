@@ -431,7 +431,9 @@ class IcebergFsTable:
             parts = str(entry).split()
             col = parts[0]
             direction = parts[1] if len(parts) > 1 else "asc"
-        direction = direction.lower()
+        # str() so a malformed entry like ("col", None) reaches the
+        # intended ValueError below instead of AttributeError on .lower()
+        direction = str(direction).lower()
         if direction not in ("asc", "desc"):
             raise ValueError(
                 f"sort direction must be asc|desc, got {direction!r}"

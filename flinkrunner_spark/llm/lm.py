@@ -58,15 +58,25 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = base.select("doc_id", F.explode(pair).alias("p")).select(
         "doc_id", "p.w1", "p.bigram"
     )
-    c2 = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Pre-aggregate per-document bigram MULTIPLICITY before the model
+    # joins: the stream probing the count tables shrinks by the per-doc
+    # repetition factor (real money on repetitive web text) at zero
+    # semantic cost — cnt weights the average exactly as the
+    # per-position rows did, and the count tables sum the same totals.
+    dpairs = pairs.groupBy("doc_id", "w1", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c2 = dpairs.groupBy("bigram").agg(F.sum("cnt").alias("c2"))
+    c1 = dpairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     nll = -F.log(F.col("c2") / F.col("c1"))
     return (
-        pairs.join(c2, "bigram")
+        dpairs.join(c2, "bigram")
         .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(nll), 6).alias("xent_nats"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * nll) / F.sum("cnt"), 6).alias(
+                "xent_nats"
+            ),
         )
     )

@@ -657,10 +657,17 @@ class KinesisSourceConfig(SourceConfig):
         from the last ContinuationSequenceNumber until the tip event
         arrives — never silently returning a partial shard — and raises
         if a subscription round makes no progress. Runs on executors,
-        one socket per shard."""
+        one socket per shard.
+
+        The resubscribe budget is ``efo.max.rounds`` (default 256
+        five-minute windows ≈ 21h — past the default 24h retention's
+        worth of catch-up for most shards; extended-retention streams
+        with deeper backlogs should raise it). Exhausting the budget
+        fails LOUDLY (ConnectionError), never silently truncates."""
         rows: list[tuple] = []
         starting = self._efo_starting()
-        for _round in range(256):  # 256 five-minute windows ≈ retention
+        max_rounds = int(self.conf.get("efo.max.rounds", "256"))
+        for _round in range(max_rounds):
             done, cont = self._subscribe_once(stream, shard_id, starting, rows)
             if done:
                 return rows
@@ -687,7 +694,8 @@ class KinesisSourceConfig(SourceConfig):
                 )
         raise ConnectionError(
             f"EFO drain for {stream}/{shard_id} did not reach the tip "
-            "after 256 subscription rounds"
+            f"after {max_rounds} subscription rounds (efo.max.rounds; "
+            "raise it for extended-retention backlogs)"
         )
 
     def _subscribe_once(

@@ -22,7 +22,13 @@ source on `SimpleDataSourceStreamReader`:
 
 Options (strings): ``stream``, ``region``, ``endpoint``,
 ``accesskey``/``secretkey``/``sessiontoken``, ``startingposition``
-(TRIM_HORIZON | LATEST), ``maxrecordspershard`` per trigger.
+(TRIM_HORIZON | LATEST), ``maxrecordspershard`` per trigger,
+``latest.skew.ms`` (default 5000) — LATEST is pinned as an
+AT_TIMESTAMP boundary backed off by this allowance so a driver clock
+running ahead of the service never skips post-start records; the trade
+is that up to this much PRE-start data can be admitted at query start
+(expect a few duplicate records if producers were active — set "0" for
+a strict boundary when clocks are trusted, as the loopback tests do).
 """
 
 from __future__ import annotations

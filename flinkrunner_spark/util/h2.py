@@ -97,7 +97,13 @@ class H2Connection:
         self._decoder = hpack.Decoder()
         self._encoder = hpack.Encoder()
         self._next_stream = 1
+        # flow-control consumption since the last WINDOW_UPDATE batch:
+        # _consumed is CONNECTION-level (every DATA frame on any stream
+        # id counts — RFC 7540 §6.9: the connection window is shared, so
+        # skipping foreign-stream DATA would leak it shut), while
+        # _stream_consumed tracks only the active request's stream.
         self._consumed = 0
+        self._stream_consumed = 0
         self._lock = threading.Lock()
         self.sock.sendall(PREFACE + pack_frame(SETTINGS, 0, 0, b""))
         self._settings_acked = False
@@ -105,6 +111,30 @@ class H2Connection:
     def _send(self, ftype, flags, stream_id, payload=b""):
         with self._lock:
             self.sock.sendall(pack_frame(ftype, flags, stream_id, payload))
+
+    def _replenish(self, sid: int | None = None) -> None:
+        """Batched WINDOW_UPDATEs for everything consumed so far —
+        connection-level for all DATA seen (any stream id), stream-level
+        for the active stream's share only."""
+        if self._consumed:
+            self._send(
+                WINDOW_UPDATE, 0, 0, struct.pack(">I", self._consumed)
+            )
+            self._consumed = 0
+        if sid is not None and self._stream_consumed:
+            self._send(
+                WINDOW_UPDATE, 0, sid, struct.pack(">I", self._stream_consumed)
+            )
+            self._stream_consumed = 0
+
+    def _foreign_data(self, ftype, payload) -> None:
+        """Account a DATA frame on a stream we are not reading (e.g. a
+        stale stream's tail) against the shared connection window so it
+        cannot silently wedge shut."""
+        if ftype == DATA:
+            self._consumed += len(payload)
+            if self._consumed >= DEFAULT_WINDOW // 2:
+                self._replenish()
 
     def _handle_conn_frame(self, ftype, flags, payload) -> None:
         if ftype == SETTINGS and not flags & ACK:
@@ -119,6 +149,7 @@ class H2Connection:
     def request(self, headers: list[tuple[str, str]], body: bytes = b""):
         sid = self._next_stream
         self._next_stream += 2
+        self._stream_consumed = 0  # new active stream, fresh window share
         block = self._encoder.encode(headers)
         if body:
             self._send(HEADERS, END_HEADERS, sid, block)
@@ -139,6 +170,7 @@ class H2Connection:
                 self._handle_conn_frame(ftype, flags, payload)
                 continue
             if fsid != sid:
+                self._foreign_data(ftype, payload)
                 continue
             if ftype in (HEADERS, CONTINUATION):
                 if ftype == HEADERS and flags & PADDED:
@@ -168,6 +200,7 @@ class H2Connection:
                     conn._handle_conn_frame(ftype, flags, payload)
                     continue
                 if fsid != sid:
+                    conn._foreign_data(ftype, payload)
                     continue
                 if ftype == DATA:
                     # RFC 7540 §6.9.1: the FULL frame payload — pad
@@ -175,6 +208,7 @@ class H2Connection:
                     # the flow-control windows, so account before
                     # stripping, and even for frames that strip empty.
                     conn._consumed += len(payload)
+                    conn._stream_consumed += len(payload)
                     if flags & PADDED:
                         pad = payload[0]
                         payload = payload[1 : len(payload) - pad]
@@ -187,10 +221,7 @@ class H2Connection:
                         # never stalls AND the reverse direction stays
                         # quiet enough that a send-only peer can't
                         # wedge on our update traffic.
-                        inc = struct.pack(">I", conn._consumed)
-                        conn._send(WINDOW_UPDATE, 0, 0, inc)
-                        conn._send(WINDOW_UPDATE, 0, sid, inc)
-                        conn._consumed = 0
+                        conn._replenish(sid)
                     if payload:
                         yield payload
                     if flags & END_STREAM:

@@ -197,6 +197,38 @@ def test_docs_lm_score_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_docs_lm_score_preaggregated_join_stream(spark):
+    """The stream probing the count tables is pre-aggregated to distinct
+    (doc_id, w1, bigram) triples with a multiplicity weight — the join
+    payload shrinks by the per-doc repetition factor instead of carrying
+    one row per position (r7 verdict item 5). The executed plan must
+    show the triple-keyed aggregate, and the corpus must actually have
+    repetition for it to remove (otherwise the pin is vacuous)."""
+    import re
+
+    plan = _plan(spark, lm.docs_lm_score)
+    assert re.search(
+        r"HashAggregate\(keys=\[doc_id#\d+[^\]]*w1#\d+[^\]]*bigram#\d+",
+        plan,
+    ), plan
+    out = lm.docs_lm_score(spark, SF).toPandas()
+    docs = {
+        r["doc_id"]: _tokens(r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    positions = sum(len(t) - 1 for t in docs.values() if len(t) >= 2)
+    triples = len(
+        {
+            (d, t[i], t[i], t[i + 1])
+            for d, t in docs.items()
+            if len(t) >= 2
+            for i in range(len(t) - 1)
+        }
+    )
+    assert int(out["n_bigrams"].sum()) == positions  # weights preserved
+    assert triples < positions  # the pre-agg genuinely shrinks the join
+
+
 def test_emb_knn_sq8_no_shuffle_join(spark):
     """SQ8 search joins only 1-row broadcast sides (grid stats + query);
     the corpus never shuffles — the only exchange is the global top-k."""
