@@ -5,9 +5,14 @@ embedding: array<float>, label).
   vector is a one-row broadcast; the scan is embarrassingly parallel and
   the only data movement is the global top-k (a tiny sort) — the correct
   baseline at any scale.
-* ``emb_dup_pairs`` — near-duplicate pairs by cosine within a blocking key
-  (label): the shuffle key is the block, so cost is Σ block² rather than
-  n².
+* ``emb_dup_pairs`` — near-duplicate pairs via random-hyperplane LSH
+  (the data-independent scale path: banded sign-bit buckets with a hard
+  super-bucket cap, exact cosine verify on candidates only). The
+  label-blocked all-pairs form survives as ``emb_dup_pairs_blocked`` — a
+  SMALL-N VERIFICATION BASELINE behind a hard block-size guard: its pair
+  work is Σ block² with a fixed label cardinality, i.e. quadratic in the
+  corpus (measured 25.4× time at 10× data), so it must never be the
+  default surface.
 * ``emb_knn_ivf`` — IVF-style: coarse centroids (here: per-label
   elementwise means), probe the nearest cell, exact search inside it.
   At scale the probed cell is a partition-pruned read of a
@@ -62,12 +67,67 @@ def emb_knn(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = KNN_K)
     )
 
 
-def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold within label blocks.
+def emb_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding near-dup pairs — the DEFAULT surface routes through
+    random-hyperplane LSH (:func:`emb_dup_pairs_rhlsh`): banded sign-bit
+    buckets (bits sized to the corpus via ``auto_bits``), a count-first
+    super-bucket cap with oracled drop telemetry (``rhlsh_bucket_stats``),
+    and exact cosine verification on candidates only.
+
+    This key previously ran the label-blocked all-pairs join
+    (:func:`emb_dup_pairs_blocked`). That plan is quadratic at scale —
+    label cardinality is fixed, so blocks grow linearly with the corpus
+    and pair work quadratically (measured 25.4× time at 10× data, the
+    worst ratio in the suite) — and it misses cross-label duplicates.
+    The LSH plan's work is Σ bucket² with buckets capped and bucket
+    count tracking n, i.e. ~n·target_bucket; it finds pairs regardless
+    of label. Recall at the synthetic near-orthogonal τ=0.35 is a
+    measured 0.76–0.78 (worst case; ~0.99 at a realistic 0.9 dup
+    threshold) and the output is EXACTLY oracled — sign bits, buckets,
+    cap, candidates and verified cosines reproduce bit-identically in
+    DuckDB."""
+    return emb_dup_pairs_rhlsh(spark, sf_dir, threshold)
+
+
+DUP_BLOCK_GUARD = 4096  # emb_dup_pairs_blocked refuses blocks past this
+
+
+def emb_dup_pairs_blocked(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_block: int = DUP_BLOCK_GUARD,
+) -> DataFrame:
+    """Label-blocked EXACT all-pairs near-dups — the small-N verification
+    baseline (recall 1 by construction), NOT a scale path: pair work is
+    Σ block² and label blocks grow linearly with the corpus, so this is
+    quadratic at scale. A count-first HARD GUARD (one count-only
+    aggregate over the label column — no embedding moves) refuses to
+    build any block larger than ``max_block`` rows, raising with the
+    scale-safe alternatives (``emb_dup_pairs`` = RH-LSH for approximate,
+    ``emb_dup_pairs_blas`` for exact with bounded tiles) instead of
+    silently launching O(block²) tasks.
 
     Norms are computed once per row BEFORE the pair join (O(n) instead of
     O(pairs) norm folds — 3× less per-pair work)."""
     emb = _emb(spark, sf_dir)
+    biggest = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if biggest and biggest > max_block:
+        raise ValueError(
+            f"emb_dup_pairs_blocked: largest label block has {biggest} "
+            f"rows (> max_block={max_block}); the all-pairs baseline is "
+            "quadratic — use emb_dup_pairs (RH-LSH) or "
+            "emb_dup_pairs_blas (bounded tiles) at this scale"
+        )
     normed = emb.select(
         "label",
         "vec_id",
@@ -95,7 +155,7 @@ def emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round(cos, 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -281,7 +341,8 @@ def emb_dup_pairs_rhlsh(
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the
     DATA-INDEPENDENT scale path: no blocking column needed (unlike
-    ``emb_dup_pairs``'s label key, which a skewed or absent label breaks),
+    ``emb_dup_pairs_blocked``'s label key, which a skewed or absent label
+    breaks),
     and it surfaces cross-label duplicates the label-blocked form cannot.
 
     Plan shape (reference parity: the reference has no ANN operator; this
@@ -421,7 +482,8 @@ def emb_dup_pairs_blas(
     threshold: float = COSINE_DUP_THRESHOLD,
     tile_cap: int = TILE_CAP,
 ) -> DataFrame:
-    """Same semantics as ``emb_dup_pairs``, computed with numpy/BLAS gram
+    """Same semantics as ``emb_dup_pairs_blocked`` (exact label-blocked
+    all-pairs), computed with numpy/BLAS gram
     TILES (``applyInPandas``) instead of a per-pair expression fold — the
     100 TB hot path: O(pairs · dim) runs inside vectorized BLAS at memory
     bandwidth, ~two orders of magnitude faster per pair than interpreted
@@ -841,7 +903,7 @@ def emb_semantic_dedup(
     1. assignment — nearest deterministic centroid by cosine (the
        ``docs_cluster_assign`` broadcast argmax fold: zero shuffle);
     2. within-cluster pairs — self-join ON THE CLUSTER KEY with norms
-       precomputed per row (the ``emb_dup_pairs`` shape; cost
+       precomputed per row (the ``emb_dup_pairs_blocked`` shape; cost
        Σ cluster², never n² — at 100 TB the cluster count scales with
        the corpus via the kmeans quantizer, holding cluster size ~
        corpus/k bounded, which is exactly the paper's k ∝ n setting);

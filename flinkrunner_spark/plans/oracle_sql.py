@@ -775,14 +775,11 @@ _BB = (
     " (x, y) -> x + y)"
 )
 
-ORACLES["emb_dup_pairs"] = f"""
-SELECT label, vec_a, vec_b, cosine FROM (
-  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-    {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id) t
-WHERE cosine >= 0.35
-"""
+# emb_dup_pairs routes through the RH-LSH plan (r7 verdict item 1a: the
+# label-blocked all-pairs form measured 25.4× time at 10× data — it
+# survives as the guarded small-N baseline emb_dup_pairs_blocked, not a
+# driver key); its oracle is the exact RH-LSH reproduction, assigned
+# below once _rh_oracle_sql is defined.
 
 # Random-hyperplane LSH near-dup: the ±1 plane matrix is deterministic
 # (md5-derived, shared with the Spark side via rh_planes), so the whole
@@ -865,6 +862,7 @@ FROM sizes
 
 
 ORACLES["emb_dup_pairs_rhlsh"] = _rh_oracle_sql()
+ORACLES["emb_dup_pairs"] = _rh_oracle_sql()  # default surface = RH-LSH
 ORACLES["rhlsh_bucket_stats"] = _rh_stats_oracle_sql()
 
 ORACLES["mm_meta"] = """

@@ -70,18 +70,47 @@ def test_sbf_merge():
 
 def test_emb_dup_pairs_blas_matches_fold(spark):
     """The BLAS gram-matrix path must find the same near-dup pair set as
-    the oracle-exact expression fold."""
-    from flinkrunner_spark.llm.similarity import emb_dup_pairs, emb_dup_pairs_blas
+    the exact expression fold (emb_dup_pairs_blocked, the small-N
+    verification baseline)."""
+    from flinkrunner_spark.llm.similarity import (
+        emb_dup_pairs_blas,
+        emb_dup_pairs_blocked,
+    )
 
     sf = "/root/testdata/sf0.01"
     fold = {
-        (r["vec_a"], r["vec_b"]) for r in emb_dup_pairs(spark, sf).collect()
+        (r["vec_a"], r["vec_b"])
+        for r in emb_dup_pairs_blocked(spark, sf).collect()
     }
     blas = {
         (r["vec_a"], r["vec_b"])
         for r in emb_dup_pairs_blas(spark, sf).collect()
     }
     assert fold == blas and len(fold) > 0
+
+
+def test_emb_dup_pairs_default_is_rhlsh_and_blocked_guard(spark):
+    """r7 verdict item 1a pinned: the default emb_dup_pairs surface IS
+    the RH-LSH plan (same pair set, no label column in the output), and
+    the demoted all-pairs baseline HARD-REFUSES oversized label blocks
+    instead of launching O(block²) work."""
+    import pytest
+
+    from flinkrunner_spark.llm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    similarity.release_caches(sf)
+    default = similarity.emb_dup_pairs(spark, sf)
+    assert set(default.columns) == {"vec_a", "vec_b", "cosine"}
+    got = {(r["vec_a"], r["vec_b"]) for r in default.collect()}
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.emb_dup_pairs_rhlsh(spark, sf).collect()
+    }
+    assert got == lsh and got
+    with pytest.raises(ValueError, match="quadratic"):
+        similarity.emb_dup_pairs_blocked(spark, sf, max_block=10)
+    similarity.release_caches(sf)
 
 
 def test_emb_knn_ivf_kmeans_exact_within_probed_cells(spark):
