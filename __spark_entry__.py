@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_knn_join": similarity.emb_knn_join,
+        "emb_knn_join_label": similarity.emb_knn_join_label,
         "docs_dup_spans": llm_spans.docs_dup_spans,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
         "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,

@@ -1304,10 +1304,20 @@ SELECT vec_id, label, clabel AS assigned_label, cos AS cosine
 FROM r WHERE rn = 1
 """
 
-ORACLES["emb_knn_join"] = f"""
+# emb_knn_join itself is rows-only since r8: it probes a LEARNED
+# corpus-scaled quantizer (iterative Lloyd's — not SQL-expressible; r7
+# verdict item 1b replaced the quadratic label-cell plan). Its full
+# numpy mirror lives in tests/test_algorithms.py; the exactly-oracled
+# companion below runs the deterministic label cells over a CONSTANT
+# md5-ordered query block (the cap is a no-op at the driver's sf0.01 —
+# 20 queries < 256 — so these values match the key's pre-r8 green rows).
+ORACLES["emb_knn_join_label"] = f"""
 WITH q AS (
-  SELECT vec_id AS q_vec_id, embedding AS qv
-  FROM embeddings WHERE vec_id % 25 = 0
+  SELECT q_vec_id, qv FROM (
+    SELECT vec_id AS q_vec_id, embedding AS qv,
+      md5(CAST(vec_id AS VARCHAR) || ':knnq:v1') AS h
+    FROM embeddings WHERE vec_id % 25 = 0
+    ORDER BY h, q_vec_id LIMIT 256) capped
 ),
 cent AS ({_CENT_FOLD}),
 pr AS (

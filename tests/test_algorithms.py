@@ -272,6 +272,97 @@ def test_emb_dup_pairs_rhlsh_recall_and_precision(spark):
     assert recall >= 0.6, recall
 
 
+def test_emb_knn_join_matches_numpy_mirror(spark):
+    """The learned-cell k-NN join (r7 verdict item 1b) must agree with a
+    FULL independent numpy mirror: same hash-ordered bounded training
+    sample, same BLAS Lloyd's sweeps, same first-argmin cell assignment,
+    same per-query probe choice (rounded centroid cosine, cell
+    tiebreak), same candidate set and same top-k ranking."""
+    import hashlib
+
+    import numpy as np
+
+    from flinkrunner_spark.llm import similarity
+    from flinkrunner_spark.llm.pq import _lloyds_blas
+
+    sf = "/root/testdata/sf0.001"
+    similarity.release_caches(sf)
+    rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
+    )
+    sample = E[order[: similarity.KMEANS_SAMPLE_CAP]]
+    k_cells = similarity.ivf_cells(len(ids))
+    C = _lloyds_blas(sample, k_cells)
+    d = (C * C).sum(axis=1)[None, :] - 2.0 * (E @ C.T)
+    cell = d.argmin(axis=1)
+
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    expected = {}
+    for qi in np.flatnonzero(ids % similarity.KNN_JOIN_STRIDE == 0):
+        q = E[qi]
+        ccos = np.round((C @ q) / (cnorm * np.sqrt(q @ q)), 6)
+        probed = set(
+            int(c)
+            for c in np.lexsort((np.arange(k_cells), -ccos))[
+                : similarity.KNN_JOIN_NPROBE
+            ]
+        )
+        mask = np.array(
+            [int(cell[j]) in probed and ids[j] != ids[qi] for j in range(len(ids))]
+        )
+        cids, CE = ids[mask], E[mask]
+        cos = np.round(
+            (CE @ q) / (np.sqrt((CE * CE).sum(axis=1)) * np.sqrt(q @ q)), 6
+        )
+        top = np.lexsort((cids, -cos))[: similarity.KNN_JOIN_K]
+        expected[int(ids[qi])] = [
+            (int(cids[t]), float(cos[t])) for t in top
+        ]
+
+    got = {}
+    for r in similarity.emb_knn_join(spark, sf).collect():
+        got.setdefault(r["q_vec_id"], []).append(
+            (r["rk"], r["vec_id"], r["cosine"])
+        )
+    assert set(got) == set(expected)
+    for q, exp in expected.items():
+        g = sorted(got[q])
+        assert [t[1] for t in g] == [e[0] for e in exp], q
+        assert all(abs(t[2] - e[1]) < 2e-6 for t, e in zip(g, exp)), q
+    # the quantizer is genuinely corpus-scaled, not the fixed label count
+    assert k_cells == 32 and len(set(cell.tolist())) > 10
+    similarity.release_caches(sf)
+
+
+def test_emb_knn_join_label_query_cap_binds(spark):
+    """The exactly-oracled label twin's query block is CONSTANT-SIZE:
+    with a tight cap only that many hash-chosen queries return, and the
+    probe frame (the broadcast side) is bounded by cap·nprobe rows."""
+    from flinkrunner_spark.llm import similarity
+
+    sf = "/root/testdata/sf0.001"
+    out = similarity.emb_knn_join_label(spark, sf, query_cap=3).toPandas()
+    assert out["q_vec_id"].nunique() == 3
+    full = similarity.emb_knn_join_label(spark, sf).toPandas()
+    # cap not binding at this scale -> every stride query present
+    n_queries = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(f"vec_id % {similarity.KNN_JOIN_STRIDE} = 0")
+        .count()
+    )
+    assert full["q_vec_id"].nunique() == n_queries
+    # the capped block is a subset of the full query set
+    assert set(out["q_vec_id"]) <= set(full["q_vec_id"])
+
+
 def test_lsh_super_bucket_cap_drops_degenerate_buckets(spark):
     """A band bucket above MAX_LSH_BUCKET must be dropped BEFORE pair
     expansion (no O(bucket²) blowup from boilerplate collisions), the
