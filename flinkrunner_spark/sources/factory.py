@@ -763,9 +763,24 @@ class KinesisSourceConfig(SourceConfig):
         ]
         raw = _socket.create_connection((u.hostname, port), timeout=60)
         if u.scheme == "https":
-            ctx = _ssl.create_default_context()
+            # efo.ca.file: extra trust anchor for private/VPC endpoints
+            # and TLS-terminating proxies (and the loopback e2e test);
+            # default is the system store, exactly like urllib's path.
+            cafile = self.conf.get("efo.ca.file")
+            ctx = _ssl.create_default_context(cafile=cafile)
             ctx.set_alpn_protocols(["h2"])
             raw = ctx.wrap_socket(raw, server_hostname=u.hostname)
+            # SubscribeToShard is HTTP/2-only: if the endpoint negotiated
+            # anything else (or no ALPN at all — an HTTP/1.1-only proxy),
+            # sending the h2 preface would just hang or garble, so fail
+            # loudly here with the actual negotiation result.
+            negotiated = raw.selected_alpn_protocol()
+            if negotiated != "h2":
+                raw.close()
+                raise ConnectionError(
+                    "SubscribeToShard endpoint did not negotiate ALPN "
+                    f"'h2' (got {negotiated!r}); HTTP/2 is required"
+                )
         conn = h2.H2Connection(raw)
         cont: str | None = None
         try:

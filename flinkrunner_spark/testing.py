@@ -1596,6 +1596,7 @@ class LoopbackKinesisEfo:
         self,
         core: LoopbackKinesis,
         max_events_per_subscription: int | None = None,
+        ssl_context=None,
     ):
         import socket as _socket
 
@@ -1604,6 +1605,14 @@ class LoopbackKinesisEfo:
         # the client's resubscribe-from-ContinuationSequenceNumber path
         # is testable without a clock
         self.max_events = max_events_per_subscription
+        # optional server-side ssl.SSLContext: when set, every accepted
+        # connection is TLS-wrapped before HTTP/2 framing — the shape a
+        # real AWS endpoint has (ALPN-negotiated h2 over TLS), so the
+        # client's wrap_socket + selected_alpn_protocol path is
+        # exercisable without the network. The context decides whether
+        # to offer "h2" via its own set_alpn_protocols call (tests
+        # deliberately omit it to prove the client refuses non-h2).
+        self.ssl_context = ssl_context
         self.core = core
         self.sock = _socket.socket()
         self.sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
@@ -1615,7 +1624,8 @@ class LoopbackKinesisEfo:
 
     @property
     def endpoint(self) -> str:
-        return f"http://localhost:{self.port}/"
+        scheme = "https" if self.ssl_context is not None else "http"
+        return f"{scheme}://localhost:{self.port}/"
 
     def _serve(self) -> None:
         while not self._stop:
@@ -1631,6 +1641,8 @@ class LoopbackKinesisEfo:
         from flinkrunner_spark.util import eventstream, h2
 
         try:
+            if self.ssl_context is not None:
+                sock = self.ssl_context.wrap_socket(sock, server_side=True)
             server = h2.H2ServerConnection(sock)
             sid, headers, body = server.read_request()
             hmap = dict(headers)
