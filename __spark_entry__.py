@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # —— NEW this round (r7) ——
         "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
         "iceberg_transform_pruned": connectors.iceberg_transform_pruned,
+        "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
         "stream_curation_to_iceberg": connectors.stream_curation_to_iceberg,
         # —— r6 ——
         "kafka_roundtrip": connectors.kafka_roundtrip,

@@ -462,52 +462,9 @@ class IcebergFsTable:
         ice, last_col = iceberg_schema_from_spark(spark_schema)
         md = self._base_metadata(ice, last_col)
         if partition_by:
-            by_name = {f["name"]: f for f in ice["fields"]}
-            fields = []
-            for i, entry in enumerate(partition_by):
-                pt = T.parse_spec_entry(entry)
-                if pt.column not in by_name:
-                    raise ValueError(
-                        f"unknown partition column {pt.column!r}"
-                    )
-                src_type = by_name[pt.column]["type"]
-                if pt.transform == "identity":
-                    if src_type not in _PARTITIONABLE:
-                        raise ValueError(
-                            f"identity partitions need "
-                            f"{sorted(_PARTITIONABLE)} columns "
-                            f"({pt.column!r} is {src_type!r}); use a "
-                            "transform (day/bucket/...) for other types"
-                        )
-                else:
-                    T.validate_source(pt, src_type)
-                name = T.field_name(pt)
-                if name in by_name and pt.transform != "identity":
-                    raise ValueError(
-                        f"partition field name {name!r} collides with an "
-                        "existing column"
-                    )
-                if any(f["name"] == name for f in fields):
-                    # e.g. bucket[4](id) + bucket[8](id) both generate
-                    # 'id_bucket': the write path's withColumn would
-                    # silently overwrite one layout with the other —
-                    # fail at create() instead of committing a spec
-                    # that disagrees with the written files
-                    raise ValueError(
-                        f"duplicate partition field name {name!r} "
-                        f"(from {entry!r}); two spec entries may not "
-                        "generate the same field name"
-                    )
-                fields.append(
-                    {
-                        "name": name,
-                        "transform": pt.transform,
-                        "source-id": by_name[pt.column]["id"],
-                        "field-id": 1000 + i,
-                    }
-                )
+            fields, last_pid = self._build_spec_fields(ice, partition_by, md)
             md["partition-specs"] = [{"spec-id": 0, "fields": fields}]
-            md["last-partition-id"] = 999 + len(fields)
+            md["last-partition-id"] = last_pid
         if sort_by:
             # spec sort order (WRITE clustering, not a read contract):
             # every write sorts rows within each task/partition by these
@@ -540,6 +497,120 @@ class IcebergFsTable:
             md["default-sort-order-id"] = 1
         os.makedirs(self.data_dir, exist_ok=True)
         self._commit(md, 1)
+
+    def _build_spec_fields(
+        self, ice: dict, partition_by: list, md: dict
+    ) -> tuple[list, int]:
+        """Validate ``partition_by`` entries against the schema and
+        return (spec fields, new last-partition-id). Field-id policy per
+        the spec's Partition Evolution rules: a field identical to one
+        in ANY existing spec (same source-id + transform + name) REUSES
+        that field-id — the tuple slot means the same thing across specs
+        — while genuinely new fields take fresh ids past
+        ``last-partition-id`` (never recycling an id that ever meant
+        something else)."""
+        from flinkrunner_spark import iceberg_transforms as T
+
+        by_name = {f["name"]: f for f in ice["fields"]}
+        existing = {
+            (f["source-id"], f["transform"], f["name"]): f["field-id"]
+            for s in md.get("partition-specs", [])
+            for f in s["fields"]
+        }
+        next_id = md.get("last-partition-id", 999)
+        fields: list[dict] = []
+        for entry in partition_by:
+            pt = T.parse_spec_entry(entry)
+            if pt.column not in by_name:
+                raise ValueError(f"unknown partition column {pt.column!r}")
+            src_type = by_name[pt.column]["type"]
+            if pt.transform == "identity":
+                if src_type not in _PARTITIONABLE:
+                    raise ValueError(
+                        f"identity partitions need "
+                        f"{sorted(_PARTITIONABLE)} columns "
+                        f"({pt.column!r} is {src_type!r}); use a "
+                        "transform (day/bucket/...) for other types"
+                    )
+            else:
+                T.validate_source(pt, src_type)
+            name = T.field_name(pt)
+            if name in by_name and pt.transform != "identity":
+                raise ValueError(
+                    f"partition field name {name!r} collides with an "
+                    "existing column"
+                )
+            if any(f["name"] == name for f in fields):
+                # e.g. bucket[4](id) + bucket[8](id) both generate
+                # 'id_bucket': the write path's withColumn would
+                # silently overwrite one layout with the other —
+                # fail here instead of committing a spec that
+                # disagrees with the written files
+                raise ValueError(
+                    f"duplicate partition field name {name!r} "
+                    f"(from {entry!r}); two spec entries may not "
+                    "generate the same field name"
+                )
+            key = (by_name[pt.column]["id"], pt.transform, name)
+            fid = existing.get(key)
+            if fid is None:
+                next_id += 1
+                fid = next_id
+            fields.append(
+                {
+                    "name": name,
+                    "transform": pt.transform,
+                    "source-id": by_name[pt.column]["id"],
+                    "field-id": fid,
+                }
+            )
+        return fields, next_id
+
+    def evolve_spec(self, partition_by: list | None) -> int:
+        """PARTITION EVOLUTION (spec §Partition Evolution; the jar's
+        ``ALTER TABLE ... ADD/REPLACE PARTITION FIELD``): append a NEW
+        partition spec and make it the table default. Existing data
+        files are untouched — their manifests keep the old spec-id and
+        tuple layout; only NEW writes lay files out under the new spec,
+        and scan planning evaluates each manifest under ITS OWN spec
+        (split planning per spec, exactly how the reference's Iceberg
+        sink behaves after an evolve on the jar). Metadata-only commit,
+        no snapshot. ``partition_by=None``/``[]`` evolves the table to
+        unpartitioned (new files, old layout preserved for old files).
+        Returns the new spec-id.
+
+        Reference scope note: `sink/IcebergSinkConfig.scala:29-114`
+        declares a static spec per sink; evolution is the table-level
+        operation a long-lived 100 TB table needs when its query
+        pattern shifts (e.g. day(ts) → day(ts)+bucket(id))."""
+        if not self.exists():
+            raise ValueError(f"no iceberg table at {self.location}")
+        md = self.metadata()
+        ice = current_schema(md)
+        fields, last_pid = self._build_spec_fields(
+            ice, partition_by or [], md
+        )
+        cur = next(
+            s
+            for s in md["partition-specs"]
+            if s["spec-id"] == md["default-spec-id"]
+        )
+        if fields == cur["fields"]:
+            raise ValueError(
+                "new spec is identical to the current default — nothing "
+                "to evolve"
+            )
+        new_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
+        md["partition-specs"] = md["partition-specs"] + [
+            {"spec-id": new_id, "fields": fields}
+        ]
+        md["default-spec-id"] = new_id
+        md["last-partition-id"] = max(
+            md.get("last-partition-id", 999), last_pid
+        )
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit(md, self._version() + 1)
+        return new_id
 
     # -- write path ---------------------------------------------------------
 
@@ -578,13 +649,23 @@ class IcebergFsTable:
             cols.append(c)
         return cols
 
-    def _spec_fields(self, md: dict) -> list:
+    def _spec_fields(self, md: dict, spec_id: int | None = None) -> list:
+        """Fields of one partition spec (default: the table default).
+        With partition evolution a table carries several specs; write
+        paths use the default, while scan planning resolves each
+        manifest under the spec-id it recorded."""
         from flinkrunner_spark import iceberg_transforms as T
 
+        want = md["default-spec-id"] if spec_id is None else spec_id
         spec = next(
-            s for s in md["partition-specs"]
-            if s["spec-id"] == md["default-spec-id"]
+            (s for s in md["partition-specs"] if s["spec-id"] == want),
+            None,
         )
+        if spec is None:
+            raise ValueError(
+                f"manifest references unknown partition spec-id {want} "
+                f"(table has {[s['spec-id'] for s in md['partition-specs']]})"
+            )
         for f in spec["fields"]:
             # unknown transform names fail loudly, never a wrong layout
             T.parse_spec_entry(
@@ -826,10 +907,14 @@ class IcebergFsTable:
         snap_id: int,
         seq: int,
         content: int,
+        spec_id: int | None = None,
     ) -> dict:
         """Write ONE manifest avro file for ``files`` and return its
         manifest_file record (the manifest-list row). ``content`` is the
-        manifest-level kind: CONTENT_DATA or CONTENT_DELETES."""
+        manifest-level kind: CONTENT_DATA or CONTENT_DELETES.
+        ``spec_id`` stamps which partition spec shaped these tuples
+        (default: the table default — what new writes use); carried-
+        forward manifests keep their own records untouched."""
         entries = [
             {
                 "status": STATUS_ADDED,
@@ -842,6 +927,7 @@ class IcebergFsTable:
         ]
         mf_path = os.path.join(self.meta_dir, f"{uuid.uuid4().hex}-m0.avro")
         ice_schema = current_schema(md)
+        sid = md["default-spec-id"] if spec_id is None else spec_id
         blob = AC.write_container(
             manifest_entry_schema(spec_fields, ice_schema),
             entries,
@@ -849,7 +935,7 @@ class IcebergFsTable:
                 "schema": json.dumps(ice_schema),
                 "schema-id": str(md["current-schema-id"]),
                 "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": "0",
+                "partition-spec-id": str(sid),
                 "format-version": "2",
                 "content": "data" if content == CONTENT_DATA else "deletes",
             },
@@ -860,7 +946,7 @@ class IcebergFsTable:
         return {
             "manifest_path": mf_path,
             "manifest_length": len(blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": sid,
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1338,6 +1424,17 @@ class IcebergFsTable:
                 "deletes) — use read(), which merges them; the raw "
                 "data-file list would include deleted rows"
             )
+        unpruned = sorted(
+            {k for f in data for k in f.get("_unpruned", [])}
+        )
+        if unpruned:
+            raise ValueError(
+                f"partition_filter key(s) {unpruned} are absent from the "
+                "spec of some live files (partition evolution) — this "
+                "metadata-only listing cannot row-filter them; use "
+                "read(), which applies the residual filter to the "
+                "unprunable files"
+            )
         return data
 
     def _live(
@@ -1355,14 +1452,19 @@ class IcebergFsTable:
         deletes, nothing row-valued at all; range filters on other
         columns can never exclude it)."""
         md = self.metadata()
-        spec_fields = self._spec_fields(md)  # identity-only transforms
         if partition_filter:
-            spec_names = {f["name"] for f in spec_fields}
-            bad = sorted(set(partition_filter) - spec_names)
+            # with partition evolution a filter key may live in any spec;
+            # typo protection checks the union of all specs' field names
+            all_names = {
+                f["name"]
+                for s in md["partition-specs"]
+                for f in s["fields"]
+            }
+            bad = sorted(set(partition_filter) - all_names)
             if bad:
                 raise ValueError(
                     f"partition_filter column(s) {bad} are not partition "
-                    f"columns of this table (spec: {sorted(spec_names)}) "
+                    f"columns of this table (specs: {sorted(all_names)}) "
                     "— a silent empty result would hide the typo; use "
                     "range_filter / a row predicate for data columns"
                 )
@@ -1375,6 +1477,19 @@ class IcebergFsTable:
         for mf in self._manifest_list_records(md, snap):
             with open(mf["manifest_path"], "rb") as fh:
                 _, entries = AC.read_container(fh.read())
+            mf_spec_id = mf.get("partition_spec_id", 0)
+            mf_spec_names = {
+                f["name"] for f in self._spec_fields(md, mf_spec_id)
+            }
+            # a filter key absent from THIS manifest's spec cannot prune
+            # its files (their tuples never recorded it) — those files
+            # stay, flagged so read() row-filters them and the metadata-
+            # only APIs refuse instead of over-returning
+            unpruned = (
+                [k for k in partition_filter if k not in mf_spec_names]
+                if partition_filter
+                else []
+            )
             for e in entries:
                 if e["status"] == STATUS_DELETED:
                     continue
@@ -1384,6 +1499,7 @@ class IcebergFsTable:
                     if e.get("sequence_number") is not None
                     else mf["sequence_number"]
                 )
+                f["_spec_id"] = mf_spec_id
                 if f["file_format"].upper() != "PARQUET":
                     raise ValueError(
                         f"iceberg fallback reads parquet data files only, "
@@ -1403,9 +1519,12 @@ class IcebergFsTable:
                     and any(
                         f["partition"].get(k) != v
                         for k, v in partition_filter.items()
+                        if k in mf_spec_names
                     )
                 ):
                     continue
+                if unpruned and not is_global_delete:
+                    f["_unpruned"] = list(unpruned)
                 if mf["content"] == CONTENT_DATA:
                     if f.get("content", CONTENT_DATA) != CONTENT_DATA:
                         raise ValueError(
@@ -1484,56 +1603,97 @@ class IcebergFsTable:
             snapshot_id = self._ref_snapshot(md, ref)
         ice = self._schema_for(md, snapshot_id, as_of_ms)
         ddl = spark_ddl_from_iceberg(ice)
-        spec_fields = self._spec_fields(md)
         entries, del_entries, pos_del_entries = self._live(
             snapshot_id, as_of_ms, partition_filter, range_filter
         )
+        # partition evolution residue: filter keys absent from some live
+        # files' spec could not prune those files — apply the predicate
+        # row-wise after assembly (identity keys name real data columns;
+        # transform keys have no stored column and must be refused).
+        residual = sorted(
+            {
+                k
+                for f in entries + del_entries + pos_del_entries
+                for k in f.get("_unpruned", [])
+            }
+        )
+        if residual:
+            data_cols = {fl["name"] for fl in ice["fields"]}
+            non_identity = [k for k in residual if k not in data_cols]
+            if non_identity:
+                raise ValueError(
+                    f"partition_filter key(s) {non_identity} are "
+                    "transform fields absent from the spec of some live "
+                    "files (partition evolution) — rows in those files "
+                    "cannot be filtered by the transform value; filter "
+                    "on the source column (range_filter / row predicate)"
+                )
         if not entries:
             return spark.createDataFrame([], ddl)
         if del_entries or pos_del_entries:
-            return self._read_merged(
+            out = self._read_merged(
                 spark, entries, del_entries, pos_del_entries, md, ice
             )
-        id_fields = self._identity_fields(spec_fields)
-        if not id_fields:
-            # unpartitioned, or transform-only partitions: data files
-            # store every source column (transforms are not invertible,
-            # so nothing was replaced) — one straight schema'd scan
-            return spark.read.schema(ddl).parquet(
-                *[f["file_path"] for f in entries]
-            )
-        # identity partitions: files carry non-partition columns;
-        # partition values come back as metadata constants per file group
-        # (the spec sanctions replacing the source column)
-        part_cols = [f["name"] for f in id_fields]
+        else:
+            out = self._assemble_data(spark, entries, md, ice)
+        for k in residual:
+            out = out.filter(F.col(k) == F.lit(partition_filter[k]))
+        return out
+
+    def _identity_types(self, md: dict, ice: dict) -> dict:
+        """Spark type per identity partition field name, across ALL
+        specs of the table (evolution can retire a field from the
+        default spec while old files still reconstruct it)."""
         by_id = {f["id"]: f for f in ice["fields"]}
-        part_types = {
-            pf["name"]: _spark_type_from_iceberg(by_id[pf["source-id"]]["type"])
-            for pf in id_fields
-        }
-        file_ddl = spark_ddl_from_iceberg(
-            {
-                "fields": [
-                    f for f in ice["fields"] if f["name"] not in part_cols
-                ]
-            }
-        )
+        out: dict[str, str] = {}
+        for s in md["partition-specs"]:
+            for pf in self._identity_fields(s["fields"]):
+                src = by_id.get(pf["source-id"])
+                if src is not None:
+                    out[pf["name"]] = _spark_type_from_iceberg(src["type"])
+        return out
+
+    def _assemble_data(
+        self, spark: SparkSession, entries: list[dict], md: dict, ice: dict
+    ) -> DataFrame:
+        """Scan data files grouped by (spec, identity partition tuple):
+        each file reconstructs exactly the columns ITS OWN spec removed
+        (hive layout), so snapshots mixing files from several partition
+        specs read back whole."""
+        from pyspark.sql import functions as F
+
         groups: dict[tuple, list[str]] = {}
         for e in entries:
-            key = tuple(e["partition"][c] for c in part_cols)
+            sid = e.get("_spec_id", md["default-spec-id"])
+            idf = self._identity_fields(self._spec_fields(md, sid))
+            pcols = tuple(f["name"] for f in idf)
+            key = (sid, pcols, tuple(e["partition"][c] for c in pcols))
             groups.setdefault(key, []).append(e["file_path"])
+        if all(not k[1] for k in groups):
+            # no identity fields anywhere: every source column is stored
+            # (transforms are not invertible) — one straight schema'd scan
+            return spark.read.schema(spark_ddl_from_iceberg(ice)).parquet(
+                *[p for paths in groups.values() for p in paths]
+            )
+        part_types = self._identity_types(md, ice)
+        names = [f["name"] for f in ice["fields"]]
         pieces = []
-        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        for (sid, pcols, pkey), paths in sorted(
+            groups.items(), key=lambda kv: str(kv[0])
+        ):
+            file_ddl = spark_ddl_from_iceberg(
+                {"fields": [f for f in ice["fields"] if f["name"] not in pcols]}
+            )
             piece = spark.read.schema(file_ddl).parquet(*paths)
-            for col, val in zip(part_cols, key):
+            for col, val in zip(pcols, pkey):
                 piece = piece.withColumn(
                     col, F.lit(val).cast(part_types[col])
                 )
-            pieces.append(piece)
+            pieces.append(piece.select(*names))
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
-        return out.select(*[f["name"] for f in ice["fields"]])
+        return out
 
     def _schema_for(
         self,
@@ -1593,32 +1753,61 @@ class IcebergFsTable:
         by_id = {f["id"]: f for f in ice["fields"]}
         # only IDENTITY partition fields were removed from data files and
         # need reconstructing as per-group constants; transform fields'
-        # source columns are stored in the files themselves
-        id_fields = self._identity_fields(self._spec_fields(md))
-        part_cols = [f["name"] for f in id_fields]
-        part_types = {
-            pf["name"]: _spark_type_from_iceberg(
-                by_id[pf["source-id"]]["type"]
-            )
-            for pf in id_fields
-        }
+        # source columns are stored in the files themselves. With
+        # partition evolution, WHICH columns a file is missing depends on
+        # the spec it was written under — groups key on (spec, tuple).
+        part_types = self._identity_types(md, ice)
         with_pos = bool(pos_del_entries) or keep_position_cols
 
         def assemble(
-            file_entries: list[dict], ddl: str, seq_col: str,
+            file_entries: list[dict],
+            wanted_fields: list[dict] | None,
+            seq_col: str,
             meta: bool = False,
+            raw_ddl: str | None = None,
         ):
+            """Scan ``file_entries`` so every piece carries exactly the
+            ``wanted_fields`` columns (identity fields of each file's
+            OWN spec reconstructed from its tuple) plus ``seq_col``.
+            ``raw_ddl`` bypasses spec logic for frames whose stored
+            layout is spec-independent (position-delete file_path/pos
+            rows)."""
+            wanted_names = (
+                [f["name"] for f in wanted_fields] if wanted_fields else []
+            )
             groups: dict[tuple, list[str]] = {}
             for e in file_entries:
+                sid = e.get("_spec_id", md["default-spec-id"])
+                pcols = (
+                    ()
+                    if raw_ddl is not None
+                    else tuple(
+                        f["name"]
+                        for f in self._identity_fields(
+                            self._spec_fields(md, sid)
+                        )
+                    )
+                )
                 k = (
-                    tuple(e["partition"].get(c) for c in part_cols),
+                    sid,
+                    pcols,
+                    tuple(e["partition"].get(c) for c in pcols),
                     int(e["_seq"]),
                 )
                 groups.setdefault(k, []).append(e["file_path"])
             pieces = []
-            for (pkey, seq), paths in sorted(
+            for (sid, pcols, pkey, seq), paths in sorted(
                 groups.items(), key=lambda kv: str(kv[0])
             ):
+                ddl = raw_ddl or spark_ddl_from_iceberg(
+                    {
+                        "fields": [
+                            f
+                            for f in wanted_fields
+                            if f["name"] not in pcols
+                        ]
+                    }
+                )
                 piece = spark.read.schema(ddl).parquet(*paths)
                 if meta:
                     piece = piece.select(
@@ -1626,17 +1815,15 @@ class IcebergFsTable:
                         _norm_path(F.col("_metadata.file_path")).alias("_fp"),
                         F.col("_metadata.row_index").alias("_rix"),
                     )
-                for col, val in zip(part_cols, pkey):
-                    piece = piece.withColumn(
-                        col, F.lit(val).cast(part_types[col])
-                    )
+                for col, val in zip(pcols, pkey):
+                    if col in wanted_names:
+                        piece = piece.withColumn(
+                            col, F.lit(val).cast(part_types[col])
+                        )
                 pieces.append(piece.withColumn(seq_col, F.lit(seq)))
             return reduce(lambda a, b: a.unionByName(b), pieces)
 
-        file_ddl = spark_ddl_from_iceberg(
-            {"fields": [f for f in ice["fields"] if f["name"] not in part_cols]}
-        )
-        data = assemble(entries, file_ddl, "_seq", meta=with_pos)
+        data = assemble(entries, ice["fields"], "_seq", meta=with_pos)
 
         if del_entries:
             eq_sets = {
@@ -1649,17 +1836,11 @@ class IcebergFsTable:
                     "per table (use the iceberg-spark runtime jar)"
                 )
             key_cols = [by_id[i]["name"] for i in next(iter(eq_sets))]
-            dkey_ddl = spark_ddl_from_iceberg(
-                {
-                    "fields": [
-                        f
-                        for f in ice["fields"]
-                        if f["name"] in key_cols and f["name"] not in part_cols
-                    ]
-                }
-            )
+            key_fields = [
+                f for f in ice["fields"] if f["name"] in key_cols
+            ]
             dels = (
-                assemble(del_entries, dkey_ddl, "_dseq")
+                assemble(del_entries, key_fields, "_dseq")
                 .groupBy(*key_cols)
                 .agg(F.max("_dseq").alias("_dseq"))
             )
@@ -1673,7 +1854,8 @@ class IcebergFsTable:
         if pos_del_entries:
             pdels = (
                 assemble(
-                    pos_del_entries, "file_path string, pos long", "_pdseq"
+                    pos_del_entries, None, "_pdseq",
+                    raw_ddl="file_path string, pos long",
                 )
                 .select(
                     _norm_path(F.col("file_path")).alias("_dfp"),
@@ -1958,7 +2140,11 @@ class IcebergFsTable:
                         e["status"] == STATUS_ADDED
                         and e.get("snapshot_id") == s["snapshot-id"]
                     ):
-                        out.append(e["data_file"])
+                        f = dict(e["data_file"])
+                        # which spec shaped this file's layout — the
+                        # assembler reconstructs per-spec after evolution
+                        f["_spec_id"] = mf.get("partition_spec_id", 0)
+                        out.append(f)
         return out
 
     def read_incremental(
@@ -1970,42 +2156,12 @@ class IcebergFsTable:
         """The rows appended in (`from_snapshot_id`, `to_snapshot_id`]
         as a batch DataFrame — poll current_snapshot + read_incremental
         is the jar-free change-consumption loop."""
-        from pyspark.sql import functions as F
-
         md = self.metadata()
         ice = current_schema(md)
-        id_fields = self._identity_fields(self._spec_fields(md))
-        part_cols = [f["name"] for f in id_fields]
         entries = self.incremental_entries(from_snapshot_id, to_snapshot_id)
-        ddl = spark_ddl_from_iceberg(ice)
         if not entries:
-            return spark.createDataFrame([], ddl)
-        if not id_fields:
-            return spark.read.schema(ddl).parquet(
-                *[f["file_path"] for f in entries]
-            )
-        by_id = {f["id"]: f for f in ice["fields"]}
-        part_types = {
-            pf["name"]: _spark_type_from_iceberg(by_id[pf["source-id"]]["type"])
-            for pf in id_fields
-        }
-        file_ddl = spark_ddl_from_iceberg(
-            {"fields": [f for f in ice["fields"] if f["name"] not in part_cols]}
-        )
-        groups: dict[tuple, list[str]] = {}
-        for e in entries:
-            key = tuple(e["partition"][c] for c in part_cols)
-            groups.setdefault(key, []).append(e["file_path"])
-        pieces = []
-        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            piece = spark.read.schema(file_ddl).parquet(*paths)
-            for col, val in zip(part_cols, key):
-                piece = piece.withColumn(col, F.lit(val).cast(part_types[col]))
-            pieces.append(piece)
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
-        return out.select(*[f["name"] for f in ice["fields"]])
+            return spark.createDataFrame([], spark_ddl_from_iceberg(ice))
+        return self._assemble_data(spark, entries, md, ice)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         """STREAMING source over an append-only unpartitioned table —
@@ -2046,7 +2202,13 @@ class IcebergFsTable:
                     f"(found a {s.get('summary', {}).get('operation')!r} "
                     "snapshot); use the iceberg-spark runtime jar"
                 )
-        if self._identity_fields(self._spec_fields(md)):
+        # check EVERY spec, not just the default: after partition
+        # evolution, files written under an old identity spec are still
+        # on disk missing their identity columns
+        if any(
+            self._identity_fields(s["fields"])
+            for s in md["partition-specs"]
+        ):
             raise ValueError(
                 "jar-free streaming source cannot read IDENTITY-"
                 "partitioned tables (hive-layout partition "

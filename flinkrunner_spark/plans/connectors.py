@@ -1024,6 +1024,33 @@ def iceberg_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transform_profile(t.read(spark))
 
 
+def iceberg_spec_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION roundtrip (spec §Partition Evolution;
+    r7 verdict item 7): half the documents land under identity(lang)
+    (hive layout — lang lives in tuples, not files), the table EVOLVES
+    to bucket[8](doc_id), the other half lands under the new spec, and
+    one mixed-spec snapshot read must profile identically to the source
+    parquet — proving manifests prune/reconstruct per-spec, not under a
+    single global layout. The doc_id split is deterministic (parity),
+    so the oracle is simply the full-corpus profile."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    loc = _loc("iceberg-docs-specevo", sf_dir)
+    if os.path.exists(loc):
+        import shutil
+
+        shutil.rmtree(loc)
+    t = IcebergFsTable(loc)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0), partition_by=["lang"])
+    t.evolve_spec(["bucket[8](doc_id)"])
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    return _lang_profile(t.read(spark))
+
+
 ICEBERG_TRANSFORM_PRUNED_ORACLE = """
 WITH d AS (
   SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 86400000000.0) AS BIGINT) + 1 AS day0

@@ -1721,6 +1721,11 @@ from flinkrunner_spark.plans.connectors import (  # noqa: E402
 ORACLES["iceberg_transform_roundtrip"] = _ITO
 ORACLES["iceberg_transform_pruned"] = _ITPO
 
+# ——— round 8: partition-spec evolution — the mixed-spec snapshot must
+# profile exactly like the source parquet (the split is deterministic,
+# so the oracle is the plain full-corpus profile).
+ORACLES["iceberg_spec_evolution_roundtrip"] = _LPO
+
 # ——— round 7: the composed flagship pipeline — batch composition of the
 # SAME stages (gopher screens ∧ badwords screen → dedup by (lang,
 # md5(text)) → PII redact) over the original parquet. Every aggregate

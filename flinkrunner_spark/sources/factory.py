@@ -145,6 +145,12 @@ class KafkaSourceConfig(SourceConfig):
                 str(self.conf.get("starting.offsets", "earliest")),
             )
         )
+        eo = self.conf.get("ending.offsets")
+        if eo:  # bounded cut below the tip (batch only, like the jar)
+            reader = reader.option("endingOffsets", str(eo))
+        fodl = self.conf.get("fail.on.data.loss")
+        if fodl is not None:
+            reader = reader.option("failOnDataLoss", str(fodl).lower())
         if include_headers:
             reader = reader.option("includeHeaders", "true")
         return reader.load()
@@ -197,6 +203,14 @@ class KafkaSourceConfig(SourceConfig):
             # path while the native path honored the top-level conf —
             # exactly the mapping drift the parity test exists to catch
             options["maxOffsetsPerTrigger"] = str(mot)
+        eo = self.conf.get("ending.offsets")
+        if eo and not self.streaming:
+            # endingOffsets is a BATCH-only option on the jar datasource
+            # too; the native batch reader honors the same conf key
+            options["endingOffsets"] = str(eo)
+        fodl = self.conf.get("fail.on.data.loss")
+        if fodl is not None:
+            options["failOnDataLoss"] = str(fodl).lower()
         options.update(self.conf.get("options", {}))
         return options
 

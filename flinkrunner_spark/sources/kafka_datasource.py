@@ -126,6 +126,23 @@ class KafkaNativeBatchReader(DataSourceReader):
         self.opts = opts
         self.with_headers = _include_headers(opts)
 
+    @staticmethod
+    def _offset_map(spec: str, topic: str) -> dict | None:
+        """Spark kafka-datasource offset JSON ({"topic": {"0": n}},
+        with -2 = earliest and -1 = latest sentinels) -> {partition:
+        offset}, or None for the earliest/latest keywords."""
+        s = str(spec).strip()
+        if not s.startswith("{"):
+            return None
+        import json
+
+        m = json.loads(s)
+        if topic not in m:
+            raise ValueError(
+                f"offset JSON {s!r} does not cover topic {topic!r}"
+            )
+        return {int(k): int(v) for k, v in m[topic].items()}
+
     def partitions(self):
         from flinkrunner_spark.util.kafka import (
             EARLIEST_TIMESTAMP,
@@ -135,16 +152,54 @@ class KafkaNativeBatchReader(DataSourceReader):
 
         host, port = _parse_bootstrap(self.opts)
         topic = self.opts["topic"]
-        starting = str(self.opts.get("startingoffsets", "earliest")).lower()
+        starting = str(self.opts.get("startingoffsets", "earliest"))
+        ending = str(self.opts.get("endingoffsets", "latest"))
+        # jar parity: failOnDataLoss=true (the default) refuses a start
+        # below the broker's log-start (retention already ate those
+        # offsets); false clamps to earliest and reads what remains.
+        fail_on_loss = (
+            str(self.opts.get("failondataloss", "true")).lower() != "false"
+        )
+        start_map = self._offset_map(starting, topic)
+        end_map = self._offset_map(ending, topic)
+        if end_map is None and ending.lower() != "latest":
+            raise ValueError(
+                f"endingOffsets must be 'latest' or offset JSON, got "
+                f"{ending!r}"
+            )
         out = []
         with KafkaClient(host, port) as c:
             for p in c.metadata([topic])[0].partitions:
-                lo = c.list_offset(
-                    topic, p.partition,
-                    LATEST_TIMESTAMP if starting == "latest"
-                    else EARLIEST_TIMESTAMP,
-                )
-                hi = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
+                earliest = c.list_offset(topic, p.partition, EARLIEST_TIMESTAMP)
+                latest = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
+                if start_map is not None:
+                    lo = start_map.get(p.partition, earliest)
+                    lo = {-2: earliest, -1: latest}.get(lo, lo)
+                    if lo < earliest:
+                        if fail_on_loss:
+                            raise ValueError(
+                                f"startingOffsets {lo} for {topic}-"
+                                f"{p.partition} is below the log start "
+                                f"{earliest} (data already aged out); "
+                                "set failOnDataLoss=false to clamp"
+                            )
+                        lo = earliest
+                else:
+                    lo = (
+                        latest
+                        if starting.lower() == "latest"
+                        else earliest
+                    )
+                if end_map is not None:
+                    hi = end_map.get(p.partition, latest)
+                    hi = latest if hi == -1 else hi
+                    if hi > latest:
+                        raise ValueError(
+                            f"endingOffsets {hi} for {topic}-{p.partition} "
+                            f"is beyond the log end {latest}"
+                        )
+                else:
+                    hi = latest
                 if lo < hi:
                     out.append(KafkaRange(topic, p.partition, lo, hi))
         return out or [KafkaRange(topic, 0, 0, 0)]

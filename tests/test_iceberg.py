@@ -891,3 +891,121 @@ def test_delete_where_survives_partition_filtered_reads(spark, tmp_path):
         for r in t.read(spark, partition_filter={"grp": "a"}).collect()
     )
     assert got == [6, 8, 10]  # the deleted ids 0,2,4 stay dead
+
+
+# -- partition-spec evolution (spec §Partition Evolution) -------------------
+
+
+def test_evolve_spec_mixed_layout_roundtrip(spark, tmp_path):
+    """identity(name) -> evolve to bucket[4](id): old files keep their
+    hive layout (name reconstructed from old tuples), new files lay out
+    under the new spec, and a full read returns the union whole."""
+    loc = str(tmp_path / "ev1")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1), partition_by=["name"])
+    new_id = t.evolve_spec(["bucket[4](id)"])
+    assert new_id == 1
+    md = t.metadata()
+    assert md["default-spec-id"] == 1
+    assert [s["spec-id"] for s in md["partition-specs"]] == [0, 1]
+    # old spec untouched; new field got a FRESH field-id
+    fids = {
+        f["field-id"]
+        for s in md["partition-specs"]
+        for f in s["fields"]
+    }
+    assert len(fids) == 2 and md["last-partition-id"] == max(fids)
+    t.append(_df(spark, ROWS2))
+    got = sorted(
+        (r["id"], r["name"], r["score"]) for r in t.read(spark).collect()
+    )
+    assert got == [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+    # manifests carry their own spec ids
+    sids = sorted(
+        r["partition_spec_id"] for r in t.manifests_df(spark).collect()
+    )
+    assert sids == [0, 1]
+
+
+def test_evolve_spec_identity_filter_row_filters_old_files(spark, tmp_path):
+    """A partition_filter on the NEW identity field must still be exact:
+    old-spec files cannot be pruned on it, so read() applies the
+    residual row filter; the metadata-only listing refuses instead of
+    over-returning."""
+    loc = str(tmp_path / "ev2")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))  # unpartitioned spec 0
+    t.evolve_spec(["name"])  # identity(name) becomes default
+    t.append(_df(spark, ROWS2))
+    got = t.read(spark, partition_filter={"name": "a"}).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(1, "a")]
+    with pytest.raises(ValueError, match="partition evolution"):
+        t.live_entries(partition_filter={"name": "a"})
+    # filters on retired identity fields row-filter the NEW files too
+    got = t.read(spark, partition_filter={"name": "c"}).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(3, "c")]
+
+
+def test_evolve_spec_transform_filter_prunes_new_refuses_old(spark, tmp_path):
+    """A transform partition field exists only in the new spec: filtering
+    on it prunes new-spec files exactly, and refuses (loudly) when
+    old-spec files would need a transform value they never recorded."""
+    loc = str(tmp_path / "ev3")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))  # unpartitioned
+    t.evolve_spec(["bucket[4](id)"])
+    t.append(_df(spark, ROWS2))
+    with pytest.raises(ValueError, match="transform fields"):
+        t.read(spark, partition_filter={"id_bucket": 0})
+    # after compaction rewrites everything under the new spec, the same
+    # filter becomes a pure metadata prune
+    t.compact(spark)
+    by_bucket = t.read(spark, partition_filter={"id_bucket": 0}).collect()
+    full = t.read(spark).collect()
+    assert {r["id"] for r in by_bucket} <= {r["id"] for r in full}
+    assert len(full) == 3
+
+
+def test_evolve_spec_field_id_reuse_and_refusals(spark, tmp_path):
+    """A field shared between specs keeps its field-id (the tuple slot
+    means the same thing); evolving to an identical spec or on a missing
+    table refuses."""
+    loc = str(tmp_path / "ev4")
+    t = I.IcebergFsTable(loc)
+    with pytest.raises(ValueError, match="no iceberg table"):
+        t.evolve_spec(["name"])
+    t.append(_df(spark, ROWS1), partition_by=["name"])
+    with pytest.raises(ValueError, match="identical"):
+        t.evolve_spec(["name"])
+    t.evolve_spec(["name", "bucket[4](id)"])
+    md = t.metadata()
+    s0, s1 = md["partition-specs"]
+    assert s0["fields"][0]["field-id"] == s1["fields"][0]["field-id"]
+    assert s1["fields"][1]["field-id"] == s0["fields"][0]["field-id"] + 1
+
+
+def test_evolve_spec_to_unpartitioned_and_incremental(spark, tmp_path):
+    """Evolving to unpartitioned: new files store every column while old
+    hive-layout files still reconstruct; incremental reads spanning the
+    evolution assemble each snapshot under its own spec."""
+    loc = str(tmp_path / "ev5")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1), partition_by=["name"])
+    s1 = t.current_snapshot_id() if hasattr(t, "current_snapshot_id") else (
+        t.snapshots()[-1]["snapshot-id"]
+    )
+    t.evolve_spec([])
+    t.append(_df(spark, ROWS2))
+    inc = t.read_incremental(spark, from_snapshot_id=s1)
+    assert sorted(r["id"] for r in inc.collect()) == [3]
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+    # upsert (merge-on-read) across mixed specs still resolves
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a2", 9.9, ["w"])],
+            "id bigint, name string, score double, tags array<string>",
+        ),
+        key_cols=["id"],
+    )
+    rows = {r["id"]: r["name"] for r in t.read(spark).collect()}
+    assert rows == {1: "a2", 2: "b", 3: "c"}

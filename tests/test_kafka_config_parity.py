@@ -122,3 +122,113 @@ def test_source_raw_options_still_win():
     opts = src._jar_options()
     assert opts["startingOffsets"] == "earliest"
     assert opts["failOnDataLoss"] == "false"
+
+
+def test_source_ending_offsets_and_fail_on_data_loss_parity():
+    """r7 verdict item 6: the same top-level conf keys drive endingOffsets
+    and failOnDataLoss on BOTH transports — endingOffsets batch-only
+    (exactly the jar datasource's rule), failOnDataLoss everywhere."""
+    conf = {
+        "connector": "kafka", "bootstrap.servers": BOOT, "topic": "t1",
+        "ending.offsets": '{"t1":{"0":5}}', "fail.on.data.loss": False,
+    }
+    src = KafkaSourceConfig("t", dict(conf))
+    src.streaming = False
+    opts = src._jar_options()
+    assert opts["endingOffsets"] == '{"t1":{"0":5}}'
+    assert opts["failOnDataLoss"] == "false"
+    srcs = KafkaSourceConfig("t", dict(conf))
+    srcs.streaming = True
+    sopts = srcs._jar_options()
+    assert "endingOffsets" not in sopts  # batch-only, like the jar
+    assert sopts["failOnDataLoss"] == "false"
+
+
+def test_native_ending_offsets_bound_the_snapshot(spark):
+    """The native batch reader honors Spark's offset-JSON contract:
+    endingOffsets pins the cut below the tip, startingOffsets JSON (with
+    -2/-1 sentinels) pins the start, exactly what the jar would read."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    df = spark.range(0, 10).selectExpr("id")
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "eo"},
+        ).write(df)
+        base = {"connector": "kafka", "transport": "native",
+                "bootstrap.servers": boot, "topic": "eo"}
+        cut = KafkaSourceConfig(
+            "t", {**base, "ending.offsets": '{"eo":{"0":6}}'}
+        ).load(spark)
+        assert cut.count() == 6
+        assert cut.agg({"offset": "max"}).first()[0] == 5
+        window = KafkaSourceConfig(
+            "t",
+            {**base,
+             "starting.offsets": '{"eo":{"0":2}}',
+             "ending.offsets": '{"eo":{"0":-1}}'},
+        ).load(spark)
+        assert [r["offset"] for r in window.orderBy("offset").collect()] == list(
+            range(2, 10)
+        )
+
+
+def test_native_fail_on_data_loss_refuses_or_clamps(spark):
+    """A start below the log-start (offsets aged out by retention) must
+    fail LOUDLY by default and clamp only when failOnDataLoss=false —
+    the jar's contract, enforced on the native transport."""
+    import pytest
+
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    df = spark.range(0, 4).selectExpr("id")
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "dl"},
+        ).write(df)
+        base = {"connector": "kafka", "transport": "native",
+                "bootstrap.servers": boot, "topic": "dl",
+                "starting.offsets": '{"dl":{"0":-7}}'}
+        with pytest.raises(Exception, match="failOnDataLoss|data already"):
+            KafkaSourceConfig("t", dict(base)).load(spark).count()
+        clamped = KafkaSourceConfig(
+            "t", {**base, "fail.on.data.loss": False}
+        ).load(spark)
+        assert clamped.count() == 4
+
+
+def test_native_ending_offsets_beyond_tip_refused(spark):
+    """An end past the log end can never be silently satisfied — refuse
+    instead of returning fewer rows than the caller pinned."""
+    import pytest
+
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    df = spark.range(0, 3).selectExpr("id")
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "ov"},
+        ).write(df)
+        src = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "ov",
+             "ending.offsets": '{"ov":{"0":99}}'},
+        )
+        with pytest.raises(Exception, match="beyond the log end"):
+            src.load(spark).count()
