@@ -86,12 +86,41 @@ def main() -> None:
         conn = sum(v for k, v in timings.items() if _is_connector(k))
         return round(sum(timings.values()) - conn, 3), round(conn, 3)
 
+    # resolve the round number UP FRONT and stamp it into the JSON: the
+    # r7 verdict flagged two rounds of off-by-one confusion between
+    # driver rounds and local passes — artifacts are now self-describing
+    # (round + pass counter + wall-clock) regardless of their filename.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re
+
+        ns = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(ns, default=0) + 1)
+    rnd = int(rnd)
+    import re as _re
+
+    pass_k = 1 + len(
+        [
+            f
+            for f in os.listdir(repo)
+            if _re.match(rf"BENCH_LOCAL_r{rnd:02d}_pass\d+\.json$", f)
+        ]
+    )
+
     cold = run_pass()
     analytics_total, connector_total = _subtotals(cold)
     out = {
         "metric": "total_query_runtime",
         "value": round(sum(cold.values()), 3),
         "unit": "sec",
+        "round": rnd,
+        "pass": pass_k,
+        "written_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "analytics_total": analytics_total,
         "connector_total": connector_total,
         "queries": cold,
@@ -119,6 +148,8 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
+        "round": rnd,
+        "pass": pass_k,
         "n_queries": len(cold),
         "analytics_total": analytics_total,
         "connector_total": connector_total,
@@ -135,20 +166,18 @@ def main() -> None:
     compact["queries_shown"] = len(compact["queries"])
     print(json.dumps(compact))
 
-    repo = os.path.dirname(os.path.abspath(__file__))
     out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT")  # e.g. sf1 passes
     if out_name is None:
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            import re
-
-            ns = [
-                int(m.group(1))
-                for f in os.listdir(repo)
-                if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
-            ]
-            rnd = str(max(ns, default=0) + 1)
-        out_name = f"BENCH_LOCAL_r{int(rnd):02d}.json"
+        # one immutable file PER PASS (never overwritten — the r7
+        # verdict's bookkeeping item: a later pass clobbering an earlier
+        # committed one left the tree dirty and the numbering ambiguous)
+        # plus the round-level name as a latest-pass alias for
+        # round-over-round diffs.
+        out_name = f"BENCH_LOCAL_r{rnd:02d}_pass{pass_k}.json"
+        with open(
+            os.path.join(repo, f"BENCH_LOCAL_r{rnd:02d}.json"), "w"
+        ) as f:
+            f.write(line + "\n")
     with open(os.path.join(repo, out_name), "w") as f:
         f.write(line + "\n")
 
