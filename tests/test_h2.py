@@ -588,3 +588,35 @@ def test_eventstream_property_roundtrip_random_messages():
             assert gp == p
             assert gh == h
     run()
+
+
+def test_foreign_stream_data_replenishes_connection_window():
+    """RFC 7540 §6.9: DATA on a stream we are not reading still consumes
+    the SHARED connection window — the client must account it and send a
+    connection-level WINDOW_UPDATE once past the batch threshold, or a
+    long-lived connection wedges shut."""
+    from flinkrunner_spark.util.h2 import DATA, DEFAULT_WINDOW, H2Connection
+
+    class _Sock:
+        def __init__(self):
+            self.sent = b""
+
+        def sendall(self, b):
+            self.sent += b
+
+    conn = H2Connection.__new__(H2Connection)  # skip preface/socket setup
+    import threading
+
+    conn.sock = _Sock()
+    conn._lock = threading.Lock()
+    conn._consumed = 0
+    conn._stream_consumed = 0
+    half = DEFAULT_WINDOW // 2
+    conn._foreign_data(DATA, b"x" * (half - 1))
+    assert conn.sock.sent == b""  # below threshold: batched, not per-frame
+    conn._foreign_data(DATA, b"x" * 2)
+    # one connection-level WINDOW_UPDATE (type 8, stream 0) for the total
+    frame = conn.sock.sent
+    assert frame[3] == 0x8 and frame[5:9] == b"\x00\x00\x00\x00"
+    assert int.from_bytes(frame[9:13], "big") == half + 1
+    assert conn._consumed == 0 and conn._stream_consumed == 0

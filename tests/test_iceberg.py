@@ -1009,3 +1009,13 @@ def test_evolve_spec_to_unpartitioned_and_incremental(spark, tmp_path):
     )
     rows = {r["id"]: r["name"] for r in t.read(spark).collect()}
     assert rows == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_parse_sort_entry_bad_direction_is_value_error():
+    """A malformed direction — including non-strings like ("col", None)
+    — must surface as the documented ValueError, never AttributeError."""
+    t = I.IcebergFsTable("/tmp/never-created")
+    assert t._parse_sort_entry(("c", "DESC")) == ("c", "desc")
+    for bad in [("c", None), ("c", 5), "c sideways"]:
+        with pytest.raises(ValueError, match="asc|desc"):
+            t._parse_sort_entry(bad)
