@@ -22,6 +22,7 @@ from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
 from flinkrunner_spark.llm import mm_transforms, multimodal, pipeline, sampling, similarity  # noqa: E402
+from flinkrunner_spark.llm import sketches as llm_sketches  # noqa: E402
 from flinkrunner_spark.llm import spans as llm_spans  # noqa: E402
 from flinkrunner_spark.llm import vocab as llm_vocab  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
@@ -57,8 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (TLS loopback) → the connector roundtrip family;
     # * plans/connectors.py + plans/oracle_sql.py diffs are additive
     #   (new key + re-pointed emb_dup_pairs oracle).
-    # That stale set is 42 keys; r7-green filler (chunking/dsir/graph/
-    # pipeline + three TPC-H rows, files unchanged) pads to exactly 50.
+    # * NEW r8 §2.5 ops: docs_heavy_hitters (Count-Min sketch,
+    #   llm/sketches.py — new module) and docs_weighted_sample (A-ES,
+    #   appended to sampling.py; the sampling.py diff is additive-only,
+    #   but the file changed, so its four existing keys re-verify
+    #   in-cap too).
+    # That stale set is 48 keys; r7-green filler (docs_pipeline +
+    # q1_pricing, files unchanged) pads to exactly 50.
     # The tail holds only keys whose files have ZERO changed lines since
     # their last green row.
     return {
@@ -66,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join_label": similarity.emb_knn_join_label,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
+        "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
+        "docs_weighted_sample": sampling.docs_weighted_sample,
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
@@ -104,15 +112,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
         "avro_roundtrip": connectors.avro_roundtrip,
+        "docs_stratified_sample": sampling.docs_stratified_sample,
+        "docs_pack_sequences": sampling.docs_pack_sequences,
+        "docs_shuffle_shards": sampling.docs_shuffle_shards,
+        "docs_mixture_weights": sampling.docs_mixture_weights,
+        "docs_pipeline": pipeline.docs_pipeline,
+        "q1_pricing": analytics.q1_pricing,
+        # —— beyond the 50-row cap: zero changed lines since last green ——
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
         "docs_dsir_sample": dsir.docs_dsir_sample,
         "docs_dup_clusters": llm_dedup.docs_dup_clusters,
-        "docs_pipeline": pipeline.docs_pipeline,
-        "q1_pricing": analytics.q1_pricing,
         "q9_profit": analytics.q9_profit,
         "q21_waiting": analytics.q21_waiting,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
         "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
         "stream_agg_basic_update": events.stream_agg_basic_update,
@@ -135,12 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_spans": llm_spans.docs_dup_spans,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
-        "docs_stratified_sample": sampling.docs_stratified_sample,
-        "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_gopher_rules": llm_filters.docs_gopher_rules,
         "docs_badwords": llm_filters.docs_badwords,
-        "docs_shuffle_shards": sampling.docs_shuffle_shards,
-        "docs_mixture_weights": sampling.docs_mixture_weights,
         "mm_features": mm_transforms.mm_features,
         "mm_resize": mm_transforms.mm_resize,
         "docs_decontaminate": curation.docs_decontaminate,

@@ -184,3 +184,60 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_pct",
         F.round(epochs, 6).alias("epochs"),
     )
+
+
+WSAMPLE_K = 100
+
+
+def docs_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WSAMPLE_K
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, inclusion probability ∝
+    n_chars — the Efraimidis & Spirakis (2006, "Weighted random
+    sampling with a reservoir") A-ES scheme: each row gets the key
+    ln(u)/w (u uniform, w its weight) and the sample is the top-k keys.
+    The training-data use: length-weighted corpus subsampling (longer
+    documents proportionally likelier) with a SINGLE deterministic
+    pass.
+
+    Reference scope note: no reference counterpart — LLM-data-pipeline
+    extension family (SURVEY.md §2.5).
+
+    100 TB shape: ONE projection + ONE TakeOrdered (no shuffle, no
+    window over the corpus) — the same zero-exchange screen shape as
+    ``docs_gopher_rules``. u derives from md5(doc_id), so the sample
+    is reproducible across runs/engines/partitionings; the OUTPUT
+    carries no float (doc_id, lang, n_chars, rk) — the verified object
+    is the ranking itself, and the ln-parity contract is the one
+    ``docs_lm_score`` already pins cross-engine. Rows with
+    non-positive weight are excluded (both engines) per the paper's
+    w > 0 domain."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars") > 0
+    )
+    m = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":wsample:v1"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (m + F.lit(1)).cast("double") / F.lit(4294967296.0)  # (0, 1]
+    key = F.log(u) / F.col("n_chars")
+    top = (
+        docs.select("doc_id", "lang", "n_chars", key.alias("k_"))
+        .orderBy(F.col("k_").desc(), "doc_id")
+        .limit(k)
+    )
+    return top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("k_").desc(), F.col("doc_id"))
+        ),
+    ).select("doc_id", "lang", "n_chars", "rk")

@@ -1050,9 +1050,9 @@ _IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
 
 def _ivf_assigned(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, int, "object"]:
     """Corpus-scaled IVF internals: (corpus with a ``cell`` column —
-    persisted, the (cell, centroid) table, n_cells).
+    persisted, the (cell, centroid) table, n_cells, centroid np matrix).
 
     Same 100 TB shape as ``_kmeans_assigned`` — deterministic bounded
     training sample (top-``KMEANS_SAMPLE_CAP`` by md5(vec_id)), Lloyd's
@@ -1074,13 +1074,18 @@ def _ivf_assigned(
         return cached
     emb = _emb(spark, sf_dir)
     n_cells = ivf_cells(emb.count())
-    sample_rows = (
+    # Arrow transport for the training sample (toPandas), not the py4j
+    # row collect — same doubles, ~10× less driver deserialize time on
+    # a 64k×64 sample
+    sample_pdf = (
         emb.select("vec_id", as_double("embedding").alias("e"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(KMEANS_SAMPLE_CAP)
-        .collect()
+        .toPandas()
     )
-    sample = np.array([r["e"] for r in sample_rows], dtype=np.float64)
+    sample = np.array(
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf["e"]]
+    )
     cents_np = _lloyds_blas(sample, n_cells)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
@@ -1108,8 +1113,8 @@ def _ivf_assigned(
             yield out
 
     assigned = emb.mapInPandas(gen_assign, schema=out_schema).persist()
-    _IVF_CACHE[key] = (assigned, cents, n_cells)
-    return assigned, cents, n_cells
+    _IVF_CACHE[key] = (assigned, cents, n_cells, cents_np)
+    return _IVF_CACHE[key]
 
 
 def emb_knn_join(
@@ -1144,48 +1149,101 @@ def emb_knn_join(
     * per-query top-k is one exchange keyed by the query id over the
       already-pruned candidates.
 
+    Both numeric stages are Arrow-batched numpy (the centroid matrix
+    ships in the task closure): the equivalent JVM ``aggregate`` folds
+    ran interpreted per element and dominated the sf1 measurement —
+    ~450k cosines × 64 dims of lambda evals (the same trade every
+    vectorized op here made, see ``_rh_codes``). Cosines round to 6
+    before ranking; tiebreaks on (cell) / (vec_id) keep the result
+    deterministic.
+
     Rows-only driver oracle (KMeans training is iterative, like the
     other learned-quantizer keys); the full pipeline — sample, training
     sweeps, assignment, probe choice, ranking — reproduces bit-for-bit
     in the numpy mirror test (tests/test_algorithms.py). The
     exactly-oracled companion is :func:`emb_knn_join_label` (constant
     query block over deterministic label cells)."""
-    assigned, cents, _ = _ivf_assigned(spark, sf_dir)
+    assigned, _cents, n_cells, C = _ivf_assigned(spark, sf_dir)
     queries = _emb(spark, sf_dir).filter(
         F.col("vec_id") % stride == 0
     ).select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qv"))
+
+    def gen_probe(it):
+        import numpy as np
+        import pandas as pd
+
+        cn = np.sqrt((C * C).sum(axis=1))
+        cells_idx = np.arange(C.shape[0])
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            )
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            ccos = np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
+            out = []
+            for i in range(len(pdf)):
+                top = np.lexsort((cells_idx, -ccos[i]))[:nprobe]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_vec_id": pdf["q_vec_id"].iloc[i],
+                            "qv": [pdf["qv"].iloc[i]] * len(top),
+                            "cell": top.astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    probe = queries.mapInPandas(
+        gen_probe, schema="q_vec_id long, qv array<float>, cell int"
+    )
+
+    def gen_score(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Qm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            )
+            cos = np.round(
+                (A * Qm).sum(axis=1)
+                / np.sqrt((A * A).sum(axis=1) * (Qm * Qm).sum(axis=1)),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    "q_vec_id": pdf["q_vec_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
     from pyspark.sql import Window
 
-    ccos = F.round(cosine(F.col("centroid"), as_double("qv")), 6)
-    probe = (
-        queries.crossJoin(F.broadcast(cents))
-        .select("q_vec_id", "qv", "cell", ccos.alias("ccos"))
-        .withColumn(
-            "crk",
-            F.row_number().over(
-                Window.partitionBy("q_vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("cell")
-                )
-            ),
-        )
-        .filter(F.col("crk") <= nprobe)
-        .select("q_vec_id", "qv", "cell")
-    )
-    cos = F.round(cosine(as_double("embedding"), as_double("qv")), 6)
-    return (
+    scored = (
         assigned.join(probe, "cell")  # hash join on the cell key; AQE sizes it
         .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .select("q_vec_id", "vec_id", cos.alias("cosine"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("q_vec_id").orderBy(
-                    F.col("cosine").desc(), F.col("vec_id")
-                )
-            ),
+        .select("q_vec_id", "qv", "vec_id", "embedding")
+        .mapInPandas(
+            gen_score, schema="q_vec_id long, vec_id long, cosine double"
         )
-        .filter(F.col("rk") <= k)
     )
+    return scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("q_vec_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rk") <= k)
 
 
 def emb_knn_join_label(

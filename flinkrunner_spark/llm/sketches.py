@@ -1,0 +1,135 @@
+"""Count-Min sketch heavy hitters over the ``documents`` token stream.
+
+The reference's sketch family covers cardinality (HyperLogLog,
+`algorithms/HyperLogLog.scala`) and membership (StableBloomFilter,
+`algorithms/StableBloomFilter.scala`); Count-Min (Cormode &
+Muthukrishnan 2005, "An improved data stream summary: the count-min
+sketch and its applications") is the FREQUENCY member of the same
+family and the standard heavy-hitters primitive of a training-data
+pipeline (vocabulary screens, boilerplate detection, badword telemetry
+at corpus scale).
+
+Reference scope note: no reference counterpart — LLM-data-pipeline
+extension family (SURVEY.md §2.5), same standing as the HLL/SBF-
+adjacent ops.
+
+100 TB shape:
+* the sketch is a FIXED D×W counter table (4×1024 = 4096 rows here) no
+  matter the corpus size — built with ONE shuffle of (row, bucket)
+  int pairs, map-side combined, exactly like ``docs_topk_ngrams``'s
+  count shuffle but with a BOUNDED key space (the whole point: the
+  reduce side is O(D·W), not O(vocabulary));
+* point queries broadcast the 4096-row sketch and take the min over D
+  bucket counts — a zero-shuffle lookup against any candidate set;
+* hashes are md5-derived (``md5(token:cms:<row>)``), so the sketch is
+  deterministic across runs, engines, and cluster sizes, and the
+  DuckDB oracle reproduces every counter and every estimate
+  bit-for-bit — the same reproducibility discipline as the HLL
+  register pipeline and the RH-LSH planes.
+
+The ``docs_heavy_hitters`` surface also carries each hitter's EXACT
+count: ``est >= exact`` is the CMS one-sided guarantee (never
+undercounts), and ``est - exact`` is the collision overcount — shipped
+as first-class columns so the sketch's error is observable, the same
+no-silent-degradation rule as ``rhlsh_bucket_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkrunner_spark.llm.text import tokens_col
+
+CMS_DEPTH = 4  # hash rows (error probability ~ e^-D)
+CMS_WIDTH = 1024  # buckets per row (overcount ~ N·e/W)
+HH_TOP_K = 50
+
+
+def cms_bucket(tok: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic bucket of ``tok`` in hash row ``row``: the first 8
+    md5 hex digits of ``token:cms:<row>`` mod width — the md5-derived
+    hash discipline every cross-engine-exact op here uses."""
+    h = F.md5(F.concat(tok, F.lit(f":cms:{row}")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+    ).cast("int")
+
+
+def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.explode(tokens_col()).alias("tok"))
+
+
+def cms_table(
+    toks: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The D×W counter table: one projection fans each token into its D
+    (row, bucket) cells (an array literal of fixed length — no join, no
+    per-row Python), then ONE count shuffle over the bounded key space."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cms_bucket(F.col("tok"), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def docs_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = HH_TOP_K,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-``k`` tokens by Count-Min ESTIMATE, each row carrying the
+    exact count so the one-sided error is visible: (token, est_count,
+    exact_count, rk). est_count >= exact_count ALWAYS (CMS never
+    undercounts); ties rank by token for cross-engine determinism.
+
+    The candidate set here is the distinct-token table (so the exact
+    twin is free for the error columns); a pipeline sizing vocabulary
+    screens at 100 TB queries the broadcast sketch with whatever
+    candidate set it has — the sketch build never depends on the
+    candidate cardinality."""
+    toks = _token_stream(spark, sf_dir)
+    sketch = cms_table(toks, depth, width)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = None
+    probed = exact
+    for r in range(depth):
+        s_r = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
+        )
+        probed = probed.withColumn(
+            f"b{r}", cms_bucket(F.col("tok"), r, width)
+        ).join(F.broadcast(s_r), f"b{r}")
+        est = F.col(f"c{r}") if est is None else F.least(est, F.col(f"c{r}"))
+    from pyspark.sql import Window
+
+    # distributed top-k FIRST (TakeOrdered — no global single-task
+    # sort of the vocabulary), then rank the k surviving rows (a k-row
+    # window is free; a corpus-wide one is not)
+    top = (
+        probed.select(
+            F.col("tok").alias("token"),
+            est.alias("est_count"),
+            "exact_count",
+        )
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(k)
+    )
+    return top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("est_count").desc(), F.col("token"))
+        ),
+    )

@@ -1726,6 +1726,48 @@ ORACLES["iceberg_transform_pruned"] = _ITPO
 # so the oracle is the plain full-corpus profile).
 ORACLES["iceberg_spec_evolution_roundtrip"] = _LPO
 
+# ——— round 8: Count-Min heavy hitters + A-ES weighted sampling —
+# md5-derived hashes/uniforms, so sketch counters, estimates and sample
+# ranking reproduce bit-for-bit (hex parsed with the digit-sum idiom).
+
+ORACLES["docs_heavy_hitters"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+cells AS (
+  SELECT tok, r,
+    {_hex8_to_long("md5(tok || ':cms:' || CAST(r AS VARCHAR))")} % 1024
+      AS bucket
+  FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) rr
+),
+sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket),
+probes AS (
+  SELECT e.tok, e.exact_count, MIN(s.cnt) AS est_count
+  FROM exact e
+  JOIN (SELECT DISTINCT tok, r, bucket FROM cells) c ON c.tok = e.tok
+  JOIN sketch s ON s.r = c.r AND s.bucket = c.bucket
+  GROUP BY e.tok, e.exact_count
+)
+SELECT token, est_count, exact_count, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT tok AS token, est_count, exact_count,
+    row_number() OVER (ORDER BY est_count DESC, tok) AS rk
+  FROM probes) t
+WHERE rk <= 50
+"""
+
+ORACLES["docs_weighted_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+    ln(({_hex8_to_long("md5(CAST(doc_id AS VARCHAR) || ':wsample:v1')")}
+        + 1) / 4294967296.0) / n_chars AS k_
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (ORDER BY k_ DESC, doc_id) AS rk
+  FROM t) s
+WHERE rk <= 100
+"""
+
 # ——— round 7: the composed flagship pipeline — batch composition of the
 # SAME stages (gopher screens ∧ badwords screen → dedup by (lang,
 # md5(text)) → PII redact) over the original parquet. Every aggregate

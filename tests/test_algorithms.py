@@ -304,14 +304,19 @@ def test_emb_knn_join_matches_numpy_mirror(spark):
     d = (C * C).sum(axis=1)[None, :] - 2.0 * (E @ C.T)
     cell = d.argmin(axis=1)
 
+    # probe + scoring mirrored through the SAME numpy expressions the
+    # implementation batches (GEMM probe matrix, row-wise (A*Q).sum dots)
     cnorm = np.sqrt((C * C).sum(axis=1))
+    qidx = np.flatnonzero(ids % similarity.KNN_JOIN_STRIDE == 0)
+    Q = E[qidx]
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    ccos_all = np.round((Q @ C.T) / (qn[:, None] * cnorm[None, :]), 6)
     expected = {}
-    for qi in np.flatnonzero(ids % similarity.KNN_JOIN_STRIDE == 0):
+    for row, qi in enumerate(qidx):
         q = E[qi]
-        ccos = np.round((C @ q) / (cnorm * np.sqrt(q @ q)), 6)
         probed = set(
             int(c)
-            for c in np.lexsort((np.arange(k_cells), -ccos))[
+            for c in np.lexsort((np.arange(k_cells), -ccos_all[row]))[
                 : similarity.KNN_JOIN_NPROBE
             ]
         )
@@ -320,7 +325,9 @@ def test_emb_knn_join_matches_numpy_mirror(spark):
         )
         cids, CE = ids[mask], E[mask]
         cos = np.round(
-            (CE @ q) / (np.sqrt((CE * CE).sum(axis=1)) * np.sqrt(q @ q)), 6
+            (CE * q[None, :]).sum(axis=1)
+            / np.sqrt((CE * CE).sum(axis=1) * (q * q).sum()),
+            6,
         )
         top = np.lexsort((cids, -cos))[: similarity.KNN_JOIN_K]
         expected[int(ids[qi])] = [

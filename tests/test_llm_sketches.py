@@ -1,0 +1,111 @@
+"""Round-8 §2.5 additions: Count-Min heavy hitters + A-ES weighted
+sampling — full independent Python mirrors (Counter / math.log), the
+same exactness gate every md5-deterministic op here carries."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import re
+
+from flinkrunner_spark.llm import sampling, sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _hex8(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _cms_mirror(spark, width: int):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks = [t for r in rows for t in _tokens(r["text"])]
+    exact = Counter(toks)
+    depth = sketches.CMS_DEPTH
+    sketch: Counter = Counter()
+    for t, c in exact.items():
+        for r in range(depth):
+            sketch[(r, _hex8(f"{t}:cms:{r}") % width)] += c
+    est = {
+        t: min(
+            sketch[(r, _hex8(f"{t}:cms:{r}") % width)] for r in range(depth)
+        )
+        for t in exact
+    }
+    expected = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : sketches.HH_TOP_K
+    ]
+    return exact, est, expected
+
+
+def test_docs_heavy_hitters_matches_counter_mirror(spark):
+    """Sketch counters, estimates and the top-k ranking must equal an
+    independent Counter-based CMS; every estimate must respect the CMS
+    one-sided bound (never undercounts)."""
+    exact, est, expected = _cms_mirror(spark, sketches.CMS_WIDTH)
+    out = sketches.docs_heavy_hitters(spark, SF).orderBy("rk").collect()
+    assert [(r["token"], r["est_count"]) for r in out] == expected
+    for r in out:
+        assert r["exact_count"] == exact[r["token"]]
+        assert r["est_count"] >= r["exact_count"]  # CMS one-sided bound
+
+
+def test_docs_heavy_hitters_overcounts_under_collisions(spark):
+    """With the width squeezed below the vocabulary, buckets MUST
+    collide: estimates stay one-sided (never undercount), at least one
+    token genuinely overcounts, and the ranking still equals the
+    mirror — the error columns carry real signal, not vacuous zeros."""
+    exact, est, expected = _cms_mirror(spark, 16)
+    assert any(e > exact[t] for t, e in est.items())  # real collisions
+    out = (
+        sketches.docs_heavy_hitters(spark, SF, width=16)
+        .orderBy("rk")
+        .collect()
+    )
+    assert [(r["token"], r["est_count"]) for r in out] == expected
+    for r in out:
+        assert r["est_count"] >= r["exact_count"] == exact[r["token"]]
+
+
+def test_docs_weighted_sample_matches_log_mirror(spark):
+    """The A-ES ranking must equal the independent math.log mirror:
+    key = ln((md5_32(doc_id)+1)/2^32)/n_chars, top-k by key desc."""
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    keyed = []
+    for r in rows:
+        if r["n_chars"] <= 0:
+            continue
+        u = (_hex8(f"{r['doc_id']}:wsample:v1") + 1) / 4294967296.0
+        keyed.append((math.log(u) / r["n_chars"], r["doc_id"], r["n_chars"]))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expected = [(d, n) for _, d, n in keyed[: sampling.WSAMPLE_K]]
+
+    out = sampling.docs_weighted_sample(spark, SF).orderBy("rk").collect()
+    assert [(r["doc_id"], r["n_chars"]) for r in out] == expected
+    assert [r["rk"] for r in out] == list(range(1, len(expected) + 1))
+    # weighting has signal: the sample over-represents long documents
+    med_all = sorted(r["n_chars"] for r in rows)[len(rows) // 2]
+    med_sample = sorted(n for _, n in expected)[len(expected) // 2]
+    assert med_sample > med_all
+
+
+def test_docs_heavy_hitters_sketch_is_bounded(spark):
+    """The sketch table itself is the fixed D×W frame — the O(1)-size
+    summary the op exists for (never O(vocabulary) on the reduce side)."""
+    toks = sketches._token_stream(spark, SF)
+    tab = sketches.cms_table(toks).collect()
+    assert len(tab) <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+    assert {r["row"] for r in tab} == set(range(sketches.CMS_DEPTH))
+    total = sum(r["cnt"] for r in tab)
+    n_toks = toks.count()
+    assert total == sketches.CMS_DEPTH * n_toks  # every token in every row
