@@ -1267,7 +1267,15 @@ def emb_knn_join_label(
     — LINEAR in the corpus — and the probe frame is O(query_cap·nprobe)
     rows, so its broadcast is bounded no matter the corpus size.
     Deterministic centroid folds + rounded cosines make probe choice,
-    candidate set and ranking reproduce bit-identically in DuckDB."""
+    candidate set and ranking reproduce bit-identically in DuckDB.
+
+    Probe ranking stays a JVM fold (query_cap × n_labels cosines —
+    trivial); candidate SCORING is Arrow-batched numpy with the fold
+    order preserved (the ``_rh_codes`` exact-left-fold trick: accumulate
+    over dims in a vectorized loop, bit-identical to the SQL
+    list_reduce) and rounds on the JVM side — the oracle is unchanged,
+    only the interpreter is gone from the ~cap·nprobe·cellsize hot
+    loop."""
     emb = _emb(spark, sf_dir)
     h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":knnq:v1")))
     queries = (
@@ -1294,11 +1302,48 @@ def emb_knn_join_label(
         .filter(F.col("crk") <= nprobe)
         .select("q_vec_id", "qv", "label")
     )
-    cos = F.round(cosine(as_double("embedding"), as_double("qv")), 6)
-    return (
+    def gen_fold_cosine(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            B = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            )
+            d = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for i in range(A.shape[1]):  # exact left folds (see _rh_codes)
+                d = d + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            yield pd.DataFrame(
+                {
+                    "q_vec_id": pdf["q_vec_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cosine_raw": d / np.sqrt(na * nb),
+                }
+            )
+
+    scored = (
         emb.join(F.broadcast(probe), "label")  # bounded: ≤ query_cap·nprobe rows
         .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .select("q_vec_id", "vec_id", cos.alias("cosine"))
+        .select("q_vec_id", "qv", "vec_id", "embedding")
+        .mapInPandas(
+            gen_fold_cosine,
+            schema="q_vec_id long, vec_id long, cosine_raw double",
+        )
+    )
+    # round on the JVM side: Spark's Round matches the oracle's _r6
+    return (
+        scored.select(
+            "q_vec_id", "vec_id", F.round("cosine_raw", 6).alias("cosine")
+        )
         .withColumn(
             "rk",
             F.row_number().over(
