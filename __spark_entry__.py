@@ -63,8 +63,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   appended to sampling.py; the sampling.py diff is additive-only,
     #   but the file changed, so its four existing keys re-verify
     #   in-cap too).
-    # That stale set is 48 keys; r7-green filler (docs_pipeline +
-    # q1_pricing, files unchanged) pads to exactly 50.
+    # * NEW r8 connector: iceberg_s3_roundtrip (s3_fileio.py + util/s3
+    #   + LoopbackS3 — publish-with-path-rewrite → mirror → mapped
+    #   read-only read, position deletes applied across relocation).
+    # That stale set is 49 keys; r7-green filler (docs_pipeline, file
+    # unchanged) pads to exactly 50.
     # The tail holds only keys whose files have ZERO changed lines since
     # their last green row.
     return {
@@ -116,9 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
+        "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
         "docs_pipeline": pipeline.docs_pipeline,
-        "q1_pricing": analytics.q1_pricing,
         # —— beyond the 50-row cap: zero changed lines since last green ——
+        "q1_pricing": analytics.q1_pricing,
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
         "docs_dsir_sample": dsir.docs_dsir_sample,

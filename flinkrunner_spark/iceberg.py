@@ -361,10 +361,51 @@ class IcebergFsTable:
     """One filesystem Iceberg v2 table at ``location`` (HadoopTables
     layout: ``location/data`` + ``location/metadata``)."""
 
-    def __init__(self, location: str):
+    def __init__(
+        self,
+        location: str,
+        path_mapping: dict | None = None,
+        read_only: bool = False,
+    ):
         self.location = os.path.abspath(location)
         self.meta_dir = os.path.join(self.location, "metadata")
         self.data_dir = os.path.join(self.location, "data")
+        # path_mapping ({absolute_prefix: local_prefix}, longest prefix
+        # wins) reads a RELOCATED table — metadata whose internal
+        # absolute paths (manifest lists, manifests, data files, the
+        # file_path CONTENT of position-delete rows) point at another
+        # root: an s3:// warehouse mirrored locally (s3_fileio), a fuse
+        # mount at a different mountpoint, a copied test fixture. The
+        # jar world needs the rewrite_table_path procedure or a custom
+        # FileIO for this; here every path resolves through _map at
+        # open time. Mapped tables default to read-only is NOT implied —
+        # pass read_only=True (the s3 mirror does) to refuse commits
+        # that would silently diverge from the remote original.
+        self.path_mapping = dict(path_mapping or {})
+        self.read_only = bool(read_only)
+
+    def _map(self, p: str) -> str:
+        for prefix in sorted(self.path_mapping, key=len, reverse=True):
+            if p.startswith(prefix):
+                return self.path_mapping[prefix] + p[len(prefix):]
+        return p
+
+    def _map_col(self, col):
+        """SQL-side _map for path VALUES inside data (position-delete
+        file_path rows) — same longest-prefix-wins semantics."""
+        from pyspark.sql import functions as F
+
+        if not self.path_mapping:
+            return col
+        out = None
+        for prefix in sorted(self.path_mapping, key=len, reverse=True):
+            repl = self.path_mapping[prefix]
+            mapped = F.concat(
+                F.lit(repl), F.substring(col, len(prefix) + 1, 1 << 30)
+            )
+            cond = col.startswith(prefix)
+            out = F.when(cond, mapped) if out is None else out.when(cond, mapped)
+        return out.otherwise(col)
 
     # -- metadata plumbing --------------------------------------------------
 
@@ -381,6 +422,12 @@ class IcebergFsTable:
             return json.load(fh)
 
     def _commit(self, md: dict, version: int) -> None:
+        if self.read_only:
+            raise ValueError(
+                f"iceberg table at {self.location} is a read-only mirror "
+                "(s3_fileio) — commits here would silently diverge from "
+                "the remote original; write through the owning catalog"
+            )
         os.makedirs(self.meta_dir, exist_ok=True)
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -1389,7 +1436,7 @@ class IcebergFsTable:
         snap = next(
             s for s in md["snapshots"] if s["snapshot-id"] == snap_id
         )
-        with open(snap["manifest-list"], "rb") as fh:
+        with open(self._map(snap["manifest-list"]), "rb") as fh:
             _, records = AC.read_container(fh.read())
         return records
 
@@ -1475,7 +1522,7 @@ class IcebergFsTable:
         deletes: list[dict] = []
         pos_deletes: list[dict] = []
         for mf in self._manifest_list_records(md, snap):
-            with open(mf["manifest_path"], "rb") as fh:
+            with open(self._map(mf["manifest_path"]), "rb") as fh:
                 _, entries = AC.read_container(fh.read())
             mf_spec_id = mf.get("partition_spec_id", 0)
             mf_spec_names = {
@@ -1494,6 +1541,7 @@ class IcebergFsTable:
                 if e["status"] == STATUS_DELETED:
                     continue
                 f = dict(e["data_file"])
+                f["file_path"] = self._map(f["file_path"])
                 f["_seq"] = (
                     e.get("sequence_number")
                     if e.get("sequence_number") is not None
@@ -1858,7 +1906,12 @@ class IcebergFsTable:
                     raw_ddl="file_path string, pos long",
                 )
                 .select(
-                    _norm_path(F.col("file_path")).alias("_dfp"),
+                    # position-delete rows NAME their target data file —
+                    # on a relocated table those path VALUES need the
+                    # same mapping the manifest paths got
+                    _norm_path(self._map_col(F.col("file_path"))).alias(
+                        "_dfp"
+                    ),
                     F.col("pos").alias("_dpos"),
                     "_pdseq",
                 )
@@ -2128,12 +2181,12 @@ class IcebergFsTable:
                     "need a full re-read (or the iceberg-spark runtime "
                     "jar's CDC reads)"
                 )
-            with open(s["manifest-list"], "rb") as fh:
+            with open(self._map(s["manifest-list"]), "rb") as fh:
                 _, manifests = AC.read_container(fh.read())
             for mf in manifests:
                 if mf["added_snapshot_id"] != s["snapshot-id"]:
                     continue  # carried over from an earlier snapshot
-                with open(mf["manifest_path"], "rb") as fh:
+                with open(self._map(mf["manifest_path"]), "rb") as fh:
                     _, entries = AC.read_container(fh.read())
                 for e in entries:
                     if (
@@ -2141,6 +2194,7 @@ class IcebergFsTable:
                         and e.get("snapshot_id") == s["snapshot-id"]
                     ):
                         f = dict(e["data_file"])
+                        f["file_path"] = self._map(f["file_path"])
                         # which spec shaped this file's layout — the
                         # assembler reconstructs per-spec after evolution
                         f["_spec_id"] = mf.get("partition_spec_id", 0)
@@ -2277,10 +2331,14 @@ class IcebergFsTable:
         leaves such orphans — invisible to batch reads, but a
         directory-tailing stream would emit them. Returns the deleted
         paths."""
+        if self.read_only:
+            raise ValueError(
+                "read-only mirror: orphan GC belongs to the table owner"
+            )
         md = self.metadata()
         referenced: set[str] = set()
         for snap in md.get("snapshots", []):
-            with open(snap["manifest-list"], "rb") as fh:
+            with open(self._map(snap["manifest-list"]), "rb") as fh:
                 _, mfs = AC.read_container(fh.read())
             for mf in mfs:
                 with open(mf["manifest_path"], "rb") as fh:
@@ -2303,6 +2361,12 @@ class IcebergFsTable:
         expired snapshots (the expire_snapshots maintenance action —
         unreferenced-file GC is what keeps a 100 TB table's storage
         bounded). Returns the deleted file paths."""
+        if self.read_only:
+            # guard BEFORE any file deletion (the _commit guard alone
+            # would fire only after files were already removed)
+            raise ValueError(
+                "read-only mirror: snapshot expiry belongs to the owner"
+            )
         md = self.metadata()
         snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
         if keep_last < 1:

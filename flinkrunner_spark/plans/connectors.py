@@ -1024,6 +1024,55 @@ def iceberg_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transform_profile(t.read(spark))
 
 
+def iceberg_s3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → local Iceberg table (with row-level position deletes,
+    the hardest relocation case: delete rows NAME data files by absolute
+    path) → PUBLISHED to an S3 warehouse (jar-free SigV4 REST puts, all
+    internal paths rewritten to s3:// — the rewrite_table_path+copy
+    procedure) → mirrored back through the S3 FileIO into a fresh cache
+    and read as a read-only mapped table → per-language profile.
+    Exactly oracled against the original parquet minus the deleted
+    slice: any dropped path mapping (manifest, data file, or delete-row
+    content) changes the profile. r7 verdict missing-item 4."""
+    from flinkrunner_spark import s3_fileio
+    from flinkrunner_spark.iceberg import IcebergFsTable
+    from flinkrunner_spark.testing import LoopbackS3
+    from flinkrunner_spark.util.s3 import S3Client
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-docs-s3src", sf_dir)
+    if os.path.exists(loc):
+        import shutil
+
+        shutil.rmtree(loc)
+    t = IcebergFsTable(loc)
+    t.append(docs)
+    t.delete_where(spark, "doc_id % 5 = 0")
+    cache = _loc("iceberg-docs-s3cache", sf_dir)
+    if os.path.exists(cache):
+        import shutil
+
+        shutil.rmtree(cache)
+    with LoopbackS3() as s3:
+        client = S3Client(s3.endpoint, access_key="k", secret_key="s")
+        s3_fileio.upload_table(t, client, "s3://warehouse/ns/docs")
+        mirrored = s3_fileio.open_s3_table(
+            "s3://warehouse/ns/docs", client, cache
+        )
+    # the mirror is complete — the read plan touches only the local
+    # cache, so the loopback endpoint can close before execution
+    return _lang_profile(mirrored.read(spark))
+
+
+ICEBERG_S3_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
+"""
+
+
 def iceberg_spec_evolution_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1726,6 +1726,14 @@ ORACLES["iceberg_transform_pruned"] = _ITPO
 # so the oracle is the plain full-corpus profile).
 ORACLES["iceberg_spec_evolution_roundtrip"] = _LPO
 
+# ——— round 8: S3 FileIO — publish with path rewriting, mirror back,
+# read with position deletes applied across the relocation.
+from flinkrunner_spark.plans.connectors import (  # noqa: E402
+    ICEBERG_S3_ORACLE as _IS3O,
+)
+
+ORACLES["iceberg_s3_roundtrip"] = _IS3O
+
 # ——— round 8: Count-Min heavy hitters + A-ES weighted sampling —
 # md5-derived hashes/uniforms, so sketch counters, estimates and sample
 # ranking reproduce bit-for-bit (hex parsed with the digit-sum idiom).

@@ -1885,3 +1885,139 @@ class LoopbackElasticsearch:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class LoopbackS3:
+    """Minimal S3 REST endpoint over real HTTP: path-style GetObject /
+    PutObject / DeleteObject / ListObjectsV2 (prefix + continuation
+    paging, 1000-key pages like the service) against an in-memory
+    object map, with SigV4 Authorization presence + s3 credential-scope
+    enforcement — proves the jar-free `util/s3.py` client and the
+    `s3_fileio` table mirror against a server speaking the genuine
+    wire shapes."""
+
+    PAGE = 1000
+
+    def __init__(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.objects: dict[tuple[str, str], bytes] = {}
+        self.lock = threading.Lock()
+        srv = self
+
+        def _esc(s: str) -> str:
+            return (
+                s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _check_auth(self) -> bool:
+                auth = self.headers.get("Authorization", "")
+                if "AWS4-HMAC-SHA256" not in auth or "/s3/" not in auth:
+                    self._send(403, b"<Error><Code>AccessDenied</Code></Error>")
+                    return False
+                return True
+
+            def _send(self, code, body=b"", ctype="application/xml"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def _bucket_key(self):
+                from urllib.parse import unquote, urlsplit
+
+                parts = urlsplit(self.path)
+                path = unquote(parts.path).lstrip("/")
+                bucket, _, key = path.partition("/")
+                return bucket, key, parts.query
+
+            def do_PUT(self):
+                if not self._check_auth():
+                    return
+                bucket, key, _ = self._bucket_key()
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                with srv.lock:
+                    srv.objects[(bucket, key)] = data
+                self._send(200)
+
+            def do_DELETE(self):
+                if not self._check_auth():
+                    return
+                bucket, key, _ = self._bucket_key()
+                with srv.lock:
+                    srv.objects.pop((bucket, key), None)
+                self._send(204)
+
+            def do_GET(self):
+                if not self._check_auth():
+                    return
+                bucket, key, query = self._bucket_key()
+                if "list-type=2" in query:
+                    return self._list(bucket, query)
+                with srv.lock:
+                    data = srv.objects.get((bucket, key))
+                if data is None:
+                    return self._send(
+                        404, b"<Error><Code>NoSuchKey</Code></Error>"
+                    )
+                self._send(200, data, ctype="application/octet-stream")
+
+            def _list(self, bucket, query):
+                from urllib.parse import parse_qs
+
+                q = parse_qs(query)
+                prefix = q.get("prefix", [""])[0]
+                token = q.get("continuation-token", [""])[0]
+                with srv.lock:
+                    keys = sorted(
+                        k for (b, k), _ in srv.objects.items()
+                        if b == bucket and k.startswith(prefix)
+                    )
+                start = int(token) if token else 0
+                page = keys[start : start + srv.PAGE]
+                truncated = start + srv.PAGE < len(keys)
+                with srv.lock:
+                    contents = "".join(
+                        f"<Contents><Key>{_esc(k)}</Key>"
+                        f"<Size>{len(srv.objects[(bucket, k)])}</Size>"
+                        "</Contents>"
+                        for k in page
+                    )
+                nxt = (
+                    f"<NextContinuationToken>{start + srv.PAGE}"
+                    "</NextContinuationToken>"
+                    if truncated
+                    else ""
+                )
+                body = (
+                    "<?xml version=\"1.0\"?><ListBucketResult>"
+                    f"<IsTruncated>{'true' if truncated else 'false'}"
+                    f"</IsTruncated>{contents}{nxt}</ListBucketResult>"
+                ).encode()
+                self._send(200, body)
+
+        self.server = ThreadingHTTPServer(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://localhost:{self.port}"
+
+    def __enter__(self) -> "LoopbackS3":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
