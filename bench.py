@@ -52,6 +52,29 @@ def main() -> None:
     # doesn't absorb session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # ...and the STREAMING engine: the first streaming query of a session
+    # pays several seconds of micro-batch-engine/state-store init, which
+    # otherwise lands on whichever stream_* key sorts first and makes its
+    # cold number incomparable across rounds
+    import shutil
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="bench-stream-warm-")
+    try:
+        spark.range(10).write.mode("overwrite").parquet(warm_dir + "/in")
+        wq = (
+            spark.readStream.schema("id long")
+            .parquet(warm_dir + "/in")
+            .writeStream.format("memory")
+            .queryName("_bench_stream_warm")
+            .option("checkpointLocation", warm_dir + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(60)
+        wq.stop()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     queries = entrymod.queries()
     from flinkrunner_spark.llm import dedup as llm_dedup
