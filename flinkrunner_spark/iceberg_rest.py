@@ -25,6 +25,7 @@ against a scripted in-process HTTP server.
 from __future__ import annotations
 
 import json
+import os
 from urllib.parse import quote, urlencode
 
 # multi-level namespaces join with the 0x1F unit separator in URL paths
@@ -281,17 +282,59 @@ class RestCatalog:
         raise RestCatalogError(
             f"table location {loc!r} is not a locally reachable "
             "filesystem path; map its prefix to a mounted root via the "
-            "catalog's warehouse.mapping conf, or use the iceberg "
-            "runtime jar + a FileIO for that scheme"
+            "catalog's warehouse.mapping conf, configure the jar-free "
+            "S3 FileIO for s3:// locations (s3.endpoint + credentials "
+            "in the catalog conf), or use the iceberg runtime jar + a "
+            "FileIO for that scheme"
+        )
+
+    def _s3_client(self):
+        """Jar-free S3 client from the catalog conf (s3.endpoint +
+        credentials), or None when object-store access is unconfigured."""
+        if not self.conf.get("s3.endpoint"):
+            return None
+        from flinkrunner_spark.util.s3 import S3Client
+
+        return S3Client(
+            self.conf["s3.endpoint"],
+            region=self.conf.get("s3.region", "us-east-1"),
+            access_key=self.conf.get("s3.access.key.id", ""),
+            secret_key=self.conf.get("s3.secret.access.key", ""),
+            session_token=self.conf.get("s3.session.token"),
         )
 
     def fs_table(self, namespace, table: str):
-        """Resolve through the catalog, open as a filesystem table."""
+        """Resolve through the catalog, open as a filesystem table.
+
+        ``s3://`` locations resolve through the jar-free S3 FileIO when
+        the catalog conf carries ``s3.endpoint`` + credentials: the
+        table mirrors into ``s3.cache.dir`` (default: a deterministic
+        per-location dir under the system temp root) under the
+        ``s3.max.bytes`` budget and opens READ-ONLY with path mapping
+        (`s3_fileio.open_s3_table`). Without s3 conf, the
+        warehouse.mapping / refusal behavior is unchanged."""
         from flinkrunner_spark.iceberg import IcebergFsTable
 
         resp = self.load_table(namespace, table)
         md = resp.get("metadata") or {}
         loc = md.get("location") or resp.get("metadata-location", "")
+        if str(loc).startswith("s3://"):
+            client = self._s3_client()
+            if client is not None:
+                import hashlib
+                import tempfile
+
+                from flinkrunner_spark import s3_fileio
+
+                cache = self.conf.get("s3.cache.dir") or os.path.join(
+                    tempfile.gettempdir(),
+                    "iceberg-s3-cache",
+                    hashlib.md5(loc.encode()).hexdigest()[:16],
+                )
+                kw = {}
+                if self.conf.get("s3.max.bytes"):
+                    kw["max_bytes"] = int(self.conf["s3.max.bytes"])
+                return s3_fileio.open_s3_table(loc, client, cache, **kw)
         return IcebergFsTable(self._local_location(loc))
 
     def read(self, spark, namespace, table: str):

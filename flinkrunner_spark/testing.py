@@ -602,9 +602,13 @@ class LoopbackRestCatalog:
     table metadata served from the registered metadata-location on disk
     (what a real filesystem-warehouse catalog does), commits recorded.
     Optional bearer-token auth with the oauth2 client-credentials
-    exchange."""
+    exchange. ``s3_client`` gives the catalog a server-side FileIO for
+    s3:// metadata locations (exactly what a real REST catalog has —
+    it loads table metadata through its own FileIO before returning
+    it); without one, s3 pointers fail the load like a catalog with no
+    warehouse credentials."""
 
-    def __init__(self, token: str | None = None):
+    def __init__(self, token: str | None = None, s3_client=None):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.namespaces: set = set()
@@ -612,6 +616,7 @@ class LoopbackRestCatalog:
         self.commits: list = []
         self.lock = threading.Lock()
         self.required_token = token
+        self.s3_client = s3_client
         cat = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -646,8 +651,16 @@ class LoopbackRestCatalog:
                         loc = cat.tables.get((ns, name))
                     if loc is None:
                         return self._json(404, {"error": "no such table"})
-                    with open(loc) as fh:
-                        md = json.load(fh)
+                    if loc.startswith("s3://") and cat.s3_client is not None:
+                        from flinkrunner_spark.util.s3 import parse_s3_uri
+
+                        bucket, key = parse_s3_uri(loc)
+                        md = json.loads(
+                            cat.s3_client.get_object(bucket, key).decode()
+                        )
+                    else:
+                        with open(loc) as fh:
+                            md = json.load(fh)
                     return self._json(
                         200, {"metadata-location": loc, "metadata": md}
                     )

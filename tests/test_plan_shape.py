@@ -304,3 +304,45 @@ def test_docs_dsir_text_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_docs_weighted_sample_is_takeordered_zero_exchange(spark):
+    """A-ES sampling is ONE projection + ONE TakeOrdered: no Exchange
+    before the top-k (the k-row rank window after it is free), text
+    never moves."""
+    from flinkrunner_spark.llm import sampling
+
+    plan = _plan(spark, sampling.docs_weighted_sample)
+    assert "TakeOrderedAndProject" in plan, plan
+    pre_topk = plan.split("TakeOrderedAndProject", 1)[1]
+    assert "Exchange hashpartitioning" not in pre_topk, plan
+
+
+def test_docs_heavy_hitters_sketch_shuffle_is_bounded_keyspace(spark):
+    """The CMS build shuffles (row, bucket) int pairs with a partial
+    aggregate — the reduce side is O(D×W), never O(vocabulary) — and
+    the sketch probes ride broadcast joins; the final top-k is a
+    TakeOrdered, not a global sort."""
+    from flinkrunner_spark.llm import sketches
+
+    plan = _plan(spark, sketches.docs_heavy_hitters)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert plan.count("BroadcastExchange") >= sketches.CMS_DEPTH, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_emb_knn_join_no_forced_probe_broadcast(spark):
+    """The learned-cell k-NN join must never row-duplicate via a
+    nested-loop product, and its probe/scoring stages are Arrow
+    (mapInPandas) — no interpreted per-element folds in the hot path."""
+    from flinkrunner_spark.llm import similarity
+
+    similarity.release_caches(SF)
+    plan = _plan(spark, similarity.emb_knn_join)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("MapInPandas") >= 2, plan  # probe + scoring
+    similarity.release_caches(SF)
