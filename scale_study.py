@@ -44,9 +44,13 @@ DEFAULT_KEYS = [
     "docs_cluster_assign",
     "docs_dup_clusters",
     "emb_knn_join",
+    "emb_knn_join_label",
+    "emb_dup_pairs",
     "emb_dup_pairs_rhlsh",
     "rhlsh_bucket_stats",
     "emb_knn_ivf_kmeans",
+    "docs_heavy_hitters",
+    "docs_weighted_sample",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
