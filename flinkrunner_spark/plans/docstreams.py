@@ -82,3 +82,44 @@ def stream_topk_ngrams(
         spark, counts, "q_stream_topk_ngrams", mode="complete"
     )
     return final.orderBy(F.col("cnt").desc(), "n", "ngram").limit(k)
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_heavy_hitters`` with the Count-Min SKETCH BUILT AS
+    STREAMING STATE — the deployment Count-Min exists for: per-micro-
+    batch partial counts fold into a state of O(D×W) counters (4×1024
+    here) REGARDLESS of how long the stream runs — contrast
+    ``stream_topk_ngrams``, whose state is O(vocabulary). Four real
+    micro-batches accumulate the sketch in complete mode; the final
+    probe/rank stage then runs as a batch query against the frozen
+    sketch (exactly the operational shape: the sketch is maintained
+    online, heavy-hitter reports are periodic reads). Counter sums are
+    order-independent ints, so ANY micro-batch split yields the batch
+    sketch bit-for-bit — same oracle as the batch twin."""
+    from flinkrunner_spark.llm.sketches import (
+        CMS_DEPTH,
+        cms_bucket,
+        rank_heavy_hitters,
+    )
+    from flinkrunner_spark.streaming import pipelines as P
+
+    docs = stream_documents(spark, sf_dir, splits=4)
+    toks = docs.select(F.explode(tokens_col()).alias("tok"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cms_bucket(F.col("tok"), r).alias("bucket"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    sketch_stream = (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sketch = P.run_to_memory(
+        spark, sketch_stream, "q_stream_heavy_hitters", mode="complete"
+    )
+    return rank_heavy_hitters(spark, sf_dir, sketch)

@@ -1762,6 +1762,15 @@ SELECT token, est_count, exact_count, CAST(rk AS INTEGER) AS rk FROM (
 WHERE rk <= 50
 """
 
+# streaming twin: the CMS sketch accumulated as streaming state equals
+# the batch sketch (order-independent int counters), so the batch
+# oracle verifies it exactly — the stream_topk_ngrams convention.
+def _alias_stream_heavy_hitters() -> None:
+    ORACLES["stream_heavy_hitters"] = ORACLES["docs_heavy_hitters"]
+
+
+_alias_stream_heavy_hitters()
+
 ORACLES["docs_weighted_sample"] = f"""
 WITH t AS (
   SELECT doc_id, lang, n_chars,

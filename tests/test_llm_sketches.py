@@ -109,3 +109,27 @@ def test_docs_heavy_hitters_sketch_is_bounded(spark):
     total = sum(r["cnt"] for r in tab)
     n_toks = toks.count()
     assert total == sketches.CMS_DEPTH * n_toks  # every token in every row
+
+
+def test_stream_heavy_hitters_matches_batch_and_state_is_bounded(spark):
+    """The streaming-state sketch must equal the batch twin exactly
+    (order-independent counters — any micro-batch split is fine), and
+    the state the stream carries is the O(D×W) counter table, never
+    O(vocabulary)."""
+    from flinkrunner_spark.plans import docstreams
+
+    batch = [
+        (r["token"], r["est_count"], r["exact_count"], r["rk"])
+        for r in sketches.docs_heavy_hitters(spark, SF).orderBy("rk").collect()
+    ]
+    streamed = [
+        (r["token"], r["est_count"], r["exact_count"], r["rk"])
+        for r in docstreams.stream_heavy_hitters(spark, SF)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert streamed == batch and len(batch) > 0
+    # the complete-mode state table the stream materialized is the
+    # bounded sketch itself
+    state = spark.table("q_stream_heavy_hitters")
+    assert state.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
