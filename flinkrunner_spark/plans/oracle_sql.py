@@ -1771,6 +1771,34 @@ def _alias_stream_heavy_hitters() -> None:
 
 _alias_stream_heavy_hitters()
 
+ORACLES["docs_pmi_bigrams"] = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i+1])) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pos GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY w2),
+n AS (SELECT SUM(c12) AS n_pos FROM c12),
+sc AS (
+  SELECT p.w1, p.w2, p.c12 AS pair_count,
+    {_r6("ln((CAST(p.c12 AS DOUBLE) * n.n_pos)"
+         " / (CAST(a.c1 AS DOUBLE) * b.c2))")} AS pmi
+  FROM c12 p JOIN c1 a ON p.w1 = a.w1 JOIN c2 b ON p.w2 = b.w2
+  CROSS JOIN n
+  WHERE p.c12 >= 5
+)
+SELECT w1, w2, pair_count, pmi, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT w1, w2, pair_count, pmi,
+    row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+  FROM sc) r
+WHERE rk <= 50
+"""
+
 ORACLES["docs_weighted_sample"] = f"""
 WITH t AS (
   SELECT doc_id, lang, n_chars,

@@ -133,3 +133,39 @@ def test_stream_heavy_hitters_matches_batch_and_state_is_bounded(spark):
     # bounded sketch itself
     state = spark.table("q_stream_heavy_hitters")
     assert state.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
+def test_docs_pmi_bigrams_matches_counter_mirror(spark):
+    """PMI collocations must equal an independent Counter + math.log
+    mirror: same position stream, marginals, floor, rounded ranking."""
+    from flinkrunner_spark.llm import collocations
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    c12: Counter = Counter()
+    for r in rows:
+        t = _tokens(r["text"])
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        c2[b] += c
+    n = sum(c12.values())
+    scored = [
+        (round(math.log(c * n / (c1[a] * c2[b])), 6), a, b, c)
+        for (a, b), c in c12.items()
+        if c >= collocations.PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [
+        (a, b, c, p) for p, a, b, c in scored[: collocations.PMI_TOP_K]
+    ]
+
+    out = collocations.docs_pmi_bigrams(spark, SF).orderBy("rk").collect()
+    assert [
+        (r["w1"], r["w2"], r["pair_count"], r["pmi"]) for r in out
+    ] == expected
+    assert len(expected) > 0
+    # PMI has signal on this corpus: scores are not all equal
+    assert len({p for p, *_ in scored}) > 1
