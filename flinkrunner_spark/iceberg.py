@@ -2107,6 +2107,47 @@ class IcebergFsTable:
             "sequence_number long",
         )
 
+    def partitions_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """`partitions` metadata table: per-partition file/row/byte
+        totals of a snapshot (default current) — what a 100 TB operator
+        reads to find skew, small-file pressure and compaction targets
+        WITHOUT scanning any data (pure manifest metadata). With
+        partition evolution, rows key on (spec_id, partition-JSON) —
+        the same tuple can mean different things under different specs,
+        so they never merge (the jar's partitions table keys on the
+        spec-shaped struct for the same reason). Delete files are
+        counted separately (their rows are retractions, adding them to
+        record_count would misstate the partition size)."""
+        data, eq_dels, pos_dels = self._live(snapshot_id)
+        agg: dict[tuple, list] = {}
+        for f in data:
+            key = (
+                f.get("_spec_id", 0),
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+            )
+            row = agg.setdefault(key, [0, 0, 0, 0])
+            row[0] += 1
+            row[1] += int(f["record_count"])
+            row[2] += int(f["file_size_in_bytes"])
+        for f in eq_dels + pos_dels:
+            key = (
+                f.get("_spec_id", 0),
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+            )
+            row = agg.setdefault(key, [0, 0, 0, 0])
+            row[3] += 1
+        rows = [
+            (sid, part, c[0], c[1], c[2], c[3])
+            for (sid, part), c in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "spec_id int, partition string, data_file_count long, "
+            "record_count long, total_size_bytes long, delete_file_count long",
+        )
+
     def manifests_df(
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:

@@ -250,3 +250,44 @@ def test_sort_by_on_existing_table_refused_on_mismatch(spark, tmp_path):
     t2.append(_df(spark, 0, 10))
     with pytest.raises(ValueError, match="sort order"):
         t2.append(_df(spark, 10, 20), sort_by=["id"])
+
+
+def test_partitions_df_totals_and_spec_evolution(spark, tmp_path):
+    """`partitions` metadata table: per-partition file/row/byte totals
+    from manifests alone; mixed-spec tables key rows on (spec_id,
+    tuple) so identically-shaped tuples under different specs never
+    merge; delete files count separately."""
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    t = IcebergFsTable(str(tmp_path / "pmeta"))
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else "de") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    t.append(df, partition_by=["lang"])
+    parts = {p["partition"]: p for p in t.partitions_df(spark).collect()}
+    assert set(parts) == {'{"lang": "de"}', '{"lang": "en"}'}
+    assert parts['{"lang": "en"}']["record_count"] == 10
+    assert parts['{"lang": "de"}']["record_count"] == 10
+    assert all(p["data_file_count"] >= 1 for p in parts.values())
+    assert all(p["total_size_bytes"] > 0 for p in parts.values())
+    assert all(p["delete_file_count"] == 0 for p in parts.values())
+
+    # evolve to bucket[4](doc_id): new rows land under spec 1; rows
+    # keyed per spec, never merged
+    t.evolve_spec(["bucket[4](doc_id)"])
+    t.append(
+        spark.createDataFrame(
+            [(100, "x", "fr")], "doc_id long, text string, lang string"
+        )
+    )
+    rows = t.partitions_df(spark).collect()
+    assert {r["spec_id"] for r in rows} == {0, 1}
+    assert sum(r["record_count"] for r in rows) == 21
+
+    # a row-level delete shows up as delete files, not fewer records
+    n = t.delete_where(spark, "doc_id = 3")
+    assert n == 1
+    rows2 = t.partitions_df(spark).collect()
+    assert sum(r["delete_file_count"] for r in rows2) >= 1
+    assert sum(r["record_count"] for r in rows2) == 21  # data rows unchanged
