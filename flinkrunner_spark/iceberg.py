@@ -292,6 +292,7 @@ def current_schema(md: dict) -> dict:
     sid = md["current-schema-id"]
     return next(s for s in md["schemas"] if s.get("schema-id") == sid)
 
+STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
 CONTENT_DATA = 0  # manifest content 0 = data, 1 = deletes
@@ -1006,6 +1007,60 @@ class IcebergFsTable:
             "deleted_rows_count": 0,
         }
 
+    def _write_carried_manifest(
+        self, files: list[dict], md: dict, spec_id: int, seq: int
+    ) -> dict:
+        """One manifest of EXISTING entries — live files a partial
+        REPLACE commit (binpack) carries forward untouched. Entries keep
+        their ORIGINAL sequence numbers explicitly (inheritance would
+        reassign them to this commit's, silently changing delete-file
+        applicability) and the snapshot id that added them."""
+        spec_fields = self._spec_fields(md, spec_id)
+        entries = []
+        for f in files:
+            clean = {k: v for k, v in f.items() if not k.startswith("_")}
+            entries.append(
+                {
+                    "status": STATUS_EXISTING,
+                    "snapshot_id": f.get("_added_snapshot_id"),
+                    "sequence_number": int(f["_seq"]),
+                    "file_sequence_number": int(f["_seq"]),
+                    "data_file": clean,
+                }
+            )
+        mf_path = os.path.join(self.meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        ice_schema = current_schema(md)
+        blob = AC.write_container(
+            manifest_entry_schema(spec_fields, ice_schema),
+            entries,
+            extra_meta={
+                "schema": json.dumps(ice_schema),
+                "schema-id": str(md["current-schema-id"]),
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(mf_path, "wb") as fh:
+            fh.write(blob)
+        rows = sum(int(f["record_count"]) for f in files)
+        return {
+            "manifest_path": mf_path,
+            "manifest_length": len(blob),
+            "partition_spec_id": spec_id,
+            "content": CONTENT_DATA,
+            "sequence_number": seq,
+            "min_sequence_number": min(int(f["_seq"]) for f in files),
+            "added_snapshot_id": 0,
+            "added_files_count": 0,
+            "existing_files_count": len(files),
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": rows,
+            "deleted_rows_count": 0,
+        }
+
     def _write_snapshot(
         self,
         df: DataFrame | None,
@@ -1016,6 +1071,7 @@ class IcebergFsTable:
         pos_delete_files: list[dict] | None = None,
         extra_properties: dict | None = None,
         sort_by: list | None = None,
+        carried_entries: list[dict] | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
@@ -1034,6 +1090,18 @@ class IcebergFsTable:
                     data_files, md, spec_fields, snap_id, seq, CONTENT_DATA
                 )
             )
+        if carried_entries:
+            # partial REPLACE (binpack): untouched live files carry
+            # forward as EXISTING entries, grouped per partition spec
+            by_spec: dict[int, list[dict]] = {}
+            for f in carried_entries:
+                by_spec.setdefault(
+                    f.get("_spec_id", md["default-spec-id"]), []
+                ).append(f)
+            for sid in sorted(by_spec):
+                manifests.append(
+                    self._write_carried_manifest(by_spec[sid], md, sid, seq)
+                )
         if pos_delete_files:
             # POSITION delete files (v2 row-level delete): file_path/pos
             # rows that apply, at read time, to data files with a
@@ -1548,6 +1616,7 @@ class IcebergFsTable:
                     else mf["sequence_number"]
                 )
                 f["_spec_id"] = mf_spec_id
+                f["_added_snapshot_id"] = e.get("snapshot_id")
                 if f["file_format"].upper() != "PARQUET":
                     raise ValueError(
                         f"iceberg fallback reads parquet data files only, "
@@ -2364,6 +2433,48 @@ class IcebergFsTable:
         ``expire_snapshots`` drops them."""
         cur = self.read(spark).coalesce(max(1, target_partitions))
         self._write_snapshot(cur, "replace")
+
+    def rewrite_small_files(
+        self,
+        spark: SparkSession,
+        min_rows: int = 100_000,
+        target_partitions: int = 1,
+    ) -> int:
+        """BINPACK compaction (the rewrite_data_files action's binpack
+        strategy, vs ``compact``'s full rewrite): only live data files
+        UNDER ``min_rows`` rows are read and rewritten; every other
+        file carries forward untouched as an EXISTING manifest entry
+        with its original sequence number. At 100 TB this is the
+        difference between a streaming sink's nightly maintenance
+        (touching minutes' worth of small commits) and rewriting the
+        whole table — the selection is pure manifest metadata, the read
+        touches only the small files.
+
+        Refuses tables with live delete files: rewriting a data file
+        that position deletes point at (by path) would resurrect its
+        deleted rows — run ``compact()`` there, which merges deletes
+        and drops tombstones. Returns the number of files rewritten
+        (0 = nothing to do; a single small file is left alone)."""
+        md = self.metadata()
+        data, eq_dels, pos_dels = self._live()
+        if eq_dels or pos_dels:
+            raise ValueError(
+                "binpack cannot run over live delete files (a rewritten "
+                "data file would escape its position deletes); use "
+                "compact(), which merges deletes and drops tombstones"
+            )
+        small = [f for f in data if int(f["record_count"]) < min_rows]
+        if len(small) < 2:
+            return 0
+        big = [f for f in data if int(f["record_count"]) >= min_rows]
+        ice = current_schema(md)
+        df = self._assemble_data(spark, small, md, ice).coalesce(
+            max(1, target_partitions)
+        )
+        # new files land under the CURRENT default spec (rewrites migrate
+        # data to the latest layout — the jar action's behavior too)
+        self._write_snapshot(df, "replace", carried_entries=big)
+        return len(small)
 
     def remove_orphan_files(self) -> list[str]:
         """Delete parquet files under data/ that NO snapshot's manifests

@@ -1019,3 +1019,74 @@ def test_parse_sort_entry_bad_direction_is_value_error():
     for bad in [("c", None), ("c", 5), "c sideways"]:
         with pytest.raises(ValueError, match="asc|desc"):
             t._parse_sort_entry(bad)
+
+
+# -- binpack small-file compaction ------------------------------------------
+
+
+def test_rewrite_small_files_binpack(spark, tmp_path):
+    """Only sub-threshold files rewrite; big files carry forward as
+    EXISTING entries keeping their ORIGINAL sequence numbers; rows are
+    identical before/after; the big file's parquet is untouched on
+    disk (same path still live)."""
+    loc = str(tmp_path / "bp1")
+    t = I.IcebergFsTable(loc)
+    big_df = spark.createDataFrame(
+        [(i, f"x{i}", 1.0, []) for i in range(500)],
+        "id bigint, name string, score double, tags array<string>",
+    ).coalesce(1)
+    t.append(big_df)
+    for j in range(3):  # three tiny streaming-style commits
+        t.append(_df(spark, [(1000 + j, f"s{j}", 0.5, [])]))
+    entries_before = t.live_entries()
+    n_small = sum(1 for f in entries_before if f["record_count"] < 10)
+    assert n_small >= 3  # the three tiny commits (+ any empty part files)
+    big_path = next(
+        f["file_path"] for f in entries_before if f["record_count"] == 500
+    )
+
+    n = t.rewrite_small_files(spark, min_rows=10)
+    assert n == n_small
+    rows = t.read(spark).collect()
+    assert len(rows) == 503
+    assert {r["id"] for r in rows} == set(range(500)) | {1000, 1001, 1002}
+    after = t.live_entries()
+    # big file carried AT ITS OLD PATH; small files replaced by one
+    paths = [f["file_path"] for f in after]
+    assert big_path in paths and len(paths) == 2
+    carried = next(f for f in after if f["file_path"] == big_path)
+    assert carried["_seq"] == 1  # original sequence preserved
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    # nothing to do below threshold → no-op, no snapshot
+    n_snaps = len(t.snapshots())
+    assert t.rewrite_small_files(spark, min_rows=10) == 0
+    assert len(t.snapshots()) == n_snaps
+
+
+def test_rewrite_small_files_across_spec_evolution(spark, tmp_path):
+    """Carried files grouped per spec (old identity layout untouched),
+    rewritten smalls land under the CURRENT spec; read stays whole."""
+    loc = str(tmp_path / "bp2")
+    t = I.IcebergFsTable(loc)
+    rows = [(i, f"x{i}", 1.0, ["t"]) for i in range(300)]
+    t.append(
+        spark.createDataFrame(
+            rows, "id bigint, name string, score double, tags array<string>"
+        ).coalesce(1),
+        partition_by=["name"],
+    )  # 300 one-row-ish partitions? name unique -> many small files
+    t.evolve_spec(["bucket[4](id)"])
+    t.append(_df(spark, [(9000, "zz", 2.0, [])]))
+    n = t.rewrite_small_files(spark, min_rows=5)
+    assert n > 0
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == sorted([r[0] for r in rows] + [9000])
+
+
+def test_rewrite_small_files_refuses_delete_files(spark, tmp_path):
+    loc = str(tmp_path / "bp3")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))
+    t.delete_where(spark, "id = 1")
+    with pytest.raises(ValueError, match="binpack"):
+        t.rewrite_small_files(spark, min_rows=10)
