@@ -1904,18 +1904,24 @@ class LoopbackS3:
     """Minimal S3 REST endpoint over real HTTP: path-style GetObject /
     PutObject / DeleteObject / ListObjectsV2 (prefix + continuation
     paging, 1000-key pages like the service) against an in-memory
-    object map, with SigV4 Authorization presence + s3 credential-scope
-    enforcement — proves the jar-free `util/s3.py` client and the
-    `s3_fileio` table mirror against a server speaking the genuine
-    wire shapes."""
+    object map, with FULL SigV4 signature verification — the canonical
+    request is rebuilt from the wire bytes the way the real service
+    does (decode-then-single-encode path and query) and the signature
+    recomputed from the server-held secret, independently of the
+    client's signer, so a client-side canonicalization bug (e.g.
+    double-encoding a %2F in the list prefix) fails here exactly as it
+    would against AWS/MinIO. Proves the jar-free `util/s3.py` client
+    and the `s3_fileio` table mirror against genuine wire shapes."""
 
     PAGE = 1000
 
-    def __init__(self):
+    def __init__(self, access_key: str = "k", secret_key: str = "s"):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.objects: dict[tuple[str, str], bytes] = {}
         self.lock = threading.Lock()
+        self.access_key = access_key
+        self.secret_key = secret_key
         srv = self
 
         def _esc(s: str) -> str:
@@ -1928,10 +1934,69 @@ class LoopbackS3:
             def log_message(self, *a):
                 pass
 
-            def _check_auth(self) -> bool:
+            def _check_auth(self, body: bytes = b"") -> bool:
+                import hashlib
+                import hmac as hmac_mod
+                import re as re_mod
+                from urllib.parse import quote, unquote
+
                 auth = self.headers.get("Authorization", "")
-                if "AWS4-HMAC-SHA256" not in auth or "/s3/" not in auth:
+                m = re_mod.match(
+                    r"AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)"
+                    r"/s3/aws4_request, SignedHeaders=([^,]+), "
+                    r"Signature=([0-9a-f]{64})$",
+                    auth,
+                )
+                if not m or m.group(1) != srv.access_key:
                     self._send(403, b"<Error><Code>AccessDenied</Code></Error>")
+                    return False
+                date, region, signed_headers, got_sig = m.group(2, 3, 4, 5)
+                # content integrity: the signed payload hash must match
+                # the actual body (S3 rejects mismatches with 400)
+                payload_hash = self.headers.get("x-amz-content-sha256", "")
+                if payload_hash != hashlib.sha256(body).hexdigest():
+                    self._send(
+                        400, b"<Error><Code>XAmzContentSHA256Mismatch"
+                        b"</Code></Error>")
+                    return False
+                # canonical request, rebuilt from the raw wire request:
+                # decode, then single-encode with the SigV4 safe set
+                raw_path, _, raw_query = self.path.partition("?")
+                canon_path = quote(unquote(raw_path), safe="-_.~/") or "/"
+                qp = []
+                for part in raw_query.split("&"):
+                    if not part:
+                        continue
+                    k, _, v = part.partition("=")
+                    qp.append((quote(unquote(k), safe="-_.~"),
+                               quote(unquote(v), safe="-_.~")))
+                canon_query = "&".join(f"{k}={v}" for k, v in sorted(qp))
+                names = signed_headers.split(";")
+                canon_headers = "".join(
+                    f"{n}:{' '.join((self.headers.get(n) or '').split())}\n"
+                    for n in names
+                )
+                creq = "\n".join([
+                    self.command, canon_path, canon_query,
+                    canon_headers, signed_headers, payload_hash,
+                ])
+                scope = f"{date}/{region}/s3/aws4_request"
+                sts = "\n".join([
+                    "AWS4-HMAC-SHA256",
+                    self.headers.get("x-amz-date", ""),
+                    scope,
+                    hashlib.sha256(creq.encode()).hexdigest(),
+                ])
+                key = b"AWS4" + srv.secret_key.encode()
+                for piece in (date, region, "s3", "aws4_request"):
+                    key = hmac_mod.new(
+                        key, piece.encode(), hashlib.sha256).digest()
+                sig = hmac_mod.new(
+                    key, sts.encode(), hashlib.sha256).hexdigest()
+                if not hmac_mod.compare_digest(sig, got_sig):
+                    self._send(
+                        403, b"<Error><Code>SignatureDoesNotMatch"
+                        b"</Code></Error>")
                     return False
                 return True
 
@@ -1952,11 +2017,11 @@ class LoopbackS3:
                 return bucket, key, parts.query
 
             def do_PUT(self):
-                if not self._check_auth():
-                    return
-                bucket, key, _ = self._bucket_key()
                 n = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(n)
+                if not self._check_auth(data):
+                    return
+                bucket, key, _ = self._bucket_key()
                 with srv.lock:
                     srv.objects[(bucket, key)] = data
                 self._send(200)

@@ -21,7 +21,7 @@ import hashlib
 import hmac
 import re
 from dataclasses import dataclass
-from urllib.parse import quote, urlsplit
+from urllib.parse import quote, unquote, urlsplit
 
 _SERVICE_HOST = re.compile(r"([^.]+)(\.[^.]+)?\.amazonaws\.com$")
 
@@ -49,6 +49,11 @@ def _uri_encode(s: str, encode_slash: bool = True) -> str:
 
 
 def _canonical_query(query: str) -> str:
+    # decode-then-encode: the wire query may already be percent-encoded
+    # (URL builders must encode reserved chars to put them on the wire),
+    # and the service canonicalizes from the DECODED values — encoding
+    # the wire form again would sign prefix=ns%252Fdocs while the server
+    # computes prefix=ns%2Fdocs, i.e. guaranteed SignatureDoesNotMatch
     if not query:
         return ""
     pairs = []
@@ -56,7 +61,7 @@ def _canonical_query(query: str) -> str:
         if not part:
             continue
         k, _, v = part.partition("=")
-        pairs.append((_uri_encode(k), _uri_encode(v)))
+        pairs.append((_uri_encode(unquote(k)), _uri_encode(unquote(v))))
     return "&".join(f"{k}={v}" for k, v in sorted(pairs))
 
 
@@ -120,7 +125,9 @@ def sign_request(
 
     # canonical URI: s3 single-encodes, everything else double-encodes
     # (AWS4Signer's doubleUrlEncoding flag, mirrored from the reference)
-    path = parts.path or "/"
+    # decode first: urlsplit leaves the wire path percent-encoded, and a
+    # key like "a b" arrives as "a%20b" — re-encoding that signs %2520
+    path = unquote(parts.path or "/")
     canonical_path = (
         _uri_encode(path, encode_slash=False)
         if service == "s3"

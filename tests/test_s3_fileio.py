@@ -71,6 +71,53 @@ def test_s3_requires_sigv4():
         assert ei.value.code == 403
 
 
+def test_s3_loopback_verifies_signature():
+    """The loopback recomputes the SigV4 signature from the wire bytes:
+    wrong secret → 403 SignatureDoesNotMatch, wrong access key → 403
+    AccessDenied, tampered payload hash → 400. Guards against the class
+    of bug where client-side canonicalization drifts from the service's
+    (e.g. double-encoding the list prefix) but presence-only auth checks
+    let it pass."""
+    with LoopbackS3() as s3:
+        bad_secret = S3Client(s3.endpoint, access_key="k", secret_key="WRONG")
+        with pytest.raises(S3Error) as ei:
+            bad_secret.put_object("b", "k", b"v")
+        assert ei.value.status == 403
+        assert "SignatureDoesNotMatch" in str(ei.value)
+        bad_akid = S3Client(s3.endpoint, access_key="WHO", secret_key="s")
+        with pytest.raises(S3Error) as ei:
+            bad_akid.get_object("b", "k")
+        assert ei.value.status == 403
+
+
+def test_s3_list_prefix_with_slashes_signs_correctly():
+    """Regression for the double-encoding bug: ListObjectsV2 prefixes
+    always contain '/' (ns/table/metadata/), which the URL builder must
+    percent-encode on the wire; the signer must canonicalize the DECODED
+    value (prefix=ns%2Fdocs), not re-encode the wire form (ns%252Fdocs).
+    The verifying loopback fails the old behavior with
+    SignatureDoesNotMatch."""
+    with LoopbackS3() as s3:
+        c = _client(s3)
+        c.put_object("b", "ns/docs/metadata/v1.json", b"{}")
+        c.put_object("b", "ns/docs/data/f1.parquet", b"pq")
+        c.put_object("b", "ns/other/x", b"x")
+        got = [o["key"] for o in c.list_objects("b", "ns/docs/")]
+        assert got == ["ns/docs/data/f1.parquet", "ns/docs/metadata/v1.json"]
+
+
+def test_s3_key_with_special_chars_roundtrip():
+    """Keys with spaces/'+'/unicode must sign and roundtrip: the wire
+    path is percent-encoded once and the canonical path is the decoded
+    path re-encoded once (no double encoding)."""
+    with LoopbackS3() as s3:
+        c = _client(s3)
+        key = "ns/tbl/part=a b+c/f-1.parquet"
+        c.put_object("b", key, b"payload")
+        assert c.get_object("b", key) == b"payload"
+        assert [o["key"] for o in c.list_objects("b", "ns/tbl/")] == [key]
+
+
 def _docs_table(spark, tmp_path, name="t1"):
     t = IcebergFsTable(str(tmp_path / name))
     df = spark.createDataFrame(
