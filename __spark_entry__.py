@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "emb_knn_ivf": similarity.emb_knn_ivf,
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
+        "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,

@@ -817,24 +817,59 @@ def _rh_codes_cte() -> str:
     return "\nUNION ALL\n".join(arms)
 
 
-def _rh_oracle_sql() -> str:
-    # super-bucket cap mirrored: buckets over RH_MAX_BUCKET contribute no
-    # candidate pairs (count-first, same semantics as the Spark anti-join)
-    from flinkrunner_spark.llm.similarity import RH_MAX_BUCKET
+def _rh_cand_ctes() -> str:
+    """The shared candidate pipeline CTE block — sign codes, bucket
+    sizes, the super-bucket cap (count-first, same semantics as the Spark
+    anti-join), and the candidate pair set. Mirrors the Spark plan's
+    probe resolution exactly: at the default τ=0.35 ``auto_probes``
+    turns on flip-1 multi-probe, so a pair is a candidate when its codes
+    in some band differ in ≤1 bit and BOTH endpoints sit in kept
+    (uncapped) buckets — probe codes are xor-flips of each kept row's
+    native code, matched against kept native codes."""
+    from flinkrunner_spark.llm.similarity import (
+        COSINE_DUP_THRESHOLD,
+        RH_BITS,
+        RH_MAX_BUCKET,
+        auto_probes,
+    )
 
-    return f"""
-WITH codes AS (
+    base = f"""codes AS (
 {_rh_codes_cte()}
 ),
 sizes AS (SELECT band, code, COUNT(*) AS n FROM codes GROUP BY band, code),
 keep AS (SELECT band, code FROM sizes WHERE n <= {RH_MAX_BUCKET}),
+kept AS (
+  SELECT c.vec_id, c.band, c.code FROM codes c
+  JOIN keep k ON c.band = k.band AND c.code = k.code
+)"""
+    if auto_probes(COSINE_DUP_THRESHOLD):
+        return f"""{base},
+probes AS (
+  SELECT vec_id, band, code AS pcode FROM kept
+  UNION ALL
+  SELECT vec_id, band,
+    xor(code, CAST(1 << CAST(r.range AS INTEGER) AS INTEGER)) AS pcode
+  FROM kept CROSS JOIN range(0, {RH_BITS}) r
+),
+cand AS (
+  SELECT DISTINCT LEAST(p.vec_id, n.vec_id) AS vec_a,
+                  GREATEST(p.vec_id, n.vec_id) AS vec_b
+  FROM probes p
+  JOIN kept n ON p.band = n.band AND p.pcode = n.code
+             AND p.vec_id <> n.vec_id
+)"""
+    return f"""{base},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM codes a
-  JOIN keep k ON a.band = k.band AND a.code = k.code
-  JOIN codes b
-    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
-)
+  FROM kept a
+  JOIN kept b ON a.band = b.band AND a.code = b.code
+             AND a.vec_id < b.vec_id
+)"""
+
+
+def _rh_oracle_sql() -> str:
+    return f"""
+WITH {_rh_cand_ctes()}
 SELECT vec_a, vec_b, cosine FROM (
   SELECT c.vec_a, c.vec_b,
     {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
@@ -842,6 +877,66 @@ SELECT vec_a, vec_b, cosine FROM (
   JOIN embeddings a ON a.vec_id = c.vec_a
   JOIN embeddings b ON b.vec_id = c.vec_b) t
 WHERE cosine >= 0.35
+"""
+
+
+def _rh_recall_oracle_sql() -> str:
+    """Measured RH-LSH recall against the exact all-pairs baseline on the
+    md5-bucketed sample. The driver runs at sf0.01 (500 rows), where the
+    sample mod resolves to 1 (n ≤ RECALL_SAMPLE_CAP) — the row is TRUE
+    corpus recall there; the hash predicate is kept structurally (mod 1)
+    so the SQL mirrors the Spark plan shape. Baseline cosines are the
+    same left-fold + Spark-parity round as every embedding oracle."""
+    from flinkrunner_spark.llm.similarity import (
+        COSINE_DUP_THRESHOLD,
+        RH_BANDS,
+        RH_BITS,
+        auto_probes,
+    )
+
+    probes = auto_probes(COSINE_DUP_THRESHOLD)
+    return f"""
+WITH {_rh_cand_ctes()},
+lsh AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT c.vec_a, c.vec_b,
+      {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b) t
+  WHERE cosine >= 0.35
+),
+sample AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE CAST(list_sum(list_transform(generate_series(1, 8),
+      i -> (instr('0123456789abcdef',
+              substring(md5(CAST(vec_id AS VARCHAR) || ':rhrecall:v1'),
+                        CAST(i AS INT), 1)) - 1)
+           * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT) % 1 = 0
+),
+truep AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
+    FROM sample a JOIN sample b ON a.vec_id < b.vec_id) t
+  WHERE cosine >= 0.35
+),
+flag AS (
+  SELECT t.vec_a, t.vec_b,
+    CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truep t
+  LEFT JOIN lsh l ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b
+)
+SELECT (SELECT COUNT(*) FROM sample) AS n_sample,
+  CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+  CAST(SUM(hit) AS BIGINT) AS n_found_pairs,
+  CASE WHEN COUNT(*) > 0
+       THEN {_r6("SUM(hit) * 1.0 / COUNT(*)")}
+       ELSE 1.0 END AS recall,
+  CAST({RH_BITS} AS INTEGER) AS bits,
+  CAST({RH_BANDS} AS INTEGER) AS bands,
+  CAST({probes} AS INTEGER) AS probes
+FROM flag
 """
 
 
@@ -864,6 +959,7 @@ FROM sizes
 ORACLES["emb_dup_pairs_rhlsh"] = _rh_oracle_sql()
 ORACLES["emb_dup_pairs"] = _rh_oracle_sql()  # default surface = RH-LSH
 ORACLES["rhlsh_bucket_stats"] = _rh_stats_oracle_sql()
+ORACLES["rhlsh_recall_stats"] = _rh_recall_oracle_sql()
 
 ORACLES["mm_meta"] = """
 SELECT doc_id,

@@ -51,6 +51,9 @@ DEFAULT_KEYS = [
     "emb_knn_ivf_kmeans",
     "docs_heavy_hitters",
     "docs_weighted_sample",
+    "docs_pmi_bigrams",
+    "stream_heavy_hitters",
+    "rhlsh_recall_stats",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
