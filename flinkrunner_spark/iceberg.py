@@ -1008,13 +1008,18 @@ class IcebergFsTable:
         }
 
     def _write_carried_manifest(
-        self, files: list[dict], md: dict, spec_id: int, seq: int
+        self, files: list[dict], md: dict, spec_id: int, seq: int,
+        snap_id: int,
     ) -> dict:
         """One manifest of EXISTING entries — live files a partial
         REPLACE commit (binpack) carries forward untouched. Entries keep
         their ORIGINAL sequence numbers explicitly (inheritance would
         reassign them to this commit's, silently changing delete-file
-        applicability) and the snapshot id that added them."""
+        applicability) and the snapshot id that added them; the
+        manifest-list row's added_snapshot_id is the COMMITTING
+        snapshot's id (``snap_id``) as the spec requires — external
+        readers use it for snapshot-scoped planning, and 0 would
+        misattribute the manifest."""
         spec_fields = self._spec_fields(md, spec_id)
         entries = []
         for f in files:
@@ -1052,7 +1057,7 @@ class IcebergFsTable:
             "content": CONTENT_DATA,
             "sequence_number": seq,
             "min_sequence_number": min(int(f["_seq"]) for f in files),
-            "added_snapshot_id": 0,
+            "added_snapshot_id": snap_id,
             "added_files_count": 0,
             "existing_files_count": len(files),
             "deleted_files_count": 0,
@@ -1100,7 +1105,9 @@ class IcebergFsTable:
                 ).append(f)
             for sid in sorted(by_spec):
                 manifests.append(
-                    self._write_carried_manifest(by_spec[sid], md, sid, seq)
+                    self._write_carried_manifest(
+                        by_spec[sid], md, sid, seq, snap_id
+                    )
                 )
         if pos_delete_files:
             # POSITION delete files (v2 row-level delete): file_path/pos

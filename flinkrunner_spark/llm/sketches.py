@@ -112,24 +112,38 @@ def rank_heavy_hitters(
     k: int = HH_TOP_K,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The probe/rank stage over a (row, bucket, cnt) sketch frame —
     shared by the batch build and the streaming-state build
     (plans/docstreams.stream_heavy_hitters): broadcast the D×W sketch,
     min over the D bucket counts per candidate token, distributed
-    top-k."""
-    toks = _token_stream(spark, sf_dir)
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    top-k. ``candidates`` (a (tok, exact_count) frame) defaults to the
+    corpus's own distinct-token table; any external candidate set may
+    probe — tokens the sketch never saw estimate 0 (left join +
+    coalesce), they are not dropped."""
+    if candidates is None:
+        toks = _token_stream(spark, sf_dir)
+        exact = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("exact_count")
+        )
+    else:
+        exact = candidates
     est = None
     probed = exact
     for r in range(depth):
         s_r = sketch.filter(F.col("row") == r).select(
             F.col("bucket").alias(f"b{r}"), F.col("cnt").alias(f"c{r}")
         )
+        # LEFT join + coalesce-0: a candidate whose bucket cell never
+        # received a count estimates 0 (the CMS contract for unseen
+        # items) instead of vanishing from the output — any candidate
+        # set may probe the sketch, not just tokens the build saw
         probed = probed.withColumn(
             f"b{r}", cms_bucket(F.col("tok"), r, width)
-        ).join(F.broadcast(s_r), f"b{r}")
-        est = F.col(f"c{r}") if est is None else F.least(est, F.col(f"c{r}"))
+        ).join(F.broadcast(s_r), f"b{r}", "left")
+        cnt_r = F.coalesce(F.col(f"c{r}"), F.lit(0))
+        est = cnt_r if est is None else F.least(est, cnt_r)
     from pyspark.sql import Window
 
     # distributed top-k FIRST (TakeOrdered — no global single-task

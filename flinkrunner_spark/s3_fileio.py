@@ -74,10 +74,22 @@ def _rewrite_ocf(blob: bytes, fix) -> bytes:
     return AC.write_container(schema, records, extra_meta=extra)
 
 
-def _rewrite_manifest_list(blob: bytes, old: str, new: str) -> bytes:
+def _rewrite_manifest_list(
+    blob: bytes, old: str, new: str, manifest_sizes: dict[str, int] | None = None
+) -> bytes:
+    """Rewrite manifest_path to the new root AND refresh manifest_length
+    from ``manifest_sizes`` (new path -> rewritten byte size): the
+    manifests themselves are re-encoded with longer s3:// paths, so the
+    recorded lengths change — a jar-equipped reader that trusts
+    manifest_length would otherwise read truncated avro."""
+
     def fix(r):
         if str(r.get("manifest_path", "")).startswith(old):
             r["manifest_path"] = new + r["manifest_path"][len(old):]
+        if manifest_sizes:
+            sz = manifest_sizes.get(str(r.get("manifest_path", "")))
+            if sz is not None:
+                r["manifest_length"] = sz
 
     return _rewrite_ocf(blob, fix)
 
@@ -144,19 +156,14 @@ def upload_table(fs_table, client: S3Client, location: str) -> int:
 
     md = fs_table.metadata()
     v = fs_table._version()
-    for fname in sorted(os.listdir(fs_table.meta_dir)):
+    names = sorted(os.listdir(fs_table.meta_dir))
+    # two passes: manifests first (their rewritten sizes feed the
+    # manifest_length entries of the manifest-lists in pass two)
+    manifest_sizes: dict[str, int] = {}
+    blobs: dict[str, bytes] = {}
+    for fname in names:
         src = os.path.join(fs_table.meta_dir, fname)
-        key = f"{prefix}/metadata/{fname}"
-        if fname.endswith(".metadata.json"):
-            with open(src) as fh:
-                blob = json.dumps(
-                    _rewrite_json_paths(json.load(fh), old_root, new_root),
-                    indent=1,
-                ).encode()
-        elif fname.startswith("snap-") and fname.endswith(".avro"):
-            with open(src, "rb") as fh:
-                blob = _rewrite_manifest_list(fh.read(), old_root, new_root)
-        elif fname.endswith(".avro"):
+        if fname.endswith(".avro") and not fname.startswith("snap-"):
             with open(src, "rb") as fh:
                 blob = _rewrite_manifest(fh.read(), old_root, new_root)
             if pos_delete_sizes:
@@ -168,6 +175,24 @@ def upload_table(fs_table, client: S3Client, location: str) -> int:
                         f["file_size_in_bytes"] = sz
 
                 blob = _rewrite_ocf(blob, fix_size)
+            blobs[fname] = blob
+            manifest_sizes[f"{new_root}/metadata/{fname}"] = len(blob)
+    for fname in names:
+        src = os.path.join(fs_table.meta_dir, fname)
+        key = f"{prefix}/metadata/{fname}"
+        if fname in blobs:
+            blob = blobs[fname]
+        elif fname.endswith(".metadata.json"):
+            with open(src) as fh:
+                blob = json.dumps(
+                    _rewrite_json_paths(json.load(fh), old_root, new_root),
+                    indent=1,
+                ).encode()
+        elif fname.startswith("snap-") and fname.endswith(".avro"):
+            with open(src, "rb") as fh:
+                blob = _rewrite_manifest_list(
+                    fh.read(), old_root, new_root, manifest_sizes
+                )
         elif fname == "version-hint.text":
             blob = str(v).encode()
         else:

@@ -173,7 +173,17 @@ class KafkaNativeBatchReader(DataSourceReader):
                 earliest = c.list_offset(topic, p.partition, EARLIEST_TIMESTAMP)
                 latest = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
                 if start_map is not None:
-                    lo = start_map.get(p.partition, earliest)
+                    # jar parity: offset JSON must cover every assigned
+                    # partition — the Spark kafka datasource fails on a
+                    # partial map rather than silently reading a default
+                    # range for the omitted partitions
+                    if p.partition not in start_map:
+                        raise ValueError(
+                            f"startingOffsets JSON does not cover "
+                            f"{topic}-{p.partition}; the offset map must "
+                            "list every partition of the topic"
+                        )
+                    lo = start_map[p.partition]
                     lo = {-2: earliest, -1: latest}.get(lo, lo)
                     if lo < earliest:
                         if fail_on_loss:
@@ -191,7 +201,13 @@ class KafkaNativeBatchReader(DataSourceReader):
                         else earliest
                     )
                 if end_map is not None:
-                    hi = end_map.get(p.partition, latest)
+                    if p.partition not in end_map:
+                        raise ValueError(
+                            f"endingOffsets JSON does not cover "
+                            f"{topic}-{p.partition}; the offset map must "
+                            "list every partition of the topic"
+                        )
+                    hi = end_map[p.partition]
                     hi = latest if hi == -1 else hi
                     if hi > latest:
                         raise ValueError(

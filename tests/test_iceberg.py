@@ -1056,7 +1056,20 @@ def test_rewrite_small_files_binpack(spark, tmp_path):
     assert big_path in paths and len(paths) == 2
     carried = next(f for f in after if f["file_path"] == big_path)
     assert carried["_seq"] == 1  # original sequence preserved
-    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    last = t.snapshots()[-1]
+    assert last["summary"]["operation"] == "replace"
+    # spec conformance: EVERY manifest-list row of the replace snapshot —
+    # including the carried-EXISTING manifest — stamps the COMMITTING
+    # snapshot's id as added_snapshot_id (0 would misattribute it for
+    # snapshot-scoped planning by external readers)
+    from flinkrunner_spark.serde import avro_codec as AC
+
+    with open(last["manifest-list"], "rb") as fh:
+        _, mlist = AC.read_container(fh.read())
+    assert len(mlist) == 2  # one rewritten-adds + one carried manifest
+    assert {m["added_snapshot_id"] for m in mlist} == {last["snapshot-id"]}
+    carried_mf = next(m for m in mlist if m["existing_files_count"] > 0)
+    assert carried_mf["added_files_count"] == 0
     # nothing to do below threshold → no-op, no snapshot
     n_snaps = len(t.snapshots())
     assert t.rewrite_small_files(spark, min_rows=10) == 0

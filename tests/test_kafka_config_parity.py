@@ -207,6 +207,46 @@ def test_native_fail_on_data_loss_refuses_or_clamps(spark):
         assert clamped.count() == 4
 
 
+def test_native_offset_json_must_cover_all_partitions(spark):
+    """Offset JSON omitting an assigned partition must fail like the jar
+    datasource does — not silently default the omitted partition to
+    earliest/latest and read an unintended range."""
+    import pytest
+
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    df = spark.range(0, 8).selectExpr("id")
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        boot = f"localhost:{b.port}"
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "pc"},
+        ).write(df)
+        base = {"connector": "kafka", "transport": "native",
+                "bootstrap.servers": boot, "topic": "pc"}
+        # partition 1 missing from the start map -> loud refusal
+        with pytest.raises(Exception, match="does not cover pc-1"):
+            KafkaSourceConfig(
+                "t", {**base, "starting.offsets": '{"pc":{"0":0}}'}
+            ).load(spark).count()
+        # ... and from the end map
+        with pytest.raises(Exception, match="does not cover pc-1"):
+            KafkaSourceConfig(
+                "t", {**base, "ending.offsets": '{"pc":{"0":2}}'}
+            ).load(spark).count()
+        # full coverage (with sentinels) still reads everything
+        full = KafkaSourceConfig(
+            "t",
+            {**base,
+             "starting.offsets": '{"pc":{"0":-2,"1":-2}}',
+             "ending.offsets": '{"pc":{"0":-1,"1":-1}}'},
+        ).load(spark)
+        assert full.count() == 8
+
+
 def test_native_ending_offsets_beyond_tip_refused(spark):
     """An end past the log end can never be silently satisfied — refuse
     instead of returning fewer rows than the caller pinned."""

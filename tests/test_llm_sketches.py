@@ -111,6 +111,34 @@ def test_docs_heavy_hitters_sketch_is_bounded(spark):
     assert total == sketches.CMS_DEPTH * n_toks  # every token in every row
 
 
+def test_rank_heavy_hitters_unseen_candidate_estimates_zero(spark):
+    """An external candidate the sketch never saw must come back with
+    est_count 0 (the CMS contract for unseen items), not silently vanish
+    — and seen candidates keep their sketch estimates (>= exact)."""
+    from pyspark.sql import functions as F
+
+    toks = sketches._token_stream(spark, SF)
+    sketch = sketches.cms_table(toks)
+    cands = spark.createDataFrame(
+        [("the", 10), ("zz-never-seen-token-zz", 3)],
+        "tok string, exact_count long",
+    )
+    out = {
+        r["token"]: r["est_count"]
+        for r in sketches.rank_heavy_hitters(
+            spark, SF, sketch, k=10, candidates=cands
+        ).collect()
+    }
+    assert set(out) == {"the", "zz-never-seen-token-zz"}
+    real_the = toks.filter(F.col("tok") == "the").count()
+    assert out["the"] >= real_the > 0
+    # unseen item: min over D rows of (cell count, or 0 when the cell is
+    # absent from the sparse sketch frame) — presence in the output is
+    # the regression (an inner join dropped it); the value stays the
+    # usual one-sided CMS estimate
+    assert out["zz-never-seen-token-zz"] >= 0
+
+
 def test_stream_heavy_hitters_matches_batch_and_state_is_bounded(spark):
     """The streaming-state sketch must equal the batch twin exactly
     (order-independent counters — any micro-batch split is fine), and

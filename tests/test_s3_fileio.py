@@ -203,6 +203,33 @@ def test_mirror_applies_position_deletes_across_relocation(spark, tmp_path):
         )
 
 
+def test_uploaded_manifest_lengths_match_rewritten_blobs(spark, tmp_path):
+    """Manifests are re-encoded on upload (paths grow to s3:// form), so
+    every manifest-list row's manifest_length must be refreshed to the
+    REWRITTEN blob's size — a reader that trusts manifest_length (the
+    jar does, for read-ahead) must never see the stale local size."""
+    from flinkrunner_spark.serde import avro_codec as AC
+
+    t = _docs_table(spark, tmp_path)
+    t.delete_where(spark, "doc_id % 5 = 0")  # adds a delete manifest too
+    with LoopbackS3() as s3:
+        c = _client(s3)
+        s3_fileio.upload_table(t, c, "s3://wh/ns/t1")
+        checked = 0
+        for o in c.list_objects("wh", "ns/t1/metadata/"):
+            name = o["key"].rsplit("/", 1)[-1]
+            if not (name.startswith("snap-") and name.endswith(".avro")):
+                continue
+            _, rows = AC.read_container(c.get_object("wh", o["key"]))
+            for r in rows:
+                mpath = r["manifest_path"]
+                assert mpath.startswith("s3://wh/ns/t1/")
+                blob = c.get_object("wh", mpath[len("s3://wh/"):])
+                assert r["manifest_length"] == len(blob), mpath
+                checked += 1
+        assert checked >= 2  # data + delete manifests at minimum
+
+
 def test_mirror_budget_refuses_oversize(spark, tmp_path):
     t = _docs_table(spark, tmp_path)
     with LoopbackS3() as s3:
