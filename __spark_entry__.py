@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_roundtrip": connectors.iceberg_delete_roundtrip,
         "iceberg_catalog_roundtrip": connectors.iceberg_catalog_roundtrip,
         "iceberg_glue_roundtrip": connectors.iceberg_glue_roundtrip,
+        "iceberg_nessie_roundtrip": connectors.iceberg_nessie_roundtrip,
         "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
         "iceberg_transform_pruned": connectors.iceberg_transform_pruned,
         "stream_curation_to_iceberg": connectors.stream_curation_to_iceberg,

@@ -694,6 +694,52 @@ def iceberg_glue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, profile.schema)
 
 
+def iceberg_nessie_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Iceberg filesystem table PUBLISHED through a Nessie
+    branch (REST API v2: register PUT at the branch head on first
+    write, expected-hash CAS commit advancing the metadataLocation
+    pointer on the second — `nessie_catalog`) → source resolves the
+    table THROUGH the catalog (catalog.type nessie, no path config) →
+    per-language profile. Runs against the in-process loopback Nessie
+    endpoint (`flinkrunner_spark.testing.LoopbackNessie`), which
+    enforces the CAS hash, content-id discipline on updates, and bearer
+    auth. Exactly oracled: proves the nessie wiring changes discovery,
+    not data — the reference's catalog.type=nessie path
+    (IcebergCommonConfig.scala:56-71) without the iceberg-nessie jar."""
+    import shutil
+
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+    from flinkrunner_spark.testing import LoopbackNessie
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-nessie", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    with LoopbackNessie(token="rt-token") as srv:
+        cat_conf = {
+            "catalog.type": "nessie",
+            "catalog.uri": srv.endpoint,
+            "catalog.token": "rt-token",
+        }
+        sink = IcebergSinkConfig(
+            "rt",
+            {"connector": "iceberg", "path": loc, "namespace": "rt",
+             "table": "docs", **cat_conf},
+        )
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        sink.write(half)   # register (PUT at the branch head)
+        sink.write(rest)   # append + CAS pointer advance
+        back = IcebergSourceConfig(
+            "rt",
+            {"connector": "iceberg", "namespace": "rt", "table": "docs",
+             **cat_conf},
+        ).load(spark)
+        profile = _lang_profile(back)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
+
+
 def kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → Kinesis sink (PutRecords batches under the API
     limits, every call a SigV4-signed x-amz-json-1.1 POST from executor

@@ -600,6 +600,15 @@ class IcebergSinkConfig(SinkConfig):
     and test pipelines run the real table format end-to-end jar-free."""
 
     def write(self, df: DataFrame):
+        if str(self.conf.get("catalog.type", "")).lower() == "hive":
+            # refuse BEFORE the filesystem commit — a write that lands
+            # but never publishes to the configured catalog is worse
+            # than a loud no-op
+            raise RuntimeError(
+                "catalog.type 'hive' needs a thrift metastore client — "
+                "unsupported jar-free; use catalog.type rest/iceberg, "
+                "glue, nessie, or a filesystem 'path' (hadoop layout)"
+            )
         path = self.conf.get("path")
         if path is None and "/" in str(self.conf.get("table", "")):
             path = self.conf["table"]
@@ -639,8 +648,22 @@ class IcebergSinkConfig(SinkConfig):
         as the version-hint. ``catalog.type: glue`` publishes the
         iceberg-on-glue metadata_location pointer instead (CreateTable
         first, compare-then-swap UpdateTable after — `glue_catalog`).
-        No catalog configured → filesystem-only, unchanged behavior."""
-        if str(self.conf.get("catalog.type", "")).lower() == "glue":
+        ``catalog.type: nessie`` commits the pointer to a Nessie branch
+        (CAS on the branch head — `nessie_catalog`). No catalog
+        configured → filesystem-only, unchanged behavior."""
+        cat_type = str(self.conf.get("catalog.type", "")).lower()
+        if cat_type == "nessie":
+            from flinkrunner_spark.nessie_catalog import nessie_from_conf
+
+            cat = nessie_from_conf(self.conf)
+            ns = self.conf.get("namespace", "default")
+            table = self.conf.get("table", self.name)
+            if not md_before:
+                cat.register_fs_table(ns, table, t)
+            else:
+                cat.commit_swap(ns, table, t)
+            return
+        if cat_type == "glue":
             from flinkrunner_spark.glue_catalog import glue_from_conf
 
             cat = glue_from_conf(self.conf)

@@ -353,6 +353,28 @@ class IcebergSourceConfig(SourceConfig):
         if path is None and "/" in str(table):
             path = table
         cat_type = str(self.conf.get("catalog.type", "")).lower()
+        if cat_type == "hive":
+            # reference IcebergCommonConfig.scala:56-71 routes 'hive' to
+            # the HiveCatalog jar; its thrift metastore protocol has no
+            # jar-free client here — refuse by NAME instead of falling
+            # through to a generic path error.
+            raise RuntimeError(
+                "catalog.type 'hive' needs a thrift metastore client — "
+                "unsupported jar-free; use catalog.type rest/iceberg, "
+                "glue, nessie, or a filesystem 'path' (hadoop layout)"
+            )
+        if path is None and cat_type == "nessie":
+            # reference IcebergCommonConfig.scala:56-71 routes 'nessie'
+            # to the iceberg-nessie NessieCatalog; the pure-Python
+            # client resolves the ICEBERG_TABLE content's
+            # metadataLocation at the branch head and the filesystem
+            # reader takes over.
+            from flinkrunner_spark.nessie_catalog import nessie_from_conf
+
+            cat = nessie_from_conf(self.conf)
+            path = cat.table_location(
+                self.conf.get("namespace", "default"), table
+            )
         if path is None and cat_type == "glue":
             # reference IcebergCommonConfig.scala:14-78 routes
             # catalog.type 'glue' to the iceberg-aws GlueCatalog; the

@@ -24,9 +24,11 @@ tested codec the client encodes with, and stores/serves real state.
 from __future__ import annotations
 
 import json
+import re
 import struct
 import threading
 import time
+import uuid
 
 from flinkrunner_spark.util import amqp as A
 
@@ -2093,6 +2095,155 @@ class LoopbackS3:
         return f"http://localhost:{self.port}"
 
     def __enter__(self) -> "LoopbackS3":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+class LoopbackNessie:
+    """Nessie REST API v2 core over real HTTP: branch-head resolution
+    (``GET /trees/{ref}``), content reads
+    (``GET /trees/{ref}/contents/{key}``) and CAS commits
+    (``POST /trees/{branch}@{hash}/history/commit``) against an
+    in-memory content store — enforcing the EXPECTED-HASH compare-and-
+    swap (409 on a stale hash), content-id discipline on updates (a PUT
+    on an existing key must carry the existing content id; a fresh key
+    must not carry one), and optional bearer-token auth. Backs the
+    jar-free `nessie_catalog` client the way LoopbackGlueCatalog backs
+    the Glue one."""
+
+    def __init__(self, token: str | None = None, branch: str = "main"):
+        import hashlib
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.branch = branch
+        self.token = token
+        self.contents: dict[str, dict] = {}  # key -> content (with id)
+        self.commits = 0
+        self.lock = threading.Lock()
+        srv = self
+
+        def head_hash(i: int) -> str:
+            return hashlib.sha256(f"nessie:{i}".encode()).hexdigest()
+
+        self._head_hash = head_hash
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _auth_ok(self) -> bool:
+                if srv.token is None:
+                    return True
+                if self.headers.get("Authorization") == f"Bearer {srv.token}":
+                    return True
+                self._json(401, {"message": "missing/invalid bearer token"})
+                return False
+
+            def do_GET(self):
+                if not self._auth_ok():
+                    return
+                from urllib.parse import unquote
+
+                path = unquote(self.path.split("?", 1)[0])
+                m = re.fullmatch(r"/api/v2/trees/([^/@]+)", path)
+                with srv.lock:
+                    if m:
+                        ref = m.group(1)
+                        if ref not in (srv.branch, "-"):
+                            return self._json(
+                                404, {"message": f"ref {ref} not found"})
+                        return self._json(200, {"reference": {
+                            "name": srv.branch, "type": "BRANCH",
+                            "hash": srv._head_hash(srv.commits)}})
+                    m = re.fullmatch(
+                        r"/api/v2/trees/([^/@]+)/contents/(.+)", path)
+                    if m:
+                        ref, key = m.group(1), m.group(2)
+                        if ref not in (srv.branch, "-"):
+                            return self._json(
+                                404, {"message": f"ref {ref} not found"})
+                        c = srv.contents.get(key)
+                        if c is None:
+                            return self._json(
+                                404, {"message": f"key {key} not found"})
+                        return self._json(200, {"content": c})
+                return self._json(404, {"message": f"no route {path}"})
+
+            def do_POST(self):
+                if not self._auth_ok():
+                    return
+                from urllib.parse import unquote
+
+                path = unquote(self.path.split("?", 1)[0])
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n).decode() or "{}")
+                m = re.fullmatch(
+                    r"/api/v2/trees/([^/@]+)@([0-9a-f]+)/history/commit",
+                    path,
+                )
+                if not m:
+                    return self._json(404, {"message": f"no route {path}"})
+                branch, expected = m.group(1), m.group(2)
+                with srv.lock:
+                    if branch != srv.branch:
+                        return self._json(
+                            404, {"message": f"branch {branch} not found"})
+                    head = srv._head_hash(srv.commits)
+                    if expected != head:
+                        return self._json(409, {
+                            "message": "expected hash is not the branch "
+                                       "head (concurrent commit)"})
+                    staged = []
+                    for op in body.get("operations", []):
+                        if op.get("type") != "PUT":
+                            return self._json(
+                                400, {"message": f"op {op.get('type')!r} "
+                                      "unsupported in loopback"})
+                        key = ".".join(op["key"]["elements"])
+                        content = dict(op["content"])
+                        existing = srv.contents.get(key)
+                        if existing is None:
+                            if content.get("id"):
+                                return self._json(400, {
+                                    "message": "new content must not "
+                                               "carry an id"})
+                            content["id"] = uuid.uuid4().hex
+                        else:
+                            if content.get("id") != existing["id"]:
+                                return self._json(409, {
+                                    "message": "content id mismatch for "
+                                               f"existing key {key}"})
+                        staged.append((key, content))
+                    for key, content in staged:
+                        srv.contents[key] = content
+                    srv.commits += 1
+                    return self._json(200, {"targetBranch": {
+                        "name": srv.branch, "type": "BRANCH",
+                        "hash": srv._head_hash(srv.commits)}})
+
+        self.server = ThreadingHTTPServer(("localhost", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    @property
+    def endpoint(self) -> str:
+        return f"http://localhost:{self.port}/api/v2"
+
+    def __enter__(self) -> "LoopbackNessie":
         self.thread.start()
         return self
 
