@@ -1009,7 +1009,7 @@ class IcebergFsTable:
 
     def _write_carried_manifest(
         self, files: list[dict], md: dict, spec_id: int, seq: int,
-        snap_id: int,
+        snap_id: int, content: int = CONTENT_DATA,
     ) -> dict:
         """One manifest of EXISTING entries — live files a partial
         REPLACE commit (binpack) carries forward untouched. Entries keep
@@ -1044,7 +1044,7 @@ class IcebergFsTable:
                 "partition-spec": json.dumps(spec_fields),
                 "partition-spec-id": str(spec_id),
                 "format-version": "2",
-                "content": "data",
+                "content": "data" if content == CONTENT_DATA else "deletes",
             },
         )
         with open(mf_path, "wb") as fh:
@@ -1054,7 +1054,7 @@ class IcebergFsTable:
             "manifest_path": mf_path,
             "manifest_length": len(blob),
             "partition_spec_id": spec_id,
-            "content": CONTENT_DATA,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(int(f["_seq"]) for f in files),
             "added_snapshot_id": snap_id,
@@ -1077,6 +1077,7 @@ class IcebergFsTable:
         extra_properties: dict | None = None,
         sort_by: list | None = None,
         carried_entries: list[dict] | None = None,
+        carried_delete_entries: list[dict] | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
@@ -1108,6 +1109,26 @@ class IcebergFsTable:
                     self._write_carried_manifest(
                         by_spec[sid], md, sid, seq, snap_id
                     )
+                )
+        if carried_delete_entries:
+            # delete-aware binpack: position-delete files whose targets
+            # survive the rewrite carry forward as EXISTING entries in a
+            # DELETES manifest, keeping their original sequence numbers
+            # so applicability to the carried data files is unchanged
+            # (rewritten files escape them by construction: the new data
+            # files' sequence number exceeds every carried delete's)
+            by_spec_d: dict[int, list[dict]] = {}
+            for f in carried_delete_entries:
+                by_spec_d.setdefault(
+                    f.get("_spec_id", md["default-spec-id"]), []
+                ).append(f)
+            for sid in sorted(by_spec_d):
+                manifests.insert(
+                    0,
+                    self._write_carried_manifest(
+                        by_spec_d[sid], md, sid, seq, snap_id,
+                        content=CONTENT_DELETES,
+                    ),
                 )
         if pos_delete_files:
             # POSITION delete files (v2 row-level delete): file_path/pos
@@ -2457,17 +2478,26 @@ class IcebergFsTable:
         whole table — the selection is pure manifest metadata, the read
         touches only the small files.
 
-        Refuses tables with live delete files: rewriting a data file
-        that position deletes point at (by path) would resurrect its
-        deleted rows — run ``compact()`` there, which merges deletes
-        and drops tombstones. Returns the number of files rewritten
-        (0 = nothing to do; a single small file is left alone)."""
+        POSITION deletes are handled like the jar action: the small
+        files are read MERGE-ON-READ (their tombstones applied during
+        the rewrite, so the new files carry only surviving rows), and
+        each live position-delete file either carries forward as an
+        EXISTING entry at its original sequence number (it still names
+        at least one carried data file) or is dropped (every file it
+        names was rewritten — its pointers are dead). Rewritten files
+        can never resurrect rows: the new data files' sequence number
+        exceeds every carried delete's, so the spec's seq rule makes the
+        old tombstones inapplicable to them — and their rows were
+        already filtered. EQUALITY deletes still refuse (their
+        applicability is key-based, not path-based; ``compact()`` merges
+        them). Returns the number of files rewritten (0 = nothing to do;
+        a single small file is left alone)."""
         md = self.metadata()
         data, eq_dels, pos_dels = self._live()
-        if eq_dels or pos_dels:
+        if eq_dels:
             raise ValueError(
-                "binpack cannot run over live delete files (a rewritten "
-                "data file would escape its position deletes); use "
+                "binpack cannot run over live EQUALITY delete files "
+                "(upsert tombstones apply by key, not path); use "
                 "compact(), which merges deletes and drops tombstones"
             )
         small = [f for f in data if int(f["record_count"]) < min_rows]
@@ -2475,12 +2505,33 @@ class IcebergFsTable:
             return 0
         big = [f for f in data if int(f["record_count"]) >= min_rows]
         ice = current_schema(md)
-        df = self._assemble_data(spark, small, md, ice).coalesce(
-            max(1, target_partitions)
-        )
+        if pos_dels:
+            df = self._read_merged(spark, small, [], pos_dels, md, ice)
+        else:
+            df = self._assemble_data(spark, small, md, ice)
+        df = df.coalesce(max(1, target_partitions))
+        carried_dels = []
+        if pos_dels:
+            import pyarrow.parquet as _pq
+
+            carried_paths = {f["file_path"] for f in big}
+            for d in pos_dels:
+                # delete files are small by construction — one bounded
+                # column read decides carry vs drop
+                targets = {
+                    self._map(v)
+                    for v in _pq.read_table(
+                        d["file_path"], columns=["file_path"]
+                    ).column("file_path").to_pylist()
+                }
+                if targets & carried_paths:
+                    carried_dels.append(d)
         # new files land under the CURRENT default spec (rewrites migrate
         # data to the latest layout — the jar action's behavior too)
-        self._write_snapshot(df, "replace", carried_entries=big)
+        self._write_snapshot(
+            df, "replace", carried_entries=big,
+            carried_delete_entries=carried_dels or None,
+        )
         return len(small)
 
     def remove_orphan_files(self) -> list[str]:

@@ -1096,10 +1096,60 @@ def test_rewrite_small_files_across_spec_evolution(spark, tmp_path):
     assert got == sorted([r[0] for r in rows] + [9000])
 
 
-def test_rewrite_small_files_refuses_delete_files(spark, tmp_path):
+def test_rewrite_small_files_refuses_equality_deletes(spark, tmp_path):
+    """Equality tombstones apply by key, not path — binpack still
+    refuses them (compact() merges); the refusal names the kind."""
     loc = str(tmp_path / "bp3")
     t = I.IcebergFsTable(loc)
     t.append(_df(spark, ROWS1))
-    t.delete_where(spark, "id = 1")
-    with pytest.raises(ValueError, match="binpack"):
+    t.upsert(_df(spark, [ROWS1[0]]), ["id"])
+    with pytest.raises(ValueError, match="EQUALITY"):
         t.rewrite_small_files(spark, min_rows=10)
+
+
+def test_rewrite_small_files_under_position_deletes(spark, tmp_path):
+    """Delete-aware binpack (r8 verdict item 4): small files rewrite
+    with their tombstones APPLIED; a position-delete file naming a
+    carried big file survives at its original sequence number; one
+    naming only rewritten files is dropped; row-level reads match the
+    pre-compaction table exactly."""
+    loc = str(tmp_path / "bp4")
+    t = I.IcebergFsTable(loc)
+    big_df = spark.createDataFrame(
+        [(i, f"x{i}", 1.0, []) for i in range(500)],
+        "id bigint, name string, score double, tags array<string>",
+    ).coalesce(1)
+    t.append(big_df)
+    for j in range(3):
+        t.append(_df(spark, [(1000 + j, f"s{j}", 0.5, [])]))
+    # tombstones into BOTH worlds: one row of the big file, one small row
+    assert t.delete_where(spark, "id = 7") == 1      # targets the big file
+    assert t.delete_where(spark, "id = 1001") == 1   # targets a small file
+    before = sorted(r["id"] for r in t.read(spark).collect())
+    assert 7 not in before and 1001 not in before and len(before) == 501
+
+    n = t.rewrite_small_files(spark, min_rows=10)
+    assert n >= 3
+    after = sorted(r["id"] for r in t.read(spark).collect())
+    assert after == before  # row-identical through the rewrite
+
+    # manifest truth: exactly one live delete file remains (the one
+    # naming the carried big file), at its ORIGINAL sequence number
+    data, eq_dels, pos_dels = t._live()
+    assert eq_dels == []
+    assert len(pos_dels) == 1
+    big_path = next(
+        f["file_path"] for f in data if f["record_count"] == 500
+    )
+    import pyarrow.parquet as pq
+
+    targets = set(
+        pq.read_table(pos_dels[0]["file_path"], columns=["file_path"])
+        .column("file_path").to_pylist()
+    )
+    assert targets == {big_path}
+    # the carried delete kept a seq BELOW the replace commit's
+    replace_seq = t.snapshots()[-1]["sequence-number"]
+    assert pos_dels[0]["_seq"] < replace_seq
+    # and binpack under deletes is repeat-safe: nothing small remains
+    assert t.rewrite_small_files(spark, min_rows=10) == 0
