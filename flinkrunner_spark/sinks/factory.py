@@ -182,6 +182,13 @@ class KafkaSinkConfig(SinkConfig):
             ),
             **self.conf.get("options", {}),
         }
+        # same config key drives both transports: the jar spells it
+        # kafka.compression.type (producer passthrough — it also accepts
+        # snappy/lz4/zstd there, which the native client refuses by name)
+        if self.conf.get("compression.type") and (
+            "kafka.compression.type" not in opts
+        ):
+            opts["kafka.compression.type"] = self.conf["compression.type"]
         if self.conf.get("headers"):
             opts["includeHeaders"] = "true"
         return opts

@@ -85,6 +85,75 @@ def test_prepared_record_shape_feeds_both_transports(spark, conf, cols):
     assert ("includeHeaders" in sink._options()) == ("headers" in cols)
 
 
+def test_sink_compression_parity():
+    """The SAME top-level compression.type drives both transports: the
+    jar path spells it kafka.compression.type (producer passthrough —
+    snappy/lz4/zstd allowed there), the native path resolves it to
+    record-batch attribute bits at plan time and refuses non-stdlib
+    codecs BY NAME. Raw options{} still win on the jar path."""
+    from flinkrunner_spark.util.kafka import CODEC_GZIP, codec_id
+
+    sink = KafkaSinkConfig(
+        "t", {"connector": "kafka", "bootstrap.servers": BOOT,
+              "topic": "x", "compression.type": "gzip"},
+    )
+    assert sink._options()["kafka.compression.type"] == "gzip"
+    assert codec_id(sink.conf["compression.type"]) == CODEC_GZIP
+    # jar-only codecs pass through unmolested on the jar path...
+    zstd = KafkaSinkConfig(
+        "t", {"connector": "kafka", "bootstrap.servers": BOOT,
+              "topic": "x", "compression.type": "zstd"},
+    )
+    assert zstd._options()["kafka.compression.type"] == "zstd"
+    # ...and the native resolver names the gap instead of mis-encoding
+    with pytest.raises(ValueError, match="zstd"):
+        codec_id("zstd")
+    # escape hatch: explicit options{} beats the mapped key
+    raw = KafkaSinkConfig(
+        "t", {"connector": "kafka", "bootstrap.servers": BOOT,
+              "topic": "x", "compression.type": "gzip",
+              "options": {"kafka.compression.type": "lz4"}},
+    )
+    assert raw._options()["kafka.compression.type"] == "lz4"
+
+
+def test_native_header_roundtrip_with_compression(spark):
+    """Headers survive the full native wire round-trip UNDER gzip
+    record-batch compression (the compressed block carries the header
+    frames; a codec bug would corrupt them first): sink attaches
+    header columns, source with headers=True reads them back."""
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else "de") for i in range(6)],
+        "id long, text string, lang string",
+    )
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        boot = f"localhost:{b.port}"
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "hz",
+             "key.column": "id", "headers": {"X-Lang": "lang"},
+             "compression.type": "gzip"},
+        ).write(df)
+        back = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": boot, "topic": "hz", "headers": True},
+        ).load(spark)
+        rows = back.collect()
+        assert len(rows) == 6
+        got = {
+            int(bytes(r["key"]).decode()):
+            {h["key"]: bytes(h["value"]).decode() for h in r["headers"]}
+            for r in rows
+        }
+        assert got == {
+            i: {"X-Lang": "en" if i % 2 else "de"} for i in range(6)
+        }
+
+
 @pytest.mark.parametrize("streaming", [False, True])
 def test_source_option_parity(streaming):
     """Same conf → jar `format("kafka")` options and native reader
