@@ -38,42 +38,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-8 rotation —
-    # every key whose implementation files changed since the r7 verdict
-    # commit (1352e62) sits inside the cap:
-    # * llm/similarity.py REWRITTEN plans (r7 verdict items 1a/1b):
-    #   emb_dup_pairs now routes through RH-LSH (exact rhlsh oracle),
-    #   emb_knn_join probes a corpus-scaled learned quantizer (rows-only
-    #   + full numpy mirror), emb_knn_join_label is the NEW exactly-
-    #   oracled capped twin — plus the whole similarity family and the
-    #   pq.py keys that import its helpers;
-    # * llm/lm.py: docs_lm_score pre-aggregates the join stream
-    #   (item 5 — same oracle);
-    # * iceberg.py: PARTITION-SPEC EVOLUTION (item 7) — per-spec
-    #   manifest planning + mixed-layout reads touch every iceberg key;
-    #   iceberg_spec_evolution_roundtrip is the NEW driver key;
-    # * sources/factory.py (efo.max.rounds, TLS ALPN enforcement,
-    #   ending.offsets/failOnDataLoss mapping), sources/kafka_datasource
-    #   (endingOffsets/failOnDataLoss), sources/kinesis_datasource
-    #   (docs), util/h2.py (foreign-stream flow control), testing.py
-    #   (TLS loopback) → the connector roundtrip family;
-    # * plans/connectors.py + plans/oracle_sql.py diffs are additive
-    #   (new key + re-pointed emb_dup_pairs oracle).
-    # * NEW r8 §2.5 ops: docs_heavy_hitters (Count-Min sketch,
-    #   llm/sketches.py — new module) and docs_weighted_sample (A-ES,
-    #   appended to sampling.py; the sampling.py diff is additive-only,
-    #   but the file changed, so its four existing keys re-verify
-    #   in-cap too).
-    # * NEW r8 connector: iceberg_s3_roundtrip (s3_fileio.py + util/s3
-    #   + LoopbackS3 — publish-with-path-rewrite → mirror → mapped
-    #   read-only read, position deletes applied across relocation).
-    # * NEW r8 streaming twin: stream_heavy_hitters (the CMS sketch as
-    #   O(D×W) streaming state, plans/docstreams.py — that file changed,
-    #   so stream_topk_ngrams re-verifies in-cap too).
-    # That changed/new set fills the cap exactly (50). The tail holds
-    # only keys whose files have ZERO changed lines since their last
-    # green row — with one documented exception, docs_mixture_weights
-    # (see the inline note at its entry).
+    # (insertion order) of this dict each round. Round-9 rotation —
+    # every key whose implementation files changed since the r8 verdict
+    # commit (d6f1f14) sits inside the cap:
+    # * llm/similarity.py: threshold-aware flip-1 MULTI-PROBE for the
+    #   RH-LSH family (r8 verdict item 1 — recall 0.78 → 1.0 at the
+    #   driver's τ=0.35, new probes-priced auto_bits) → the whole
+    #   similarity family + the pq.py keys that import its helpers;
+    #   rhlsh_recall_stats is the NEW exactly-oracled recall-contract
+    #   key; plans/oracle_sql.py's _rh_oracle_sql rewrote to mirror the
+    #   probe expansion (emb_dup_pairs / emb_dup_pairs_rhlsh re-verify).
+    # * iceberg.py: DELETE-AWARE BINPACK (item 4 — carried delete
+    #   manifests, content-parameterized carried writer) + carried
+    #   added_snapshot_id spec fix (advisor) → every iceberg key.
+    # * plans/connectors.py + sources/factory.py + sinks/factory.py:
+    #   NESSIE catalog (item 3 — REST v2 CAS commits, named hive
+    #   refusal) → iceberg_nessie_roundtrip is the NEW driver key; the
+    #   sink/source files back every connector roundtrip.
+    # * util/aws_signer.py + util/s3.py + testing.py: SigV4
+    #   decode-then-encode canonicalization fix + signature-VERIFYING
+    #   LoopbackS3 (advisor medium) → iceberg_s3_roundtrip, kinesis,
+    #   glue, elasticsearch families.
+    # * sources/kafka_datasource.py (offset-JSON full-coverage refusal)
+    #   + sinks/factory.py (kafka.compression.type jar mapping) → the
+    #   kafka roundtrip family.
+    # * llm/sketches.py (left-join probe + external candidates) →
+    #   docs_heavy_hitters and stream_heavy_hitters.
+    # The tail holds only keys whose files have ZERO changed lines
+    # since their last green row.
     return {
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
@@ -122,18 +114,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
         "avro_roundtrip": connectors.avro_roundtrip,
-        "docs_stratified_sample": sampling.docs_stratified_sample,
-        "docs_pack_sequences": sampling.docs_pack_sequences,
         "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
         "stream_heavy_hitters": docstreams.stream_heavy_hitters,
+        "docs_stratified_sample": sampling.docs_stratified_sample,
+        # —— beyond the 50-row cap: zero changed lines since last green
+        # (sampling.py, docstreams.py, analytics.py, events.py,
+        # pipelines.py and the rest of the llm/ modules are untouched
+        # this round; docs_stratified_sample at row 50 is itself
+        # unchanged — the cap simply ends there) ——
+        "docs_pack_sequences": sampling.docs_pack_sequences,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
-        # —— beyond the 50-row cap: zero changed lines since last green,
-        # OR (docs_shuffle_shards, docs_mixture_weights) an
-        # additive-only file diff — the one sampling.py change is the
-        # appended docs_weighted_sample function, zero lines of the
-        # existing keys' code touched (the r7-verdict-accepted
-        # additive-only criterion); two of the four siblings re-verify
-        # in-cap above regardless ——
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "docs_pipeline": pipeline.docs_pipeline,
