@@ -1413,16 +1413,38 @@ class IcebergFsTable:
             list(pkey_of.items()), "file_path string, _pkey string"
         )
         matches = matches.join(F.broadcast(map_df), "file_path")
-        # spec: rows within a position delete file sort by (file_path,
-        # pos). Range-partition + sort-within gives globally ranged,
-        # internally sorted files — no single-file bottleneck when the
-        # delete is wide; partitionBy(_pkey) then splits each sorted run
-        # by partition (a run's subsequence stays sorted).
-        n_out = max(1, min(32, len(entries) // 8 + 1))
+        files, n_deleted = self._write_pos_delete_parquets(
+            matches, part_cols, n_targets=len(entries)
+        )
+        if not files:
+            return 0
+        self._write_snapshot(None, "delete", pos_delete_files=files)
+        return n_deleted
+
+    def _write_pos_delete_parquets(
+        self, matches, part_cols: list[str], n_targets: int
+    ) -> tuple[list[dict], int]:
+        """Write a (file_path, pos, _pkey) frame as spec-shaped
+        position-delete parquet files: rows within a file sort by
+        (file_path, pos) — range-partition + sort-within gives globally
+        ranged, internally sorted files (no single-file bottleneck when
+        the delete is wide); partitionBy(_pkey) then splits each sorted
+        run by partition tuple (a run's subsequence stays sorted).
+        Returns (data_file dicts, total tombstone rows)."""
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+
+        n_out = max(1, min(32, n_targets // 8 + 1))
         tmp = os.path.join(self.location, f"_tmp-posdel-{uuid.uuid4().hex}")
         (
+            # sort by (_pkey, file_path, pos): a dynamic-partition write
+            # REQUIRES ordering on the partition column and would insert
+            # its own NON-STABLE sort on _pkey alone, scrambling the
+            # (file_path, pos) order the spec mandates inside delete
+            # files — leading with _pkey satisfies the writer's required
+            # ordering so the existing sort is kept as-is
             matches.repartitionByRange(n_out, "file_path", "pos")
-            .sortWithinPartitions("file_path", "pos")
+            .sortWithinPartitions("_pkey", "file_path", "pos")
             .write.partitionBy("_pkey")
             .mode("overwrite")
             .parquet(tmp)
@@ -1465,10 +1487,7 @@ class IcebergFsTable:
                 n_deleted += meta.num_rows
                 i += 1
         shutil.rmtree(tmp, ignore_errors=True)
-        if not files:
-            return 0
-        self._write_snapshot(None, "delete", pos_delete_files=files)
-        return n_deleted
+        return files, n_deleted
 
     def _check_schema(self, spark_schema, md: dict) -> None:
         ice, _ = iceberg_schema_from_spark(spark_schema)
@@ -2533,6 +2552,70 @@ class IcebergFsTable:
             carried_delete_entries=carried_dels or None,
         )
         return len(small)
+
+    def rewrite_position_delete_files(
+        self, spark: SparkSession, min_files: int = 2
+    ) -> int:
+        """Consolidate live POSITION-delete files (the jar's
+        rewrite_position_delete_files action): an upsert/delete-heavy
+        streaming table accrues one tiny delete file per commit, and
+        every merge-on-read pays a scan per file — this rewrites them
+        into ranged, internally (file_path, pos)-sorted files and DROPS
+        DANGLING TOMBSTONES (rows naming data files no longer live —
+        left behind by compaction/overwrite, pure read-side waste).
+
+        Safety: position tombstones identify rows by EXACT immutable
+        file path + ordinal, so re-committing them at the new (higher)
+        sequence number cannot change which rows they kill — the wider
+        seq applicability only matters for path matches, and a new data
+        file can never reuse an old file's uuid-named path (the jar
+        action relies on the same property). Data files and EQUALITY
+        delete files carry forward as EXISTING entries at their original
+        sequence numbers (eq applicability is strictly-smaller-seq and
+        must not widen). No-op below ``min_files`` live position-delete
+        files. Returns the number of delete files rewritten."""
+        from pyspark.sql import functions as F
+
+        md = self.metadata()
+        data, eq_dels, pos_dels = self._live()
+        if len(pos_dels) < min_files:
+            return 0
+        spec_fields = self._spec_fields(md)
+        part_cols = [f["name"] for f in spec_fields]
+        pd_df = spark.read.schema("file_path string, pos bigint").parquet(
+            *[d["file_path"] for d in pos_dels]
+        )
+        # live-target map doubles as the dangling-pointer filter (inner
+        # join) and the partition-tuple assignment, exactly as in
+        # delete_where
+        pkey_of = {
+            e["file_path"]: json.dumps(
+                {c: e["partition"].get(c) for c in part_cols},
+                sort_keys=True,
+                separators=(",", ":"),
+            )
+            for e in data
+        }
+        files: list[dict] = []
+        if pkey_of:
+            map_df = spark.createDataFrame(
+                list(pkey_of.items()), "file_path string, _pkey string"
+            )
+            matches = pd_df.join(F.broadcast(map_df), "file_path")
+            files, _ = self._write_pos_delete_parquets(
+                matches, part_cols, n_targets=len(data)
+            )
+        # the commit drops every old position-delete manifest (they are
+        # NOT carried), installs the consolidated files at the commit
+        # sequence, and carries data + equality-delete entries untouched
+        self._write_snapshot(
+            None,
+            "replace",
+            pos_delete_files=files or None,
+            carried_entries=data or None,
+            carried_delete_entries=eq_dels or None,
+        )
+        return len(pos_dels)
 
     def remove_orphan_files(self) -> list[str]:
         """Delete parquet files under data/ that NO snapshot's manifests

@@ -1096,6 +1096,84 @@ def test_rewrite_small_files_across_spec_evolution(spark, tmp_path):
     assert got == sorted([r[0] for r in rows] + [9000])
 
 
+def test_rewrite_position_delete_files_consolidates_and_prunes(spark, tmp_path):
+    """rewrite_position_delete_files: many per-commit tombstone files
+    consolidate into ranged sorted files; DANGLING rows (targets no
+    longer live — here left by a delete-aware binpack that rewrote some
+    targets) are dropped; reads identical before/after; data files keep
+    their original sequence numbers."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "rpd")
+    t = I.IcebergFsTable(loc)
+    big_df = spark.createDataFrame(
+        [(i, f"x{i}", 1.0, []) for i in range(400)],
+        "id bigint, name string, score double, tags array<string>",
+    ).coalesce(1)
+    t.append(big_df)
+    for j in range(3):
+        t.append(_df(spark, [(1000 + j, f"s{j}", 0.5, [])]))
+    # three separate delete commits -> three live delete files; the
+    # first names BOTH the big file and a small one (mixed targets)
+    assert t.delete_where(spark, "id = 3 or id = 1000") == 2
+    assert t.delete_where(spark, "id = 5") == 1
+    assert t.delete_where(spark, "id = 7") == 1
+    # binpack rewrites the smalls, carrying the mixed delete file whole:
+    # its id=1000 tombstone row is now DANGLING (target rewritten)
+    assert t.rewrite_small_files(spark, min_rows=10) >= 2
+    _, _, pos_before = t._live()
+    assert len(pos_before) >= 2
+    rows_of = lambda dels: sum(int(d["record_count"]) for d in dels)
+    assert rows_of(pos_before) == 4  # 3 big-file rows + 1 dangling
+    before = sorted(r["id"] for r in t.read(spark).collect())
+
+    n = t.rewrite_position_delete_files(spark)
+    assert n == len(pos_before)
+    after_data, after_eq, pos_after = t._live()
+    assert after_eq == []
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    # consolidated: fewer files, dangling row gone, rows sorted
+    assert len(pos_after) < len(pos_before)
+    assert rows_of(pos_after) == 3
+    for d in pos_after:
+        tab = pq.read_table(d["file_path"])
+        pairs = list(zip(tab.column("file_path").to_pylist(),
+                         tab.column("pos").to_pylist()))
+        assert pairs == sorted(pairs)
+    # carried data files keep their ORIGINAL sequence numbers
+    assert min(f["_seq"] for f in after_data) < pos_after[0]["_seq"]
+    # idempotent below the threshold: one consolidated file -> no-op
+    assert t.rewrite_position_delete_files(spark) == 0
+
+
+def test_rewrite_position_delete_files_keeps_equality_deletes(spark, tmp_path):
+    """Equality tombstones carry forward UNTOUCHED at their original
+    sequence numbers (their strictly-smaller-seq applicability must not
+    widen) while position files consolidate around them."""
+    loc = str(tmp_path / "rpd2")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1 + ROWS2))
+    # an upsert AFTER the base append writes an equality delete file
+    t.upsert(_df(spark, [(1, "one-v2", 1.5, ["a"])]), ["id"])
+    assert t.delete_where(spark, "id = 2") == 1
+    assert t.delete_where(spark, "id = 3") == 1
+    before = sorted(
+        (r["id"], r["name"]) for r in t.read(spark).collect()
+    )
+    assert before == [(1, "one-v2")]
+    _, eq_before, pos_before = t._live()
+    assert len(eq_before) >= 1 and len(pos_before) == 2
+
+    assert t.rewrite_position_delete_files(spark) == 2
+    after = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert after == before
+    _, eq_after, pos_after = t._live()
+    assert len(pos_after) == 1
+    assert sorted(
+        (d["file_path"], d["_seq"]) for d in eq_after
+    ) == sorted((d["file_path"], d["_seq"]) for d in eq_before)
+
+
 def test_rewrite_small_files_refuses_equality_deletes(spark, tmp_path):
     """Equality tombstones apply by key, not path — binpack still
     refuses them (compact() merges); the refusal names the kind."""
