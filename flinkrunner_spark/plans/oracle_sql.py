@@ -961,6 +961,43 @@ ORACLES["emb_dup_pairs"] = _rh_oracle_sql()  # default surface = RH-LSH
 ORACLES["rhlsh_bucket_stats"] = _rh_stats_oracle_sql()
 ORACLES["rhlsh_recall_stats"] = _rh_recall_oracle_sql()
 
+
+def _rh_clusters_oracle_sql() -> str:
+    """Connected components over the RH-LSH near-dup pair graph via
+    transitive closure (exact; dup components are tiny) — the embedding
+    twin of the docs_dup_clusters oracle."""
+    return f"""
+WITH RECURSIVE {_rh_cand_ctes()},
+lsh AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM (
+    SELECT c.vec_a, c.vec_b,
+      {_r6(f"{_DOTAB} / SQRT({_AA} * {_BB})")} AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b) t
+  WHERE cosine >= 0.35
+),
+edges AS MATERIALIZED (
+  SELECT vec_a AS u, vec_b AS v FROM lsh
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM lsh
+),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+labels AS (
+  SELECT a, MIN(b) AS min_reach FROM reach GROUP BY a
+)
+SELECT vec_id,
+  COALESCE(LEAST(l.min_reach, vec_id), vec_id) AS cluster_id
+FROM embeddings LEFT JOIN labels l ON vec_id = l.a
+"""
+
+
+ORACLES["emb_dup_clusters"] = _rh_clusters_oracle_sql()
+
 ORACLES["mm_meta"] = """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

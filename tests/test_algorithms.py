@@ -324,6 +324,67 @@ def test_rhlsh_recall_stats_is_true_recall_at_small_n(spark):
     assert row["recall"] >= 0.9, row["recall"]
 
 
+def test_emb_dup_clusters_matches_union_find(spark):
+    """Connected components over the RH-LSH pair graph must equal an
+    independent union-find over the SAME pairs: min vec_id labels,
+    singletons cluster to themselves, transitive links collapse."""
+    from flinkrunner_spark.llm.similarity import (
+        emb_dup_clusters,
+        emb_dup_pairs_rhlsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in emb_dup_pairs_rhlsh(spark, sf).collect()
+    ]
+    ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id").collect()
+    ]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in emb_dup_clusters(spark, sf).collect()
+    }
+    assert got == want
+    assert len(pairs) > 0  # non-vacuous: real merges happened
+    assert any(got[i] != i for i in ids)
+
+
+def test_rh_bands_for_recall_sizes_the_cost_knob():
+    """The band count the helper returns must actually deliver the
+    target on the predicted-recall curve, and be minimal (one fewer
+    band falls short)."""
+    from flinkrunner_spark.llm.similarity import (
+        predicted_recall,
+        rh_bands_for_recall,
+    )
+
+    for tau, bits in [(0.35, 6), (0.35, 10), (0.35, 12), (0.9, 8)]:
+        L = rh_bands_for_recall(tau, bits, target_recall=0.9)
+        if L < 256:  # unclamped: exact minimality
+            assert predicted_recall(tau, bits, L, 1) >= 0.9
+            if L > 1:
+                assert predicted_recall(tau, bits, L - 1, 1) < 0.9
+    # the sf1 operating point (bits=12) needs ~4x the default 24 bands —
+    # the documented linear cost of holding recall at 10x corpus growth
+    assert rh_bands_for_recall(0.35, 12) > 24
+
+
 def test_auto_probes_threshold_aware():
     """probes=1 only where exact-bucket recall can't reach the target:
     on at the near-orthogonal tau=0.35, off at a realistic 0.9 dup
