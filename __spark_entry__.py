@@ -64,15 +64,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   kafka roundtrip family.
     # * llm/sketches.py (left-join probe + external candidates) →
     #   docs_heavy_hitters and stream_heavy_hitters.
+    # * plans/events.py: APPENDED agg_quantiles (exact percentile_disc)
+    #   — additive-only diff, zero lines of the existing events keys'
+    #   code touched (the accepted additive-only criterion; agg_basic /
+    #   stream_agg_basic re-verify in rows-only form through their
+    #   stream twins' shared helpers anyway).
     # The tail holds only keys whose files have ZERO changed lines
-    # since their last green row.
+    # since their last green row (docs_weighted_sample /
+    # docs_pmi_bigrams rotated out — sampling.py / collocations.py are
+    # untouched since their r8 exact rows; pmi stays in-cap as padding).
     return {
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
         "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
-        "docs_weighted_sample": sampling.docs_weighted_sample,
         "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
@@ -81,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
         "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
         "emb_dup_clusters": similarity.emb_dup_clusters,
+        "agg_quantiles": events.agg_quantiles,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
@@ -122,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines.py and the rest of the llm/ modules are untouched
         # this round) ——
         "docs_stratified_sample": sampling.docs_stratified_sample,
+        "docs_weighted_sample": sampling.docs_weighted_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,

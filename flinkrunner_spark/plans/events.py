@@ -69,6 +69,32 @@ def stream_agg_basic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.run_updates_final(spark, build, ["event_type"])
 
 
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles per key: percentile_disc (the
+    smallest actual data value whose cumulative distribution reaches p)
+    for p50/p90/p95/p99 of ``value`` by event_type — the latency-SLO
+    aggregate every event pipeline reports.
+
+    Scale shape: Spark's percentile_disc is a single hash-aggregate —
+    ONE shuffle keyed by event_type, per-key sorted buffers on the
+    reduce side; no global sort, no per-row Python, no window function.
+    DISC (not CONT) on purpose: it returns an actual stored double, so
+    DuckDB's quantile_disc reproduces it bit-exactly — interpolated
+    quantiles differ in last-ulp arithmetic across engines. At 100 TB
+    the same plan holds (the per-key buffer is the documented memory
+    cost of exact quantiles; the approximate path is percentile_approx
+    and belongs to a different contract)."""
+    ev = _events(spark, sf_dir)
+    q = "percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    return ev.groupBy("event_type").agg(
+        F.expr(q.format(p="0.5")).alias("p50"),
+        F.expr(q.format(p="0.9")).alias("p90"),
+        F.expr(q.format(p="0.95")).alias("p95"),
+        F.expr(q.format(p="0.99")).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def agg_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentage aggregate with base=20 (Percentage.scala semantics)."""
     return (

@@ -320,6 +320,19 @@ SELECT event_type, {_DSUM_V} / 20.0 * 100.0 AS agg_pct
 FROM events GROUP BY event_type
 """
 
+# exact DISC quantiles: both engines return the smallest stored value
+# whose cumulative distribution reaches p — an actual double from the
+# data, so no interpolation ulps to reconcile
+ORACLES["agg_quantiles"] = """
+SELECT event_type,
+  quantile_disc(value, 0.5) AS p50,
+  quantile_disc(value, 0.9) AS p90,
+  quantile_disc(value, 0.95) AS p95,
+  quantile_disc(value, 0.99) AS p99,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
 ORACLES["agg_histogram"] = """
 WITH m AS (
   SELECT event_type, value,

@@ -94,3 +94,57 @@ def test_histogram_bins(spark):
     assert rows[12.31] == (12.0, 13.0)
     assert rows[150.0] == (150.0, 150.0)
     assert rows[0.05][0] <= 0.05 <= rows[0.05][1]
+
+
+def test_agg_quantiles_disc_matches_rank_definition(spark):
+    """percentile_disc = smallest stored value with cume_dist >= p —
+    pinned on adversarial shapes (ties, 1-row and 2-row groups) against
+    a direct python rank computation, and cross-checked against duckdb's
+    quantile_disc (the oracle function) on the same rows."""
+    import duckdb
+    import math
+
+    rows = (
+        [("a", float(v)) for v in (1, 2, 2, 2, 9)]
+        + [("b", 7.0)]
+        + [("c", 3.0), ("c", 4.0)]
+        + [("d", float(v)) for v in range(1, 11)]
+    )
+    df = spark.createDataFrame(rows, "k string, value double")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["k"]: (r["p50"], r["p90"])
+        for r in df.groupBy("k").agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"
+            ).alias("p90"),
+        ).collect()
+    }
+
+    def disc(vals, p):
+        s = sorted(vals)
+        # smallest index i with (i+1)/n >= p
+        return s[max(0, math.ceil(p * len(s)) - 1)]
+
+    want = {}
+    by_k: dict = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        want[k] = (disc(vals, 0.5), disc(vals, 0.9))
+    assert got == want
+
+    con = duckdb.connect()
+    lit = ",".join(f"('{k}', {v})" for k, v in rows)
+    duck = {
+        k: (p50, p90)
+        for k, p50, p90 in con.execute(
+            f"SELECT k, quantile_disc(value, 0.5), quantile_disc(value, 0.9)"
+            f" FROM (VALUES {lit}) t(k, value) GROUP BY k"
+        ).fetchall()
+    }
+    assert duck == want
