@@ -2472,14 +2472,102 @@ class IcebergFsTable:
 
     # -- table maintenance (the ops a 100 TB table actually runs) -----------
 
-    def compact(self, spark: SparkSession, target_partitions: int = 1) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        zorder: list[str] | None = None,
+    ) -> None:
         """Small-file compaction: rewrite the current snapshot's live rows
         into ``target_partitions`` files and commit as a REPLACE snapshot
         (row-identical by construction — the Iceberg rewrite_data_files
         action). Old files stay on disk for time travel until
-        ``expire_snapshots`` drops them."""
-        cur = self.read(spark).coalesce(max(1, target_partitions))
+        ``expire_snapshots`` drops them.
+
+        ``zorder=[col, ...]`` rewrites with MULTI-DIMENSIONAL clustering
+        (the jar's rewrite_data_files sort strategy with a zorder sort
+        order): each column normalizes to a 16-bit rank over its
+        [min, max] span (one tiny agg), the ranks bit-INTERLEAVE into a
+        single z-value (pure JVM shift/or expressions — whole-stage
+        codegen, no Python), and the rows range-partition + sort by it.
+        Every z-ordered column's per-file manifest bounds tighten
+        simultaneously, so ``range_filter`` pruning works on ANY of the
+        columns — a lexicographic sort only serves its leading column.
+        At 100 TB this is the difference between a selective filter on
+        the second dimension reading ~√F of F files vs all of them."""
+        cur = self.read(spark)
+        if zorder:
+            z = self._zvalue(spark, cur, zorder)
+            cur = (
+                cur.withColumn("_z", z)
+                .repartitionByRange(max(1, target_partitions), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            cur = cur.coalesce(max(1, target_partitions))
         self._write_snapshot(cur, "replace")
+
+    def _zvalue(self, spark: SparkSession, df: DataFrame, cols: list[str]):
+        """The interleaved z-value column: per column, rank into 16 bits
+        by position in the [min, max] span; interleave bit b of column j
+        into output bit ``b*k + j``. Numeric / date / timestamp columns
+        only (strings need byte-prefix ranking — refused by name).
+        NULLs rank 0 (cluster together at the low corner)."""
+        from pyspark.sql import functions as F
+
+        if not cols:
+            raise ValueError("zorder needs at least one column")
+        if len(cols) > 4:
+            raise ValueError(
+                "zorder supports at most 4 columns (16 bits each in a "
+                "64-bit z-value); more dimensions dilute clustering "
+                "anyway — pick the filter columns"
+            )
+        ok = ("int", "bigint", "smallint", "tinyint", "float", "double",
+              "date", "timestamp", "timestamp_ntz", "long")
+        for c in cols:
+            t = dict(df.dtypes).get(c)
+            if t is None:
+                raise ValueError(f"zorder column {c!r} not in the table")
+            if not any(t.startswith(o) for o in ok) and not t.startswith(
+                "decimal"
+            ):
+                raise ValueError(
+                    f"zorder column {c!r} has type {t!r} — rank-encodable "
+                    "types only (numeric/date/timestamp); strings need "
+                    "byte-prefix ranking, unsupported here"
+                )
+        as_num = [F.col(c).cast("double") for c in cols]
+        stats = df.agg(
+            *[F.min(e).alias(f"mn{i}") for i, e in enumerate(as_num)],
+            *[F.max(e).alias(f"mx{i}") for i, e in enumerate(as_num)],
+        ).first()
+        k = len(cols)
+        ranks = []
+        for i, e in enumerate(as_num):
+            mn = stats[f"mn{i}"]
+            mx = stats[f"mx{i}"]
+            if mn is None or mx is None or mx == mn:
+                ranks.append(F.lit(0))
+                continue
+            span = mx - mn
+            r = F.floor((e - F.lit(mn)) / F.lit(span) * F.lit(65536.0))
+            ranks.append(
+                F.coalesce(
+                    F.greatest(
+                        F.lit(0),
+                        F.least(F.lit(65535), r.cast("int")),
+                    ),
+                    F.lit(0),
+                ).cast("long")
+            )
+        z = F.lit(0).cast("long")
+        for b in range(16):
+            for j, r in enumerate(ranks):
+                bit = F.shiftright(r, b).bitwiseAND(F.lit(1).cast("long"))
+                z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
+        return z
 
     def rewrite_small_files(
         self,

@@ -1096,6 +1096,58 @@ def test_rewrite_small_files_across_spec_evolution(spark, tmp_path):
     assert got == sorted([r[0] for r in rows] + [9000])
 
 
+def test_compact_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order compaction: after rewriting with zorder=[x, y], a narrow
+    range_filter on EITHER column prunes to a strict minority of the
+    files via manifest bounds — a lexicographic sort can only serve its
+    leading column. Rows identical; the z-expression is JVM-only."""
+    import random
+
+    loc = str(tmp_path / "zt")
+    t = I.IcebergFsTable(loc)
+    rng = random.Random(7)
+    rows = [
+        (i, rng.uniform(0.0, 1000.0), rng.uniform(0.0, 1000.0))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    t.append(df.repartition(4))
+    before = sorted(r["id"] for r in t.read(spark).collect())
+
+    t.compact(spark, target_partitions=16, zorder=["x", "y"])
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    n_files = len(t.live_entries())
+    assert n_files >= 8
+    # a 0.12-span band lives in one top-level Morton cell per dim: its 4
+    # (dim-fixed) cells are non-contiguous in z, so with straddle the
+    # worst case is half the files — BOTH dims prune to <= half
+    # simultaneously, which no lexicographic order can do (its trailing
+    # column keeps every file)
+    for col in ("x", "y"):
+        kept = t.live_entries(range_filter={col: (100.0, 220.0)})
+        assert len(kept) <= n_files / 2, (col, len(kept), n_files)
+    # row-level read under the pruning filter still exact
+    got = sorted(
+        r["id"]
+        for r in t.read(spark, range_filter={"x": (100.0, 220.0)})
+        .filter("x >= 100 and x <= 220").collect()
+    )
+    want = sorted(i for i, x, y in rows if 100.0 <= x <= 220.0)
+    assert got == want
+
+
+def test_compact_zorder_refuses_unrankable_and_unknown_columns(spark, tmp_path):
+    loc = str(tmp_path / "zt2")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, ROWS1))
+    with pytest.raises(ValueError, match="not in the table"):
+        t.compact(spark, zorder=["ghost"])
+    with pytest.raises(ValueError, match="byte-prefix"):
+        t.compact(spark, zorder=["name"])
+    with pytest.raises(ValueError, match="at most 4"):
+        t.compact(spark, zorder=["id", "score", "id", "score", "id"])
+
+
 def test_rewrite_position_delete_files_consolidates_and_prunes(spark, tmp_path):
     """rewrite_position_delete_files: many per-commit tombstone files
     consolidate into ranged sorted files; DANGLING rows (targets no
