@@ -69,17 +69,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   code touched (the accepted additive-only criterion; agg_basic /
     #   stream_agg_basic re-verify in rows-only form through their
     #   stream twins' shared helpers anyway).
+    # * plans/docstreams.py: APPENDED stream_embeddings +
+    #   stream_emb_dup_pairs (the RH-LSH bucket index as streaming
+    #   state — batch-oracle exact); additive-only for the two existing
+    #   keys, and stream_heavy_hitters re-verifies in-cap regardless.
     # The tail holds only keys whose files have ZERO changed lines
     # since their last green row (docs_weighted_sample /
     # docs_pmi_bigrams rotated out — sampling.py / collocations.py are
-    # untouched since their r8 exact rows; pmi stays in-cap as padding).
+    # untouched since their r8 exact rows).
     return {
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
         "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
-        "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
@@ -87,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
         "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
         "emb_dup_clusters": similarity.emb_dup_clusters,
+        "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
         "agg_quantiles": events.agg_quantiles,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
@@ -129,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipelines.py and the rest of the llm/ modules are untouched
         # this round) ——
         "docs_stratified_sample": sampling.docs_stratified_sample,
+        "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
         "docs_weighted_sample": sampling.docs_weighted_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,

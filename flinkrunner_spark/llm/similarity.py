@@ -307,30 +307,20 @@ def _evict_stale(spark: SparkSession) -> None:
             del cache[key]
 
 
-def _rh_codes(
-    spark: SparkSession, sf_dir: str, bands: int, bits: int
-) -> DataFrame:
-    """Per-row (band, code) sign codes — one Arrow-batched scan, persisted.
+def rh_codes_mapper(bands: int, bits: int):
+    """The Arrow-batched sign-code generator for ``mapInPandas`` over a
+    (vec_id, embedding) frame — shared by the batch path (`_rh_codes`)
+    and the streaming twin (`plans/docstreams.stream_emb_dup_pairs`).
 
-    The frame is (n × bands) rows of three fixed-width ints (text- and
-    embedding-free), so persisting it is cheap at any scale; the guard
-    pass (bucket sizes) and the pair expansion both read it, paying the
-    numpy projection once."""
-    key = (spark.sparkContext.applicationId, sf_dir, bands, bits)
-    _evict_stale(spark)
-    cached = _RH_CODES_CACHE.get(key)
-    if cached is not None:
-        return cached
-    emb = _emb(spark, sf_dir)
+    Bit-identical to the JVM/DuckDB left-fold dot (aggregate/
+    list_reduce): accumulate over the DIMS in a Python loop of
+    vectorized column ops — each scalar in the accumulator evolves
+    exactly as the sequential fold 0+x0·w0+x1·w1+…, just computed for
+    every row (and plane) at once. A plain E@W.T would be numpy's
+    pairwise summation — a different add order that can flip a
+    near-zero sign bit vs the SQL oracle."""
     planes = rh_planes(bands, bits)
 
-    # Bit-identical to the JVM/DuckDB left-fold dot (aggregate/
-    # list_reduce): accumulate over the DIMS in a Python loop of
-    # vectorized column ops — each scalar in the accumulator evolves
-    # exactly as the sequential fold 0+x0·w0+x1·w1+…, just computed for
-    # every row (and plane) at once. A plain E@W.T would be numpy's
-    # pairwise summation — a different add order that can flip a
-    # near-zero sign bit vs the SQL oracle.
     def gen_codes(it):
         import numpy as np
         import pandas as pd
@@ -362,9 +352,30 @@ def _rh_codes(
                 )
             yield pd.concat(out)
 
+    return gen_codes
+
+
+RH_CODES_SCHEMA = "vec_id long, band int, code int"
+
+
+def _rh_codes(
+    spark: SparkSession, sf_dir: str, bands: int, bits: int
+) -> DataFrame:
+    """Per-row (band, code) sign codes — one Arrow-batched scan, persisted.
+
+    The frame is (n × bands) rows of three fixed-width ints (text- and
+    embedding-free), so persisting it is cheap at any scale; the guard
+    pass (bucket sizes) and the pair expansion both read it, paying the
+    numpy projection once."""
+    key = (spark.sparkContext.applicationId, sf_dir, bands, bits)
+    _evict_stale(spark)
+    cached = _RH_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = _emb(spark, sf_dir)
     out = (
         emb.select("vec_id", "embedding")
-        .mapInPandas(gen_codes, schema="vec_id long, band int, code int")
+        .mapInPandas(rh_codes_mapper(bands, bits), schema=RH_CODES_SCHEMA)
         .persist()
     )
     _RH_CODES_CACHE[key] = out
@@ -456,6 +467,24 @@ def emb_dup_pairs_rhlsh(
         probes = auto_probes(threshold, bands)
     nbits = _rh_bits(spark, sf_dir, bits, probes)
     codes = _rh_codes(spark, sf_dir, bands, nbits)
+    return rh_pairs_from_codes(
+        emb, codes, nbits, probes, max_bucket, threshold
+    )
+
+
+def rh_pairs_from_codes(
+    emb: DataFrame,
+    codes: DataFrame,
+    nbits: int,
+    probes: int,
+    max_bucket: int = RH_MAX_BUCKET,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """The guard → (multi-probe) candidate expansion → exact-verify tail
+    of :func:`emb_dup_pairs_rhlsh`, over an EXPLICIT (vec_id, band,
+    code) frame — shared by the batch path and the streaming twin
+    (`plans/docstreams.stream_emb_dup_pairs`, whose codes come out of
+    accumulated streaming state)."""
     sizes = codes.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
     big = sizes.filter(F.col("n") > max_bucket).select("band", "code")
     kept = codes.join(F.broadcast(big), ["band", "code"], "left_anti")

@@ -123,3 +123,95 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sketch_stream, "q_stream_heavy_hitters", mode="complete"
     )
     return rank_heavy_hitters(spark, sf_dir, sketch)
+
+
+def stream_embeddings(
+    spark: SparkSession, sf_dir: str, splits: int = 4
+) -> DataFrame:
+    """File-backed embeddings stream — same one-micro-batch-per-file
+    harness as ``stream_documents``, range-partitioned on vec_id."""
+    path = (
+        "/tmp/flinkrunner_embstream_src/"
+        + hashlib.md5(f"{sf_dir}:{splits}".encode()).hexdigest()[:16]
+    )
+    if not os.path.exists(path + "/_SUCCESS"):
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if splits > 1:
+            df = df.repartitionByRange(splits, "vec_id")
+        df.write.mode("overwrite").parquet(path)
+        if splits > 1:
+            parts = sorted(glob.glob(path + "/part-*"))
+            t0 = time.time() - len(parts) - 1
+            for i, p in enumerate(parts):
+                os.utime(p, (t0 + i, t0 + i))
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def stream_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``emb_dup_pairs`` with the RH-LSH BUCKET INDEX BUILT AS STREAMING
+    STATE: vectors arrive in four real micro-batches, each row's
+    (band, code) sign codes come out of the same Arrow-batched fold
+    mapper as the batch plan (`rh_codes_mapper` — bit-identical codes),
+    and a complete-mode streaming aggregation accumulates the per-bucket
+    id sets — the online LSH index a streaming dedup service maintains.
+    The probe/verify stage (super-bucket cap, flip-1 multi-probe,
+    exact-cosine verify) then runs as a batch query over the frozen
+    index — the operational shape: the index is maintained online,
+    near-dup reports are periodic reads.
+
+    State is the bucket index itself: (n × bands) int triples — the
+    SAME frame the batch plan persists, so streaming state costs what
+    the batch plan's cache costs at any corpus size (the cap bounds pair
+    WORK; `rhlsh_bucket_stats` makes saturated buckets visible).
+    Id-set accumulation is order-independent, so ANY micro-batch split
+    yields the batch buckets exactly — same oracle as the batch twin."""
+    from flinkrunner_spark.llm.similarity import (
+        COSINE_DUP_THRESHOLD,
+        RH_BANDS,
+        RH_CODES_SCHEMA,
+        _emb_count,
+        _rh_bits,
+        auto_probes,
+        rh_codes_mapper,
+        rh_pairs_from_codes,
+    )
+    from flinkrunner_spark.streaming import pipelines as P
+
+    probes = auto_probes(COSINE_DUP_THRESHOLD)
+    _emb_count(spark, sf_dir)  # memoized batch-side count for auto_bits
+    nbits = _rh_bits(spark, sf_dir, None, probes)
+    emb_stream = stream_embeddings(spark, sf_dir, splits=4)
+    codes = emb_stream.select("vec_id", "embedding").mapInPandas(
+        rh_codes_mapper(RH_BANDS, nbits), schema=RH_CODES_SCHEMA
+    )
+    index_stream = codes.groupBy("band", "code").agg(
+        F.collect_set("vec_id").alias("ids")
+    )
+    index = P.run_to_memory(
+        spark, index_stream, "q_stream_emb_dup_pairs", mode="complete"
+    )
+    # SNAPSHOT the online index for the batch report: the probe/verify
+    # tail self-joins the codes frame (sizes guard + anti-join + probe
+    # join), and a memory-sink view reused across those subtrees trips
+    # conflicting-attribute resolution — a parquet snapshot is both the
+    # fix and the operational shape (periodic reports read a frozen
+    # copy while the index keeps accumulating). The frame is (n × bands)
+    # int triples — tiny next to the embeddings at any corpus size.
+    snap = (
+        "/tmp/flinkrunner_embstream_idx/"
+        + hashlib.md5(f"{sf_dir}:{nbits}".encode()).hexdigest()[:16]
+    )
+    index.select(
+        "band", "code", F.explode("ids").alias("vec_id")
+    ).write.mode("overwrite").parquet(snap)
+    frozen_codes = spark.read.parquet(snap)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rh_pairs_from_codes(
+        emb, frozen_codes, nbits, probes,
+        threshold=COSINE_DUP_THRESHOLD,
+    )

@@ -1010,6 +1010,9 @@ FROM embeddings LEFT JOIN labels l ON vec_id = l.a
 
 
 ORACLES["emb_dup_clusters"] = _rh_clusters_oracle_sql()
+# the streaming twin accumulates the SAME bucket index as the batch plan
+# (order-independent id-set state), so the batch oracle carries over
+ORACLES["stream_emb_dup_pairs"] = _rh_oracle_sql()
 
 ORACLES["mm_meta"] = """
 SELECT doc_id,

