@@ -54,6 +54,9 @@ DEFAULT_KEYS = [
     "docs_pmi_bigrams",
     "stream_heavy_hitters",
     "rhlsh_recall_stats",
+    "emb_dup_clusters",
+    "stream_emb_dup_pairs",
+    "agg_quantiles",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
