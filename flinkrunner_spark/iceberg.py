@@ -1182,12 +1182,50 @@ class IcebergFsTable:
         with open(ml_path, "wb") as fh:
             fh.write(ml_blob)
 
+        # spec summary statistics (the jar's SnapshotSummary): added-*
+        # from manifests THIS commit created (append/delete commits also
+        # carry the parent's manifest-list records forward — their added
+        # counts belong to the commits that wrote them), total-* over
+        # every manifest of the resulting state — external tooling (UIs,
+        # table-maintenance schedulers) reads these instead of
+        # re-planning the snapshot. Values are strings per the spec's
+        # map<string,string>. total-records is the raw stored data-row
+        # count (deletes NOT applied — the spec's convention; readers
+        # subtract position/equality deletes at merge time).
+        own = [m for m in manifests if m["added_snapshot_id"] == snap_id]
+        summary = {
+            "operation": operation,
+            "added-data-files": str(sum(
+                m["added_files_count"] for m in own
+                if m["content"] == CONTENT_DATA
+            )),
+            "added-records": str(sum(
+                m["added_rows_count"] for m in own
+                if m["content"] == CONTENT_DATA
+            )),
+            "added-delete-files": str(sum(
+                m["added_files_count"] for m in own
+                if m["content"] == CONTENT_DELETES
+            )),
+            "total-data-files": str(sum(
+                m["added_files_count"] + m["existing_files_count"]
+                for m in manifests if m["content"] == CONTENT_DATA
+            )),
+            "total-delete-files": str(sum(
+                m["added_files_count"] + m["existing_files_count"]
+                for m in manifests if m["content"] == CONTENT_DELETES
+            )),
+            "total-records": str(sum(
+                m["added_rows_count"] + m["existing_rows_count"]
+                for m in manifests if m["content"] == CONTENT_DATA
+            )),
+        }
         snap = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": ml_path,
-            "summary": {"operation": operation},
+            "summary": summary,
             "schema-id": md["current-schema-id"],
         }
         if parent not in (-1, None):

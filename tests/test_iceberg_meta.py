@@ -291,3 +291,45 @@ def test_partitions_df_totals_and_spec_evolution(spark, tmp_path):
     rows2 = t.partitions_df(spark).collect()
     assert sum(r["delete_file_count"] for r in rows2) >= 1
     assert sum(r["record_count"] for r in rows2) == 21  # data rows unchanged
+
+
+def test_snapshot_summary_statistics(spark, tmp_path):
+    """Snapshot summaries carry the spec's statistics (the jar's
+    SnapshotSummary): added-* counts only THIS commit's manifests even
+    when append/delete commits carry the parent's manifest-list records
+    forward; total-records is the raw stored data-row count."""
+    import flinkrunner_spark.iceberg as I
+
+    t = I.IcebergFsTable(str(tmp_path / "sm"))
+    df1 = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(10)], "id long, name string"
+    ).coalesce(1)
+    t.append(df1)
+    s1 = t.snapshots()[-1]["summary"]
+    assert s1["operation"] == "append"
+    assert s1["added-records"] == "10" and s1["total-records"] == "10"
+    assert s1["added-data-files"] == "1" == s1["total-data-files"]
+
+    t.append(df1.selectExpr("id + 100 as id", "name").coalesce(1))
+    s2 = t.snapshots()[-1]["summary"]
+    # the second append carries the first manifest forward — added-*
+    # must NOT double-count it
+    assert s2["added-records"] == "10" and s2["total-records"] == "20"
+    assert s2["added-data-files"] == "1" and s2["total-data-files"] == "2"
+
+    n = t.delete_where(spark, "id = 3")
+    assert n == 1
+    s3 = t.snapshots()[-1]["summary"]
+    assert s3["operation"] == "delete"
+    assert s3["added-data-files"] == "0" and s3["added-records"] == "0"
+    assert int(s3["added-delete-files"]) >= 1
+    assert int(s3["total-delete-files"]) >= 1
+    # raw stored rows unchanged by a position delete (spec convention)
+    assert s3["total-records"] == "20"
+
+    t.compact(spark)
+    s4 = t.snapshots()[-1]["summary"]
+    assert s4["operation"] == "replace"
+    # the rewrite materialized the post-delete state
+    assert s4["total-records"] == "19"
+    assert s4["total-delete-files"] == "0"
