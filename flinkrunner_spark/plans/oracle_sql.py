@@ -846,12 +846,12 @@ def _rh_cand_ctes() -> str:
         auto_probes,
     )
 
-    base = f"""codes AS (
+    base = f"""codes AS MATERIALIZED (
 {_rh_codes_cte()}
 ),
 sizes AS (SELECT band, code, COUNT(*) AS n FROM codes GROUP BY band, code),
 keep AS (SELECT band, code FROM sizes WHERE n <= {RH_MAX_BUCKET}),
-kept AS (
+kept AS MATERIALIZED (
   SELECT c.vec_id, c.band, c.code FROM codes c
   JOIN keep k ON c.band = k.band AND c.code = k.code
 )"""
