@@ -73,10 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   stream_emb_dup_pairs (the RH-LSH bucket index as streaming
     #   state — batch-oracle exact); additive-only for the two existing
     #   keys, and stream_heavy_hitters re-verifies in-cap regardless.
+    # * llm/spans.py: APPENDED docs_remove_dup_spans (the Lee et al.
+    #   remove-verbatim-repeats rewrite — NEW exactly-oracled key;
+    #   additive-only for docs_dup_spans).
     # The tail holds only keys whose files have ZERO changed lines
     # since their last green row (docs_weighted_sample /
-    # docs_pmi_bigrams rotated out — sampling.py / collocations.py are
-    # untouched since their r8 exact rows).
+    # docs_pmi_bigrams / docs_lm_score rotated out — sampling.py /
+    # collocations.py / lm.py are untouched since their r8 exact rows).
     return {
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
@@ -91,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
         "emb_dup_clusters": similarity.emb_dup_clusters,
         "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
+        "docs_remove_dup_spans": llm_spans.docs_remove_dup_spans,
         "agg_quantiles": events.agg_quantiles,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
@@ -100,7 +104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_stats": similarity.ann_recall_stats,
         "emb_knn_sq8": pq.emb_knn_sq8,
         "emb_knn_pq": pq.emb_knn_pq,
-        "docs_lm_score": lm.docs_lm_score,
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
         "iceberg_pruned_scan": connectors.iceberg_pruned_scan,
         "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
@@ -134,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round) ——
         "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
+        "docs_lm_score": lm.docs_lm_score,
         "docs_weighted_sample": sampling.docs_weighted_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,

@@ -60,3 +60,89 @@ def docs_dup_spans(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def docs_remove_dup_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int = DUP_SPAN_TOKENS,
+    stride: int = DUP_SPAN_STRIDE,
+) -> DataFrame:
+    """The ACTION for :func:`docs_dup_spans`: excise duplicated spans
+    from every document except the canonical owner (the smallest doc_id
+    carrying the span), keeping first occurrences corpus-wide — the
+    remove-verbatim-repeats rewrite of Lee et al. 2021 the span
+    detection exists to feed.
+
+    Semantics (deterministic, order-free): a window is REMOVED from a
+    document iff its hash occurs in ≥2 documents AND this doc_id is
+    greater than the hash's minimum doc_id; the owner keeps all its
+    occurrences. Tokens covered by any removed window are dropped and
+    the survivors re-join with single spaces — ``clean_text`` is
+    normalized-token text (the tokenizer's casing/punctuation rules, the
+    same normalization every hash in the family is computed over), not
+    the raw original string.
+
+    100 TB shape: the window table is the same hash-only explode as
+    ``docs_dup_spans`` (span TEXT never shuffles); the duplicated-hash
+    table is a count-style aggregate; each doc gets back a SMALL array
+    of removed window starts (broadcast-friendly join on doc_id), and
+    the token masking is a pure JVM higher-order-function projection —
+    no Python in the path, no row ever carries more than its own
+    tokens. EXACTLY oracled (same md5 windows + positional filter in
+    SQL)."""
+    from flinkrunner_spark.llm.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    starts = F.when(
+        F.size("toks") >= span,
+        F.sequence(F.lit(1), F.size("toks") - span + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    w = t.select("doc_id", F.explode(starts).alias("i")).join(
+        t, "doc_id"
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), span))).alias(
+            "span_hash"
+        ),
+    )
+    dup = (
+        w.groupBy("span_hash")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("span_hash", "owner")
+    )
+    rm = (
+        w.join(dup, "span_hash")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("i")).alias("rm"))
+    )
+    masked = t.join(rm, "doc_id", "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    # keep token at 1-based position p iff no removed window covers it —
+    # positions enumerate JVM-side, no index-lambda needed (the SQL
+    # oracle uses the identical generate_series shape)
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda p: ~F.exists(
+            "rm", lambda s: (p >= s) & (p < s + F.lit(span))
+        ),
+    )
+    return masked.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(kept, lambda p: F.element_at("toks", p)),
+        ).alias("clean_text"),
+        (F.size("toks") - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.size("rm").cast("long").alias("n_spans_removed"),
+    )

@@ -1669,6 +1669,47 @@ SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
 FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
+# span REMOVAL: same md5 windows; a window is removed from every doc but
+# the hash's minimum doc_id; token p survives iff no removed window
+# covers it; survivors re-join with single spaces (normalized-token text)
+ORACLES["docs_remove_dup_spans"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+    md5(array_to_string(list_slice(toks, CAST(i AS INT),
+                                   CAST(i + 19 AS INT)), ' ')) AS span_hash
+  FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 19, 10)) AS u(i)
+  WHERE len(toks) >= 20
+),
+dup AS (
+  SELECT span_hash, MIN(doc_id) AS owner FROM w
+  GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+),
+rm AS (
+  SELECT w.doc_id, list(DISTINCT w.i) AS rm
+  FROM w JOIN dup USING (span_hash)
+  WHERE w.doc_id > dup.owner
+  GROUP BY w.doc_id
+),
+m AS (
+  SELECT t.doc_id, t.toks, COALESCE(rm.rm, CAST([] AS INT[])) AS rm
+  FROM t LEFT JOIN rm USING (doc_id)
+),
+k AS (
+  SELECT doc_id, toks, rm,
+    list_filter(generate_series(1, len(toks)),
+      p -> len(list_filter(rm, s -> p >= s AND p < s + 20)) = 0) AS kept
+  FROM m
+)
+SELECT doc_id,
+  COALESCE(
+    array_to_string(list_transform(kept, p -> toks[CAST(p AS INT)]), ' '),
+    '') AS clean_text,
+  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed,
+  CAST(len(rm) AS BIGINT) AS n_spans_removed
+FROM k
+"""
+
 from flinkrunner_spark.plans.connectors import UPSERT_ORACLE as _UPO  # noqa: E402
 
 ORACLES["iceberg_upsert_roundtrip"] = _UPO

