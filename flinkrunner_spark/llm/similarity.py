@@ -654,17 +654,75 @@ def emb_dup_clusters(
     cluster" is `vec_id == cluster_id`. Every vector appears
     (singletons cluster to themselves). Exactly oracled via the
     recursive-closure SQL (components are tiny, so the closure is
-    cheap; the Spark side stays O(E·log D) pointer doubling at scale)."""
-    from flinkrunner_spark.operators.graph import connected_components
+    cheap; the Spark side stays O(E·log D) pointer doubling at scale).
+
+    EDGE CONTRACTION before the CC loop (r9 verdict item 2 — the raw
+    verified pair list is replica-dense, near-clique shaped, so feeding
+    it straight to the iterative operator made every round pay an
+    O(E) join): one HOOK pass — ``hook(v) = min(v, neighbors(v))``,
+    the first step of the Shiloach/Vishkin hook-and-shortcut family —
+    provably stays inside v's component (it is v or a direct
+    neighbor), so rewriting every edge (a, b) → (hook(a), hook(b)) and
+    dropping self-loops preserves connectivity exactly while a
+    k-clique's k²/2 edges collapse to ZERO contracted edges (all hooks
+    equal the clique min, which hooks to itself since every neighbor
+    is larger). The pointer-doubling loop then runs on the contracted
+    remainder (chains and clique-bridges only), and each vector's
+    final label is ``cc_label(hook(v))`` — identical output, one
+    cheap pass traded for rounds × O(E) joins."""
+    from flinkrunner_spark.operators.graph import (
+        _free_checkpoint,
+        connected_components,
+    )
 
     vecs = _emb(spark, sf_dir).select("vec_id")
-    pairs = emb_dup_pairs_rhlsh(spark, sf_dir, threshold).select(
-        "vec_a", "vec_b"
+    pairs = (
+        emb_dup_pairs_rhlsh(spark, sf_dir, threshold)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)  # hook + remap both read it
     )
-    return connected_components(
-        pairs, vecs, src="vec_a", dst="vec_b",
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    hook = (
+        sym.groupBy("vec_a")
+        .agg(F.least(F.first("vec_a"), F.min("vec_b")).alias("h"))
+        .select(F.col("vec_a").alias("vec_id"), "h")
+        .localCheckpoint(eager=False)
+    )
+    ha = hook.select(
+        F.col("vec_id").alias("vec_a"), F.col("h").alias("la")
+    )
+    hb = hook.select(
+        F.col("vec_id").alias("vec_b"), F.col("h").alias("lb")
+    )
+    contracted = (
+        pairs.join(ha, "vec_a")
+        .join(hb, "vec_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la"), F.col("lb"))
+        .distinct()
+    )
+    cc = connected_components(
+        contracted,
+        hook.select(F.col("h").alias("vec_id")).distinct(),
+        src="la", dst="lb",
         id_col="vec_id", label_col="cluster_id",
     )
+    touched = hook.join(
+        cc.withColumnRenamed("vec_id", "h"), "h"
+    ).select("vec_id", "cluster_id")
+    result = (
+        vecs.join(touched, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for frame in (cc, hook, pairs):
+        _free_checkpoint(frame)
+    return result
 
 
 def rhlsh_recall_stats(

@@ -13,6 +13,32 @@ DUP_SPAN_TOKENS = 20  # span window length (tokens)
 DUP_SPAN_STRIDE = 10  # window stride — 50% overlap catches shifted copies
 
 
+def _window_starts(span: int, stride: int):
+    """1-based window start positions for a ``toks`` column, empty for
+    documents shorter than one span (guards Spark's sequence(1, n<=0)
+    auto-negative-step, which would otherwise emit [1, 0])."""
+    return F.when(
+        F.size("toks") >= span,
+        F.sequence(F.lit(1), F.size("toks") - span + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _span_windows(t: DataFrame, span: int, stride: int) -> DataFrame:
+    """The shared window table: (doc_id, i, span_hash) — ONE explode
+    with ``toks`` carried on the row (no join, no shuffle; the span
+    TEXT never leaves the scan partition), hash projected immediately
+    so only 16-byte hashes + two ints flow downstream."""
+    return t.select(
+        "doc_id", "toks", F.explode(_window_starts(span, stride)).alias("i")
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("i"), span))
+        ).alias("span_hash"),
+    )
+
+
 def docs_dup_spans(
     spark: SparkSession,
     sf_dir: str,
@@ -39,18 +65,7 @@ def docs_dup_spans(
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = docs.select("doc_id", tokens_col().alias("toks"))
-    starts = F.when(
-        F.size("toks") >= span,
-        F.sequence(
-            F.lit(1), F.size("toks") - span + 1, F.lit(stride)
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    s = t.select("doc_id", "toks", F.explode(starts).alias("i")).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.slice("toks", F.col("i"), span))
-        ).alias("span_hash"),
-    )
+    s = _span_windows(t, span, stride).drop("i")
     return (
         s.groupBy("span_hash")
         .agg(
@@ -83,31 +98,20 @@ def docs_remove_dup_spans(
     same normalization every hash in the family is computed over), not
     the raw original string.
 
-    100 TB shape: the window table is the same hash-only explode as
-    ``docs_dup_spans`` (span TEXT never shuffles); the duplicated-hash
-    table is a count-style aggregate; each doc gets back a SMALL array
-    of removed window starts (broadcast-friendly join on doc_id), and
-    the token masking is a pure JVM higher-order-function projection —
-    no Python in the path, no row ever carries more than its own
-    tokens. EXACTLY oracled (same md5 windows + positional filter in
-    SQL)."""
+    100 TB shape: the window table is :func:`_span_windows` — the
+    identical zero-join explode ``docs_dup_spans`` uses (``toks`` rides
+    the row through the explode, so the span TEXT never shuffles and no
+    join sits below the span_hash aggregate); the duplicated-hash table
+    is a count-style aggregate; each doc gets back a SMALL array of
+    removed window starts (broadcast-friendly join on doc_id), and the
+    token masking is a pure JVM higher-order-function projection — no
+    Python in the path, no row ever carries more than its own tokens.
+    EXACTLY oracled (same md5 windows + positional filter in SQL)."""
     from flinkrunner_spark.llm.text import tokens_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = docs.select("doc_id", tokens_col().alias("toks"))
-    starts = F.when(
-        F.size("toks") >= span,
-        F.sequence(F.lit(1), F.size("toks") - span + 1, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    w = t.select("doc_id", F.explode(starts).alias("i")).join(
-        t, "doc_id"
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), span))).alias(
-            "span_hash"
-        ),
-    )
+    w = _span_windows(t, span, stride)
     dup = (
         w.groupBy("span_hash")
         .agg(
@@ -128,9 +132,15 @@ def docs_remove_dup_spans(
     )
     # keep token at 1-based position p iff no removed window covers it —
     # positions enumerate JVM-side, no index-lambda needed (the SQL
-    # oracle uses the identical generate_series shape)
+    # oracle uses the identical generate_series shape). The size()>0
+    # guard matters: Spark's sequence(1, 0) auto-steps -1 and yields
+    # [1, 0], whose element_at(toks, 0) raises INVALID_ARRAY_INDEX on a
+    # zero-token document, while DuckDB's generate_series(1, 0) is empty.
+    positions = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
+        positions,
         lambda p: ~F.exists(
             "rm", lambda s: (p >= s) & (p < s + F.lit(span))
         ),

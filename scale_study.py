@@ -57,6 +57,7 @@ DEFAULT_KEYS = [
     "emb_dup_clusters",
     "stream_emb_dup_pairs",
     "agg_quantiles",
+    "docs_remove_dup_spans",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"

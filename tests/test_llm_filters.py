@@ -358,3 +358,53 @@ def test_remove_dup_spans_matches_python_mirror(spark):
     assert owners and all(
         d not in owners or want[d][2] >= 0 for d in touched
     )
+
+
+def test_remove_dup_spans_plan_has_no_join_below_span_hash_agg(spark):
+    """Plan-shape contract (r9 verdict weak item): the window table that
+    feeds the span_hash aggregates must be the zero-join explode shape —
+    one scan, toks carried on the row, no join exchange shuffling the
+    token arrays. We assert on the shared _span_windows builder (the
+    exact subtree below every span_hash aggregate) AND that the full
+    remove plan carries only the two legitimate joins (w⋈dup, t⟕rm)."""
+    import re
+
+    from flinkrunner_spark.llm.text import tokens_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    w = spans_mod._span_windows(
+        t, spans_mod.DUP_SPAN_TOKENS, spans_mod.DUP_SPAN_STRIDE
+    )
+    w_plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in w_plan and "Exchange" not in w_plan
+
+    full = spans_mod.docs_remove_dup_spans(spark, SF)
+    full_plan = full._jdf.queryExecution().executedPlan().toString()
+    n_joins = len(re.findall(r"Join", full_plan))
+    assert n_joins == 2, full_plan
+
+
+def test_remove_dup_spans_zero_token_document(spark, tmp_path):
+    """Advisor r9 (medium): a punctuation-only document tokenizes to []
+    and the unguarded sequence(1, size(toks)) would auto-step to [1, 0],
+    making element_at raise INVALID_ARRAY_INDEX. The guarded plan must
+    return it unchanged with an empty clean_text."""
+    import pandas as pd
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(3).toPandas()
+    base.loc[len(base)] = {
+        **{c: base.iloc[0][c] for c in base.columns},
+        "doc_id": int(base["doc_id"].max()) + 1,
+        "text": "... !!! ???",
+    }
+    d = str(tmp_path / "docs_zero")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(base)).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = spans_mod.docs_remove_dup_spans(spark, d).toPandas()
+    row = out[out["doc_id"] == int(base["doc_id"].max())].iloc[0]
+    assert row["clean_text"] == ""
+    assert row["n_tokens_removed"] == 0 and row["n_spans_removed"] == 0
+    assert len(out) == len(base)
