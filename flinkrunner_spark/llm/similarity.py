@@ -205,10 +205,53 @@ def auto_probes(
     for the same expected random-pair candidate rate (e.g. at τ=0.35,
     sf0.1-scale: exact bits=7 → recall .55 @ 17% rand-cand rate vs probed
     bits=10 → recall .75 @ 23%; at the driver's sf0.01 bits stays 6 and
-    probing lifts recall .73 → .999)."""
+    probing lifts recall .73 → .999).
+
+    NOTE (r9 advisor): this predicate alone only guarantees the target
+    at the MINIMUM width — ``auto_bits`` widens codes with the corpus,
+    where exact-bucket recall falls further. Plan entry points therefore
+    resolve through :func:`resolve_rh_plan`, which re-checks the recall
+    curve at the corpus-resolved width (fixed point), so probing kicks
+    in whenever the width actually planned can't hit the target."""
     if predicted_recall(threshold, RH_BITS, bands, 0) >= target_recall:
         return 0
     return 1
+
+
+def resolve_rh_plan(
+    n_rows: int,
+    threshold: float,
+    bands: int = RH_BANDS,
+    target_recall: float = RH_TARGET_RECALL,
+    bits: int | None = None,
+    probes: int | None = None,
+) -> tuple[int, int]:
+    """Fixed-point (bits, probes) resolution against the CORPUS-RESOLVED
+    code width (r9 advisor): resolve bits with probes=0, re-check
+    ``predicted_recall`` at that width, and if it misses the target
+    enable flip-1 probing and re-widen (``auto_bits`` prices the probe
+    fan-out back into the candidate budget). Explicit ``probes`` pins
+    the probe count (bits still auto-widen around it); explicit ``bits``
+    pins the width (probes then decided at THAT width, not the minimum).
+    If even the probed plan's predicted recall misses the target, the
+    documented escalation is ``rh_bands_for_recall`` — band count is the
+    caller's recall-vs-cost knob, never silently raised here."""
+    if probes is not None:
+        return (
+            bits if bits is not None else auto_bits(n_rows, probes=probes),
+            probes,
+        )
+    if bits is not None:
+        p = (
+            0
+            if predicted_recall(threshold, bits, bands, 0) >= target_recall
+            else 1
+        )
+        return bits, p
+    b0 = auto_bits(n_rows, probes=0)
+    if predicted_recall(threshold, b0, bands, 0) >= target_recall:
+        return b0, 0
+    return auto_bits(n_rows, probes=1), 1
 
 
 def auto_bits(
@@ -463,9 +506,9 @@ def emb_dup_pairs_rhlsh(
     cosines are all reproduced bit-identically in DuckDB (left-fold dot
     products, literal plane matrix, xor probes)."""
     emb = _emb(spark, sf_dir)
-    if probes is None:
-        probes = auto_probes(threshold, bands)
-    nbits = _rh_bits(spark, sf_dir, bits, probes)
+    nbits, probes = resolve_rh_plan(
+        _emb_count(spark, sf_dir), threshold, bands, bits=bits, probes=probes
+    )
     codes = _rh_codes(spark, sf_dir, bands, nbits)
     return rh_pairs_from_codes(
         emb, codes, nbits, probes, max_bucket, threshold
@@ -593,11 +636,14 @@ def rhlsh_bucket_stats(
     codes frame (one count-only aggregate; the numpy projection is shared
     with the pairs query); a pipeline operator alerts on
     dropped_buckets > 0."""
-    if probes is None:
-        probes = auto_probes(COSINE_DUP_THRESHOLD, bands)
-    codes = _rh_codes(
-        spark, sf_dir, bands, _rh_bits(spark, sf_dir, bits, probes)
+    nbits, probes = resolve_rh_plan(
+        _emb_count(spark, sf_dir),
+        COSINE_DUP_THRESHOLD,
+        bands,
+        bits=bits,
+        probes=probes,
     )
+    codes = _rh_codes(spark, sf_dir, bands, nbits)
     sizes = codes.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -755,10 +801,10 @@ def rhlsh_recall_stats(
     resolved bits/bands/probes so the telemetry names the plan it
     measured). Done-criterion row for the r8 verdict item 1: recall
     ≥ 0.9 at τ=0.35."""
-    if probes is None:
-        probes = auto_probes(threshold, bands)
-    nbits = _rh_bits(spark, sf_dir, bits, probes)
     n = _emb_count(spark, sf_dir)
+    nbits, probes = resolve_rh_plan(
+        n, threshold, bands, bits=bits, probes=probes
+    )
     mod = max(1, -(-n // max(1, sample_cap)))
     emb = _emb(spark, sf_dir)
     h = (

@@ -175,16 +175,17 @@ def stream_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         RH_BANDS,
         RH_CODES_SCHEMA,
         _emb_count,
-        _rh_bits,
-        auto_probes,
+        resolve_rh_plan,
         rh_codes_mapper,
         rh_pairs_from_codes,
     )
     from flinkrunner_spark.streaming import pipelines as P
 
-    probes = auto_probes(COSINE_DUP_THRESHOLD)
-    _emb_count(spark, sf_dir)  # memoized batch-side count for auto_bits
-    nbits = _rh_bits(spark, sf_dir, None, probes)
+    # the SAME fixed-point (bits, probes) resolution as the batch twin,
+    # so the streaming index and the batch oracle always agree
+    nbits, probes = resolve_rh_plan(
+        _emb_count(spark, sf_dir), COSINE_DUP_THRESHOLD
+    )
     emb_stream = stream_embeddings(spark, sf_dir, splits=4)
     codes = emb_stream.select("vec_id", "embedding").mapInPandas(
         rh_codes_mapper(RH_BANDS, nbits), schema=RH_CODES_SCHEMA
@@ -202,9 +203,16 @@ def stream_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fix and the operational shape (periodic reports read a frozen
     # copy while the index keeps accumulating). The frame is (n × bands)
     # int triples — tiny next to the embeddings at any corpus size.
-    snap = (
-        "/tmp/flinkrunner_embstream_idx/"
-        + hashlib.md5(f"{sf_dir}:{nbits}".encode()).hexdigest()[:16]
+    # The location is config-threaded (checkpoint-dir discipline): on a
+    # cluster the snapshot must sit on shared storage, not the driver's
+    # local /tmp — set spark.flinkrunner.scratchDir (or the
+    # FLINKRUNNER_SCRATCH_DIR env var) to an hdfs://-style base.
+    from flinkrunner_spark.util.paths import scratch_dir
+
+    snap = scratch_dir(
+        spark,
+        "flinkrunner_embstream_idx/"
+        + hashlib.md5(f"{sf_dir}:{nbits}".encode()).hexdigest()[:16],
     )
     index.select(
         "band", "code", F.explode("ids").alias("vec_id")

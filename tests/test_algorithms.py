@@ -690,3 +690,64 @@ def test_sbf_aggregate_per_group(spark):
         a.collect()[0]["sbf"], b.collect()[0]["sbf"]
     )
     assert all(sbf_might_contain(merged, m) for m in by_type[et0])
+
+
+def test_resolve_rh_plan_fixed_point_at_corpus_width():
+    """r9 advisor: probes must be decided at the CORPUS-RESOLVED code
+    width, not the minimum. At a mid threshold (0.9) the 6-bit curve
+    clears the target (old auto_probes said 0), but a large corpus
+    widens codes to ~20 bits where exact-bucket recall collapses — the
+    resolver must enable probing there and re-widen for the fan-out."""
+    from flinkrunner_spark.llm.similarity import (
+        RH_BANDS,
+        RH_BITS,
+        RH_TARGET_RECALL,
+        auto_bits,
+        predicted_recall,
+        resolve_rh_plan,
+    )
+
+    # small corpus, mid threshold: min width suffices, no probes
+    bits, probes = resolve_rh_plan(500, 0.9)
+    assert bits == RH_BITS and probes == 0
+    assert predicted_recall(0.9, bits, RH_BANDS, 0) >= RH_TARGET_RECALL
+
+    # large corpus, same threshold: auto width ~20 bits, exact-bucket
+    # recall falls below target → probing must kick in, width re-priced
+    n_big = 50_000_000
+    b0 = auto_bits(n_big, probes=0)
+    assert predicted_recall(0.9, b0, RH_BANDS, 0) < RH_TARGET_RECALL
+    bits_big, probes_big = resolve_rh_plan(n_big, 0.9)
+    assert probes_big == 1
+    assert bits_big == auto_bits(n_big, probes=1) >= b0
+    # probed recall at the resolved width beats the silent exact plan
+    assert predicted_recall(0.9, bits_big, RH_BANDS, 1) > predicted_recall(
+        0.9, bits_big, RH_BANDS, 0
+    )
+
+    # explicit pins are honored verbatim
+    assert resolve_rh_plan(n_big, 0.9, bits=8, probes=0) == (8, 0)
+    assert resolve_rh_plan(n_big, 0.9, probes=1)[1] == 1
+
+    # the default low threshold resolves exactly as the shipped plans
+    # expect (oracle parity at the driver's sf0.01: bits=6, probes=1)
+    assert resolve_rh_plan(500, 0.35) == (RH_BITS, 1)
+
+
+def test_scratch_dir_resolution_order(spark, monkeypatch):
+    """Snapshot locations thread through config (r9 verdict item 4):
+    session conf wins, then the env var, then the /tmp default."""
+    from flinkrunner_spark.util.paths import (
+        SCRATCH_CONF_KEY,
+        SCRATCH_ENV_KEY,
+        scratch_dir,
+    )
+
+    monkeypatch.delenv(SCRATCH_ENV_KEY, raising=False)
+    spark.conf.unset(SCRATCH_CONF_KEY)
+    assert scratch_dir(spark, "x/y") == "/tmp/x/y"
+    monkeypatch.setenv(SCRATCH_ENV_KEY, "/srv/shared")
+    assert scratch_dir(spark, "x/y") == "/srv/shared/x/y"
+    spark.conf.set(SCRATCH_CONF_KEY, "hdfs:///scratch/")
+    assert scratch_dir(spark, "x/y") == "hdfs:///scratch/x/y"
+    spark.conf.unset(SCRATCH_CONF_KEY)
