@@ -2591,14 +2591,16 @@ class IcebergFsTable:
                 continue
             span = mx - mn
             r = F.floor((e - F.lit(mn)) / F.lit(span) * F.lit(65536.0))
+            # NULL must be tested explicitly: least/greatest SKIP NULLs
+            # (least(65535, NULL) = 65535), so a coalesce around the
+            # clamp never fires and NULLs would rank at the HIGH corner
+            clamped = F.greatest(
+                F.lit(0), F.least(F.lit(65535), r.cast("int"))
+            )
             ranks.append(
-                F.coalesce(
-                    F.greatest(
-                        F.lit(0),
-                        F.least(F.lit(65535), r.cast("int")),
-                    ),
-                    F.lit(0),
-                ).cast("long")
+                F.when(e.isNull(), F.lit(0))
+                .otherwise(clamped)
+                .cast("long")
             )
         z = F.lit(0).cast("long")
         for b in range(16):
@@ -2633,25 +2635,31 @@ class IcebergFsTable:
         can never resurrect rows: the new data files' sequence number
         exceeds every carried delete's, so the spec's seq rule makes the
         old tombstones inapplicable to them — and their rows were
-        already filtered. EQUALITY deletes still refuse (their
-        applicability is key-based, not path-based; ``compact()`` merges
-        them). Returns the number of files rewritten (0 = nothing to do;
-        a single small file is left alone)."""
+        already filtered.
+
+        EQUALITY deletes (upsert tombstones) are applied the same way
+        (r9 verdict item 5): the small files read merge-on-read under
+        every live equality delete — ``_read_merged`` enforces the
+        spec's strictly-greater-sequence applicability per file, exactly
+        as reads do — and each equality-delete file then either carries
+        forward as an EXISTING entry at its ORIGINAL sequence number
+        (some carried data file has a strictly smaller sequence, so the
+        tombstone may still apply to it; applicability must not widen)
+        or drops (every data file it could apply to was rewritten with
+        the delete folded in). The carry test is sequence-based and
+        conservative: a tombstone whose only smaller-seq survivors never
+        matched its keys is kept as harmless read-side work, never
+        dropped. Returns the number of files rewritten (0 = nothing to
+        do; a single small file is left alone)."""
         md = self.metadata()
         data, eq_dels, pos_dels = self._live()
-        if eq_dels:
-            raise ValueError(
-                "binpack cannot run over live EQUALITY delete files "
-                "(upsert tombstones apply by key, not path); use "
-                "compact(), which merges deletes and drops tombstones"
-            )
         small = [f for f in data if int(f["record_count"]) < min_rows]
         if len(small) < 2:
             return 0
         big = [f for f in data if int(f["record_count"]) >= min_rows]
         ice = current_schema(md)
-        if pos_dels:
-            df = self._read_merged(spark, small, [], pos_dels, md, ice)
+        if pos_dels or eq_dels:
+            df = self._read_merged(spark, small, eq_dels, pos_dels, md, ice)
         else:
             df = self._assemble_data(spark, small, md, ice)
         df = df.coalesce(max(1, target_partitions))
@@ -2670,6 +2678,17 @@ class IcebergFsTable:
                     ).column("file_path").to_pylist()
                 }
                 if targets & carried_paths:
+                    carried_dels.append(d)
+        if eq_dels:
+            # an equality delete applies to data files with a STRICTLY
+            # smaller sequence number: carry it (original seq, EXISTING)
+            # while any carried data file is still in that scope, drop
+            # it once every potential target was rewritten under it
+            min_big_seq = min(
+                (int(f["_seq"]) for f in big), default=None
+            )
+            for d in eq_dels:
+                if min_big_seq is not None and min_big_seq < int(d["_seq"]):
                     carried_dels.append(d)
         # new files land under the CURRENT default spec (rewrites migrate
         # data to the latest layout — the jar action's behavior too)
@@ -2727,7 +2746,13 @@ class IcebergFsTable:
             map_df = spark.createDataFrame(
                 list(pkey_of.items()), "file_path string, _pkey string"
             )
-            matches = pd_df.join(F.broadcast(map_df), "file_path")
+            # overlapping delete_where commits can tombstone the same
+            # (file_path, pos) in several old files — consolidate to
+            # DISTINCT positions like the jar action, or record counts
+            # inflate and every merge-on-read re-pays the duplicates
+            matches = pd_df.join(
+                F.broadcast(map_df), "file_path"
+            ).dropDuplicates(["file_path", "pos"])
             files, _ = self._write_pos_delete_parquets(
                 matches, part_cols, n_targets=len(data)
             )

@@ -32,6 +32,7 @@ import json
 import os
 import re
 import urllib.error
+import urllib.parse
 import urllib.request
 
 
@@ -77,6 +78,14 @@ class NessieCatalog:
             raise NessieError(e.code, text)
 
     @staticmethod
+    def _q(segment: str) -> str:
+        """Percent-encode one URL path segment (r9 advisor): a branch
+        or key name carrying URL-reserved characters (space, '#', '?',
+        '/') must not mis-address or truncate the request path — the
+        real Nessie client encodes every segment the same way."""
+        return urllib.parse.quote(segment, safe="")
+
+    @staticmethod
     def content_key(elements: list[str]) -> str:
         """ContentKey path form: elements joined with '.' (the API v2
         convention). Elements containing '.' would need the spec's
@@ -92,7 +101,7 @@ class NessieCatalog:
     # -- reads ----------------------------------------------------------------
 
     def branch_head(self, ref: str | None = None) -> str:
-        out = self._call("GET", f"/trees/{ref or self.ref}")
+        out = self._call("GET", f"/trees/{self._q(ref or self.ref)}")
         return out["reference"]["hash"]
 
     def get_content(
@@ -101,7 +110,8 @@ class NessieCatalog:
         key = self.content_key(elements)
         try:
             out = self._call(
-                "GET", f"/trees/{ref or self.ref}/contents/{key}"
+                "GET",
+                f"/trees/{self._q(ref or self.ref)}/contents/{self._q(key)}",
             )
         except NessieError as e:
             if e.status == 404:
@@ -149,7 +159,7 @@ class NessieCatalog:
             content["id"] = content_id
         out = self._call(
             "POST",
-            f"/trees/{self.ref}@{expected_hash}/history/commit",
+            f"/trees/{self._q(self.ref)}@{expected_hash}/history/commit",
             {
                 "commitMeta": {"message": message},
                 "operations": [

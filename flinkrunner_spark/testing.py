@@ -2156,11 +2156,15 @@ class LoopbackNessie:
                     return
                 from urllib.parse import unquote
 
-                path = unquote(self.path.split("?", 1)[0])
+                # route on the RAW path, decode per captured segment —
+                # real Nessie does the same, so a percent-encoded '/'
+                # or '@' inside a branch/key name routes correctly
+                # instead of splitting the path
+                path = self.path.split("?", 1)[0]
                 m = re.fullmatch(r"/api/v2/trees/([^/@]+)", path)
                 with srv.lock:
                     if m:
-                        ref = m.group(1)
+                        ref = unquote(m.group(1))
                         if ref not in (srv.branch, "-"):
                             return self._json(
                                 404, {"message": f"ref {ref} not found"})
@@ -2170,7 +2174,7 @@ class LoopbackNessie:
                     m = re.fullmatch(
                         r"/api/v2/trees/([^/@]+)/contents/(.+)", path)
                     if m:
-                        ref, key = m.group(1), m.group(2)
+                        ref, key = unquote(m.group(1)), unquote(m.group(2))
                         if ref not in (srv.branch, "-"):
                             return self._json(
                                 404, {"message": f"ref {ref} not found"})
@@ -2186,7 +2190,7 @@ class LoopbackNessie:
                     return
                 from urllib.parse import unquote
 
-                path = unquote(self.path.split("?", 1)[0])
+                path = self.path.split("?", 1)[0]
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n).decode() or "{}")
                 m = re.fullmatch(
@@ -2195,7 +2199,7 @@ class LoopbackNessie:
                 )
                 if not m:
                     return self._json(404, {"message": f"no route {path}"})
-                branch, expected = m.group(1), m.group(2)
+                branch, expected = unquote(m.group(1)), m.group(2)
                 with srv.lock:
                     if branch != srv.branch:
                         return self._json(

@@ -1226,15 +1226,85 @@ def test_rewrite_position_delete_files_keeps_equality_deletes(spark, tmp_path):
     ) == sorted((d["file_path"], d["_seq"]) for d in eq_before)
 
 
-def test_rewrite_small_files_refuses_equality_deletes(spark, tmp_path):
-    """Equality tombstones apply by key, not path — binpack still
-    refuses them (compact() merges); the refusal names the kind."""
-    loc = str(tmp_path / "bp3")
+def test_rewrite_small_files_under_equality_deletes_carries(spark, tmp_path):
+    """Equality-delete-aware binpack (r9 verdict item 5): small files
+    rewrite MERGE-ON-READ under live equality tombstones (the same
+    strictly-greater-seq join reads use); the tombstone carries forward
+    at its ORIGINAL sequence number because the carried big file is
+    still in its applicability scope; row-level reads match exactly."""
+    loc = str(tmp_path / "bp_eq1")
     t = I.IcebergFsTable(loc)
-    t.append(_df(spark, ROWS1))
-    t.upsert(_df(spark, [ROWS1[0]]), ["id"])
-    with pytest.raises(ValueError, match="EQUALITY"):
-        t.rewrite_small_files(spark, min_rows=10)
+    big_df = spark.createDataFrame(
+        [(i, f"x{i}", 1.0, []) for i in range(500)],
+        "id bigint, name string, score double, tags array<string>",
+    ).coalesce(1)
+    t.append(big_df)                                       # seq 1 (big)
+    t.append(_df(spark, [(1000, "a", 1.0, [])]))           # seq 2 (small)
+    t.append(_df(spark, [(1001, "b", 1.0, [])]))           # seq 3 (small)
+    # upsert replaces a big-file row AND a small-file row: eq delete at
+    # seq 4 (applies to seqs 1-3), fresh 2-row data file also at seq 4
+    t.upsert(
+        _df(spark, [(5, "five-v2", 9.9, []), (1000, "a-v2", 8.8, [])]),
+        ["id"],
+    )
+    _, eq_before, _ = t._live()
+    assert len(eq_before) >= 1
+    assert len({int(d["_seq"]) for d in eq_before}) == 1
+    eq_seq = int(eq_before[0]["_seq"])
+    before = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert (5, "five-v2") in before and (5, "x5") not in before
+    assert (1000, "a-v2") in before and (1000, "a") not in before
+    n_small = sum(
+        1 for f in t._live()[0] if int(f["record_count"]) < 10
+    )
+    assert n_small >= 3
+
+    assert t.rewrite_small_files(spark, min_rows=10) == n_small
+    after = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert after == before
+    data, eq_after, pos_after = t._live()
+    # tombstones carried UNCHANGED: the big file (seq 1) is still in
+    # their strictly-smaller-seq scope, and reads still need id=5 dead
+    assert sorted((d["file_path"], d["_seq"]) for d in eq_after) == sorted(
+        (d["file_path"], d["_seq"]) for d in eq_before
+    )
+    assert pos_after == []
+    # the carried big file kept its original seq; the rewritten file's
+    # seq exceeds the tombstone's (it escapes by construction)
+    seqs = sorted(int(f["_seq"]) for f in data)
+    assert seqs[0] < eq_seq < seqs[-1]
+    # stale small-file rows are physically gone from the new file, not
+    # merely masked: drop the tombstone and re-read
+    raw = t._read_merged(
+        spark, data, [], [], t.metadata()
+    )
+    names = {r["name"] for r in raw.select("name").collect()}
+    assert "a" not in names and "a-v2" in names
+    # id=5 is only masked (it lives in the carried big file)
+    assert "x5" in names
+
+
+def test_rewrite_small_files_drops_fully_applied_equality_deletes(
+    spark, tmp_path
+):
+    """When EVERY data file an equality tombstone could apply to is
+    rewritten (with the delete folded in), the tombstone is dropped —
+    no dead read-side work survives the binpack."""
+    loc = str(tmp_path / "bp_eq2")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, [(1, "one", 1.0, [])]))            # seq 1
+    t.append(_df(spark, [(2, "two", 2.0, [])]))            # seq 2
+    t.upsert(_df(spark, [(1, "one-v2", 1.5, [])]), ["id"])  # seq 3
+    before = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert before == [(1, "one-v2"), (2, "two")]
+    n_small = len(t._live()[0])
+
+    assert t.rewrite_small_files(spark, min_rows=10) == n_small
+    after = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert after == before
+    data, eq_after, pos_after = t._live()
+    assert eq_after == [] and pos_after == []
+    assert len(data) == 1
 
 
 def test_rewrite_small_files_under_position_deletes(spark, tmp_path):
@@ -1283,3 +1353,77 @@ def test_rewrite_small_files_under_position_deletes(spark, tmp_path):
     assert pos_dels[0]["_seq"] < replace_seq
     # and binpack under deletes is repeat-safe: nothing small remains
     assert t.rewrite_small_files(spark, min_rows=10) == 0
+
+
+def test_zvalue_nulls_rank_at_low_corner(spark, tmp_path):
+    """r9 advisor: least/greatest SKIP NULLs, so the old clamp sent NULL
+    values to rank 65535 (high corner) while the docstring promised 0.
+    NULLs must interleave as rank 0 — the z-value of an all-NULL row
+    equals the z-value of the minimum row, and z-ordering a table with
+    NULLs clusters them with the low corner, not the high one."""
+    loc = str(tmp_path / "znull")
+    t = I.IcebergFsTable(loc)
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, None), (3, 1000.0, 1000.0)],
+        "id bigint, x double, y double",
+    )
+    t.append(df)
+    z = t._zvalue(spark, t.read(spark), ["x", "y"])
+    rows = {
+        r["id"]: r["z"]
+        for r in t.read(spark).withColumn("z", z).collect()
+    }
+    assert rows[2] == rows[1] == 0  # NULL ranks 0 == the min row
+    assert rows[3] > 0
+
+
+def test_rewrite_position_delete_files_dedups_overlapping_tombstones(
+    spark, tmp_path
+):
+    """r9 advisor: the same (file_path, pos) row present in multiple old
+    delete files (overlapping delete_where commits) must consolidate to
+    ONE row, like the jar action — duplicated tombstones inflate record
+    counts and read-side work."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "rpd_dup")
+    t = I.IcebergFsTable(loc)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"x{i}", 1.0, []) for i in range(100)],
+            "id bigint, name string, score double, tags array<string>",
+        ).coalesce(1)
+    )
+    # first commit tombstones id 7 and 9; a second, OVERLAPPING delete
+    # file re-tombstones one of the same (file_path, pos) rows — the
+    # shape external writers / concurrent engines produce (delete_where
+    # itself targets live rows only, so it can't make the overlap)
+    assert t.delete_where(spark, "id = 7 or id = 9") == 2
+    _, _, pos0 = t._live()
+    tab0 = pq.read_table(pos0[0]["file_path"])
+    dup = spark.createDataFrame(
+        [(tab0.column("file_path").to_pylist()[0],
+          tab0.column("pos").to_pylist()[0], "{}")],
+        "file_path string, pos bigint, _pkey string",
+    )
+    files, _ = t._write_pos_delete_parquets(dup, [], n_targets=1)
+    t._write_snapshot(None, "delete", pos_delete_files=files)
+    _, _, pos_before = t._live()
+    total_before = sum(int(d["record_count"]) for d in pos_before)
+    assert len(pos_before) == 2 and total_before == 3  # one row duplicated
+    before = sorted(r["id"] for r in t.read(spark).collect())
+
+    assert t.rewrite_position_delete_files(spark) == len(pos_before)
+    _, _, pos_after = t._live()
+    total_after = sum(int(d["record_count"]) for d in pos_after)
+    assert total_after == 2  # distinct positions only
+    pairs = [
+        p
+        for d in pos_after
+        for p in zip(
+            pq.read_table(d["file_path"]).column("file_path").to_pylist(),
+            pq.read_table(d["file_path"]).column("pos").to_pylist(),
+        )
+    ]
+    assert len(pairs) == len(set(pairs)) == 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before

@@ -179,3 +179,24 @@ def test_hive_catalog_refused_by_name(spark, tmp_path):
         ).write(df)
     # the refusal fired BEFORE any filesystem commit
     assert not os.path.exists(loc)
+
+
+def test_reserved_characters_in_ref_and_key_roundtrip():
+    """r9 advisor: branch and key names carrying URL-reserved characters
+    (space, '#', '?', '/') must percent-encode per path segment — an
+    unencoded '/' splits the route and '#'/'?' truncate the path. The
+    loopback routes on the raw path and decodes per segment, exactly
+    like the real server, so this exercises the wire encoding."""
+    branch = "release/2026 q3#rc?1"
+    with LoopbackNessie(branch=branch) as srv:
+        cat = NessieCatalog(srv.endpoint, {"ref": branch})
+        h0 = cat.branch_head()
+        assert len(h0) == 64
+        # a key with reserved characters (dots still refuse by contract)
+        h1 = cat.commit_put("ns 1", "tbl#2", "/data/t/v1.metadata.json", h0)
+        assert h1 != h0
+        c = cat.get_content(["ns 1", "tbl#2"])
+        assert c["metadataLocation"] == "/data/t/v1.metadata.json"
+        # the wrong-branch probe still 404s (no silent mis-address)
+        with pytest.raises(NessieError, match="not found"):
+            cat.branch_head("release/2026 q3")
