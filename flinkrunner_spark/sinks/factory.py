@@ -348,6 +348,9 @@ class KafkaSinkConfig(SinkConfig):
         the seam write_stream's foreachBatch uses so preparation runs
         exactly once (a second prepare_records pass would look for the
         original key/header source columns, gone after the first)."""
+        from flinkrunner_spark.sources.kafka_datasource import (
+            security_from_options,
+        )
         from flinkrunner_spark.util.kafka import KafkaClient
 
         host, port = self._bootstrap()
@@ -360,7 +363,18 @@ class KafkaSinkConfig(SinkConfig):
         # compression.type: none (default) | gzip — resolved here so a
         # bad codec name fails at plan time, not inside executor tasks
         codec = codec_id(self.conf.get("compression.type", "none"))
-        with KafkaClient(host, port) as c:
+        # security options resolve at plan time from the SAME
+        # kafka.-prefixed keys the jar sink passes through (_options());
+        # transactional produce refuses by name on both transports
+        opts = self._options()
+        if opts.get("kafka.transactional.id"):
+            raise ValueError(
+                "kafka.transactional.id: transactional produce is not "
+                "supported (the sink is at-least-once, matching the "
+                "Spark kafka sink)"
+            )
+        sec = security_from_options(opts)
+        with KafkaClient(host, port, security=sec) as c:
             n_parts = len(c.metadata([topic])[0].partitions)
 
         def send_partition(rows):
@@ -410,7 +424,7 @@ class KafkaSinkConfig(SinkConfig):
                 return
             ctx = TaskContext.get()
             seed = ctx.partitionId() if ctx is not None else 0
-            with _C(host, port) as client:
+            with _C(host, port, security=sec) as client:
                 _produce(
                     client, topic, recs, n_parts,
                     batch_size=batch_size, sticky_seed=seed, codec=codec,

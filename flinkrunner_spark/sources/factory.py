@@ -153,7 +153,20 @@ class KafkaSourceConfig(SourceConfig):
             reader = reader.option("failOnDataLoss", str(fodl).lower())
         if include_headers:
             reader = reader.option("includeHeaders", "true")
+        reader = self._apply_client_props(reader)
         return reader.load()
+
+    def _apply_client_props(self, reader):
+        """Forward the raw Kafka client properties (security.protocol,
+        sasl.*, ssl.*, isolation.level — the reference passes its
+        `config` block verbatim, KafkaSourceConfig.scala:57,73) to the
+        native reader under the same ``kafka.``-prefixed names the jar
+        datasource uses; the option map is LOCKSTEP by construction
+        because both paths read the identical keys."""
+        for k, v in self.conf.get("options", {}).items():
+            if str(k).startswith("kafka."):
+                reader = reader.option(str(k), str(v))
+        return reader
 
     def _load_native_stream(self, spark: SparkSession) -> DataFrame:
         """TRUE streaming over the jar-free transport: the
@@ -181,6 +194,7 @@ class KafkaSourceConfig(SourceConfig):
         mot = self.conf.get("max.offsets.per.trigger")
         if mot:
             reader = reader.option("maxOffsetsPerTrigger", str(mot))
+        reader = self._apply_client_props(reader)
         return reader.load()
 
     def _jar_options(self) -> dict:

@@ -67,6 +67,124 @@ def _include_headers(opts: dict) -> bool:
     return str(opts.get("includeheaders", opts.get("includeHeaders", ""))).lower() == "true"
 
 
+def _opt(opts: dict, key: str, default=None):
+    """Option lookup tolerant of Spark's case handling (existing options
+    here are read in both spellings)."""
+    return opts.get(key.lower(), opts.get(key, default))
+
+
+# mechanisms the Java client accepts but the jar-free wire client does
+# not speak — refused BY NAME, never silently downgraded to PLAIN
+_SASL_UNSUPPORTED = ("SCRAM-SHA-256", "SCRAM-SHA-512", "GSSAPI", "OAUTHBEARER")
+
+
+def security_from_options(opts: dict) -> dict | None:
+    """Map the Java-client security option surface (the same
+    ``kafka.``-prefixed keys the jar datasource passes through —
+    reference `KafkaSourceConfig.scala` forwards its `config` block
+    verbatim) onto the wire client's ``security`` dict.
+
+    * ``kafka.security.protocol``: PLAINTEXT (default) | SSL |
+      SASL_PLAINTEXT | SASL_SSL
+    * ``kafka.sasl.mechanism``: PLAIN only — SCRAM/GSSAPI/OAUTHBEARER
+      refuse by name (no silent downgrade)
+    * ``kafka.sasl.jaas.config``: the PlainLoginModule line; username
+      and password are extracted exactly as the Java client does
+    * ``kafka.ssl.truststore.location`` (+ ``.type``): PEM bundles only
+      — JKS refuses by name (Java keystore format, no pure-Python
+      reader); omitted → the system trust store
+    """
+    protocol = str(
+        _opt(opts, "kafka.security.protocol", "PLAINTEXT")
+    ).upper()
+    if protocol not in (
+        "PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL"
+    ):
+        raise ValueError(
+            f"kafka.security.protocol {protocol!r} is not a Kafka "
+            "security protocol (PLAINTEXT | SSL | SASL_PLAINTEXT | "
+            "SASL_SSL)"
+        )
+    sec: dict = {"protocol": protocol}
+    if protocol.startswith("SASL_"):
+        mech = str(_opt(opts, "kafka.sasl.mechanism", "PLAIN")).upper()
+        if mech != "PLAIN":
+            hint = (
+                "supported by the Java client but not by the jar-free "
+                "wire transport"
+                if mech in _SASL_UNSUPPORTED
+                else "unknown"
+            )
+            raise ValueError(
+                f"kafka.sasl.mechanism {mech!r} is {hint}; the native "
+                "transport speaks SASL/PLAIN only — use the jar path "
+                "(transport: jar) for other mechanisms"
+            )
+        jaas = _opt(opts, "kafka.sasl.jaas.config")
+        if not jaas:
+            raise ValueError(
+                f"security.protocol {protocol} needs "
+                "kafka.sasl.jaas.config (the PlainLoginModule line "
+                'carrying username="…" password="…")'
+            )
+        import re as _re
+
+        mu = _re.search(r'username\s*=\s*"([^"]*)"', str(jaas))
+        mp = _re.search(r'password\s*=\s*"([^"]*)"', str(jaas))
+        if not mu or not mp:
+            raise ValueError(
+                "kafka.sasl.jaas.config must carry "
+                'username="…" and password="…" for SASL/PLAIN'
+            )
+        sec["mechanism"] = "PLAIN"
+        sec["username"] = mu.group(1)
+        sec["password"] = mp.group(1)
+    if protocol.endswith("SSL") and protocol != "SASL_PLAINTEXT":
+        loc = _opt(opts, "kafka.ssl.truststore.location")
+        ttype = str(
+            _opt(opts, "kafka.ssl.truststore.type", "PEM" if loc else "")
+        ).upper()
+        if loc:
+            if ttype != "PEM":
+                raise ValueError(
+                    f"kafka.ssl.truststore.type {ttype!r} is a Java "
+                    "keystore format the jar-free client cannot read — "
+                    "provide a PEM CA bundle (ssl.truststore.type=PEM) "
+                    "or use the jar path"
+                )
+            sec["ssl_cafile"] = str(loc)
+    return None if sec == {"protocol": "PLAINTEXT"} else sec
+
+
+def isolation_from_options(opts: dict) -> int:
+    """``kafka.isolation.level``: read_uncommitted (default) or
+    read_committed — the KIP-98 consumer isolation surface. Invalid
+    values refuse by name (the Java client does the same)."""
+    from flinkrunner_spark.util.kafka import (
+        ISOLATION_READ_COMMITTED,
+        ISOLATION_READ_UNCOMMITTED,
+    )
+
+    level = str(
+        _opt(opts, "kafka.isolation.level", "read_uncommitted")
+    ).lower()
+    if level == "read_uncommitted":
+        return ISOLATION_READ_UNCOMMITTED
+    if level == "read_committed":
+        return ISOLATION_READ_COMMITTED
+    raise ValueError(
+        f"kafka.isolation.level {level!r} is not an isolation level "
+        "(read_uncommitted | read_committed)"
+    )
+
+
+def _client_from_opts(opts: dict):
+    from flinkrunner_spark.util.kafka import KafkaClient
+
+    host, port = _parse_bootstrap(opts)
+    return KafkaClient(host, port, security=security_from_options(opts))
+
+
 def _fetch_range(opts: dict, p: KafkaRange, with_headers: bool):
     """Executor-side: drain one offset range, yielding schema-shaped
     tuples. CRC32C verification happens inside the batch decode.
@@ -79,14 +197,14 @@ def _fetch_range(opts: dict, p: KafkaRange, with_headers: bool):
     retried task."""
     import time as _time
 
-    from flinkrunner_spark.util.kafka import KafkaClient
-
-    host, port = _parse_bootstrap(opts)
-    with KafkaClient(host, port) as client:
+    iso = isolation_from_options(opts)
+    with _client_from_opts(opts) as client:
         off = p.start
         empty = 0
         while off < p.end:
-            recs, _hwm = client.fetch(p.topic, p.partition, off)
+            recs, _hwm = client.fetch(
+                p.topic, p.partition, off, isolation_level=iso
+            )
             if not recs:
                 empty += 1
                 if empty > 3:
@@ -146,12 +264,12 @@ class KafkaNativeBatchReader(DataSourceReader):
     def partitions(self):
         from flinkrunner_spark.util.kafka import (
             EARLIEST_TIMESTAMP,
+            ISOLATION_READ_COMMITTED,
             LATEST_TIMESTAMP,
-            KafkaClient,
         )
 
-        host, port = _parse_bootstrap(self.opts)
         topic = self.opts["topic"]
+        iso = isolation_from_options(self.opts)
         starting = str(self.opts.get("startingoffsets", "earliest"))
         ending = str(self.opts.get("endingoffsets", "latest"))
         # jar parity: failOnDataLoss=true (the default) refuses a start
@@ -168,10 +286,17 @@ class KafkaNativeBatchReader(DataSourceReader):
                 f"{ending!r}"
             )
         out = []
-        with KafkaClient(host, port) as c:
+        with _client_from_opts(self.opts) as c:
             for p in c.metadata([topic])[0].partitions:
                 earliest = c.list_offset(topic, p.partition, EARLIEST_TIMESTAMP)
                 latest = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
+                if iso == ISOLATION_READ_COMMITTED:
+                    # read_committed bounds the snapshot at the LAST
+                    # STABLE OFFSET: rows of open/aborted transactions
+                    # are not part of the table (Java consumer parity)
+                    lso = c.stable_offset(topic, p.partition, latest)
+                    if lso >= 0:
+                        latest = min(latest, lso)
                 if start_map is not None:
                     # jar parity: offset JSON must cover every assigned
                     # partition — the Spark kafka datasource fails on a
@@ -264,10 +389,7 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
         self._cursor: dict | None = None  # last planned end per partition
 
     def _client(self):
-        from flinkrunner_spark.util.kafka import KafkaClient
-
-        host, port = _parse_bootstrap(self.opts)
-        return KafkaClient(host, port)
+        return _client_from_opts(self.opts)
 
     def _offsets(self, position: int) -> dict:
         with self._client() as c:
@@ -293,9 +415,21 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
         return start
 
     def latestOffset(self) -> dict:
-        from flinkrunner_spark.util.kafka import LATEST_TIMESTAMP
+        from flinkrunner_spark.util.kafka import (
+            ISOLATION_READ_COMMITTED,
+            LATEST_TIMESTAMP,
+        )
 
         latest = self._offsets(LATEST_TIMESTAMP)
+        if isolation_from_options(self.opts) == ISOLATION_READ_COMMITTED:
+            # each micro-batch ends at the LAST STABLE OFFSET — rows of
+            # transactions still open at plan time arrive in a later
+            # trigger once committed, never inside this batch
+            with self._client() as c:
+                for pid, hi in list(latest.items()):
+                    lso = c.stable_offset(self.topic, int(pid), int(hi))
+                    if lso >= 0:
+                        latest[pid] = min(int(hi), lso)
         if self.max_per_trigger and self._cursor is not None:
             per_part = max(self.max_per_trigger // max(len(latest), 1), 1)
             latest = {
@@ -380,18 +514,30 @@ class KafkaWriteResult(WriterCommitMessage):
 
 class KafkaNativeWriter(DataSourceWriter):
     def __init__(self, opts: dict):
+        if _opt(opts, "kafka.transactional.id"):
+            # honest refusal BY NAME: exactly-once transactional produce
+            # needs the broker's transaction coordinator APIs
+            # (InitProducerId/AddPartitionsToTxn/EndTxn), which the
+            # jar-free transport does not speak — and the Spark JVM
+            # kafka sink is at-least-once too (it refuses the option)
+            raise ValueError(
+                "kafka.transactional.id: transactional produce is not "
+                "supported (the sink is at-least-once, matching the "
+                "Spark kafka sink); deduplicate downstream or use "
+                "read_committed consumers against a transactional "
+                "producer outside this sink"
+            )
+        security_from_options(opts)  # validate eagerly, on the driver
         self.opts = opts
 
     def write(self, rows) -> "KafkaWriteResult":
         from pyspark import TaskContext
 
         from flinkrunner_spark.util.kafka import (
-            KafkaClient,
             KafkaRecord,
             produce_records,
         )
 
-        host, port = _parse_bootstrap(self.opts)
         topic = self.opts["topic"]
         batch_size = int(self.opts.get("batchsize", 500))
 
@@ -416,7 +562,7 @@ class KafkaNativeWriter(DataSourceWriter):
             )
         if not recs:
             return KafkaWriteResult(0)
-        with KafkaClient(host, port) as c:
+        with _client_from_opts(self.opts) as c:
             n_parts = len(c.metadata([topic])[0].partitions)
             ctx = TaskContext.get()
             seed = ctx.partitionId() if ctx is not None else 0

@@ -24,6 +24,7 @@ tested codec the client encodes with, and stores/serves real state.
 from __future__ import annotations
 
 import json
+import os
 import re
 import struct
 import threading
@@ -743,7 +744,9 @@ class LoopbackKafkaBroker:
     per-partition list of (base_offset, batch_bytes) under one lock."""
 
     def __init__(
-        self, num_partitions: int = 4, transient_metadata_errors: int = 0
+        self, num_partitions: int = 4, transient_metadata_errors: int = 0,
+        sasl_plain: tuple[str, str] | None = None, tls: bool = False,
+        lso_lag: int = 0,
     ):
         import socketserver
 
@@ -754,6 +757,20 @@ class LoopbackKafkaBroker:
         # serve this many LEADER_NOT_AVAILABLE(5) metadata responses
         # before going healthy — the real-broker auto-create shape
         self.transient_metadata_errors = int(transient_metadata_errors)
+        # SASL/PLAIN listener: (username, password) every connection
+        # must authenticate with (handshake + authenticate, in order)
+        # before any other API — like a real SASL_* listener
+        self.sasl_plain = sasl_plain
+        # TLS listener: a fresh self-signed localhost cert per server;
+        # clients verify against ``self.cafile``
+        self.tls = bool(tls)
+        self.cafile: str | None = None
+        self._ssl_ctx = None
+        if self.tls:
+            self._ssl_ctx = self._make_tls_context()
+        # read_committed surface: the LAST STABLE OFFSET trails the high
+        # watermark by this many records (an "open transaction" tail)
+        self.lso_lag = int(lso_lag)
         # topic -> partition -> list[(base_offset, batch_bytes)]
         self.logs: dict[str, dict[int, list[tuple[int, bytes]]]] = {}
         self.lock = threading.Lock()
@@ -761,7 +778,15 @@ class LoopbackKafkaBroker:
 
         class _Handler(socketserver.BaseRequestHandler):
             def handle(self):
-                srv._serve(self.request)
+                sock = self.request
+                if srv._ssl_ctx is not None:
+                    try:
+                        sock = srv._ssl_ctx.wrap_socket(
+                            sock, server_side=True
+                        )
+                    except Exception:
+                        return  # handshake failure: connection dies
+                srv._serve(sock)
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -772,6 +797,31 @@ class LoopbackKafkaBroker:
         self.thread = threading.Thread(
             target=self.server.serve_forever, daemon=True
         )
+
+    def _make_tls_context(self):
+        """Self-signed localhost certificate via the openssl CLI (the
+        stdlib cannot mint certs); the key/cert pair lives in a private
+        tempdir for the server's lifetime and the cert doubles as the
+        client-side CA file (``self.cafile``)."""
+        import ssl
+        import subprocess
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="flinkrunner_kafka_tls_")
+        key, crt = os.path.join(d, "key.pem"), os.path.join(d, "cert.pem")
+        subprocess.run(
+            [
+                "openssl", "req", "-x509", "-newkey", "rsa:2048",
+                "-nodes", "-keyout", key, "-out", crt, "-days", "2",
+                "-subj", "/CN=localhost",
+                "-addext", "subjectAltName=DNS:localhost",
+            ],
+            check=True, capture_output=True,
+        )
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(crt, key)
+        self.cafile = crt
+        return ctx
 
     def __enter__(self) -> "LoopbackKafkaBroker":
         self.thread.start()
@@ -808,6 +858,11 @@ class LoopbackKafkaBroker:
                 buf += chunk
             return bytes(buf)
 
+        # per-connection SASL state: a SASL listener admits only
+        # ApiVersions before the handshake/authenticate pair completes,
+        # then everything — the real broker's listener discipline
+        sasl_state = {"handshaken": False, "authed": self.sasl_plain is None}
+
         while True:
             head = recv_exact(4)
             if head is None:
@@ -819,12 +874,24 @@ class LoopbackKafkaBroker:
             api_key, api_version, corr = struct.unpack_from(">hhi", payload, 0)
             _client_id, pos = K.dec_string(payload, 8)
             body = payload[pos:]
+            if not sasl_state["authed"] and api_key not in (
+                K.API_API_VERSIONS,
+                K.API_SASL_HANDSHAKE,
+                K.API_SASL_AUTHENTICATE,
+            ):
+                return  # pre-auth API on a SASL listener: connection dies
             handler = {
                 K.API_API_VERSIONS: self._api_versions,
                 K.API_METADATA: self._metadata,
                 K.API_PRODUCE: self._produce,
                 K.API_LIST_OFFSETS: self._list_offsets,
                 K.API_FETCH: self._fetch,
+                K.API_SASL_HANDSHAKE: lambda v, b: self._sasl_handshake(
+                    v, b, sasl_state
+                ),
+                K.API_SASL_AUTHENTICATE: lambda v, b: self._sasl_auth(
+                    v, b, sasl_state
+                ),
             }.get(api_key)
             if handler is None:
                 return  # unknown API: drop the connection
@@ -841,11 +908,49 @@ class LoopbackKafkaBroker:
             (K.API_METADATA, 1, 1),
             (K.API_API_VERSIONS, 0, 0),
         ]
+        if self.sasl_plain is not None:
+            keys += [
+                (K.API_SASL_HANDSHAKE, 1, 1),
+                (K.API_SASL_AUTHENTICATE, 0, 0),
+            ]
         return (
             struct.pack(">h", 0)
             + struct.pack(">i", len(keys))
             + b"".join(struct.pack(">hhh", *k) for k in keys)
         )
+
+    def _sasl_handshake(
+        self, version: int, body: bytes, state: dict
+    ) -> bytes:
+        K = self.K
+        mech, _ = K.dec_string(body, 0)
+        mechanisms = struct.pack(">i", 1) + K.enc_string("PLAIN")
+        if (mech or "").upper() != "PLAIN":
+            # 33 = UNSUPPORTED_SASL_MECHANISM, with the enabled list
+            return struct.pack(">h", 33) + mechanisms
+        state["handshaken"] = True
+        return struct.pack(">h", 0) + mechanisms
+
+    def _sasl_auth(self, version: int, body: bytes, state: dict) -> bytes:
+        K = self.K
+        token, _ = K.dec_bytes(body, 0)
+        parts = (token or b"").split(b"\x00")
+        ok = (
+            state["handshaken"]
+            and self.sasl_plain is not None
+            and len(parts) == 3
+            and parts[1].decode() == self.sasl_plain[0]
+            and parts[2].decode() == self.sasl_plain[1]
+        )
+        if not ok:
+            # 58 = SASL_AUTHENTICATION_FAILED
+            return (
+                struct.pack(">h", 58)
+                + K.enc_string("Authentication failed: Invalid username or password")
+                + K.enc_bytes(b"")
+            )
+        state["authed"] = True
+        return struct.pack(">h", 0) + K.enc_string(None) + K.enc_bytes(b"")
 
     def _metadata(self, version: int, body: bytes) -> bytes:
         K = self.K
@@ -952,6 +1057,7 @@ class LoopbackKafkaBroker:
 
     def _fetch(self, version: int, body: bytes) -> bytes:
         K = self.K
+        (iso,) = struct.unpack_from(">b", body, 16)
         pos = 4 + 4 + 4 + 4 + 1  # replica, max_wait, min_bytes, max_bytes, iso
         (nt,) = struct.unpack_from(">i", body, pos)
         pos += 4
@@ -971,22 +1077,29 @@ class LoopbackKafkaBroker:
                         continue
                     log = parts[pid]
                     hwm = self._next_offset(log)
+                    # the LAST STABLE OFFSET trails the watermark by the
+                    # configured open-transaction tail; a read_committed
+                    # fetch is served whole batches (clients bound rows
+                    # by the returned lso, like against a real broker)
+                    lso = max(0, hwm - self.lso_lag)
                     chunks, size = [], 0
                     for base, batch in log:
                         if base + K.batch_record_count(batch) <= off:
                             continue
+                        if iso == 1 and base >= lso:
+                            break  # wholly-unstable batches stay hidden
                         if chunks and size + len(batch) > pmax:
                             break
                         chunks.append(batch)
                         size += len(batch)
-                    presps.append((pid, 0, hwm, b"".join(chunks)))
+                    presps.append((pid, 0, hwm, lso, b"".join(chunks)))
                 resp_topics.append((topic, presps))
         out = struct.pack(">i", 0)  # throttle
         out += struct.pack(">i", len(resp_topics))
         for topic, presps in resp_topics:
             out += K.enc_string(topic) + struct.pack(">i", len(presps))
-            for pid, err, hwm, record_set in presps:
-                out += struct.pack(">ihqq", pid, err, hwm, hwm)
+            for pid, err, hwm, lso, record_set in presps:
+                out += struct.pack(">ihqq", pid, err, hwm, lso)
                 out += struct.pack(">i", 0)  # aborted txns
                 out += K.enc_bytes(record_set)
         return out

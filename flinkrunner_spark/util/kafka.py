@@ -354,7 +354,15 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
 API_API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
+
+# Fetch isolation levels (KIP-98): read_committed bounds consumption at
+# the partition's LAST STABLE OFFSET so open/aborted transactions are
+# never observed
+ISOLATION_READ_UNCOMMITTED = 0
+ISOLATION_READ_COMMITTED = 1
 
 EARLIEST_TIMESTAMP = -2
 LATEST_TIMESTAMP = -1
@@ -407,11 +415,19 @@ class KafkaClient:
 
     def __init__(
         self, host: str, port: int, client_id: str = "flinkrunner-spark",
-        timeout_s: float = 30.0,
+        timeout_s: float = 30.0, security: dict | None = None,
     ):
+        """``security`` mirrors the Java client's security properties:
+        ``protocol`` (PLAINTEXT | SSL | SASL_PLAINTEXT | SASL_SSL,
+        default PLAINTEXT), ``mechanism`` (PLAIN — the only SASL
+        mechanism the jar-free client speaks; others refuse BY NAME at
+        option-mapping time), ``username`` / ``password``, and
+        ``ssl_cafile`` (PEM CA bundle for server-certificate
+        verification; omitted → the system trust store)."""
         self.host, self.port = host, int(port)
         self.client_id = client_id
         self.timeout_s = timeout_s
+        self.security = dict(security or {})
         self._sock: socket.socket | None = None
         self._corr = 0
 
@@ -421,7 +437,43 @@ class KafkaClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout_s
         )
+        protocol = str(self.security.get("protocol", "PLAINTEXT")).upper()
+        if protocol.endswith("SSL") and protocol != "SASL_PLAINTEXT":
+            import ssl as _ssl
+
+            ctx = _ssl.create_default_context(
+                cafile=self.security.get("ssl_cafile")
+            )
+            self._sock = ctx.wrap_socket(
+                self._sock, server_hostname=self.host
+            )
+        if protocol.startswith("SASL_"):
+            self._sasl_plain(
+                str(self.security.get("username", "")),
+                str(self.security.get("password", "")),
+            )
         return self
+
+    def _sasl_plain(self, username: str, password: str) -> None:
+        """SASL/PLAIN over the Kafka SASL APIs (KIP-43/KIP-152):
+        SaslHandshake v1 negotiates the mechanism, then the RFC-4616
+        token (authzid NUL authcid NUL passwd) rides a SaslAuthenticate
+        v0 exchange — both regular size-framed requests, so they work
+        identically over plaintext and TLS sockets."""
+        buf = self._roundtrip(
+            API_SASL_HANDSHAKE, 1, enc_string("PLAIN")
+        )
+        (err,) = struct.unpack_from(">h", buf, 0)
+        if err:
+            raise KafkaProtocolError(err, "SaslHandshake(PLAIN)")
+        token = b"\x00" + username.encode() + b"\x00" + password.encode()
+        buf = self._roundtrip(API_SASL_AUTHENTICATE, 0, enc_bytes(token))
+        (err,) = struct.unpack_from(">h", buf, 0)
+        if err:
+            msg, _ = dec_string(buf, 2)
+            raise KafkaProtocolError(
+                err, f"SaslAuthenticate ({msg or 'authentication failed'})"
+            )
 
     def __exit__(self, *exc):
         self.close()
@@ -600,14 +652,19 @@ class KafkaClient:
     def fetch(
         self, topic: str, partition: int, offset: int,
         max_bytes: int = 4 * 1024 * 1024, max_wait_ms: int = 500,
+        isolation_level: int = ISOLATION_READ_UNCOMMITTED,
     ) -> tuple[list[KafkaRecord], int]:
-        """-> (records at >= offset, high watermark)."""
+        """-> (records at >= offset, end bound). With read_uncommitted
+        the bound is the HIGH WATERMARK; with read_committed it is the
+        LAST STABLE OFFSET (KIP-98) and records at/past it — rows of
+        open or aborted transactions — are excluded, matching the Java
+        consumer's isolation.level=read_committed behavior."""
         body = (
             struct.pack(">i", -1)  # replica_id
             + struct.pack(">i", max_wait_ms)
             + struct.pack(">i", 1)  # min_bytes
             + struct.pack(">i", max_bytes)
-            + b"\x00"  # isolation_level: read_uncommitted
+            + struct.pack(">b", isolation_level)
             + struct.pack(">i", 1)
             + enc_string(topic)
             + struct.pack(">i", 1)
@@ -620,7 +677,7 @@ class KafkaClient:
         assert nt == 1
         _, pos = dec_string(buf, pos)
         pos += 4  # partition_responses count (1)
-        pid, err, hwm, _lso = struct.unpack_from(">ihqq", buf, pos)
+        pid, err, hwm, lso = struct.unpack_from(">ihqq", buf, pos)
         pos += 22
         (nab,) = struct.unpack_from(">i", buf, pos)
         pos += 4
@@ -630,7 +687,22 @@ class KafkaClient:
         if err:
             raise KafkaProtocolError(err, f"Fetch {topic}/{pid}")
         records = decode_record_batches(record_set or b"")
+        if isolation_level == ISOLATION_READ_COMMITTED and lso >= 0:
+            return [
+                r for r in records if offset <= r.offset < lso
+            ], lso
         return [r for r in records if r.offset >= offset], hwm
+
+    def stable_offset(self, topic: str, partition: int, probe: int) -> int:
+        """The partition's LAST STABLE OFFSET — the read_committed end
+        bound. One zero-wait Fetch AT the log-end probe offset (a legal
+        poll position; no record bytes move), reading the lso field the
+        broker returns on every fetch."""
+        _, lso = self.fetch(
+            topic, partition, probe, max_wait_ms=0,
+            isolation_level=ISOLATION_READ_COMMITTED,
+        )
+        return lso
 
 
 # ---------------------------------------------------------------------------

@@ -341,3 +341,54 @@ def test_native_ending_offsets_beyond_tip_refused(spark):
         )
         with pytest.raises(Exception, match="beyond the log end"):
             src.load(spark).count()
+
+
+def test_security_and_isolation_option_parity():
+    """The security/isolation surface (r9 verdict item 6) rides the
+    SAME kafka.-prefixed keys on both transports: the jar path passes
+    options{} through verbatim, and the native path forwards every
+    kafka.* option to the reader, where security_from_options /
+    isolation_from_options resolve the identical names — drift in
+    either direction fails here."""
+    from flinkrunner_spark.sources.kafka_datasource import (
+        isolation_from_options,
+        security_from_options,
+    )
+    from flinkrunner_spark.util.kafka import ISOLATION_READ_COMMITTED
+
+    sec_opts = {
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "PLAIN",
+        "kafka.sasl.jaas.config": (
+            "org.apache.kafka.common.security.plain.PlainLoginModule "
+            'required username="svc" password="pw";'
+        ),
+        "kafka.ssl.truststore.location": "/etc/kafka/ca.pem",
+        "kafka.ssl.truststore.type": "PEM",
+        "kafka.isolation.level": "read_committed",
+    }
+    src = KafkaSourceConfig(
+        "t",
+        {"connector": "kafka", "bootstrap.servers": BOOT, "topic": "a",
+         "options": dict(sec_opts)},
+    )
+    # jar path: every key passes through verbatim
+    jar = src._jar_options()
+    for k, v in sec_opts.items():
+        assert jar[k] == v
+    # native path: the same keys resolve to the wire client's config
+    assert security_from_options(sec_opts) == {
+        "protocol": "SASL_SSL", "mechanism": "PLAIN",
+        "username": "svc", "password": "pw",
+        "ssl_cafile": "/etc/kafka/ca.pem",
+    }
+    assert isolation_from_options(sec_opts) == ISOLATION_READ_COMMITTED
+    # sink path: same passthrough on _options()
+    sink = KafkaSinkConfig(
+        "t",
+        {"connector": "kafka", "bootstrap.servers": BOOT, "topic": "a",
+         "options": dict(sec_opts)},
+    )
+    sopts = sink._options()
+    for k, v in sec_opts.items():
+        assert sopts[k] == v
