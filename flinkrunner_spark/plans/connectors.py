@@ -1252,3 +1252,61 @@ def stream_curation_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("redacted")).alias("sum_red_len"),
     )
+
+
+def kafka_sasl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kafka_roundtrip`` over a SASL/PLAIN-ENFORCING broker (r9
+    verdict item 6 — the security surface as a first-class oracled
+    key): the loopback listener admits only the handshake/authenticate
+    pair before credentials check out (wrong password or a pre-auth
+    Metadata call kills the connection), and both the executor-side
+    producers and the partition-parallel fetch tasks authenticate with
+    the SAME ``kafka.``-prefixed options the jar datasource passes
+    through (reference `KafkaSourceConfig.scala:57,73` forwards its
+    config block verbatim). The data plane is unchanged — security is
+    transport-layer — so the per-language profile is exactly the
+    ``kafka_roundtrip`` oracle; a credential mishandled anywhere in the
+    plan surfaces as a dead task, not a silent row drop."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    jaas = (
+        "org.apache.kafka.common.security.plain.PlainLoginModule "
+        'required username="svc-docs" password="wire-secret";'
+    )
+    opts = {
+        "kafka.security.protocol": "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism": "PLAIN",
+        "kafka.sasl.jaas.config": jaas,
+        "kafka.isolation.level": "read_committed",
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackKafkaBroker(
+        num_partitions=4, sasl_plain=("svc-docs", "wire-secret")
+    ) as broker:
+        KafkaSinkConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_sasl", "key.column": "doc_id",
+             "options": dict(opts)},
+        ).write(docs)
+        back = KafkaSourceConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_sasl", "options": dict(opts)},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

@@ -1633,6 +1633,9 @@ ORACLES["cassandra_roundtrip"] = _LPO
 # loopback broker) profiles back to the same aggregate
 ORACLES["kafka_roundtrip"] = _LPO
 ORACLES["stream_kafka_roundtrip"] = _LPO
+# SASL/PLAIN + read_committed transport wrapper: same data plane,
+# same exact profile oracle (security must not change a single row)
+ORACLES["kafka_sasl_roundtrip"] = _LPO
 ORACLES["kafka_avro_roundtrip"] = _LPO
 ORACLES["kafka_glue_avro_roundtrip"] = _LPO
 ORACLES["stream_rabbitmq_roundtrip"] = _LPO
