@@ -622,14 +622,13 @@ class IcebergSinkConfig(SinkConfig):
 
     def write(self, df: DataFrame):
         if str(self.conf.get("catalog.type", "")).lower() == "hive":
-            # refuse BEFORE the filesystem commit — a write that lands
-            # but never publishes to the configured catalog is worse
-            # than a loud no-op
-            raise RuntimeError(
-                "catalog.type 'hive' needs a thrift metastore client — "
-                "unsupported jar-free; use catalog.type rest/iceberg, "
-                "glue, nessie, or a filesystem 'path' (hadoop layout)"
-            )
+            # validate the metastore conf BEFORE the filesystem commit —
+            # a write that lands but can never publish to the configured
+            # catalog is worse than a loud no-op (r7 discipline, kept
+            # now that hive resolves through the thrift client)
+            from flinkrunner_spark.hive_metastore import hive_from_conf
+
+            hive_from_conf(self.conf)
         path = self.conf.get("path")
         if path is None and "/" in str(self.conf.get("table", "")):
             path = self.conf["table"]
@@ -670,9 +669,21 @@ class IcebergSinkConfig(SinkConfig):
         iceberg-on-glue metadata_location pointer instead (CreateTable
         first, compare-then-swap UpdateTable after — `glue_catalog`).
         ``catalog.type: nessie`` commits the pointer to a Nessie branch
-        (CAS on the branch head — `nessie_catalog`). No catalog
-        configured → filesystem-only, unchanged behavior."""
+        (CAS on the branch head — `nessie_catalog`). ``catalog.type:
+        hive`` (r10) publishes through the thrift metastore client —
+        EXCLUSIVE table lock, re-read under lock, CAS on
+        metadata_location, alter, unlock (`hive_metastore`, the
+        HiveTableOperations discipline). No catalog configured →
+        filesystem-only, unchanged behavior."""
         cat_type = str(self.conf.get("catalog.type", "")).lower()
+        if cat_type == "hive":
+            from flinkrunner_spark.hive_metastore import hive_from_conf
+
+            db = self.conf.get("namespace", "default")
+            table = self.conf.get("table", self.name)
+            with hive_from_conf(self.conf) as cat:
+                cat.commit_fs_table(db, table, t)
+            return
         if cat_type == "nessie":
             from flinkrunner_spark.nessie_catalog import nessie_from_conf
 

@@ -2367,3 +2367,227 @@ class LoopbackNessie:
     def __exit__(self, *exc):
         self.server.shutdown()
         self.server.server_close()
+
+
+class LoopbackHiveMetastore:
+    """Hive Metastore core speaking the Thrift BINARY protocol over
+    real unframed TCP — the subset an Iceberg catalog drives
+    (get_table / create_table / alter_table / lock / check_lock /
+    unlock) against an in-memory table store, ENFORCING the commit
+    discipline `hive_metastore.HiveMetastoreClient` relies on:
+
+    * one EXCLUSIVE table lock at a time — a second locker gets
+      WAITING and is promoted by check_lock only once the holder
+      unlocks (FIFO queue per table);
+    * alter_table REFUSES unless an ACQUIRED exclusive lock exists on
+      that table (the advisory HiveTableOperations mutex made
+      mandatory, so a client that skips the lock step fails loudly);
+    * create_table refuses an existing table (AlreadyExists), get_table
+      answers NoSuchObject for missing ones.
+
+    Backs the jar-free `hive_metastore` client the way
+    LoopbackGlueCatalog / LoopbackNessie back theirs — same thrift
+    codec module on both sides, but the server parses from raw wire
+    bytes, so framing or field-id drift fails the exchange."""
+
+    def __init__(self):
+        import socketserver
+
+        from flinkrunner_spark import hive_metastore as HM
+
+        self.HM = HM
+        # (db, name) -> {"location": str, "parameters": dict, "owner": str}
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.locks: dict[int, tuple[str, str]] = {}  # lockid -> table key
+        self.queues: dict[tuple[str, str], list[int]] = {}  # FIFO waiters
+        self._next_lock = 100
+        self.lock = threading.Lock()
+        srv = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                srv._serve(self.request)
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = _Server(("localhost", 0), _Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+
+    @property
+    def uri(self) -> str:
+        return f"thrift://localhost:{self.port}"
+
+    def __enter__(self) -> "LoopbackHiveMetastore":
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+    # -- wire loop ----------------------------------------------------------
+
+    def _serve(self, sock):
+        HM = self.HM
+        buf = bytearray()
+        while True:
+            try:
+                chunk = sock.recv(65536)
+            except OSError:
+                return
+            if not chunk:
+                return
+            buf += chunk
+            while True:
+                try:
+                    r = HM.ThriftReader(bytes(buf))
+                    name, mtype, seqid = r.read_message_header()
+                    args = r.read_struct()
+                    consumed = r.pos
+                except (struct.error, IndexError, ValueError):
+                    break  # partial frame — need more bytes
+                del buf[:consumed]
+                handler = {
+                    "get_table": self._get_table,
+                    "create_table": self._create_table,
+                    "alter_table": self._alter_table,
+                    "lock": self._lock,
+                    "check_lock": self._check_lock,
+                    "unlock": self._unlock,
+                }.get(name)
+                if handler is None:
+                    body = HM.enc_struct(
+                        [(HM.T_STRING, 1,
+                          HM.enc_string(f"unknown method {name}")),
+                         (HM.T_I32, 2, struct.pack(">i", 1))]
+                    )
+                    sock.sendall(
+                        HM.enc_message(name, HM.MSG_EXCEPTION, seqid, body)
+                    )
+                    continue
+                with self.lock:
+                    result = handler(args)
+                sock.sendall(
+                    HM.enc_message(name, HM.MSG_REPLY, seqid, result)
+                )
+
+    # -- helpers --------------------------------------------------------------
+
+    def _exc(self, fid: int, msg: str) -> bytes:
+        HM = self.HM
+        return HM.enc_struct(
+            [(HM.T_STRUCT, fid,
+              HM.enc_struct([(HM.T_STRING, 1, HM.enc_string(msg))]))]
+        )
+
+    def _table_struct(self, db: str, name: str) -> bytes:
+        HM = self.HM
+        t = self.tables[(db, name)]
+        return HM.encode_table(
+            db, name, t["location"], t["parameters"], owner=t["owner"]
+        )
+
+    @staticmethod
+    def _tbl_fields(tstruct: dict) -> tuple[str, str, dict, str, str]:
+        from flinkrunner_spark import hive_metastore as HM
+
+        db = tstruct.get(HM.TBL_DB, "")
+        name = tstruct.get(HM.TBL_NAME, "")
+        params = tstruct.get(HM.TBL_PARAMETERS) or {}
+        sd = tstruct.get(HM.TBL_SD) or {}
+        return (
+            db, name, dict(params),
+            str(sd.get(HM.SD_LOCATION, "")),
+            str(tstruct.get(HM.TBL_OWNER, "")),
+        )
+
+    # -- RPCs -----------------------------------------------------------------
+
+    def _get_table(self, args: dict) -> bytes:
+        HM = self.HM
+        key = (args.get(1, ""), args.get(2, ""))
+        if key not in self.tables:
+            # result field 2 = NoSuchObjectException
+            return self._exc(2, f"NoSuchObject: {key[0]}.{key[1]}")
+        return HM.enc_struct(
+            [(HM.T_STRUCT, 0, self._table_struct(*key))]
+        )
+
+    def _create_table(self, args: dict) -> bytes:
+        HM = self.HM
+        db, name, params, loc, owner = self._tbl_fields(args.get(1) or {})
+        if (db, name) in self.tables:
+            return self._exc(1, f"AlreadyExists: {db}.{name}")
+        self.tables[(db, name)] = {
+            "location": loc, "parameters": params, "owner": owner
+        }
+        return HM.enc_struct([])
+
+    def _alter_table(self, args: dict) -> bytes:
+        HM = self.HM
+        db, name = args.get(1, ""), args.get(2, "")
+        if (db, name) not in self.tables:
+            return self._exc(1, f"NoSuchObject: {db}.{name}")
+        # the HiveTableOperations mutex, made mandatory: an ACQUIRED
+        # exclusive lock must exist on this table
+        held = self.queues.get((db, name)) or []
+        if not held or held[0] not in self.locks:
+            return self._exc(
+                1,
+                f"alter_table {db}.{name} without an acquired exclusive "
+                "lock — take the metastore lock before swapping the "
+                "metadata pointer",
+            )
+        ndb, nname, params, loc, owner = self._tbl_fields(args.get(3) or {})
+        self.tables[(db, name)] = {
+            "location": loc, "parameters": params, "owner": owner
+        }
+        return HM.enc_struct([])
+
+    def _lock(self, args: dict) -> bytes:
+        HM = self.HM
+        req = args.get(1) or {}
+        comps = req.get(1) or []
+        comp = comps[0] if comps else {}
+        key = (comp.get(3, ""), comp.get(4, ""))
+        lockid = self._next_lock
+        self._next_lock += 1
+        q = self.queues.setdefault(key, [])
+        q.append(lockid)
+        self.locks[lockid] = key
+        state = HM.LOCK_ACQUIRED if q[0] == lockid else HM.LOCK_WAITING
+        resp = HM.enc_struct(
+            [(HM.T_I64, 1, struct.pack(">q", lockid)),
+             (HM.T_I32, 2, struct.pack(">i", state))]
+        )
+        return HM.enc_struct([(HM.T_STRUCT, 0, resp)])
+
+    def _check_lock(self, args: dict) -> bytes:
+        HM = self.HM
+        lockid = int((args.get(1) or {}).get(1, -1))
+        key = self.locks.get(lockid)
+        state = HM.LOCK_WAITING
+        if key is None:
+            state = 4  # NOT_ACQUIRED: unknown/expired lock
+        elif (self.queues.get(key) or [None])[0] == lockid:
+            state = HM.LOCK_ACQUIRED
+        resp = HM.enc_struct(
+            [(HM.T_I64, 1, struct.pack(">q", lockid)),
+             (HM.T_I32, 2, struct.pack(">i", state))]
+        )
+        return HM.enc_struct([(HM.T_STRUCT, 0, resp)])
+
+    def _unlock(self, args: dict) -> bytes:
+        HM = self.HM
+        lockid = int((args.get(1) or {}).get(1, -1))
+        key = self.locks.pop(lockid, None)
+        if key is not None:
+            q = self.queues.get(key) or []
+            if lockid in q:
+                q.remove(lockid)
+        return HM.enc_struct([])

@@ -1,0 +1,200 @@
+"""Jar-free Hive Metastore catalog: thrift-binary wire client vs the
+lock-enforcing loopback metastore, plus the factory routing
+(catalog.type hive resolves on the source, publishes with the locked
+CAS on the sink — reference IcebergCommonConfig.scala:56-71)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from flinkrunner_spark.hive_metastore import (  # noqa: E402
+    LOCK_ACQUIRED,
+    LOCK_WAITING,
+    HiveCommitConflict,
+    HiveMetastoreClient,
+    HiveMetastoreError,
+    NoSuchTable,
+    ThriftReader,
+    encode_table,
+    hive_from_conf,
+)
+from flinkrunner_spark.iceberg import IcebergFsTable  # noqa: E402
+from flinkrunner_spark.testing import LoopbackHiveMetastore  # noqa: E402
+
+
+def _fs_table(spark, tmp_path, n=20, name="t1"):
+    t = IcebergFsTable(str(tmp_path / name))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"x{i}") for i in range(n)], "id long, name string"
+        )
+    )
+    return t
+
+
+def _client(srv) -> HiveMetastoreClient:
+    return HiveMetastoreClient("localhost", srv.port)
+
+
+def test_thrift_struct_codec_roundtrip():
+    """The codec is its own first witness: an encoded Table decodes to
+    the same field-id dict (strings, nested struct, string map)."""
+    blob = encode_table(
+        "db", "tbl", "/w/db/tbl",
+        {"table_type": "ICEBERG", "metadata_location": "/w/db/tbl/metadata/v3.metadata.json"},
+        owner="svc",
+    )
+    t = ThriftReader(blob).read_struct()
+    assert t[1] == "tbl" and t[2] == "db" and t[3] == "svc"
+    assert t[7][2] == "/w/db/tbl"
+    assert t[9]["metadata_location"].endswith("v3.metadata.json")
+    assert t[12] == "EXTERNAL_TABLE"
+
+
+def test_get_table_missing_and_create_roundtrip():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            with pytest.raises(NoSuchTable):
+                c.get_table("db", "ghost")
+            c.create_table(
+                "db", "t", "/w/db/t",
+                {"table_type": "ICEBERG",
+                 "metadata_location": "/w/db/t/metadata/v1.metadata.json"},
+            )
+            assert c.metadata_location("db", "t").endswith("v1.metadata.json")
+            assert c.table_location("db", "t") == "/w/db/t"
+            with pytest.raises(HiveMetastoreError, match="AlreadyExists"):
+                c.create_table("db", "t", "/w/db/t", {})
+
+
+def test_non_iceberg_table_refuses_by_name():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.create_table("db", "plainhive", "/w/db/p", {})
+            with pytest.raises(HiveMetastoreError, match="not an Iceberg"):
+                c.metadata_location("db", "plainhive")
+
+
+def test_commit_swap_cas_and_lock_discipline():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.create_table(
+                "db", "t", "/w/db/t",
+                {"table_type": "ICEBERG",
+                 "metadata_location": "/w/db/t/metadata/v1.metadata.json"},
+            )
+            # happy path: locked CAS advances the pointer + lineage
+            c.commit_swap(
+                "db", "t",
+                "/w/db/t/metadata/v1.metadata.json",
+                "/w/db/t/metadata/v2.metadata.json",
+            )
+            t = c.get_table("db", "t")
+            assert t[9]["metadata_location"].endswith("v2.metadata.json")
+            assert t[9]["previous_metadata_location"].endswith(
+                "v1.metadata.json"
+            )
+            # stale expected pointer → conflict, pointer unchanged
+            with pytest.raises(HiveCommitConflict):
+                c.commit_swap(
+                    "db", "t",
+                    "/w/db/t/metadata/v1.metadata.json",
+                    "/w/db/t/metadata/v3.metadata.json",
+                )
+            assert c.metadata_location("db", "t").endswith(
+                "v2.metadata.json"
+            )
+            # every lock released: a fresh exclusive lock is ACQUIRED
+            lockid, state = c.lock_exclusive("db", "t")
+            assert state == LOCK_ACQUIRED
+            c.unlock(lockid)
+
+
+def test_alter_without_lock_refuses():
+    """The loopback makes the HiveTableOperations mutex mandatory: a
+    client that swaps the pointer without the metastore lock fails."""
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.create_table("db", "t", "/w", {"table_type": "ICEBERG"})
+            with pytest.raises(HiveMetastoreError, match="lock"):
+                c._alter_table(
+                    "db", "t", encode_table("db", "t", "/w", {})
+                )
+
+
+def test_second_locker_waits_until_unlock():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c1, _client(srv) as c2:
+            c1.create_table("db", "t", "/w", {"table_type": "ICEBERG"})
+            l1, s1 = c1.lock_exclusive("db", "t")
+            assert s1 == LOCK_ACQUIRED
+            l2, s2 = c2.lock_exclusive("db", "t")
+            assert s2 == LOCK_WAITING
+            assert c2.check_lock(l2) == LOCK_WAITING  # still held
+            c1.unlock(l1)
+            assert c2.check_lock(l2) == LOCK_ACQUIRED  # FIFO promotion
+            c2.unlock(l2)
+
+
+def test_source_factory_resolves_catalog_type_hive(spark, tmp_path):
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    t = _fs_table(spark, tmp_path, n=25)
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.register_fs_table("default", "t1", t)
+        df = IcebergSourceConfig(
+            "t1",
+            {"connector": "iceberg", "table": "t1",
+             "catalog.type": "hive", "catalog.uri": srv.uri},
+        ).load(spark)
+        assert sorted(r["id"] for r in df.collect()) == list(range(25))
+
+
+def test_sink_factory_publishes_through_hive_lock(spark, tmp_path):
+    """First write registers; later writes publish the new tip through
+    the locked CAS — a catalog reader sees exactly the fs tip."""
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+
+    loc = str(tmp_path / "hive_pub")
+    with LoopbackHiveMetastore() as srv:
+        conf = {
+            "connector": "iceberg", "path": loc, "table": "pub",
+            "catalog.type": "hive", "catalog.uri": srv.uri,
+        }
+        sink = IcebergSinkConfig("pub", dict(conf))
+        sink.write(
+            spark.createDataFrame(
+                [(i, f"a{i}") for i in range(10)], "id long, name string"
+            )
+        )
+        sink.write(
+            spark.createDataFrame(
+                [(100 + i, f"b{i}") for i in range(5)],
+                "id long, name string",
+            )
+        )
+        with _client(srv) as c:
+            md = c.metadata_location("default", "pub")
+        t = IcebergFsTable(loc)
+        assert md.endswith(f"v{t._version()}.metadata.json")
+        df = IcebergSourceConfig(
+            "pub",
+            {"connector": "iceberg", "table": "pub",
+             "catalog.type": "hive", "catalog.uri": srv.uri},
+        ).load(spark)
+        assert df.count() == 15
+
+
+def test_hive_from_conf_parses_uri_and_refuses_non_thrift():
+    c = hive_from_conf({"catalog.uri": "thrift://meta.host:9083"})
+    assert (c.host, c.port) == ("meta.host", 9083)
+    assert hive_from_conf({"catalog.uri": "thrift://h"}).port == 9083
+    with pytest.raises(ValueError, match="thrift"):
+        hive_from_conf({"catalog.uri": "http://meta:9083"})

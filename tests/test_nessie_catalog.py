@@ -1,7 +1,8 @@
 """Nessie catalog (r8 verdict missing-item 2): the jar-free REST v2
 client — branch-head CAS commits, content-id discipline, lineage-guarded
 pointer swaps — against the loopback Nessie server, plus the
-catalog.type routing (nessie resolves, hive refuses by name)."""
+catalog.type routing (nessie resolves; hive resolves too as of r10 —
+see test_hive_metastore.py — but refuses a missing/non-thrift uri)."""
 
 from __future__ import annotations
 
@@ -161,24 +162,27 @@ def test_sink_source_roundtrip_through_nessie(spark, tmp_path):
         assert sorted(r["id"] for r in back.collect()) == list(range(10))
 
 
-def test_hive_catalog_refused_by_name(spark, tmp_path):
+def test_hive_catalog_without_uri_refuses_by_name(spark, tmp_path):
+    """catalog.type hive is RESOLVED as of r10 (the thrift-binary
+    `hive_metastore` client — see test_hive_metastore.py); a hive
+    catalog with no catalog.uri still refuses loudly rather than
+    falling through to a generic path error, and the sink refusal
+    fires BEFORE any filesystem commit lands."""
     from flinkrunner_spark.sinks.factory import IcebergSinkConfig
     from flinkrunner_spark.sources.factory import IcebergSourceConfig
 
-    with pytest.raises(RuntimeError, match="thrift metastore"):
+    with pytest.raises(ValueError, match="thrift://"):
         IcebergSourceConfig(
             "t", {"connector": "iceberg", "table": "db.t",
                   "catalog.type": "hive"}
         ).load(spark)
     df = spark.createDataFrame([(1, "x")], "id long, name string")
     loc = str(tmp_path / "ht")
-    with pytest.raises(RuntimeError, match="thrift metastore"):
+    with pytest.raises(ValueError, match="thrift://"):
         IcebergSinkConfig(
             "t", {"connector": "iceberg", "path": loc,
                   "catalog.type": "hive"}
         ).write(df)
-    # the refusal fired BEFORE any filesystem commit
-    assert not os.path.exists(loc)
 
 
 def test_reserved_characters_in_ref_and_key_roundtrip():
@@ -200,3 +204,15 @@ def test_reserved_characters_in_ref_and_key_roundtrip():
         # the wrong-branch probe still 404s (no silent mis-address)
         with pytest.raises(NessieError, match="not found"):
             cat.branch_head("release/2026 q3")
+
+
+def test_hive_sink_refusal_precedes_fs_commit(spark, tmp_path):
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+
+    loc = str(tmp_path / "ht2")
+    with pytest.raises(ValueError, match="thrift://"):
+        IcebergSinkConfig(
+            "t", {"connector": "iceberg", "path": loc,
+                  "catalog.type": "hive", "catalog.uri": "http://x"}
+        ).write(spark.createDataFrame([(1, "x")], "id long, name string"))
+    assert not os.path.exists(loc)
