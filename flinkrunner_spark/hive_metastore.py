@@ -91,14 +91,26 @@ class ThriftReader:
         self.pos += size
         return v
 
+    def _take_bytes(self, n: int) -> bytes:
+        """Bounds-checked slice: a TRUNCATED buffer must raise (the
+        unframed transport retries on partial frames), never silently
+        return fewer bytes and let the cursor mis-align."""
+        if self.pos + n > len(self.buf):
+            raise IndexError(
+                f"thrift buffer truncated: need {n} bytes at {self.pos}, "
+                f"have {len(self.buf)}"
+            )
+        v = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
     def read_message_header(self) -> tuple[str, int, int]:
         head = self._take(">I")
         if head & 0xFFFF0000 != _VERSION_1:
             raise ValueError(f"bad thrift version word 0x{head:08x}")
         mtype = head & 0xFF
         n = self._take(">i")
-        name = self.buf[self.pos : self.pos + n].decode()
-        self.pos += n
+        name = self._take_bytes(n).decode()
         seqid = self._take(">i")
         return name, mtype, seqid
 
@@ -117,8 +129,7 @@ class ThriftReader:
             return self._take(">q")
         if ftype == T_STRING:
             n = self._take(">i")
-            v = self.buf[self.pos : self.pos + n]
-            self.pos += n
+            v = self._take_bytes(n)
             try:
                 return v.decode()
             except UnicodeDecodeError:

@@ -71,7 +71,12 @@ def build_fixture(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
     out = f"{FIXTURE_ROOT}/sf{factor}x"
-    if os.path.exists(f"{out}/_OK"):
+    # _OK is versioned: v2 fixtures carry events.parquet (r10 — the
+    # events-table keys joined DEFAULT_KEYS in r9 but the fixture never
+    # grew the table, so the sweep crashed at agg_quantiles)
+    if os.path.exists(f"{out}/_OK") and os.path.exists(
+        f"{out}/events.parquet"
+    ):
         return out
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     reps = None
@@ -119,6 +124,21 @@ def build_fixture(spark, factor: int) -> str:
         ).withColumn("embedding", jit)
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # events: K replicas at the SAME time range (a K-x denser stream —
+    # the realistic shape of a busier pipeline and the harder case for
+    # window state), event ids offset per replica. Loaded through
+    # load_table (the events parquet carries nanos timestamps).
+    from flinkrunner_spark.tables import load_table
+
+    ev = load_table(spark, BASE_SF, "events")
+    reps = None
+    for i in range(factor):
+        r = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * DOC_STRIDE)
+        )
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{out}/events.parquet")
     with open(f"{out}/_OK", "w") as fh:
         fh.write("ok")
     return out

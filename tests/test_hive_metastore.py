@@ -198,3 +198,34 @@ def test_hive_from_conf_parses_uri_and_refuses_non_thrift():
     assert hive_from_conf({"catalog.uri": "thrift://h"}).port == 9083
     with pytest.raises(ValueError, match="thrift"):
         hive_from_conf({"catalog.uri": "http://meta:9083"})
+
+
+def test_thrift_reader_raises_on_truncated_frames():
+    """Unframed-transport safety: EVERY prefix of a valid frame must
+    raise (struct.error/IndexError), never mis-parse — the client's
+    retry loop depends on truncation being loud."""
+    import struct as _struct
+
+    from flinkrunner_spark.hive_metastore import (
+        MSG_REPLY,
+        T_STRUCT,
+        enc_message,
+        enc_struct,
+        enc_string,
+    )
+    from flinkrunner_spark.hive_metastore import T_STRING
+
+    body = enc_struct(
+        [(T_STRUCT, 0, enc_struct([(T_STRING, 1, enc_string("hello"))]))]
+    )
+    frame = enc_message("get_table", MSG_REPLY, 7, body)
+
+    def parse(buf):
+        r = ThriftReader(buf)
+        name, mtype, seqid = r.read_message_header()
+        return name, seqid, r.read_struct()
+
+    assert parse(frame) == ("get_table", 7, {0: {1: "hello"}})
+    for cut in range(len(frame)):
+        with pytest.raises((_struct.error, IndexError, ValueError)):
+            parse(frame[:cut])
