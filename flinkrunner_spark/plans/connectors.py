@@ -1310,3 +1310,50 @@ def kafka_sasl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(parsed)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def iceberg_hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Iceberg filesystem table PUBLISHED through a HIVE
+    METASTORE (thrift binary protocol: create_table registers the
+    iceberg-on-HMS pointer on the first write; the second write swaps
+    metadata_location under the metastore's EXCLUSIVE table lock with
+    the HiveTableOperations CAS — `hive_metastore`) → source resolves
+    the table THROUGH the catalog (catalog.type hive + catalog.uri
+    thrift://…, no path config) → per-language profile. Runs against
+    the in-process loopback metastore
+    (`flinkrunner_spark.testing.LoopbackHiveMetastore`), which parses
+    the same wire bytes and ENFORCES the lock state machine (alter
+    without an acquired exclusive lock refuses). Exactly oracled:
+    proves the hive catalog wiring changes discovery, not data — the
+    reference's catalog.type=hive route
+    (IcebergCommonConfig.scala:56-71) without the HiveCatalog jar.
+    Registered in queries() from the r11 cap rotation (the r10 cap was
+    exactly full with changed-file keys)."""
+    import shutil
+
+    from flinkrunner_spark.sinks.factory import IcebergSinkConfig
+    from flinkrunner_spark.sources.factory import IcebergSourceConfig
+    from flinkrunner_spark.testing import LoopbackHiveMetastore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-hive", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    with LoopbackHiveMetastore() as srv:
+        cat_conf = {"catalog.type": "hive", "catalog.uri": srv.uri}
+        sink = IcebergSinkConfig(
+            "rt",
+            {"connector": "iceberg", "path": loc, "namespace": "rt",
+             "table": "docs", **cat_conf},
+        )
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        sink.write(half)   # create_table registers the pointer
+        sink.write(rest)   # locked-CAS metadata_location swap
+        back = IcebergSourceConfig(
+            "rt",
+            {"connector": "iceberg", "namespace": "rt", "table": "docs",
+             **cat_conf},
+        ).load(spark)
+        profile = _lang_profile(back)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
