@@ -75,7 +75,8 @@ def _opt(opts: dict, key: str, default=None):
 
 # mechanisms the Java client accepts but the jar-free wire client does
 # not speak — refused BY NAME, never silently downgraded to PLAIN
-_SASL_UNSUPPORTED = ("SCRAM-SHA-256", "SCRAM-SHA-512", "GSSAPI", "OAUTHBEARER")
+_SASL_UNSUPPORTED = ("GSSAPI", "OAUTHBEARER")
+_SASL_SUPPORTED = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
 
 def security_from_options(opts: dict) -> dict | None:
@@ -86,10 +87,12 @@ def security_from_options(opts: dict) -> dict | None:
 
     * ``kafka.security.protocol``: PLAINTEXT (default) | SSL |
       SASL_PLAINTEXT | SASL_SSL
-    * ``kafka.sasl.mechanism``: PLAIN only — SCRAM/GSSAPI/OAUTHBEARER
+    * ``kafka.sasl.mechanism``: PLAIN, SCRAM-SHA-256, SCRAM-SHA-512
+      (the managed-Kafka SASL/SCRAM surface) — GSSAPI/OAUTHBEARER
       refuse by name (no silent downgrade)
-    * ``kafka.sasl.jaas.config``: the PlainLoginModule line; username
-      and password are extracted exactly as the Java client does
+    * ``kafka.sasl.jaas.config``: the Plain/ScramLoginModule line;
+      username and password are extracted exactly as the Java client
+      does
     * ``kafka.ssl.truststore.location`` (+ ``.type``): PEM bundles only
       — JKS refuses by name (Java keystore format, no pure-Python
       reader); omitted → the system trust store
@@ -108,7 +111,7 @@ def security_from_options(opts: dict) -> dict | None:
     sec: dict = {"protocol": protocol}
     if protocol.startswith("SASL_"):
         mech = str(_opt(opts, "kafka.sasl.mechanism", "PLAIN")).upper()
-        if mech != "PLAIN":
+        if mech not in _SASL_SUPPORTED:
             hint = (
                 "supported by the Java client but not by the jar-free "
                 "wire transport"
@@ -117,15 +120,15 @@ def security_from_options(opts: dict) -> dict | None:
             )
             raise ValueError(
                 f"kafka.sasl.mechanism {mech!r} is {hint}; the native "
-                "transport speaks SASL/PLAIN only — use the jar path "
-                "(transport: jar) for other mechanisms"
+                f"transport speaks {', '.join(_SASL_SUPPORTED)} — use "
+                "the jar path (transport: jar) for other mechanisms"
             )
         jaas = _opt(opts, "kafka.sasl.jaas.config")
         if not jaas:
             raise ValueError(
                 f"security.protocol {protocol} needs "
-                "kafka.sasl.jaas.config (the PlainLoginModule line "
-                'carrying username="…" password="…")'
+                "kafka.sasl.jaas.config (the Plain/ScramLoginModule "
+                'line carrying username="…" password="…")'
             )
         import re as _re
 
@@ -134,9 +137,9 @@ def security_from_options(opts: dict) -> dict | None:
         if not mu or not mp:
             raise ValueError(
                 "kafka.sasl.jaas.config must carry "
-                'username="…" and password="…" for SASL/PLAIN'
+                'username="…" and password="…" for SASL auth'
             )
-        sec["mechanism"] = "PLAIN"
+        sec["mechanism"] = mech
         sec["username"] = mu.group(1)
         sec["password"] = mp.group(1)
     if protocol.endswith("SSL") and protocol != "SASL_PLAINTEXT":

@@ -919,38 +919,140 @@ class LoopbackKafkaBroker:
             + b"".join(struct.pack(">hhh", *k) for k in keys)
         )
 
+    _SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+
     def _sasl_handshake(
         self, version: int, body: bytes, state: dict
     ) -> bytes:
         K = self.K
         mech, _ = K.dec_string(body, 0)
-        mechanisms = struct.pack(">i", 1) + K.enc_string("PLAIN")
-        if (mech or "").upper() != "PLAIN":
+        mechanisms = struct.pack(">i", len(self._SASL_MECHANISMS)) + b"".join(
+            K.enc_string(m) for m in self._SASL_MECHANISMS
+        )
+        if (mech or "").upper() not in self._SASL_MECHANISMS:
             # 33 = UNSUPPORTED_SASL_MECHANISM, with the enabled list
             return struct.pack(">h", 33) + mechanisms
         state["handshaken"] = True
+        state["mechanism"] = (mech or "").upper()
+        state.pop("scram", None)  # a re-handshake restarts the exchange
         return struct.pack(">h", 0) + mechanisms
+
+    def _sasl_fail(self, msg: str) -> bytes:
+        # 58 = SASL_AUTHENTICATION_FAILED
+        K = self.K
+        return (
+            struct.pack(">h", 58) + K.enc_string(msg) + K.enc_bytes(b"")
+        )
 
     def _sasl_auth(self, version: int, body: bytes, state: dict) -> bytes:
         K = self.K
         token, _ = K.dec_bytes(body, 0)
+        if not state["handshaken"]:
+            return self._sasl_fail("SaslHandshake required first")
+        if state.get("mechanism", "PLAIN") != "PLAIN":
+            return self._sasl_scram_step(token or b"", state)
         parts = (token or b"").split(b"\x00")
         ok = (
-            state["handshaken"]
-            and self.sasl_plain is not None
+            self.sasl_plain is not None
             and len(parts) == 3
             and parts[1].decode() == self.sasl_plain[0]
             and parts[2].decode() == self.sasl_plain[1]
         )
         if not ok:
-            # 58 = SASL_AUTHENTICATION_FAILED
-            return (
-                struct.pack(">h", 58)
-                + K.enc_string("Authentication failed: Invalid username or password")
-                + K.enc_bytes(b"")
+            return self._sasl_fail(
+                "Authentication failed: Invalid username or password"
             )
         state["authed"] = True
         return struct.pack(">h", 0) + K.enc_string(None) + K.enc_bytes(b"")
+
+    def _sasl_scram_step(self, token: bytes, state: dict) -> bytes:
+        """Server side of RFC 5802/7677 over SaslAuthenticate: derives
+        the stored credentials from the configured plaintext password
+        (fresh salt per server, 4096 iterations — the kafka-configs
+        default), verifies the client PROOF against the real key
+        schedule, and answers with a genuine server signature."""
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+        import os as os_mod
+
+        K = self.K
+        algo = (
+            "sha256"
+            if state["mechanism"].endswith("256")
+            else "sha512"
+        )
+
+        def hmac_(key: bytes, msg: bytes) -> bytes:
+            return hmac_mod.new(key, msg, algo).digest()
+
+        scram = state.get("scram")
+        if scram is None:  # client-first
+            text = token.decode()
+            if not text.startswith("n,,"):
+                return self._sasl_fail("unsupported gs2 header")
+            bare = text[3:]
+            attrs = dict(
+                kv.split("=", 1) for kv in bare.split(",") if "=" in kv
+            )
+            user = attrs.get("n", "").replace("=2C", ",").replace(
+                "=3D", "="
+            )
+            if self.sasl_plain is None or user != self.sasl_plain[0]:
+                return self._sasl_fail("unknown user")
+            salt = os_mod.urandom(16)
+            iters = 4096
+            nonce = attrs.get("r", "") + base64.b64encode(
+                os_mod.urandom(18)
+            ).decode()
+            server_first = (
+                f"r={nonce},s={base64.b64encode(salt).decode()},i={iters}"
+            )
+            state["scram"] = {
+                "bare": bare,
+                "server_first": server_first,
+                "nonce": nonce,
+                "salted": hashlib.pbkdf2_hmac(
+                    algo, self.sasl_plain[1].encode(), salt, iters
+                ),
+            }
+            return (
+                struct.pack(">h", 0)
+                + K.enc_string(None)
+                + K.enc_bytes(server_first.encode())
+            )
+        # client-final
+        text = token.decode()
+        attrs = dict(
+            kv.split("=", 1) for kv in text.split(",") if "=" in kv
+        )
+        if attrs.get("r") != scram["nonce"]:
+            return self._sasl_fail("nonce mismatch")
+        without_proof = text[: text.rfind(",p=")]
+        auth_message = ",".join(
+            [scram["bare"], scram["server_first"], without_proof]
+        ).encode()
+        client_key_xor_sig = base64.b64decode(attrs.get("p", ""))
+        stored_key = hashlib.new(
+            algo, hmac_(scram["salted"], b"Client Key")
+        ).digest()
+        client_sig = hmac_(stored_key, auth_message)
+        client_key = bytes(
+            a ^ b for a, b in zip(client_key_xor_sig, client_sig)
+        )
+        if hashlib.new(algo, client_key).digest() != stored_key:
+            return self._sasl_fail(
+                "Authentication failed: Invalid client proof"
+            )
+        server_key = hmac_(scram["salted"], b"Server Key")
+        v = base64.b64encode(hmac_(server_key, auth_message)).decode()
+        state["authed"] = True
+        state.pop("scram", None)
+        return (
+            struct.pack(">h", 0)
+            + K.enc_string(None)
+            + K.enc_bytes(f"v={v}".encode())
+        )
 
     def _metadata(self, version: int, body: bytes) -> bytes:
         K = self.K

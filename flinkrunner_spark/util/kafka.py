@@ -448,10 +448,19 @@ class KafkaClient:
                 self._sock, server_hostname=self.host
             )
         if protocol.startswith("SASL_"):
-            self._sasl_plain(
-                str(self.security.get("username", "")),
-                str(self.security.get("password", "")),
-            )
+            mech = str(self.security.get("mechanism", "PLAIN")).upper()
+            user = str(self.security.get("username", ""))
+            pw = str(self.security.get("password", ""))
+            if mech == "PLAIN":
+                self._sasl_plain(user, pw)
+            elif mech in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
+                self._sasl_scram(mech, user, pw)
+            else:
+                raise ValueError(
+                    f"SASL mechanism {mech!r} is not implemented by the "
+                    "jar-free client (PLAIN, SCRAM-SHA-256, "
+                    "SCRAM-SHA-512)"
+                )
         return self
 
     def _sasl_plain(self, username: str, password: str) -> None:
@@ -467,12 +476,99 @@ class KafkaClient:
         if err:
             raise KafkaProtocolError(err, "SaslHandshake(PLAIN)")
         token = b"\x00" + username.encode() + b"\x00" + password.encode()
+        self._sasl_authenticate(token)
+
+    def _sasl_authenticate(self, token: bytes) -> bytes:
+        """One SaslAuthenticate v0 exchange; returns the server's auth
+        bytes (empty for PLAIN, the next SCRAM message otherwise)."""
         buf = self._roundtrip(API_SASL_AUTHENTICATE, 0, enc_bytes(token))
         (err,) = struct.unpack_from(">h", buf, 0)
         if err:
             msg, _ = dec_string(buf, 2)
             raise KafkaProtocolError(
                 err, f"SaslAuthenticate ({msg or 'authentication failed'})"
+            )
+        _, pos = dec_string(buf, 2)  # nullable error_message
+        auth, _ = dec_bytes(buf, pos)
+        return auth or b""
+
+    def _sasl_scram(self, mechanism: str, username: str, password: str):
+        """SCRAM (RFC 5802 / RFC 7677) over the SASL APIs — the
+        mechanism managed Kafka services (e.g. MSK SASL/SCRAM) front:
+
+        * client-first:  ``n,,n=<user>,r=<cnonce>`` (saslname-escaped);
+        * server-first:  ``r=<nonce>,s=<salt>,i=<iters>`` — the client
+          REFUSES a server nonce that does not extend its own (a replayed
+          or spliced exchange);
+        * SaltedPassword = PBKDF2-HMAC(H, password, salt, iters), then
+          the RFC key schedule: ClientKey/StoredKey/ClientSignature over
+          AuthMessage, proof = ClientKey XOR ClientSignature;
+        * client-final:  ``c=biws,r=<nonce>,p=<proof>`` (no channel
+          binding — gs2 header ``n,,``);
+        * server-final:  ``v=<ServerSignature>`` is VERIFIED (mutual
+          auth) — a broker that cannot prove knowledge of the stored
+          credentials is rejected even if it said "ok"."""
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+        import os as os_mod
+
+        algo = "sha256" if mechanism.endswith("256") else "sha512"
+        buf = self._roundtrip(
+            API_SASL_HANDSHAKE, 1, enc_string(mechanism)
+        )
+        (err,) = struct.unpack_from(">h", buf, 0)
+        if err:
+            raise KafkaProtocolError(err, f"SaslHandshake({mechanism})")
+
+        def h(data: bytes) -> bytes:
+            return hashlib.new(algo, data).digest()
+
+        def hmac_(key: bytes, msg: bytes) -> bytes:
+            return hmac_mod.new(key, msg, algo).digest()
+
+        user = username.replace("=", "=3D").replace(",", "=2C")
+        cnonce = base64.b64encode(os_mod.urandom(18)).decode()
+        client_first_bare = f"n={user},r={cnonce}"
+        server_first = self._sasl_authenticate(
+            ("n,," + client_first_bare).encode()
+        ).decode()
+        attrs = dict(
+            kv.split("=", 1) for kv in server_first.split(",") if "=" in kv
+        )
+        nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not nonce.startswith(cnonce):
+            raise KafkaProtocolError(
+                58, "SCRAM server nonce does not extend the client nonce"
+            )
+        salted = hashlib.pbkdf2_hmac(
+            algo, password.encode(), base64.b64decode(salt_b64), iters
+        )
+        client_key = hmac_(salted, b"Client Key")
+        stored_key = h(client_key)
+        client_final_bare = f"c=biws,r={nonce}"
+        auth_message = ",".join(
+            [client_first_bare, server_first, client_final_bare]
+        ).encode()
+        client_sig = hmac_(stored_key, auth_message)
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_final = self._sasl_authenticate(
+            (
+                client_final_bare
+                + ",p="
+                + base64.b64encode(proof).decode()
+            ).encode()
+        ).decode()
+        fattrs = dict(
+            kv.split("=", 1) for kv in server_final.split(",") if "=" in kv
+        )
+        server_key = hmac_(salted, b"Server Key")
+        want_v = base64.b64encode(hmac_(server_key, auth_message)).decode()
+        if fattrs.get("v") != want_v:
+            raise KafkaProtocolError(
+                58,
+                "SCRAM server signature verification failed — the broker "
+                "could not prove knowledge of the stored credentials",
             )
 
     def __exit__(self, *exc):

@@ -209,10 +209,15 @@ def test_refusals_by_name(spark):
         security_from_options,
     )
 
-    with pytest.raises(ValueError, match="SCRAM-SHA-512"):
+    with pytest.raises(ValueError, match="GSSAPI"):
         security_from_options({
             "kafka.security.protocol": "SASL_PLAINTEXT",
-            "kafka.sasl.mechanism": "SCRAM-SHA-512",
+            "kafka.sasl.mechanism": "GSSAPI",
+        })
+    with pytest.raises(ValueError, match="OAUTHBEARER"):
+        security_from_options({
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.sasl.mechanism": "OAUTHBEARER",
         })
     with pytest.raises(ValueError, match="jaas"):
         security_from_options({
@@ -280,3 +285,108 @@ def test_sink_native_sasl_end_to_end(spark):
         ).load(spark)
         vals = sorted(bytes(r.value).decode() for r in back.collect())
         assert vals == sorted(str(i) for i in range(12))
+
+
+# -- SCRAM (RFC 5802/7677 — the managed-Kafka SASL/SCRAM surface) -------------
+
+
+@pytest.mark.parametrize("mech", ["SCRAM-SHA-256", "SCRAM-SHA-512"])
+def test_scram_full_exchange_and_roundtrip(mech):
+    with LoopbackKafkaBroker(
+        num_partitions=1, sasl_plain=("alice", "s3cret")
+    ) as b:
+        sec = {"protocol": "SASL_PLAINTEXT", "mechanism": mech,
+               "username": "alice", "password": "s3cret"}
+        with KafkaClient("localhost", b.port, security=sec) as c:
+            produce_records(
+                c, "sc", [KafkaRecord(value=b"scrammed")], num_partitions=1
+            )
+            recs, _ = c.fetch("sc", 0, 0)
+            assert recs[0].value == b"scrammed"
+
+
+def test_scram_wrong_password_fails_at_proof():
+    with LoopbackKafkaBroker(sasl_plain=("alice", "s3cret")) as b:
+        sec = {"protocol": "SASL_PLAINTEXT", "mechanism": "SCRAM-SHA-256",
+               "username": "alice", "password": "nope"}
+        with pytest.raises(KafkaProtocolError, match="SaslAuthenticate"):
+            KafkaClient("localhost", b.port, security=sec).__enter__()
+
+
+def test_scram_unknown_user_fails():
+    with LoopbackKafkaBroker(sasl_plain=("alice", "s3cret")) as b:
+        sec = {"protocol": "SASL_PLAINTEXT", "mechanism": "SCRAM-SHA-512",
+               "username": "mallory", "password": "s3cret"}
+        with pytest.raises(KafkaProtocolError, match="SaslAuthenticate"):
+            KafkaClient("localhost", b.port, security=sec).__enter__()
+
+
+def test_scram_client_verifies_server_signature(monkeypatch):
+    """Mutual auth is real: a broker that accepts the proof but answers
+    with a forged server signature is REJECTED by the client."""
+    import flinkrunner_spark.testing as T
+
+    orig = T.LoopbackKafkaBroker._sasl_scram_step
+
+    def forge(self, token, state):
+        out = orig(self, token, state)
+        if state.get("authed"):
+            # tamper with the v=... payload only (keep framing valid)
+            K = self.K
+            import struct as _s
+
+            return (
+                _s.pack(">h", 0)
+                + K.enc_string(None)
+                + K.enc_bytes(b"v=Zm9yZ2VkIHNpZ25hdHVyZQ==")
+            )
+        return out
+
+    monkeypatch.setattr(T.LoopbackKafkaBroker, "_sasl_scram_step", forge)
+    with LoopbackKafkaBroker(sasl_plain=("alice", "s3cret")) as b:
+        sec = {"protocol": "SASL_PLAINTEXT", "mechanism": "SCRAM-SHA-256",
+               "username": "alice", "password": "s3cret"}
+        with pytest.raises(KafkaProtocolError, match="server signature"):
+            KafkaClient("localhost", b.port, security=sec).__enter__()
+
+
+def test_scram_options_end_to_end(spark):
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.sources.kafka_datasource import (
+        security_from_options,
+    )
+
+    jaas = (
+        "org.apache.kafka.common.security.scram.ScramLoginModule required "
+        'username="alice" password="s3cret";'
+    )
+    sec = security_from_options({
+        "kafka.security.protocol": "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism": "SCRAM-SHA-256",
+        "kafka.sasl.jaas.config": jaas,
+    })
+    assert sec["mechanism"] == "SCRAM-SHA-256"
+    with LoopbackKafkaBroker(
+        num_partitions=1, sasl_plain=("alice", "s3cret")
+    ) as b:
+        with KafkaClient(
+            "localhost", b.port,
+            security={"protocol": "SASL_PLAINTEXT",
+                      "mechanism": "SCRAM-SHA-256",
+                      "username": "alice", "password": "s3cret"},
+        ) as c:
+            produce_records(
+                c, "sce",
+                [KafkaRecord(value=f"v{i}".encode()) for i in range(7)],
+                num_partitions=1,
+            )
+        conf = {
+            "connector": "kafka", "transport": "native",
+            "bootstrap.servers": f"localhost:{b.port}", "topic": "sce",
+            "options": {
+                "kafka.security.protocol": "SASL_PLAINTEXT",
+                "kafka.sasl.mechanism": "SCRAM-SHA-256",
+                "kafka.sasl.jaas.config": jaas,
+            },
+        }
+        assert KafkaSourceConfig("t", conf).load(spark).count() == 7
