@@ -183,9 +183,10 @@ TBL_TABLE_TYPE = 12
 # StorageDescriptor field ids
 SD_LOCATION = 2
 
-LOCK_EXCLUSIVE = 1  # LockType enum: EXCLUSIVE=1, SHARED_READ=2, SHARED_WRITE=3
-LOCK_LEVEL_TABLE = 2  # LockLevel enum: DB=1, TABLE=2, PARTITION=3
-LOCK_ACQUIRED = 1  # LockState enum: ACQUIRED=1, WAITING=2, ABORT=3, NOT_ACQUIRED=4
+# hive_metastore.thrift enums (public IDL):
+LOCK_EXCLUSIVE = 3  # LockType: SHARED_READ=1, SHARED_WRITE=2, EXCLUSIVE=3
+LOCK_LEVEL_TABLE = 2  # LockLevel: DB=1, TABLE=2, PARTITION=3
+LOCK_ACQUIRED = 1  # LockState: ACQUIRED=1, WAITING=2, ABORT=3, NOT_ACQUIRED=4
 LOCK_WAITING = 2
 
 ICEBERG_TABLE_TYPE_VALUE = "ICEBERG"

@@ -2656,6 +2656,15 @@ class LoopbackHiveMetastore:
         req = args.get(1) or {}
         comps = req.get(1) or []
         comp = comps[0] if comps else {}
+        # pointer-swap commits need the EXCLUSIVE type (LockType enum
+        # value 3) — a client sending SHARED_READ/WRITE would not be
+        # mutually excluded on a real metastore, so refuse it here
+        if int(comp.get(1, 0)) != HM.LOCK_EXCLUSIVE:
+            return self._exc(
+                1,
+                f"lock type {comp.get(1)} is not EXCLUSIVE "
+                f"({HM.LOCK_EXCLUSIVE}) — commit locks must be exclusive",
+            )
         key = (comp.get(3, ""), comp.get(4, ""))
         lockid = self._next_lock
         self._next_lock += 1

@@ -262,3 +262,116 @@ def test_iceberg_hive_roundtrip_matches_duckdb_oracle(spark):
     assert len(got) == len(want) > 0
     assert sorted(got.columns) == sorted(want.columns)
     assert canon(got) == canon(want)
+
+
+def test_non_exclusive_lock_refused_by_loopback():
+    """The LockType enum value matters against a real metastore
+    (SHARED_READ=1, SHARED_WRITE=2, EXCLUSIVE=3): the loopback refuses
+    a non-exclusive commit lock, so a client encoding the wrong enum
+    value fails in tests instead of silently not excluding anyone."""
+    import struct as _struct
+
+    from flinkrunner_spark.hive_metastore import (
+        T_I32,
+        T_LIST,
+        T_STRING,
+        T_STRUCT,
+        enc_string,
+        enc_struct,
+    )
+
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.create_table("db", "t", "/w", {"table_type": "ICEBERG"})
+            component = enc_struct(
+                [
+                    (T_I32, 1, _struct.pack(">i", 1)),  # SHARED_READ
+                    (T_I32, 2, _struct.pack(">i", 2)),
+                    (T_STRING, 3, enc_string("db")),
+                    (T_STRING, 4, enc_string("t")),
+                ]
+            )
+            req = enc_struct(
+                [(T_LIST, 1, _struct.pack(">bi", T_STRUCT, 1) + component)]
+            )
+            result = c._call("lock", enc_struct([(T_STRUCT, 1, req)]))
+            assert 0 not in result  # no LockResponse
+            assert "EXCLUSIVE" in str(result)
+
+
+def test_thrift_codec_property_roundtrip():
+    """Property: any struct assembled from the encoders (strings with
+    arbitrary unicode, i32/i64 extremes, string maps, nested structs)
+    decodes to exactly the values written, at the field ids written."""
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flinkrunner_spark.hive_metastore import (
+        T_I32,
+        T_I64,
+        T_MAP,
+        T_STRING,
+        T_STRUCT,
+        enc_map_ss,
+        enc_string,
+        enc_struct,
+    )
+
+    text = st.text(max_size=40)
+    leaf = st.one_of(
+        st.tuples(st.just("str"), text),
+        st.tuples(st.just("i32"), st.integers(-(2**31), 2**31 - 1)),
+        st.tuples(st.just("i64"), st.integers(-(2**63), 2**63 - 1)),
+        st.tuples(
+            st.just("map"),
+            st.dictionaries(text, text, max_size=4),
+        ),
+    )
+    value = st.recursive(
+        leaf,
+        lambda inner: st.tuples(
+            st.just("struct"),
+            st.dictionaries(
+                st.integers(1, 200), inner, min_size=0, max_size=4
+            ),
+        ),
+        max_leaves=10,
+    )
+    structs = st.dictionaries(
+        st.integers(1, 200), value, min_size=0, max_size=5
+    )
+
+    def enc_value(v):
+        kind, payload = v
+        if kind == "str":
+            return T_STRING, enc_string(payload)
+        if kind == "i32":
+            return T_I32, _struct.pack(">i", payload)
+        if kind == "i64":
+            return T_I64, _struct.pack(">q", payload)
+        if kind == "map":
+            return T_MAP, enc_map_ss(payload)
+        return T_STRUCT, enc_struct(
+            [(t, fid, b) for fid, (t, b) in
+             ((fid, enc_value(x)) for fid, x in payload.items())]
+        )
+
+    def expect(v):
+        kind, payload = v
+        if kind == "struct":
+            return {fid: expect(x) for fid, x in payload.items()}
+        return payload
+
+    @settings(max_examples=150, deadline=None)
+    @given(structs)
+    def check(fields):
+        blob = enc_struct(
+            [(t, fid, b) for fid, (t, b) in
+             ((fid, enc_value(x)) for fid, x in fields.items())]
+        )
+        got = ThriftReader(blob).read_struct()
+        assert got == {fid: expect(x) for fid, x in fields.items()}
+
+    check()
