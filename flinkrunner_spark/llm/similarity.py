@@ -437,16 +437,6 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     return _EMB_COUNT_CACHE[sf_dir]
 
 
-def _rh_bits(
-    spark: SparkSession, sf_dir: str, bits: int | None, probes: int = 0
-) -> int:
-    """Resolve the code width: explicit value, or size-derived via
-    ``auto_bits`` (probe fan-out priced in)."""
-    if bits is not None:
-        return bits
-    return auto_bits(_emb_count(spark, sf_dir), probes=probes)
-
-
 def emb_dup_pairs_rhlsh(
     spark: SparkSession,
     sf_dir: str,
