@@ -2698,6 +2698,41 @@ class IcebergFsTable:
         )
         return len(small)
 
+    def rewrite_manifests(self, min_manifests: int = 4) -> int:
+        """Consolidate the current snapshot's MANIFEST FILES (the jar's
+        rewrite_manifests action): every append/delete commit adds a
+        manifest and carries its parent's forward, so a streaming sink
+        committing every few minutes accretes hundreds of manifests —
+        and every scan plan, partition pruning pass, and delete-file
+        lookup reads all of them. This rewrites the live entries into
+        ONE EXISTING-entry manifest per (content, partition-spec) pair
+        — data and delete files untouched on disk, entries keeping
+        their ORIGINAL sequence numbers and added-snapshot ids (the
+        same invariants the delete-aware binpack's carried manifests
+        hold, enforced by the same writer), committed as a REPLACE
+        snapshot. STATUS_DELETED tombstone entries (pure history) drop.
+        Older snapshots keep their own manifest lists — time travel and
+        incremental reads over past ids are untouched. Returns the
+        manifest count before consolidation (0 = no-op below
+        ``min_manifests``). At 100 TB this is the difference between
+        planning over a handful of spec-grouped manifests and paying an
+        O(commits) metadata scan on every query."""
+        md = self.metadata()
+        manifests = self._manifest_list_records(md)
+        if len(manifests) < max(2, int(min_manifests)):
+            return 0
+        data, eq_dels, pos_dels = self._live()
+        dels = eq_dels + pos_dels
+        if not data and not dels:
+            return 0
+        self._write_snapshot(
+            None,
+            "replace",
+            carried_entries=data or None,
+            carried_delete_entries=dels or None,
+        )
+        return len(manifests)
+
     def rewrite_position_delete_files(
         self, spark: SparkSession, min_files: int = 2
     ) -> int:

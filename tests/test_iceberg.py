@@ -1427,3 +1427,90 @@ def test_rewrite_position_delete_files_dedups_overlapping_tombstones(
     ]
     assert len(pairs) == len(set(pairs)) == 2
     assert sorted(r["id"] for r in t.read(spark).collect()) == before
+
+
+def test_rewrite_manifests_consolidates_per_spec_and_content(spark, tmp_path):
+    """rewrite_manifests (the jar action): N append commits accrete N
+    manifests; consolidation rewrites the live entries into one
+    EXISTING-entry manifest per (content, spec) with ORIGINAL sequence
+    numbers — metadata only, reads identical, time travel intact."""
+    loc = str(tmp_path / "rm1")
+    t = I.IcebergFsTable(loc)
+    for j in range(6):
+        t.append(_df(spark, [(10 * j + k, f"x{j}.{k}", 1.0, [])
+                             for k in range(3)]))
+    md = t.metadata()
+    before_manifests = t._manifest_list_records(md)
+    assert len(before_manifests) == 6
+    before_rows = sorted(r["id"] for r in t.read(spark).collect())
+    old_snap = md["current-snapshot-id"]
+    seqs_before = sorted(int(f["_seq"]) for f in t._live()[0])
+
+    n_files = len(t._live()[0])
+    assert t.rewrite_manifests() == 6
+    after = t._manifest_list_records(t.metadata())
+    assert len(after) == 1  # one spec, data only
+    assert after[0]["existing_files_count"] == n_files
+    assert after[0]["added_files_count"] == 0
+    # entries keep their original sequence numbers (applicability must
+    # not move) and the data files were not rewritten
+    assert sorted(int(f["_seq"]) for f in t._live()[0]) == seqs_before
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before_rows
+    # time travel to the pre-consolidation snapshot still sees its own
+    # manifest list
+    assert (
+        sorted(r["id"] for r in
+               t.read(spark, snapshot_id=old_snap).collect())
+        == before_rows
+    )
+    # idempotent below the threshold
+    assert t.rewrite_manifests() == 0
+
+
+def test_rewrite_manifests_keeps_delete_applicability(spark, tmp_path):
+    """Position AND equality tombstones consolidate into a deletes
+    manifest at their original sequence numbers; merge-on-read results
+    are identical before/after."""
+    loc = str(tmp_path / "rm2")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, [(i, f"x{i}", 1.0, []) for i in range(8)]))
+    t.append(_df(spark, [(100, "y", 2.0, [])]))
+    t.upsert(_df(spark, [(3, "three-v2", 3.0, [])]), ["id"])
+    assert t.delete_where(spark, "id = 5") == 1
+    before = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert (3, "three-v2") in before and all(i != 5 for i, _ in before)
+    _, eq_b, pos_b = t._live()
+    seqs_b = sorted(
+        int(d["_seq"]) for d in eq_b + pos_b
+    )
+
+    n = t.rewrite_manifests(min_manifests=2)
+    assert n >= 4
+    after_list = t._manifest_list_records(t.metadata())
+    # one data manifest + one deletes manifest (single spec)
+    assert len(after_list) == 2
+    assert sorted(m["content"] for m in after_list) == [0, 1]
+    _, eq_a, pos_a = t._live()
+    assert sorted(int(d["_seq"]) for d in eq_a + pos_a) == seqs_b
+    assert (
+        sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+        == before
+    )
+
+
+def test_rewrite_manifests_across_spec_evolution(spark, tmp_path):
+    """Mixed-spec snapshots consolidate into one manifest PER SPEC —
+    each entry must stay under the spec its partition tuple was written
+    with, or pruning would misread the tuples."""
+    loc = str(tmp_path / "rm3")
+    t = I.IcebergFsTable(loc)
+    t.append(_df(spark, [(1, "a", 1.0, []), (2, "b", 2.0, [])]))
+    t.evolve_spec(["name"])
+    t.append(_df(spark, [(3, "c", 3.0, []), (4, "d", 4.0, [])]))
+    t.append(_df(spark, [(5, "e", 5.0, [])]))
+    before = sorted(r["id"] for r in t.read(spark).collect())
+
+    assert t.rewrite_manifests(min_manifests=2) == 3
+    after_list = t._manifest_list_records(t.metadata())
+    assert len(after_list) == 2  # one per partition spec
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
