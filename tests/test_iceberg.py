@@ -1514,3 +1514,20 @@ def test_rewrite_manifests_across_spec_evolution(spark, tmp_path):
     after_list = t._manifest_list_records(t.metadata())
     assert len(after_list) == 2  # one per partition spec
     assert sorted(r["id"] for r in t.read(spark).collect()) == before
+
+
+def test_expire_after_rewrite_manifests_keeps_live_files(spark, tmp_path):
+    """GC interplay: after consolidation, expiring every older snapshot
+    must keep all data files (they are referenced by the consolidated
+    EXISTING manifest) while the superseded per-commit manifests become
+    eligible; reads stay identical."""
+    loc = str(tmp_path / "rm_gc")
+    t = I.IcebergFsTable(loc)
+    for j in range(5):
+        t.append(_df(spark, [(j, f"x{j}", 1.0, [])]))
+    before = sorted(r["id"] for r in t.read(spark).collect())
+    assert t.rewrite_manifests(min_manifests=2) == 5
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    # and the consolidated state is still maintainable
+    assert t.rewrite_manifests() == 0  # single manifest already
