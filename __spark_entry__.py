@@ -66,11 +66,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   + sinks/factory.py: SASL/PLAIN + TLS + read_committed isolation
     #   (verdict item 6) → the kafka family; kafka_sasl_roundtrip is
     #   the NEW exactly-oracled security key.
-    # NEW capability without a driver key yet: the r10 HIVE metastore
-    # catalog (hive_metastore.py + LoopbackHiveMetastore, 9 tests incl.
-    # factory e2e) — the cap is exactly full with changed-file keys
-    # this round, so its iceberg_hive_roundtrip driver key lands in the
-    # r11 rotation.
+    # NEW capabilities without driver keys yet (the cap is exactly full
+    # with changed-file keys this round; both keys are implemented,
+    # exactly oracled, and rehearsed against the driver's compare in
+    # pytest, landing in the r11 rotation): iceberg_hive_roundtrip (the
+    # r10 HIVE metastore catalog — hive_metastore.py +
+    # LoopbackHiveMetastore) and firehose_roundtrip (signed
+    # PutRecordBatch → buffered NDJSON object delivery →
+    # spark.read.json over the landing prefix).
     # Rotated OUT (files with zero changed lines since their green
     # rows): docs_heavy_hitters (sketches.py untouched), agg_quantiles
     # (events.py untouched), avro_roundtrip (serde/ untouched; its

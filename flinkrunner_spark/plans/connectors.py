@@ -1357,3 +1357,47 @@ def iceberg_hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(back)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def firehose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Firehose sink (signed PutRecordBatch calls from
+    executor partitions — reference `model/sink/FirehoseSinkConfig
+    .scala:31-95`, the delivery-stream twin of the kinesis sink) →
+    buffered OBJECT DELIVERY (every batch flushes as one
+    newline-delimited object, the service's buffer-to-object-storage
+    semantic) → ``spark.read.json`` over the delivery prefix exactly as
+    a consumer reads the S3 landing zone → per-language profile.
+    Exactly oracled against the original parquet: JSON serialization,
+    base64 record framing, batch flush boundaries and the NDJSON
+    delivery layout must all be lossless. Registered in queries() from
+    the r11 cap rotation."""
+    import shutil
+    import tempfile
+
+    from flinkrunner_spark.sinks.factory import FirehoseSinkConfig
+    from flinkrunner_spark.testing import LoopbackKinesis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    deliver = tempfile.mkdtemp(prefix="flinkrunner_firehose_")
+    try:
+        with LoopbackKinesis() as ks:
+            ks.deliver_dir = deliver
+            FirehoseSinkConfig(
+                "rt",
+                {"connector": "firehose", "stream": "docs_fh",
+                 "region": "us-east-1", "endpoint": ks.endpoint,
+                 "aws.access.key.id": "rt-key",
+                 "aws.secret.access.key": "rt-secret",
+                 "max.batch.size.in.number": 100},
+            ).write(docs)
+            back = spark.read.schema(
+                "doc_id long, text string, lang string, "
+                "source string, n_chars int"
+            ).json(f"{deliver}/docs_fh")
+            profile = _lang_profile(back)
+            rows = profile.collect()
+        return spark.createDataFrame(rows, profile.schema)
+    finally:
+        shutil.rmtree(deliver, ignore_errors=True)

@@ -1630,6 +1630,7 @@ ORACLES["iceberg_glue_roundtrip"] = _LPO
 ORACLES["iceberg_nessie_roundtrip"] = _LPO
 # hive catalog wiring changes discovery, not data — same exact profile
 ORACLES["iceberg_hive_roundtrip"] = _LPO
+ORACLES["firehose_roundtrip"] = _LPO
 ORACLES["cassandra_roundtrip"] = _LPO
 # r6: the kafka wire roundtrip (native jar-free transport through the
 # loopback broker) profiles back to the same aggregate

@@ -1684,16 +1684,37 @@ class LoopbackKinesis:
     def _op_PutRecordBatch(self, body):
         """Firehose PutRecordBatch — the delivery-stream twin
         (FirehoseSinkConfig shares the batching/signing machinery);
-        records land in ``deliveries[stream]`` for assertion."""
+        records land in ``deliveries[stream]`` for assertion, and when
+        ``deliver_dir`` is set each batch also FLUSHES as one
+        newline-delimited object file — the service's
+        buffer-to-object-storage delivery semantic (every buffer flush
+        writes one object; producers' records concatenate with the
+        conventional newline delimiter), so a reader can consume the
+        delivered objects with a plain ``spark.read.json`` over the
+        delivery prefix exactly as it would an S3 landing zone."""
+        import base64 as _b64
+        import os as _os
+
         stream = body.get("DeliveryStreamName", "")
         store = getattr(self, "deliveries", None)
         if store is None:
             store = self.deliveries = {}
         out = []
+        batch = []
         for rec in body.get("Records", []):
             self._seq += 1
             store.setdefault(stream, []).append(rec.get("Data", ""))
+            batch.append(rec.get("Data", ""))
             out.append({"RecordId": str(self._seq)})
+        deliver = getattr(self, "deliver_dir", None)
+        if deliver and batch:
+            d = _os.path.join(deliver, stream)
+            _os.makedirs(d, exist_ok=True)
+            blob = b"\n".join(_b64.b64decode(x) for x in batch) + b"\n"
+            with open(
+                _os.path.join(d, f"part-{self._seq:012d}.json"), "wb"
+            ) as fh:
+                fh.write(blob)
         return 200, {"FailedPutCount": 0, "RequestResponses": out}
 
     def _op_RegisterStreamConsumer(self, body):
