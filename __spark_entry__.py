@@ -131,7 +131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kinesis_efo_roundtrip": connectors.kinesis_efo_roundtrip,
         "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
-        # —— beyond the 50-row cap: zero changed lines since last green
+        # —— beyond the 50-row cap ——
+        # First the two NEW r10 keys (no driver row until the r11 cap
+        # rotation admits them — the r10 cap was exactly full with
+        # changed-file keys; both are exactly oracled and pass the
+        # driver's sorted-column value-hash compare in pytest and in
+        # the full local mirror):
+        "iceberg_hive_roundtrip": connectors.iceberg_hive_roundtrip,
+        "firehose_roundtrip": connectors.firehose_roundtrip,
+        # Then keys with zero changed lines since last green
         # (serde/, sketches.py, events.py, sampling.py, analytics.py,
         # pipelines.py and the rest of the llm/ modules are untouched
         # this round; plans/connectors.py is additive-only) ——
