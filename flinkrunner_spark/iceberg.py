@@ -1855,6 +1855,101 @@ class IcebergFsTable:
                     out[pf["name"]] = _spark_type_from_iceberg(src["type"])
         return out
 
+    def _rename_drift(self, md: dict, wanted_fields: list[dict]) -> bool:
+        """True when any wanted field was ever bound to a DIFFERENT name
+        in an earlier schema version — the one evolution a straight
+        schema'd-by-name parquet scan cannot resolve (it would null-fill
+        the renamed column in pre-rename files). Adds, drops and type
+        widening keep the fast path: Spark 4's parquet reader null-fills
+        missing names, prunes unreferenced physical columns, and widens
+        int32->int64 / float->double natively."""
+        if len(md.get("schemas", [])) <= 1:
+            return False
+        names_of: dict[int, set[str]] = {}
+        for s in md["schemas"]:
+            for f in s["fields"]:
+                names_of.setdefault(f["id"], set()).add(f["name"])
+        return any(
+            len(names_of.get(f["id"], {f["name"]})) > 1
+            for f in wanted_fields
+        )
+
+    def _scan_resolved(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        wanted_fields: list[dict],
+        md: dict,
+        meta: bool = False,
+    ) -> DataFrame:
+        """FIELD-ID-resolved parquet scan of ``paths`` producing exactly
+        ``wanted_fields`` (current names and types) — the spec's read
+        resolution for evolved tables. Fast path (no rename in any
+        wanted field's history): ONE schema'd scan, zero extra planning
+        cost. Rename path: files group by their footer column names (one
+        driver-side footer read per file — the same order of planning
+        IO as the manifest scan that listed them, and only paid on
+        renamed tables), each group reads under its physical names and
+        projects physical -> current by field id; added-later fields
+        null-fill, dropped physical columns prune, widened types cast
+        exactly. ``meta`` rides `_metadata` (file_path, row_index)
+        through as ``_fp``/``_rix``."""
+        from pyspark.sql import functions as F
+
+        def _with_meta(df):
+            if meta:
+                df = df.select(
+                    "*",
+                    _norm_path(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_rix"),
+                )
+            return df
+
+        ddl = spark_ddl_from_iceberg({"fields": wanted_fields})
+        if not self._rename_drift(md, wanted_fields):
+            return _with_meta(spark.read.schema(ddl).parquet(*paths))
+        import pyarrow.parquet as pq
+        from functools import reduce
+
+        # historical name -> field id; reuse is refused at evolution
+        # time, re-checked here for externally written metadata
+        id_of: dict[str, int] = {}
+        for s in md["schemas"]:
+            for f in s["fields"]:
+                prev = id_of.setdefault(f["name"], f["id"])
+                if prev != f["id"]:
+                    raise ValueError(
+                        f"schema history binds name {f['name']!r} to field "
+                        f"ids {prev} and {f['id']} — stored files (which "
+                        "carry names, not ids) cannot be resolved "
+                        "unambiguously; this table needs an id-writing "
+                        "reader (the iceberg-spark runtime jar)"
+                    )
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            groups.setdefault(tuple(pq.read_schema(p).names), []).append(p)
+        pieces = []
+        for phys_names, ps in sorted(groups.items()):
+            bound = {
+                id_of[n]: n for n in phys_names if n in id_of
+            }  # field id -> this group's physical name
+            read_fields, sel = [], []
+            for f in wanted_fields:
+                t = _spark_type_from_iceberg(f["type"])
+                n = bound.get(f["id"])
+                if n is None:
+                    sel.append(F.lit(None).cast(t).alias(f["name"]))
+                else:
+                    read_fields.append(f"`{n}` {t}")
+                    sel.append(F.col(n).alias(f["name"]))
+            piece = _with_meta(
+                spark.read.schema(", ".join(read_fields)).parquet(*ps)
+            )
+            if meta:
+                sel = sel + [F.col("_fp"), F.col("_rix")]
+            pieces.append(piece.select(*sel))
+        return reduce(lambda a, b: a.unionByName(b), pieces)
+
     def _assemble_data(
         self, spark: SparkSession, entries: list[dict], md: dict, ice: dict
     ) -> DataFrame:
@@ -1873,9 +1968,12 @@ class IcebergFsTable:
             groups.setdefault(key, []).append(e["file_path"])
         if all(not k[1] for k in groups):
             # no identity fields anywhere: every source column is stored
-            # (transforms are not invertible) — one straight schema'd scan
-            return spark.read.schema(spark_ddl_from_iceberg(ice)).parquet(
-                *[p for paths in groups.values() for p in paths]
+            # (transforms are not invertible) — one straight id-resolved scan
+            return self._scan_resolved(
+                spark,
+                [p for paths in groups.values() for p in paths],
+                ice["fields"],
+                md,
             )
         part_types = self._identity_types(md, ice)
         names = [f["name"] for f in ice["fields"]]
@@ -1883,10 +1981,12 @@ class IcebergFsTable:
         for (sid, pcols, pkey), paths in sorted(
             groups.items(), key=lambda kv: str(kv[0])
         ):
-            file_ddl = spark_ddl_from_iceberg(
-                {"fields": [f for f in ice["fields"] if f["name"] not in pcols]}
+            piece = self._scan_resolved(
+                spark,
+                paths,
+                [f for f in ice["fields"] if f["name"] not in pcols],
+                md,
             )
-            piece = spark.read.schema(file_ddl).parquet(*paths)
             for col, val in zip(pcols, pkey):
                 piece = piece.withColumn(
                     col, F.lit(val).cast(part_types[col])
@@ -2001,21 +2101,25 @@ class IcebergFsTable:
             for (sid, pcols, pkey, seq), paths in sorted(
                 groups.items(), key=lambda kv: str(kv[0])
             ):
-                ddl = raw_ddl or spark_ddl_from_iceberg(
-                    {
-                        "fields": [
-                            f
-                            for f in wanted_fields
-                            if f["name"] not in pcols
-                        ]
-                    }
-                )
-                piece = spark.read.schema(ddl).parquet(*paths)
-                if meta:
-                    piece = piece.select(
-                        "*",
-                        _norm_path(F.col("_metadata.file_path")).alias("_fp"),
-                        F.col("_metadata.row_index").alias("_rix"),
+                if raw_ddl is not None:
+                    # spec-constant layout (position-delete file_path/pos
+                    # rows) — never renamed, no id resolution needed
+                    piece = spark.read.schema(raw_ddl).parquet(*paths)
+                    if meta:
+                        piece = piece.select(
+                            "*",
+                            _norm_path(
+                                F.col("_metadata.file_path")
+                            ).alias("_fp"),
+                            F.col("_metadata.row_index").alias("_rix"),
+                        )
+                else:
+                    piece = self._scan_resolved(
+                        spark,
+                        paths,
+                        [f for f in wanted_fields if f["name"] not in pcols],
+                        md,
+                        meta=meta,
                     )
                 for col, val in zip(pcols, pkey):
                     if col in wanted_names:
@@ -2412,6 +2516,223 @@ class IcebergFsTable:
             return spark.createDataFrame([], spark_ddl_from_iceberg(ice))
         return self._assemble_data(spark, entries, md, ice)
 
+    def _added_entries(
+        self, md: dict, snap: dict
+    ) -> tuple[list[dict], list[dict], list[dict]]:
+        """The file entries snapshot ``snap`` itself ADDED, split as
+        (data, equality-delete, position-delete) dicts with ``_seq`` /
+        ``_spec_id`` attached — the per-commit delta the changelog scan
+        consumes (carried/EXISTING entries belong to earlier commits)."""
+        data: list[dict] = []
+        eq_dels: list[dict] = []
+        pos_dels: list[dict] = []
+        with open(self._map(snap["manifest-list"]), "rb") as fh:
+            _, manifests = AC.read_container(fh.read())
+        for mf in manifests:
+            if mf["added_snapshot_id"] != snap["snapshot-id"]:
+                continue
+            with open(self._map(mf["manifest_path"]), "rb") as fh:
+                _, entries = AC.read_container(fh.read())
+            for e in entries:
+                if (
+                    e["status"] != STATUS_ADDED
+                    or e.get("snapshot_id") != snap["snapshot-id"]
+                ):
+                    continue
+                f = dict(e["data_file"])
+                f["file_path"] = self._map(f["file_path"])
+                f["_seq"] = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else mf["sequence_number"]
+                )
+                f["_spec_id"] = mf.get("partition_spec_id", 0)
+                if mf["content"] == CONTENT_DATA:
+                    data.append(f)
+                elif f.get("content") == FILE_CONTENT_EQ_DELETES:
+                    eq_dels.append(f)
+                elif f.get("content") == FILE_CONTENT_POS_DELETES:
+                    pos_dels.append(f)
+        return data, eq_dels, pos_dels
+
+    def read_changelog(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """CDC scan — the iceberg-spark runtime's ``create_changelog_view``
+        procedure / Flink's changelog read, jar-free: every row-level
+        change committed in (``from_snapshot_id``, ``to_snapshot_id``]
+        as ONE DataFrame of the table's columns plus ``_change_type``
+        ('insert' | 'delete'), ``_commit_snapshot_id`` and 1-based
+        ``_commit_order``. Extends ``read_incremental`` (which refuses
+        non-append ranges) to the full commit vocabulary:
+
+        * append — the added files scan as inserts (no diffing);
+        * upsert (equality deletes) — deletes are the PARENT state
+          semi-joined on the delete files' key tuples (exactly the rows
+          merge-on-read retracts: the keys apply to strictly smaller
+          sequence numbers, and parent state is precisely the earlier
+          live rows), inserts are the added files;
+        * delete_where (position deletes) — deletes are the parent rows
+          at the tombstoned (file, ordinal) positions, reading ONLY the
+          targeted data files;
+        * overwrite without delete files (a truncate-and-write) — a full
+          before/after: every parent row retracts, every new row inserts;
+        * replace (compaction / binpack / z-order) — logical no-op,
+          emits nothing.
+
+        100 TB shape: cost per commit is proportional to the CHANGED
+        data, not the table — appends scan just their files, position
+        deletes touch only target files, and an upsert pays one key
+        semi-join against the parent state (the price a single
+        merge-on-read read already pays). Every frame resolves under the
+        CURRENT table schema by field id (the jar's changelog-view
+        contract), so the scan tolerates schema evolution inside the
+        range — renamed columns read back under their current name,
+        later-added columns null-fill in earlier commits."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        md = self.metadata()
+        snaps = sorted(
+            md.get("snapshots", []), key=lambda s: s["sequence-number"]
+        )
+        ids = [s["snapshot-id"] for s in snaps]
+        lo = 0
+        if from_snapshot_id is not None:
+            if from_snapshot_id not in ids:
+                raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+            lo = ids.index(from_snapshot_id) + 1
+        hi = len(snaps)
+        if to_snapshot_id is not None:
+            if to_snapshot_id not in ids:
+                raise ValueError(f"unknown snapshot id {to_snapshot_id}")
+            hi = ids.index(to_snapshot_id) + 1
+
+        def _stamp(df: DataFrame, kind: str, sid: int, order: int):
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(sid).alias("_commit_snapshot_id"),
+                F.lit(order).alias("_commit_order"),
+            )
+
+        ice_cur = current_schema(md)
+
+        def _state_at(snapshot_id: int) -> DataFrame:
+            """The table state at a snapshot, resolved under the CURRENT
+            schema (field-id resolution — time travel for lineage, not
+            for the historical column names)."""
+            entries, d, p = self._live(snapshot_id=snapshot_id)
+            if not entries:
+                return spark.createDataFrame(
+                    [], spark_ddl_from_iceberg(ice_cur)
+                )
+            if d or p:
+                return self._read_merged(spark, entries, d, p, md, ice_cur)
+            return self._assemble_data(spark, entries, md, ice_cur)
+
+        frames: list[DataFrame] = []
+        for order, snap in enumerate(snaps[lo:hi], start=1):
+            sid = snap["snapshot-id"]
+            op = snap.get("summary", {}).get("operation")
+            if op == "replace":
+                continue  # rewrites change layout, never logical content
+            parent = snap.get("parent-snapshot-id")
+            data, eq_dels, pos_dels = self._added_entries(md, snap)
+            if op == "overwrite" and not eq_dels and not pos_dels:
+                # truncate-and-write: full before/after diff by definition
+                if parent is not None:
+                    frames.append(_stamp(
+                        _state_at(parent), "delete", sid, order
+                    ))
+                frames.append(_stamp(_state_at(sid), "insert", sid, order))
+                continue
+            if eq_dels and parent is not None:
+                by_id = {f["id"]: f for f in ice_cur["fields"]}
+                eq_sets = {
+                    tuple(f.get("equality_ids") or ()) for f in eq_dels
+                }
+                if len(eq_sets) != 1 or not next(iter(eq_sets)):
+                    raise ValueError(
+                        "changelog: equality delete files with differing "
+                        "or empty equality_ids in one commit — use the "
+                        "iceberg-spark runtime jar"
+                    )
+                key_fields = [by_id[i] for i in next(iter(eq_sets))]
+                keys = self._scan_resolved(
+                    spark, [f["file_path"] for f in eq_dels], key_fields, md
+                ).dropDuplicates()
+                prev = _state_at(parent)
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        prev[f["name"]].eqNullSafe(keys[f["name"]])
+                        for f in key_fields
+                    ],
+                )
+                frames.append(_stamp(
+                    prev.join(keys, cond, "left_semi"), "delete", sid, order
+                ))
+            if pos_dels and parent is not None:
+                import pyarrow.parquet as pq
+
+                # tombstone files are small by design — list their target
+                # data files driver-side so the parent read touches ONLY
+                # those files, not the table
+                targets: set[str] = set()
+                for f in pos_dels:
+                    col = pq.read_table(
+                        f["file_path"], columns=["file_path"]
+                    ).column("file_path")
+                    targets.update(
+                        self._map(p) for p in col.to_pylist()
+                    )
+                p_data, p_eq, p_pos = self._live(snapshot_id=parent)
+                touched = [
+                    e for e in p_data if e["file_path"] in targets
+                ]
+                if touched:
+                    prev_pos = self._read_merged(
+                        spark, touched, p_eq, p_pos, md, ice_cur,
+                        keep_position_cols=True,
+                    )
+                    tomb = (
+                        spark.read.schema("file_path string, pos long")
+                        .parquet(*[f["file_path"] for f in pos_dels])
+                        .select(
+                            _norm_path(
+                                self._map_col(F.col("file_path"))
+                            ).alias("_dfp"),
+                            F.col("pos").alias("_dpos"),
+                        )
+                        .dropDuplicates()
+                    )
+                    dead = prev_pos.join(
+                        tomb,
+                        (prev_pos["_fp"] == tomb["_dfp"])
+                        & (prev_pos["_rix"] == tomb["_dpos"]),
+                        "left_semi",
+                    ).drop("_fp", "_rix")
+                    frames.append(_stamp(dead, "delete", sid, order))
+            if data:
+                frames.append(_stamp(
+                    self._assemble_data(spark, data, md, ice_cur),
+                    "insert", sid, order,
+                ))
+        if not frames:
+            ddl = spark_ddl_from_iceberg(current_schema(md)) + (
+                ", _change_type string, _commit_snapshot_id bigint, "
+                "_commit_order int"
+            )
+            return spark.createDataFrame([], ddl)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
     def read_stream(self, spark: SparkSession) -> DataFrame:
         """STREAMING source over an append-only unpartitioned table —
         the reference's `streaming: true` iceberg source
@@ -2466,7 +2787,16 @@ class IcebergFsTable:
                 "unpartitioned tables stream fine — their data files "
                 "store every source column"
             )
-        ddl = spark_ddl_from_iceberg(current_schema(md))
+        ice = current_schema(md)
+        if self._rename_drift(md, ice["fields"]):
+            raise ValueError(
+                "jar-free streaming source cannot read tables with "
+                "RENAMED columns (the file stream scans by name; "
+                "pre-rename files would null-fill the renamed column); "
+                "compact() rewrites every file under the current names, "
+                "or use the iceberg-spark runtime jar"
+            )
+        ddl = spark_ddl_from_iceberg(ice)
         return (
             spark.readStream.schema(ddl)
             .option("pathGlobFilter", "*.parquet")
@@ -2482,8 +2812,7 @@ class IcebergFsTable:
         data files stay untouched and read back with nulls for the new
         column (the schema'd parquet read resolves missing columns to
         null, exactly the spec's id-based resolution for an added
-        field). Only additive evolution is offered: renames/drops/type
-        promotion stay with the jar."""
+        field)."""
         if ice_type not in _ICE_TO_SPARK and not str(ice_type).startswith(
             "decimal"
         ):
@@ -2492,21 +2821,182 @@ class IcebergFsTable:
         cur = current_schema(md)
         if any(f["name"] == name for f in cur["fields"]):
             raise ValueError(f"column {name!r} already exists")
+        self._guard_name_reuse(md, name, None)
         new_id = md["last-column-id"] + 1
+        new_fields = list(cur["fields"]) + [
+            {"id": new_id, "name": name, "required": False, "type": ice_type}
+        ]
+        self._commit_schema(md, new_fields, last_column_id=new_id)
+
+    # spec Schema Evolution: the table's columns resolve by FIELD ID, so
+    # rename is free, drop hides the column, and int->long / float->double
+    # widen in place — old data files are never rewritten. Our data files
+    # carry no parquet field-ids (Spark's writer), so id resolution rides
+    # the name-mapping discipline: every historical name stays bound to
+    # its field id in schema.name-mapping.default, name REUSE for a
+    # different id is refused at evolution time (it would make stored
+    # files ambiguous), and renamed reads group files by their footer
+    # column names (see _scan_resolved).
+
+    @staticmethod
+    def _historical_name_ids(md: dict) -> dict[str, set[int]]:
+        """Every name ever bound in any schema version -> the field ids
+        it was bound to (a well-formed table has exactly one per name)."""
+        out: dict[str, set[int]] = {}
+        for s in md.get("schemas", []):
+            for f in s["fields"]:
+                out.setdefault(f["name"], set()).add(f["id"])
+        return out
+
+    def _guard_name_reuse(self, md: dict, name: str, fid: int | None) -> None:
+        """Refuse binding ``name`` unless it is fresh table-lifetime or
+        already bound to this same field id — stored files carry only
+        column NAMES (no parquet field-ids), so a reused name would make
+        old files unreadable unambiguously."""
+        ids = self._historical_name_ids(md).get(name, set())
+        if ids and ids != ({fid} if fid is not None else set()):
+            raise ValueError(
+                f"column name {name!r} was bound to field id(s) "
+                f"{sorted(ids)} in an earlier schema version — reusing it "
+                "would make data files written under that schema ambiguous "
+                "(they store names, not field ids); pick a fresh name"
+            )
+
+    def _guard_partition_source(self, md: dict, fid: int, what: str) -> None:
+        for spec in md.get("partition-specs", []):
+            for pf in spec["fields"]:
+                if pf["source-id"] == fid:
+                    raise ValueError(
+                        f"cannot {what}: the column is the source of "
+                        f"partition field {pf['name']!r} (spec "
+                        f"{spec['spec-id']}) — evolve the partition spec "
+                        "off it first"
+                    )
+
+    def _commit_schema(
+        self, md: dict, new_fields: list[dict], last_column_id: int | None = None
+    ) -> None:
+        """Append a new schema version and make it current (metadata-only
+        commit, no snapshot), refreshing the name mapping so EVERY
+        historical name keeps resolving to its field id."""
         new_schema = {
             "type": "struct",
             "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
-            "fields": list(cur["fields"])
-            + [{"id": new_id, "name": name, "required": False,
-                "type": ice_type}],
+            "fields": new_fields,
         }
         md["schemas"] = md["schemas"] + [new_schema]
         md["current-schema-id"] = new_schema["schema-id"]
-        md["last-column-id"] = new_id
-        md["properties"]["schema.name-mapping.default"] = json.dumps(
-            name_mapping(new_schema)
-        )
+        if last_column_id is not None:
+            md["last-column-id"] = last_column_id
+        # one mapping entry per CURRENT field, carrying every name it has
+        # ever had (the spec's multi-name entries — external id-respecting
+        # readers resolve old files through exactly this)
+        names_of: dict[int, list[str]] = {}
+        for s in md["schemas"]:
+            for f in s["fields"]:
+                bucket = names_of.setdefault(f["id"], [])
+                if f["name"] not in bucket:
+                    bucket.append(f["name"])
+        mapping = []
+        for f in new_fields:
+            ent = {"field-id": f["id"], "names": names_of[f["id"]]}
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "list":
+                ent["fields"] = [
+                    {"field-id": t["element-id"], "names": ["element"]}
+                ]
+            mapping.append(ent)
+        md["properties"]["schema.name-mapping.default"] = json.dumps(mapping)
+        md["last-updated-ms"] = int(time.time() * 1000)
         self._commit(md, self._version() + 1)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN (spec schema evolution, metadata-only): free
+        because resolution is by field id — no data file is touched.
+        Old files keep the old physical name; reads group files by their
+        footer names and project id -> current name (``_scan_resolved``).
+        Refused when the new name was ever bound to a different field
+        (stored-name ambiguity) or when the column feeds a partition
+        spec (the spec's partition-field names are frozen in manifests
+        and hive paths — evolve the spec first)."""
+        md = self.metadata()
+        cur = current_schema(md)
+        fld = next((f for f in cur["fields"] if f["name"] == old), None)
+        if fld is None:
+            raise ValueError(f"no column {old!r} in the current schema")
+        if any(f["name"] == new for f in cur["fields"]):
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_name_reuse(md, new, fld["id"])
+        self._guard_partition_source(md, fld["id"], f"rename {old!r}")
+        new_fields = [
+            {**f, "name": new} if f["id"] == fld["id"] else f
+            for f in cur["fields"]
+        ]
+        self._commit_schema(md, new_fields)
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN (spec schema evolution, metadata-only): the field
+        leaves the current schema; old files keep the bytes (pruned at
+        scan — Spark never reads the unreferenced column), time travel
+        to pre-drop snapshots still reads it, and the field id is never
+        reused (``last-column-id`` only grows). Refused for partition
+        sources, sort-order sources, live equality-delete key columns
+        (merge-on-read must keep resolving the key), and the last
+        column."""
+        md = self.metadata()
+        cur = current_schema(md)
+        fld = next((f for f in cur["fields"] if f["name"] == name), None)
+        if fld is None:
+            raise ValueError(f"no column {name!r} in the current schema")
+        if len(cur["fields"]) == 1:
+            raise ValueError("cannot drop the only column of a table")
+        self._guard_partition_source(md, fld["id"], f"drop {name!r}")
+        for order in md.get("sort-orders", []):
+            if any(sf["source-id"] == fld["id"] for sf in order["fields"]):
+                raise ValueError(
+                    f"cannot drop {name!r}: it is a sort-order source "
+                    f"(order-id {order['order-id']}) — writes could no "
+                    "longer honor the table's declared clustering"
+                )
+        if self.exists() and md.get("current-snapshot-id", -1) not in (-1, None):
+            _, eq_dels, _ = self._live()
+            for f in eq_dels:
+                if fld["id"] in (f.get("equality_ids") or []):
+                    raise ValueError(
+                        f"cannot drop {name!r}: live equality-delete "
+                        "files key on it — compact() the table first so "
+                        "the tombstones are applied and dropped"
+                    )
+        new_fields = [f for f in cur["fields"] if f["id"] != fld["id"]]
+        self._commit_schema(md, new_fields)
+
+    _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def update_column_type(self, name: str, new_type: str) -> None:
+        """WIDEN a column's type (spec schema evolution): ``int -> long``
+        and ``float -> double`` only, the spec's safe primitive
+        promotions (every stored value reads back exact — Spark 4's
+        parquet reader widens int32/float pages natively, so old files
+        need no rewrite). Anything else refuses by name. Partition
+        sources refuse: the manifests' partition-tuple type and hive
+        path rendering are frozen at write time."""
+        md = self.metadata()
+        cur = current_schema(md)
+        fld = next((f for f in cur["fields"] if f["name"] == name), None)
+        if fld is None:
+            raise ValueError(f"no column {name!r} in the current schema")
+        old_type = fld["type"]
+        if (old_type, new_type) not in self._TYPE_PROMOTIONS:
+            raise ValueError(
+                f"unsupported type promotion {old_type!r} -> {new_type!r}; "
+                "the spec allows widening int->long and float->double only"
+            )
+        self._guard_partition_source(md, fld["id"], f"promote {name!r}")
+        new_fields = [
+            {**f, "type": new_type} if f["id"] == fld["id"] else f
+            for f in cur["fields"]
+        ]
+        self._commit_schema(md, new_fields)
 
     # -- table maintenance (the ops a 100 TB table actually runs) -----------
 
