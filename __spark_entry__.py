@@ -139,6 +139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full local mirror):
         "iceberg_hive_roundtrip": connectors.iceberg_hive_roundtrip,
         "firehose_roundtrip": connectors.firehose_roundtrip,
+        # r10 continuation keys (same posture: exactly oracled, mirror-
+        # rehearsed, admitted by the r11 rotation): the CDC changelog
+        # scan and the rename/widen/add/drop column-evolution roundtrip
+        "iceberg_changelog_roundtrip": connectors.iceberg_changelog_roundtrip,
+        "iceberg_column_evolution_roundtrip": (
+            connectors.iceberg_column_evolution_roundtrip
+        ),
         # Then keys with zero changed lines since last green
         # (serde/, sketches.py, events.py, sampling.py, analytics.py,
         # pipelines.py and the rest of the llm/ modules are untouched

@@ -1401,3 +1401,131 @@ def firehose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, profile.schema)
     finally:
         shutil.rmtree(deliver, ignore_errors=True)
+
+
+CHANGELOG_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+),
+merged AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+      AS c_acctbal,
+    c_nationkey
+  FROM base
+)
+SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+  'insert' AS _change_type, 1 AS _commit_order
+FROM base WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_nationkey, 'delete', 2
+FROM base WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_nationkey, 'insert', 2
+FROM merged WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_nationkey, 'delete', 3
+FROM merged WHERE c_custkey % 5 = 0
+"""
+
+
+def iceberg_changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CHANGELOG scan over a four-commit table history (the
+    iceberg-spark runtime's ``create_changelog_view`` / Flink changelog
+    read, jar-free — `iceberg.read_changelog`): odd customers land as
+    the base snapshot, even customers append (commit 1 of the scanned
+    range), every third customer upserts with a changed name and
+    balance (commit 2 — a v2 equality-delete commit), and every fifth
+    customer row-level deletes (commit 3 — position tombstones). The
+    scan starts AFTER the base snapshot and must reproduce, per commit:
+    the appended rows as inserts, the upsert as delete-of-old-value +
+    insert-of-new-value pairs, and the position deletes as deletes OF
+    THE MERGED state (the %15 customers were already replaced when the
+    delete committed). The oracle rebuilds all four frames straight
+    from the original parquet — a green row proves per-commit manifest
+    attribution, parent-state reconstruction, equality-key retraction
+    values and position-tombstone targeting all at once.
+
+    100 TB shape: each commit's cost is proportional to ITS change —
+    the append scans only its files, the upsert pays one key semi-join
+    against the parent state, the delete reads only tombstoned target
+    files; no commit re-diffs the table."""
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    loc = _loc("iceberg-changelog", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    t = IcebergFsTable(loc)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+    s_base = t.metadata()["current-snapshot-id"]
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))
+    changed = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        "c_nationkey",
+    )
+    t.upsert(changed, ["c_custkey"])
+    t.delete_where(spark, "c_custkey % 5 = 0")
+    return t.read_changelog(spark, from_snapshot_id=s_base).drop(
+        "_commit_snapshot_id"
+    )
+
+
+COLUMN_EVOLUTION_ORACLE = """
+SELECT c_custkey, c_name AS cust_name,
+  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+  CASE WHEN c_custkey % 2 = 0 THEN 'S' ELSE '-' END AS segment
+FROM customer
+"""
+
+
+def iceberg_column_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL COLUMN EVOLUTION roundtrip (spec §Schema Evolution, field-id
+    resolution — rename + widen + add + drop in one table lifetime): odd
+    customers land under the original schema, then ``c_name`` RENAMES to
+    ``cust_name``, ``c_nationkey`` WIDENS int → long, ``segment`` is
+    ADDED, even customers append under the evolved schema, and
+    ``c_acctbal`` DROPS — all metadata-only commits, no data file ever
+    rewritten. The final read must return every customer under the
+    CURRENT names and types: pre-rename files resolve ``c_name`` →
+    ``cust_name`` by field id (footer-name grouped scan), int32
+    nationkeys widen in place, old rows null-fill the added column
+    (surfaced as '-' so both engines agree on the sentinel). The oracle
+    selects the same projection straight from the original parquet — a
+    green row proves rename resolution, type widening and null-filling
+    each produce exact values, not just compatible schemas."""
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    loc = _loc("iceberg-colevo", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    t = IcebergFsTable(loc)
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1))
+    t.rename_column("c_name", "cust_name")
+    t.update_column_type("c_nationkey", "long")
+    t.add_column("segment", "string")
+    t.append(
+        cust.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey",
+            F.col("c_name").alias("cust_name"),
+            F.col("c_nationkey").cast("long"),
+            "c_acctbal",
+            F.lit("S").alias("segment"),
+        )
+    )
+    t.drop_column("c_acctbal")
+    return t.read(spark).withColumn(
+        "segment", F.coalesce("segment", F.lit("-"))
+    )

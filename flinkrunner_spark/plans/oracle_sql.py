@@ -2172,3 +2172,13 @@ FROM s
 ORDER BY logw_micro + g_micro DESC, doc_id
 LIMIT 64
 """
+
+# r10 (continued): iceberg CDC changelog + full column evolution — both
+# rebuild the expected frames straight from the original parquet
+from flinkrunner_spark.plans.connectors import CHANGELOG_ORACLE as _CLO  # noqa: E402
+from flinkrunner_spark.plans.connectors import (  # noqa: E402
+    COLUMN_EVOLUTION_ORACLE as _CEO,
+)
+
+ORACLES["iceberg_changelog_roundtrip"] = _CLO
+ORACLES["iceberg_column_evolution_roundtrip"] = _CEO
