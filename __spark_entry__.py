@@ -24,6 +24,7 @@ from flinkrunner_spark.llm import filters as llm_filters  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
 from flinkrunner_spark.llm import mm_transforms, multimodal, pipeline, sampling, similarity  # noqa: E402
 from flinkrunner_spark.llm import sketches as llm_sketches  # noqa: E402
+from flinkrunner_spark.llm import pruning as llm_pruning  # noqa: E402
 from flinkrunner_spark.llm import spans as llm_spans  # noqa: E402
 from flinkrunner_spark.llm import vocab as llm_vocab  # noqa: E402
 from flinkrunner_spark.llm import text as llm_text  # noqa: E402
@@ -146,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_column_evolution_roundtrip": (
             connectors.iceberg_column_evolution_roundtrip
         ),
+        "emb_outliers": llm_pruning.emb_outliers,
+        "docs_ccnet_buckets": llm_pruning.docs_ccnet_buckets,
         # Then keys with zero changed lines since last green
         # (serde/, sketches.py, events.py, sampling.py, analytics.py,
         # pipelines.py and the rest of the llm/ modules are untouched

@@ -2182,3 +2182,49 @@ from flinkrunner_spark.plans.connectors import (  # noqa: E402
 
 ORACLES["iceberg_changelog_roundtrip"] = _CLO
 ORACLES["iceberg_column_evolution_roundtrip"] = _CEO
+
+# r10 (continued): pruning screens — prototype-distance outliers and
+# CCNet perplexity buckets (llm/pruning.py). Both replay the exact
+# fold-based machinery their inputs are oracled with, adding only
+# rank/ntile logic over unambiguous total orders.
+ORACLES["emb_outliers"] = f"""
+WITH cent AS ({_CENT_FOLD}),
+sc AS (
+  SELECT e.vec_id, c.label AS clabel,
+    {_r6(f"{_DOT_EC} / SQRT({_EE} * {_CC})")} AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, clabel AS assigned_label, cos AS cosine FROM (
+    SELECT vec_id, clabel, cos,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel)
+        AS rn
+    FROM sc) r WHERE rn = 1
+),
+rk AS (
+  SELECT vec_id, assigned_label, cosine,
+    row_number() OVER (PARTITION BY assigned_label
+                       ORDER BY cosine, vec_id) AS rn,
+    COUNT(*) OVER (PARTITION BY assigned_label) AS n
+  FROM asg
+)
+SELECT vec_id, assigned_label, cosine,
+  rn <= CAST(FLOOR(n * 0.2) AS BIGINT) AS is_outlier
+FROM rk
+"""
+
+ORACLES["docs_ccnet_buckets"] = f"""
+WITH lm AS ({ORACLES["docs_lm_score"]}),
+j AS (
+  SELECT l.doc_id, d.lang, l.xent_nats
+  FROM lm l JOIN documents d ON l.doc_id = d.doc_id
+),
+t AS (
+  SELECT doc_id, lang, xent_nats,
+    ntile(3) OVER (PARTITION BY lang ORDER BY xent_nats, doc_id) AS q
+  FROM j
+)
+SELECT doc_id, lang, xent_nats,
+  CASE q WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM t
+"""
