@@ -1078,12 +1078,32 @@ class IcebergFsTable:
         sort_by: list | None = None,
         carried_entries: list[dict] | None = None,
         carried_delete_entries: list[dict] | None = None,
+        branch: str | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
                 raise ValueError("cannot commit deletes to a missing table")
+            if branch and branch != "main":
+                raise ValueError(
+                    "cannot write a branch commit to a missing table — "
+                    "create the table (a main commit) and create_branch() "
+                    "first"
+                )
             self.create(df.schema, partition_by=partition_by, sort_by=sort_by)
         md = self.metadata()
+        refs0 = dict(md.get("refs") or {})
+        on_branch = bool(branch) and branch != "main"
+        if on_branch:
+            # WAP staging commit: lineage forks from the BRANCH head and
+            # only the branch ref advances — main (and every reader that
+            # does not name the branch) never sees it until fast_forward
+            ref = refs0.get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(
+                    f"unknown branch {branch!r} — create_branch() first "
+                    f"(existing branches: "
+                    f"{sorted(n for n, r in refs0.items() if r.get('type') == 'branch')})"
+                )
         spec_fields = self._spec_fields(md)
         seq = md["last-sequence-number"] + 1
         snap_id = uuid.uuid4().int & ((1 << 62) - 1)
@@ -1159,12 +1179,16 @@ class IcebergFsTable:
                     CONTENT_DELETES,
                 ),
             )
-        parent = md.get("current-snapshot-id", -1)
+        parent = (
+            refs0[branch]["snapshot-id"]
+            if on_branch
+            else md.get("current-snapshot-id", -1)
+        )
         if (
             operation in ("append", "delete")
             or delete_df is not None
         ) and parent not in (-1, None):
-            manifests += self._manifest_list_records(md)
+            manifests += self._manifest_list_records(md, parent)
 
         ml_path = os.path.join(
             self.meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
@@ -1244,16 +1268,22 @@ class IcebergFsTable:
             }
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = snap["timestamp-ms"]
-        md["current-snapshot-id"] = snap_id
         md["snapshots"] = md.get("snapshots", []) + [snap]
-        # advance main WITHOUT clobbering other refs — tags/branches a
-        # user created must survive subsequent commits
         refs = dict(md.get("refs") or {})
-        refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+        if on_branch:
+            # only the branch ref moves: current-snapshot-id and the
+            # snapshot-log (both main-tracking per spec) stay put
+            refs[branch] = {**refs[branch], "snapshot-id": snap_id}
+        else:
+            md["current-snapshot-id"] = snap_id
+            # advance main WITHOUT clobbering other refs — tags/branches
+            # a user created must survive subsequent commits
+            refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+            md["snapshot-log"] = md.get("snapshot-log", []) + [
+                {"timestamp-ms": snap["timestamp-ms"],
+                 "snapshot-id": snap_id}
+            ]
         md["refs"] = refs
-        md["snapshot-log"] = md.get("snapshot-log", []) + [
-            {"timestamp-ms": snap["timestamp-ms"], "snapshot-id": snap_id}
-        ]
         md["metadata-log"] = md.get("metadata-log", []) + [
             {
                 "timestamp-ms": snap["timestamp-ms"],
@@ -1270,12 +1300,20 @@ class IcebergFsTable:
         partition_by: list | None = None,
         extra_properties: dict | None = None,
         sort_by: list | None = None,
+        branch: str | None = None,
     ) -> None:
         """``sort_by`` (e.g. ["ts", "id desc"]) takes effect at table
         CREATION and becomes the default write sort order every later
         write applies. Passing it against an EXISTING table whose order
         differs raises — silently ignoring it would hand back unsorted
-        files and no file-skipping, the exact benefit asked for."""
+        files and no file-skipping, the exact benefit asked for.
+
+        ``branch`` stages the append on a named branch (the jar's
+        ``spark.wap.branch`` write-audit-publish flow): lineage forks
+        from the branch head, only the branch ref advances, and main
+        readers never see the rows until ``fast_forward`` publishes
+        them. Branch appends only — row-level commits (upsert /
+        delete_where) stay main-only by name."""
         if sort_by and self.exists():
             md = self.metadata()
             by_name = {f["name"]: f for f in current_schema(md)["fields"]}
@@ -1301,6 +1339,7 @@ class IcebergFsTable:
         self._write_snapshot(
             df, "append", partition_by=partition_by,
             extra_properties=extra_properties, sort_by=sort_by,
+            branch=branch,
         )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
@@ -1565,9 +1604,18 @@ class IcebergFsTable:
                 raise ValueError(f"unknown snapshot id {snapshot_id}")
             return snapshot_id
         if as_of_ms is not None:
-            older = [
-                s for s in md["snapshots"] if s["timestamp-ms"] <= as_of_ms
+            # spec: timestamp travel follows the snapshot-LOG (main's
+            # history) — staged WAP branch snapshots are in `snapshots`
+            # but were never the table state at any wall-clock instant
+            log_ids = {
+                e["snapshot-id"] for e in md.get("snapshot-log", [])
+            }
+            pool = [
+                s
+                for s in md["snapshots"]
+                if not log_ids or s["snapshot-id"] in log_ids
             ]
+            older = [s for s in pool if s["timestamp-ms"] <= as_of_ms]
             if not older:
                 raise ValueError(
                     f"no snapshot at or before timestamp {as_of_ms}"
@@ -2256,6 +2304,57 @@ class IcebergFsTable:
     ) -> dict:
         return self.set_ref(name, "branch", snapshot_id, **kw)
 
+    def fast_forward(self, to_ref: str, from_ref: str) -> int:
+        """PUBLISH a branch (the jar's ``fast_forward`` procedure — the
+        closing step of write-audit-publish): move ``to_ref`` (usually
+        ``main``) to ``from_ref``'s head, but ONLY when the target's
+        current head is an ancestor of the source head (pure
+        fast-forward; anything else would silently drop commits — the
+        jar refuses those too, pointing at cherry-pick). Returns the
+        published snapshot id.
+
+        100 TB shape: metadata-only — one pointer swap, no data or
+        manifest IO; the audited files were already written by the
+        branch commits."""
+        md = self.metadata()
+        src = self._ref_snapshot(md, from_ref)
+        refs = dict(md.get("refs") or {})
+        if to_ref in refs:
+            if refs[to_ref].get("type") != "branch":
+                raise ValueError(
+                    f"cannot fast_forward {to_ref!r}: it is a tag "
+                    "(tags are immutable)"
+                )
+            cur = refs[to_ref]["snapshot-id"]
+        elif to_ref == "main":
+            cur = md.get("current-snapshot-id", -1)
+        else:
+            raise ValueError(f"unknown ref {to_ref!r}")
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        node, is_ancestor = src, False
+        while node is not None:
+            if node == cur:
+                is_ancestor = True
+                break
+            node = by_id[node].get("parent-snapshot-id")
+        if cur not in (-1, None) and not is_ancestor:
+            raise ValueError(
+                f"{to_ref!r} (snapshot {cur}) is not an ancestor of "
+                f"{from_ref!r} (snapshot {src}) — not a fast-forward; "
+                "rebase the branch or cherry-pick with the jar"
+            )
+        refs[to_ref] = {"snapshot-id": src, "type": "branch"}
+        md["refs"] = refs
+        now = int(time.time() * 1000)
+        if to_ref == "main":
+            md["current-snapshot-id"] = src
+            md["snapshot-log"] = md.get("snapshot-log", []) + [
+                {"timestamp-ms": now, "snapshot-id": src}
+            ]
+        md["last-updated-ms"] = now
+        self._commit(md, self._version() + 1)
+        return src
+
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop main")
@@ -2440,6 +2539,30 @@ class IcebergFsTable:
 
     # -- incremental / streaming reads --------------------------------------
 
+    @staticmethod
+    def _lineage(md: dict, head_id: int | None = None) -> list[dict]:
+        """The snapshot chain ending at ``head_id`` (default: the current
+        snapshot), oldest first — parent-link ancestry, NOT the raw
+        ``snapshots`` list, which since WAP branch writes also holds
+        commits main never published."""
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        head = (
+            head_id
+            if head_id is not None
+            else md.get("current-snapshot-id", -1)
+        )
+        if head in (-1, None):
+            return []
+        if head not in by_id:
+            raise ValueError(f"unknown snapshot id {head}")
+        chain: list[dict] = []
+        node: int | None = head
+        while node is not None:
+            chain.append(by_id[node])
+            node = by_id[node].get("parent-snapshot-id")
+        chain.reverse()
+        return chain
+
     def incremental_entries(
         self,
         from_snapshot_id: int | None = None,
@@ -2456,22 +2579,26 @@ class IcebergFsTable:
         would otherwise silently miss deletions."""
         md = self.metadata()
         self._spec_fields(md)
-        snaps = sorted(
-            md.get("snapshots", []), key=lambda s: s["sequence-number"]
-        )
+        snaps = self._lineage(md, to_snapshot_id)
         ids = [s["snapshot-id"] for s in snaps]
         lo = 0
         if from_snapshot_id is not None:
             if from_snapshot_id not in ids:
-                raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+                if not any(
+                    s["snapshot-id"] == from_snapshot_id
+                    for s in md.get("snapshots", [])
+                ):
+                    raise ValueError(
+                        f"unknown snapshot id {from_snapshot_id}"
+                    )
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    "the scan head (a branch commit?) — incremental "
+                    "scans follow one lineage"
+                )
             lo = ids.index(from_snapshot_id) + 1
-        hi = len(snaps)
-        if to_snapshot_id is not None:
-            if to_snapshot_id not in ids:
-                raise ValueError(f"unknown snapshot id {to_snapshot_id}")
-            hi = ids.index(to_snapshot_id) + 1
         out: list[dict] = []
-        for s in snaps[lo:hi]:
+        for s in snaps[lo:]:
             op = s.get("summary", {}).get("operation")
             if op != "append":
                 raise ValueError(
@@ -2597,20 +2724,26 @@ class IcebergFsTable:
         from pyspark.sql import functions as F
 
         md = self.metadata()
-        snaps = sorted(
-            md.get("snapshots", []), key=lambda s: s["sequence-number"]
-        )
+        # walk the PUBLISHED lineage (parent links from the scan head):
+        # staged WAP branch commits live in `snapshots` too but are not
+        # changes any main reader ever observed
+        snaps = self._lineage(md, to_snapshot_id)
         ids = [s["snapshot-id"] for s in snaps]
         lo = 0
         if from_snapshot_id is not None:
             if from_snapshot_id not in ids:
-                raise ValueError(f"unknown snapshot id {from_snapshot_id}")
+                if not any(
+                    s["snapshot-id"] == from_snapshot_id
+                    for s in md.get("snapshots", [])
+                ):
+                    raise ValueError(
+                        f"unknown snapshot id {from_snapshot_id}"
+                    )
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    "the scan head — the changelog follows one lineage"
+                )
             lo = ids.index(from_snapshot_id) + 1
-        hi = len(snaps)
-        if to_snapshot_id is not None:
-            if to_snapshot_id not in ids:
-                raise ValueError(f"unknown snapshot id {to_snapshot_id}")
-            hi = ids.index(to_snapshot_id) + 1
 
         def _stamp(df: DataFrame, kind: str, sid: int, order: int):
             return df.select(
@@ -2636,7 +2769,7 @@ class IcebergFsTable:
             return self._assemble_data(spark, entries, md, ice_cur)
 
         frames: list[DataFrame] = []
-        for order, snap in enumerate(snaps[lo:hi], start=1):
+        for order, snap in enumerate(snaps[lo:], start=1):
             sid = snap["snapshot-id"]
             op = snap.get("summary", {}).get("operation")
             if op == "replace":

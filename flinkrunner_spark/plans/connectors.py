@@ -1529,3 +1529,43 @@ def iceberg_column_evolution_roundtrip(
     return t.read(spark).withColumn(
         "segment", F.coalesce("segment", F.lit("-"))
     )
+
+
+def iceberg_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH roundtrip (the jar's ``spark.wap.branch``
+    staging flow + ``fast_forward`` procedure): odd documents land on
+    main, even documents stage on an ``audit`` BRANCH (two commits —
+    lineage forks from the branch head), and the pre-publish main read
+    is ASSERTED to still see only the odd half (a staged row leaking to
+    main fails the query outright, not just the hash). ``fast_forward``
+    then publishes the branch in one metadata pointer swap, and the
+    final read must profile identically to the whole original parquet.
+    The oracle is the full-corpus language profile — green proves
+    branch lineage isolation AND the published union, with the
+    invisibility contract enforced in-query.
+
+    100 TB shape: staging costs exactly the data writes (same files,
+    different ref); audit reads run against the branch ref; publication
+    is metadata-only — no data or manifest IO at publish time."""
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-wap", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    t = IcebergFsTable(loc)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    t.append(odd)
+    t.create_branch("audit")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    t.append(even.filter(F.col("doc_id") % 4 == 0), branch="audit")
+    t.append(even.filter(F.col("doc_id") % 4 == 2), branch="audit")
+    n_main, n_odd = t.read(spark).count(), odd.count()
+    if n_main != n_odd:
+        raise AssertionError(
+            f"staged branch rows leaked to main: read {n_main} rows, "
+            f"expected {n_odd}"
+        )
+    t.fast_forward("main", "audit")
+    return _lang_profile(t.read(spark))

@@ -2228,3 +2228,8 @@ SELECT doc_id, lang, xent_nats,
   CASE q WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM t
 """
+
+# WAP staging changes publication, not data — the published table must
+# profile exactly like the original corpus (invisibility is asserted
+# inside the query itself)
+ORACLES["iceberg_wap_roundtrip"] = _LPO

@@ -58,6 +58,10 @@ DEFAULT_KEYS = [
     "stream_emb_dup_pairs",
     "agg_quantiles",
     "docs_remove_dup_spans",
+    # r10 continuation: the pruning screens (one ranking shuffle over
+    # the assignment / LM frames whose scale rows already exist)
+    "emb_outliers",
+    "docs_ccnet_buckets",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
