@@ -346,3 +346,43 @@ def test_emb_knn_join_no_forced_probe_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("MapInPandas") >= 2, plan  # probe + scoring
     similarity.release_caches(SF)
+
+
+def test_emb_outliers_single_ranking_exchange_over_assignment(spark):
+    # the pruning screen adds exactly ONE exchange (the cluster-key
+    # ranking shuffle) on top of the zero-shuffle broadcast-argmax
+    # assignment: assignment itself contributes only its broadcast
+    from flinkrunner_spark.llm.pruning import emb_outliers
+    from flinkrunner_spark.llm.similarity import (
+        docs_cluster_assign,
+        release_caches,
+    )
+
+    release_caches(spark)
+    base = (
+        docs_cluster_assign(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange")
+    )
+    plan = _plan(spark, emb_outliers)
+    assert plan.count("Exchange") <= base + 1, plan
+
+
+def test_changelog_append_commits_scan_only_added_files(spark, tmp_path):
+    # an append-only changelog never rescans the table: each commit's
+    # insert frame reads just its own files — the plan carries no join
+    # and exactly one scan per commit in the range
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    t = IcebergFsTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, f"s{i}")], "id long, s string")
+        )
+    s1 = t.snapshots()[0]["snapshot-id"]
+    cl = t.read_changelog(spark, from_snapshot_id=s1)
+    plan = cl._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
