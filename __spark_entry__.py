@@ -75,6 +75,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LoopbackHiveMetastore) and firehose_roundtrip (signed
     # PutRecordBatch → buffered NDJSON object delivery →
     # spark.read.json over the landing prefix).
+    # r10 continuation session: iceberg.py changed again (column
+    # evolution / changelog / WAP — every iceberg key is already
+    # in-cap above, so rotation discipline holds); the five NEW keys
+    # (changelog, column evolution, WAP, emb_outliers,
+    # docs_ccnet_buckets) join the tail below, each exactly oracled and
+    # driver-mirror green, admitted with the r11 rotation.
     # Rotated OUT (files with zero changed lines since their green
     # rows): docs_heavy_hitters (sketches.py untouched), agg_quantiles
     # (events.py untouched), avro_roundtrip (serde/ untouched; its

@@ -342,3 +342,56 @@ def test_changelog_replays_to_final_state(spark, tmp_path):
     final = t.read(spark).select("id", "s", "g")
     assert net.exceptAll(final).count() == 0
     assert final.exceptAll(net).count() == 0
+
+
+def test_changelog_model_based_random_sequences(spark, tmp_path):
+    """Model check: for ANY commit sequence (append / key-unique upsert /
+    delete_where / compact), replaying the changelog (multiset inserts
+    minus deletes) must equal the final table read — the invariant every
+    CDC consumer materializing a downstream copy relies on. Deterministic
+    seeds, three independent sequences."""
+    import random
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    for seed in (5, 23, 77):
+        rng = random.Random(seed)
+        t = IcebergFsTable(str(tmp_path / f"cl{seed}"))
+        next_id = 0
+        for _step in range(5):
+            op = rng.choice(["append", "upsert", "delete", "compact"])
+            if op == "append" or not t.exists():
+                rows = [
+                    (next_id + i, f"a{seed}-{_step}-{i}", rng.randint(0, 99))
+                    for i in range(rng.randint(1, 5))
+                ]
+                next_id += len(rows)
+                t.append(spark.createDataFrame(
+                    rows, "id long, s string, v long"))
+            elif op == "upsert":
+                ids = rng.sample(range(next_id), min(3, next_id))
+                t.upsert(spark.createDataFrame(
+                    [(i, f"u{seed}-{_step}-{i}", rng.randint(0, 99))
+                     for i in ids],
+                    "id long, s string, v long"), ["id"])
+            elif op == "delete":
+                t.delete_where(spark, f"v < {rng.randint(5, 40)}")
+            else:
+                t.compact(spark)
+        cl = t.read_changelog(spark)
+        ins = [
+            tuple(r)[:3]
+            for r in cl.filter("_change_type = 'insert'").collect()
+        ]
+        dels = [
+            tuple(r)[:3]
+            for r in cl.filter("_change_type = 'delete'").collect()
+        ]
+        from collections import Counter
+
+        net = Counter(ins)
+        net.subtract(Counter(dels))
+        assert all(v in (0, 1) for v in net.values()), f"seed {seed}"
+        replayed = sorted(k for k, v in net.items() if v == 1)
+        final = sorted(tuple(r) for r in t.read(spark).collect())
+        assert replayed == final, f"seed {seed}"
