@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": llm_pruning.emb_outliers,
         "docs_ccnet_buckets": llm_pruning.docs_ccnet_buckets,
         "iceberg_wap_roundtrip": connectors.iceberg_wap_roundtrip,
+        "iceberg_add_files_roundtrip": connectors.iceberg_add_files_roundtrip,
         # Then keys with zero changed lines since last green
         # (serde/, sketches.py, events.py, sampling.py, analytics.py,
         # pipelines.py and the rest of the llm/ modules are untouched

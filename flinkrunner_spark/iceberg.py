@@ -122,6 +122,36 @@ def iceberg_schema_from_spark(schema) -> tuple[dict, int]:
     )
 
 
+def _ice_type_from_arrow(t):
+    """One pyarrow type -> Iceberg type (str, or {'type':'list',...}
+    without ids) — footer-side schema checks for add_files."""
+    import pyarrow as pa
+
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision}, {t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {"type": "list", "element": _ice_type_from_arrow(t.value_type)}
+    raise ValueError(f"unsupported parquet/arrow type {t!r}")
+
+
 def _spark_type_from_iceberg(t) -> str:
     """One Iceberg type -> Spark SQL type string."""
     if isinstance(t, dict) and t.get("type") == "list":
@@ -1079,6 +1109,7 @@ class IcebergFsTable:
         carried_entries: list[dict] | None = None,
         carried_delete_entries: list[dict] | None = None,
         branch: str | None = None,
+        raw_data_files: list[dict] | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
@@ -1114,6 +1145,21 @@ class IcebergFsTable:
             manifests.append(
                 self._write_manifest(
                     data_files, md, spec_fields, snap_id, seq, CONTENT_DATA
+                )
+            )
+        if raw_data_files:
+            # pre-existing parquet files committed AS OF NOW (cherry_pick /
+            # add_files): ADDED entries inheriting THIS commit's sequence
+            # number — row-level deletes from earlier commits must not
+            # apply to rows that logically arrive with this snapshot
+            manifests.append(
+                self._write_manifest(
+                    [
+                        {k: v for k, v in f.items()
+                         if not k.startswith("_")}
+                        for f in raw_data_files
+                    ],
+                    md, spec_fields, snap_id, seq, CONTENT_DATA,
                 )
             )
         if carried_entries:
@@ -1341,6 +1387,85 @@ class IcebergFsTable:
             extra_properties=extra_properties, sort_by=sort_by,
             branch=branch,
         )
+
+    def add_files(self, paths: list[str]) -> int:
+        """IMPORT existing parquet files into the table METADATA-ONLY
+        (the jar's ``add_files`` procedure — the migration path: at
+        100 TB re-writing data to adopt Iceberg is exactly the cost this
+        avoids). Each file's footer supplies record count and per-column
+        bounds (the same Appendix-D stats a written file gets, so
+        range_filter pruning works on imported files immediately); the
+        files commit as one append snapshot and are NOT copied or moved.
+
+        Honest gates: the table must exist and be unpartitioned (hive-
+        layout imports need partition parsing — jar scope); every footer
+        column must bind to a current-schema field of the same or a
+        narrower (widenable) type — unknown columns refuse rather than
+        silently dropping data. Ownership caveat, same as the jar:
+        imported files become TABLE-OWNED — a later ``compact()`` +
+        ``expire_snapshots()`` may delete them; the jar-free streaming
+        source refuses tables with out-of-tree files (directory tailing
+        cannot see them). Returns the number of files imported."""
+        import pyarrow.parquet as pq
+
+        if not self.exists():
+            raise ValueError(
+                "add_files needs an existing table — create() it with "
+                "the target schema first"
+            )
+        md = self.metadata()
+        if self._spec_fields(md):
+            raise ValueError(
+                "add_files supports unpartitioned tables only (a "
+                "hive-layout import needs partition-value parsing — use "
+                "the iceberg-spark runtime jar)"
+            )
+        if not paths:
+            raise ValueError("add_files needs at least one path")
+        ice = current_schema(md)
+        by_name = {f["name"]: f for f in ice["fields"]}
+        widen_ok = {("int", "long"), ("float", "double")}
+        files = []
+        for p in paths:
+            p = os.path.abspath(p)
+            pf = pq.ParquetFile(p)
+            for af in pf.schema_arrow:
+                fld = by_name.get(af.name)
+                if fld is None:
+                    raise ValueError(
+                        f"add_files: {p} carries column {af.name!r} "
+                        "missing from the table schema — importing "
+                        "would silently drop its data; evolve the "
+                        "schema or exclude the file"
+                    )
+                want = fld["type"]
+                got = _ice_type_from_arrow(af.type)
+                if isinstance(want, dict) and isinstance(got, dict):
+                    ok = got.get("element") == want.get("element")
+                else:
+                    ok = got == want or (got, want) in widen_ok
+                if not ok:
+                    raise ValueError(
+                        f"add_files: {p} column {af.name!r} is {got}, "
+                        f"table expects {want} — not a widening match"
+                    )
+            meta = pf.metadata
+            lowers, uppers = self._column_bounds(meta, md)
+            files.append(
+                {
+                    "content": CONTENT_DATA,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                    "equality_ids": None,
+                }
+            )
+        self._write_snapshot(None, "append", raw_data_files=files)
+        return len(files)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._write_snapshot(df, "overwrite", partition_by=partition_by)
@@ -2355,6 +2480,55 @@ class IcebergFsTable:
         self._commit(md, self._version() + 1)
         return src
 
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """Apply one staged APPEND snapshot onto the current main head
+        (the jar's ``cherrypick_snapshot`` procedure — the divergent-
+        branch path ``fast_forward`` refuses): the staged commit's data
+        files re-enter as ADDED entries of a NEW append snapshot at the
+        current sequence number, so they behave exactly like rows
+        committed now (earlier row-level deletes never apply to them).
+        Metadata-only — no data is read or copied. Appends only:
+        snapshots carrying delete files or replace/overwrite semantics
+        refuse by name (their conflict detection is genuinely stateful —
+        the jar's scope is the same). Returns the new snapshot id."""
+        md = self.metadata()
+        snap = next(
+            (s for s in md.get("snapshots", [])
+             if s["snapshot-id"] == snapshot_id),
+            None,
+        )
+        if snap is None:
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        op = snap.get("summary", {}).get("operation")
+        if op != "append":
+            raise ValueError(
+                f"cherry_pick supports append snapshots only, got {op!r} "
+                "(row-level / replace commits need the jar's conflict "
+                "detection)"
+            )
+        if any(
+            s["snapshot-id"] == snapshot_id for s in self._lineage(md)
+        ):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already on the main lineage "
+                "— nothing to cherry-pick"
+            )
+        data, eq_dels, pos_dels = self._added_entries(md, snap)
+        if eq_dels or pos_dels:
+            raise ValueError(
+                "cherry_pick refuses snapshots carrying delete files"
+            )
+        default_spec = md["default-spec-id"]
+        for f in data:
+            if f.get("_spec_id", default_spec) != default_spec:
+                raise ValueError(
+                    "cherry_pick across partition-spec evolution is "
+                    "unsupported — the staged files' tuple layout does "
+                    "not match the default spec"
+                )
+        self._write_snapshot(None, "append", raw_data_files=data)
+        return self.metadata()["current-snapshot-id"]
+
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop main")
@@ -2928,6 +3102,20 @@ class IcebergFsTable:
                 "pre-rename files would null-fill the renamed column); "
                 "compact() rewrites every file under the current names, "
                 "or use the iceberg-spark runtime jar"
+            )
+        prefix = os.path.abspath(self.data_dir) + os.sep
+        live, _, _ = self._live()
+        outside = [
+            f["file_path"] for f in live
+            if not os.path.abspath(f["file_path"]).startswith(prefix)
+        ]
+        if outside:
+            raise ValueError(
+                "jar-free streaming source tails the table's data/ "
+                f"directory, but {len(outside)} live file(s) live "
+                "outside it (add_files imports) — a directory tail "
+                "would silently skip them; compact() to pull them "
+                "in-tree, or use the iceberg-spark runtime jar"
             )
         ddl = spark_ddl_from_iceberg(ice)
         return (

@@ -1569,3 +1569,31 @@ def iceberg_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     t.fast_forward("main", "audit")
     return _lang_profile(t.read(spark))
+
+
+def iceberg_add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY IMPORT roundtrip (the jar's ``add_files`` procedure —
+    the 100 TB migration path: adopt existing parquet into Iceberg
+    without reading or copying a single data page): odd documents land
+    through the normal write path, even documents are written as PLAIN
+    PARQUET to an external directory and imported with ``add_files``
+    (footer-derived record counts + Appendix-D column bounds, files left
+    in place), and the final read must profile identically to the whole
+    original corpus. A green row proves the imported entries' stats,
+    paths and sequence numbers integrate with written files in one
+    scan."""
+    import glob
+    import shutil
+
+    from flinkrunner_spark.iceberg import IcebergFsTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loc = _loc("iceberg-addfiles", sf_dir)
+    ext = _loc("iceberg-addfiles-ext", sf_dir)
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.rmtree(ext, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(ext)
+    t = IcebergFsTable(loc)
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    t.add_files(sorted(glob.glob(f"{ext}/*.parquet")))
+    return _lang_profile(t.read(spark))

@@ -2233,3 +2233,7 @@ FROM t
 # profile exactly like the original corpus (invisibility is asserted
 # inside the query itself)
 ORACLES["iceberg_wap_roundtrip"] = _LPO
+
+# add_files imports change discovery, not data — the half-written,
+# half-imported table profiles exactly like the original corpus
+ORACLES["iceberg_add_files_roundtrip"] = _LPO

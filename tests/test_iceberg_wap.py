@@ -101,3 +101,133 @@ def test_expire_keeps_staged_branch_files(spark, tmp_path):
     assert {r["id"] for r in t.read(spark, ref="audit").collect()} == {
         1, 2, 3
     }
+
+
+# -- cherry_pick (the divergent-branch publish path) -------------------------
+
+
+def test_cherry_pick_applies_staged_append_after_divergence(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.create_branch("feat")
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"),
+             branch="feat")
+    staged = t.metadata()["refs"]["feat"]["snapshot-id"]
+    t.append(spark.createDataFrame([(4, "d")], "id long, s string"))
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("main", "feat")
+    sid = t.cherry_pick(staged)
+    assert t.metadata()["current-snapshot-id"] == sid
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
+    # commits NOW: the new snapshot's op is append on the main lineage
+    assert t.snapshots()[-1]["summary"]["operation"] == "append"
+
+
+def test_cherry_pick_escapes_earlier_equality_deletes(spark, tmp_path):
+    # picked rows arrive at the CURRENT sequence number — an upsert
+    # committed on main between staging and picking must not erase them
+    # (same outcome as appending the rows directly after the upsert)
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id long, s string"), ["id"])
+    t.create_branch("feat")
+    t.append(spark.createDataFrame([(2, "NEW")], "id long, s string"),
+             branch="feat")
+    staged = t.metadata()["refs"]["feat"]["snapshot-id"]
+    t.upsert(spark.createDataFrame([(2, "B2")], "id long, s string"),
+             ["id"])
+    t.cherry_pick(staged)
+    rows = sorted((r["id"], r["s"]) for r in t.read(spark).collect())
+    assert rows == [(1, "a"), (2, "B2"), (2, "NEW")]
+
+
+def test_cherry_pick_refusals(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    main_head = t.metadata()["current-snapshot-id"]
+    with pytest.raises(ValueError, match="already on the main lineage"):
+        t.cherry_pick(main_head)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.cherry_pick(12345)
+    # an off-lineage snapshot that is not an append refuses by op name:
+    # overwrite main so the earlier delete snapshot falls off the lineage
+    t3 = IcebergFsTable(str(tmp_path / "t3"))
+    t3.append(spark.createDataFrame([(i, "x") for i in range(4)],
+                                    "id long, s string"))
+    t3.delete_where(spark, "id = 1")
+    del_snap = t3.snapshots()[-1]["snapshot-id"]
+    t3.overwrite(spark.createDataFrame([(9, "y")], "id long, s string"))
+    with pytest.raises(ValueError, match="append snapshots only"):
+        t3.cherry_pick(del_snap)
+
+
+# -- add_files (metadata-only parquet import) --------------------------------
+
+
+def test_add_files_imports_and_prunes(spark, tmp_path):
+    import glob
+
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame(
+        [(100 + i, f"x{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1).write.parquet(ext)
+    pfiles = sorted(glob.glob(f"{ext}/*.parquet"))
+    t = _t(spark, tmp_path)
+    n = t.add_files(pfiles)
+    assert n == len(pfiles)
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {1, 2} | {100 + i for i in range(10)}
+    # footer bounds landed in the manifest: range pruning skips the
+    # imported file for a low-id filter
+    assert len(t.data_files(range_filter={"id": (1, 2)})) < len(
+        t.data_files()
+    )
+    # directory-tailing stream refuses out-of-tree files
+    with pytest.raises(ValueError, match="outside"):
+        t.read_stream(spark)
+    # compact pulls rows in-tree; the imported file itself is untouched
+    t.compact(spark)
+    assert all(
+        __import__("os").path.exists(p) for p in pfiles
+    )
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {1, 2} | {100 + i for i in range(10)}
+
+
+def test_add_files_refusals(spark, tmp_path):
+    import glob
+
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame(
+        [(1, "a", 5)], "id long, s string, extra int"
+    ).write.parquet(ext)
+    pfiles = sorted(glob.glob(f"{ext}/*.parquet"))
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="missing from the table schema"):
+        t.add_files(pfiles)
+    ext2 = str(tmp_path / "ext2")
+    spark.createDataFrame([(1.5, "a")], "id double, s string").write.parquet(
+        ext2
+    )
+    with pytest.raises(ValueError, match="not a widening match"):
+        t.add_files(sorted(glob.glob(f"{ext2}/*.parquet")))
+    tp = IcebergFsTable(str(tmp_path / "tp"))
+    tp.append(
+        spark.createDataFrame([(1, "x", "a")], "id long, p string, s string"),
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.add_files(pfiles)
+    tm = IcebergFsTable(str(tmp_path / "missing"))
+    with pytest.raises(ValueError, match="existing table"):
+        tm.add_files(pfiles)
+
+
+def test_add_files_widening_import_reads_exact(spark, tmp_path):
+    import glob
+
+    # int32 file imported into a long column — Spark's widening read
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame([(7, "w")], "id int, s string").write.parquet(ext)
+    t = _t(spark, tmp_path)  # id is long
+    t.add_files(sorted(glob.glob(f"{ext}/*.parquet")))
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {1, 2, 7}
