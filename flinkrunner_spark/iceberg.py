@@ -291,9 +291,18 @@ def bound_bytes(ice_type: str, v) -> bytes | None:
 
 
 def bound_value(ice_type: str, b: bytes):
+    """Decode one Appendix-D bound. Bounds are stored in the WRITE-TIME
+    type, so after an int→long / float→double widening old manifests
+    still carry 4-byte values — decode by buffer width, the same
+    promotion rule the read path applies to the data pages."""
     import struct as _struct
 
-    return _struct.unpack(_BOUND_FMT[ice_type], b)[0]
+    fmt = _BOUND_FMT[ice_type]
+    if len(b) == 4 and fmt == "<q":
+        fmt = "<i"
+    elif len(b) == 4 and fmt == "<d":
+        fmt = "<f"
+    return _struct.unpack(fmt, b)[0]
 
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -1110,6 +1119,7 @@ class IcebergFsTable:
         carried_delete_entries: list[dict] | None = None,
         branch: str | None = None,
         raw_data_files: list[dict] | None = None,
+        extra_summary: dict | None = None,
     ) -> None:
         if not self.exists():
             if df is None:
@@ -1289,6 +1299,7 @@ class IcebergFsTable:
                 m["added_rows_count"] + m["existing_rows_count"]
                 for m in manifests if m["content"] == CONTENT_DATA
             )),
+            **{str(k): str(v) for k, v in (extra_summary or {}).items()},
         }
         snap = {
             "snapshot-id": snap_id,
@@ -1422,6 +1433,26 @@ class IcebergFsTable:
             )
         if not paths:
             raise ValueError("add_files needs at least one path")
+        # the jar's check_duplicate_files=true default: importing a file
+        # the table already references (or the same path twice in one
+        # call) would silently double its rows
+        abspaths = [os.path.abspath(p) for p in paths]
+        dup_in_call = sorted(
+            {p for p in abspaths if abspaths.count(p) > 1}
+        )
+        if dup_in_call:
+            raise ValueError(
+                f"add_files: path(s) repeated in this call: {dup_in_call}"
+            )
+        if md.get("current-snapshot-id", -1) not in (-1, None):
+            live, _, _ = self._live()
+            live_paths = {os.path.abspath(f["file_path"]) for f in live}
+            dup_live = sorted(set(abspaths) & live_paths)
+            if dup_live:
+                raise ValueError(
+                    "add_files: already referenced by the table (a "
+                    f"retried import?): {dup_live}"
+                )
         ice = current_schema(md)
         by_name = {f["name"]: f for f in ice["fields"]}
         widen_ok = {("int", "long"), ("float", "double")}
@@ -1729,23 +1760,36 @@ class IcebergFsTable:
                 raise ValueError(f"unknown snapshot id {snapshot_id}")
             return snapshot_id
         if as_of_ms is not None:
-            # spec: timestamp travel follows the snapshot-LOG (main's
-            # history) — staged WAP branch snapshots are in `snapshots`
-            # but were never the table state at any wall-clock instant
-            log_ids = {
-                e["snapshot-id"] for e in md.get("snapshot-log", [])
-            }
-            pool = [
-                s
-                for s in md["snapshots"]
-                if not log_ids or s["snapshot-id"] in log_ids
+            # spec: timestamp travel follows the snapshot-LOG — the
+            # record of when each snapshot BECAME current on main. The
+            # log ENTRY timestamp is the resolution key, not the
+            # snapshot's creation time: a WAP branch snapshot created at
+            # t1 but published (fast_forward) at t3 was not the table
+            # state during (t1, t3). Entries whose snapshot has since
+            # expired are skipped; tables predating the log (none of
+            # ours) fall back to snapshot creation times.
+            live_ids = {s["snapshot-id"] for s in md["snapshots"]}
+            log = [
+                e for e in md.get("snapshot-log", [])
+                if e["snapshot-id"] in live_ids
             ]
-            older = [s for s in pool if s["timestamp-ms"] <= as_of_ms]
-            if not older:
+            if log:
+                older = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+                if not older:
+                    raise ValueError(
+                        f"no snapshot at or before timestamp {as_of_ms}"
+                    )
+                return older[-1]["snapshot-id"]  # log is append-ordered
+            older_s = [
+                s for s in md["snapshots"] if s["timestamp-ms"] <= as_of_ms
+            ]
+            if not older_s:
                 raise ValueError(
                     f"no snapshot at or before timestamp {as_of_ms}"
                 )
-            return max(older, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+            return max(older_s, key=lambda s: s["timestamp-ms"])[
+                "snapshot-id"
+            ]
         cur = md.get("current-snapshot-id", -1)
         return None if cur in (-1, None) else cur
 
@@ -2369,9 +2413,11 @@ class IcebergFsTable:
     # current-snapshot-id, what the iceberg-spark runtime writes); tags
     # pin a snapshot for reads (`VERSION AS OF 'name'` in Spark SQL /
     # Trino `FOR VERSION AS OF`) and PROTECT it from expire_snapshots.
-    # Scope note: reads at any ref are supported; WRITES target main
-    # only — multi-branch write/merge (WAP) stays with the jar, and
-    # set_ref refuses to move `main` by hand for the same reason.
+    # Scope note: reads at any ref are supported; writes land on main
+    # or, for appends, on a named branch (`append(branch=...)` — the
+    # write-audit-publish flow closed by `fast_forward`/`cherry_pick`
+    # below). Row-level branch writes (upsert/delete) stay with the
+    # jar; set_ref refuses to move `main` by hand (commit-maintained).
 
     def refs(self) -> dict:
         return dict(self.metadata().get("refs") or {})
@@ -2457,7 +2503,8 @@ class IcebergFsTable:
             raise ValueError(f"unknown ref {to_ref!r}")
         by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
         node, is_ancestor = src, False
-        while node is not None:
+        while node is not None and node in by_id:
+            # an expired ancestor ends the walk: refuse cleanly below
             if node == cur:
                 is_ancestor = True
                 break
@@ -2513,6 +2560,20 @@ class IcebergFsTable:
                 f"snapshot {snapshot_id} is already on the main lineage "
                 "— nothing to cherry-pick"
             )
+        already = [
+            s["snapshot-id"]
+            for s in md.get("snapshots", [])
+            if s.get("summary", {}).get("source-snapshot-id")
+            == str(snapshot_id)
+        ]
+        if already:
+            # the jar stamps the source id for the same reason: a
+            # retried publish must not duplicate the rows
+            raise ValueError(
+                f"snapshot {snapshot_id} was already cherry-picked as "
+                f"{already[0]} — picking it again would duplicate its "
+                "rows"
+            )
         data, eq_dels, pos_dels = self._added_entries(md, snap)
         if eq_dels or pos_dels:
             raise ValueError(
@@ -2526,7 +2587,10 @@ class IcebergFsTable:
                     "unsupported — the staged files' tuple layout does "
                     "not match the default spec"
                 )
-        self._write_snapshot(None, "append", raw_data_files=data)
+        self._write_snapshot(
+            None, "append", raw_data_files=data,
+            extra_summary={"source-snapshot-id": snapshot_id},
+        )
         return self.metadata()["current-snapshot-id"]
 
     def drop_ref(self, name: str) -> None:
@@ -2731,7 +2795,9 @@ class IcebergFsTable:
             raise ValueError(f"unknown snapshot id {head}")
         chain: list[dict] = []
         node: int | None = head
-        while node is not None:
+        while node is not None and node in by_id:
+            # the walk ends at the oldest RETAINED ancestor — an expired
+            # parent id is history expire_snapshots legitimately dropped
             chain.append(by_id[node])
             node = by_id[node].get("parent-snapshot-id")
         chain.reverse()
@@ -2942,13 +3008,27 @@ class IcebergFsTable:
                 return self._read_merged(spark, entries, d, p, md, ice_cur)
             return self._assemble_data(spark, entries, md, ice_cur)
 
+        retained = {s["snapshot-id"] for s in md.get("snapshots", [])}
         frames: list[DataFrame] = []
         for order, snap in enumerate(snaps[lo:], start=1):
             sid = snap["snapshot-id"]
             op = snap.get("summary", {}).get("operation")
+            parent = snap.get("parent-snapshot-id")
+            if (
+                order == 1
+                and lo == 0
+                and parent is not None
+                and parent not in retained
+            ):
+                # truncated history: the scan's root sits after expired
+                # commits, so its ADDED delta alone under-reports — emit
+                # its FULL state as the bootstrap inserts (keeps the
+                # replay-equals-final-state invariant a CDC consumer
+                # materializing from scratch needs)
+                frames.append(_stamp(_state_at(sid), "insert", sid, order))
+                continue
             if op == "replace":
                 continue  # rewrites change layout, never logical content
-            parent = snap.get("parent-snapshot-id")
             data, eq_dels, pos_dels = self._added_entries(md, snap)
             if op == "overwrite" and not eq_dels and not pos_dels:
                 # truncate-and-write: full before/after diff by definition
@@ -2969,7 +3049,17 @@ class IcebergFsTable:
                         "or empty equality_ids in one commit — use the "
                         "iceberg-spark runtime jar"
                     )
-                key_fields = [by_id[i] for i in next(iter(eq_sets))]
+                eq_ids = next(iter(eq_sets))
+                missing = [i for i in eq_ids if i not in by_id]
+                if missing:
+                    raise ValueError(
+                        f"changelog: upsert commit {sid} keys on field "
+                        f"id(s) {missing} that were DROPPED from the "
+                        "current schema — its retractions cannot be "
+                        "represented; changelog from a later snapshot, "
+                        "or use the iceberg-spark runtime jar"
+                    )
+                key_fields = [by_id[i] for i in eq_ids]
                 keys = self._scan_resolved(
                     spark, [f["file_path"] for f in eq_dels], key_fields, md
                 ).dropDuplicates()
@@ -3079,6 +3169,18 @@ class IcebergFsTable:
                     f"(found a {s.get('summary', {}).get('operation')!r} "
                     "snapshot); use the iceberg-spark runtime jar"
                 )
+        on_main = {s["snapshot-id"] for s in self._lineage(md)}
+        if any(
+            s["snapshot-id"] not in on_main
+            for s in md.get("snapshots", [])
+        ):
+            raise ValueError(
+                "table has STAGED branch commits (WAP) — a directory "
+                "tail would stream their unpublished files to main "
+                "consumers; fast_forward/cherry_pick or drop the branch "
+                "and expire before streaming, or use the iceberg-spark "
+                "runtime jar"
+            )
         # check EVERY spec, not just the default: after partition
         # evolution, files written under an old identity spec are still
         # on disk missing their identity columns

@@ -8,6 +8,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from flinkrunner_spark.iceberg import IcebergFsTable
 
@@ -231,3 +232,115 @@ def test_add_files_widening_import_reads_exact(spark, tmp_path):
     t.add_files(sorted(glob.glob(f"{ext}/*.parquet")))
     got = {r["id"] for r in t.read(spark).collect()}
     assert got == {1, 2, 7}
+
+
+# -- review-hardening regressions ---------------------------------------------
+
+
+def test_lineage_scans_survive_expiry(spark, tmp_path):
+    # expire_snapshots leaves the head's parent-snapshot-id pointing at
+    # dropped history — lineage walks must stop there, not KeyError
+    t = _t(spark, tmp_path)
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.append(spark.createDataFrame([(4, "d")], "id long, s string"))
+    t.expire_snapshots(keep_last=1)
+    # the truncated-history root bootstraps its FULL state as inserts
+    # (replay == final state even though earlier commits expired)
+    cl = t.read_changelog(spark)
+    assert cl.count() == 4
+    assert {r["id"] for r in cl.collect()} == {1, 2, 3, 4}
+    # incremental keeps its delta contract: retained commits' adds only
+    head = t.metadata()["current-snapshot-id"]
+    assert t.read_incremental(spark, to_snapshot_id=head).count() == 1
+
+
+def test_fast_forward_refuses_cleanly_after_expiry(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"),
+             branch="audit")
+    t.append(spark.createDataFrame([(4, "d")], "id long, s string"),
+             branch="audit")
+    t.append(spark.createDataFrame([(5, "e")], "id long, s string"))
+    t.expire_snapshots(keep_last=1)  # drops the first staged commit
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("main", "audit")
+
+
+def test_read_stream_refuses_staged_branch_files(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"),
+             branch="audit")
+    with pytest.raises(ValueError, match="STAGED branch"):
+        t.read_stream(spark)
+    t.fast_forward("main", "audit")
+    t.read_stream(spark)  # published: streaming allowed again
+
+
+def test_as_of_resolves_at_publication_time_not_creation(spark, tmp_path):
+    import time as _time
+
+    t = _t(spark, tmp_path)
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"),
+             branch="audit")
+    _time.sleep(0.02)
+    mid = int(_time.time() * 1000)  # after staging, before publish
+    _time.sleep(0.02)
+    t.fast_forward("main", "audit")
+    # at `mid` main was still {1,2}: the staged snapshot's CREATION time
+    # precedes mid, but it only became current at publish time
+    got = {r["id"] for r in t.read(spark, as_of_ms=mid).collect()}
+    assert got == {1, 2}
+    now = int(_time.time() * 1000) + 1000
+    assert {r["id"] for r in t.read(spark, as_of_ms=now).collect()} == {
+        1, 2, 3
+    }
+
+
+def test_cherry_pick_twice_refuses(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.create_branch("feat")
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"),
+             branch="feat")
+    staged = t.metadata()["refs"]["feat"]["snapshot-id"]
+    t.append(spark.createDataFrame([(4, "d")], "id long, s string"))
+    t.cherry_pick(staged)
+    with pytest.raises(ValueError, match="already cherry-picked"):
+        t.cherry_pick(staged)
+    assert t.read(spark).count() == 4  # no duplicated rows
+
+
+def test_add_files_duplicate_paths_refuse(spark, tmp_path):
+    import glob
+
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame([(9, "z")], "id long, s string").coalesce(
+        1
+    ).write.parquet(ext)
+    pfiles = sorted(glob.glob(f"{ext}/*.parquet"))
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="repeated in this call"):
+        t.add_files(pfiles + pfiles)
+    t.add_files(pfiles)
+    with pytest.raises(ValueError, match="already referenced"):
+        t.add_files(pfiles)
+    assert t.read(spark).count() == 3
+
+
+def test_range_filter_after_widening(spark, tmp_path):
+    # pre-widening manifests carry 4-byte bounds; decoding must follow
+    # the buffer width, and pruning must still work on the long column
+    t = IcebergFsTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("v"), F.col("id").alias("id")
+    ).repartitionByRange(4, "v")
+    t.append(df)
+    t.update_column_type("v", "long")
+    pruned = t.data_files(range_filter={"v": (0, 10)})
+    assert len(pruned) < len(t.data_files())
+    got = t.read(spark, range_filter={"v": (0, 10)}).filter(
+        "v between 0 and 10"
+    )
+    assert got.count() == 11

@@ -358,7 +358,7 @@ def test_emb_outliers_single_ranking_exchange_over_assignment(spark):
         release_caches,
     )
 
-    release_caches(spark)
+    release_caches()  # all sf_dirs — a stale cached frame would skew the baseline
     base = (
         docs_cluster_assign(spark, SF)
         ._jdf.queryExecution()
