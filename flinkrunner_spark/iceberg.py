@@ -1498,6 +1498,77 @@ class IcebergFsTable:
         self._write_snapshot(None, "append", raw_data_files=files)
         return len(files)
 
+    def create_from_parquet(self, paths: list[str]) -> int:
+        """SNAPSHOT-migrate existing parquet into a NEW Iceberg table
+        (the jar's ``snapshot`` / ``migrate`` procedures, metadata-only):
+        the schema is inferred from the files' FOOTERS (names in
+        first-seen order; int/float widen to long/double when files
+        disagree; any other type conflict refuses), the table is created
+        unpartitioned, and the files import via :meth:`add_files` — no
+        data page is ever read or copied. At 100 TB this is the adoption
+        path: a parquet lake becomes an Iceberg table in one metadata
+        commit per N files. Returns the number of files imported."""
+        import pyarrow.parquet as pq
+
+        if self.exists():
+            raise ValueError(
+                f"table already exists at {self.location} — add_files() "
+                "imports into an existing table"
+            )
+        if not paths:
+            raise ValueError("create_from_parquet needs at least one path")
+        widen = {("int", "long"), ("float", "double")}
+        got: dict[str, object] = {}
+        order: list[str] = []
+        for p in paths:
+            for af in pq.read_schema(p):
+                t = _ice_type_from_arrow(af.type)
+                prev = got.get(af.name)
+                if prev is None:
+                    got[af.name] = t
+                    order.append(af.name)
+                elif prev == t:
+                    pass
+                elif (prev, t) in widen:
+                    got[af.name] = t  # widen the table column
+                elif (t, prev) in widen:
+                    pass  # this file is the narrower one — reads widen
+                else:
+                    raise ValueError(
+                        f"create_from_parquet: column {af.name!r} is "
+                        f"{prev} in one file and {t} in {p} — not a "
+                        "widening match"
+                    )
+        fields: list[dict] = []
+        next_id = 1
+        for n in order:
+            fields.append({"id": next_id, "name": n, "required": False})
+            next_id += 1
+        for n, f in zip(order, fields):
+            t = got[n]
+            if isinstance(t, dict):
+                el = t["element"]
+                if not isinstance(el, str):
+                    raise ValueError(
+                        f"column {n!r}: lists of primitives only"
+                    )
+                f["type"] = {
+                    "type": "list",
+                    "element-id": next_id,
+                    "element": el,
+                    "element-required": False,
+                }
+                next_id += 1
+            else:
+                f["type"] = t
+        md = self._base_metadata(
+            {"type": "struct", "schema-id": 0, "fields": fields},
+            next_id - 1,
+        )
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._commit(md, 1)
+        return self.add_files(paths)
+
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._write_snapshot(df, "overwrite", partition_by=partition_by)
 
@@ -3747,12 +3818,23 @@ class IcebergFsTable:
             os.remove(p)
         return sorted(doomed)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
-        """Drop all but the newest ``keep_last`` snapshots from table
-        metadata and DELETE data/manifest files referenced only by the
-        expired snapshots (the expire_snapshots maintenance action —
-        unreferenced-file GC is what keeps a 100 TB table's storage
-        bounded). Returns the deleted file paths."""
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+    ) -> list[str]:
+        """Drop expirable snapshots from table metadata and DELETE
+        data/manifest files referenced only by them (the expire_snapshots
+        maintenance action — unreferenced-file GC is what keeps a 100 TB
+        table's storage bounded). ``keep_last`` newest snapshots always
+        survive; ``older_than_ms`` (the jar's ``older_than`` retention
+        option) additionally protects every snapshot at or after the
+        cutoff, so a nightly ``expire_snapshots(keep_last=1,
+        older_than_ms=now-7d)`` keeps a week of time travel. Aged REFS
+        expire first (spec retention: a tag/branch with ``max-ref-age-ms``
+        drops once its snapshot is older than the age; ``main`` never
+        ages), then ref'd snapshots stay protected as usual. Returns the
+        deleted file paths."""
         if self.read_only:
             # guard BEFORE any file deletion (the _commit guard alone
             # would fire only after files were already removed)
@@ -3763,18 +3845,41 @@ class IcebergFsTable:
         snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        now = int(time.time() * 1000)
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        refs = dict(md.get("refs") or {})
+        aged = [
+            n
+            for n, r in refs.items()
+            if n != "main"
+            and r.get("max-ref-age-ms") is not None
+            and by_id.get(r["snapshot-id"], {}).get("timestamp-ms", now)
+            + r["max-ref-age-ms"]
+            < now
+        ]
+        for n in aged:
+            del refs[n]
+        if aged:
+            md["refs"] = refs
         # ref'd snapshots are PROTECTED (the spec's retention rule:
         # expiration never removes a snapshot any ref points at — a tag
-        # pins its snapshot until the tag is dropped)
-        ref_ids = {
-            r["snapshot-id"] for r in (md.get("refs") or {}).values()
-        }
+        # pins its snapshot until the tag is dropped or ages out)
+        ref_ids = {r["snapshot-id"] for r in refs.values()}
         keep = [
             s for s in snaps
-            if s in snaps[-keep_last:] or s["snapshot-id"] in ref_ids
+            if s in snaps[-keep_last:]
+            or s["snapshot-id"] in ref_ids
+            or (
+                older_than_ms is not None
+                and s["timestamp-ms"] >= older_than_ms
+            )
         ]
         expired = [s for s in snaps if s not in keep]
         if not expired:
+            if aged:
+                # ref aging is itself a metadata change even when every
+                # snapshot survives (the aged tag no longer pins)
+                self._commit(md, self._version() + 1)
             return []
 
         def files_of(snap_list):

@@ -344,3 +344,89 @@ def test_range_filter_after_widening(spark, tmp_path):
         "v between 0 and 10"
     )
     assert got.count() == 11
+
+
+# -- snapshot-migration + retention options -----------------------------------
+
+
+def test_create_from_parquet_snapshot_migration(spark, tmp_path):
+    import glob
+
+    ext = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(i, float(i) / 2, f"s{i}") for i in range(50)],
+        "id long, x double, s string",
+    ).repartitionByRange(3, "id").write.parquet(ext)
+    pfiles = sorted(glob.glob(f"{ext}/*.parquet"))
+    t = IcebergFsTable(str(tmp_path / "t"))
+    n = t.create_from_parquet(pfiles)
+    assert n == len(pfiles)
+    got = t.read(spark)
+    assert got.count() == 50
+    assert set(got.columns) == {"id", "x", "s"}
+    # bounds from footers: pruning works immediately on the imported lake
+    assert len(t.data_files(range_filter={"id": (0, 5)})) < len(
+        t.data_files()
+    )
+    # the table continues as a normal iceberg table
+    t.append(spark.createDataFrame([(99, 9.9, "z")],
+                                   "id long, x double, s string"))
+    assert t.read(spark).count() == 51
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_from_parquet(pfiles)
+
+
+def test_create_from_parquet_widens_across_files(spark, tmp_path):
+    import glob
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame([(1,)], "v int").write.parquet(a)
+    spark.createDataFrame([(2**40,)], "v long").write.parquet(b)
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.create_from_parquet(
+        sorted(glob.glob(f"{a}/*.parquet")) + sorted(glob.glob(f"{b}/*.parquet"))
+    )
+    got = t.read(spark)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {r["v"] for r in got.collect()} == {1, 2**40}
+    # an un-widenable conflict refuses
+    c = str(tmp_path / "c")
+    spark.createDataFrame([("x",)], "v string").write.parquet(c)
+    t2 = IcebergFsTable(str(tmp_path / "t2"))
+    with pytest.raises(ValueError, match="not a widening match"):
+        t2.create_from_parquet(
+            sorted(glob.glob(f"{a}/*.parquet"))
+            + sorted(glob.glob(f"{c}/*.parquet"))
+        )
+
+
+def test_expire_older_than_keeps_recent_history(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.append(spark.createDataFrame([(4, "d")], "id long, s string"))
+    # cutoff in the past: every snapshot is at/after it -> nothing expires
+    doomed = t.expire_snapshots(
+        keep_last=1, older_than_ms=int(time.time() * 1000) - 3_600_000
+    )
+    assert doomed == []
+    assert len(t.snapshots()) == 3
+    # cutoff in the future: only keep_last survives
+    t.expire_snapshots(
+        keep_last=1, older_than_ms=int(time.time() * 1000) + 3_600_000
+    )
+    assert len(t.snapshots()) == 1
+
+
+def test_expire_drops_aged_refs(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    s1 = t.snapshots()[0]["snapshot-id"]
+    t.tag("old", snapshot_id=s1, max_ref_age_ms=1)
+    t.tag("pinned", snapshot_id=s1)  # no age -> immortal
+    time.sleep(0.01)
+    t.expire_snapshots(keep_last=1)
+    refs = t.refs()
+    assert "old" not in refs and "pinned" in refs
+    # the pinned tag still protects the old snapshot
+    assert any(s["snapshot-id"] == s1 for s in t.snapshots())
