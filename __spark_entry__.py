@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ccnet_buckets": llm_pruning.docs_ccnet_buckets,
         "iceberg_wap_roundtrip": connectors.iceberg_wap_roundtrip,
         "iceberg_add_files_roundtrip": connectors.iceberg_add_files_roundtrip,
+        "kafka_idempotent_roundtrip": connectors.kafka_idempotent_roundtrip,
         # Then keys with zero changed lines since last green
         # (serde/, sketches.py, events.py, sampling.py, analytics.py,
         # pipelines.py and the rest of the llm/ modules are untouched

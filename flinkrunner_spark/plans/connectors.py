@@ -1597,3 +1597,50 @@ def iceberg_add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(docs.filter(F.col("doc_id") % 2 == 1))
     t.add_files(sorted(glob.glob(f"{ext}/*.parquet")))
     return _lang_profile(t.read(spark))
+
+
+def kafka_idempotent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVELY-ONCE produce under induced retries (KIP-98 idempotent
+    producer on the native jar-free transport): documents produce with
+    ``kafka.enable.idempotence=true`` while the loopback broker drops
+    the response of each partition's first produce AFTER appending it —
+    the lost-ack shape that makes a plain retry loop write every batch
+    twice. The idempotent producer's broker-assigned id + per-partition
+    base sequences make the broker ack the retry with the ORIGINAL
+    offset instead of re-appending, so the read-back profile must equal
+    the original corpus exactly — duplicates would double n_docs and
+    sum_chars. Reference parity: the Java producer's
+    enable.idempotence=true pass-through config
+    (KafkaSinkConfig.scala:57 forwards the config block verbatim)."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        broker.fail_produce_after_append = 4  # one lost ack per partition
+        KafkaSinkConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_idem", "key.column": "doc_id",
+             "options": {"kafka.enable.idempotence": "true"}},
+        ).write(docs)
+        back = KafkaSourceConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_idem"},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

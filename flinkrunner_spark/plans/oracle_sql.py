@@ -2237,3 +2237,7 @@ ORACLES["iceberg_wap_roundtrip"] = _LPO
 # add_files imports change discovery, not data — the half-written,
 # half-imported table profiles exactly like the original corpus
 ORACLES["iceberg_add_files_roundtrip"] = _LPO
+
+# idempotent produce under induced retries: any duplicate would double
+# counts — the exact full-corpus profile IS the effectively-once proof
+ORACLES["kafka_idempotent_roundtrip"] = _LPO

@@ -374,6 +374,14 @@ class KafkaSinkConfig(SinkConfig):
                 "Spark kafka sink)"
             )
         sec = security_from_options(opts)
+        # KIP-98 idempotent produce (the Java producer's
+        # enable.idempotence, passed through kafka.-prefixed like every
+        # other producer option): each task takes a broker-assigned
+        # producer id and stamps per-partition sequences, so a retried
+        # batch after a lost response deduplicates server-side
+        idempotent = str(
+            opts.get("kafka.enable.idempotence", "false")
+        ).lower() == "true"
         with KafkaClient(host, port, security=sec) as c:
             n_parts = len(c.metadata([topic])[0].partitions)
 
@@ -425,9 +433,17 @@ class KafkaSinkConfig(SinkConfig):
             ctx = TaskContext.get()
             seed = ctx.partitionId() if ctx is not None else 0
             with _C(host, port, security=sec) as client:
+                prod = None
+                if idempotent:
+                    from flinkrunner_spark.util.kafka import (
+                        IdempotentProducer as _IP,
+                    )
+
+                    prod = _IP.init(client)
                 _produce(
                     client, topic, recs, n_parts,
                     batch_size=batch_size, sticky_seed=seed, codec=codec,
+                    producer=prod,
                 )
 
         prepared.foreachPartition(send_partition)

@@ -569,9 +569,16 @@ class KafkaNativeWriter(DataSourceWriter):
             n_parts = len(c.metadata([topic])[0].partitions)
             ctx = TaskContext.get()
             seed = ctx.partitionId() if ctx is not None else 0
+            prod = None
+            if str(
+                self.opts.get("kafka.enable.idempotence", "false")
+            ).lower() == "true":
+                from flinkrunner_spark.util.kafka import IdempotentProducer
+
+                prod = IdempotentProducer.init(c)
             sent = produce_records(
                 c, topic, recs, n_parts,
-                batch_size=batch_size, sticky_seed=seed,
+                batch_size=batch_size, sticky_seed=seed, producer=prod,
             )
         return KafkaWriteResult(sent)
 

@@ -773,6 +773,18 @@ class LoopbackKafkaBroker:
         self.lso_lag = int(lso_lag)
         # topic -> partition -> list[(base_offset, batch_bytes)]
         self.logs: dict[str, dict[int, list[tuple[int, bytes]]]] = {}
+        # KIP-98 idempotence state: next producer id to assign, and per
+        # (producer_id, epoch, topic, partition) the expected next base
+        # sequence plus a bounded cache of recent batches (base_seq ->
+        # base_offset) — the real broker keeps the last 5 batch
+        # metadata entries per producer for exactly this dedup
+        self._next_producer_id = 1000
+        self._pid_state: dict[tuple, dict] = {}
+        # fail-injection: respond with a RETRIABLE error (6) to this
+        # many produce requests AFTER appending their batch — the
+        # lost-response shape that makes a plain retry loop duplicate
+        # and an idempotent producer deduplicate
+        self.fail_produce_after_append = 0
         self.lock = threading.Lock()
         srv = self
 
@@ -886,6 +898,7 @@ class LoopbackKafkaBroker:
                 K.API_PRODUCE: self._produce,
                 K.API_LIST_OFFSETS: self._list_offsets,
                 K.API_FETCH: self._fetch,
+                K.API_INIT_PRODUCER_ID: self._init_producer_id,
                 K.API_SASL_HANDSHAKE: lambda v, b: self._sasl_handshake(
                     v, b, sasl_state
                 ),
@@ -907,6 +920,7 @@ class LoopbackKafkaBroker:
             (K.API_LIST_OFFSETS, 1, 1),
             (K.API_METADATA, 1, 1),
             (K.API_API_VERSIONS, 0, 0),
+            (K.API_INIT_PRODUCER_ID, 0, 0),
         ]
         if self.sasl_plain is not None:
             keys += [
@@ -1111,10 +1125,47 @@ class LoopbackKafkaBroker:
                     if pid not in parts:
                         presps.append((pid, 3, -1))  # UNKNOWN_TOPIC_OR_PARTITION
                         continue
+                    # KIP-98 idempotence: v2 batch header carries
+                    # producerId(43:51) epoch(51:53) baseSequence(53:57)
+                    # count(57:61) — enforce the sequence contract for
+                    # idempotent producers, pass -1 batches through
+                    prod_id, prod_epoch, base_seq = struct.unpack_from(
+                        ">qhi", record_set, 43
+                    )
+                    (count,) = struct.unpack_from(">i", record_set, 57)
+                    st = None
+                    if prod_id >= 0:
+                        key = (prod_id, prod_epoch, topic, pid)
+                        st = self._pid_state.setdefault(
+                            key, {"next": 0, "recent": {}}
+                        )
+                        if base_seq != st["next"]:
+                            if base_seq in st["recent"]:
+                                # duplicate of a recently appended batch
+                                # (a retry after a lost response): ack
+                                # with the ORIGINAL offset, append nothing
+                                presps.append(
+                                    (pid, 0, st["recent"][base_seq])
+                                )
+                            else:
+                                # gap or ancient duplicate
+                                presps.append((pid, 45, -1))  # OUT_OF_ORDER
+                            continue
                     base = self._next_offset(parts[pid])
                     parts[pid].append(
                         (base, K.rebase_batch(record_set, base))
                     )
+                    if st is not None:
+                        st["next"] = base_seq + count
+                        st["recent"][base_seq] = base
+                        while len(st["recent"]) > 5:  # the broker's cap
+                            st["recent"].pop(min(st["recent"]))
+                    if self.fail_produce_after_append > 0:
+                        # the batch IS in the log, but the producer sees
+                        # a retriable failure — the duplicate generator
+                        self.fail_produce_after_append -= 1
+                        presps.append((pid, 6, -1))  # NOT_LEADER
+                        continue
                     presps.append((pid, 0, base))
                 resp_topics.append((topic, presps))
         out = struct.pack(">i", len(resp_topics))
@@ -1123,6 +1174,18 @@ class LoopbackKafkaBroker:
             for pid, err, base in presps:
                 out += struct.pack(">ihqq", pid, err, base, -1)
         return out + struct.pack(">i", 0)  # throttle
+
+    def _init_producer_id(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        txn_id, _pos = K.dec_string(body, 0)
+        if txn_id is not None:
+            # transactions are out of scope on both sides — refuse the
+            # way the sink's transactional.id gate documents
+            return struct.pack(">ihqh", 0, 42, -1, -1)  # INVALID_REQUEST
+        with self.lock:
+            pid = self._next_producer_id
+            self._next_producer_id += 1
+        return struct.pack(">ihqh", 0, 0, pid, 0)
 
     def _list_offsets(self, version: int, body: bytes) -> bytes:
         K = self.K

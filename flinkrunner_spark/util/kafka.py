@@ -217,11 +217,18 @@ def codec_id(name: str) -> int:
 
 
 def encode_record_batch(
-    records: list[KafkaRecord], base_offset: int = 0, codec: int = CODEC_NONE
+    records: list[KafkaRecord],
+    base_offset: int = 0,
+    codec: int = CODEC_NONE,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
     """records -> one v2 batch (CREATE_TIME timestamps; records block
     gzip-deflated when codec=CODEC_GZIP — the attribute bits brokers
-    and every client read)."""
+    and every client read). ``producer_id``/``producer_epoch``/
+    ``base_sequence`` stamp the KIP-98 idempotence header (-1 = a plain
+    non-idempotent batch, the pre-KIP wire shape)."""
     if not records:
         raise ValueError("empty record batch")
     base_ts = records[0].timestamp_ms
@@ -242,9 +249,9 @@ def encode_record_batch(
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
-        + struct.pack(">q", -1)  # producerId
-        + struct.pack(">h", -1)  # producerEpoch
-        + struct.pack(">i", -1)  # baseSequence
+        + struct.pack(">q", producer_id)
+        + struct.pack(">h", producer_epoch)
+        + struct.pack(">i", base_sequence)
         + struct.pack(">i", len(records))
         + recs
     )
@@ -356,6 +363,7 @@ API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_SASL_HANDSHAKE = 17
 API_API_VERSIONS = 18
+API_INIT_PRODUCER_ID = 22
 API_SASL_AUTHENTICATE = 36
 
 # Fetch isolation levels (KIP-98): read_committed bounds consumption at
@@ -374,6 +382,8 @@ _ERRORS = {
     5: "LEADER_NOT_AVAILABLE",
     6: "NOT_LEADER_OR_FOLLOWER",
     42: "INVALID_REQUEST",
+    45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
+    46: "DUPLICATE_SEQUENCE_NUMBER",
 }
 
 # codes real brokers return transiently (topic auto-creation, leader
@@ -722,6 +732,22 @@ class KafkaClient:
             raise KafkaProtocolError(err, f"Produce {topic}/{pid}")
         return base_offset
 
+    # -- InitProducerId v0 (KIP-98 idempotent producer) -------------------
+
+    def init_producer_id(
+        self, timeout_ms: int = 60_000
+    ) -> tuple[int, int]:
+        """-> (producer_id, producer_epoch) — the broker-assigned
+        identity every idempotent batch stamps so retries deduplicate
+        server-side. Transactional ids stay refused at the sink (this
+        is the idempotence half of KIP-98, not transactions)."""
+        body = enc_string(None) + struct.pack(">i", timeout_ms)
+        buf = self._roundtrip(API_INIT_PRODUCER_ID, 0, body)
+        _throttle, err, pid, epoch = struct.unpack_from(">ihqh", buf, 0)
+        if err:
+            raise KafkaProtocolError(err, "InitProducerId")
+        return pid, epoch
+
     # -- ListOffsets v1 ---------------------------------------------------
 
     def list_offset(self, topic: str, partition: int, timestamp: int) -> int:
@@ -825,6 +851,27 @@ def assign_partitions(
     ]
 
 
+@dataclass
+class IdempotentProducer:
+    """KIP-98 idempotent-producer state: the broker-assigned identity
+    plus the per-(topic, partition) NEXT base sequence. One instance
+    per producing task/connection — exactly the Java client's producer
+    instance scope."""
+
+    producer_id: int
+    epoch: int
+    seqs: dict = None  # (topic, partition) -> next base sequence
+
+    def __post_init__(self):
+        if self.seqs is None:
+            self.seqs = {}
+
+    @classmethod
+    def init(cls, client: "KafkaClient") -> "IdempotentProducer":
+        pid, epoch = client.init_producer_id()
+        return cls(pid, epoch)
+
+
 def produce_records(
     client: KafkaClient,
     topic: str,
@@ -833,9 +880,21 @@ def produce_records(
     batch_size: int = 500,
     sticky_seed: int = 0,
     codec: int = CODEC_NONE,
+    producer: IdempotentProducer | None = None,
+    retries: int = 3,
+    backoff_s: float = 0.05,
 ) -> int:
     """Partition, batch and produce; returns the record count. Order is
-    preserved within each partition (Kafka's only ordering contract)."""
+    preserved within each partition (Kafka's only ordering contract).
+
+    With ``producer`` set (``enable.idempotence``), every batch stamps
+    the producer id/epoch and a monotonically increasing base sequence,
+    and RETRIABLE produce errors retry the SAME batch bytes — the
+    broker deduplicates on the sequence, so a retry after a lost
+    response appends nothing twice (effectively-once produce, the
+    guarantee a plain retry loop cannot give)."""
+    import time as _time
+
     by_part: dict[int, list[KafkaRecord]] = {}
     for pid, rec in assign_partitions(records, num_partitions, sticky_seed):
         by_part.setdefault(pid, []).append(rec)
@@ -843,8 +902,29 @@ def produce_records(
     for pid, recs in sorted(by_part.items()):
         for i in range(0, len(recs), batch_size):
             chunk = recs[i : i + batch_size]
-            client.produce(
-                topic, pid, encode_record_batch(chunk, codec=codec)
-            )
+            if producer is None:
+                client.produce(
+                    topic, pid, encode_record_batch(chunk, codec=codec)
+                )
+            else:
+                seq = producer.seqs.get((topic, pid), 0)
+                batch = encode_record_batch(
+                    chunk,
+                    codec=codec,
+                    producer_id=producer.producer_id,
+                    producer_epoch=producer.epoch,
+                    base_sequence=seq,
+                )
+                attempt = 0
+                while True:
+                    try:
+                        client.produce(topic, pid, batch)
+                        break
+                    except KafkaProtocolError as e:
+                        if not e.retriable or attempt >= retries:
+                            raise
+                        attempt += 1
+                        _time.sleep(backoff_s * attempt)
+                producer.seqs[(topic, pid)] = seq + len(chunk)
             sent += len(chunk)
     return sent
