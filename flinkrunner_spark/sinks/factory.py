@@ -1350,6 +1350,14 @@ class RabbitMQSinkConfig(SinkConfig):
             with AmqpClient(uri) as c:
                 c.queue_declare(queue)
 
+        # PUBLISHER CONFIRMS ('confirms: true' — the rabbitmq extension
+        # a reliable publisher enables): the channel goes into confirm
+        # mode and every partition BLOCKS until the broker has acked
+        # all of its publishes; a broker-side loss surfaces as an error
+        # (and the task retries) instead of silently vanishing — the
+        # fire-and-forget default cannot observe that loss at all
+        confirms = bool(self.conf.get("confirms", False))
+
         def publish_partition(rows):
             from flinkrunner_spark.util.amqp import AmqpClient
 
@@ -1358,11 +1366,15 @@ class RabbitMQSinkConfig(SinkConfig):
                 for row in rows:
                     if client is None:
                         client = AmqpClient(uri).connect()
+                        if confirms:
+                            client.confirm_select()
                     client.publish(
                         row["routing_key"],
                         row["body"].encode("utf-8"),
                         correlation_id=row["correlation_id"],
                     )
+                if client is not None and confirms:
+                    client.wait_confirms()
             finally:
                 if client is not None:
                     client.close()

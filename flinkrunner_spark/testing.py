@@ -46,6 +46,10 @@ class LoopbackAmqpBroker:
         import socketserver
 
         self.queues: dict[str, list] = {}
+        # publisher-confirm fail injection: NACK (and drop) this many
+        # publishes on confirm-mode channels — the broker-side loss a
+        # fire-and-forget publisher can never observe
+        self.nack_publishes = 0
         self.lock = threading.Lock()
         broker = self
 
@@ -82,6 +86,9 @@ class LoopbackAmqpBroker:
         consuming = [None]  # (queue, consumer_tag) while active
         next_tag = [1]
         unacked: dict[int, tuple] = {}  # tag -> (queue, props, body)
+        # publisher-confirm state (confirm.select): 1-based publish seq
+        confirm_mode = [False]
+        publish_seq = [0]
 
         def read_frame():
             nonlocal buf
@@ -211,6 +218,13 @@ class LoopbackAmqpBroker:
                         A.shortstr(q) + struct.pack(">II", depth, 0),
                     )
                 )
+            elif key == (A.CONFIRM, A.CONFIRM_SELECT):
+                confirm_mode[0] = True
+                sock.sendall(
+                    A.method_frame(
+                        fr.channel, A.CONFIRM, A.CONFIRM_SELECT_OK, b""
+                    )
+                )
             elif key == (A.BASIC, A.BASIC_PUBLISH):
                 n = fr.args[2]
                 off = 3 + n  # skip exchange
@@ -222,8 +236,27 @@ class LoopbackAmqpBroker:
                 while len(body) < size:
                     bf = read_frame()
                     body += bf.payload
+                dropped = False
                 with self.lock:
-                    self.queues.setdefault(rk, []).append((props, body))
+                    if confirm_mode[0] and self.nack_publishes > 0:
+                        # injected broker-side loss: the message is NOT
+                        # stored, and confirm mode REPORTS it
+                        self.nack_publishes -= 1
+                        dropped = True
+                    else:
+                        self.queues.setdefault(rk, []).append(
+                            (props, body)
+                        )
+                if confirm_mode[0]:
+                    publish_seq[0] += 1
+                    sock.sendall(
+                        A.method_frame(
+                            fr.channel,
+                            A.BASIC,
+                            A.BASIC_NACK if dropped else A.BASIC_ACK,
+                            struct.pack(">QB", publish_seq[0], 0),
+                        )
+                    )
             elif key == (A.BASIC, A.BASIC_GET):
                 n = fr.args[2]
                 q = fr.args[3 : 3 + n].decode()

@@ -63,6 +63,10 @@ BASIC_GET = 70
 BASIC_GET_OK = 71
 BASIC_GET_EMPTY = 72
 BASIC_ACK = 80
+BASIC_NACK = 120  # rabbitmq extension (publisher confirms negative ack)
+CONFIRM = 85  # rabbitmq confirm class (publisher confirms extension)
+CONFIRM_SELECT = 10
+CONFIRM_SELECT_OK = 11
 
 # basic-properties flag bits (content header, high bit first)
 PROP_CONTENT_TYPE = 1 << 15
@@ -515,6 +519,20 @@ class AmqpClient:
         message_count = struct.unpack_from(">I", ok.args, off)[0]
         return message_count
 
+    def confirm_select(self):
+        """Enable PUBLISHER CONFIRMS on the channel (the rabbitmq
+        extension every reliable publisher turns on): after select-ok
+        the broker basic.ack's each published message by its 1-based
+        publish sequence number (basic.nack = the message was LOST —
+        fire-and-forget publishing can never observe that)."""
+        self._send(
+            method_frame(1, CONFIRM, CONFIRM_SELECT, b"\x00")  # nowait=0
+        )
+        self._expect(CONFIRM, CONFIRM_SELECT_OK)
+        self._confirm_mode = True
+        self._publish_seq = 0
+        self._unconfirmed: set[int] = set()
+
     def publish(
         self,
         queue: str,
@@ -531,6 +549,52 @@ class AmqpClient:
             message_id=message_id,
         ):
             self._send(fr)
+        if getattr(self, "_confirm_mode", False):
+            self._publish_seq += 1
+            self._unconfirmed.add(self._publish_seq)
+
+    def wait_confirms(self, timeout_s: float = 30.0) -> int:
+        """Block until the broker has confirmed EVERY outstanding
+        publish on this channel; returns the confirmed count. A
+        basic.nack raises — the broker could not enqueue the message,
+        and the publisher must know (at-least-once needs the signal,
+        not hope). Ack ``multiple`` semantics per the spec: a tag
+        confirms itself and, with the bit set, everything below it."""
+        import time as _time
+
+        if not getattr(self, "_confirm_mode", False):
+            raise AmqpError("confirm_select() was never called")
+        deadline = _time.monotonic() + timeout_s
+        n = len(self._unconfirmed)
+        while self._unconfirmed:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise AmqpError(
+                    f"publisher confirms timed out with "
+                    f"{len(self._unconfirmed)} outstanding"
+                )
+            assert self._sock is not None
+            self._sock.settimeout(remaining)
+            try:
+                fr = self._read_frame()
+            finally:
+                self._sock.settimeout(None)
+            if fr.type != FRAME_METHOD or fr.class_id != BASIC:
+                continue
+            tag, flags = struct.unpack_from(">QB", fr.args, 0)
+            if fr.method_id == BASIC_ACK:
+                if flags & 1:  # multiple
+                    self._unconfirmed = {
+                        t for t in self._unconfirmed if t > tag
+                    }
+                else:
+                    self._unconfirmed.discard(tag)
+            elif fr.method_id == BASIC_NACK:
+                raise AmqpError(
+                    f"broker NACKed publish seq {tag} "
+                    f"(multiple={bool(flags & 1)}) — message not enqueued"
+                )
+        return n
 
     def get(self, queue: str, no_ack: bool = False) -> GetOk | None:
         """basic.get — one synchronous poll; None when the queue is

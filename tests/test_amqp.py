@@ -401,3 +401,81 @@ def test_field_table_property_roundtrip_random():
         assert end == len(blob)  # exact consumption, trailing untouched
         assert got == d
     run()
+
+
+# -- publisher confirms (rabbitmq extension) ---------------------------------
+
+
+def test_confirm_select_and_acks():
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+    from flinkrunner_spark.util.amqp import AmqpClient
+
+    with LoopbackAmqpBroker() as b:
+        with AmqpClient(b.uri).connect() as c:
+            c.queue_declare("q")
+            c.confirm_select()
+            for i in range(10):
+                c.publish("q", f"m{i}".encode())
+            assert c.wait_confirms(timeout_s=10) == 10
+            # all ten really enqueued
+            got = [c.get("q", no_ack=True) for _ in range(10)]
+            assert all(g is not None for g in got)
+            assert c.get("q", no_ack=True) is None
+
+
+def test_nack_surfaces_broker_side_loss():
+    import pytest
+
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+    from flinkrunner_spark.util.amqp import AmqpClient, AmqpError
+
+    with LoopbackAmqpBroker() as b:
+        b.nack_publishes = 1
+        with AmqpClient(b.uri).connect() as c:
+            c.queue_declare("q")
+            c.confirm_select()
+            c.publish("q", b"doomed")
+            c.publish("q", b"fine")
+            with pytest.raises(AmqpError, match="NACK"):
+                c.wait_confirms(timeout_s=10)
+        # fire-and-forget would never have noticed: the queue holds
+        # only the survivor
+        with AmqpClient(b.uri).connect() as c2:
+            c2.queue_declare("q")
+            assert c2.get("q", no_ack=True) is not None
+            assert c2.get("q", no_ack=True) is None
+
+
+def test_wait_confirms_requires_confirm_mode():
+    import pytest
+
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+    from flinkrunner_spark.util.amqp import AmqpClient, AmqpError
+
+    with LoopbackAmqpBroker() as b:
+        with AmqpClient(b.uri).connect() as c:
+            with pytest.raises(AmqpError, match="confirm_select"):
+                c.wait_confirms()
+
+
+def test_sink_confirms_e2e(spark):
+    from flinkrunner_spark.sinks.factory import RabbitMQSinkConfig
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+    from flinkrunner_spark.util.amqp import AmqpClient
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang").limit(50)
+    n = docs.count()
+    with LoopbackAmqpBroker() as b:
+        RabbitMQSinkConfig(
+            "rt",
+            {"connector": "rabbitmq", "uri": b.uri, "queue": "docs_conf",
+             "confirms": True},
+        ).write(docs)
+        with AmqpClient(b.uri).connect() as c:
+            c.queue_declare("docs_conf")
+            got = 0
+            while c.get("docs_conf", no_ack=True) is not None:
+                got += 1
+    assert got == n
