@@ -365,3 +365,34 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def docs_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION + audit report for near-dup clustering (the number a
+    curation run actually publishes): keep the smallest doc_id of every
+    verified dup cluster, and report per language how many documents
+    and characters survive vs drop. Completes the detect→act symmetry
+    the span family has (`docs_dup_spans` → `docs_remove_dup_spans`)
+    for the document-level MinHash/Jaccard path.
+
+    100 TB shape: the cluster frame is two ints per doc (the cached
+    `docs_dup_clusters` output — its CC cost is shared, not re-paid),
+    the keep decision is a pure projection (`doc_id == cluster_id`),
+    and the report is ONE map-side-combined aggregate over
+    (lang, 2 ints) — no text ever moves. EXACTLY oracled (the recursive
+    cluster closure replayed in SQL + the same conditional sums)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    cl = docs_dup_clusters(spark, sf_dir)
+    keep = (F.col("cluster_id") == F.col("doc_id")).cast("int")
+    return (
+        docs.join(cl, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_kept"),
+            F.sum(1 - keep).alias("n_removed"),
+            F.sum(F.col("n_chars") * keep).cast("long").alias("chars_kept"),
+        )
+    )

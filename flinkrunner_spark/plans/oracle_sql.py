@@ -2241,3 +2241,18 @@ ORACLES["iceberg_add_files_roundtrip"] = _LPO
 # idempotent produce under induced retries: any duplicate would double
 # counts — the exact full-corpus profile IS the effectively-once proof
 ORACLES["kafka_idempotent_roundtrip"] = _LPO
+
+# the minhash-dedup ACTION report: keep-lowest per verified cluster,
+# per-language survivor/removal volumes (same recursive closure)
+ORACLES["docs_dedup_report"] = f"""
+WITH clusters AS ({ORACLES["docs_dup_clusters"]})
+SELECT d.lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 0 ELSE 1 END)
+    AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN d.n_chars ELSE 0 END)
+    AS BIGINT) AS chars_kept
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+"""
