@@ -1399,7 +1399,9 @@ class IcebergFsTable:
             branch=branch,
         )
 
-    def add_files(self, paths: list[str]) -> int:
+    def add_files(
+        self, paths: list[str], _opened: dict | None = None
+    ) -> int:
         """IMPORT existing parquet files into the table METADATA-ONLY
         (the jar's ``add_files`` procedure — the migration path: at
         100 TB re-writing data to adopt Iceberg is exactly the cost this
@@ -1457,9 +1459,11 @@ class IcebergFsTable:
         by_name = {f["name"]: f for f in ice["fields"]}
         widen_ok = {("int", "long"), ("float", "double")}
         files = []
-        for p in paths:
-            p = os.path.abspath(p)
-            pf = pq.ParquetFile(p)
+        for orig in paths:
+            p = os.path.abspath(orig)
+            # create_from_parquet hands over its already-open footers so
+            # the migration path parses each footer exactly once
+            pf = (_opened or {}).get(orig) or pq.ParquetFile(p)
             for af in pf.schema_arrow:
                 fld = by_name.get(af.name)
                 if fld is None:
@@ -1518,20 +1522,25 @@ class IcebergFsTable:
         if not paths:
             raise ValueError("create_from_parquet needs at least one path")
         widen = {("int", "long"), ("float", "double")}
+        # ONE footer open per file: the schemas drive the union here and
+        # the SAME handles feed add_files' stats pass below (the whole
+        # point of the migration path is per-file metadata-only cost)
+        opened = {p: pq.ParquetFile(p) for p in paths}
         got: dict[str, object] = {}
         order: list[str] = []
         for p in paths:
-            for af in pq.read_schema(p):
+            for af in opened[p].schema_arrow:
                 t = _ice_type_from_arrow(af.type)
                 prev = got.get(af.name)
+                both_str = isinstance(prev, str) and isinstance(t, str)
                 if prev is None:
                     got[af.name] = t
                     order.append(af.name)
                 elif prev == t:
                     pass
-                elif (prev, t) in widen:
+                elif both_str and (prev, t) in widen:
                     got[af.name] = t  # widen the table column
-                elif (t, prev) in widen:
+                elif both_str and (t, prev) in widen:
                     pass  # this file is the narrower one — reads widen
                 else:
                     raise ValueError(
@@ -1567,7 +1576,7 @@ class IcebergFsTable:
         )
         os.makedirs(self.data_dir, exist_ok=True)
         self._commit(md, 1)
-        return self.add_files(paths)
+        return self.add_files(paths, _opened=opened)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         self._write_snapshot(df, "overwrite", partition_by=partition_by)

@@ -1356,7 +1356,9 @@ class RabbitMQSinkConfig(SinkConfig):
         # all of its publishes; a broker-side loss surfaces as an error
         # (and the task retries) instead of silently vanishing — the
         # fire-and-forget default cannot observe that loss at all
-        confirms = bool(self.conf.get("confirms", False))
+        # string-aware parse (config files carry "true"/"false" strings;
+        # bool("false") would silently enable the blocking wait)
+        confirms = str(self.conf.get("confirms", "false")).lower() == "true"
 
         def publish_partition(rows):
             from flinkrunner_spark.util.amqp import AmqpClient

@@ -67,6 +67,9 @@ BASIC_NACK = 120  # rabbitmq extension (publisher confirms negative ack)
 CONFIRM = 85  # rabbitmq confirm class (publisher confirms extension)
 CONFIRM_SELECT = 10
 CONFIRM_SELECT_OK = 11
+# max publishes in flight before the publisher drains acks (see
+# AmqpClient.publish — prevents the mutual-TCP-buffer deadlock)
+CONFIRM_WINDOW = 2000
 
 # basic-properties flag bits (content header, high bit first)
 PROP_CONTENT_TYPE = 1 << 15
@@ -552,21 +555,52 @@ class AmqpClient:
         if getattr(self, "_confirm_mode", False):
             self._publish_seq += 1
             self._unconfirmed.add(self._publish_seq)
+            # BOUNDED in-flight window: the broker pushes one basic.ack
+            # per publish; never reading while publishing would fill
+            # both socket buffers and mutually deadlock the TCP pair
+            # (broker blocked sending acks, us blocked sending bodies).
+            # Past the high watermark, drain down before publishing more.
+            if len(self._unconfirmed) >= CONFIRM_WINDOW:
+                self._drain_confirms(CONFIRM_WINDOW // 2, 30.0)
 
-    def wait_confirms(self, timeout_s: float = 30.0) -> int:
-        """Block until the broker has confirmed EVERY outstanding
-        publish on this channel; returns the confirmed count. A
-        basic.nack raises — the broker could not enqueue the message,
-        and the publisher must know (at-least-once needs the signal,
-        not hope). Ack ``multiple`` semantics per the spec: a tag
-        confirms itself and, with the bit set, everything below it."""
+    def _handle_confirm_frame(self, fr: "Frame") -> None:
+        """Apply one broker frame to the outstanding-confirm set —
+        ack/nack with the spec's ``multiple`` semantics; close frames
+        raise with the broker's reply text (they carry the REASON a
+        confirm will never arrive)."""
+        if fr.type != FRAME_METHOD:
+            return
+        if (fr.class_id, fr.method_id) == (CONNECTION, CONNECTION_CLOSE):
+            code = struct.unpack_from(">H", fr.args, 0)[0]
+            n = fr.args[2]
+            text = fr.args[3 : 3 + n].decode("utf-8", "replace")
+            raise AmqpError(f"connection.close {code}: {text}")
+        if (fr.class_id, fr.method_id) == (CHANNEL, CHANNEL_CLOSE):
+            code = struct.unpack_from(">H", fr.args, 0)[0]
+            n = fr.args[2]
+            text = fr.args[3 : 3 + n].decode("utf-8", "replace")
+            raise AmqpError(f"channel.close {code}: {text}")
+        if fr.class_id != BASIC:
+            return
+        tag, flags = struct.unpack_from(">QB", fr.args, 0)
+        if fr.method_id == BASIC_ACK:
+            if flags & 1:  # multiple
+                self._unconfirmed = {
+                    t for t in self._unconfirmed if t > tag
+                }
+            else:
+                self._unconfirmed.discard(tag)
+        elif fr.method_id == BASIC_NACK:
+            raise AmqpError(
+                f"broker NACKed publish seq {tag} "
+                f"(multiple={bool(flags & 1)}) — message not enqueued"
+            )
+
+    def _drain_confirms(self, target: int, timeout_s: float) -> None:
         import time as _time
 
-        if not getattr(self, "_confirm_mode", False):
-            raise AmqpError("confirm_select() was never called")
         deadline = _time.monotonic() + timeout_s
-        n = len(self._unconfirmed)
-        while self._unconfirmed:
+        while len(self._unconfirmed) > target:
             remaining = deadline - _time.monotonic()
             if remaining <= 0:
                 raise AmqpError(
@@ -577,23 +611,29 @@ class AmqpClient:
             self._sock.settimeout(remaining)
             try:
                 fr = self._read_frame()
+            except (TimeoutError, OSError) as e:
+                raise AmqpError(
+                    f"publisher confirms timed out with "
+                    f"{len(self._unconfirmed)} outstanding ({e})"
+                ) from e
             finally:
                 self._sock.settimeout(None)
-            if fr.type != FRAME_METHOD or fr.class_id != BASIC:
-                continue
-            tag, flags = struct.unpack_from(">QB", fr.args, 0)
-            if fr.method_id == BASIC_ACK:
-                if flags & 1:  # multiple
-                    self._unconfirmed = {
-                        t for t in self._unconfirmed if t > tag
-                    }
-                else:
-                    self._unconfirmed.discard(tag)
-            elif fr.method_id == BASIC_NACK:
-                raise AmqpError(
-                    f"broker NACKed publish seq {tag} "
-                    f"(multiple={bool(flags & 1)}) — message not enqueued"
-                )
+            self._handle_confirm_frame(fr)
+
+    def wait_confirms(self, timeout_s: float = 30.0) -> int:
+        """Block until the broker has confirmed EVERY outstanding
+        publish on this channel; returns the confirmed count this call
+        observed outstanding. A basic.nack raises — the broker could
+        not enqueue the message, and the publisher must know
+        (at-least-once needs the signal, not hope); channel/connection
+        close frames raise with the broker's reason, and a quiet socket
+        raises AmqpError at the deadline. Ack ``multiple`` semantics
+        per the spec: a tag confirms itself and, with the bit set,
+        everything below it."""
+        if not getattr(self, "_confirm_mode", False):
+            raise AmqpError("confirm_select() was never called")
+        n = len(self._unconfirmed)
+        self._drain_confirms(0, timeout_s)
         return n
 
     def get(self, queue: str, no_ack: bool = False) -> GetOk | None:

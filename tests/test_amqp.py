@@ -479,3 +479,46 @@ def test_sink_confirms_e2e(spark):
             while c.get("docs_conf", no_ack=True) is not None:
                 got += 1
     assert got == n
+
+
+def test_confirm_window_drains_during_publish(monkeypatch):
+    # the in-flight window must drain acks WHILE publishing — an
+    # unbounded window fills both TCP buffers and deadlocks; a tiny
+    # window forces many mid-publish drains and everything still lands
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+    from flinkrunner_spark.util import amqp as A
+    from flinkrunner_spark.util.amqp import AmqpClient
+
+    monkeypatch.setattr(A, "CONFIRM_WINDOW", 16)
+    with LoopbackAmqpBroker() as b:
+        with AmqpClient(b.uri).connect() as c:
+            c.queue_declare("qw")
+            c.confirm_select()
+            for i in range(500):
+                c.publish("qw", f"m{i}".encode())
+            assert len(c._unconfirmed) <= 16
+            c.wait_confirms(timeout_s=10)
+            got = 0
+            while c.get("qw", no_ack=True) is not None:
+                got += 1
+            assert got == 500
+
+
+def test_confirms_string_false_stays_off(spark):
+    # config files carry string booleans: "false" must NOT enable the
+    # blocking confirm wait (bool("false") is the trap)
+    from flinkrunner_spark.sinks.factory import RabbitMQSinkConfig
+    from flinkrunner_spark.testing import LoopbackAmqpBroker
+    from flinkrunner_spark.util.amqp import AmqpClient
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with LoopbackAmqpBroker() as b:
+        b.nack_publishes = 1  # only confirm-mode channels see nacks
+        RabbitMQSinkConfig(
+            "rt",
+            {"connector": "rabbitmq", "uri": b.uri, "queue": "qs",
+             "confirms": "false"},
+        ).write(docs)  # would raise on the injected NACK if confirms ran
+        with AmqpClient(b.uri).connect() as c:
+            c.queue_declare("qs")
+            assert c.get("qs", no_ack=True) is not None

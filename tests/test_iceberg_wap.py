@@ -430,3 +430,26 @@ def test_expire_drops_aged_refs(spark, tmp_path):
     assert "old" not in refs and "pinned" in refs
     # the pinned tag still protects the old snapshot
     assert any(s["snapshot-id"] == s1 for s in t.snapshots())
+
+
+def test_create_from_parquet_list_type_conflict_refuses(spark, tmp_path):
+    import glob
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame(
+        [([1, 2],)], "v array<int>"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [([2**40],)], "v array<long>"
+    ).write.parquet(b)
+    t = IcebergFsTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="not a widening match"):
+        t.create_from_parquet(
+            sorted(glob.glob(f"{a}/*.parquet"))
+            + sorted(glob.glob(f"{b}/*.parquet"))
+        )
+    # equal list types migrate fine
+    t2 = IcebergFsTable(str(tmp_path / "t2"))
+    t2.create_from_parquet(sorted(glob.glob(f"{a}/*.parquet")))
+    assert t2.read(spark).collect()[0]["v"] == [1, 2]
