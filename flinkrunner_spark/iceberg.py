@@ -3007,6 +3007,7 @@ class IcebergFsTable:
         spark: SparkSession,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        net_changes: bool = False,
     ) -> DataFrame:
         """CDC scan — the iceberg-spark runtime's ``create_changelog_view``
         procedure / Flink's changelog read, jar-free: every row-level
@@ -3038,7 +3039,15 @@ class IcebergFsTable:
         CURRENT table schema by field id (the jar's changelog-view
         contract), so the scan tolerates schema evolution inside the
         range — renamed columns read back under their current name,
-        later-added columns null-fill in earlier commits."""
+        later-added columns null-fill in earlier commits.
+
+        ``net_changes=True`` (the changelog-view procedure's flag):
+        intermediate states inside the range collapse — a row inserted
+        then deleted (or replaced n times) emits only its NET effect,
+        computed as the multiset difference of the range's two
+        ENDPOINT states (one groupBy-all-columns count per side, one
+        join; per-commit attribution is meaningless for a net view, so
+        ``_commit_snapshot_id``/``_commit_order`` are absent)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -3087,6 +3096,46 @@ class IcebergFsTable:
             if d or p:
                 return self._read_merged(spark, entries, d, p, md, ice_cur)
             return self._assemble_data(spark, entries, md, ice_cur)
+
+        if net_changes:
+            names = [f["name"] for f in ice_cur["fields"]]
+            empty = spark.createDataFrame(
+                [], spark_ddl_from_iceberg(ice_cur)
+            )
+            end_df = (
+                _state_at(snaps[-1]["snapshot-id"]) if snaps else empty
+            )
+            start_df = (
+                _state_at(snaps[lo - 1]["snapshot-id"]) if lo > 0 else empty
+            )
+            sc = start_df.groupBy(*names).agg(
+                F.count(F.lit(1)).alias("_n0")
+            )
+            ec = end_df.groupBy(*names).agg(F.count(F.lit(1)).alias("_n1"))
+            # eqNullSafe join: a NULL-bearing unchanged row must match
+            # itself across the endpoints, not emit a phantom
+            # delete+insert pair
+            cond = reduce(
+                lambda a, b: a & b,
+                [sc[c].eqNullSafe(ec[c]) for c in names],
+            )
+            j = sc.join(ec, cond, "full_outer").select(
+                *[F.coalesce(sc[c], ec[c]).alias(c) for c in names],
+                F.coalesce(sc["_n0"], F.lit(0)).alias("_n0"),
+                F.coalesce(ec["_n1"], F.lit(0)).alias("_n1"),
+            )
+            j = j.withColumn("_d", F.col("_n1") - F.col("_n0")).filter(
+                "_d != 0"
+            )
+            return j.select(
+                *names,
+                F.when(F.col("_d") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("_d")))
+                ).alias("_i"),
+            ).drop("_i")
 
         retained = {s["snapshot-id"] for s in md.get("snapshots", [])}
         frames: list[DataFrame] = []

@@ -395,3 +395,52 @@ def test_changelog_model_based_random_sequences(spark, tmp_path):
         replayed = sorted(k for k, v in net.items() if v == 1)
         final = sorted(tuple(r) for r in t.read(spark).collect())
         assert replayed == final, f"seed {seed}"
+
+
+def test_changelog_net_changes_collapses_intermediates(spark, tmp_path):
+    # insert->replace->replace collapses to one delete + one insert;
+    # insert->delete inside the range collapses to NOTHING
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.upsert(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"), ["id"])
+    s1 = t.metadata()["current-snapshot-id"]
+    t.upsert(spark.createDataFrame([(2, "B")], "id long, s string"), ["id"])
+    t.upsert(spark.createDataFrame([(2, "BB")], "id long, s string"), ["id"])
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.delete_where(spark, "id = 3")  # churn that must vanish from net
+    net = t.read_changelog(spark, from_snapshot_id=s1, net_changes=True)
+    rows = sorted((r["id"], r["s"], r["_change_type"]) for r in net.collect())
+    # s1's state held (2,'b'); the intermediate (2,'B') and the
+    # insert+delete churn of id=3 vanish — only the endpoint diff emits
+    assert rows == sorted([(2, "b", "delete"), (2, "BB", "insert")])
+    assert "_commit_order" not in net.columns
+
+
+def test_changelog_net_matches_replayed_full_changelog(spark, tmp_path):
+    from collections import Counter
+
+    t = IcebergFsTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id long, s string"))
+    t.upsert(spark.createDataFrame(
+        [(i, f"S{i}") for i in range(0, 10, 2)], "id long, s string"),
+        ["id"])
+    t.delete_where(spark, "id >= 8")
+    full = t.read_changelog(spark)
+    net = t.read_changelog(spark, net_changes=True)
+
+    def _net(rows):
+        c = Counter()
+        for r in rows:
+            k = (r["id"], r["s"])
+            c[k] += 1 if r["_change_type"] == "insert" else -1
+        return {k: v for k, v in c.items() if v != 0}
+
+    assert _net(net.collect()) == _net(full.collect())
+    # and the net view replays to the final state
+    final = Counter(
+        (r["id"], r["s"]) for r in t.read(spark).collect()
+    )
+    assert {k: v for k, v in _net(net.collect()).items() if v > 0} == dict(
+        final
+    )
