@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_wap_roundtrip": connectors.iceberg_wap_roundtrip,
         "iceberg_add_files_roundtrip": connectors.iceberg_add_files_roundtrip,
         "kafka_idempotent_roundtrip": connectors.kafka_idempotent_roundtrip,
+        "kafka_txn_roundtrip": connectors.kafka_txn_roundtrip,
         "docs_dedup_report": llm_dedup.docs_dedup_report,
         # Then keys with zero changed lines since last green
         # (serde/, sketches.py, events.py, sampling.py, analytics.py,

@@ -2241,6 +2241,10 @@ ORACLES["iceberg_add_files_roundtrip"] = _LPO
 # idempotent produce under induced retries: any duplicate would double
 # counts — the exact full-corpus profile IS the effectively-once proof
 ORACLES["kafka_idempotent_roundtrip"] = _LPO
+# KIP-98 transactions: the aborted first attempt must be invisible and
+# the committed retry exactly-once — any leak/duplicate breaks the
+# profile over the original parquet
+ORACLES["kafka_txn_roundtrip"] = _LPO
 
 # the minhash-dedup ACTION report: keep-lowest per verified cluster,
 # per-language survivor/removal volumes (same recursive closure)

@@ -171,6 +171,22 @@ class MemorySinkConfig(SinkConfig):
         )
 
 
+def _re_sub_guarantee(raw) -> str:
+    """Normalize a delivery.guarantee value the way the reference does
+    (KafkaSinkConfig.scala:56-64): lowercase, every non-alpha run
+    becomes '-'; unset/unknown -> at-least-once."""
+    import re as _re
+
+    if raw is None:
+        return "at-least-once"
+    norm = _re.sub(r"[^a-z]+", "-", str(raw).lower())
+    if norm == "exactly-once":
+        return "exactly-once"
+    if norm == "none":
+        return "none"
+    return "at-least-once"
+
+
 class KafkaSinkConfig(SinkConfig):
     def _options(self):
         opts = {
@@ -364,16 +380,29 @@ class KafkaSinkConfig(SinkConfig):
         # bad codec name fails at plan time, not inside executor tasks
         codec = codec_id(self.conf.get("compression.type", "none"))
         # security options resolve at plan time from the SAME
-        # kafka.-prefixed keys the jar sink passes through (_options());
-        # transactional produce refuses by name on both transports
+        # kafka.-prefixed keys the jar sink passes through (_options())
         opts = self._options()
-        if opts.get("kafka.transactional.id"):
-            raise ValueError(
-                "kafka.transactional.id: transactional produce is not "
-                "supported (the sink is at-least-once, matching the "
-                "Spark kafka sink)"
-            )
         sec = security_from_options(opts)
+        # delivery.guarantee (reference KafkaSinkConfig.scala:56-64:
+        # exactly-once | none | at-least-once default, non-alpha runs
+        # normalized to '-') — EXACTLY_ONCE runs every task's produce
+        # inside one KIP-98 transaction whose transactional id is
+        # derived from transactional.id.prefix + the task partition
+        # (stable across task RETRIES, so a retry fences the dead
+        # attempt's producer and aborts its dangling transaction —
+        # reference KafkaSinkConfig.scala:83-100's prefix semantics)
+        guarantee = _re_sub_guarantee(
+            self.conf.get("delivery.guarantee")
+            or opts.get("kafka.delivery.guarantee")
+        )
+        txn_prefix = None
+        if guarantee == "exactly-once":
+            txn_prefix = self._transactional_id_prefix(opts)
+        elif opts.get("kafka.transactional.id"):
+            # a bare transactional.id without exactly-once opts in,
+            # like the Java producer's transactional mode
+            guarantee = "exactly-once"
+            txn_prefix = str(opts["kafka.transactional.id"])
         # KIP-98 idempotent produce (the Java producer's
         # enable.idempotence, passed through kafka.-prefixed like every
         # other producer option): each task takes a broker-assigned
@@ -434,26 +463,76 @@ class KafkaSinkConfig(SinkConfig):
             seed = ctx.partitionId() if ctx is not None else 0
             with _C(host, port, security=sec) as client:
                 prod = None
-                if idempotent:
+                if txn_prefix is not None:
+                    from flinkrunner_spark.util.kafka import (
+                        TransactionalProducer as _TP,
+                    )
+
+                    # the SAME transactional id across retries of this
+                    # task partition: begin() fences any prior (dead)
+                    # attempt and aborts its dangling transaction, so
+                    # read_committed consumers see the retry's records
+                    # exactly once
+                    prod = _TP.begin(client, f"{txn_prefix}-{seed}")
+                elif idempotent:
                     from flinkrunner_spark.util.kafka import (
                         IdempotentProducer as _IP,
                     )
 
                     prod = _IP.init(client)
-                _produce(
-                    client, topic, recs, n_parts,
-                    batch_size=batch_size, sticky_seed=seed, codec=codec,
-                    producer=prod,
-                )
+                try:
+                    _produce(
+                        client, topic, recs, n_parts,
+                        batch_size=batch_size, sticky_seed=seed,
+                        codec=codec, producer=prod,
+                    )
+                except BaseException:
+                    if txn_prefix is not None:
+                        try:
+                            prod.abort(client)
+                        except Exception:
+                            pass  # the epoch bump on retry aborts too
+                    raise
+                if txn_prefix is not None:
+                    prod.commit(client)
 
         prepared.foreachPartition(send_partition)
+
+    _TXN_PREFIX_KEYS = (
+        # the reference's accepted spellings, KafkaSinkConfig.scala:83-99
+        "transactional.id.prefix", "transactional.prefix",
+        "transactional.id", "transaction.id.prefix",
+        "transaction.prefix", "transaction.id",
+        "tx.id.prefix", "tx.prefix", "tx.id",
+    )
+
+    def _transactional_id_prefix(self, opts: dict) -> str:
+        # first match wins, in the reference's alias order
+        for k in self._TXN_PREFIX_KEYS:
+            v = self.conf.get(k) or opts.get(f"kafka.{k}")
+            if v:
+                return str(v)
+        return f"{self.name}.tx.id"  # KafkaSinkConfig.scala:98 default
 
     def write(self, df: DataFrame):
         if self.conf.get("transport") == "native":
             self.write_native(df)
             return
+        opts = self._options()
+        if (
+            _re_sub_guarantee(
+                self.conf.get("delivery.guarantee")
+                or opts.get("kafka.delivery.guarantee")
+            ) == "exactly-once"
+            or opts.get("kafka.transactional.id")
+        ):
+            raise ValueError(
+                "delivery.guarantee exactly-once needs transport: "
+                "native — the Spark kafka jar sink is at-least-once "
+                "and has no transactional producer"
+            )
         self.prepare_records(df).write.format("kafka").options(
-            **self._options()
+            **opts
         ).save()
 
     def write_stream(self, df: DataFrame):

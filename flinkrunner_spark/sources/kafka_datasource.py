@@ -75,8 +75,10 @@ def _opt(opts: dict, key: str, default=None):
 
 # mechanisms the Java client accepts but the jar-free wire client does
 # not speak — refused BY NAME, never silently downgraded to PLAIN
-_SASL_UNSUPPORTED = ("GSSAPI", "OAUTHBEARER")
-_SASL_SUPPORTED = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+_SASL_UNSUPPORTED = ("GSSAPI",)
+_SASL_SUPPORTED = (
+    "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER"
+)
 
 
 def security_from_options(opts: dict) -> dict | None:
@@ -88,11 +90,13 @@ def security_from_options(opts: dict) -> dict | None:
     * ``kafka.security.protocol``: PLAINTEXT (default) | SSL |
       SASL_PLAINTEXT | SASL_SSL
     * ``kafka.sasl.mechanism``: PLAIN, SCRAM-SHA-256, SCRAM-SHA-512
-      (the managed-Kafka SASL/SCRAM surface) — GSSAPI/OAUTHBEARER
-      refuse by name (no silent downgrade)
+      (the managed-Kafka SASL/SCRAM surface) or OAUTHBEARER (RFC 7628
+      bearer token via ``kafka.sasl.oauthbearer.token`` — a static
+      token provider, the jar-free analog of the Java client's login
+      callback) — GSSAPI refuses by name (no silent downgrade)
     * ``kafka.sasl.jaas.config``: the Plain/ScramLoginModule line;
       username and password are extracted exactly as the Java client
-      does
+      does (not used by OAUTHBEARER)
     * ``kafka.ssl.truststore.location`` (+ ``.type``): PEM bundles only
       — JKS refuses by name (Java keystore format, no pure-Python
       reader); omitted → the system trust store
@@ -123,25 +127,37 @@ def security_from_options(opts: dict) -> dict | None:
                 f"transport speaks {', '.join(_SASL_SUPPORTED)} — use "
                 "the jar path (transport: jar) for other mechanisms"
             )
-        jaas = _opt(opts, "kafka.sasl.jaas.config")
-        if not jaas:
-            raise ValueError(
-                f"security.protocol {protocol} needs "
-                "kafka.sasl.jaas.config (the Plain/ScramLoginModule "
-                'line carrying username="…" password="…")'
-            )
-        import re as _re
+        if mech == "OAUTHBEARER":
+            token = _opt(opts, "kafka.sasl.oauthbearer.token")
+            if not token:
+                raise ValueError(
+                    "sasl.mechanism OAUTHBEARER needs "
+                    "kafka.sasl.oauthbearer.token (a static bearer "
+                    "token — the jar-free analog of the Java client's "
+                    "login callback handler)"
+                )
+            sec["mechanism"] = mech
+            sec["token"] = str(token)
+        else:
+            jaas = _opt(opts, "kafka.sasl.jaas.config")
+            if not jaas:
+                raise ValueError(
+                    f"security.protocol {protocol} needs "
+                    "kafka.sasl.jaas.config (the Plain/ScramLoginModule "
+                    'line carrying username="…" password="…")'
+                )
+            import re as _re
 
-        mu = _re.search(r'username\s*=\s*"([^"]*)"', str(jaas))
-        mp = _re.search(r'password\s*=\s*"([^"]*)"', str(jaas))
-        if not mu or not mp:
-            raise ValueError(
-                "kafka.sasl.jaas.config must carry "
-                'username="…" and password="…" for SASL auth'
-            )
-        sec["mechanism"] = mech
-        sec["username"] = mu.group(1)
-        sec["password"] = mp.group(1)
+            mu = _re.search(r'username\s*=\s*"([^"]*)"', str(jaas))
+            mp = _re.search(r'password\s*=\s*"([^"]*)"', str(jaas))
+            if not mu or not mp:
+                raise ValueError(
+                    "kafka.sasl.jaas.config must carry "
+                    'username="…" and password="…" for SASL auth'
+                )
+            sec["mechanism"] = mech
+            sec["username"] = mu.group(1)
+            sec["password"] = mp.group(1)
     if protocol.endswith("SSL") and protocol != "SASL_PLAINTEXT":
         loc = _opt(opts, "kafka.ssl.truststore.location")
         ttype = str(
@@ -205,10 +221,12 @@ def _fetch_range(opts: dict, p: KafkaRange, with_headers: bool):
         off = p.start
         empty = 0
         while off < p.end:
-            recs, _hwm = client.fetch(
+            recs, scan, _bound = client.fetch_scan(
                 p.topic, p.partition, off, isolation_level=iso
             )
-            if not recs:
+            if scan <= off:
+                # the broker served nothing NEW (leader change, follower
+                # lag right after failover) — bounded retry then raise
                 empty += 1
                 if empty > 3:
                     raise RuntimeError(
@@ -235,7 +253,10 @@ def _fetch_range(opts: dict, p: KafkaRange, with_headers: bool):
                 if with_headers:
                     row = row + ([(hk, hv) for hk, hv in r.headers],)
                 yield row
-            off = recs[-1].offset + 1
+            # the SCAN position advances past control markers and
+            # aborted batches that decode to zero visible records — a
+            # records[-1]-based advance would spin on a marker tail
+            off = scan
 
 
 class KafkaNativeBatchReader(DataSourceReader):

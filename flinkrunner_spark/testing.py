@@ -779,7 +779,7 @@ class LoopbackKafkaBroker:
     def __init__(
         self, num_partitions: int = 4, transient_metadata_errors: int = 0,
         sasl_plain: tuple[str, str] | None = None, tls: bool = False,
-        lso_lag: int = 0,
+        lso_lag: int = 0, oauth_token: str | None = None,
     ):
         import socketserver
 
@@ -794,6 +794,9 @@ class LoopbackKafkaBroker:
         # must authenticate with (handshake + authenticate, in order)
         # before any other API — like a real SASL_* listener
         self.sasl_plain = sasl_plain
+        # OAUTHBEARER listener: the static bearer token every
+        # connection must present (RFC 7628 over the SASL frames)
+        self.oauth_token = oauth_token
         # TLS listener: a fresh self-signed localhost cert per server;
         # clients verify against ``self.cafile``
         self.tls = bool(tls)
@@ -813,6 +816,17 @@ class LoopbackKafkaBroker:
         # metadata entries per producer for exactly this dedup
         self._next_producer_id = 1000
         self._pid_state: dict[tuple, dict] = {}
+        # KIP-98 transaction-coordinator state: transactional id ->
+        # {pid, epoch, ongoing, parts: {(topic, partition) ->
+        # first uncommitted offset | None if registered but unproduced}}
+        # — a re-init for a known id bumps the epoch (zombie fencing)
+        # and aborts any dangling transaction first
+        self._txns: dict[str, dict] = {}
+        self._pid_txn: dict[int, str] = {}
+        # per-partition aborted-transaction index, what fetch returns
+        # so read_committed clients drop aborted producer ranges:
+        # (topic, partition) -> [(producer_id, first_offset)]
+        self._aborted: dict[tuple, list] = {}
         # fail-injection: respond with a RETRIABLE error (6) to this
         # many produce requests AFTER appending their batch — the
         # lost-response shape that makes a plain retry loop duplicate
@@ -906,7 +920,10 @@ class LoopbackKafkaBroker:
         # per-connection SASL state: a SASL listener admits only
         # ApiVersions before the handshake/authenticate pair completes,
         # then everything — the real broker's listener discipline
-        sasl_state = {"handshaken": False, "authed": self.sasl_plain is None}
+        sasl_state = {
+            "handshaken": False,
+            "authed": self.sasl_plain is None and self.oauth_token is None,
+        }
 
         while True:
             head = recv_exact(4)
@@ -932,6 +949,9 @@ class LoopbackKafkaBroker:
                 K.API_LIST_OFFSETS: self._list_offsets,
                 K.API_FETCH: self._fetch,
                 K.API_INIT_PRODUCER_ID: self._init_producer_id,
+                K.API_FIND_COORDINATOR: self._find_coordinator,
+                K.API_ADD_PARTITIONS_TO_TXN: self._add_partitions_to_txn,
+                K.API_END_TXN: self._end_txn,
                 K.API_SASL_HANDSHAKE: lambda v, b: self._sasl_handshake(
                     v, b, sasl_state
                 ),
@@ -954,8 +974,11 @@ class LoopbackKafkaBroker:
             (K.API_METADATA, 1, 1),
             (K.API_API_VERSIONS, 0, 0),
             (K.API_INIT_PRODUCER_ID, 0, 0),
+            (K.API_FIND_COORDINATOR, 1, 1),
+            (K.API_ADD_PARTITIONS_TO_TXN, 0, 0),
+            (K.API_END_TXN, 0, 0),
         ]
-        if self.sasl_plain is not None:
+        if self.sasl_plain is not None or self.oauth_token is not None:
             keys += [
                 (K.API_SASL_HANDSHAKE, 1, 1),
                 (K.API_SASL_AUTHENTICATE, 0, 0),
@@ -966,7 +989,9 @@ class LoopbackKafkaBroker:
             + b"".join(struct.pack(">hhh", *k) for k in keys)
         )
 
-    _SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+    _SASL_MECHANISMS = (
+        "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512", "OAUTHBEARER"
+    )
 
     def _sasl_handshake(
         self, version: int, body: bytes, state: dict
@@ -996,7 +1021,10 @@ class LoopbackKafkaBroker:
         token, _ = K.dec_bytes(body, 0)
         if not state["handshaken"]:
             return self._sasl_fail("SaslHandshake required first")
-        if state.get("mechanism", "PLAIN") != "PLAIN":
+        mech = state.get("mechanism", "PLAIN")
+        if mech == "OAUTHBEARER":
+            return self._sasl_oauth_step(token or b"", state)
+        if mech != "PLAIN":
             return self._sasl_scram_step(token or b"", state)
         parts = (token or b"").split(b"\x00")
         ok = (
@@ -1008,6 +1036,36 @@ class LoopbackKafkaBroker:
         if not ok:
             return self._sasl_fail(
                 "Authentication failed: Invalid username or password"
+            )
+        state["authed"] = True
+        return struct.pack(">h", 0) + K.enc_string(None) + K.enc_bytes(b"")
+
+    def _sasl_oauth_step(self, token: bytes, state: dict) -> bytes:
+        """Server side of RFC 7628 (KIP-255): parse the gs2 header plus
+        ^A-separated kv pairs and validate the ``auth=Bearer <token>``
+        value against the configured static token. A bad token answers
+        the RFC's JSON error body on a SUCCESSFUL SaslAuthenticate (the
+        mechanism-level failure channel), and the client's mandatory
+        ``^A`` dummy response is then refused with
+        SASL_AUTHENTICATION_FAILED — the real exchange shape."""
+        K = self.K
+        if state.pop("oauth_failed", False):
+            return self._sasl_fail("Authentication failed: invalid token")
+        text = token.decode(errors="replace")
+        bearer = None
+        if text.startswith("n,,\x01"):
+            for kv in text[4:].split("\x01"):
+                if kv.startswith("auth="):
+                    bearer = kv[5:]
+        if (
+            self.oauth_token is None
+            or bearer != f"Bearer {self.oauth_token}"
+        ):
+            state["oauth_failed"] = True
+            return (
+                struct.pack(">h", 0)
+                + K.enc_string(None)
+                + K.enc_bytes(b'{"status":"invalid_token"}')
             )
         state["authed"] = True
         return struct.pack(">h", 0) + K.enc_string(None) + K.enc_bytes(b"")
@@ -1147,6 +1205,7 @@ class LoopbackKafkaBroker:
         with self.lock:
             for _ in range(nt):
                 topic, pos = K.dec_string(body, pos)
+                topic = topic or ""
                 (np_,) = struct.unpack_from(">i", body, pos)
                 pos += 4
                 presps = []
@@ -1166,6 +1225,27 @@ class LoopbackKafkaBroker:
                         ">qhi", record_set, 43
                     )
                     (count,) = struct.unpack_from(">i", record_set, 57)
+                    # transactional batches (attributes bit 4, at byte
+                    # 21) must come from the current epoch of a known
+                    # transactional producer with this partition
+                    # registered — the coordinator's produce-side gate
+                    (battrs,) = struct.unpack_from(">h", record_set, 21)
+                    txn = None
+                    if battrs & 0x10:
+                        txn_id = self._pid_txn.get(prod_id)
+                        txn = self._txns.get(txn_id) if txn_id else None
+                        if txn is None:
+                            presps.append((pid, 49, -1))
+                            continue
+                        if txn["epoch"] != prod_epoch:
+                            presps.append((pid, 47, -1))  # fenced zombie
+                            continue
+                        if (
+                            not txn["ongoing"]
+                            or (topic, pid) not in txn["parts"]
+                        ):
+                            presps.append((pid, 48, -1))
+                            continue
                     st = None
                     if prod_id >= 0:
                         key = (prod_id, prod_epoch, topic, pid)
@@ -1188,6 +1268,10 @@ class LoopbackKafkaBroker:
                     parts[pid].append(
                         (base, K.rebase_batch(record_set, base))
                     )
+                    if txn is not None and txn["parts"][(topic, pid)] is None:
+                        # first transactional batch on this partition:
+                        # the LSO holds here until EndTxn's marker
+                        txn["parts"][(topic, pid)] = base
                     if st is not None:
                         st["next"] = base_seq + count
                         st["recent"][base_seq] = base
@@ -1211,14 +1295,113 @@ class LoopbackKafkaBroker:
     def _init_producer_id(self, version: int, body: bytes) -> bytes:
         K = self.K
         txn_id, _pos = K.dec_string(body, 0)
-        if txn_id is not None:
-            # transactions are out of scope on both sides — refuse the
-            # way the sink's transactional.id gate documents
-            return struct.pack(">ihqh", 0, 42, -1, -1)  # INVALID_REQUEST
         with self.lock:
-            pid = self._next_producer_id
-            self._next_producer_id += 1
-        return struct.pack(">ihqh", 0, 0, pid, 0)
+            if txn_id is None:  # plain idempotence: fresh id, epoch 0
+                pid = self._next_producer_id
+                self._next_producer_id += 1
+                return struct.pack(">ihqh", 0, 0, pid, 0)
+            txn = self._txns.get(txn_id)
+            if txn is None:
+                pid = self._next_producer_id
+                self._next_producer_id += 1
+                txn = {"pid": pid, "epoch": 0, "ongoing": False,
+                       "parts": {}}
+                self._txns[txn_id] = txn
+                self._pid_txn[pid] = txn_id
+            else:
+                # re-init for a known transactional id: abort any
+                # dangling transaction from the previous incarnation,
+                # then bump the epoch — every batch the fenced zombie
+                # still sends is refused with INVALID_PRODUCER_EPOCH
+                if txn["ongoing"]:
+                    self._write_markers(txn, commit=False)
+                txn["epoch"] += 1
+            return struct.pack(">ihqh", 0, 0, txn["pid"], txn["epoch"])
+
+    def _write_markers(self, txn: dict, commit: bool) -> None:
+        """Append COMMIT/ABORT control batches to every partition the
+        transaction actually produced to (lock held). Aborted ranges
+        land in the per-partition aborted index fetch serves."""
+        K = self.K
+        for (topic, pid), first in txn["parts"].items():
+            if first is None:
+                continue  # registered but never produced to
+            log = self._ensure(topic)[pid]
+            base = self._next_offset(log)
+            log.append(
+                (base, K.encode_control_batch(
+                    txn["pid"], txn["epoch"], commit, base_offset=base
+                ))
+            )
+            if not commit:
+                self._aborted.setdefault((topic, pid), []).append(
+                    (txn["pid"], first)
+                )
+        txn["ongoing"] = False
+        txn["parts"] = {}
+
+    def _find_coordinator(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        # v1 (key + key_type): a single-broker cluster coordinates
+        # everything itself — answer with this listener's address
+        return (
+            struct.pack(">i", 0)  # throttle
+            + struct.pack(">h", 0)  # error
+            + K.enc_string(None)  # error_message
+            + struct.pack(">i", 0)  # node_id
+            + K.enc_string("localhost")
+            + struct.pack(">i", self.port)
+        )
+
+    def _add_partitions_to_txn(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        txn_id, pos = K.dec_string(body, 0)
+        pid, epoch = struct.unpack_from(">qh", body, pos)
+        pos += 10
+        (nt,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        req: list[tuple[str, list[int]]] = []
+        for _ in range(nt):
+            topic, pos = K.dec_string(body, pos)
+            (np_,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            parts = list(struct.unpack_from(f">{np_}i", body, pos))
+            pos += 4 * np_
+            req.append((topic or "", parts))
+        with self.lock:
+            txn = self._txns.get(txn_id or "")
+            if txn is None or txn["pid"] != pid:
+                err = 49  # INVALID_PRODUCER_ID_MAPPING
+            elif txn["epoch"] != epoch:
+                err = 47  # INVALID_PRODUCER_EPOCH: a fenced zombie
+            else:
+                err = 0
+                txn["ongoing"] = True
+                for topic, parts in req:
+                    self._ensure(topic)
+                    for p in parts:
+                        txn["parts"].setdefault((topic, p), None)
+        out = struct.pack(">i", 0) + struct.pack(">i", len(req))
+        for topic, parts in req:
+            out += K.enc_string(topic) + struct.pack(">i", len(parts))
+            for p in parts:
+                out += struct.pack(">ih", p, err)
+        return out
+
+    def _end_txn(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        txn_id, pos = K.dec_string(body, 0)
+        pid, epoch, committed = struct.unpack_from(">qhb", body, pos)
+        with self.lock:
+            txn = self._txns.get(txn_id or "")
+            if txn is None or txn["pid"] != pid:
+                return struct.pack(">ih", 0, 49)
+            if txn["epoch"] != epoch:
+                return struct.pack(">ih", 0, 47)
+            if not txn["ongoing"]:
+                return struct.pack(">ih", 0, 48)  # INVALID_TXN_STATE
+            self._write_markers(txn, commit=bool(committed))
+        return struct.pack(">ih", 0, 0)
 
     def _list_offsets(self, version: int, body: bytes) -> bytes:
         K = self.K
@@ -1229,6 +1412,7 @@ class LoopbackKafkaBroker:
         with self.lock:
             for _ in range(nt):
                 topic, pos = K.dec_string(body, pos)
+                topic = topic or ""
                 (np_,) = struct.unpack_from(">i", body, pos)
                 pos += 4
                 presps = []
@@ -1263,6 +1447,7 @@ class LoopbackKafkaBroker:
         with self.lock:
             for _ in range(nt):
                 topic, pos = K.dec_string(body, pos)
+                topic = topic or ""
                 (np_,) = struct.unpack_from(">i", body, pos)
                 pos += 4
                 presps = []
@@ -1271,15 +1456,25 @@ class LoopbackKafkaBroker:
                     pos += 16
                     parts = self._ensure(topic or "")
                     if pid not in parts:
-                        presps.append((pid, 3, -1, b""))
+                        presps.append((pid, 3, -1, -1, [], b""))
                         continue
                     log = parts[pid]
                     hwm = self._next_offset(log)
-                    # the LAST STABLE OFFSET trails the watermark by the
-                    # configured open-transaction tail; a read_committed
-                    # fetch is served whole batches (clients bound rows
-                    # by the returned lso, like against a real broker)
-                    lso = max(0, hwm - self.lso_lag)
+                    # the LAST STABLE OFFSET: the first offset of any
+                    # OPEN transaction on this partition (else the
+                    # watermark), additionally trailed by the
+                    # configured lso_lag tail; a read_committed fetch
+                    # is served whole batches (clients bound rows by
+                    # the returned lso, like against a real broker)
+                    open_firsts = [
+                        first
+                        for t in self._txns.values()
+                        if t["ongoing"]
+                        for (tt, tp), first in t["parts"].items()
+                        if tt == topic and tp == pid and first is not None
+                    ]
+                    natural = min(open_firsts) if open_firsts else hwm
+                    lso = max(0, min(natural, hwm - self.lso_lag))
                     chunks, size = [], 0
                     for base, batch in log:
                         if base + K.batch_record_count(batch) <= off:
@@ -1290,15 +1485,21 @@ class LoopbackKafkaBroker:
                             break
                         chunks.append(batch)
                         size += len(batch)
-                    presps.append((pid, 0, hwm, lso, b"".join(chunks)))
+                    presps.append((
+                        pid, 0, hwm, lso,
+                        list(self._aborted.get((topic, pid), [])),
+                        b"".join(chunks),
+                    ))
                 resp_topics.append((topic, presps))
         out = struct.pack(">i", 0)  # throttle
         out += struct.pack(">i", len(resp_topics))
         for topic, presps in resp_topics:
             out += K.enc_string(topic) + struct.pack(">i", len(presps))
-            for pid, err, hwm, lso, record_set in presps:
+            for pid, err, hwm, lso, aborted, record_set in presps:
                 out += struct.pack(">ihqq", pid, err, hwm, lso)
-                out += struct.pack(">i", 0)  # aborted txns
+                out += struct.pack(">i", len(aborted))
+                for apid, afirst in aborted:
+                    out += struct.pack(">qq", apid, afirst)
                 out += K.enc_bytes(record_set)
         return out
 

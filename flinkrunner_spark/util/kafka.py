@@ -216,6 +216,13 @@ def codec_id(name: str) -> int:
     )
 
 
+# record-batch attribute flag bits beyond the compression codec
+# (Kafka protocol "attributes"): bit 4 = isTransactional (KIP-98),
+# bit 5 = isControlBatch (transaction COMMIT/ABORT markers)
+ATTR_TRANSACTIONAL = 0x10
+ATTR_CONTROL = 0x20
+
+
 def encode_record_batch(
     records: list[KafkaRecord],
     base_offset: int = 0,
@@ -223,12 +230,17 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    transactional: bool = False,
+    control: bool = False,
 ) -> bytes:
     """records -> one v2 batch (CREATE_TIME timestamps; records block
     gzip-deflated when codec=CODEC_GZIP — the attribute bits brokers
     and every client read). ``producer_id``/``producer_epoch``/
     ``base_sequence`` stamp the KIP-98 idempotence header (-1 = a plain
-    non-idempotent batch, the pre-KIP wire shape)."""
+    non-idempotent batch, the pre-KIP wire shape). ``transactional``
+    sets attribute bit 4 so read_committed consumers gate the batch on
+    its transaction's outcome; ``control`` sets bit 5 (broker-written
+    COMMIT/ABORT markers — never produced by clients)."""
     if not records:
         raise ValueError("empty record batch")
     base_ts = records[0].timestamp_ms
@@ -243,9 +255,14 @@ def encode_record_batch(
         recs = _gzip.compress(recs, mtime=0)  # deterministic bytes
     elif codec != CODEC_NONE:
         raise ValueError(f"unsupported produce codec {codec}")
+    attrs = codec
+    if transactional:
+        attrs |= ATTR_TRANSACTIONAL
+    if control:
+        attrs |= ATTR_CONTROL
     # fields covered by the CRC (everything after the crc field)
     tail = (
-        struct.pack(">h", codec)  # attributes: compression bits 0-2
+        struct.pack(">h", attrs)  # attributes: compression bits 0-2
         + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
         + struct.pack(">q", base_ts)
         + struct.pack(">q", max_ts)
@@ -261,12 +278,56 @@ def encode_record_batch(
     return struct.pack(">q", base_offset) + struct.pack(">i", len(mid)) + mid
 
 
-def decode_record_batches(buf: bytes) -> list[KafkaRecord]:
+# control-record types (the KEY of the single record inside a control
+# batch: int16 version, int16 type) — KIP-98 transaction markers
+CONTROL_ABORT = 0
+CONTROL_COMMIT = 1
+
+
+def encode_control_batch(
+    producer_id: int,
+    producer_epoch: int,
+    commit: bool,
+    base_offset: int = 0,
+    timestamp_ms: int = 0,
+) -> bytes:
+    """One transaction-marker batch (broker-side append on EndTxn):
+    a single control record whose key is (version=0, COMMIT|ABORT) and
+    whose value carries (version=0, coordinator_epoch=0). Consumers
+    never surface these; read_committed uses them to close aborted
+    producer ranges."""
+    key = struct.pack(">hh", 0, CONTROL_COMMIT if commit else CONTROL_ABORT)
+    value = struct.pack(">hi", 0, 0)
+    rec = KafkaRecord(value=value, key=key, timestamp_ms=timestamp_ms)
+    return encode_record_batch(
+        [rec],
+        base_offset=base_offset,
+        producer_id=producer_id,
+        producer_epoch=producer_epoch,
+        base_sequence=-1,  # markers carry no sequence
+        transactional=True,
+        control=True,
+    )
+
+
+def decode_record_batches(
+    buf: bytes, aborted: list[tuple[int, int]] | None = None
+) -> list[KafkaRecord]:
     """A fetch record_set (possibly several concatenated batches) ->
-    records with absolute offsets + timestamps; CRC verified per batch."""
+    records with absolute offsets + timestamps; CRC verified per batch.
+
+    Control batches (transaction markers) are never surfaced. With
+    ``aborted`` — the fetch response's abortedTransactions list of
+    (producer_id, first_offset) — transactional records from an aborted
+    producer range are dropped, exactly the Java consumer's
+    read_committed filtering: a producer enters the aborted set when
+    the scan reaches its first_offset and leaves it at its next control
+    marker."""
     out: list[KafkaRecord] = []
     pos = 0
     n = len(buf)
+    pending = sorted(aborted or [], key=lambda t: t[1])
+    aborted_pids: set[int] = set()
     while pos + 12 <= n:
         (base_offset,) = struct.unpack_from(">q", buf, pos)
         (batch_len,) = struct.unpack_from(">i", buf, pos + 8)
@@ -284,7 +345,19 @@ def decode_record_batches(buf: bytes) -> list[KafkaRecord]:
         (attributes,) = struct.unpack_from(">h", tail, 0)
         codec = attributes & 0x07
         (base_ts,) = struct.unpack_from(">q", tail, 6)
+        (batch_pid,) = struct.unpack_from(">q", tail, 22)
         (count,) = struct.unpack_from(">i", tail, 36)
+        while pending and pending[0][1] <= base_offset:
+            aborted_pids.add(pending.pop(0)[0])
+        if attributes & ATTR_CONTROL:
+            # a marker (COMMIT or ABORT alike) ends this producer's
+            # current transactional range; the marker itself is hidden
+            aborted_pids.discard(batch_pid)
+            pos = end
+            continue
+        if attributes & ATTR_TRANSACTIONAL and batch_pid in aborted_pids:
+            pos = end
+            continue
         if codec == CODEC_GZIP:
             # compression covers the records block only (everything
             # after the 40-byte post-crc header); a real broker serves
@@ -347,6 +420,26 @@ def batch_record_count(batch: bytes) -> int:
     return count
 
 
+def batches_end_offset(buf: bytes) -> int:
+    """One past the last offset covered by the COMPLETE batches in a
+    fetch record_set (baseOffset + lastOffsetDelta + 1 of the last
+    frame), or 0 if none — the consumer's next poll position, counting
+    control markers and aborted batches that decode to nothing."""
+    end = 0
+    pos = 0
+    n = len(buf)
+    while pos + 12 <= n:
+        (base_offset,) = struct.unpack_from(">q", buf, pos)
+        (batch_len,) = struct.unpack_from(">i", buf, pos + 8)
+        if pos + 12 + batch_len > n:
+            break  # partial trailing batch
+        # lastOffsetDelta sits at +2 in the crc-covered tail
+        (last_delta,) = struct.unpack_from(">i", buf, pos + 12 + 9 + 2)
+        end = max(end, base_offset + last_delta + 1)
+        pos += 12 + batch_len
+    return end
+
+
 def rebase_batch(batch: bytes, base_offset: int) -> bytes:
     """Rewrite baseOffset — what a broker does on append. The CRC does
     not cover baseOffset, so this is a pure 8-byte splice."""
@@ -361,9 +454,12 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_FIND_COORDINATOR = 10
 API_SASL_HANDSHAKE = 17
 API_API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_END_TXN = 26
 API_SASL_AUTHENTICATE = 36
 
 # Fetch isolation levels (KIP-98): read_committed bounds consumption at
@@ -381,14 +477,21 @@ _ERRORS = {
     3: "UNKNOWN_TOPIC_OR_PARTITION",
     5: "LEADER_NOT_AVAILABLE",
     6: "NOT_LEADER_OR_FOLLOWER",
+    33: "UNSUPPORTED_SASL_MECHANISM",
     42: "INVALID_REQUEST",
     45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
     46: "DUPLICATE_SEQUENCE_NUMBER",
+    47: "INVALID_PRODUCER_EPOCH",
+    48: "INVALID_TXN_STATE",
+    49: "INVALID_PRODUCER_ID_MAPPING",
+    51: "CONCURRENT_TRANSACTIONS",
+    58: "SASL_AUTHENTICATION_FAILED",
 }
 
 # codes real brokers return transiently (topic auto-creation, leader
-# failover) — callers retry these with backoff instead of failing hard
-RETRIABLE_ERRORS = frozenset({5, 6})
+# failover, a transaction still completing its markers) — callers retry
+# these with backoff instead of failing hard
+RETRIABLE_ERRORS = frozenset({5, 6, 51})
 
 
 class KafkaProtocolError(RuntimeError):
@@ -429,11 +532,12 @@ class KafkaClient:
     ):
         """``security`` mirrors the Java client's security properties:
         ``protocol`` (PLAINTEXT | SSL | SASL_PLAINTEXT | SASL_SSL,
-        default PLAINTEXT), ``mechanism`` (PLAIN — the only SASL
-        mechanism the jar-free client speaks; others refuse BY NAME at
-        option-mapping time), ``username`` / ``password``, and
-        ``ssl_cafile`` (PEM CA bundle for server-certificate
-        verification; omitted → the system trust store)."""
+        default PLAINTEXT), ``mechanism`` (PLAIN, SCRAM-SHA-256/512 or
+        OAUTHBEARER — GSSAPI refuses BY NAME at option-mapping time),
+        ``username`` / ``password`` (PLAIN/SCRAM), ``token``
+        (OAUTHBEARER), and ``ssl_cafile`` (PEM CA bundle for
+        server-certificate verification; omitted → the system trust
+        store)."""
         self.host, self.port = host, int(port)
         self.client_id = client_id
         self.timeout_s = timeout_s
@@ -465,11 +569,13 @@ class KafkaClient:
                 self._sasl_plain(user, pw)
             elif mech in ("SCRAM-SHA-256", "SCRAM-SHA-512"):
                 self._sasl_scram(mech, user, pw)
+            elif mech == "OAUTHBEARER":
+                self._sasl_oauthbearer(str(self.security.get("token", "")))
             else:
                 raise ValueError(
                     f"SASL mechanism {mech!r} is not implemented by the "
                     "jar-free client (PLAIN, SCRAM-SHA-256, "
-                    "SCRAM-SHA-512)"
+                    "SCRAM-SHA-512, OAUTHBEARER)"
                 )
         return self
 
@@ -487,6 +593,43 @@ class KafkaClient:
             raise KafkaProtocolError(err, "SaslHandshake(PLAIN)")
         token = b"\x00" + username.encode() + b"\x00" + password.encode()
         self._sasl_authenticate(token)
+
+    def _sasl_oauthbearer(self, token: str) -> None:
+        """SASL/OAUTHBEARER (RFC 7628 over KIP-255's SASL frames): the
+        initial client response is the GS2 header plus one ``auth``
+        kv-pair — ``n,,^Aauth=Bearer <token>^A^A`` — carried on the
+        same SaslHandshake/SaslAuthenticate exchange as every other
+        mechanism. The token is an opaque bearer credential (the Java
+        client sources it from a login callback; here it is supplied
+        directly as ``security["token"]``). On rejection the server
+        answers with a JSON error body to which the client must reply
+        ``^A`` before the connection fails (RFC 7628 §3.1)."""
+        if not token:
+            raise ValueError(
+                "SASL/OAUTHBEARER requires a bearer token "
+                "(kafka.sasl.oauthbearer.token)"
+            )
+        buf = self._roundtrip(
+            API_SASL_HANDSHAKE, 1, enc_string("OAUTHBEARER")
+        )
+        (err,) = struct.unpack_from(">h", buf, 0)
+        if err:
+            raise KafkaProtocolError(err, "SaslHandshake(OAUTHBEARER)")
+        initial = b"n,,\x01auth=Bearer " + token.encode() + b"\x01\x01"
+        try:
+            server = self._sasl_authenticate(initial)
+        except KafkaProtocolError:
+            raise
+        if server:
+            # failure body (JSON per RFC 7628 §3.2.2): send the dummy
+            # ^A response, then surface the server's error verbatim
+            try:
+                self._sasl_authenticate(b"\x01")
+            except KafkaProtocolError:
+                pass
+            raise KafkaProtocolError(
+                58, f"OAUTHBEARER rejected: {server.decode(errors='replace')}"
+            )
 
     def _sasl_authenticate(self, token: bytes) -> bytes:
         """One SaslAuthenticate v0 exchange; returns the server's auth
@@ -732,21 +875,115 @@ class KafkaClient:
             raise KafkaProtocolError(err, f"Produce {topic}/{pid}")
         return base_offset
 
-    # -- InitProducerId v0 (KIP-98 idempotent producer) -------------------
+    # -- InitProducerId v0 (KIP-98 idempotent + transactional producer) ---
 
     def init_producer_id(
-        self, timeout_ms: int = 60_000
+        self,
+        transactional_id: str | None = None,
+        timeout_ms: int = 60_000,
     ) -> tuple[int, int]:
         """-> (producer_id, producer_epoch) — the broker-assigned
         identity every idempotent batch stamps so retries deduplicate
-        server-side. Transactional ids stay refused at the sink (this
-        is the idempotence half of KIP-98, not transactions)."""
-        body = enc_string(None) + struct.pack(">i", timeout_ms)
+        server-side. With ``transactional_id`` the coordinator binds
+        the id to that transactional identity and BUMPS THE EPOCH on
+        every re-init — fencing any zombie producer still holding the
+        previous epoch, and aborting its dangling transaction (the
+        KIP-98 exactly-once recovery step)."""
+        body = enc_string(transactional_id) + struct.pack(">i", timeout_ms)
         buf = self._roundtrip(API_INIT_PRODUCER_ID, 0, body)
         _throttle, err, pid, epoch = struct.unpack_from(">ihqh", buf, 0)
         if err:
             raise KafkaProtocolError(err, "InitProducerId")
         return pid, epoch
+
+    # -- FindCoordinator v1 (key_type 1 = transaction) ---------------------
+
+    def find_coordinator(
+        self, key: str, key_type: int = 1
+    ) -> tuple[str, int]:
+        """-> (host, port) of the coordinator for ``key`` (the
+        transactional id, hashed onto __transaction_state by real
+        brokers). The transactional produce path resolves its
+        coordinator before InitProducerId, like the Java producer."""
+        body = enc_string(key) + struct.pack(">b", key_type)
+        buf = self._roundtrip(API_FIND_COORDINATOR, 1, body)
+        pos = 4  # throttle
+        (err,) = struct.unpack_from(">h", buf, pos)
+        pos += 2
+        _msg, pos = dec_string(buf, pos)  # nullable error_message
+        if err:
+            raise KafkaProtocolError(err, "FindCoordinator")
+        (_node,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        host, pos = dec_string(buf, pos)
+        (port,) = struct.unpack_from(">i", buf, pos)
+        return host or "", port
+
+    # -- AddPartitionsToTxn v0 ---------------------------------------------
+
+    def add_partitions_to_txn(
+        self,
+        transactional_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        partitions: list[tuple[str, int]],
+    ) -> None:
+        """Register (topic, partition) pairs with the ongoing
+        transaction BEFORE the first transactional batch lands on them
+        — the coordinator needs the set to write markers at EndTxn."""
+        by_topic: dict[str, list[int]] = {}
+        for t, p in partitions:
+            by_topic.setdefault(t, []).append(p)
+        body = (
+            enc_string(transactional_id)
+            + struct.pack(">q", producer_id)
+            + struct.pack(">h", producer_epoch)
+            + struct.pack(">i", len(by_topic))
+        )
+        for t, ps in sorted(by_topic.items()):
+            body += enc_string(t) + struct.pack(">i", len(ps))
+            body += b"".join(struct.pack(">i", p) for p in sorted(ps))
+        buf = self._roundtrip(API_ADD_PARTITIONS_TO_TXN, 0, body)
+        pos = 4  # throttle
+        (nt,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        for _ in range(nt):
+            topic, pos = dec_string(buf, pos)
+            (np_,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            for _ in range(np_):
+                p, perr = struct.unpack_from(">ih", buf, pos)
+                pos += 6
+                if perr:
+                    raise KafkaProtocolError(
+                        perr, f"AddPartitionsToTxn {topic}/{p}"
+                    )
+
+    # -- EndTxn v0 -----------------------------------------------------------
+
+    def end_txn(
+        self,
+        transactional_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        commit: bool,
+    ) -> None:
+        """COMMIT or ABORT the ongoing transaction: the coordinator
+        writes the corresponding control markers into every registered
+        partition, advancing each partition's LAST STABLE OFFSET past
+        the transaction's records."""
+        body = (
+            enc_string(transactional_id)
+            + struct.pack(">q", producer_id)
+            + struct.pack(">h", producer_epoch)
+            + struct.pack(">b", 1 if commit else 0)
+        )
+        buf = self._roundtrip(API_END_TXN, 0, body)
+        _throttle, err = struct.unpack_from(">ih", buf, 0)
+        if err:
+            raise KafkaProtocolError(
+                err, f"EndTxn({'commit' if commit else 'abort'})"
+            )
 
     # -- ListOffsets v1 ---------------------------------------------------
 
@@ -781,6 +1018,25 @@ class KafkaClient:
         LAST STABLE OFFSET (KIP-98) and records at/past it — rows of
         open or aborted transactions — are excluded, matching the Java
         consumer's isolation.level=read_committed behavior."""
+        records, _scan, bound = self.fetch_scan(
+            topic, partition, offset,
+            max_bytes=max_bytes, max_wait_ms=max_wait_ms,
+            isolation_level=isolation_level,
+        )
+        return records, bound
+
+    def fetch_scan(
+        self, topic: str, partition: int, offset: int,
+        max_bytes: int = 4 * 1024 * 1024, max_wait_ms: int = 500,
+        isolation_level: int = ISOLATION_READ_UNCOMMITTED,
+    ) -> tuple[list[KafkaRecord], int, int]:
+        """-> (records, scan_position, end bound). ``scan_position`` is
+        where the NEXT poll should start: one past the last offset of
+        the last batch the broker served — it advances past transaction
+        control markers and aborted batches that decode to zero
+        visible records, exactly like the Java consumer's position
+        (a range drain that only advanced by ``records[-1].offset + 1``
+        would spin forever on a marker-tailed range)."""
         body = (
             struct.pack(">i", -1)  # replica_id
             + struct.pack(">i", max_wait_ms)
@@ -803,17 +1059,22 @@ class KafkaClient:
         pos += 22
         (nab,) = struct.unpack_from(">i", buf, pos)
         pos += 4
-        if nab > 0:
-            pos += 16 * nab  # aborted transactions
+        aborted: list[tuple[int, int]] = []
+        for _ in range(max(0, nab)):
+            apid, afirst = struct.unpack_from(">qq", buf, pos)
+            pos += 16
+            aborted.append((apid, afirst))
         record_set, pos = dec_bytes(buf, pos)
         if err:
             raise KafkaProtocolError(err, f"Fetch {topic}/{pid}")
-        records = decode_record_batches(record_set or b"")
+        scan = max(offset, batches_end_offset(record_set or b""))
         if isolation_level == ISOLATION_READ_COMMITTED and lso >= 0:
+            records = decode_record_batches(record_set or b"", aborted)
             return [
                 r for r in records if offset <= r.offset < lso
-            ], lso
-        return [r for r in records if r.offset >= offset], hwm
+            ], min(scan, lso), lso
+        records = decode_record_batches(record_set or b"")
+        return [r for r in records if r.offset >= offset], scan, hwm
 
     def stable_offset(self, topic: str, partition: int, probe: int) -> int:
         """The partition's LAST STABLE OFFSET — the read_committed end
@@ -872,6 +1133,61 @@ class IdempotentProducer:
         return cls(pid, epoch)
 
 
+@dataclass
+class TransactionalProducer(IdempotentProducer):
+    """KIP-98 transactional producer state: idempotence (inherited
+    sequences) plus the transactional identity and the set of
+    partitions already registered with the ongoing transaction. One
+    instance per producing task; the SAME ``transactional_id`` across
+    task retries is the exactly-once contract — re-init bumps the
+    epoch, fencing the dead attempt and aborting its dangling
+    transaction before the retry produces.
+
+    Reference parity: `model/sink/KafkaSinkConfig.scala:56-99`
+    (`delivery.guarantee: exactly-once` + `transactional.id.prefix`
+    forwarded to the Flink KafkaSink's transactional writer)."""
+
+    transactional_id: str = ""
+    in_txn: set = None  # (topic, partition) already AddPartitionsToTxn'd
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.in_txn is None:
+            self.in_txn = set()
+
+    @classmethod
+    def begin(
+        cls, client: "KafkaClient", transactional_id: str
+    ) -> "TransactionalProducer":
+        """FindCoordinator -> InitProducerId(txn id) — the transaction
+        is ongoing from the first AddPartitionsToTxn onward."""
+        client.find_coordinator(transactional_id, key_type=1)
+        pid, epoch = client.init_producer_id(transactional_id)
+        return cls(pid, epoch, transactional_id=transactional_id)
+
+    def ensure_partition(
+        self, client: "KafkaClient", topic: str, partition: int
+    ) -> None:
+        if (topic, partition) not in self.in_txn:
+            client.add_partitions_to_txn(
+                self.transactional_id, self.producer_id, self.epoch,
+                [(topic, partition)],
+            )
+            self.in_txn.add((topic, partition))
+
+    def commit(self, client: "KafkaClient") -> None:
+        client.end_txn(
+            self.transactional_id, self.producer_id, self.epoch, True
+        )
+        self.in_txn.clear()
+
+    def abort(self, client: "KafkaClient") -> None:
+        client.end_txn(
+            self.transactional_id, self.producer_id, self.epoch, False
+        )
+        self.in_txn.clear()
+
+
 def produce_records(
     client: KafkaClient,
     topic: str,
@@ -892,14 +1208,21 @@ def produce_records(
     and RETRIABLE produce errors retry the SAME batch bytes — the
     broker deduplicates on the sequence, so a retry after a lost
     response appends nothing twice (effectively-once produce, the
-    guarantee a plain retry loop cannot give)."""
+    guarantee a plain retry loop cannot give). With a
+    ``TransactionalProducer``, batches additionally stamp the
+    transactional bit and each partition registers with the ongoing
+    transaction before its first batch — records stay invisible to
+    read_committed consumers until the caller's ``commit``."""
     import time as _time
 
+    txn = isinstance(producer, TransactionalProducer)
     by_part: dict[int, list[KafkaRecord]] = {}
     for pid, rec in assign_partitions(records, num_partitions, sticky_seed):
         by_part.setdefault(pid, []).append(rec)
     sent = 0
     for pid, recs in sorted(by_part.items()):
+        if txn:
+            producer.ensure_partition(client, topic, pid)
         for i in range(0, len(recs), batch_size):
             chunk = recs[i : i + batch_size]
             if producer is None:
@@ -914,6 +1237,7 @@ def produce_records(
                     producer_id=producer.producer_id,
                     producer_epoch=producer.epoch,
                     base_sequence=seq,
+                    transactional=txn,
                 )
                 attempt = 0
                 while True:

@@ -244,18 +244,44 @@ def test_refusals_by_name(spark):
     assert security_from_options({}) is None
 
 
-def test_transactional_id_refuses_on_both_sink_paths(spark):
+def test_transactional_id_opts_into_exactly_once_on_native(spark):
+    """A bare kafka.transactional.id now means transactional produce
+    (the Java producer's semantics): records land inside committed
+    transactions, visible to a read_committed consumer exactly once.
+    The jar path still refuses — Spark's kafka sink has no
+    transactional producer."""
     from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.util.kafka import (
+        ISOLATION_READ_COMMITTED,
+        KafkaClient,
+    )
 
-    df = spark.range(3).selectExpr("cast(id as string) AS value")
+    df = spark.range(6).selectExpr("cast(id as string) AS value")
     with LoopbackKafkaBroker(num_partitions=1) as b:
-        sink = KafkaSinkConfig(
+        KafkaSinkConfig(
             "t",
             {"connector": "kafka", "transport": "native",
              "bootstrap.servers": f"localhost:{b.port}", "topic": "tx",
              "options": {"kafka.transactional.id": "producer-1"}},
+        ).write(df)
+        with KafkaClient("localhost", b.port) as c:
+            recs, _end = c.fetch(
+                "tx", 0, 0, isolation_level=ISOLATION_READ_COMMITTED
+            )
+        assert sorted(bytes(r.value).decode() for r in recs) == sorted(
+            str(i) for i in range(6)
         )
-        with pytest.raises(ValueError, match="transactional.id"):
+    # jar transport: exactly-once (either spelling) refuses by name
+    for conf in (
+        {"options": {"kafka.transactional.id": "producer-1"}},
+        {"delivery.guarantee": "EXACTLY_ONCE"},
+    ):
+        sink = KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "bootstrap.servers": "localhost:1",
+             "topic": "tx", **conf},
+        )
+        with pytest.raises(ValueError, match="native"):
             sink.write(df)
 
 

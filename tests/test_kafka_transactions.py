@@ -1,0 +1,316 @@
+"""KIP-98 transactions (EXACTLY_ONCE produce) on the native jar-free
+transport, and SASL/OAUTHBEARER (RFC 7628) on the same SASL frames.
+
+Reference parity: `model/sink/KafkaSinkConfig.scala:56-100` exposes
+``delivery.guarantee: exactly-once`` + ``transactional.id.prefix``
+through the Flink KafkaSink's transactional writer; the repo's native
+transport implements the underlying protocol — FindCoordinator,
+InitProducerId(txn id) with epoch fencing, AddPartitionsToTxn, EndTxn
+commit/abort control markers, LSO gating and abortedTransactions
+filtering — against the loopback broker's real coordinator state.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flinkrunner_spark.testing import LoopbackKafkaBroker
+from flinkrunner_spark.util.kafka import (
+    ISOLATION_READ_COMMITTED,
+    ISOLATION_READ_UNCOMMITTED,
+    KafkaClient,
+    KafkaProtocolError,
+    KafkaRecord,
+    TransactionalProducer,
+    produce_records,
+)
+
+
+def _recs(n, tag=""):
+    return [
+        KafkaRecord(
+            value=f"v{tag}{i}".encode(), key=f"k{i}".encode(),
+            timestamp_ms=1_000 + i,
+        )
+        for i in range(n)
+    ]
+
+
+def _drain(client, topic, partitions, iso):
+    """Full drain via the consumer's scan position — the loop must
+    terminate even when ranges end in control markers."""
+    out = []
+    for p in range(partitions):
+        off = 0
+        while True:
+            recs, scan, end = client.fetch_scan(
+                topic, p, off, isolation_level=iso, max_wait_ms=0
+            )
+            out.extend(recs)
+            if scan <= off or scan >= end:
+                break
+            off = scan
+    return out
+
+
+# -- transaction visibility ---------------------------------------------------
+
+
+def test_open_transaction_invisible_to_read_committed():
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        with KafkaClient("localhost", b.port) as c:
+            p = TransactionalProducer.begin(c, "tx-a")
+            produce_records(c, "t", _recs(10), 2, producer=p)
+            committed = _drain(c, "t", 2, ISOLATION_READ_COMMITTED)
+            raw = _drain(c, "t", 2, ISOLATION_READ_UNCOMMITTED)
+            assert committed == []
+            assert len(raw) == 10  # on the log, just not stable
+            # the LSO holds at the transaction's first offset
+            _, lso = c.fetch(
+                "t", 0, 0, isolation_level=ISOLATION_READ_COMMITTED,
+                max_wait_ms=0,
+            )
+            assert lso == 0
+
+
+def test_commit_publishes_exactly_once_and_hides_markers():
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        with KafkaClient("localhost", b.port) as c:
+            p = TransactionalProducer.begin(c, "tx-a")
+            produce_records(c, "t", _recs(10), 2, producer=p)
+            p.commit(c)
+            got = _drain(c, "t", 2, ISOLATION_READ_COMMITTED)
+            assert sorted(r.value for r in got) == sorted(
+                r.value for r in _recs(10)
+            )
+            # control markers occupy offsets but never surface
+            raw = _drain(c, "t", 2, ISOLATION_READ_UNCOMMITTED)
+            assert sorted(r.value for r in raw) == sorted(
+                r.value for r in got
+            )
+
+
+def test_abort_hides_records_forever():
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            p = TransactionalProducer.begin(c, "tx-a")
+            produce_records(c, "t", _recs(5, "dead"), 1, producer=p)
+            p.abort(c)
+            # a second, committed transaction lands after the aborted one
+            p2 = TransactionalProducer.begin(c, "tx-b")
+            produce_records(c, "t", _recs(5, "live"), 1, producer=p2)
+            p2.commit(c)
+            got = _drain(c, "t", 1, ISOLATION_READ_COMMITTED)
+            assert sorted(r.value for r in got) == sorted(
+                r.value for r in _recs(5, "live")
+            )
+            # read_uncommitted still sees the aborted bytes (KIP-98)
+            raw = _drain(c, "t", 1, ISOLATION_READ_UNCOMMITTED)
+            assert len(raw) == 10
+
+
+def test_interleaved_transactions_filter_only_the_aborted_one():
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            pa = TransactionalProducer.begin(c, "tx-a")
+            pb = TransactionalProducer.begin(c, "tx-b")
+            produce_records(c, "t", _recs(3, "a"), 1, producer=pa)
+            produce_records(c, "t", _recs(3, "b"), 1, producer=pb)
+            produce_records(c, "t", _recs(3, "a2"), 1, producer=pa)
+            pa.abort(c)
+            pb.commit(c)
+            got = _drain(c, "t", 1, ISOLATION_READ_COMMITTED)
+            assert sorted(r.value for r in got) == sorted(
+                r.value for r in _recs(3, "b")
+            )
+
+
+# -- zombie fencing -----------------------------------------------------------
+
+
+def test_reinit_bumps_epoch_aborts_dangling_and_fences_zombie():
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            zombie = TransactionalProducer.begin(c, "job.tx-0")
+            produce_records(c, "t", _recs(4, "z"), 1, producer=zombie)
+            # crash: no commit. The retry re-inits the SAME id:
+            retry = TransactionalProducer.begin(c, "job.tx-0")
+            assert retry.producer_id == zombie.producer_id
+            assert retry.epoch == zombie.epoch + 1
+            # the zombie's late batch is refused with the fencing error
+            with pytest.raises(KafkaProtocolError) as ei:
+                produce_records(c, "t", _recs(1, "late"), 1, producer=zombie)
+            assert ei.value.code == 47  # INVALID_PRODUCER_EPOCH
+            # ... and so is its EndTxn
+            with pytest.raises(KafkaProtocolError) as ei:
+                zombie.commit(c)
+            assert ei.value.code == 47
+            # the retry produces and commits exactly one copy
+            produce_records(c, "t", _recs(4, "z"), 1, producer=retry)
+            retry.commit(c)
+            got = _drain(c, "t", 1, ISOLATION_READ_COMMITTED)
+            assert sorted(r.value for r in got) == sorted(
+                r.value for r in _recs(4, "z")
+            )
+
+
+def test_txn_state_errors_by_name():
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            p = TransactionalProducer.begin(c, "tx-a")
+            # EndTxn with no ongoing transaction: INVALID_TXN_STATE
+            with pytest.raises(KafkaProtocolError) as ei:
+                c.end_txn("tx-a", p.producer_id, p.epoch, True)
+            assert ei.value.code == 48
+            # unknown transactional id: INVALID_PRODUCER_ID_MAPPING
+            with pytest.raises(KafkaProtocolError) as ei:
+                c.end_txn("nope", p.producer_id, p.epoch, True)
+            assert ei.value.code == 49
+            # transactional batch without AddPartitionsToTxn: refused
+            from flinkrunner_spark.util.kafka import encode_record_batch
+
+            batch = encode_record_batch(
+                _recs(1), producer_id=p.producer_id,
+                producer_epoch=p.epoch, base_sequence=0,
+                transactional=True,
+            )
+            with pytest.raises(KafkaProtocolError) as ei:
+                c.produce("t", 0, batch)
+            assert ei.value.code == 48
+
+
+def test_find_coordinator_points_home():
+    with LoopbackKafkaBroker() as b:
+        with KafkaClient("localhost", b.port) as c:
+            host, port = c.find_coordinator("any.tx.id", key_type=1)
+            assert (host, port) == ("localhost", b.port)
+
+
+def test_scan_position_advances_past_marker_tail():
+    """A range drain ending in a control marker must terminate: the
+    scan position (not records[-1].offset) is the next poll cursor."""
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            p = TransactionalProducer.begin(c, "tx-a")
+            produce_records(c, "t", _recs(6), 1, producer=p)
+            p.commit(c)
+            # log: [data 0..5][marker 6]; hwm = lso = 7
+            recs, scan, end = c.fetch_scan(
+                "t", 0, 0, isolation_level=ISOLATION_READ_COMMITTED,
+                max_wait_ms=0,
+            )
+            assert len(recs) == 6 and end == 7
+            # polling AT the marker offset returns no records but a
+            # scan position past it — the drain's termination signal
+            recs2, scan2, end2 = c.fetch_scan(
+                "t", 0, 6, isolation_level=ISOLATION_READ_COMMITTED,
+                max_wait_ms=0,
+            )
+            assert recs2 == [] and scan2 == 7 and end2 == 7
+
+
+# -- sink/source surface ------------------------------------------------------
+
+
+def test_sink_exactly_once_guarantee_spellings(spark):
+    """The reference's normalizer (KafkaSinkConfig.scala:56-64):
+    any casing/separator of exactly-once opts in; unknown values fall
+    back to at-least-once."""
+    from flinkrunner_spark.sinks.factory import _re_sub_guarantee
+
+    for raw in ("exactly-once", "EXACTLY_ONCE", "Exactly Once",
+                "exactly.once"):
+        assert _re_sub_guarantee(raw) == "exactly-once"
+    assert _re_sub_guarantee("none") == "none"
+    assert _re_sub_guarantee(None) == "at-least-once"
+    assert _re_sub_guarantee("at_least_once") == "at-least-once"
+    assert _re_sub_guarantee("whatever") == "at-least-once"
+
+
+def test_sink_exactly_once_end_to_end_with_crash_retry(spark):
+    """The kafka_txn_roundtrip story at test scale: a dangling
+    transaction from a dead first attempt is fenced + aborted by the
+    sink's retry under the same transactional.id.prefix; a
+    read_committed source sees exactly the retry's rows."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    df = spark.range(20).selectExpr(
+        "cast(id as string) AS key", "concat('row-', id) AS value"
+    )
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        with KafkaClient("localhost", b.port) as c:
+            dead = TransactionalProducer.begin(c, "pfx-0")
+            produce_records(c, "t", _recs(8, "dead"), 2, producer=dead)
+        # no commit — the writer 'crashed'
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "t",
+             "key.column": "key",
+             "delivery.guarantee": "exactly-once",
+             "transactional.id.prefix": "pfx"},
+        ).write(df)
+        back = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "t",
+             "options": {"kafka.isolation.level": "read_committed"}},
+        ).load(spark)
+        vals = sorted(bytes(r.value).decode() for r in back.collect())
+        assert vals == sorted(f"row-{i}" for i in range(20))
+
+
+# -- SASL/OAUTHBEARER (RFC 7628) ----------------------------------------------
+
+
+def test_oauthbearer_good_and_bad_token():
+    with LoopbackKafkaBroker(oauth_token="tok-123") as b:
+        sec = {"protocol": "SASL_PLAINTEXT", "mechanism": "OAUTHBEARER",
+               "token": "tok-123"}
+        with KafkaClient("localhost", b.port, security=sec) as c:
+            assert len(c.metadata(["t"])) == 1
+        bad = dict(sec, token="wrong")
+        with pytest.raises(KafkaProtocolError) as ei:
+            with KafkaClient("localhost", b.port, security=bad) as c:
+                c.metadata(["t"])
+        assert ei.value.code == 58  # SASL_AUTHENTICATION_FAILED
+        # a pre-auth API on the SASL listener dies, as on a real broker
+        with pytest.raises(Exception):
+            with KafkaClient("localhost", b.port) as c:
+                c.metadata(["t"])
+
+
+def test_oauthbearer_option_mapping():
+    from flinkrunner_spark.sources.kafka_datasource import (
+        security_from_options,
+    )
+
+    sec = security_from_options({
+        "kafka.security.protocol": "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism": "OAUTHBEARER",
+        "kafka.sasl.oauthbearer.token": "tok-123",
+    })
+    assert sec == {"protocol": "SASL_PLAINTEXT",
+                   "mechanism": "OAUTHBEARER", "token": "tok-123"}
+    # token required by name
+    with pytest.raises(ValueError, match="oauthbearer.token"):
+        security_from_options({
+            "kafka.security.protocol": "SASL_PLAINTEXT",
+            "kafka.sasl.mechanism": "OAUTHBEARER",
+        })
+    # GSSAPI still refuses by name — no silent downgrade
+    with pytest.raises(ValueError, match="GSSAPI"):
+        security_from_options({
+            "kafka.security.protocol": "SASL_PLAINTEXT",
+            "kafka.sasl.mechanism": "GSSAPI",
+        })
+
+
+def test_oauthbearer_missing_token_client_side():
+    with pytest.raises(ValueError, match="bearer token"):
+        with LoopbackKafkaBroker(oauth_token="t") as b:
+            sec = {"protocol": "SASL_PLAINTEXT",
+                   "mechanism": "OAUTHBEARER"}
+            with KafkaClient("localhost", b.port, security=sec):
+                pass
