@@ -61,3 +61,94 @@ def test_ccnet_drops_sub_bigram_docs(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert b.count() <= docs.count()
     assert b.select("doc_id").distinct().count() == b.count()
+
+
+def test_ntile3_cutoff_ranks_match_spark_ntile(spark):
+    """The driver-side ntile arithmetic must agree with Spark's NTILE
+    for every small n (covers all remainder classes + degenerates)."""
+    from pyspark.sql import Window
+
+    from flinkrunner_spark.llm.pruning import _ntile3_cutoff_ranks
+
+    for n in range(1, 12):
+        df = spark.range(n).withColumn(
+            "q",
+            F.ntile(3).over(Window.orderBy("id")),
+        )
+        got = {r["id"] + 1: r["q"] for r in df.collect()}  # rank -> bucket
+        cuts = _ntile3_cutoff_ranks(n)
+        for rank in range(1, n + 1):
+            want = (
+                1 if rank <= cuts.get(1, 0)
+                else 2 if rank <= cuts.get(2, 0)
+                else 3
+            )
+            assert got[rank] == want, (n, rank, cuts, got)
+
+
+def test_rank_boundary_tuples_exact_with_ties(spark):
+    """The histogram-refinement selector returns EXACTLY the rank-k
+    (val, id) tuple under (val ASC, id ASC) — including boundary ties —
+    for every group and every k, at a bin count small enough to force
+    multi-row boundary bins."""
+    from flinkrunner_spark.llm.pruning import _rank_boundary_tuples
+
+    rows = []
+    vals = [1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 5.0, 8.0, 9.0, 9.0]
+    for g in ("a", "b"):
+        for i, v in enumerate(vals):
+            rows.append((g, v + (1.0 if g == "b" else 0.0), i))
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    expect = {
+        g: sorted(
+            [(r[1], r[2]) for r in rows if r[0] == g]
+        )
+        for g in ("a", "b")
+    }
+    for k in (1, 3, 4, 7, 10):
+        got = _rank_boundary_tuples(
+            df, "g", "v", "i", lambda n, k=k: {1: k}, bins=4
+        )
+        for g in ("a", "b"):
+            assert got[g][1] == expect[g][k - 1], (g, k, got[g])
+    # multiple ranks in one pass, constant-value degenerate group
+    one = spark.createDataFrame(
+        [("c", 7.0, i) for i in range(5)], "g string, v double, i long"
+    )
+    got = _rank_boundary_tuples(
+        one, "g", "v", "i", lambda n: {1: 2, 2: 4}, bins=4
+    )
+    assert got["c"][1] == (7.0, 1) and got["c"][2] == (7.0, 3)
+
+
+def test_defaults_match_window_anchors(spark):
+    """The broadcast-cutoff defaults must reproduce the window anchors
+    row-for-row (the ntile/row_number exactness contracts)."""
+    from flinkrunner_spark.llm.pruning import (
+        docs_ccnet_buckets_window,
+        emb_outliers_window,
+    )
+
+    for default_fn, anchor_fn in (
+        (docs_ccnet_buckets, docs_ccnet_buckets_window),
+        (emb_outliers, emb_outliers_window),
+    ):
+        d = {tuple(r) for r in default_fn(spark, SF).collect()}
+        a = {tuple(r) for r in anchor_fn(spark, SF).collect()}
+        assert d == a
+
+
+def test_default_plans_have_no_group_windows(spark):
+    """The r10 verdict's two perf-weak findings stay closed: the
+    returned default plans rank nothing per-language / per-cluster —
+    assignment is a broadcast join + map-side tuple comparison."""
+    ccnet = docs_ccnet_buckets(spark, SF)
+    plan = ccnet._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    out = emb_outliers(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only window allowed is the centroid fold's bounded
+    # (label, pos) chunk rank — never one over assigned_label alone
+    assert "windowspecdefinition(assigned_label" not in plan, plan
+    assert "ntile" not in plan

@@ -348,10 +348,11 @@ def test_emb_knn_join_no_forced_probe_broadcast(spark):
     similarity.release_caches(SF)
 
 
-def test_emb_outliers_single_ranking_exchange_over_assignment(spark):
-    # the pruning screen adds exactly ONE exchange (the cluster-key
-    # ranking shuffle) on top of the zero-shuffle broadcast-argmax
-    # assignment: assignment itself contributes only its broadcast
+def test_emb_outliers_adds_no_shuffle_over_assignment(spark):
+    # the pruning screen adds ZERO shuffle exchanges on top of the
+    # broadcast-argmax assignment (r11: the per-cluster ranking
+    # shuffle+sort became a broadcast boundary-tuple join — the
+    # cluster-key window would put a whole cluster through one task)
     from flinkrunner_spark.llm.pruning import emb_outliers
     from flinkrunner_spark.llm.similarity import (
         docs_cluster_assign,
@@ -359,15 +360,20 @@ def test_emb_outliers_single_ranking_exchange_over_assignment(spark):
     )
 
     release_caches()  # all sf_dirs — a stale cached frame would skew the baseline
+    # materialize the memoized centroid cache FIRST: a materialized
+    # InMemoryRelation prints its child lineage twice, so both plans
+    # must be captured in the same cache state for a fair count
+    docs_cluster_assign(spark, SF).count()
     base = (
         docs_cluster_assign(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
-        .count("Exchange")
+        .count("Exchange hashpartitioning")
     )
     plan = _plan(spark, emb_outliers)
-    assert plan.count("Exchange") <= base + 1, plan
+    assert plan.count("Exchange hashpartitioning") <= base, plan
+    assert "windowspecdefinition(assigned_label" not in plan, plan
 
 
 def test_changelog_append_commits_scan_only_added_files(spark, tmp_path):
