@@ -21,10 +21,13 @@ the lock state machine — a second locker gets WAITING, alter without an
 ACQUIRED exclusive lock refuses — so the tests exercise the protocol,
 not a mock.
 
-Only the RPC subset an Iceberg catalog needs is implemented:
-``get_table`` / ``create_table`` / ``alter_table`` / ``lock`` /
-``check_lock`` / ``unlock``. Everything else a real metastore serves
-(partitions, stats, functions) is out of scope and absent BY NAME.
+Implemented RPC surface: the Iceberg-catalog subset (``get_table`` /
+``create_table`` / ``alter_table`` / ``lock`` / ``check_lock`` /
+``unlock``) plus the Hive-table partition RPCs non-Iceberg HMS interop
+needs (``add_partitions`` / ``get_partitions`` /
+``get_partition_names`` / ``drop_partition`` — the hive_metastore.thrift
+Partition struct with values + storage-descriptor location). Stats and
+functions RPCs remain out of scope and absent BY NAME.
 """
 
 from __future__ import annotations
@@ -178,10 +181,20 @@ TBL_NAME = 1
 TBL_DB = 2
 TBL_OWNER = 3
 TBL_SD = 7
+TBL_PARTITION_KEYS = 8
 TBL_PARAMETERS = 9
 TBL_TABLE_TYPE = 12
 # StorageDescriptor field ids
 SD_LOCATION = 2
+# Partition field ids (hive_metastore.thrift)
+PART_VALUES = 1
+PART_DB = 2
+PART_TABLE = 3
+PART_SD = 6
+PART_PARAMETERS = 7
+# FieldSchema field ids
+FS_NAME = 1
+FS_TYPE = 2
 
 # hive_metastore.thrift enums (public IDL):
 LOCK_EXCLUSIVE = 3  # LockType: SHARED_READ=1, SHARED_WRITE=2, EXCLUSIVE=3
@@ -207,22 +220,71 @@ class NoSuchTable(HiveMetastoreError):
     pass
 
 
+def enc_list_struct(structs: list[bytes]) -> bytes:
+    return struct.pack(">bi", T_STRUCT, len(structs)) + b"".join(structs)
+
+
+def enc_list_string(items: list[str]) -> bytes:
+    return struct.pack(">bi", T_STRING, len(items)) + b"".join(
+        enc_string(s) for s in items
+    )
+
+
 def encode_table(
     db: str,
     name: str,
     location: str,
     parameters: dict[str, str],
     owner: str = "flinkrunner",
+    partition_keys: list[tuple[str, str]] | None = None,
 ) -> bytes:
+    sd = enc_struct([(T_STRING, SD_LOCATION, enc_string(location))])
+    fields = [
+        (T_STRING, TBL_NAME, enc_string(name)),
+        (T_STRING, TBL_DB, enc_string(db)),
+        (T_STRING, TBL_OWNER, enc_string(owner)),
+        (T_STRUCT, TBL_SD, sd),
+        (T_MAP, TBL_PARAMETERS, enc_map_ss(parameters)),
+        (T_STRING, TBL_TABLE_TYPE, enc_string("EXTERNAL_TABLE")),
+    ]
+    if partition_keys:
+        fields.append(
+            (
+                T_LIST,
+                TBL_PARTITION_KEYS,
+                enc_list_struct(
+                    [
+                        enc_struct(
+                            [
+                                (T_STRING, FS_NAME, enc_string(kn)),
+                                (T_STRING, FS_TYPE, enc_string(kt)),
+                            ]
+                        )
+                        for kn, kt in partition_keys
+                    ]
+                ),
+            )
+        )
+    return enc_struct(fields)
+
+
+def encode_partition(
+    db: str,
+    name: str,
+    values: list[str],
+    location: str,
+    parameters: dict[str, str] | None = None,
+) -> bytes:
+    """One hive_metastore.thrift Partition struct: the value list plus
+    a StorageDescriptor carrying the partition directory."""
     sd = enc_struct([(T_STRING, SD_LOCATION, enc_string(location))])
     return enc_struct(
         [
-            (T_STRING, TBL_NAME, enc_string(name)),
-            (T_STRING, TBL_DB, enc_string(db)),
-            (T_STRING, TBL_OWNER, enc_string(owner)),
-            (T_STRUCT, TBL_SD, sd),
-            (T_MAP, TBL_PARAMETERS, enc_map_ss(parameters)),
-            (T_STRING, TBL_TABLE_TYPE, enc_string("EXTERNAL_TABLE")),
+            (T_LIST, PART_VALUES, enc_list_string([str(v) for v in values])),
+            (T_STRING, PART_DB, enc_string(db)),
+            (T_STRING, PART_TABLE, enc_string(name)),
+            (T_STRUCT, PART_SD, sd),
+            (T_MAP, PART_PARAMETERS, enc_map_ss(parameters or {})),
         ]
     )
 
@@ -313,17 +375,123 @@ class HiveMetastoreClient:
         return result[0]
 
     def create_table(
-        self, db: str, name: str, location: str, parameters: dict[str, str]
+        self,
+        db: str,
+        name: str,
+        location: str,
+        parameters: dict[str, str],
+        partition_keys: list[tuple[str, str]] | None = None,
     ) -> None:
         result = self._call(
             "create_table",
             enc_struct(
-                [(T_STRUCT, 1, encode_table(db, name, location, parameters))]
+                [
+                    (
+                        T_STRUCT,
+                        1,
+                        encode_table(
+                            db, name, location, parameters,
+                            partition_keys=partition_keys,
+                        ),
+                    )
+                ]
             ),
         )
         for fid, v in result.items():
             if fid != 0:
                 raise HiveMetastoreError(f"create_table: {v}")
+
+    # -- partition RPCs (Hive-table interop beyond the Iceberg catalog) ------
+
+    def add_partitions(
+        self,
+        db: str,
+        name: str,
+        partitions: list[tuple[list[str], str]],
+        parameters: dict[str, str] | None = None,
+    ) -> int:
+        """add_partitions(list<Partition>) -> count added. Each entry is
+        (values, location) — the metastore registers the value tuple
+        and its directory; AlreadyExists surfaces as an error, like a
+        real HMS (use one value tuple once)."""
+        structs = [
+            encode_partition(db, name, vals, loc, parameters)
+            for vals, loc in partitions
+        ]
+        result = self._call(
+            "add_partitions",
+            enc_struct([(T_LIST, 1, enc_list_struct(structs))]),
+        )
+        self._raise_result_exceptions("add_partitions", result)
+        return int(result.get(0, 0))
+
+    def get_partitions(
+        self, db: str, name: str, max_parts: int = -1
+    ) -> list[dict]:
+        """-> [{"values": [...], "location": str, "parameters": {...}}]
+        sorted by value tuple (deterministic like get_partition_names)."""
+        result = self._call(
+            "get_partitions",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                    (T_I16, 3, struct.pack(">h", max_parts)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("get_partitions", result)
+        out = []
+        for p in result.get(0, []) or []:
+            sd = p.get(PART_SD) or {}
+            out.append(
+                {
+                    "values": list(p.get(PART_VALUES) or []),
+                    "location": str(sd.get(SD_LOCATION, "")),
+                    "parameters": dict(p.get(PART_PARAMETERS) or {}),
+                }
+            )
+        return out
+
+    def get_partition_names(
+        self, db: str, name: str, max_parts: int = -1
+    ) -> list[str]:
+        """-> ["k1=v1/k2=v2", ...] built from the table's partitionKeys
+        (the Hive partition-path convention)."""
+        result = self._call(
+            "get_partition_names",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                    (T_I16, 3, struct.pack(">h", max_parts)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("get_partition_names", result)
+        return [str(s) for s in result.get(0, []) or []]
+
+    def drop_partition(
+        self, db: str, name: str, values: list[str],
+        delete_data: bool = False,
+    ) -> bool:
+        result = self._call(
+            "drop_partition",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                    (
+                        T_LIST,
+                        3,
+                        enc_list_string([str(v) for v in values]),
+                    ),
+                    (T_BOOL, 4, struct.pack(">b", 1 if delete_data else 0)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("drop_partition", result)
+        return bool(result.get(0, False))
 
     def _alter_table(self, db: str, name: str, table_struct: bytes) -> None:
         result = self._call(

@@ -2816,8 +2816,11 @@ class LoopbackHiveMetastore:
         from flinkrunner_spark import hive_metastore as HM
 
         self.HM = HM
-        # (db, name) -> {"location": str, "parameters": dict, "owner": str}
+        # (db, name) -> {"location": str, "parameters": dict, "owner":
+        # str, "partition_keys": [(name, type)]}
         self.tables: dict[tuple[str, str], dict] = {}
+        # (db, name) -> {tuple(values) -> {"location", "parameters"}}
+        self.partitions: dict[tuple[str, str], dict] = {}
         self.locks: dict[int, tuple[str, str]] = {}  # lockid -> table key
         self.queues: dict[tuple[str, str], list[int]] = {}  # FIFO waiters
         self._next_lock = 100
@@ -2879,6 +2882,10 @@ class LoopbackHiveMetastore:
                     "lock": self._lock,
                     "check_lock": self._check_lock,
                     "unlock": self._unlock,
+                    "add_partitions": self._add_partitions,
+                    "get_partitions": self._get_partitions,
+                    "get_partition_names": self._get_partition_names,
+                    "drop_partition": self._drop_partition,
                 }.get(name)
                 if handler is None:
                     body = HM.enc_struct(
@@ -2909,21 +2916,27 @@ class LoopbackHiveMetastore:
         HM = self.HM
         t = self.tables[(db, name)]
         return HM.encode_table(
-            db, name, t["location"], t["parameters"], owner=t["owner"]
+            db, name, t["location"], t["parameters"], owner=t["owner"],
+            partition_keys=t.get("partition_keys") or None,
         )
 
     @staticmethod
-    def _tbl_fields(tstruct: dict) -> tuple[str, str, dict, str, str]:
+    def _tbl_fields(tstruct: dict) -> tuple[str, str, dict, str, str, list]:
         from flinkrunner_spark import hive_metastore as HM
 
         db = tstruct.get(HM.TBL_DB, "")
         name = tstruct.get(HM.TBL_NAME, "")
         params = tstruct.get(HM.TBL_PARAMETERS) or {}
         sd = tstruct.get(HM.TBL_SD) or {}
+        pkeys = [
+            (str(f.get(HM.FS_NAME, "")), str(f.get(HM.FS_TYPE, "")))
+            for f in (tstruct.get(HM.TBL_PARTITION_KEYS) or [])
+        ]
         return (
             db, name, dict(params),
             str(sd.get(HM.SD_LOCATION, "")),
             str(tstruct.get(HM.TBL_OWNER, "")),
+            pkeys,
         )
 
     # -- RPCs -----------------------------------------------------------------
@@ -2940,11 +2953,14 @@ class LoopbackHiveMetastore:
 
     def _create_table(self, args: dict) -> bytes:
         HM = self.HM
-        db, name, params, loc, owner = self._tbl_fields(args.get(1) or {})
+        db, name, params, loc, owner, pkeys = self._tbl_fields(
+            args.get(1) or {}
+        )
         if (db, name) in self.tables:
             return self._exc(1, f"AlreadyExists: {db}.{name}")
         self.tables[(db, name)] = {
-            "location": loc, "parameters": params, "owner": owner
+            "location": loc, "parameters": params, "owner": owner,
+            "partition_keys": pkeys,
         }
         return HM.enc_struct([])
 
@@ -2963,11 +2979,108 @@ class LoopbackHiveMetastore:
                 "lock — take the metastore lock before swapping the "
                 "metadata pointer",
             )
-        ndb, nname, params, loc, owner = self._tbl_fields(args.get(3) or {})
+        ndb, nname, params, loc, owner, pkeys = self._tbl_fields(
+            args.get(3) or {}
+        )
         self.tables[(db, name)] = {
-            "location": loc, "parameters": params, "owner": owner
+            "location": loc, "parameters": params, "owner": owner,
+            "partition_keys": pkeys
+            or self.tables[(db, name)].get("partition_keys") or [],
         }
         return HM.enc_struct([])
+
+    # -- partition RPCs -------------------------------------------------------
+
+    def _part_struct(self, db: str, name: str, vals: tuple) -> bytes:
+        HM = self.HM
+        p = self.partitions[(db, name)][vals]
+        return HM.encode_partition(
+            db, name, list(vals), p["location"], p["parameters"]
+        )
+
+    def _add_partitions(self, args: dict) -> bytes:
+        HM = self.HM
+        added = 0
+        for p in args.get(1) or []:
+            db = str(p.get(HM.PART_DB, ""))
+            name = str(p.get(HM.PART_TABLE, ""))
+            if (db, name) not in self.tables:
+                # result field 1 = InvalidObjectException
+                return self._exc(1, f"InvalidObject: {db}.{name}")
+            vals = tuple(str(v) for v in p.get(HM.PART_VALUES) or [])
+            store = self.partitions.setdefault((db, name), {})
+            if vals in store:
+                # result field 2 = AlreadyExistsException
+                return self._exc(
+                    2, f"AlreadyExists: partition {vals} of {db}.{name}"
+                )
+            sd = p.get(HM.PART_SD) or {}
+            store[vals] = {
+                "location": str(sd.get(HM.SD_LOCATION, "")),
+                "parameters": dict(p.get(HM.PART_PARAMETERS) or {}),
+            }
+            added += 1
+        return HM.enc_struct([(HM.T_I32, 0, struct.pack(">i", added))])
+
+    def _resolve_parts(self, args: dict):
+        db, name = str(args.get(1, "")), str(args.get(2, ""))
+        if (db, name) not in self.tables:
+            return db, name, None
+        mp = int(args.get(3, -1))
+        vals = sorted(self.partitions.get((db, name), {}))
+        if mp >= 0:
+            vals = vals[:mp]
+        return db, name, vals
+
+    def _get_partitions(self, args: dict) -> bytes:
+        HM = self.HM
+        db, name, vals = self._resolve_parts(args)
+        if vals is None:
+            return self._exc(1, f"NoSuchObject: {db}.{name}")
+        return HM.enc_struct(
+            [
+                (
+                    HM.T_LIST,
+                    0,
+                    HM.enc_list_struct(
+                        [self._part_struct(db, name, v) for v in vals]
+                    ),
+                )
+            ]
+        )
+
+    def _get_partition_names(self, args: dict) -> bytes:
+        HM = self.HM
+        db, name, vals = self._resolve_parts(args)
+        if vals is None:
+            return self._exc(1, f"NoSuchObject: {db}.{name}")
+        keys = [
+            k for k, _t in self.tables[(db, name)].get("partition_keys", [])
+        ]
+        names = [
+            "/".join(
+                f"{keys[i] if i < len(keys) else f'p{i}'}={v[i]}"
+                for i in range(len(v))
+            )
+            for v in vals
+        ]
+        return HM.enc_struct(
+            [(HM.T_LIST, 0, HM.enc_list_string(names))]
+        )
+
+    def _drop_partition(self, args: dict) -> bytes:
+        HM = self.HM
+        db, name = str(args.get(1, "")), str(args.get(2, ""))
+        vals = tuple(str(v) for v in args.get(3) or [])
+        store = self.partitions.get((db, name), {})
+        if vals not in store:
+            return self._exc(
+                1, f"NoSuchObject: partition {vals} of {db}.{name}"
+            )
+        del store[vals]
+        return HM.enc_struct(
+            [(HM.T_BOOL, 0, struct.pack(">b", 1))]
+        )
 
     def _lock(self, args: dict) -> bytes:
         HM = self.HM

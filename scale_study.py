@@ -58,10 +58,14 @@ DEFAULT_KEYS = [
     "stream_emb_dup_pairs",
     "agg_quantiles",
     "docs_remove_dup_spans",
-    # r10 continuation: the pruning screens (one ranking shuffle over
-    # the assignment / LM frames whose scale rows already exist)
+    # r10 continuation: the pruning screens (r11: rank-boundary
+    # selection over the assignment / LM frames — no group windows)
     "emb_outliers",
     "docs_ccnet_buckets",
+    # r11: the dedup action report (rides the shared dup-clusters CC;
+    # the kafka/iceberg lifecycle roundtrips are loopback-broker-bound
+    # and stay out — their cost is the harness, not the plan)
+    "docs_dedup_report",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"

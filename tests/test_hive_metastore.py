@@ -375,3 +375,71 @@ def test_thrift_codec_property_roundtrip():
         assert got == {fid: expect(x) for fid, x in fields.items()}
 
     check()
+
+
+def test_partition_rpcs_roundtrip():
+    """add_partitions / get_partitions / get_partition_names /
+    drop_partition over the real thrift wire (hive_metastore.thrift
+    Partition struct: value list + storage-descriptor location) — the
+    non-Iceberg HMS interop surface."""
+    with LoopbackHiveMetastore() as srv, _client(srv) as c:
+        c.create_table(
+            "db", "sales", "s3://b/sales", {"k": "v"},
+            partition_keys=[("ds", "string"), ("region", "string")],
+        )
+        n = c.add_partitions(
+            "db", "sales",
+            [
+                (["2026-01-01", "eu"], "s3://b/sales/ds=2026-01-01/region=eu"),
+                (["2026-01-01", "us"], "s3://b/sales/ds=2026-01-01/region=us"),
+                (["2026-01-02", "eu"], "s3://b/sales/ds=2026-01-02/region=eu"),
+            ],
+        )
+        assert n == 3
+        parts = c.get_partitions("db", "sales")
+        assert [p["values"] for p in parts] == [
+            ["2026-01-01", "eu"], ["2026-01-01", "us"], ["2026-01-02", "eu"]
+        ]
+        assert parts[0]["location"].endswith("ds=2026-01-01/region=eu")
+        # names follow the Hive path convention from the table's keys
+        assert c.get_partition_names("db", "sales") == [
+            "ds=2026-01-01/region=eu",
+            "ds=2026-01-01/region=us",
+            "ds=2026-01-02/region=eu",
+        ]
+        assert c.get_partition_names("db", "sales", max_parts=1) == [
+            "ds=2026-01-01/region=eu"
+        ]
+        # duplicates refuse (AlreadyExists), like a real metastore
+        with pytest.raises(HiveMetastoreError, match="AlreadyExists"):
+            c.add_partitions(
+                "db", "sales", [(["2026-01-01", "eu"], "s3://dup")]
+            )
+        # drop removes exactly one value tuple
+        assert c.drop_partition("db", "sales", ["2026-01-01", "us"]) is True
+        assert len(c.get_partitions("db", "sales")) == 2
+        with pytest.raises(HiveMetastoreError, match="NoSuchObject"):
+            c.drop_partition("db", "sales", ["2026-01-01", "us"])
+        # unknown table surfaces InvalidObject / NoSuchObject by name
+        with pytest.raises(HiveMetastoreError, match="InvalidObject"):
+            c.add_partitions("db", "nope", [(["x"], "s3://x")])
+        with pytest.raises(HiveMetastoreError, match="NoSuchObject"):
+            c.get_partitions("db", "nope")
+
+
+def test_partition_keys_survive_get_table_and_alter():
+    from flinkrunner_spark.hive_metastore import (
+        TBL_PARTITION_KEYS,
+        FS_NAME,
+        FS_TYPE,
+    )
+
+    with LoopbackHiveMetastore() as srv, _client(srv) as c:
+        c.create_table(
+            "db", "t", "s3://b/t", {}, partition_keys=[("ds", "string")]
+        )
+        t = c.get_table("db", "t")
+        keys = [
+            (f[FS_NAME], f[FS_TYPE]) for f in t.get(TBL_PARTITION_KEYS, [])
+        ]
+        assert keys == [("ds", "string")]
