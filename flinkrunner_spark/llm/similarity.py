@@ -1019,33 +1019,6 @@ KMEANS_SAMPLE_CAP = 65536  # training-sample bound — fixed wrt corpus size
 KMEANS_ITERS = 20
 
 
-def _lloyds(sample, k: int, iters: int = KMEANS_ITERS):
-    """Deterministic Lloyd's k-means over an in-memory sample (numpy).
-
-    Init: k rows strided evenly through the hash-ordered sample (no RNG —
-    same centroids every run). Iterate: assign by squared euclidean
-    (lowest cell on ties), recenter; an emptied cell keeps its previous
-    centroid. Fixed ``iters`` sweeps — the bounded, reproducible form of
-    the fit (MLlib's KMeans ran 2 scheduled jobs per iteration, ~11 s of
-    pure scheduling overhead on a corpus this size; the sample here is
-    capped, so the fit is O(cap·dim·k·iters) flops regardless of corpus
-    scale — exactly how production IVF indexes train their coarse
-    quantizers, faiss trains on ~256k sampled vectors at any corpus
-    size)."""
-    import numpy as np
-
-    n = len(sample)
-    cents = sample[[(i * n) // k for i in range(k)]].copy()
-    for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        lab = d.argmin(axis=1)  # argmin takes the FIRST (lowest) cell on ties
-        for c in range(k):
-            m = lab == c
-            if m.any():
-                cents[c] = sample[m].mean(axis=0)
-    return cents
-
-
 def _kmeans_assigned(
     spark: SparkSession, sf_dir: str, n_cells: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1080,7 +1053,14 @@ def _kmeans_assigned(
     sample = np.array(
         [np.asarray(v, dtype=np.float64) for v in sample_pdf["e"]]
     )
-    cents_np = _lloyds(sample, n_cells)
+    # BLAS distance form (r11 — the 8× study caught the old
+    # (n, k, dim) broadcast tensor paying ~1 GB of temp per sweep as
+    # k grows with √corpus): argmin ‖x−c‖² = argmin(c·c − 2x·Cᵀ), one
+    # GEMM per sweep + bincount recenter, the same recipe the IVF and
+    # PQ trainers already use (`llm.pq._lloyds_blas`)
+    from flinkrunner_spark.llm.pq import _lloyds_blas
+
+    cents_np = _lloyds_blas(sample, n_cells, iters=KMEANS_ITERS)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
         "cell int, centroid array<double>",
@@ -1089,7 +1069,8 @@ def _kmeans_assigned(
     # broadcast centroid matrix — a zero-shuffle map, vectorized across
     # rows AND cells (the JVM higher-order-fold equivalent runs
     # interpreted per element; same trade as _rh_codes). numpy argmin
-    # keeps the FIRST (lowest) cell on exact ties, matching _lloyds.
+    # keeps the FIRST (lowest) cell on exact ties, and the GEMM form
+    # matches the trainer's distance arithmetic term-for-term.
     C = cents_np.copy()
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
@@ -1105,7 +1086,7 @@ def _kmeans_assigned(
             E = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (E @ C.T)
             out = pdf.copy()
             out["prediction"] = d.argmin(axis=1).astype("int32")
             yield out

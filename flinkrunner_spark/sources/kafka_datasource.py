@@ -480,7 +480,27 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
         yield from _fetch_range(self.opts, partition, self.with_headers)
 
     def commit(self, end: dict) -> None:
-        pass  # broker-side offsets are not tracked; the checkpoint is truth
+        """The Spark checkpoint is the source of truth; with
+        ``kafka.group.id`` set, the committed batch-end offsets ALSO
+        land in the broker's group store — the Flink consumer's
+        OffsetCommitMode.ON_CHECKPOINTS behavior (reference
+        KafkaSourceConfig forwards group.id verbatim), so external lag
+        monitors see progress. A broker hiccup here must never fail the
+        batch (the commit is informational, exactly like Flink's)."""
+        group = _opt(self.opts, "kafka.group.id")
+        if not group:
+            return
+        try:
+            with _client_from_opts(self.opts) as client:
+                client.offset_commit(
+                    str(group),
+                    {
+                        (self.topic, int(p)): int(off)
+                        for p, off in end.items()
+                    },
+                )
+        except Exception:
+            pass  # informational mirror only — checkpoint stays truth
 
     def stop(self) -> None:
         pass

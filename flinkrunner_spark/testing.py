@@ -827,6 +827,11 @@ class LoopbackKafkaBroker:
         # so read_committed clients drop aborted producer ranges:
         # (topic, partition) -> [(producer_id, first_offset)]
         self._aborted: dict[tuple, list] = {}
+        # consumer-group offsets (__consumer_offsets semantics):
+        # group -> {(topic, partition): offset}; a transaction's
+        # TxnOffsetCommit stages into txn["offsets"] and only lands
+        # here at EndTxn(commit)
+        self._group_offsets: dict[str, dict] = {}
         # fail-injection: respond with a RETRIABLE error (6) to this
         # many produce requests AFTER appending their batch — the
         # lost-response shape that makes a plain retry loop duplicate
@@ -952,6 +957,10 @@ class LoopbackKafkaBroker:
                 K.API_FIND_COORDINATOR: self._find_coordinator,
                 K.API_ADD_PARTITIONS_TO_TXN: self._add_partitions_to_txn,
                 K.API_END_TXN: self._end_txn,
+                K.API_OFFSET_COMMIT: self._offset_commit,
+                K.API_OFFSET_FETCH: self._offset_fetch,
+                K.API_ADD_OFFSETS_TO_TXN: self._add_offsets_to_txn,
+                K.API_TXN_OFFSET_COMMIT: self._txn_offset_commit,
                 K.API_SASL_HANDSHAKE: lambda v, b: self._sasl_handshake(
                     v, b, sasl_state
                 ),
@@ -977,6 +986,10 @@ class LoopbackKafkaBroker:
             (K.API_FIND_COORDINATOR, 1, 1),
             (K.API_ADD_PARTITIONS_TO_TXN, 0, 0),
             (K.API_END_TXN, 0, 0),
+            (K.API_OFFSET_COMMIT, 2, 2),
+            (K.API_OFFSET_FETCH, 1, 1),
+            (K.API_ADD_OFFSETS_TO_TXN, 0, 0),
+            (K.API_TXN_OFFSET_COMMIT, 0, 0),
         ]
         if self.sasl_plain is not None or self.oauth_token is not None:
             keys += [
@@ -1337,8 +1350,14 @@ class LoopbackKafkaBroker:
                 self._aborted.setdefault((topic, pid), []).append(
                     (txn["pid"], first)
                 )
+        if commit:
+            # staged TxnOffsetCommit offsets land atomically with the
+            # records; on abort they simply vanish
+            for group, offs in txn.get("offsets", {}).items():
+                self._group_offsets.setdefault(group, {}).update(offs)
         txn["ongoing"] = False
         txn["parts"] = {}
+        txn["offsets"] = {}
 
     def _find_coordinator(self, version: int, body: bytes) -> bytes:
         K = self.K
@@ -1385,6 +1404,125 @@ class LoopbackKafkaBroker:
         for topic, parts in req:
             out += K.enc_string(topic) + struct.pack(">i", len(parts))
             for p in parts:
+                out += struct.pack(">ih", p, err)
+        return out
+
+    @staticmethod
+    def _dec_offset_topics(K, body: bytes, pos: int, with_meta: bool):
+        """[(topic, [(partition, offset)])] from an offset-commit-style
+        topics array (optionally skipping per-partition metadata)."""
+        (nt,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = []
+        for _ in range(nt):
+            topic, pos = K.dec_string(body, pos)
+            (np_,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            ps = []
+            for _ in range(np_):
+                p, off = struct.unpack_from(">iq", body, pos)
+                pos += 12
+                if with_meta:
+                    _m, pos = K.dec_string(body, pos)
+                ps.append((p, off))
+            out.append((topic or "", ps))
+        return out, pos
+
+    @staticmethod
+    def _enc_offset_errors(K, topics, leading_throttle: bool) -> bytes:
+        out = struct.pack(">i", 0) if leading_throttle else b""
+        out += struct.pack(">i", len(topics))
+        for topic, ps in topics:
+            out += K.enc_string(topic) + struct.pack(">i", len(ps))
+            for p, _off in ps:
+                out += struct.pack(">ih", p, 0)
+        return out
+
+    def _offset_commit(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        group, pos = K.dec_string(body, 0)
+        pos += 4  # generation_id
+        _member, pos = K.dec_string(body, pos)
+        pos += 8  # retention_time
+        topics, pos = self._dec_offset_topics(K, body, pos, with_meta=True)
+        with self.lock:
+            store = self._group_offsets.setdefault(group or "", {})
+            for topic, ps in topics:
+                for p, off in ps:
+                    store[(topic, p)] = off
+        return self._enc_offset_errors(K, topics, leading_throttle=False)
+
+    def _offset_fetch(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        group, pos = K.dec_string(body, 0)
+        (nt,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        with self.lock:
+            store = dict(self._group_offsets.get(group or "", {}))
+        out = struct.pack(">i", nt)
+        for _ in range(nt):
+            topic, pos = K.dec_string(body, pos)
+            (np_,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += K.enc_string(topic) + struct.pack(">i", np_)
+            for _ in range(np_):
+                (p,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                off = store.get((topic or "", p), -1)
+                out += struct.pack(">iq", p, off)
+                out += K.enc_string("")  # metadata
+                out += struct.pack(">h", 0)
+        return out
+
+    def _add_offsets_to_txn(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        txn_id, pos = K.dec_string(body, 0)
+        pid, epoch = struct.unpack_from(">qh", body, pos)
+        pos += 10
+        group, pos = K.dec_string(body, pos)
+        with self.lock:
+            txn = self._txns.get(txn_id or "")
+            if txn is None or txn["pid"] != pid:
+                err = 49
+            elif txn["epoch"] != epoch:
+                err = 47
+            else:
+                err = 0
+                # registering offsets makes the transaction ongoing,
+                # like AddPartitionsToTxn — an offsets-only transaction
+                # (consume-commit without produce) is legal
+                txn["ongoing"] = True
+                txn.setdefault("offsets", {}).setdefault(group or "", {})
+        return struct.pack(">ih", 0, err)
+
+    def _txn_offset_commit(self, version: int, body: bytes) -> bytes:
+        K = self.K
+        txn_id, pos = K.dec_string(body, 0)
+        group, pos = K.dec_string(body, pos)
+        pid, epoch = struct.unpack_from(">qh", body, pos)
+        pos += 10
+        topics, pos = self._dec_offset_topics(K, body, pos, with_meta=True)
+        with self.lock:
+            txn = self._txns.get(txn_id or "")
+            if txn is None or txn["pid"] != pid:
+                err = 49
+            elif txn["epoch"] != epoch:
+                err = 47
+            elif not txn["ongoing"]:
+                err = 48
+            else:
+                err = 0
+                staged = txn.setdefault("offsets", {}).setdefault(
+                    group or "", {}
+                )
+                for topic, ps in topics:
+                    for p, off in ps:
+                        staged[(topic, p)] = off
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", len(topics))
+        for topic, ps in topics:
+            out += K.enc_string(topic) + struct.pack(">i", len(ps))
+            for p, _off in ps:
                 out += struct.pack(">ih", p, err)
         return out
 

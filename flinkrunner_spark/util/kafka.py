@@ -454,12 +454,16 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
 API_FIND_COORDINATOR = 10
 API_SASL_HANDSHAKE = 17
 API_API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
 API_ADD_PARTITIONS_TO_TXN = 24
+API_ADD_OFFSETS_TO_TXN = 25
 API_END_TXN = 26
+API_TXN_OFFSET_COMMIT = 28
 API_SASL_AUTHENTICATE = 36
 
 # Fetch isolation levels (KIP-98): read_committed bounds consumption at
@@ -959,6 +963,141 @@ class KafkaClient:
                         perr, f"AddPartitionsToTxn {topic}/{p}"
                     )
 
+    # -- OffsetCommit v2 / OffsetFetch v1 (group offsets in Kafka) ----------
+
+    def offset_commit(
+        self,
+        group_id: str,
+        offsets: dict[tuple[str, int], int],
+        metadata: str = "",
+    ) -> None:
+        """Store consumer-group offsets broker-side (__consumer_offsets
+        semantics — the Flink consumer commits these on checkpoint when
+        ``group.id`` is set, OffsetCommitMode.ON_CHECKPOINTS; reference
+        KafkaSourceConfig forwards group.id verbatim)."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in offsets.items():
+            by_topic.setdefault(t, []).append((p, off))
+        body = (
+            enc_string(group_id)
+            + struct.pack(">i", -1)  # generation_id (no group mgmt)
+            + enc_string("")  # member_id
+            + struct.pack(">q", -1)  # retention_time: broker default
+            + struct.pack(">i", len(by_topic))
+        )
+        for t, ps in sorted(by_topic.items()):
+            body += enc_string(t) + struct.pack(">i", len(ps))
+            for p, off in sorted(ps):
+                body += struct.pack(">iq", p, off) + enc_string(metadata)
+        buf = self._roundtrip(API_OFFSET_COMMIT, 2, body)
+        self._check_offset_commit_errors(buf, 0, "OffsetCommit")
+
+    @staticmethod
+    def _check_offset_commit_errors(buf: bytes, pos: int, where: str):
+        (nt,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        for _ in range(nt):
+            topic, pos = dec_string(buf, pos)
+            (np_,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            for _ in range(np_):
+                p, err = struct.unpack_from(">ih", buf, pos)
+                pos += 6
+                if err:
+                    raise KafkaProtocolError(err, f"{where} {topic}/{p}")
+
+    def offset_fetch(
+        self, group_id: str, partitions: list[tuple[str, int]]
+    ) -> dict[tuple[str, int], int]:
+        """-> {(topic, partition): committed offset} (-1 = none stored).
+        Reads the COMMITTED group offsets — an open transaction's
+        TxnOffsetCommit stays invisible until its EndTxn, the KIP-98
+        read-process-write recovery contract."""
+        by_topic: dict[str, list[int]] = {}
+        for t, p in partitions:
+            by_topic.setdefault(t, []).append(p)
+        body = enc_string(group_id) + struct.pack(">i", len(by_topic))
+        for t, ps in sorted(by_topic.items()):
+            body += enc_string(t) + struct.pack(">i", len(ps))
+            body += b"".join(struct.pack(">i", p) for p in sorted(ps))
+        buf = self._roundtrip(API_OFFSET_FETCH, 1, body)
+        pos = 0
+        (nt,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        out: dict[tuple[str, int], int] = {}
+        for _ in range(nt):
+            topic, pos = dec_string(buf, pos)
+            (np_,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            for _ in range(np_):
+                p, off = struct.unpack_from(">iq", buf, pos)
+                pos += 12
+                _meta, pos = dec_string(buf, pos)
+                (err,) = struct.unpack_from(">h", buf, pos)
+                pos += 2
+                if err:
+                    raise KafkaProtocolError(
+                        err, f"OffsetFetch {topic}/{p}"
+                    )
+                out[(topic or "", p)] = off
+        return out
+
+    # -- AddOffsetsToTxn v0 ---------------------------------------------------
+
+    def add_offsets_to_txn(
+        self,
+        transactional_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        group_id: str,
+    ) -> None:
+        """Register the consumer group with the ongoing transaction —
+        the Java producer's first half of sendOffsetsToTransaction
+        (the coordinator learns the group so EndTxn can commit or
+        discard the staged offsets)."""
+        body = (
+            enc_string(transactional_id)
+            + struct.pack(">q", producer_id)
+            + struct.pack(">h", producer_epoch)
+            + enc_string(group_id)
+        )
+        buf = self._roundtrip(API_ADD_OFFSETS_TO_TXN, 0, body)
+        _throttle, err = struct.unpack_from(">ih", buf, 0)
+        if err:
+            raise KafkaProtocolError(err, "AddOffsetsToTxn")
+
+    # -- TxnOffsetCommit v0 ---------------------------------------------------
+
+    def txn_offset_commit(
+        self,
+        transactional_id: str,
+        group_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        offsets: dict[tuple[str, int], int],
+    ) -> None:
+        """Stage consumer-group offsets INSIDE the ongoing transaction
+        (the Java producer's sendOffsetsToTransaction): they become
+        visible to OffsetFetch only at EndTxn(commit) and vanish on
+        abort — with the produced records committing atomically, this
+        is the exactly-once read-process-write loop."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in offsets.items():
+            by_topic.setdefault(t, []).append((p, off))
+        body = (
+            enc_string(transactional_id)
+            + enc_string(group_id)
+            + struct.pack(">q", producer_id)
+            + struct.pack(">h", producer_epoch)
+            + struct.pack(">i", len(by_topic))
+        )
+        for t, ps in sorted(by_topic.items()):
+            body += enc_string(t) + struct.pack(">i", len(ps))
+            for p, off in sorted(ps):
+                body += struct.pack(">iq", p, off) + enc_string(None)
+        buf = self._roundtrip(API_TXN_OFFSET_COMMIT, 0, body)
+        self._check_offset_commit_errors(buf, 4, "TxnOffsetCommit")
+
     # -- EndTxn v0 -----------------------------------------------------------
 
     def end_txn(
@@ -1174,6 +1313,24 @@ class TransactionalProducer(IdempotentProducer):
                 [(topic, partition)],
             )
             self.in_txn.add((topic, partition))
+
+    def send_offsets(
+        self,
+        client: "KafkaClient",
+        group_id: str,
+        offsets: dict[tuple[str, int], int],
+    ) -> None:
+        """sendOffsetsToTransaction parity: AddOffsetsToTxn registers
+        the group with the transaction, then TxnOffsetCommit stages the
+        consumer positions so they commit (or vanish) atomically with
+        the produced records."""
+        client.add_offsets_to_txn(
+            self.transactional_id, self.producer_id, self.epoch, group_id
+        )
+        client.txn_offset_commit(
+            self.transactional_id, group_id,
+            self.producer_id, self.epoch, offsets,
+        )
 
     def commit(self, client: "KafkaClient") -> None:
         client.end_txn(

@@ -314,3 +314,118 @@ def test_oauthbearer_missing_token_client_side():
                    "mechanism": "OAUTHBEARER"}
             with KafkaClient("localhost", b.port, security=sec):
                 pass
+
+
+# -- consumer-group offsets + exactly-once read-process-write -----------------
+
+
+def test_offset_commit_fetch_roundtrip():
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        with KafkaClient("localhost", b.port) as c:
+            # nothing stored yet: -1 sentinels, like a real broker
+            got = c.offset_fetch("g1", [("t", 0), ("t", 1)])
+            assert got == {("t", 0): -1, ("t", 1): -1}
+            c.offset_commit("g1", {("t", 0): 42, ("t", 1): 7})
+            c.offset_commit("g1", {("t", 1): 9})  # overwrite wins
+            assert c.offset_fetch("g1", [("t", 0), ("t", 1)]) == {
+                ("t", 0): 42, ("t", 1): 9,
+            }
+            # groups are isolated
+            assert c.offset_fetch("g2", [("t", 0)]) == {("t", 0): -1}
+
+
+def test_txn_offsets_commit_atomically_with_records():
+    """The KIP-98 read-process-write loop: offsets staged via
+    sendOffsetsToTransaction become visible ONLY at EndTxn(commit);
+    an abort discards them with the records."""
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            p = TransactionalProducer.begin(c, "rpw-0")
+            produce_records(c, "out", _recs(5), 1, producer=p)
+            p.send_offsets(c, "g1", {("in", 0): 100})
+            # mid-transaction: neither records nor offsets visible
+            assert c.offset_fetch("g1", [("in", 0)]) == {("in", 0): -1}
+            assert _drain(c, "out", 1, ISOLATION_READ_COMMITTED) == []
+            p.commit(c)
+            assert c.offset_fetch("g1", [("in", 0)]) == {("in", 0): 100}
+            assert len(_drain(c, "out", 1, ISOLATION_READ_COMMITTED)) == 5
+            # second loop iteration aborts: offsets stay at 100
+            p2 = TransactionalProducer.begin(c, "rpw-0")
+            produce_records(c, "out", _recs(5, "x"), 1, producer=p2)
+            p2.send_offsets(c, "g1", {("in", 0): 200})
+            p2.abort(c)
+            assert c.offset_fetch("g1", [("in", 0)]) == {("in", 0): 100}
+            assert len(_drain(c, "out", 1, ISOLATION_READ_COMMITTED)) == 5
+
+
+def test_txn_offsets_fenced_zombie_cannot_commit():
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            zombie = TransactionalProducer.begin(c, "rpw-0")
+            zombie.send_offsets(c, "g1", {("in", 0): 50})
+            TransactionalProducer.begin(c, "rpw-0")  # fences the zombie
+            with pytest.raises(KafkaProtocolError) as ei:
+                zombie.send_offsets(c, "g1", {("in", 0): 60})
+            assert ei.value.code == 47
+            # the fenced attempt's staged offsets were aborted at re-init
+            assert c.offset_fetch("g1", [("in", 0)]) == {("in", 0): -1}
+
+
+def test_stream_reader_mirrors_offsets_to_group(spark, tmp_path):
+    """Flink's OffsetCommitMode.ON_CHECKPOINTS parity: with
+    kafka.group.id set, committed micro-batch end offsets also land in
+    the broker's group store (informational — the Spark checkpoint
+    stays the source of truth). The engine calls source.commit for a
+    batch only once a LATER batch completes, so the mirror lags by one
+    batch — the assertion is lag-aware: after several batches, the
+    stored offsets cover at least the first wave and never exceed the
+    log end."""
+    import time
+
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    def produce(b, n, tag):
+        df = spark.range(n).selectExpr(
+            f"concat('{tag}', cast(id as string)) AS value"
+        )
+        KafkaSinkConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "t"},
+        ).write(df)
+
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        produce(b, 12, "a")
+        src = KafkaSourceConfig(
+            "t",
+            {"connector": "kafka", "transport": "native",
+             "streaming": True,
+             "bootstrap.servers": f"localhost:{b.port}", "topic": "t",
+             "options": {"kafka.group.id": "lagmon"}},
+        )
+        q = (
+            src.load(spark)
+            .writeStream.format("memory")
+            .queryName("grp_mirror")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            with KafkaClient("localhost", b.port) as c:
+                deadline = time.time() + 90
+                got = {}
+                while time.time() < deadline:
+                    produce(b, 4, "x")  # keep batches flowing
+                    time.sleep(2)
+                    got = c.offset_fetch("lagmon", [("t", 0), ("t", 1)])
+                    if sum(v for v in got.values() if v > 0) >= 12:
+                        break
+                ends = {p: c.list_offset("t", p, -1) for p in range(2)}
+        finally:
+            q.stop()
+        # covered at least the first wave, never past the log end
+        assert sum(v for v in got.values() if v > 0) >= 12, got
+        for p in range(2):
+            assert got[("t", p)] <= ends[p]

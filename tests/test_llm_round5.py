@@ -108,8 +108,12 @@ def test_semantic_dedup_kmeans_matches_numpy_mirror(spark):
         key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
     )
     sample = E[hkeys[: similarity.KMEANS_SAMPLE_CAP]]
-    cents = similarity._lloyds(sample, 16)
-    d = ((E[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # the trainer and assigner both use the BLAS distance form — the
+    # mirror re-derives through the identical expression (bit-for-bit)
+    from flinkrunner_spark.llm.pq import _lloyds_blas
+
+    cents = _lloyds_blas(sample, 16, iters=similarity.KMEANS_ITERS)
+    d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (E @ cents.T)
     cell = d.argmin(axis=1)
     got_cell = dict(zip(out["vec_id"], out["cell"]))
     assert all(got_cell[v] == c for v, c in zip(ids, cell))
