@@ -78,6 +78,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     from flinkrunner_spark.llm import dedup as llm_dedup
+    from flinkrunner_spark.llm import pruning as llm_pruning
     from flinkrunner_spark.llm import similarity as llm_similarity
 
     def run_pass() -> dict[str, float]:
@@ -152,6 +153,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2") != "1":
         llm_dedup.release_caches()  # warm must re-execute, not cache-hit
         llm_similarity.release_caches()
+        llm_pruning.release_caches()
         warm = run_pass()
         out["queries_warm"] = warm
         out["value_warm"] = round(sum(warm.values()), 3)

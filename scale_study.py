@@ -33,6 +33,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from flinkrunner_spark import get_spark  # noqa: E402
 from flinkrunner_spark.llm import dedup as llm_dedup  # noqa: E402
 from flinkrunner_spark.llm import similarity as llm_similarity  # noqa: E402
+from flinkrunner_spark.llm import pruning as llm_pruning  # noqa: E402
 
 DEFAULT_KEYS = [
     "docs_dedup_exact",
@@ -184,16 +185,19 @@ def main() -> None:
         fn(spark, BASE_SF).count()  # pre-compile / JVM-warm
         llm_dedup.release_caches()
         llm_similarity.release_caches()
+        llm_pruning.release_caches()
         t0 = time.time()
         rows1 = fn(spark, BASE_SF).count()
         t1 = time.time() - t0
         llm_dedup.release_caches()
         llm_similarity.release_caches()
+        llm_pruning.release_caches()
         t0 = time.time()
         rows_n = fn(spark, big).count()
         tn = time.time() - t0
         llm_dedup.release_caches()
         llm_similarity.release_caches()
+        llm_pruning.release_caches()
         ops[key] = {
             "t1": round(t1, 2),
             f"t{factor}": round(tn, 2),
