@@ -43,8 +43,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # * Positions 1-11: the ten r10 keys the driver has never checked
     #   (they sat past the r10 cap; the r10 judge's driver_mirror run
     #   verified all ten exact — this rotation makes the driver say so)
-    #   plus kafka_txn_roundtrip, NEW this round (KIP-98 transactions:
-    #   delivery.guarantee exactly-once on the native transport).
+    #   plus kafka_txn_roundtrip and kafka_rpw_roundtrip, NEW this
+    #   round (KIP-98 transactions: delivery.guarantee exactly-once and
+    #   the TxnOffsetCommit read-process-write loop on the native
+    #   transport); docs_dsir_sample yields its refresh slot to the
+    #   rpw key (unchanged files, green r9 row).
     # * Kafka family + stream_curation_to_iceberg: util/kafka.py grew
     #   transactions/OAUTHBEARER/fetch_scan, sources/kafka_datasource.py
     #   the OAUTHBEARER mapping + scan-position range drain,
@@ -84,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_idempotent_roundtrip": connectors.kafka_idempotent_roundtrip,
         "docs_dedup_report": llm_dedup.docs_dedup_report,
         "kafka_txn_roundtrip": connectors.kafka_txn_roundtrip,
+        "kafka_rpw_roundtrip": connectors.kafka_rpw_roundtrip,
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,
@@ -122,9 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
-        "docs_dsir_sample": dsir.docs_dsir_sample,
         # —— beyond the 50-row cap (driver-green in r10 or earlier;
         # implementation files unchanged since their green rows) ——
+        "docs_dsir_sample": dsir.docs_dsir_sample,
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
         "emb_dup_pairs": similarity.emb_dup_pairs,

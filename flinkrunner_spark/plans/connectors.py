@@ -1741,3 +1741,122 @@ def kafka_txn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(parsed)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+def kafka_rpw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE READ-PROCESS-WRITE (the KIP-98 loop the Java
+    producer's sendOffsetsToTransaction exists for; reference parity:
+    the Flink kafka consumer+transactional producer pair): a worker
+    consumes the input topic from its CONSUMER-GROUP offsets, forwards
+    each record to the output topic, and commits the produced records
+    AND the advanced offsets in ONE transaction per chunk. The worker
+    is crashed mid-loop — after produce + TxnOffsetCommit, before
+    EndTxn — so neither that chunk's records nor its offset advance are
+    visible; the restarted worker (same transactional id) is fenced in,
+    its InitProducerId aborting the dangling transaction, resumes from
+    the last COMMITTED group offset and reprocesses the lost chunk.
+    The read_committed profile of the output topic must equal the
+    corpus exactly: a lost chunk would drop counts, a double-processed
+    one would double them."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+    from flinkrunner_spark.util.kafka import (
+        ISOLATION_READ_UNCOMMITTED,
+        KafkaClient,
+        TransactionalProducer,
+        produce_records,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    group, txn_id, chunk = "rpw-group", "curation.rpw.tx.id-0", 400
+    n_parts = 2
+
+    def run_worker(c: KafkaClient, crash_after_iter: int | None) -> None:
+        """One RPW worker incarnation over all partitions; crashes (by
+        returning mid-transaction) after its Nth committed chunk."""
+        prod = TransactionalProducer.begin(c, txn_id)
+        ends = {
+            p: c.list_offset("rpw_in", p, -1) for p in range(n_parts)
+        }
+        committed = c.offset_fetch(
+            group, [("rpw_in", p) for p in range(n_parts)]
+        )
+        pos = {
+            p: max(0, committed[("rpw_in", p)]) for p in range(n_parts)
+        }
+        done_iters = 0
+        while any(pos[p] < ends[p] for p in range(n_parts)):
+            batch, new_pos = [], dict(pos)
+            for p in range(n_parts):
+                off = pos[p]
+                while off < ends[p] and len(batch) < chunk:
+                    recs, scan, _ = c.fetch_scan(
+                        "rpw_in", p, off,
+                        isolation_level=ISOLATION_READ_UNCOMMITTED,
+                        max_wait_ms=0,
+                    )
+                    if scan <= off:
+                        break
+                    # take at most the chunk's remaining room — the
+                    # input topic carries no markers, so record offsets
+                    # are dense and the position is offset+1
+                    room = chunk - len(batch)
+                    take = recs[:room]
+                    batch.extend(take)
+                    off = (
+                        take[-1].offset + 1
+                        if len(take) < len(recs)
+                        else scan
+                    )
+                new_pos[p] = off
+            # process = forward (the identity transform keeps the
+            # profile oracle exact) and commit records+offsets atomically
+            produce_records(c, "rpw_out", batch, n_parts, producer=prod)
+            prod.send_offsets(
+                c, group,
+                {("rpw_in", p): new_pos[p] for p in range(n_parts)},
+            )
+            if crash_after_iter is not None and (
+                done_iters + 1 >= crash_after_iter
+            ):
+                return  # CRASH: transaction left dangling, no commit
+            prod.commit(c)
+            pos = new_pos
+            done_iters += 1
+
+    with LoopbackKafkaBroker(num_partitions=n_parts) as broker:
+        KafkaSinkConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "rpw_in", "key.column": "doc_id"},
+        ).write(docs)
+        with KafkaClient("localhost", broker.port) as c:
+            run_worker(c, crash_after_iter=2)  # dies mid-2nd chunk
+            # nothing from the dangling chunk is visible: the group
+            # offsets hold at EXACTLY the first committed chunk
+            held = c.offset_fetch(
+                group, [("rpw_in", p) for p in range(n_parts)]
+            )
+            assert sum(max(0, v) for v in held.values()) == chunk, held
+            run_worker(c, crash_after_iter=None)  # the retry completes
+        back = KafkaSourceConfig(
+            "rt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "rpw_out",
+             "options": {"kafka.isolation.level": "read_committed"}},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

@@ -2245,6 +2245,9 @@ ORACLES["kafka_idempotent_roundtrip"] = _LPO
 # the committed retry exactly-once — any leak/duplicate breaks the
 # profile over the original parquet
 ORACLES["kafka_txn_roundtrip"] = _LPO
+# the read-process-write loop forwards every record exactly once —
+# same corpus profile
+ORACLES["kafka_rpw_roundtrip"] = _LPO
 
 # the minhash-dedup ACTION report: keep-lowest per verified cluster,
 # per-language survivor/removal volumes (same recursive closure)
