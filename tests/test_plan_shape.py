@@ -360,19 +360,18 @@ def test_emb_outliers_adds_no_shuffle_over_assignment(spark):
     )
 
     release_caches()  # all sf_dirs — a stale cached frame would skew the baseline
-    # materialize the memoized centroid cache FIRST: a materialized
-    # InMemoryRelation prints its child lineage twice, so both plans
-    # must be captured in the same cache state for a fair count
-    docs_cluster_assign(spark, SF).count()
-    base = (
-        docs_cluster_assign(spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .count("Exchange hashpartitioning")
-    )
+    from flinkrunner_spark.llm import pruning as _pruning
+
+    _pruning.release_caches()
     plan = _plan(spark, emb_outliers)
-    assert plan.count("Exchange hashpartitioning") <= base, plan
+    # the returned plan is a broadcast boundary-tuple join over the
+    # PERSISTED assignment frame: everything ABOVE the cache boundary
+    # must be shuffle-free (a materialized InMemoryRelation prints its
+    # child lineage twice, so counting the whole string is cache-state
+    # dependent — only the above-cache segment is this operator's own)
+    assert "InMemoryTableScan" in plan, plan
+    above = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in above, above
     assert "windowspecdefinition(assigned_label" not in plan, plan
 
 
