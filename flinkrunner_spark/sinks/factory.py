@@ -174,17 +174,22 @@ class MemorySinkConfig(SinkConfig):
 def _re_sub_guarantee(raw) -> str:
     """Normalize a delivery.guarantee value the way the reference does
     (KafkaSinkConfig.scala:56-64): lowercase, every non-alpha run
-    becomes '-'; unset/unknown -> at-least-once."""
+    becomes '-'. DELIBERATE tightening over the reference's
+    ``case _ => AT_LEAST_ONCE``: an unrecognized value REFUSES BY NAME
+    instead of silently downgrading — a typo'd "exactly-onces" quietly
+    running at-least-once would duplicate records under retry, the
+    exact failure the setting exists to prevent."""
     import re as _re
 
     if raw is None:
         return "at-least-once"
-    norm = _re.sub(r"[^a-z]+", "-", str(raw).lower())
-    if norm == "exactly-once":
-        return "exactly-once"
-    if norm == "none":
-        return "none"
-    return "at-least-once"
+    norm = _re.sub(r"[^a-z]+", "-", str(raw).lower()).strip("-")
+    if norm in ("exactly-once", "none", "at-least-once"):
+        return norm
+    raise ValueError(
+        f"delivery.guarantee {raw!r} is not a delivery guarantee "
+        "(exactly-once | at-least-once | none)"
+    )
 
 
 class KafkaSinkConfig(SinkConfig):
@@ -547,10 +552,26 @@ class KafkaSinkConfig(SinkConfig):
                 .option("checkpointLocation", self.conf["checkpoint"])
                 .start()
             )
+        opts = self._options()
+        if (
+            _re_sub_guarantee(
+                self.conf.get("delivery.guarantee")
+                or opts.get("kafka.delivery.guarantee")
+            ) == "exactly-once"
+            or opts.get("kafka.transactional.id")
+        ):
+            # same refusal as write(): silently running the jar sink
+            # at-least-once under an exactly-once config would produce
+            # duplicates on every micro-batch retry
+            raise ValueError(
+                "delivery.guarantee exactly-once needs transport: "
+                "native — the Spark kafka jar sink is at-least-once "
+                "and has no transactional producer"
+            )
         return (
             self.prepare_records(df)
             .writeStream.format("kafka")
-            .options(**self._options())
+            .options(**opts)
             .option("checkpointLocation", self.conf["checkpoint"])
             .start()
         )

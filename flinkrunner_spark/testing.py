@@ -825,7 +825,12 @@ class LoopbackKafkaBroker:
         self._pid_txn: dict[int, str] = {}
         # per-partition aborted-transaction index, what fetch returns
         # so read_committed clients drop aborted producer ranges:
-        # (topic, partition) -> [(producer_id, first_offset)]
+        # (topic, partition) -> [(producer_id, first_offset,
+        # marker_offset)] — fetch filters to entries whose ABORT MARKER
+        # is at/after the fetch offset, like a real broker's txn index:
+        # a stale entry returned to a fetch window past its marker
+        # would make clients suppress the producer's LATER committed
+        # records (silent loss under the exactly-once retry pattern)
         self._aborted: dict[tuple, list] = {}
         # consumer-group offsets (__consumer_offsets semantics):
         # group -> {(topic, partition): offset}; a transaction's
@@ -1348,7 +1353,7 @@ class LoopbackKafkaBroker:
             )
             if not commit:
                 self._aborted.setdefault((topic, pid), []).append(
-                    (txn["pid"], first)
+                    (txn["pid"], first, base)  # base = the marker offset
                 )
         if commit:
             # staged TxnOffsetCommit offsets land atomically with the
@@ -1625,7 +1630,13 @@ class LoopbackKafkaBroker:
                         size += len(batch)
                     presps.append((
                         pid, 0, hwm, lso,
-                        list(self._aborted.get((topic, pid), [])),
+                        [
+                            (apid, afirst)
+                            for apid, afirst, amarker in self._aborted.get(
+                                (topic, pid), []
+                            )
+                            if amarker >= off  # marker inside the window
+                        ],
                         b"".join(chunks),
                     ))
                 resp_topics.append((topic, presps))

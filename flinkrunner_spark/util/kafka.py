@@ -482,6 +482,8 @@ _ERRORS = {
     5: "LEADER_NOT_AVAILABLE",
     6: "NOT_LEADER_OR_FOLLOWER",
     33: "UNSUPPORTED_SASL_MECHANISM",
+    15: "COORDINATOR_NOT_AVAILABLE",
+    16: "NOT_COORDINATOR",
     42: "INVALID_REQUEST",
     45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
     46: "DUPLICATE_SEQUENCE_NUMBER",
@@ -493,9 +495,9 @@ _ERRORS = {
 }
 
 # codes real brokers return transiently (topic auto-creation, leader
-# failover, a transaction still completing its markers) — callers retry
-# these with backoff instead of failing hard
-RETRIABLE_ERRORS = frozenset({5, 6, 51})
+# failover, a coordinator still loading, a transaction still completing
+# its markers) — callers retry these with backoff instead of failing hard
+RETRIABLE_ERRORS = frozenset({5, 6, 15, 51})
 
 
 class KafkaProtocolError(RuntimeError):
@@ -620,10 +622,7 @@ class KafkaClient:
         if err:
             raise KafkaProtocolError(err, "SaslHandshake(OAUTHBEARER)")
         initial = b"n,,\x01auth=Bearer " + token.encode() + b"\x01\x01"
-        try:
-            server = self._sasl_authenticate(initial)
-        except KafkaProtocolError:
-            raise
+        server = self._sasl_authenticate(initial)
         if server:
             # failure body (JSON per RFC 7628 §3.2.2): send the dummy
             # ^A response, then surface the server's error verbatim
@@ -1299,8 +1298,27 @@ class TransactionalProducer(IdempotentProducer):
         cls, client: "KafkaClient", transactional_id: str
     ) -> "TransactionalProducer":
         """FindCoordinator -> InitProducerId(txn id) — the transaction
-        is ongoing from the first AddPartitionsToTxn onward."""
-        client.find_coordinator(transactional_id, key_type=1)
+        is ongoing from the first AddPartitionsToTxn onward.
+
+        Scope: like the rest of the native transport (produce does not
+        route to partition leaders either), transactions target
+        SINGLE-BROKER endpoints. A coordinator resolving to a different
+        broker than the connected one refuses BY NAME rather than
+        sending coordinator RPCs to the wrong node and surfacing
+        NOT_COORDINATOR(16) on every attempt."""
+        host, port = client.find_coordinator(transactional_id, key_type=1)
+        if (host, port) not in (
+            (client.host, client.port),
+            ("localhost", client.port),
+            ("127.0.0.1", client.port),
+        ):
+            raise ValueError(
+                f"transaction coordinator for {transactional_id!r} is "
+                f"{host}:{port}, not the connected broker "
+                f"{client.host}:{client.port} — the jar-free transport "
+                "is single-broker; point bootstrap at the coordinator "
+                "or use the jar path on a multi-broker cluster"
+            )
         pid, epoch = client.init_producer_id(transactional_id)
         return cls(pid, epoch, transactional_id=transactional_id)
 

@@ -219,12 +219,17 @@ def test_sink_exactly_once_guarantee_spellings(spark):
     from flinkrunner_spark.sinks.factory import _re_sub_guarantee
 
     for raw in ("exactly-once", "EXACTLY_ONCE", "Exactly Once",
-                "exactly.once"):
+                "exactly.once", " exactly-once "):
         assert _re_sub_guarantee(raw) == "exactly-once"
     assert _re_sub_guarantee("none") == "none"
     assert _re_sub_guarantee(None) == "at-least-once"
     assert _re_sub_guarantee("at_least_once") == "at-least-once"
-    assert _re_sub_guarantee("whatever") == "at-least-once"
+    # deliberate tightening over the reference's case _ fallback: a
+    # typo'd guarantee refuses by name instead of silently running
+    # at-least-once (duplicates under retry)
+    for bad in ("whatever", "exactly-onces", "exactlyonce"):
+        with pytest.raises(ValueError, match="delivery guarantee"):
+            _re_sub_guarantee(bad)
 
 
 def test_sink_exactly_once_end_to_end_with_crash_retry(spark):
@@ -429,3 +434,37 @@ def test_stream_reader_mirrors_offsets_to_group(spark, tmp_path):
         assert sum(v for v in got.values() if v > 0) >= 12, got
         for p in range(2):
             assert got[("t", p)] <= ends[p]
+
+
+def test_aborted_index_filtered_by_fetch_window():
+    """Regression (r11 review): an ABORT entry must only be returned to
+    fetches whose window still contains its marker — a stale entry
+    handed to a later window makes the consumer suppress the SAME
+    producer's subsequent COMMITTED records (silent loss under the
+    exactly-once retry pattern). Paginated drain with a tiny max_bytes
+    forces multi-page fetches past the marker."""
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            dead = TransactionalProducer.begin(c, "sink-0")
+            produce_records(c, "t", _recs(3, "dead"), 1, producer=dead)
+            dead.abort(c)
+            retry = TransactionalProducer.begin(c, "sink-0")  # same pid
+            # many small batches so the drain must paginate
+            for i in range(40):
+                produce_records(
+                    c, "t", _recs(5, f"live{i}"), 1,
+                    producer=retry, batch_size=5,
+                )
+            retry.commit(c)
+            out, off = [], 0
+            while True:
+                recs, scan, end = c.fetch_scan(
+                    "t", 0, off, max_bytes=2000,
+                    isolation_level=ISOLATION_READ_COMMITTED,
+                    max_wait_ms=0,
+                )
+                out.extend(recs)
+                if scan <= off or scan >= end:
+                    break
+                off = scan
+            assert len(out) == 200, len(out)  # zero committed rows lost
