@@ -1788,8 +1788,12 @@ def kafka_rpw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    group, txn_id, chunk = "rpw-group", "curation.rpw.tx.id-0", 400
+    group, txn_id = "rpw-group", "curation.rpw.tx.id-0"
     n_parts = 2
+    # chunk scales with the corpus so the single-worker loop stays a
+    # FIXED number of transactions at any sf (the crash needs >= 2
+    # chunks with data left after the first — total/4 guarantees it)
+    chunk = max(100, (docs.count() + 3) // 4)
 
     def run_worker(c: KafkaClient, crash_after_iter: int | None) -> None:
         """One RPW worker incarnation over all partitions; crashes (by

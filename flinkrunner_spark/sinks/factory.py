@@ -395,7 +395,15 @@ class KafkaSinkConfig(SinkConfig):
         # derived from transactional.id.prefix + the task partition
         # (stable across task RETRIES, so a retry fences the dead
         # attempt's producer and aborts its dangling transaction —
-        # reference KafkaSinkConfig.scala:83-100's prefix semantics)
+        # reference KafkaSinkConfig.scala:83-100's prefix semantics).
+        # Guarantee boundary (same as the Java producer's batch use):
+        # TASK retries within one write() are exactly-once; re-running
+        # the WHOLE job re-produces already-committed transactions
+        # (fencing aborts dangling work, not committed work) — Flink
+        # only bridges that with checkpoint-bound 2PC, which has no
+        # batch-write analog. Job-level idempotence belongs to the
+        # caller (fresh topic / downstream key dedup), as in Kafka's
+        # own transactional batch-producer guidance.
         guarantee = _re_sub_guarantee(
             self.conf.get("delivery.guarantee")
             or opts.get("kafka.delivery.guarantee")
