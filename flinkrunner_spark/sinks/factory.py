@@ -550,6 +550,29 @@ class KafkaSinkConfig(SinkConfig):
 
     def write_stream(self, df: DataFrame):
         if self.conf.get("transport") == "native":
+            opts = self._options()
+            if (
+                _re_sub_guarantee(
+                    self.conf.get("delivery.guarantee")
+                    or opts.get("kafka.delivery.guarantee")
+                ) == "exactly-once"
+                or opts.get("kafka.transactional.id")
+            ):
+                # refused BY NAME: per-micro-batch transactions give
+                # exactly-once only per BATCH ATTEMPT — a batch whose
+                # produce committed but whose checkpoint write failed
+                # replays and commits a second transaction (Kafka has
+                # no batch-id dedup; Flink bridges this with
+                # checkpoint-bound 2PC, which foreachBatch cannot
+                # express). Claiming the guarantee here would be false.
+                raise ValueError(
+                    "delivery.guarantee exactly-once is not available "
+                    "on the streaming kafka sink: a replayed "
+                    "micro-batch would commit a second transaction "
+                    "(no batch-id dedup in kafka) — use the batch "
+                    "sink, or the Iceberg streaming sink for "
+                    "exactly-once streaming delivery"
+                )
             # per-micro-batch native produce — the checkpointed
             # foreachBatch cadence mirrors the jar sink's semantics
             return (

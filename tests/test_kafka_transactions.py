@@ -468,3 +468,24 @@ def test_aborted_index_filtered_by_fetch_window():
                     break
                 off = scan
             assert len(out) == 200, len(out)  # zero committed rows lost
+
+
+def test_streaming_sink_refuses_exactly_once_on_both_transports(spark):
+    """Streaming exactly-once refuses BY NAME on both transports: the
+    jar sink has no transactional producer, and per-micro-batch native
+    transactions cannot survive a commit-then-checkpoint-failure replay
+    (no batch-id dedup in kafka)."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("cast(value as string) AS value")
+    )
+    for transport in ("native", None):
+        conf = {"connector": "kafka", "bootstrap.servers": "localhost:1",
+                "topic": "t", "checkpoint": "/tmp/never-used",
+                "delivery.guarantee": "exactly-once"}
+        if transport:
+            conf["transport"] = transport
+        with pytest.raises(ValueError, match="exactly-once"):
+            KafkaSinkConfig("t", conf).write_stream(sdf)
