@@ -26,8 +26,14 @@ Implemented RPC surface: the Iceberg-catalog subset (``get_table`` /
 ``unlock``) plus the Hive-table partition RPCs non-Iceberg HMS interop
 needs (``add_partitions`` / ``get_partitions`` /
 ``get_partition_names`` / ``drop_partition`` — the hive_metastore.thrift
-Partition struct with values + storage-descriptor location). Stats and
-functions RPCs remain out of scope and absent BY NAME.
+Partition struct with values + storage-descriptor location), the
+table-level column-statistics RPCs ANALYZE-style interop needs
+(``update/get/delete_table_column_statistics`` with the
+ColumnStatisticsData union's long/double/string/boolean kinds), and the
+Hive UDF registry RPCs (``create/get/drop_function`` +
+``get_functions`` pattern listing, ResourceUri jar/file/archive).
+Partition-level statistics remain out of scope and absent BY NAME
+(Iceberg carries its own per-file stats; nothing here consumes them).
 """
 
 from __future__ import annotations
@@ -197,6 +203,35 @@ FS_NAME = 1
 FS_TYPE = 2
 
 # hive_metastore.thrift enums (public IDL):
+# ColumnStatistics (hive_metastore.thrift): desc + per-column objs;
+# the statsData union's field id selects the data kind
+CS_DESC = 1
+CS_OBJS = 2
+CSD_IS_TBL_LEVEL = 1
+CSD_DB = 2
+CSD_TABLE = 3
+CSD_LAST_ANALYZED = 5
+CSO_COL_NAME = 1
+CSO_COL_TYPE = 2
+CSO_DATA = 3
+# statsData union field ids → kind names (public thrift spec order)
+STATS_KINDS = {1: "boolean", 2: "double", 3: "long", 4: "string"}
+STATS_FIELD_BY_KIND = {v: k for k, v in STATS_KINDS.items()}
+
+# Function struct (hive_metastore.thrift)
+FN_NAME = 1
+FN_DB = 2
+FN_CLASS = 3
+FN_OWNER = 4
+FN_OWNER_TYPE = 5
+FN_CREATE_TIME = 6
+FN_TYPE = 7
+FN_RESOURCES = 8
+FN_TYPE_JAVA = 1  # FunctionType enum
+RES_TYPE = 1  # ResourceUri: JAR=1, FILE=2, ARCHIVE=3
+RES_URI = 2
+RESOURCE_TYPES = {"jar": 1, "file": 2, "archive": 3}
+
 LOCK_EXCLUSIVE = 3  # LockType: SHARED_READ=1, SHARED_WRITE=2, EXCLUSIVE=3
 LOCK_LEVEL_TABLE = 2  # LockLevel: DB=1, TABLE=2, PARTITION=3
 LOCK_ACQUIRED = 1  # LockState: ACQUIRED=1, WAITING=2, ABORT=3, NOT_ACQUIRED=4
@@ -287,6 +322,91 @@ def encode_partition(
             (T_MAP, PART_PARAMETERS, enc_map_ss(parameters or {})),
         ]
     )
+
+
+def encode_column_stats_obj(col: str, col_type: str, s: dict) -> bytes:
+    """One ColumnStatisticsObj: colName/colType + the statsData UNION —
+    the union's field id (STATS_FIELD_BY_KIND) selects the data kind,
+    exactly how thrift unions go on the wire (a one-field struct)."""
+    kind = str(s.get("kind", "long")).lower()
+    if kind == "long":
+        data = enc_struct(
+            [
+                (T_I64, 1, struct.pack(">q", int(s.get("low", 0)))),
+                (T_I64, 2, struct.pack(">q", int(s.get("high", 0)))),
+                (T_I64, 3, struct.pack(">q", int(s.get("num_nulls", 0)))),
+                (T_I64, 4, struct.pack(">q", int(s.get("num_dvs", 0)))),
+            ]
+        )
+    elif kind == "double":
+        data = enc_struct(
+            [
+                (T_DOUBLE, 1, struct.pack(">d", float(s.get("low", 0.0)))),
+                (T_DOUBLE, 2, struct.pack(">d", float(s.get("high", 0.0)))),
+                (T_I64, 3, struct.pack(">q", int(s.get("num_nulls", 0)))),
+                (T_I64, 4, struct.pack(">q", int(s.get("num_dvs", 0)))),
+            ]
+        )
+    elif kind == "string":
+        data = enc_struct(
+            [
+                (T_I64, 1, struct.pack(">q", int(s.get("max_len", 0)))),
+                (T_DOUBLE, 2, struct.pack(">d", float(s.get("avg_len", 0.0)))),
+                (T_I64, 3, struct.pack(">q", int(s.get("num_nulls", 0)))),
+                (T_I64, 4, struct.pack(">q", int(s.get("num_dvs", 0)))),
+            ]
+        )
+    elif kind == "boolean":
+        data = enc_struct(
+            [
+                (T_I64, 1, struct.pack(">q", int(s.get("num_trues", 0)))),
+                (T_I64, 2, struct.pack(">q", int(s.get("num_falses", 0)))),
+                (T_I64, 3, struct.pack(">q", int(s.get("num_nulls", 0)))),
+            ]
+        )
+    else:
+        raise ValueError(
+            f"unsupported stats kind {kind!r} "
+            f"(one of {sorted(STATS_FIELD_BY_KIND)})"
+        )
+    union = enc_struct([(T_STRUCT, STATS_FIELD_BY_KIND[kind], data)])
+    return enc_struct(
+        [
+            (T_STRING, CSO_COL_NAME, enc_string(col)),
+            (T_STRING, CSO_COL_TYPE, enc_string(col_type)),
+            (T_STRUCT, CSO_DATA, union),
+        ]
+    )
+
+
+def decode_column_stats_obj(obj: dict) -> dict:
+    """Inverse of :func:`encode_column_stats_obj` over a decoded
+    ColumnStatisticsObj struct dict."""
+    union = obj.get(CSO_DATA) or {}
+    fid = next(iter(union), None)
+    kind = STATS_KINDS.get(fid, "long")
+    d = union.get(fid) or {}
+    out = {
+        "col": str(obj.get(CSO_COL_NAME, "")),
+        "type": str(obj.get(CSO_COL_TYPE, "")),
+        "kind": kind,
+    }
+    if kind in ("long", "double"):
+        out.update(
+            low=d.get(1, 0), high=d.get(2, 0),
+            num_nulls=int(d.get(3, 0)), num_dvs=int(d.get(4, 0)),
+        )
+    elif kind == "string":
+        out.update(
+            max_len=int(d.get(1, 0)), avg_len=float(d.get(2, 0.0)),
+            num_nulls=int(d.get(3, 0)), num_dvs=int(d.get(4, 0)),
+        )
+    else:  # boolean
+        out.update(
+            num_trues=int(d.get(1, 0)), num_falses=int(d.get(2, 0)),
+            num_nulls=int(d.get(3, 0)),
+        )
+    return out
 
 
 class HiveMetastoreClient:
@@ -492,6 +612,201 @@ class HiveMetastoreClient:
         )
         self._raise_result_exceptions("drop_partition", result)
         return bool(result.get(0, False))
+
+    # -- column-statistics RPCs (ANALYZE TABLE interop) -----------------------
+
+    def update_table_column_statistics(
+        self, db: str, name: str, stats: list[dict],
+        last_analyzed: int = 0,
+    ) -> bool:
+        """update_table_column_statistics(ColumnStatistics) — store
+        table-level per-column stats the way Hive's ANALYZE TABLE ...
+        COMPUTE STATISTICS FOR COLUMNS does. Each entry:
+        ``{"col", "type", "kind": long|double|string|boolean, ...}``
+        with the kind's fields (low/high/num_nulls/num_dvs for
+        long/double, max_len/avg_len for string, num_trues/num_falses
+        for boolean) — the thrift ColumnStatisticsData union."""
+        objs = [
+            encode_column_stats_obj(
+                str(s["col"]), str(s.get("type", "")), s
+            )
+            for s in stats
+        ]
+        desc = enc_struct(
+            [
+                (T_BOOL, CSD_IS_TBL_LEVEL, struct.pack(">b", 1)),
+                (T_STRING, CSD_DB, enc_string(db)),
+                (T_STRING, CSD_TABLE, enc_string(name)),
+                (T_I64, CSD_LAST_ANALYZED, struct.pack(">q", last_analyzed)),
+            ]
+        )
+        result = self._call(
+            "update_table_column_statistics",
+            enc_struct(
+                [
+                    (
+                        T_STRUCT,
+                        1,
+                        enc_struct(
+                            [
+                                (T_STRUCT, CS_DESC, desc),
+                                (T_LIST, CS_OBJS, enc_list_struct(objs)),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        )
+        self._raise_result_exceptions(
+            "update_table_column_statistics", result
+        )
+        return bool(result.get(0, False))
+
+    def get_table_column_statistics(
+        self, db: str, name: str, col: str
+    ) -> dict:
+        """-> the column's stats dict (same shape update takes), with
+        ``col``/``type``/``kind`` filled from the stored object."""
+        result = self._call(
+            "get_table_column_statistics",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                    (T_STRING, 3, enc_string(col)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("get_table_column_statistics", result)
+        cs = result.get(0) or {}
+        objs = cs.get(CS_OBJS) or []
+        if not objs:
+            raise NoSuchTable(
+                f"get_table_column_statistics: no stats for "
+                f"{db}.{name}.{col}"
+            )
+        return decode_column_stats_obj(objs[0])
+
+    def delete_table_column_statistics(
+        self, db: str, name: str, col: str
+    ) -> bool:
+        result = self._call(
+            "delete_table_column_statistics",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                    (T_STRING, 3, enc_string(col)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions(
+            "delete_table_column_statistics", result
+        )
+        return bool(result.get(0, False))
+
+    # -- function RPCs (Hive UDF registry interop) ----------------------------
+
+    def create_function(
+        self,
+        db: str,
+        name: str,
+        class_name: str,
+        owner: str = "",
+        resources: list[tuple[str, str]] | None = None,
+        create_time: int = 0,
+    ) -> None:
+        """create_function(Function) — register a Hive UDF by class
+        name, with optional (type, uri) resources (jar|file|archive)."""
+        res = enc_list_struct(
+            [
+                enc_struct(
+                    [
+                        (
+                            T_I32,
+                            RES_TYPE,
+                            struct.pack(
+                                ">i",
+                                RESOURCE_TYPES.get(str(t).lower(), 1),
+                            ),
+                        ),
+                        (T_STRING, RES_URI, enc_string(u)),
+                    ]
+                )
+                for t, u in (resources or [])
+            ]
+        )
+        fn = enc_struct(
+            [
+                (T_STRING, FN_NAME, enc_string(name)),
+                (T_STRING, FN_DB, enc_string(db)),
+                (T_STRING, FN_CLASS, enc_string(class_name)),
+                (T_STRING, FN_OWNER, enc_string(owner)),
+                (T_I32, FN_OWNER_TYPE, struct.pack(">i", 1)),  # USER
+                (T_I32, FN_CREATE_TIME, struct.pack(">i", create_time)),
+                (T_I32, FN_TYPE, struct.pack(">i", FN_TYPE_JAVA)),
+                (T_LIST, FN_RESOURCES, res),
+            ]
+        )
+        result = self._call(
+            "create_function", enc_struct([(T_STRUCT, 1, fn)])
+        )
+        self._raise_result_exceptions("create_function", result)
+
+    def get_function(self, db: str, name: str) -> dict:
+        result = self._call(
+            "get_function",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("get_function", result)
+        fn = result.get(0)
+        if not fn:
+            raise NoSuchTable(f"get_function: no function {db}.{name}")
+        return {
+            "name": str(fn.get(FN_NAME, "")),
+            "db": str(fn.get(FN_DB, "")),
+            "class_name": str(fn.get(FN_CLASS, "")),
+            "owner": str(fn.get(FN_OWNER, "")),
+            "resources": [
+                (
+                    {v: k for k, v in RESOURCE_TYPES.items()}.get(
+                        int(r.get(RES_TYPE, 1)), "jar"
+                    ),
+                    str(r.get(RES_URI, "")),
+                )
+                for r in (fn.get(FN_RESOURCES) or [])
+            ],
+        }
+
+    def get_functions(self, db: str, pattern: str = "*") -> list[str]:
+        result = self._call(
+            "get_functions",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(pattern)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("get_functions", result)
+        return [str(s) for s in result.get(0, []) or []]
+
+    def drop_function(self, db: str, name: str) -> None:
+        result = self._call(
+            "drop_function",
+            enc_struct(
+                [
+                    (T_STRING, 1, enc_string(db)),
+                    (T_STRING, 2, enc_string(name)),
+                ]
+            ),
+        )
+        self._raise_result_exceptions("drop_function", result)
 
     def _alter_table(self, db: str, name: str, table_struct: bytes) -> None:
         result = self._call(

@@ -128,11 +128,15 @@ def enrich_with_http(
             for pdf in iterator:
                 now = _time.monotonic()
                 uris = list(dict.fromkeys(pdf[uri_col]))  # unique, ordered
-                batch = {
-                    u: cache[u][0]
-                    for u in uris
-                    if u in cache and cache[u][1] >= now
-                }
+                batch = {}
+                for u in uris:
+                    if u in cache and cache[u][1] >= now:
+                        batch[u] = cache[u][0]
+                        # guava-LRU parity: a HIT refreshes recency too,
+                        # else eviction degrades to insertion-order FIFO
+                        # and a hot early URI is evicted before cold
+                        # later ones
+                        cache.move_to_end(u)
                 misses = [u for u in uris if u not in batch]
                 deadline = (
                     now + expire_s if expire_s > 0 else float("inf")

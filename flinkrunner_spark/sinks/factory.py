@@ -397,13 +397,19 @@ class KafkaSinkConfig(SinkConfig):
         # attempt's producer and aborts its dangling transaction —
         # reference KafkaSinkConfig.scala:83-100's prefix semantics).
         # Guarantee boundary (same as the Java producer's batch use):
-        # TASK retries within one write() are exactly-once; re-running
-        # the WHOLE job re-produces already-committed transactions
-        # (fencing aborts dangling work, not committed work) — Flink
-        # only bridges that with checkpoint-bound 2PC, which has no
-        # batch-write analog. Job-level idempotence belongs to the
-        # caller (fresh topic / downstream key dedup), as in Kafka's
-        # own transactional batch-producer guidance.
+        # a task retry whose FIRST attempt died BEFORE prod.commit()
+        # is exactly-once — the retry's begin() epoch-bumps, fencing
+        # the dead attempt and aborting its dangling transaction. A
+        # failure AFTER commit (executor lost post-commit, or a
+        # speculative duplicate attempt) re-runs the task and commits
+        # a SECOND copy: fencing aborts dangling work, not committed
+        # work, so post-commit retries duplicate. Flink only bridges
+        # that with checkpoint-bound 2PC, which has no batch-write
+        # analog; speculation is refused below because it GUARANTEES
+        # duplicate attempts. Re-running the whole job likewise
+        # re-produces committed transactions. Job-level idempotence
+        # belongs to the caller (fresh topic / downstream key dedup),
+        # as in Kafka's own transactional batch-producer guidance.
         guarantee = _re_sub_guarantee(
             self.conf.get("delivery.guarantee")
             or opts.get("kafka.delivery.guarantee")
@@ -416,6 +422,28 @@ class KafkaSinkConfig(SinkConfig):
             # like the Java producer's transactional mode
             guarantee = "exactly-once"
             txn_prefix = str(opts["kafka.transactional.id"])
+        if txn_prefix is not None:
+            from pyspark.sql import SparkSession as _SS
+
+            sess = _SS.getActiveSession()
+            # spark.speculation is a launch-time CORE config — the
+            # SparkContext conf is authoritative (RuntimeConfig refuses
+            # to even carry it)
+            if (
+                sess is not None
+                and sess.sparkContext.getConf()
+                .get("spark.speculation", "false")
+                .lower()
+                == "true"
+            ):
+                raise ValueError(
+                    "delivery.guarantee exactly-once is incompatible "
+                    "with spark.speculation=true: a speculative "
+                    "duplicate attempt commits its own transaction "
+                    "alongside the original's, producing duplicate "
+                    "records despite the guarantee — disable "
+                    "speculation for transactional Kafka sinks"
+                )
         # KIP-98 idempotent produce (the Java producer's
         # enable.idempotence, passed through kafka.-prefixed like every
         # other producer option): each task takes a broker-assigned
@@ -525,7 +553,23 @@ class KafkaSinkConfig(SinkConfig):
             v = self.conf.get(k) or opts.get(f"kafka.{k}")
             if v:
                 return str(v)
-        return f"{self.name}.tx.id"  # KafkaSinkConfig.scala:98 default
+        # default mirrors the reference's s"${jobName}.$name.tx.id"
+        # (KafkaSinkConfig.scala:98): the job-level component keeps two
+        # concurrent jobs sharing a sink name from deriving identical
+        # transactional ids and mutually fencing each other's in-flight
+        # transactions. jobName → job.name config, else the Spark
+        # applicationId (unique per SparkContext).
+        job = self.conf.get("job.name")
+        if not job:
+            from pyspark.sql import SparkSession as _SS
+
+            sess = _SS.getActiveSession()
+            job = (
+                sess.sparkContext.applicationId
+                if sess is not None
+                else "app"
+            )
+        return f"{job}.{self.name}.tx.id"
 
     def write(self, df: DataFrame):
         if self.conf.get("transport") == "native":

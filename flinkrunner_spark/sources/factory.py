@@ -110,10 +110,67 @@ class FileSourceConfig(SourceConfig):
 
 
 class KafkaSourceConfig(SourceConfig):
+    # the reference's starting/stopping spellings
+    # (KafkaSourceConfig.scala:92-103 getFromEither alias lists)
+    _START_KEYS = ("starting.offset", "beginning.offset")
+    _STOP_KEYS = ("stopping.offset", "ending.offset")
+
     def _bootstrap(self) -> tuple[str, int]:
         from flinkrunner_spark.config import parse_bootstrap
 
         return parse_bootstrap(self.conf.get("bootstrap.servers"))
+
+    def _offset_spec(self, keys) -> str | None:
+        for k in keys:
+            v = self.conf.get(k)
+            if v is not None:
+                return str(v).strip()
+        return None
+
+    def _group_id(self) -> str:
+        """Reference default `${jobName}.$name`
+        (KafkaSourceConfig.scala:124-126)."""
+        g = self.conf.get("group.id")
+        if g:
+            return str(g)
+        return f"{self.conf.get('job.name', 'app')}.{self.name}"
+
+    def _apply_reference_offsets(self, reader, streaming: bool):
+        """Map the reference's `starting.offset` / `stopping.offset`
+        keys (earliest | latest | committed | epoch-millis | none,
+        KafkaSourceConfig.scala:44-47,90-123) onto the native reader's
+        options. Numeric specs resolve broker-side via ListOffsets by
+        timestamp; `committed` reads the consumer group's stored
+        positions (group.id defaults to `jobName.name` like the
+        reference). Returns the reader unchanged when neither key is
+        set, so the jar-style starting.offsets path stays in charge."""
+        start = self._offset_spec(self._START_KEYS)
+        stop = self._offset_spec(self._STOP_KEYS)
+        if start is not None:
+            if start.isdigit():
+                reader = reader.option("startingTimestamp", start)
+            else:
+                reader = reader.option("startingOffsets", start.lower())
+                if start.lower() == "committed":
+                    reader = reader.option("groupId", self._group_id())
+        if stop is not None and str(stop).lower() != "none":
+            stop = str(stop).strip()
+            if streaming:
+                # the repo's bounded analog of Flink's
+                # stopping-offsets-bounded stream IS the batch read —
+                # refuse by name rather than silently stream unbounded
+                raise ValueError(
+                    "stopping.offset bounds a BATCH read; use "
+                    "streaming: false for a bounded cut (the native "
+                    "stream reader has no stop condition)"
+                )
+            if stop.isdigit():
+                reader = reader.option("endingTimestamp", stop)
+            else:
+                reader = reader.option("endingOffsets", stop.lower())
+                if stop.lower() == "committed":
+                    reader = reader.option("groupId", self._group_id())
+        return reader
 
     def _load_native(self, spark: SparkSession) -> DataFrame:
         """Jar-free BOUNDED snapshot read over the pure-Python wire
@@ -148,6 +205,7 @@ class KafkaSourceConfig(SourceConfig):
         eo = self.conf.get("ending.offsets")
         if eo:  # bounded cut below the tip (batch only, like the jar)
             reader = reader.option("endingOffsets", str(eo))
+        reader = self._apply_reference_offsets(reader, streaming=False)
         fodl = self.conf.get("fail.on.data.loss")
         if fodl is not None:
             reader = reader.option("failOnDataLoss", str(fodl).lower())
@@ -189,6 +247,7 @@ class KafkaSourceConfig(SourceConfig):
                 str(self.conf.get("starting.offsets", "earliest")),
             )
         )
+        reader = self._apply_reference_offsets(reader, streaming=True)
         if bool(self.conf.get("headers")):
             reader = reader.option("includeHeaders", "true")
         mot = self.conf.get("max.offsets.per.trigger")
@@ -222,6 +281,36 @@ class KafkaSourceConfig(SourceConfig):
             # endingOffsets is a BATCH-only option on the jar datasource
             # too; the native batch reader honors the same conf key
             options["endingOffsets"] = str(eo)
+        # reference starting.offset / stopping.offset spellings on the
+        # jar path: epoch millis map to the jar's startingTimestamp /
+        # endingTimestamp (no-match partitions start at latest —
+        # startingOffsetsByTimestampStrategy mirrors Flink's
+        # OffsetsInitializer.timestamp, same as the native reader);
+        # `committed` has NO jar equivalent (the Spark datasource
+        # manages its own offsets) — refuse by name, use the native
+        # transport for group-offset reads
+        start = self._offset_spec(self._START_KEYS)
+        stop = self._offset_spec(self._STOP_KEYS)
+        for spec, which in ((start, "starting"), (stop, "stopping")):
+            if spec is not None and spec.lower() == "committed":
+                raise ValueError(
+                    f"{which}.offset 'committed' needs transport: "
+                    "native — the Spark kafka jar datasource has no "
+                    "committed-offsets initializer"
+                )
+        if start is not None:
+            if start.isdigit():
+                options["startingTimestamp"] = start
+                options.setdefault(
+                    "startingOffsetsByTimestampStrategy", "latest"
+                )
+            else:
+                options["startingOffsets"] = start.lower()
+        if stop is not None and stop.lower() != "none" and not self.streaming:
+            if stop.isdigit():
+                options["endingTimestamp"] = stop
+            else:
+                options["endingOffsets"] = stop.lower()
         fodl = self.conf.get("fail.on.data.loss")
         if fodl is not None:
             options["failOnDataLoss"] = str(fodl).lower()

@@ -296,6 +296,22 @@ class KafkaNativeBatchReader(DataSourceReader):
         iso = isolation_from_options(self.opts)
         starting = str(self.opts.get("startingoffsets", "earliest"))
         ending = str(self.opts.get("endingoffsets", "latest"))
+        # epoch-millis bounds (reference KafkaSourceConfig.scala:90-103
+        # routes numeric starting/stopping offsets through
+        # OffsetsInitializer.timestamp → ListOffsets by timestamp):
+        # resolved broker-side per partition below
+        start_ts = self.opts.get("startingtimestamp")
+        end_ts = self.opts.get("endingtimestamp")
+        if start_ts is not None and starting.strip().startswith("{"):
+            raise ValueError(
+                "startingTimestamp and startingOffsets JSON are mutually"
+                " exclusive — pick one bound per end"
+            )
+        if end_ts is not None and ending.strip().startswith("{"):
+            raise ValueError(
+                "endingTimestamp and endingOffsets JSON are mutually"
+                " exclusive — pick one bound per end"
+            )
         # jar parity: failOnDataLoss=true (the default) refuses a start
         # below the broker's log-start (retention already ate those
         # offsets); false clamps to earliest and reads what remains.
@@ -304,14 +320,36 @@ class KafkaNativeBatchReader(DataSourceReader):
         )
         start_map = self._offset_map(starting, topic)
         end_map = self._offset_map(ending, topic)
-        if end_map is None and ending.lower() != "latest":
+        if (
+            end_map is None
+            and end_ts is None
+            and ending.lower() not in ("latest", "committed")
+        ):
             raise ValueError(
-                f"endingOffsets must be 'latest' or offset JSON, got "
-                f"{ending!r}"
+                f"endingOffsets must be 'latest', 'committed' or offset "
+                f"JSON, got {ending!r}"
             )
+        need_committed = "committed" in (starting.lower(), ending.lower())
         out = []
         with _client_from_opts(self.opts) as c:
-            for p in c.metadata([topic])[0].partitions:
+            parts = c.metadata([topic])[0].partitions
+            committed: dict = {}
+            if need_committed:
+                # the reference's `committed` keyword reads the consumer
+                # group's stored positions (OffsetFetch) — group id is
+                # mandatory, exactly like the Java consumer
+                group = self.opts.get("groupid") or self.opts.get(
+                    "kafka.group.id"
+                )
+                if not group:
+                    raise ValueError(
+                        "startingOffsets/endingOffsets 'committed' needs "
+                        "a group id (groupId option / kafka.group.id)"
+                    )
+                committed = c.offset_fetch(
+                    str(group), [(topic, p.partition) for p in parts]
+                )
+            for p in parts:
                 earliest = c.list_offset(topic, p.partition, EARLIEST_TIMESTAMP)
                 latest = c.list_offset(topic, p.partition, LATEST_TIMESTAMP)
                 if iso == ISOLATION_READ_COMMITTED:
@@ -321,7 +359,34 @@ class KafkaNativeBatchReader(DataSourceReader):
                     lso = c.stable_offset(topic, p.partition, latest)
                     if lso >= 0:
                         latest = min(latest, lso)
-                if start_map is not None:
+                if start_ts is not None:
+                    # ListOffsets by timestamp: the first offset whose
+                    # record timestamp >= the bound. A partition with NO
+                    # such record starts at the log end — Flink's
+                    # OffsetsInitializer.timestamp does exactly this for
+                    # its no-match partitions, so a replay from
+                    # "yesterday 00:00" skips partitions that went idle
+                    # before then instead of re-reading them whole.
+                    lo = c.list_offset(topic, p.partition, int(start_ts))
+                    if lo < 0:
+                        lo = latest
+                elif starting.lower() == "committed":
+                    # reference default reset: committedOffsets(EARLIEST)
+                    # — a partition with no stored group offset starts
+                    # at the log head (KafkaSourceConfig.scala:100-103)
+                    lo = committed.get((topic, p.partition), -1)
+                    if lo < 0:
+                        lo = earliest
+                    elif lo < earliest:
+                        if fail_on_loss:
+                            raise ValueError(
+                                f"committed offset {lo} for {topic}-"
+                                f"{p.partition} is below the log start "
+                                f"{earliest} (data already aged out); "
+                                "set failOnDataLoss=false to clamp"
+                            )
+                        lo = earliest
+                elif start_map is not None:
                     # jar parity: offset JSON must cover every assigned
                     # partition — the Spark kafka datasource fails on a
                     # partial map rather than silently reading a default
@@ -349,7 +414,27 @@ class KafkaNativeBatchReader(DataSourceReader):
                         if starting.lower() == "latest"
                         else earliest
                     )
-                if end_map is not None:
+                if end_ts is not None:
+                    # stopping.offset as epoch millis: the cut is
+                    # EXCLUSIVE of records at/after the bound (Flink's
+                    # bounded OffsetsInitializer.timestamp); a partition
+                    # whose records all predate the bound ends at latest
+                    hi = c.list_offset(topic, p.partition, int(end_ts))
+                    hi = latest if hi < 0 else min(hi, latest)
+                elif ending.lower() == "committed":
+                    # Flink's committedOffsets() WITHOUT a reset
+                    # strategy throws on a missing group offset — a
+                    # bounded read "up to what the group processed" is
+                    # meaningless for a partition the group never
+                    # touched, so refuse by name rather than guess
+                    hi = committed.get((topic, p.partition), -1)
+                    if hi < 0:
+                        raise ValueError(
+                            f"endingOffsets 'committed': no stored group "
+                            f"offset for {topic}-{p.partition}"
+                        )
+                    hi = min(hi, latest)
+                elif end_map is not None:
                     if p.partition not in end_map:
                         raise ValueError(
                             f"endingOffsets JSON does not cover "
@@ -429,6 +514,52 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
         )
 
         starting = str(self.opts.get("startingoffsets", "earliest")).lower()
+        start_ts = self.opts.get("startingtimestamp")
+        if start_ts is not None:
+            # replay-from-epoch-millis (reference OffsetsInitializer
+            # .timestamp): per-partition ListOffsets by timestamp;
+            # partitions with no record at/after the bound start at the
+            # log end, Flink parity (see the batch reader)
+            with self._client() as c:
+                start = {}
+                for p in c.metadata([self.topic])[0].partitions:
+                    off = c.list_offset(self.topic, p.partition, int(start_ts))
+                    if off < 0:
+                        off = c.list_offset(
+                            self.topic, p.partition, LATEST_TIMESTAMP
+                        )
+                    start[str(p.partition)] = off
+            self._cursor = dict(start)
+            return start
+        if starting == "committed":
+            # resume from the consumer group's stored positions with
+            # the reference's EARLIEST reset for untouched partitions
+            group = self.opts.get("groupid") or self.opts.get(
+                "kafka.group.id"
+            )
+            if not group:
+                raise ValueError(
+                    "startingOffsets 'committed' needs a group id "
+                    "(groupId option / kafka.group.id)"
+                )
+            with self._client() as c:
+                parts = [
+                    p.partition
+                    for p in c.metadata([self.topic])[0].partitions
+                ]
+                stored = c.offset_fetch(
+                    str(group), [(self.topic, p) for p in parts]
+                )
+                start = {}
+                for p in parts:
+                    off = stored.get((self.topic, p), -1)
+                    if off < 0:
+                        off = c.list_offset(
+                            self.topic, p, EARLIEST_TIMESTAMP
+                        )
+                    start[str(p)] = off
+            self._cursor = dict(start)
+            return start
         start = self._offsets(
             LATEST_TIMESTAMP if starting == "latest" else EARLIEST_TIMESTAMP
         )

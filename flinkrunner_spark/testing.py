@@ -1569,8 +1569,27 @@ class LoopbackKafkaBroker:
                     log = parts[pid]
                     if ts == K.EARLIEST_TIMESTAMP:
                         off = log[0][0] if log else 0
-                    else:  # LATEST
+                    elif ts == K.LATEST_TIMESTAMP:
                         off = self._next_offset(log)
+                    else:
+                        # ListOffsets by TIMESTAMP (the Java broker's
+                        # offsetsForTimes path): the FIRST offset whose
+                        # record timestamp >= the requested epoch ms,
+                        # or -1 when no such record exists — control
+                        # markers are skipped (decode drops them)
+                        off = -1
+                        for _base, batch in log:
+                            hit = next(
+                                (
+                                    r.offset
+                                    for r in K.decode_record_batches(batch)
+                                    if r.timestamp_ms >= ts
+                                ),
+                                None,
+                            )
+                            if hit is not None:
+                                off = hit
+                                break
                     presps.append((pid, 0, off))
                 resp_topics.append((topic, presps))
         out = struct.pack(">i", len(resp_topics))
@@ -2970,6 +2989,10 @@ class LoopbackHiveMetastore:
         self.tables: dict[tuple[str, str], dict] = {}
         # (db, name) -> {tuple(values) -> {"location", "parameters"}}
         self.partitions: dict[tuple[str, str], dict] = {}
+        # (db, name) -> {col -> decoded stats dict} (ANALYZE interop)
+        self.column_stats: dict[tuple[str, str], dict] = {}
+        # (db, name) -> function dict (Hive UDF registry)
+        self.functions: dict[tuple[str, str], dict] = {}
         self.locks: dict[int, tuple[str, str]] = {}  # lockid -> table key
         self.queues: dict[tuple[str, str], list[int]] = {}  # FIFO waiters
         self._next_lock = 100
@@ -3035,6 +3058,16 @@ class LoopbackHiveMetastore:
                     "get_partitions": self._get_partitions,
                     "get_partition_names": self._get_partition_names,
                     "drop_partition": self._drop_partition,
+                    "update_table_column_statistics":
+                        self._update_column_stats,
+                    "get_table_column_statistics":
+                        self._get_column_stats,
+                    "delete_table_column_statistics":
+                        self._delete_column_stats,
+                    "create_function": self._create_function,
+                    "get_function": self._get_function,
+                    "get_functions": self._get_functions,
+                    "drop_function": self._drop_function,
                 }.get(name)
                 if handler is None:
                     body = HM.enc_struct(
@@ -3230,6 +3263,138 @@ class LoopbackHiveMetastore:
         return HM.enc_struct(
             [(HM.T_BOOL, 0, struct.pack(">b", 1))]
         )
+
+    # -- column-statistics RPCs ------------------------------------------------
+
+    def _update_column_stats(self, args: dict) -> bytes:
+        HM = self.HM
+        cs = args.get(1) or {}
+        desc = cs.get(HM.CS_DESC) or {}
+        key = (str(desc.get(HM.CSD_DB, "")), str(desc.get(HM.CSD_TABLE, "")))
+        if key not in self.tables:
+            return self._exc(1, f"NoSuchObject: {key[0]}.{key[1]}")
+        store = self.column_stats.setdefault(key, {})
+        for obj in cs.get(HM.CS_OBJS) or []:
+            # round-trip through the real codec: decode from the wire
+            # struct, re-encode on get — field-id drift fails loudly
+            dec = HM.decode_column_stats_obj(obj)
+            store[dec["col"]] = dec
+        return HM.enc_struct([(HM.T_BOOL, 0, struct.pack(">b", 1))])
+
+    def _get_column_stats(self, args: dict) -> bytes:
+        HM = self.HM
+        key = (str(args.get(1, "")), str(args.get(2, "")))
+        col = str(args.get(3, ""))
+        s = self.column_stats.get(key, {}).get(col)
+        if s is None:
+            return self._exc(
+                1, f"NoSuchObject: no stats for {key[0]}.{key[1]}.{col}"
+            )
+        desc = HM.enc_struct(
+            [
+                (HM.T_BOOL, HM.CSD_IS_TBL_LEVEL, struct.pack(">b", 1)),
+                (HM.T_STRING, HM.CSD_DB, HM.enc_string(key[0])),
+                (HM.T_STRING, HM.CSD_TABLE, HM.enc_string(key[1])),
+            ]
+        )
+        obj = HM.encode_column_stats_obj(s["col"], s["type"], s)
+        return HM.enc_struct(
+            [
+                (
+                    HM.T_STRUCT,
+                    0,
+                    HM.enc_struct(
+                        [
+                            (HM.T_STRUCT, HM.CS_DESC, desc),
+                            (HM.T_LIST, HM.CS_OBJS,
+                             HM.enc_list_struct([obj])),
+                        ]
+                    ),
+                )
+            ]
+        )
+
+    def _delete_column_stats(self, args: dict) -> bytes:
+        HM = self.HM
+        key = (str(args.get(1, "")), str(args.get(2, "")))
+        col = str(args.get(3, ""))
+        if col not in self.column_stats.get(key, {}):
+            return self._exc(
+                1, f"NoSuchObject: no stats for {key[0]}.{key[1]}.{col}"
+            )
+        del self.column_stats[key][col]
+        return HM.enc_struct([(HM.T_BOOL, 0, struct.pack(">b", 1))])
+
+    # -- function RPCs ----------------------------------------------------------
+
+    def _create_function(self, args: dict) -> bytes:
+        HM = self.HM
+        fn = args.get(1) or {}
+        key = (str(fn.get(HM.FN_DB, "")), str(fn.get(HM.FN_NAME, "")))
+        if key in self.functions:
+            return self._exc(1, f"AlreadyExists: function {key[0]}.{key[1]}")
+        self.functions[key] = {
+            "class_name": str(fn.get(HM.FN_CLASS, "")),
+            "owner": str(fn.get(HM.FN_OWNER, "")),
+            "resources": [
+                (int(r.get(HM.RES_TYPE, 1)), str(r.get(HM.RES_URI, "")))
+                for r in (fn.get(HM.FN_RESOURCES) or [])
+            ],
+        }
+        return HM.enc_struct([])
+
+    def _fn_struct(self, db: str, name: str) -> bytes:
+        HM = self.HM
+        f = self.functions[(db, name)]
+        res = HM.enc_list_struct(
+            [
+                HM.enc_struct(
+                    [
+                        (HM.T_I32, HM.RES_TYPE, struct.pack(">i", t)),
+                        (HM.T_STRING, HM.RES_URI, HM.enc_string(u)),
+                    ]
+                )
+                for t, u in f["resources"]
+            ]
+        )
+        return HM.enc_struct(
+            [
+                (HM.T_STRING, HM.FN_NAME, HM.enc_string(name)),
+                (HM.T_STRING, HM.FN_DB, HM.enc_string(db)),
+                (HM.T_STRING, HM.FN_CLASS, HM.enc_string(f["class_name"])),
+                (HM.T_STRING, HM.FN_OWNER, HM.enc_string(f["owner"])),
+                (HM.T_I32, HM.FN_TYPE,
+                 struct.pack(">i", HM.FN_TYPE_JAVA)),
+                (HM.T_LIST, HM.FN_RESOURCES, res),
+            ]
+        )
+
+    def _get_function(self, args: dict) -> bytes:
+        HM = self.HM
+        key = (str(args.get(1, "")), str(args.get(2, "")))
+        if key not in self.functions:
+            return self._exc(2, f"NoSuchObject: function {key[0]}.{key[1]}")
+        return HM.enc_struct([(HM.T_STRUCT, 0, self._fn_struct(*key))])
+
+    def _get_functions(self, args: dict) -> bytes:
+        import fnmatch
+
+        HM = self.HM
+        db = str(args.get(1, ""))
+        pattern = str(args.get(2, "*"))
+        names = sorted(
+            n for d, n in self.functions if d == db
+            and fnmatch.fnmatch(n, pattern)
+        )
+        return HM.enc_struct([(HM.T_LIST, 0, HM.enc_list_string(names))])
+
+    def _drop_function(self, args: dict) -> bytes:
+        HM = self.HM
+        key = (str(args.get(1, "")), str(args.get(2, "")))
+        if key not in self.functions:
+            return self._exc(1, f"NoSuchObject: function {key[0]}.{key[1]}")
+        del self.functions[key]
+        return HM.enc_struct([])
 
     def _lock(self, args: dict) -> bytes:
         HM = self.HM

@@ -1307,11 +1307,18 @@ class TransactionalProducer(IdempotentProducer):
         sending coordinator RPCs to the wrong node and surfacing
         NOT_COORDINATOR(16) on every attempt."""
         host, port = client.find_coordinator(transactional_id, key_type=1)
-        if (host, port) not in (
-            (client.host, client.port),
-            ("localhost", client.port),
-            ("127.0.0.1", client.port),
-        ):
+        # loopback aliases only count as "same broker" when the client
+        # itself connected over loopback — a REMOTE broker misadvertising
+        # a localhost coordinator must refuse by name here, not send txn
+        # RPCs to whatever listens on that local port
+        same = {(client.host, client.port)}
+        if client.host in ("localhost", "127.0.0.1", "::1"):
+            same |= {
+                ("localhost", client.port),
+                ("127.0.0.1", client.port),
+                ("::1", client.port),
+            }
+        if (host, port) not in same:
             raise ValueError(
                 f"transaction coordinator for {transactional_id!r} is "
                 f"{host}:{port}, not the connected broker "

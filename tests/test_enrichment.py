@@ -193,3 +193,36 @@ def test_enrich_with_http_eviction_cap(spark):
         # every row still enriched — eviction bounds the cache, never
         # the batch-local results
         assert all(r["region"] == f"r{r['user_id']}" for r in rows)
+
+
+def test_enrich_with_http_cache_is_true_lru_on_hits(spark):
+    """Guava-LRU parity (reference EnrichmentAsyncFunction's cache): a
+    cache HIT refreshes recency, so a hot URI re-read every batch is
+    never evicted while cold one-shot URIs churn past it. Forced into
+    multiple Arrow batches inside ONE task (maxRecordsPerBatch=2) so
+    the per-task cache sees hit-then-evict-then-reuse."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        with _JsonEndpoint() as ep:
+            u = lambda i: f"http://localhost:{ep.port}/user/{i}"
+            # batch 1: (hot, 1) — both fetched, order hot,1
+            # batch 2: (hot, 2) — hot HITS (recency refresh), 2 evicts
+            #          the true-LRU victim /user/1 (FIFO would evict hot)
+            # batch 3: (hot,)  — hit again iff recency was refreshed
+            rows = [(1, u(0)), (2, u(1)), (3, u(0)), (4, u(2)), (5, u(0))]
+            df = spark.createDataFrame(
+                rows, "user_id long, uri string"
+            ).coalesce(1)
+            out = enrich_with_http(
+                df, "uri", "tier string, region string",
+                conf={"cache.max.size": 2, "num.threads": 1},
+            )
+            got = {r["user_id"]: r["region"] for r in out.collect()}
+            assert got == {1: "r0", 2: "r1", 3: "r0", 4: "r2", 5: "r0"}
+            # the hot uri was fetched exactly once — hits kept it live
+            assert ep.hits["/user/0"] == 1, ep.hits
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )

@@ -443,3 +443,78 @@ def test_partition_keys_survive_get_table_and_alter():
             (f[FS_NAME], f[FS_TYPE]) for f in t.get(TBL_PARTITION_KEYS, [])
         ]
         assert keys == [("ds", "string")]
+
+
+# -- column statistics + functions (r12: ANALYZE / UDF-registry interop) ------
+
+
+def test_column_statistics_roundtrip_all_kinds():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.create_table("db", "t", "file:///w/t", {})
+            stats = [
+                {"col": "id", "type": "bigint", "kind": "long",
+                 "low": 1, "high": 999, "num_nulls": 0, "num_dvs": 999},
+                {"col": "price", "type": "double", "kind": "double",
+                 "low": 0.5, "high": 99.75, "num_nulls": 3,
+                 "num_dvs": 412},
+                {"col": "name", "type": "string", "kind": "string",
+                 "max_len": 48, "avg_len": 12.25, "num_nulls": 1,
+                 "num_dvs": 800},
+                {"col": "ok", "type": "boolean", "kind": "boolean",
+                 "num_trues": 700, "num_falses": 280, "num_nulls": 20},
+            ]
+            assert c.update_table_column_statistics("db", "t", stats)
+            got = c.get_table_column_statistics("db", "t", "price")
+            assert got["kind"] == "double"
+            assert got["low"] == 0.5 and got["high"] == 99.75
+            assert got["num_dvs"] == 412
+            s = c.get_table_column_statistics("db", "t", "name")
+            assert s["max_len"] == 48 and s["avg_len"] == 12.25
+            b = c.get_table_column_statistics("db", "t", "ok")
+            assert (b["num_trues"], b["num_falses"]) == (700, 280)
+            # delete removes exactly one column's stats
+            assert c.delete_table_column_statistics("db", "t", "price")
+            with pytest.raises(NoSuchTable):
+                c.get_table_column_statistics("db", "t", "price")
+            # the others survive
+            assert c.get_table_column_statistics("db", "t", "id")[
+                "high"
+            ] == 999
+
+
+def test_column_statistics_unknown_table_refuses():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            with pytest.raises(HiveMetastoreError):
+                c.update_table_column_statistics(
+                    "db", "ghost",
+                    [{"col": "x", "type": "int", "kind": "long"}],
+                )
+
+
+def test_function_registry_roundtrip():
+    with LoopbackHiveMetastore() as srv:
+        with _client(srv) as c:
+            c.create_function(
+                "db", "my_udf", "com.example.MyUdf", owner="alice",
+                resources=[("jar", "s3://bucket/udfs/my-udf.jar")],
+            )
+            fn = c.get_function("db", "my_udf")
+            assert fn["class_name"] == "com.example.MyUdf"
+            assert fn["owner"] == "alice"
+            assert fn["resources"] == [
+                ("jar", "s3://bucket/udfs/my-udf.jar")
+            ]
+            # AlreadyExists on a duplicate name
+            with pytest.raises(HiveMetastoreError):
+                c.create_function("db", "my_udf", "com.example.Other")
+            c.create_function("db", "other_udf", "com.example.Other")
+            assert c.get_functions("db") == ["my_udf", "other_udf"]
+            assert c.get_functions("db", "my_*") == ["my_udf"]
+            assert c.get_functions("elsewhere") == []
+            c.drop_function("db", "my_udf")
+            with pytest.raises(NoSuchTable):
+                c.get_function("db", "my_udf")
+            with pytest.raises(HiveMetastoreError):
+                c.drop_function("db", "my_udf")  # already gone

@@ -1,0 +1,202 @@
+"""Epoch-timestamp and `committed` starting/stopping offsets on the
+Kafka source — reference parity for
+`model/source/KafkaSourceConfig.scala:44-47,90-123`:
+
+  - `starting.offset` / `beginning.offset`: earliest | latest |
+    epoch millis (OffsetsInitializer.timestamp) | committed
+    (committedOffsets with EARLIEST reset)
+  - `stopping.offset` / `ending.offset`: latest | committed |
+    epoch millis | none
+
+Numeric bounds resolve broker-side via ListOffsets-by-timestamp (the
+Java consumer's offsetsForTimes): first offset whose record timestamp
+>= the bound, with Flink's no-match → log-end fallback so a replay
+from "yesterday 00:00" skips partitions idle since before then.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flinkrunner_spark.sources.factory import KafkaSourceConfig
+from flinkrunner_spark.testing import LoopbackKafkaBroker
+from flinkrunner_spark.util.kafka import (
+    KafkaClient,
+    KafkaRecord,
+    encode_record_batch,
+)
+
+
+def _fill(client, topic, pid, ts_list, tag=""):
+    """One record per timestamp, in order, pinned to partition pid."""
+    recs = [
+        KafkaRecord(value=f"{tag}{i}".encode(), timestamp_ms=ts)
+        for i, ts in enumerate(ts_list)
+    ]
+    client.produce(topic, pid, encode_record_batch(recs))
+
+
+def _src(boot, topic, **conf):
+    return KafkaSourceConfig(
+        "t",
+        {"connector": "kafka", "transport": "native",
+         "bootstrap.servers": boot, "topic": topic, **conf},
+    )
+
+
+def test_starting_timestamp_bounds_the_read(spark):
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000 + i for i in range(10)])
+        out = _src(boot, "ts", **{"starting.offset": "1005"}).load(spark)
+        offs = [r["offset"] for r in out.orderBy("offset").collect()]
+        assert offs == [5, 6, 7, 8, 9]
+        # beginning.offset is the reference's alias spelling
+        alias = _src(boot, "ts", **{"beginning.offset": "1005"}).load(spark)
+        assert alias.count() == 5
+
+
+def test_stopping_timestamp_is_exclusive(spark):
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000 + i for i in range(10)])
+        out = _src(
+            boot, "ts",
+            **{"starting.offset": "1003", "stopping.offset": "1008"},
+        ).load(spark)
+        offs = [r["offset"] for r in out.orderBy("offset").collect()]
+        # [1003, 1008): records at offsets 3..7
+        assert offs == [3, 4, 5, 6, 7]
+        # ending.offset alias
+        alias = _src(
+            boot, "ts", **{"ending.offset": "1008"}
+        ).load(spark)
+        assert alias.count() == 8
+
+
+def test_timestamp_no_match_starts_at_log_end(spark):
+    """Flink OffsetsInitializer.timestamp parity: a partition with NO
+    record at/after the bound starts at its end — it is skipped, not
+    re-read from the head."""
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000, 1001, 5000, 5001])  # spans the bound
+            _fill(c, "ts", 1, [1000, 1001])  # idle since before the bound
+        out = _src(boot, "ts", **{"starting.offset": "4000"}).load(spark)
+        rows = out.select("partition", "offset").collect()
+        assert sorted((r["partition"], r["offset"]) for r in rows) == [
+            (0, 2), (0, 3)
+        ]
+
+
+def test_committed_start_resumes_the_group(spark):
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000 + i for i in range(10)])
+            c.offset_commit("g1", {("ts", 0): 4})
+        out = _src(
+            boot, "ts",
+            **{"starting.offset": "committed", "group.id": "g1"},
+        ).load(spark)
+        offs = [r["offset"] for r in out.orderBy("offset").collect()]
+        assert offs == [4, 5, 6, 7, 8, 9]
+        # reference reset: committedOffsets(EARLIEST) — a group with no
+        # stored offset starts at the log head, not an error
+        fresh = _src(
+            boot, "ts",
+            **{"starting.offset": "committed", "group.id": "never-seen"},
+        ).load(spark)
+        assert fresh.count() == 10
+        # default group id is jobName.sourceName (scala:124-126)
+        named = _src(
+            boot, "ts",
+            **{"starting.offset": "committed", "job.name": "jobA"},
+        )
+        assert named._group_id() == "jobA.t"
+
+
+def test_committed_stop_bounds_at_group_position(spark):
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000 + i for i in range(10)])
+            c.offset_commit("g1", {("ts", 0): 7})
+        out = _src(
+            boot, "ts",
+            **{"stopping.offset": "committed", "group.id": "g1"},
+        ).load(spark)
+        assert out.count() == 7
+        # Flink committedOffsets() without a reset THROWS on a missing
+        # group offset — bounded-to-committed is meaningless for a
+        # partition the group never touched
+        with pytest.raises(Exception, match="committed"):
+            _src(
+                boot, "ts",
+                **{"stopping.offset": "committed", "group.id": "nope"},
+            ).load(spark).count()
+
+
+def test_stopping_offset_refused_on_streaming():
+    src = _src("localhost:1", "ts", **{"stopping.offset": "1234"})
+    src.streaming = True
+    with pytest.raises(ValueError, match="stopping.offset"):
+        src._apply_reference_offsets(None, streaming=True)
+
+
+def test_jar_option_mapping_parity():
+    """The SAME conf keys drive the jar path: epoch millis →
+    startingTimestamp/endingTimestamp (+ the latest no-match strategy,
+    Flink parity), keywords pass through, `committed` refuses by name
+    (the jar datasource has no committed-offsets initializer)."""
+    src = _src("localhost:1", "ts", **{
+        "starting.offset": "1700000000000", "stopping.offset": "1800000000000",
+    })
+    src.streaming = False
+    opts = src._jar_options()
+    assert opts["startingTimestamp"] == "1700000000000"
+    assert opts["startingOffsetsByTimestampStrategy"] == "latest"
+    assert opts["endingTimestamp"] == "1800000000000"
+    kw = _src("localhost:1", "ts", **{"starting.offset": "LATEST"})
+    kw.streaming = False
+    assert kw._jar_options()["startingOffsets"] == "latest"
+    bad = _src("localhost:1", "ts", **{"starting.offset": "committed"})
+    bad.streaming = False
+    with pytest.raises(ValueError, match="committed"):
+        bad._jar_options()
+
+
+def test_streaming_starting_timestamp_and_committed(spark, tmp_path):
+    """The native STREAM reader honors the same starting bounds: its
+    initialOffset resolves epoch millis (no-match → log end) and
+    `committed` (missing → earliest) per partition."""
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    KD.register(spark)
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000 + i for i in range(10)])
+            c.offset_commit("g1", {("ts", 0): 8})
+        r = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingtimestamp": "1006"}
+        )
+        assert r.initialOffset() == {"0": 6}
+        rc = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingoffsets": "committed", "groupid": "g1"}
+        )
+        assert rc.initialOffset() == {"0": 8}
+        rc2 = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingoffsets": "committed", "groupid": "fresh"}
+        )
+        assert rc2.initialOffset() == {"0": 0}
+        r2 = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingtimestamp": "99999"}
+        )
+        assert r2.initialOffset() == {"0": 10}  # no match → log end

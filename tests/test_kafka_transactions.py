@@ -489,3 +489,75 @@ def test_streaming_sink_refuses_exactly_once_on_both_transports(spark):
             conf["transport"] = transport
         with pytest.raises(ValueError, match="exactly-once"):
             KafkaSinkConfig("t", conf).write_stream(sdf)
+
+
+# -- guarantee-boundary guards (round-12 advisor items) -----------------------
+
+
+def test_coordinator_loopback_alias_only_for_loopback_clients():
+    """A REMOTE broker misadvertising a localhost coordinator must
+    refuse by name — the ("localhost", port) / ("127.0.0.1", port)
+    aliases only count as "same broker" when the client itself
+    connected over loopback (util/kafka.py TransactionalProducer.begin).
+    """
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            # loopback client: the broker's localhost advertisement is
+            # accepted (both are loopback spellings); no partitions are
+            # added, so there is nothing to abort afterwards
+            TransactionalProducer.begin(c, "tx-loop")
+            # simulate a remote connection: the check must now demand
+            # an exact (host, port) match, so the localhost
+            # advertisement is refused instead of silently accepted
+            c.host = "broker-1.example.internal"
+            with pytest.raises(ValueError, match="coordinator"):
+                TransactionalProducer.begin(c, "tx-remote")
+
+
+def test_default_transactional_prefix_includes_job_identifier(spark):
+    """Reference parity (KafkaSinkConfig.scala:98): the default prefix
+    is jobName-qualified, so two concurrent jobs sharing a sink name
+    derive DISTINCT transactional ids and cannot mutually fence each
+    other's in-flight transactions."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    base = {"connector": "kafka", "bootstrap.servers": "localhost:1",
+            "topic": "t", "transport": "native",
+            "delivery.guarantee": "exactly-once"}
+    sink = KafkaSinkConfig("orders-out", dict(base))
+    prefix = sink._transactional_id_prefix({})
+    app_id = spark.sparkContext.applicationId
+    assert prefix == f"{app_id}.orders-out.tx.id"
+    # explicit job.name wins over the applicationId fallback
+    named = KafkaSinkConfig("orders-out", dict(base, **{"job.name": "jobA"}))
+    assert named._transactional_id_prefix({}) == "jobA.orders-out.tx.id"
+    # an explicit prefix config still wins outright
+    pinned = KafkaSinkConfig(
+        "orders-out", dict(base, **{"transactional.id.prefix": "pin"})
+    )
+    assert pinned._transactional_id_prefix({}) == "pin"
+
+
+def test_exactly_once_batch_refuses_speculation(spark):
+    """spark.speculation=true guarantees duplicate task attempts, and a
+    post-commit duplicate commits a SECOND transaction — the native
+    exactly-once batch sink refuses up front rather than silently
+    duplicating (sinks/factory.py guarantee-boundary note)."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+
+    df = spark.createDataFrame([("a",)], "value string")
+    sink = KafkaSinkConfig(
+        "t-spec",
+        {"connector": "kafka", "bootstrap.servers": "localhost:1",
+         "topic": "t", "transport": "native",
+         "delivery.guarantee": "exactly-once"},
+    )
+    # spark.speculation is launch-time core conf (RuntimeConfig refuses
+    # it) — mutate the context's SparkConf directly, as a real
+    # speculative deployment would have set it at submit time
+    spark.sparkContext._conf.set("spark.speculation", "true")
+    try:
+        with pytest.raises(ValueError, match="speculation"):
+            sink.write(df)
+    finally:
+        spark.sparkContext._conf.set("spark.speculation", "false")
