@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_report": llm_dedup.docs_dedup_report,
         "kafka_txn_roundtrip": connectors.kafka_txn_roundtrip,
         "kafka_rpw_roundtrip": connectors.kafka_rpw_roundtrip,
+        "kafka_ts_offsets_roundtrip": connectors.kafka_ts_offsets_roundtrip,
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,

@@ -1881,3 +1881,80 @@ def kafka_rpw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(parsed)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+# epoch-millis offset bounds: records are stamped TS_OFF_BASE + doc_id,
+# so the [TS_OFF_LO, TS_OFF_HI) time cut is exactly the doc_id range —
+# the oracle below pins it against the raw parquet
+TS_OFF_BASE = 1_700_000_000_000
+TS_OFF_LO, TS_OFF_HI = 120, 430
+
+KAFKA_TS_OFFSETS_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+WHERE doc_id >= {TS_OFF_LO} AND doc_id < {TS_OFF_HI}
+GROUP BY lang
+"""
+
+
+def kafka_ts_offsets_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-timestamp starting/stopping offsets on the Kafka source —
+    reference `model/source/KafkaSourceConfig.scala:44-47,90-103`:
+    numeric `starting.offset` / `stopping.offset` route through
+    `OffsetsInitializer.timestamp`, i.e. ListOffsets-by-timestamp
+    (offsetsForTimes) per partition. Documents land on a 4-partition
+    topic with CreateTime = TS_OFF_BASE + doc_id, produced from one
+    task in doc_id order so every partition's log is time-ascending
+    (an event-time log's natural shape — and the precondition for an
+    offsets-for-times cut to be exact). The read replays ONLY
+    [base+LO, base+HI): the broker resolves each partition's first
+    offset at/after the start bound (partitions idle since before the
+    bound resolve to their log end and are skipped — Flink's no-match
+    fallback), and the stop bound is exclusive. The per-language
+    profile must equal the raw parquet filtered to the same doc_id
+    range: one record outside the cut, or one partition replayed whole,
+    breaks the counts. The 100 TB case: replaying "yesterday 00:00 on"
+    from a long-retention topic reads exactly the tail, never the whole
+    log."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    ordered = (
+        docs.withColumn(
+            "timestamp", (F.lit(TS_OFF_BASE) + F.col("doc_id")).cast("long")
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        KafkaSinkConfig(
+            "tsrt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_tsrt", "key.column": "doc_id"},
+        ).write(ordered)
+        back = KafkaSourceConfig(
+            "tsrt",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_tsrt",
+             "starting.offset": str(TS_OFF_BASE + TS_OFF_LO),
+             "stopping.offset": str(TS_OFF_BASE + TS_OFF_HI)},
+        ).load(spark)
+        parsed = back.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)

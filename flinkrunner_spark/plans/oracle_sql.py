@@ -2263,3 +2263,12 @@ SELECT d.lang, COUNT(*) AS n_docs,
 FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
 GROUP BY d.lang
 """
+
+# epoch-timestamp offset bounds (r12): the [base+120, base+430) time
+# cut over CreateTime = base + doc_id must equal the doc_id range
+# filter on the raw parquet — ListOffsets-by-timestamp resolution,
+# no-match→log-end fallback and the exclusive stop bound all have to
+# be exact for the profile to match
+from flinkrunner_spark.plans.connectors import KAFKA_TS_OFFSETS_ORACLE  # noqa: E402
+
+ORACLES["kafka_ts_offsets_roundtrip"] = KAFKA_TS_OFFSETS_ORACLE
