@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": llm_dedup.docs_simhash,
         "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
         "docs_langid": llm_text.docs_langid,
+        "docs_langid_ngram": llm_text.docs_langid_ngram,
         "docs_quality": llm_text.docs_quality,
         "docs_fingerprint": llm_text.docs_fingerprint,
         "docs_split": pipeline.docs_split,

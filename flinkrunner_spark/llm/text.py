@@ -93,6 +93,213 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- char-trigram Naive Bayes language-ID -------------------------------------
+#
+# The production-shaped langid (the stopword-vote form above stays as
+# the reference-parity heuristic): per-language character-trigram
+# multinomial Naive Bayes, the model family behind langid.py/CLD2.
+# Profiles train DETERMINISTICALLY at import time from the embedded
+# seed corpora below (public text composed for this module; zh is
+# romanized pinyin so every language shares the [a-z ] alphabet after
+# normalization). Weights are add-one-smoothed log-probabilities scaled
+# to INTEGERS (round(ln(p)*1e6)) so document scores are exact integer
+# sums — order-independent, engine-exact against the DuckDB oracle
+# (the module-header contract: no float accumulation in outputs).
+#
+# Scoring is a ZERO-EXCHANGE scan: trigrams come from a JVM
+# transform(sequence(...), substr), each language's score is one
+# F.aggregate fold over a literal trigram→weight map (top-K profile;
+# misses take the language's smoothed unseen weight). No explode, no
+# join, no shuffle — at 100 TB langid stays a map-side projection.
+
+_LANGID_SEEDS = {
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und "
+        "die kinder spielen im garten waehrend die sonne scheint das "
+        "wetter ist heute sehr schoen und wir gehen zusammen in die "
+        "stadt um etwas zu essen und zu trinken"
+    ),
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the children "
+        "are playing in the garden while the sun is shining the "
+        "weather is very nice today and we are going together into "
+        "town to get something to eat and drink"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y los "
+        "ninos juegan en el jardin mientras brilla el sol el tiempo "
+        "esta muy bueno hoy y vamos juntos a la ciudad para comer y "
+        "beber algo"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "les enfants jouent dans le jardin pendant que le soleil "
+        "brille le temps est tres beau aujourd hui et nous allons "
+        "ensemble en ville pour manger et boire quelque chose"
+    ),
+    "zh": (
+        "kuai su de zong se hu li tiao guo lan duo de gou hai zi men "
+        "zai hua yuan li wan shua tai yang zheng zai zhao yao jin "
+        "tian tian qi hen hao wo men yi qi jin cheng chi fan he shui"
+    ),
+}
+
+LANGID_LANGS = sorted(_LANGID_SEEDS)
+_LANGID_TOPK = 48  # profile rows per language (union ≈ 200 trigrams)
+
+
+def _langid_train() -> tuple[list[tuple[str, tuple[int, ...]]], dict[str, int]]:
+    """-> (profile rows [(tri, (w_de, w_en, ...))], per-lang miss
+    weight). Pure-Python, deterministic: counts → add-one smoothing
+    over the union vocabulary → scaled-int log-probs; the table keeps
+    the union of each language's top-K trigrams (count desc, tri asc)."""
+    import math
+
+    counts: dict[str, dict[str, int]] = {}
+    for lang, seed in _LANGID_SEEDS.items():
+        c: dict[str, int] = {}
+        for i in range(len(seed) - 2):
+            tri = seed[i : i + 3]
+            c[tri] = c.get(tri, 0) + 1
+        counts[lang] = c
+    vocab = sorted({t for c in counts.values() for t in c})
+    v = len(vocab) + 1  # +1: the unseen-trigram event
+    kept: set[str] = set()
+    for lang in LANGID_LANGS:
+        top = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))
+        kept.update(t for t, _n in top[:_LANGID_TOPK])
+    totals = {lang: sum(counts[lang].values()) for lang in LANGID_LANGS}
+
+    def w(lang: str, tri: str) -> int:
+        p = (counts[lang].get(tri, 0) + 1) / (totals[lang] + v)
+        return round(math.log(p) * 1_000_000)
+
+    profile = [
+        (tri, tuple(w(lang, tri) for lang in LANGID_LANGS))
+        for tri in sorted(kept)
+    ]
+    miss = {
+        lang: round(math.log(1 / (totals[lang] + v)) * 1_000_000)
+        for lang in LANGID_LANGS
+    }
+    return profile, miss
+
+
+LANGID_PROFILE, LANGID_MISS = _langid_train()
+
+
+def _langid_norm_col(text: str = "text") -> Column:
+    # [^a-z]+ → single space, trimmed: the shared alphabet both the
+    # profiles and the oracle normalize into
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text)), "[^a-z]+", " ")
+    )
+
+
+def langid_ngram_cols(text: str = "text") -> dict[str, Column]:
+    """Per-language integer NB scores + argmax prediction as JVM-only
+    Column expressions (shared by docs_langid_ngram; reusable in fused
+    pipelines)."""
+    norm = _langid_norm_col(text)
+    tris = F.when(
+        F.length(norm) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scores: dict[str, Column] = {}
+    for ix, lang in enumerate(LANGID_LANGS):
+        entries = []
+        for tri, ws in LANGID_PROFILE:
+            entries += [F.lit(tri), F.lit(ws[ix])]
+        mp = F.create_map(*entries)
+        scores[lang] = F.aggregate(
+            tris,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.coalesce(mp[t], F.lit(LANGID_MISS[lang])).cast("long"),
+        )
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANGID_LANGS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(F.size(tris) == 0, F.lit("und")).otherwise(pred)
+    out = {f"nb_score_{lang}": scores[lang] for lang in LANGID_LANGS}
+    out["lang_pred"] = pred
+    return out
+
+
+def docs_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram Naive Bayes language-ID over documents: integer
+    log-prob sums per language + argmax (lexicographic tiebreak, 'und'
+    for trigram-less docs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = langid_ngram_cols()
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        *[cols[f"nb_score_{lang}"].alias(f"nb_score_{lang}")
+          for lang in LANGID_LANGS],
+        cols["lang_pred"].alias("lang_pred"),
+    )
+
+
+def langid_ngram_oracle_sql() -> str:
+    """DuckDB-equivalent SQL built from the SAME trained profile —
+    lateral trigram extraction + left join against a VALUES table,
+    integer sums, identical argmax/tiebreak."""
+    rows = ",\n    ".join(
+        "('{}', {})".format(
+            tri.replace("'", "''"), ", ".join(str(w) for w in ws)
+        )
+        for tri, ws in LANGID_PROFILE
+    )
+    wcols = ", ".join(f"w_{lang}" for lang in LANGID_LANGS)
+    sums = ",\n      ".join(
+        "SUM(COALESCE(p.w_{l}, {m})) AS nb_score_{l}".format(
+            l=lang, m=LANGID_MISS[lang]
+        )
+        for lang in LANGID_LANGS
+    )
+    zeros = ", ".join(
+        # BIGINT cast: the left join's NULL-able hugeint sums would
+        # otherwise surface as float in pandas and break value parity
+        f"CAST(COALESCE(s.nb_score_{lang}, 0) AS BIGINT) AS nb_score_{lang}"
+        for lang in LANGID_LANGS
+    )
+    best = ", ".join(f"s.nb_score_{lang}" for lang in LANGID_LANGS)
+    pred = " ".join(
+        f"WHEN s.nb_score_{lang} = GREATEST({best}) THEN '{lang}'"
+        for lang in LANGID_LANGS
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lang AS lang_declared,
+         trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS n
+  FROM documents
+), tris AS (
+  SELECT doc_id, substr(n, CAST(i AS INT), 3) AS tri
+  FROM (
+    SELECT doc_id, n,
+           unnest(generate_series(1, length(n) - 2)) AS i
+    FROM norm WHERE length(n) >= 3
+  )
+), prof(tri, {wcols}) AS (
+  VALUES
+    {rows}
+), scored AS (
+  SELECT doc_id,
+      {sums}
+  FROM tris LEFT JOIN prof p USING (tri)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang_declared, {zeros},
+  CASE WHEN s.doc_id IS NULL THEN 'und' {pred} ELSE 'und' END AS lang_pred
+FROM norm d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def quality_score_col(toks: Column | None = None) -> Column:
     """Composite quality score expression (rational arithmetic only —
     engine-exact). Shared by docs_quality and the fused docs_pipeline

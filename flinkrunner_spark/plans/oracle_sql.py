@@ -2272,3 +2272,11 @@ GROUP BY d.lang
 from flinkrunner_spark.plans.connectors import KAFKA_TS_OFFSETS_ORACLE  # noqa: E402
 
 ORACLES["kafka_ts_offsets_roundtrip"] = KAFKA_TS_OFFSETS_ORACLE
+
+# char-trigram Naive Bayes langid (r12): scores are integer log-prob
+# sums from the import-time-trained profile — the oracle embeds the
+# SAME profile as a VALUES table and replays the trigram extraction,
+# smoothing misses and argmax/tiebreak in SQL
+from flinkrunner_spark.llm.text import langid_ngram_oracle_sql  # noqa: E402
+
+ORACLES["docs_langid_ngram"] = langid_ngram_oracle_sql()

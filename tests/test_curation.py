@@ -162,3 +162,57 @@ def test_pii_redact_property(spark):
             assert "-555-" not in r["redacted"]
 
     check()
+
+
+def test_langid_ngram_classifies_held_out_text(spark):
+    """The char-trigram NB profiles must generalize past their seed
+    corpora: five HELD-OUT natural sentences (one per language, none
+    sharing seed wording) all classify correctly, trigram-less input is
+    'und', and the trained profile is import-deterministic."""
+    from flinkrunner_spark.llm.text import (
+        LANGID_MISS,
+        LANGID_PROFILE,
+        _langid_train,
+        langid_ngram_cols,
+    )
+
+    held_out = [
+        ("de", "die katze schlaeft auf dem warmen sofa und der hund "
+               "liegt daneben im zimmer"),
+        ("en", "the cat sleeps on the warm sofa and the dog lies next "
+               "to it in the room"),
+        ("es", "el gato duerme sobre el sofa caliente y el perro esta "
+               "al lado en la habitacion"),
+        ("fr", "le chat dort sur le canape chaud et le chien est "
+               "couche a cote dans la chambre"),
+        ("zh", "xiao mao zai wen nuan de sha fa shang shui jiao gou "
+               "zai pang bian de fang jian li"),
+        ("und", "12 34 ?!"),  # no [a-z] trigrams after normalization
+    ]
+    df = spark.createDataFrame(held_out, "lang string, text string")
+    cols = langid_ngram_cols()
+    got = {
+        r["lang"]: r["pred"]
+        for r in df.select(
+            "lang", cols["lang_pred"].alias("pred")
+        ).collect()
+    }
+    assert got == {l: l for l, _ in held_out}
+    # deterministic retrain: same profile, same miss weights
+    p2, m2 = _langid_train()
+    assert p2 == LANGID_PROFILE and m2 == LANGID_MISS
+    # integer weights only (the engine-exactness contract)
+    assert all(
+        isinstance(w, int) for _tri, ws in LANGID_PROFILE for w in ws
+    )
+
+
+def test_langid_ngram_plan_is_zero_exchange(spark):
+    """langid stays a map-side projection — no explode, no join, no
+    shuffle (the 100 TB shape: profiles are literals, scores are
+    per-row folds)."""
+    from flinkrunner_spark.llm.text import docs_langid_ngram
+
+    q = docs_langid_ngram(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
