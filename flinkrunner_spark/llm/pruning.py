@@ -92,11 +92,17 @@ def _rank_boundary_tuples(
     Three bounded passes (the distributed-selection shape, not a
     quantile sketch — the result is EXACT):
 
-    1. per-group (count, min, max) — one hash aggregate, #groups rows;
+    1. per-group (count, min, max) — one hash aggregate, #groups rows
+       (the ONLY driver-side collect besides the final boundary
+       tuples: O(#groups), never O(#groups * bins));
     2. per-(group, bin) histogram counts over ``bins`` fixed-width
-       value bins — one hash aggregate, <= #groups * bins rows of
-       metadata cumulated driver-side to locate each rank's bin and
-       its residual rank within the bin;
+       value bins — one hash aggregate whose exclusive prefix sums are
+       computed DISTRIBUTED by a window partitioned per group over its
+       <= ``bins`` metadata rows; each requested rank's boundary bin +
+       residual rank falls out of a broadcast join against the rank
+       spec (r12: this pass previously cumulated #groups * bins rows
+       driver-side — fine for a language key, a bottleneck once the
+       group key scales with the corpus, e.g. k≈sqrt(n) learned cells);
     3. a window rank over ONLY the boundary bins' rows — every
        partition is one bin of one group (≈ n/bins rows), never a
        whole group.
@@ -140,26 +146,41 @@ def _rank_boundary_tuples(
         ),
     ).otherwise(F.lit(0))
     binned = df.join(F.broadcast(spec), key).withColumn("_bin", bin_expr)
-    hist: dict = {}
-    for r in binned.groupBy(key, "_bin").count().collect():
-        hist.setdefault(r[0], {})[r[1]] = r[2]
-    # locate each requested rank's bin + residual rank (driver-side
-    # over <= #groups * bins metadata rows)
-    probes = []  # (key, bin, which, residual_rank)
-    for k, ranks in wanted.items():
-        cum = 0
-        remaining = dict(ranks)
-        for b in sorted(hist.get(k, {})):
-            c = hist[k][b]
-            for which, r in list(remaining.items()):
-                if cum < r <= cum + c:
-                    probes.append((k, b, which, r - cum))
-                    del remaining[which]
-            cum += c
-            if not remaining:
-                break
-    probe_df = spark.createDataFrame(
-        probes, f"{key} {key_t}, _bin int, _which int, _r long"
+    # locate each requested rank's bin + residual rank DISTRIBUTED:
+    # exclusive prefix counts per group via a window over that group's
+    # <= bins histogram rows, then a broadcast join against the rank
+    # spec keeps exactly the row whose bin straddles the rank
+    rank_spec = spark.createDataFrame(
+        [
+            (k, which, r)
+            for k, ranks in wanted.items()
+            for which, r in ranks.items()
+        ],
+        f"{key} {key_t}, _which int, _r_total long",
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    probe_df = (
+        binned.groupBy(key, "_bin")
+        .count()
+        .withColumn(
+            "_cum_before",
+            F.coalesce(F.sum("count").over(w_cum), F.lit(0)),
+        )
+        .join(F.broadcast(rank_spec), key)
+        .filter(
+            (F.col("_cum_before") < F.col("_r_total"))
+            & (F.col("_r_total") <= F.col("_cum_before") + F.col("count"))
+        )
+        .select(
+            key,
+            "_bin",
+            "_which",
+            (F.col("_r_total") - F.col("_cum_before")).alias("_r"),
+        )
     )
     w = Window.partitionBy(key, "_which").orderBy(
         F.col(val).asc(), F.col(ident).asc()
