@@ -128,12 +128,18 @@ def main() -> None:
     rnd = int(rnd)
     import re as _re
 
-    pass_k = 1 + len(
-        [
-            f
+    # 1 + MAX existing index, not 1 + count: a sparse pass sequence
+    # (pass2 committed without pass1) made the count collide with and
+    # OVERWRITE an existing artifact (r12 session opener)
+    pass_k = 1 + max(
+        (
+            int(m.group(1))
             for f in os.listdir(repo)
-            if _re.match(rf"BENCH_LOCAL_r{rnd:02d}_pass\d+\.json$", f)
-        ]
+            if (m := _re.match(
+                rf"BENCH_LOCAL_r{rnd:02d}_pass(\d+)\.json$", f
+            ))
+        ),
+        default=0,
     )
 
     cold = run_pass()
