@@ -329,6 +329,17 @@ class KafkaNativeBatchReader(DataSourceReader):
                 f"endingOffsets must be 'latest', 'committed' or offset "
                 f"JSON, got {ending!r}"
             )
+        if start_map is None and starting.lower() not in (
+            "earliest", "latest", "committed",
+        ):
+            # documented tightening vs both silent fallbacks (the jar
+            # would error too; the reference maps any unrecognized
+            # spelling to committed offsets): a typo'd keyword must not
+            # quietly re-read the topic from the head
+            raise ValueError(
+                f"startingOffsets must be 'earliest', 'latest', "
+                f"'committed' or offset JSON, got {starting!r}"
+            )
         need_committed = "committed" in (starting.lower(), ending.lower())
         out = []
         with _client_from_opts(self.opts) as c:

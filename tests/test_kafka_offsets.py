@@ -200,3 +200,19 @@ def test_streaming_starting_timestamp_and_committed(spark, tmp_path):
              "startingtimestamp": "99999"}
         )
         assert r2.initialOffset() == {"0": 10}  # no match → log end
+
+
+def test_unknown_starting_keyword_refuses(spark):
+    """A typo'd startingOffsets keyword refuses BY NAME instead of
+    silently re-reading from the head (the reference silently maps
+    unrecognized spellings to committed offsets; the jar errors —
+    loud refusal is this repo's documented tightening, like
+    delivery.guarantee)."""
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000])
+        with pytest.raises(Exception, match="startingOffsets"):
+            _src(boot, "ts", **{"starting.offsets": "earliset"}).load(
+                spark
+            ).count()
