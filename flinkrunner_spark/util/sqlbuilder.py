@@ -41,11 +41,54 @@ _SPARK_TO_SQL = {
 }
 
 
+# reference util/Quoting.scala escape strategies: how a quote character
+# EMBEDDED in the content survives quoting
+#   escape_char — prefix the closing quote with a backslash
+#   doubling    — double the closing quote (the SQL standard)
+#   sqlserver   — double the OPENING bracket (Quoting.scala:29-30's
+#                 replaceAll(start, start+end) mirrored verbatim)
+# Identifier strategies follow Quoting.ofIdentifiers, literal strategies
+# Quoting.ofLiterals (Quoting.scala:41-75). Derby/timescaledb are repo
+# extensions: Derby is database-proven here, so it takes the SQL-standard
+# doubling the real engine accepts for both forms.
+_IDENT_QUOTING = {
+    "postgresql": ('"', '"', "escape_char"),
+    "timescaledb": ('"', '"', "escape_char"),
+    "mysql": ("`", "`", "escape_char"),
+    "snowflake": ('"', '"', "escape_char"),
+    "sqlserver": ("[", "]", "sqlserver"),
+    "derby": ('"', '"', "doubling"),
+}
+_LITERAL_QUOTING = {
+    "postgresql": ("'", "'", "doubling"),
+    "timescaledb": ("'", "'", "doubling"),
+    "mysql": ("'", "'", "escape_char"),
+    "snowflake": ("'", "'", "escape_char"),
+    "sqlserver": ("'", "'", "doubling"),
+    "derby": ("'", "'", "doubling"),
+}
+
+
+def _escape(content: str, start: str, end: str, strategy: str) -> str:
+    if strategy == "escape_char":
+        return content.replace(end, "\\" + end)
+    if strategy == "doubling":
+        return content.replace(end, end + end)
+    if strategy == "sqlserver":
+        return content.replace(start, start + end)
+    raise ValueError(f"unknown quoting escape strategy {strategy!r}")
+
+
 def quote_ident(name: str, dialect: str = "postgresql") -> str:
-    q = DIALECTS[dialect]["quote"]
-    if q == "[":
-        return f"[{name}]"
-    return f"{q}{name}{q}"
+    start, end, strategy = _IDENT_QUOTING[dialect]
+    return f"{start}{_escape(name, start, end, strategy)}{end}"
+
+
+def quote_literal(value: str, dialect: str = "postgresql") -> str:
+    """String-literal quoting per the reference's Quoting.ofLiterals —
+    embedded quotes survive per the dialect's escape strategy."""
+    start, end, strategy = _LITERAL_QUOTING[dialect]
+    return f"{start}{_escape(value, start, end, strategy)}{end}"
 
 
 def sql_type(dt: T.DataType, dialect: str = "postgresql") -> str:

@@ -174,3 +174,25 @@ def test_jdbc_explicit_table_columns(spark, jdbc_df, derby_url):
         .load()
     )
     assert back.count() == 3
+
+
+def test_quoting_escape_strategies():
+    """Reference util/Quoting.scala parity: identifier quoting follows
+    ofIdentifiers (postgres/snowflake double-quote + escape-char, mysql
+    backtick + escape-char, sqlserver brackets with the open-bracket
+    doubling of Quoting.scala:29-30), literal quoting follows
+    ofLiterals (postgres/sqlserver doubling, mysql/snowflake
+    escape-char). Derby takes SQL-standard doubling for both — the
+    form the real bundled engine accepts."""
+    from flinkrunner_spark.util.sqlbuilder import quote_ident, quote_literal
+
+    assert quote_ident('we"ird', "postgresql") == '"we\\"ird"'
+    assert quote_ident("ba`ck", "mysql") == "`ba\\`ck`"
+    assert quote_ident("br[ack]et", "sqlserver") == "[br[]ack]et]"
+    assert quote_ident('do"uble', "derby") == '"do""uble"'
+    assert quote_literal("o'brien", "postgresql") == "'o''brien'"
+    assert quote_literal("o'brien", "sqlserver") == "'o''brien'"
+    assert quote_literal("o'brien", "mysql") == "'o\\'brien'"
+    assert quote_literal("o'brien", "snowflake") == "'o\\'brien'"
+    # plain names stay plain inside their quotes
+    assert quote_ident("events", "postgresql") == '"events"'
