@@ -304,11 +304,15 @@ class KafkaSourceConfig(SourceConfig):
                 options.setdefault(
                     "startingOffsetsByTimestampStrategy", "latest"
                 )
+                # the jar refuses startingOffsets + startingTimestamp
+                # together — drop the constructor's earliest default
+                options.pop("startingOffsets", None)
             else:
                 options["startingOffsets"] = start.lower()
         if stop is not None and stop.lower() != "none" and not self.streaming:
             if stop.isdigit():
                 options["endingTimestamp"] = stop
+                options.pop("endingOffsets", None)
             else:
                 options["endingOffsets"] = stop.lower()
         fodl = self.conf.get("fail.on.data.loss")

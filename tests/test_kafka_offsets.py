@@ -216,3 +216,19 @@ def test_unknown_starting_keyword_refuses(spark):
             _src(boot, "ts", **{"starting.offsets": "earliset"}).load(
                 spark
             ).count()
+
+
+def test_jar_map_drops_keyword_defaults_under_timestamp_bounds():
+    """The jar datasource refuses startingOffsets+startingTimestamp
+    together — an epoch bound must evict the constructor's earliest/
+    latest defaults from the option map."""
+    src = _src("localhost:1", "ts", **{
+        "starting.offset": "1700000000000",
+        "stopping.offset": "1800000000000",
+        "ending.offsets": "latest",
+    })
+    src.streaming = False
+    opts = src._jar_options()
+    assert "startingOffsets" not in opts
+    assert "endingOffsets" not in opts
+    assert opts["startingTimestamp"] == "1700000000000"
