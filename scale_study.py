@@ -67,6 +67,9 @@ DEFAULT_KEYS = [
     # the kafka/iceberg lifecycle roundtrips are loopback-broker-bound
     # and stay out — their cost is the harness, not the plan)
     "docs_dedup_report",
+    # r12: the char-trigram NB langid (zero-exchange scan — the ratio
+    # should track the corpus factor ~linearly, nothing superlinear)
+    "docs_langid_ngram",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
