@@ -112,3 +112,25 @@ def strip_catalog_conf(conf: dict, exclude: tuple = ()) -> dict:
         for k, v in conf.items()
         if k.startswith("catalog.") and k not in exclude
     }
+
+
+def job_name(conf: dict) -> str:
+    """The job-level identity component (the reference's FlinkConfig
+    jobName): ``job.name`` config first, else the Spark APP NAME —
+    stable across re-submissions of the same job, unlike the
+    applicationId, so identities derived from it (consumer group ids,
+    transactional id prefixes) let a restarted run FENCE its crashed
+    predecessor's state instead of deriving a fresh identity that
+    leaves dangling transactions un-aborted. Two concurrent jobs with
+    the same app name sharing a sink name WILL mutually fence — the
+    reference's same-jobName behavior, and by design (zombie fencing);
+    set job.name to separate them."""
+    j = conf.get("job.name")
+    if j:
+        return str(j)
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is not None:
+        return str(sess.sparkContext.appName)
+    return "app"

@@ -214,8 +214,11 @@ CSD_LAST_ANALYZED = 5
 CSO_COL_NAME = 1
 CSO_COL_TYPE = 2
 CSO_DATA = 3
-# statsData union field ids → kind names (public thrift spec order)
-STATS_KINDS = {1: "boolean", 2: "double", 3: "long", 4: "string"}
+# statsData union field ids → kind names (public hive_metastore.thrift
+# union order: 1=booleanStats, 2=longStats, 3=doubleStats,
+# 4=stringStats; 5+ binary/decimal/date/timestamp are unsupported and
+# refuse on decode rather than misread)
+STATS_KINDS = {1: "boolean", 2: "long", 3: "double", 4: "string"}
 STATS_FIELD_BY_KIND = {v: k for k, v in STATS_KINDS.items()}
 
 # Function struct (hive_metastore.thrift)
@@ -384,7 +387,15 @@ def decode_column_stats_obj(obj: dict) -> dict:
     ColumnStatisticsObj struct dict."""
     union = obj.get(CSO_DATA) or {}
     fid = next(iter(union), None)
-    kind = STATS_KINDS.get(fid, "long")
+    kind = STATS_KINDS.get(fid)
+    if kind is None:
+        # binary/decimal/date/timestamp stats (union ids 5-8) are out of
+        # scope — refuse loudly instead of decoding the wrong struct's
+        # field ids into confidently wrong numbers
+        raise HiveMetastoreError(
+            f"unsupported ColumnStatisticsData union field id {fid} "
+            f"(supported: {sorted(STATS_KINDS)})"
+        )
     d = union.get(fid) or {}
     out = {
         "col": str(obj.get(CSO_COL_NAME, "")),

@@ -556,20 +556,15 @@ class KafkaSinkConfig(SinkConfig):
         # default mirrors the reference's s"${jobName}.$name.tx.id"
         # (KafkaSinkConfig.scala:98): the job-level component keeps two
         # concurrent jobs sharing a sink name from deriving identical
-        # transactional ids and mutually fencing each other's in-flight
-        # transactions. jobName → job.name config, else the Spark
-        # applicationId (unique per SparkContext).
-        job = self.conf.get("job.name")
-        if not job:
-            from pyspark.sql import SparkSession as _SS
+        # transactional ids and mutually fencing each other. The
+        # component must be STABLE across re-runs (job.name config,
+        # else the app NAME — never the per-run applicationId) so a
+        # restart re-derives its crashed predecessor's ids and begin()
+        # fences + aborts the dangling transactions; a fresh-per-run id
+        # would leave them pinning the LSO until transaction.timeout.ms.
+        from flinkrunner_spark.config import job_name
 
-            sess = _SS.getActiveSession()
-            job = (
-                sess.sparkContext.applicationId
-                if sess is not None
-                else "app"
-            )
-        return f"{job}.{self.name}.tx.id"
+        return f"{job_name(self.conf)}.{self.name}.tx.id"
 
     def write(self, df: DataFrame):
         if self.conf.get("transport") == "native":

@@ -129,11 +129,15 @@ class KafkaSourceConfig(SourceConfig):
 
     def _group_id(self) -> str:
         """Reference default `${jobName}.$name`
-        (KafkaSourceConfig.scala:124-126)."""
+        (KafkaSourceConfig.scala:124-126) — jobName via the SAME shared
+        helper the sink's transactional prefix uses, so a
+        read-process-write pipeline derives ONE job identity."""
         g = self.conf.get("group.id")
         if g:
             return str(g)
-        return f"{self.conf.get('job.name', 'app')}.{self.name}"
+        from flinkrunner_spark.config import job_name
+
+        return f"{job_name(self.conf)}.{self.name}"
 
     def _apply_reference_offsets(self, reader, streaming: bool):
         """Map the reference's `starting.offset` / `stopping.offset`
@@ -309,7 +313,16 @@ class KafkaSourceConfig(SourceConfig):
                 options.pop("startingOffsets", None)
             else:
                 options["startingOffsets"] = start.lower()
-        if stop is not None and stop.lower() != "none" and not self.streaming:
+        if stop is not None and stop.lower() != "none":
+            if self.streaming:
+                # LOCKSTEP with the native path's refusal — silently
+                # streaming unbounded past a requested cut is worse
+                # than the error
+                raise ValueError(
+                    "stopping.offset bounds a BATCH read; use "
+                    "streaming: false for a bounded cut (the kafka jar "
+                    "streaming source has no stop condition either)"
+                )
             if stop.isdigit():
                 options["endingTimestamp"] = stop
                 options.pop("endingOffsets", None)

@@ -571,6 +571,39 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
                     start[str(p)] = off
             self._cursor = dict(start)
             return start
+        if starting.startswith("{"):
+            # jar parity: offset JSON with -2/-1 sentinels, full
+            # partition coverage required (a partial map silently
+            # defaulting the omitted partitions would be data loss or
+            # a full re-read, depending on the default)
+            smap = KafkaNativeBatchReader._offset_map(starting, self.topic)
+            with self._client() as c:
+                start = {}
+                for p in c.metadata([self.topic])[0].partitions:
+                    if p.partition not in smap:
+                        raise ValueError(
+                            f"startingOffsets JSON does not cover "
+                            f"{self.topic}-{p.partition}; the offset map "
+                            "must list every partition of the topic"
+                        )
+                    off = smap[p.partition]
+                    if off in (-2, -1):
+                        off = c.list_offset(
+                            self.topic,
+                            p.partition,
+                            EARLIEST_TIMESTAMP if off == -2
+                            else LATEST_TIMESTAMP,
+                        )
+                    start[str(p.partition)] = off
+            self._cursor = dict(start)
+            return start
+        if starting not in ("earliest", "latest"):
+            # same loud refusal as the batch reader — a typo'd keyword
+            # must not silently re-read the topic from the head
+            raise ValueError(
+                f"startingOffsets must be 'earliest', 'latest', "
+                f"'committed' or offset JSON, got {starting!r}"
+            )
         start = self._offsets(
             LATEST_TIMESTAMP if starting == "latest" else EARLIEST_TIMESTAMP
         )

@@ -41,54 +41,42 @@ _SPARK_TO_SQL = {
 }
 
 
-# reference util/Quoting.scala escape strategies: how a quote character
-# EMBEDDED in the content survives quoting
-#   escape_char — prefix the closing quote with a backslash
-#   doubling    — double the closing quote (the SQL standard)
-#   sqlserver   — double the OPENING bracket (Quoting.scala:29-30's
-#                 replaceAll(start, start+end) mirrored verbatim)
-# Identifier strategies follow Quoting.ofIdentifiers, literal strategies
-# Quoting.ofLiterals (Quoting.scala:41-75). Derby/timescaledb are repo
-# extensions: Derby is database-proven here, so it takes the SQL-standard
-# doubling the real engine accepts for both forms.
-_IDENT_QUOTING = {
-    "postgresql": ('"', '"', "escape_char"),
-    "timescaledb": ('"', '"', "escape_char"),
-    "mysql": ("`", "`", "escape_char"),
-    "snowflake": ('"', '"', "escape_char"),
-    "sqlserver": ("[", "]", "sqlserver"),
-    "derby": ('"', '"', "doubling"),
+# Quoting surface of reference util/Quoting.scala (ofIdentifiers /
+# ofLiterals), ENGINE-CORRECTED — a documented divergence, same
+# precedent as the delivery.guarantee tightening: the reference's
+# EscapeChar strategy backslash-escapes the closing quote, which the
+# actual engines reject inside quoted IDENTIFIERS (PostgreSQL/MySQL
+# both require quote-DOUBLING there; a backslash is literal), and its
+# SqlServer strategy doubles the OPENING bracket while T-SQL needs the
+# CLOSING ``]`` doubled. Every engine here accepts the SQL-standard
+# rule — double the closing quote character — for identifiers AND
+# string literals (MySQL allows '' alongside backslash escapes), so
+# that single engine-proven rule is used throughout. Derby is exercised
+# against the real bundled engine in tests.
+_IDENT_QUOTES = {
+    "postgresql": ('"', '"'),
+    "timescaledb": ('"', '"'),
+    "mysql": ("`", "`"),
+    "snowflake": ('"', '"'),
+    "sqlserver": ("[", "]"),
+    "derby": ('"', '"'),
 }
-_LITERAL_QUOTING = {
-    "postgresql": ("'", "'", "doubling"),
-    "timescaledb": ("'", "'", "doubling"),
-    "mysql": ("'", "'", "escape_char"),
-    "snowflake": ("'", "'", "escape_char"),
-    "sqlserver": ("'", "'", "doubling"),
-    "derby": ("'", "'", "doubling"),
-}
-
-
-def _escape(content: str, start: str, end: str, strategy: str) -> str:
-    if strategy == "escape_char":
-        return content.replace(end, "\\" + end)
-    if strategy == "doubling":
-        return content.replace(end, end + end)
-    if strategy == "sqlserver":
-        return content.replace(start, start + end)
-    raise ValueError(f"unknown quoting escape strategy {strategy!r}")
 
 
 def quote_ident(name: str, dialect: str = "postgresql") -> str:
-    start, end, strategy = _IDENT_QUOTING[dialect]
-    return f"{start}{_escape(name, start, end, strategy)}{end}"
+    start, end = _IDENT_QUOTES[dialect]
+    return f"{start}{name.replace(end, end + end)}{end}"
 
 
 def quote_literal(value: str, dialect: str = "postgresql") -> str:
-    """String-literal quoting per the reference's Quoting.ofLiterals —
-    embedded quotes survive per the dialect's escape strategy."""
-    start, end, strategy = _LITERAL_QUOTING[dialect]
-    return f"{start}{_escape(value, start, end, strategy)}{end}"
+    """String-literal quoting (reference Quoting.ofLiterals surface):
+    single quotes, embedded quotes doubled — valid on every supported
+    engine, with no escape-character edge cases (a trailing backslash
+    under the reference's MySQL EscapeChar strategy would swallow the
+    closing quote)."""
+    if dialect not in _IDENT_QUOTES:
+        raise KeyError(dialect)
+    return "'" + value.replace("'", "''") + "'"
 
 
 def sql_type(dt: T.DataType, dialect: str = "postgresql") -> str:

@@ -177,22 +177,49 @@ def test_jdbc_explicit_table_columns(spark, jdbc_df, derby_url):
 
 
 def test_quoting_escape_strategies():
-    """Reference util/Quoting.scala parity: identifier quoting follows
-    ofIdentifiers (postgres/snowflake double-quote + escape-char, mysql
-    backtick + escape-char, sqlserver brackets with the open-bracket
-    doubling of Quoting.scala:29-30), literal quoting follows
-    ofLiterals (postgres/sqlserver doubling, mysql/snowflake
-    escape-char). Derby takes SQL-standard doubling for both — the
-    form the real bundled engine accepts."""
+    """Quoting surface of reference util/Quoting.scala, engine-corrected
+    (documented divergence): embedded quotes survive by DOUBLING the
+    closing quote character — the only form PostgreSQL/MySQL accept in
+    quoted identifiers (the reference's backslash EscapeChar is a
+    literal backslash there) and the T-SQL bracket rule (closing ``]``
+    doubles, not the opening ``[``)."""
     from flinkrunner_spark.util.sqlbuilder import quote_ident, quote_literal
 
-    assert quote_ident('we"ird', "postgresql") == '"we\\"ird"'
-    assert quote_ident("ba`ck", "mysql") == "`ba\\`ck`"
-    assert quote_ident("br[ack]et", "sqlserver") == "[br[]ack]et]"
+    assert quote_ident('we"ird', "postgresql") == '"we""ird"'
+    assert quote_ident("ba`ck", "mysql") == "`ba``ck`"
+    assert quote_ident("br[ack]et", "sqlserver") == "[br[ack]]et]"
     assert quote_ident('do"uble', "derby") == '"do""uble"'
-    assert quote_literal("o'brien", "postgresql") == "'o''brien'"
-    assert quote_literal("o'brien", "sqlserver") == "'o''brien'"
-    assert quote_literal("o'brien", "mysql") == "'o\\'brien'"
-    assert quote_literal("o'brien", "snowflake") == "'o\\'brien'"
+    for d in ("postgresql", "mysql", "snowflake", "sqlserver", "derby"):
+        assert quote_literal("o'brien", d) == "'o''brien'"
+        # a trailing backslash must not swallow the closing quote
+        assert quote_literal("tail\\", d) == "'tail\\'"
     # plain names stay plain inside their quotes
     assert quote_ident("events", "postgresql") == '"events"'
+
+
+def test_quoted_identifier_roundtrips_on_real_engine(spark, derby_url):
+    """The doubling rule is ENGINE-PROVEN, not just asserted: a table
+    whose name embeds a double quote creates, loads and reads back over
+    real Derby JDBC."""
+    from py4j.java_gateway import java_import
+
+    from flinkrunner_spark.util.sqlbuilder import quote_ident
+
+    gw = spark.sparkContext._gateway
+    java_import(gw.jvm, "java.sql.DriverManager")
+    conn = gw.jvm.java.sql.DriverManager.getConnection(derby_url)
+    try:
+        name = 'we"ird'
+        st = conn.createStatement()
+        st.execute(
+            f"CREATE TABLE {quote_ident(name, 'derby')} "
+            f"({quote_ident('id', 'derby')} BIGINT)"
+        )
+        st.execute(f"INSERT INTO {quote_ident(name, 'derby')} VALUES (7)")
+        rs = st.executeQuery(
+            f"SELECT {quote_ident('id', 'derby')} FROM "
+            f"{quote_ident(name, 'derby')}"
+        )
+        assert rs.next() and rs.getLong(1) == 7
+    finally:
+        conn.close()

@@ -232,3 +232,47 @@ def test_jar_map_drops_keyword_defaults_under_timestamp_bounds():
     assert "startingOffsets" not in opts
     assert "endingOffsets" not in opts
     assert opts["startingTimestamp"] == "1700000000000"
+
+
+def test_jar_streaming_stopping_offset_refuses_too():
+    """LOCKSTEP refusal: the jar path must not silently stream unbounded
+    past a requested stopping.offset (the native path already raises)."""
+    src = _src("localhost:1", "ts", **{"stopping.offset": "1234"})
+    del src.conf["transport"]
+    src.streaming = True
+    with pytest.raises(ValueError, match="stopping.offset"):
+        src._jar_options()
+
+
+def test_stream_reader_offset_json_and_unknown_keyword(spark):
+    """The native STREAM reader honors offset-JSON starts with -2/-1
+    sentinels and full-coverage enforcement, and refuses typo'd
+    keywords instead of silently starting at earliest."""
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    with LoopbackKafkaBroker(num_partitions=2) as b:
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000 + i for i in range(6)])
+            _fill(c, "ts", 1, [1000 + i for i in range(4)])
+        r = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingoffsets": '{"ts": {"0": 3, "1": -2}}'}
+        )
+        assert r.initialOffset() == {"0": 3, "1": 0}
+        sentinel = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingoffsets": '{"ts": {"0": -1, "1": -1}}'}
+        )
+        assert sentinel.initialOffset() == {"0": 6, "1": 4}
+        partial = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingoffsets": '{"ts": {"0": 1}}'}
+        )
+        with pytest.raises(ValueError, match="does not cover"):
+            partial.initialOffset()
+        typo = KD.KafkaNativeStreamReader(
+            {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+             "startingoffsets": "erliest"}
+        )
+        with pytest.raises(ValueError, match="startingOffsets"):
+            typo.initialOffset()

@@ -518,7 +518,10 @@ def test_default_transactional_prefix_includes_job_identifier(spark):
     """Reference parity (KafkaSinkConfig.scala:98): the default prefix
     is jobName-qualified, so two concurrent jobs sharing a sink name
     derive DISTINCT transactional ids and cannot mutually fence each
-    other's in-flight transactions."""
+    other. The fallback is the app NAME, not the applicationId — it
+    must be STABLE across re-runs so a restarted job re-derives (and
+    begin() fences + aborts) its crashed predecessor's dangling
+    transactions instead of leaving them pinning the LSO."""
     from flinkrunner_spark.sinks.factory import KafkaSinkConfig
 
     base = {"connector": "kafka", "bootstrap.servers": "localhost:1",
@@ -526,8 +529,12 @@ def test_default_transactional_prefix_includes_job_identifier(spark):
             "delivery.guarantee": "exactly-once"}
     sink = KafkaSinkConfig("orders-out", dict(base))
     prefix = sink._transactional_id_prefix({})
-    app_id = spark.sparkContext.applicationId
-    assert prefix == f"{app_id}.orders-out.tx.id"
+    app = spark.sparkContext.appName
+    assert prefix == f"{app}.orders-out.tx.id"
+    # stable across calls (a re-run of the same app derives the same
+    # ids — the fencing precondition); never the per-run applicationId
+    assert prefix == sink._transactional_id_prefix({})
+    assert spark.sparkContext.applicationId not in prefix
     # explicit job.name wins over the applicationId fallback
     named = KafkaSinkConfig("orders-out", dict(base, **{"job.name": "jobA"}))
     assert named._transactional_id_prefix({}) == "jobA.orders-out.tx.id"
