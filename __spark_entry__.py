@@ -65,9 +65,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # * emb_outliers / docs_ccnet_buckets: llm/pruning.py's rank-
     #   boundary selector now locates bins DISTRIBUTED (no
     #   #groups*4096 driver collect); same oracles.
-    # * Remaining 16 slots: the keys with the OLDEST driver rows — the
-    #   14 analytics forms last checked r2 and agg_basic/agg_ema (r3);
-    #   implementation files unchanged since their green rows.
+    # * hive_stats_roundtrip (third NEW key, exactly oracled):
+    #   ANALYZE-style column stats through the thrift wire — the r12
+    #   stats RPCs proven end-to-end against the DuckDB-computed stats.
+    # * Remaining 15 slots: the keys with the OLDEST driver rows — the
+    #   14 analytics forms last checked r2 and agg_basic (r3; agg_ema
+    #   yielded its slot to hive_stats_roundtrip and sits at 51,
+    #   unchanged files since its r3 green row).
     # Rotated OUT (all with green r10/r11 rows and zero changed lines
     # since): the iceberg.py-direct keys (iceberg.py untouched this
     # round), the similarity/spans/docstreams families, the sketch/
@@ -93,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elasticsearch_roundtrip": connectors.elasticsearch_roundtrip,
         "firehose_roundtrip": connectors.firehose_roundtrip,
         "iceberg_hive_roundtrip": connectors.iceberg_hive_roundtrip,
+        "hive_stats_roundtrip": connectors.hive_stats_roundtrip,
         "iceberg_s3_roundtrip": connectors.iceberg_s3_roundtrip,
         "iceberg_glue_roundtrip": connectors.iceberg_glue_roundtrip,
         "iceberg_nessie_roundtrip": connectors.iceberg_nessie_roundtrip,

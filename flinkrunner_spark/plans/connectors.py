@@ -1958,3 +1958,109 @@ def kafka_ts_offsets_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = _lang_profile(parsed)
         rows = profile.collect()
     return spark.createDataFrame(rows, profile.schema)
+
+
+HIVE_STATS_ORACLE = """
+SELECT col, kind, low, high, num_nulls, num_dvs, max_len, avg_len
+FROM (
+  SELECT 'doc_id' AS col, 'long' AS kind,
+    MIN(doc_id) AS low, MAX(doc_id) AS high,
+    CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS num_nulls,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_dvs,
+    CAST(NULL AS BIGINT) AS max_len, CAST(NULL AS DOUBLE) AS avg_len
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', 'long',
+    CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT),
+    CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT 'lang', 'string',
+    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+    CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+    CAST(COUNT(DISTINCT lang) AS BIGINT),
+    CAST(MAX(length(lang)) AS BIGINT),
+    CAST(SUM(length(lang)) AS DOUBLE) / COUNT(lang)
+  FROM documents
+) t
+"""
+
+
+def hive_stats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics THROUGH the Hive metastore wire:
+    Spark computes EXACT table-level stats for three documents columns
+    (long: min/max/nulls/ndv; string: max_len/avg_len/nulls/ndv — the
+    hive_metastore.thrift ColumnStatisticsData shapes), stores them via
+    `update_table_column_statistics` (thrift BINARY protocol against
+    the loopback metastore, which decodes from raw wire bytes and
+    re-encodes through the real codec on read-back), reads each column
+    back via `get_table_column_statistics`, and returns the READ-BACK
+    values. Exactly oracled against DuckDB computing the same stats
+    from the raw parquet: a single swapped union field id, misplaced
+    struct field or lost double would hash-mismatch. The 100 TB case:
+    engine-computed stats publishing to a shared metastore is how
+    downstream CBOs (Hive/Trino/Spark) see table shape without
+    re-scanning — the stats scan itself is one distributed aggregate.
+    avg_len divides two exact integers once, so the double is
+    bit-identical cross-engine (the repo's oracle-exactness rule)."""
+    from flinkrunner_spark.hive_metastore import HiveMetastoreClient
+    from flinkrunner_spark.testing import LoopbackHiveMetastore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = docs.agg(
+        F.min("doc_id").alias("id_lo"),
+        F.max("doc_id").alias("id_hi"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("id_nulls"),
+        F.countDistinct("doc_id").alias("id_ndv"),
+        F.min("n_chars").cast("long").alias("nc_lo"),
+        F.max("n_chars").cast("long").alias("nc_hi"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("nc_nulls"),
+        F.countDistinct("n_chars").alias("nc_ndv"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("lang_nulls"),
+        F.countDistinct("lang").alias("lang_ndv"),
+        F.max(F.length("lang")).cast("long").alias("lang_maxlen"),
+        (
+            F.sum(F.length("lang")).cast("double")
+            / F.count("lang")
+        ).alias("lang_avglen"),
+    ).collect()[0]
+    stats = [
+        {"col": "doc_id", "type": "bigint", "kind": "long",
+         "low": row["id_lo"], "high": row["id_hi"],
+         "num_nulls": row["id_nulls"], "num_dvs": row["id_ndv"]},
+        {"col": "n_chars", "type": "bigint", "kind": "long",
+         "low": row["nc_lo"], "high": row["nc_hi"],
+         "num_nulls": row["nc_nulls"], "num_dvs": row["nc_ndv"]},
+        {"col": "lang", "type": "string", "kind": "string",
+         "max_len": row["lang_maxlen"], "avg_len": row["lang_avglen"],
+         "num_nulls": row["lang_nulls"], "num_dvs": row["lang_ndv"]},
+    ]
+    with LoopbackHiveMetastore() as srv:
+        with HiveMetastoreClient("localhost", srv.port) as c:
+            c.create_table("db", "docs", "file:///unused", {})
+            c.update_table_column_statistics("db", "docs", stats)
+            got = [
+                c.get_table_column_statistics("db", "docs", s["col"])
+                for s in stats
+            ]
+    out = [
+        (
+            g["col"],
+            g["kind"],
+            g.get("low") if g["kind"] == "long" else None,
+            g.get("high") if g["kind"] == "long" else None,
+            g["num_nulls"],
+            g["num_dvs"],
+            g.get("max_len"),
+            float(g["avg_len"]) if g["kind"] == "string" else None,
+        )
+        for g in got
+    ]
+    return spark.createDataFrame(
+        out,
+        "col string, kind string, low bigint, high bigint, "
+        "num_nulls bigint, num_dvs bigint, max_len bigint, "
+        "avg_len double",
+    )

@@ -2280,3 +2280,10 @@ ORACLES["kafka_ts_offsets_roundtrip"] = KAFKA_TS_OFFSETS_ORACLE
 from flinkrunner_spark.llm.text import langid_ngram_oracle_sql  # noqa: E402
 
 ORACLES["docs_langid_ngram"] = langid_ngram_oracle_sql()
+
+# ANALYZE-through-the-metastore (r12): Spark-computed exact column
+# stats stored + read back over the thrift wire must equal DuckDB
+# computing the same stats from the raw parquet
+from flinkrunner_spark.plans.connectors import HIVE_STATS_ORACLE  # noqa: E402
+
+ORACLES["hive_stats_roundtrip"] = HIVE_STATS_ORACLE
