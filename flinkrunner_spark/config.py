@@ -84,11 +84,30 @@ class RunnerConfig:
     def job_config(self, name: str) -> dict:
         return self._config.get("jobs", {}).get(name, {})
 
+    def _edge_confs(self, job_name: str | None, kind: str) -> dict[str, dict]:
+        """Source/sink conf dicts with the RUNNER'S per-job identity
+        threaded in as ``job.name`` (unless the conf pins its own): the
+        reference's FlinkConfig.jobName flows into every
+        KafkaSourceConfig/KafkaSinkConfig, which is what makes two jobs
+        sharing a sink name derive DISTINCT consumer groups and
+        transactional-id prefixes. Without this, both would fall back
+        to the app-wide name and mutually fence (see config.job_name)."""
+        jn = job_name or self.job_name
+        out = {}
+        for name, conf in dict(
+            self.job_config(jn).get(kind, {})
+        ).items():
+            c = dict(conf)
+            if jn:
+                c.setdefault("job.name", jn)
+            out[name] = c
+        return out
+
     def sources(self, job_name: str | None = None) -> dict[str, dict]:
-        return dict(self.job_config(job_name or self.job_name).get("sources", {}))
+        return self._edge_confs(job_name, "sources")
 
     def sinks(self, job_name: str | None = None) -> dict[str, dict]:
-        return dict(self.job_config(job_name or self.job_name).get("sinks", {}))
+        return self._edge_confs(job_name, "sinks")
 
 
 _MISSING = object()

@@ -217,7 +217,14 @@ CSO_DATA = 3
 # statsData union field ids → kind names (public hive_metastore.thrift
 # union order: 1=booleanStats, 2=longStats, 3=doubleStats,
 # 4=stringStats; 5+ binary/decimal/date/timestamp are unsupported and
-# refuse on decode rather than misread)
+# refuse on decode rather than misread). Ids verified against the REAL
+# generated code, not memory: pyspark's bundled hive-metastore jar,
+# `javap -c ColumnStatisticsData` static init constructs
+# TField("longStats", STRUCT, 2) / TField("doubleStats", STRUCT, 3),
+# and the inner structs match the shapes below (LongColumnStatsData
+# low@1/high@2/nulls@3/ndv@4 all i64; StringColumnStatsData maxColLen
+# i64@1, avgColLen DOUBLE@2; BooleanColumnStatsData trues@1/falses@2/
+# nulls@3; DoubleColumnStatsData low/high DOUBLE@1/@2).
 STATS_KINDS = {1: "boolean", 2: "long", 3: "double", 4: "string"}
 STATS_FIELD_BY_KIND = {v: k for k, v in STATS_KINDS.items()}
 

@@ -524,7 +524,12 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
             LATEST_TIMESTAMP,
         )
 
-        starting = str(self.opts.get("startingoffsets", "earliest")).lower()
+        # keep the RAW spec for offset-JSON (lowercasing would mangle a
+        # case-sensitive topic key); lowercase only the keyword compare
+        raw_starting = str(
+            self.opts.get("startingoffsets", "earliest")
+        ).strip()
+        starting = raw_starting.lower()
         start_ts = self.opts.get("startingtimestamp")
         if start_ts is not None:
             # replay-from-epoch-millis (reference OffsetsInitializer
@@ -575,8 +580,15 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
             # jar parity: offset JSON with -2/-1 sentinels, full
             # partition coverage required (a partial map silently
             # defaulting the omitted partitions would be data loss or
-            # a full re-read, depending on the default)
-            smap = KafkaNativeBatchReader._offset_map(starting, self.topic)
+            # a full re-read, depending on the default); parsed from
+            # the RAW spec — topic keys are case-sensitive
+            smap = KafkaNativeBatchReader._offset_map(
+                raw_starting, self.topic
+            )
+            fail_on_loss = (
+                str(self.opts.get("failondataloss", "true")).lower()
+                != "false"
+            )
             with self._client() as c:
                 start = {}
                 for p in c.metadata([self.topic])[0].partitions:
@@ -587,13 +599,30 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
                             "must list every partition of the topic"
                         )
                     off = smap[p.partition]
+                    earliest = c.list_offset(
+                        self.topic, p.partition, EARLIEST_TIMESTAMP
+                    )
                     if off in (-2, -1):
-                        off = c.list_offset(
-                            self.topic,
-                            p.partition,
-                            EARLIEST_TIMESTAMP if off == -2
-                            else LATEST_TIMESTAMP,
+                        off = (
+                            earliest
+                            if off == -2
+                            else c.list_offset(
+                                self.topic, p.partition, LATEST_TIMESTAMP
+                            )
                         )
+                    elif off < earliest:
+                        # same failOnDataLoss contract as the batch
+                        # reader — an aged-out explicit start must fail
+                        # by name (or clamp when asked), never seed the
+                        # cursor with a raw OFFSET_OUT_OF_RANGE crash
+                        if fail_on_loss:
+                            raise ValueError(
+                                f"startingOffsets {off} for {self.topic}-"
+                                f"{p.partition} is below the log start "
+                                f"{earliest} (data already aged out); "
+                                "set failOnDataLoss=false to clamp"
+                            )
+                        off = earliest
                     start[str(p.partition)] = off
             self._cursor = dict(start)
             return start

@@ -68,14 +68,25 @@ def quote_ident(name: str, dialect: str = "postgresql") -> str:
     return f"{start}{name.replace(end, end + end)}{end}"
 
 
+# dialects whose string literals treat backslash as an ESCAPE character
+# (MySQL default sql_mode, Snowflake): a backslash in the content must
+# itself be escaped or a trailing '\' swallows the closing quote —
+# unterminated literal, the classic backslash injection. PostgreSQL
+# (standard_conforming_strings, the default since 9.1), SQL Server and
+# Derby treat backslash as a literal character, where doubling it would
+# CORRUPT the value instead.
+_BACKSLASH_ESCAPING_LITERALS = frozenset({"mysql", "snowflake"})
+
+
 def quote_literal(value: str, dialect: str = "postgresql") -> str:
     """String-literal quoting (reference Quoting.ofLiterals surface):
-    single quotes, embedded quotes doubled — valid on every supported
-    engine, with no escape-character edge cases (a trailing backslash
-    under the reference's MySQL EscapeChar strategy would swallow the
-    closing quote)."""
+    single quotes, embedded quotes doubled ('' is valid on every
+    supported engine), and backslashes doubled ONLY on the dialects
+    that treat them as escapes."""
     if dialect not in _IDENT_QUOTES:
         raise KeyError(dialect)
+    if dialect in _BACKSLASH_ESCAPING_LITERALS:
+        value = value.replace("\\", "\\\\")
     return "'" + value.replace("'", "''") + "'"
 
 

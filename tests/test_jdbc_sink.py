@@ -191,7 +191,13 @@ def test_quoting_escape_strategies():
     assert quote_ident('do"uble', "derby") == '"do""uble"'
     for d in ("postgresql", "mysql", "snowflake", "sqlserver", "derby"):
         assert quote_literal("o'brien", d) == "'o''brien'"
-        # a trailing backslash must not swallow the closing quote
+    # a trailing backslash must not swallow the closing quote on the
+    # backslash-escaping dialects (MySQL default sql_mode, Snowflake)...
+    assert quote_literal("tail\\", "mysql") == "'tail\\\\'"
+    assert quote_literal("tail\\", "snowflake") == "'tail\\\\'"
+    # ...while the literal-backslash dialects must NOT double it (that
+    # would corrupt the stored value)
+    for d in ("postgresql", "sqlserver", "derby"):
         assert quote_literal("tail\\", d) == "'tail\\'"
     # plain names stay plain inside their quotes
     assert quote_ident("events", "postgresql") == '"events"'

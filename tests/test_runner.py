@@ -449,3 +449,45 @@ def test_stream_nodes_plan_inventory(spark):
     leaves = [n for n in nodes if n["kind"] == "source"]
     assert all(n["num_children"] == 0 for n in leaves) and leaves
     assert any("Aggregate" in n["name"] for n in nodes)
+
+
+def test_runner_threads_job_identity_into_edge_confs():
+    """The runner's per-job name reaches every source/sink conf as
+    job.name (reference FlinkConfig.jobName flow): two jobs sharing a
+    sink name derive DISTINCT consumer-group / transactional-id
+    defaults instead of both falling back to the app-wide name and
+    mutually fencing."""
+    from flinkrunner_spark.config import RunnerConfig
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+
+    cfg = RunnerConfig(
+        {
+            "jobs": {
+                "jobA": {"sinks": {"out": {"connector": "kafka",
+                                           "bootstrap.servers": "h:1",
+                                           "topic": "t"}},
+                         "sources": {"in": {"connector": "kafka",
+                                            "bootstrap.servers": "h:1",
+                                            "topic": "t"}}},
+                "jobB": {"sinks": {"out": {"connector": "kafka",
+                                           "bootstrap.servers": "h:1",
+                                           "topic": "t"}}},
+            }
+        }
+    )
+    sa = cfg.sinks("jobA")["out"]
+    sb = cfg.sinks("jobB")["out"]
+    assert sa["job.name"] == "jobA" and sb["job.name"] == "jobB"
+    pa = KafkaSinkConfig("out", sa)._transactional_id_prefix({})
+    pb = KafkaSinkConfig("out", sb)._transactional_id_prefix({})
+    assert pa == "jobA.out.tx.id" and pb == "jobB.out.tx.id"
+    assert KafkaSourceConfig(
+        "in", cfg.sources("jobA")["in"]
+    )._group_id() == "jobA.in"
+    # an explicit job.name in the conf wins over the runner's
+    pinned = RunnerConfig(
+        {"jobs": {"jobA": {"sinks": {"out": {"connector": "kafka",
+                                             "job.name": "custom"}}}}}
+    )
+    assert pinned.sinks("jobA")["out"]["job.name"] == "custom"
