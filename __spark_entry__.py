@@ -128,6 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market": analytics.q8_market,
         "agg_basic": events.agg_basic,
         "agg_ema": events.agg_ema,
+        # —— beyond the 50-row cap (tail-registered r12, exactly
+        # oracled + mirror-green; its driver row lands with the next
+        # rotation, like r11's tail registrations) ——
+        "stream_kafka_ts_offsets_roundtrip": (
+            connectors.stream_kafka_ts_offsets_roundtrip
+        ),
         "iceberg_changelog_roundtrip": connectors.iceberg_changelog_roundtrip,
         "iceberg_column_evolution_roundtrip": (
             connectors.iceberg_column_evolution_roundtrip

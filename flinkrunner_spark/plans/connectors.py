@@ -2064,3 +2064,78 @@ def hive_stats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_nulls bigint, num_dvs bigint, max_len bigint, "
         "avg_len double",
     )
+
+
+def stream_kafka_ts_offsets_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of `kafka_ts_offsets_roundtrip`: the native
+    STREAM reader's initialOffset resolves `starting.offset` epoch
+    millis per partition (ListOffsets-by-timestamp, no-match → log
+    end), then the unbounded tail replays through multi-batch catch-up
+    (`max.offsets.per.trigger`). The reference's replay-from-timestamp
+    consumer shape (OffsetsInitializer.timestamp on a STREAMING
+    KafkaSource). Exactly oracled: the profile over everything from
+    base+LO onward must equal the doc_id >= LO filter on the raw
+    parquet — a partition resumed one record early or late breaks the
+    counts."""
+    from flinkrunner_spark.sinks.factory import KafkaSinkConfig
+    from flinkrunner_spark.sources.factory import KafkaSourceConfig
+    from flinkrunner_spark.testing import LoopbackKafkaBroker
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    n_docs = docs.count()
+    ordered = (
+        docs.withColumn(
+            "timestamp", (F.lit(TS_OFF_BASE) + F.col("doc_id")).cast("long")
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    with LoopbackKafkaBroker(num_partitions=4) as broker:
+        KafkaSinkConfig(
+            "tsst",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_tsst", "key.column": "doc_id"},
+        ).write(ordered)
+        sdf = KafkaSourceConfig(
+            "tsst",
+            {"connector": "kafka", "transport": "native",
+             "bootstrap.servers": f"localhost:{broker.port}",
+             "topic": "docs_tsst", "streaming": True,
+             "starting.offset": str(TS_OFF_BASE + TS_OFF_LO),
+             "max.offsets.per.trigger": max(n_docs // 3, 64)},
+        ).load(spark)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("q_kafka_tsst")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        parsed = spark.sql("SELECT value FROM q_kafka_tsst").select(
+            F.from_json(
+                F.col("value").cast("string"),
+                ("doc_id long, text string, lang string, "
+                 "source string, n_chars int"),
+            ).alias("r")
+        ).select("r.*")
+        profile = _lang_profile(parsed)
+        rows = profile.collect()
+    return spark.createDataFrame(rows, profile.schema)
+
+
+STREAM_TS_OFFSETS_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+WHERE doc_id >= {TS_OFF_LO}
+GROUP BY lang
+"""

@@ -2287,3 +2287,9 @@ ORACLES["docs_langid_ngram"] = langid_ngram_oracle_sql()
 from flinkrunner_spark.plans.connectors import HIVE_STATS_ORACLE  # noqa: E402
 
 ORACLES["hive_stats_roundtrip"] = HIVE_STATS_ORACLE
+
+# streaming replay-from-epoch (r12): everything from base+LO onward,
+# resolved by the stream reader's initialOffset ListOffsets-by-timestamp
+from flinkrunner_spark.plans.connectors import STREAM_TS_OFFSETS_ORACLE  # noqa: E402
+
+ORACLES["stream_kafka_ts_offsets_roundtrip"] = STREAM_TS_OFFSETS_ORACLE
