@@ -276,3 +276,51 @@ def test_stream_reader_offset_json_and_unknown_keyword(spark):
         )
         with pytest.raises(ValueError, match="startingOffsets"):
             typo.initialOffset()
+
+
+def test_timestamp_bounds_on_empty_partition(spark):
+    """A partition with NO records at all resolves -1 for any
+    timestamp and reads empty — no crash, no phantom range."""
+    with LoopbackKafkaBroker(num_partitions=3) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000, 2000])
+            # partitions 1 and 2 stay empty
+        out = _src(boot, "ts", **{"starting.offset": "1500"}).load(spark)
+        rows = out.select("partition", "offset").collect()
+        assert [(r["partition"], r["offset"]) for r in rows] == [(0, 1)]
+
+
+def test_time_cut_property(spark):
+    """Property over irregular per-partition time series: for ANY
+    bound, [start_ts, stop_ts) through the source equals the
+    per-record timestamp filter — duplicates at the bound, gaps,
+    all-before and all-after partitions included."""
+    series = {
+        0: [100, 100, 250, 250, 250, 900],
+        1: [50, 60, 70],             # entirely before most bounds
+        2: [500, 501, 502, 9000],    # gap spanning bounds
+        3: [100, 5000],
+    }
+    with LoopbackKafkaBroker(num_partitions=4) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            for pid, ts_list in series.items():
+                _fill(c, "ts", pid, ts_list, tag=f"p{pid}-")
+        for lo, hi in ((100, 500), (250, 251), (60, 9000), (1, 10_000),
+                       (950, 4000), (9001, 9002)):
+            out = _src(
+                boot, "ts",
+                **{"starting.offset": str(lo), "stopping.offset": str(hi)},
+            ).load(spark)
+            got = sorted(
+                bytes(r["value"]).decode()
+                for r in out.select("value").collect()
+            )
+            want = sorted(
+                f"p{pid}-{i}"
+                for pid, ts_list in series.items()
+                for i, ts in enumerate(ts_list)
+                if lo <= ts < hi
+            )
+            assert got == want, (lo, hi, got, want)
