@@ -152,3 +152,38 @@ def test_default_plans_have_no_group_windows(spark):
     # (label, pos) chunk rank — never one over assigned_label alone
     assert "windowspecdefinition(assigned_label" not in plan, plan
     assert "ntile" not in plan
+
+
+def test_rank_boundary_distributed_bin_location_many_groups(spark):
+    """The r12 DISTRIBUTED bin locator (per-group prefix-window +
+    broadcast rank-spec join, no #groups×bins driver collect) stays
+    exact when the group count scales: 40 groups with irregular sizes
+    and seeded-random values, every requested rank cross-checked
+    against a full python sort — including ranks that land on bin
+    boundaries and several ranks sharing one bin."""
+    import random
+
+    from flinkrunner_spark.llm.pruning import _rank_boundary_tuples
+
+    rng = random.Random(12)
+    rows = []
+    for g in range(40):
+        n = 5 + (g * 7) % 60
+        for i in range(n):
+            # duplicates on purpose: values drawn from a small lattice
+            rows.append((g, float(rng.randint(0, 19)) / 4.0, i))
+    df = spark.createDataFrame(rows, "g int, v double, i long").repartition(8)
+
+    def ranks_for_n(n):
+        # first, ~median, last — plus a second-in-group probe so two
+        # ranks routinely share the lowest bins
+        return {1: 1, 2: min(2, n), 3: (n + 1) // 2, 4: n}
+
+    got = _rank_boundary_tuples(df, "g", "v", "i", ranks_for_n, bins=8)
+    by_g = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    for g, tuples in by_g.items():
+        tuples.sort()
+        want = {w: tuples[r - 1] for w, r in ranks_for_n(len(tuples)).items()}
+        assert got[g] == want, (g, got[g], want)
