@@ -304,12 +304,24 @@ class KafkaSourceConfig(SourceConfig):
                 )
         if start is not None:
             if start.isdigit():
+                # LOCKSTEP with the native reader's mutual-exclusion:
+                # an EXPLICIT offset map must not be silently displaced
+                # by a timestamp bound (only the constructor's
+                # earliest/latest keyword default is dropped — the jar
+                # refuses startingOffsets + startingTimestamp together)
+                explicit = str(
+                    self.conf.get("starting.offsets", "")
+                ).strip()
+                if explicit.startswith("{"):
+                    raise ValueError(
+                        "starting.offset (epoch millis) and "
+                        "starting.offsets JSON are mutually exclusive "
+                        "— pick one bound per end"
+                    )
                 options["startingTimestamp"] = start
                 options.setdefault(
                     "startingOffsetsByTimestampStrategy", "latest"
                 )
-                # the jar refuses startingOffsets + startingTimestamp
-                # together — drop the constructor's earliest default
                 options.pop("startingOffsets", None)
             else:
                 options["startingOffsets"] = start.lower()
@@ -324,6 +336,13 @@ class KafkaSourceConfig(SourceConfig):
                     "streaming source has no stop condition either)"
                 )
             if stop.isdigit():
+                explicit = str(self.conf.get("ending.offsets", "")).strip()
+                if explicit.startswith("{"):
+                    raise ValueError(
+                        "stopping.offset (epoch millis) and "
+                        "ending.offsets JSON are mutually exclusive — "
+                        "pick one bound per end"
+                    )
                 options["endingTimestamp"] = stop
                 options.pop("endingOffsets", None)
             else:

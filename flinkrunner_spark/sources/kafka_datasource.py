@@ -294,8 +294,10 @@ class KafkaNativeBatchReader(DataSourceReader):
 
         topic = self.opts["topic"]
         iso = isolation_from_options(self.opts)
-        starting = str(self.opts.get("startingoffsets", "earliest"))
-        ending = str(self.opts.get("endingoffsets", "latest"))
+        # stripped like the stream reader — whitespace-padded keywords
+        # (YAML folding, env overrides) must behave identically on both
+        starting = str(self.opts.get("startingoffsets", "earliest")).strip()
+        ending = str(self.opts.get("endingoffsets", "latest")).strip()
         # epoch-millis bounds (reference KafkaSourceConfig.scala:90-103
         # routes numeric starting/stopping offsets through
         # OffsetsInitializer.timestamp → ListOffsets by timestamp):
@@ -311,6 +313,20 @@ class KafkaNativeBatchReader(DataSourceReader):
             raise ValueError(
                 "endingTimestamp and endingOffsets JSON are mutually"
                 " exclusive — pick one bound per end"
+            )
+        # `committed` is never a silent default (earliest/latest are),
+        # so committed + a timestamp bound on the same end is a real
+        # config conflict — refuse by name rather than demand a group
+        # id for offsets the timestamp path would never consult
+        if start_ts is not None and starting.lower() == "committed":
+            raise ValueError(
+                "startingTimestamp and startingOffsets 'committed' are "
+                "mutually exclusive — pick one bound per end"
+            )
+        if end_ts is not None and ending.lower() == "committed":
+            raise ValueError(
+                "endingTimestamp and endingOffsets 'committed' are "
+                "mutually exclusive — pick one bound per end"
             )
         # jar parity: failOnDataLoss=true (the default) refuses a start
         # below the broker's log-start (retention already ate those
@@ -558,6 +574,10 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
                     "startingOffsets 'committed' needs a group id "
                     "(groupId option / kafka.group.id)"
                 )
+            fail_on_loss = (
+                str(self.opts.get("failondataloss", "true")).lower()
+                != "false"
+            )
             with self._client() as c:
                 parts = [
                     p.partition
@@ -568,11 +588,25 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
                 )
                 start = {}
                 for p in parts:
+                    earliest = c.list_offset(
+                        self.topic, p, EARLIEST_TIMESTAMP
+                    )
                     off = stored.get((self.topic, p), -1)
                     if off < 0:
-                        off = c.list_offset(
-                            self.topic, p, EARLIEST_TIMESTAMP
-                        )
+                        off = earliest
+                    elif off < earliest:
+                        # same failOnDataLoss contract as the batch
+                        # committed path: retention ate the group's
+                        # position — fail by name or clamp, never seed
+                        # an OFFSET_OUT_OF_RANGE crash loop
+                        if fail_on_loss:
+                            raise ValueError(
+                                f"committed offset {off} for "
+                                f"{self.topic}-{p} is below the log "
+                                f"start {earliest} (data already aged "
+                                "out); set failOnDataLoss=false to clamp"
+                            )
+                        off = earliest
                     start[str(p)] = off
             self._cursor = dict(start)
             return start

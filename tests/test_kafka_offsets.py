@@ -324,3 +324,73 @@ def test_time_cut_property(spark):
                 if lo <= ts < hi
             )
             assert got == want, (lo, hi, got, want)
+
+
+def test_committed_stream_start_honors_fail_on_data_loss(spark):
+    """Retention ate the group's committed position: the STREAM reader
+    fails by name (or clamps with failOnDataLoss=false) instead of
+    seeding an OFFSET_OUT_OF_RANGE crash loop — same contract as the
+    batch committed path."""
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000, 1001, 1002])
+            # a committed position below the log start (simulated
+            # retention: the loopback's log starts at 0, so commit a
+            # NEGATIVE-ish impossible position via a raw store is not
+            # expressible — instead commit 1 and age the log by
+            # replacing it with a later-starting one)
+            c.offset_commit("g1", {("ts", 0): 1})
+        b.logs["ts"][0] = [(5, b.logs["ts"][0][0][1])]  # log start -> 5
+        base = {"bootstrap": f"localhost:{b.port}", "topic": "ts",
+                "startingoffsets": "committed", "groupid": "g1"}
+        r = KD.KafkaNativeStreamReader(dict(base))
+        with pytest.raises(ValueError, match="aged out"):
+            r.initialOffset()
+        clamp = KD.KafkaNativeStreamReader(
+            dict(base, failondataloss="false")
+        )
+        assert clamp.initialOffset() == {"0": 5}
+
+
+def test_committed_plus_timestamp_same_end_refuses(spark):
+    """`committed` is never a silent default, so committed + an epoch
+    bound on the SAME end is a config conflict refused by name — not a
+    misleading 'needs a group id' for offsets never consulted."""
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000])
+        src = _src(boot, "ts", **{
+            "starting.offsets": "committed", "starting.offset": "1000",
+        })
+        with pytest.raises(Exception, match="mutually exclusive"):
+            src.load(spark).count()
+
+
+def test_explicit_offset_json_plus_timestamp_refuses_on_both_transports():
+    """An EXPLICIT offset map must not be silently displaced by a
+    timestamp bound — the jar option map now refuses in lockstep with
+    the native reader."""
+    src = _src("localhost:1", "ts", **{
+        "starting.offsets": '{"ts": {"0": 5}}',
+        "starting.offset": "1700000000000",
+    })
+    del src.conf["transport"]
+    src.streaming = False
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        src._jar_options()
+
+
+def test_whitespace_padded_keywords_accepted(spark):
+    """Whitespace-padded keywords (YAML folding, env overrides) behave
+    identically on the batch and stream readers."""
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000, 1001])
+        out = _src(boot, "ts", **{"starting.offsets": " earliest "}).load(
+            spark
+        )
+        assert out.count() == 2
