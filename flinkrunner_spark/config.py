@@ -152,4 +152,18 @@ def job_name(conf: dict) -> str:
     sess = SparkSession.getActiveSession()
     if sess is not None:
         return str(sess.sparkContext.appName)
+    # last-resort fallback: with neither job.name nor an active session,
+    # every caller derives the SAME 'app' identity — two unrelated jobs
+    # with same-named sinks would mutually fence each other's
+    # transactions / consumer groups (r12 advisor). Warn loudly; callers
+    # that need a guaranteed-unique identity must set job.name.
+    import warnings
+
+    warnings.warn(
+        "job_name(): no job.name configured and no active SparkSession —"
+        " falling back to the shared literal 'app'. Transactional sinks"
+        " and committed-offset sources derived from it will FENCE any"
+        " other job using the same fallback; set job.name to isolate.",
+        stacklevel=2,
+    )
     return "app"

@@ -147,11 +147,32 @@ class KafkaSourceConfig(SourceConfig):
         timestamp; `committed` reads the consumer group's stored
         positions (group.id defaults to `jobName.name` like the
         reference). Returns the reader unchanged when neither key is
-        set, so the jar-style starting.offsets path stays in charge."""
+        set, so the jar-style starting.offsets path stays in charge.
+
+        CHOSEN divergence from the reference default: when NO starting
+        spec is configured, KafkaSourceConfig.scala:104-107 falls
+        through to ``committedOffsets(EARLIEST)`` (the group's stored
+        position); this repo defaults to ``earliest`` because Spark's
+        checkpointed offset log — not the broker group — is the resume
+        truth for both the jar and native transports. Opt into the
+        reference behavior explicitly with ``starting.offset:
+        committed`` (SURVEY §2.6 documents the delta)."""
         start = self._offset_spec(self._START_KEYS)
         stop = self._offset_spec(self._STOP_KEYS)
         if start is not None:
             if start.isdigit():
+                # same displaced-keyword guard as the jar path: an
+                # explicitly-configured starting.offsets must not lose
+                # to a numeric bound silently (r12 advisor)
+                explicit = str(
+                    self.conf.get("starting.offsets", "")
+                ).strip()
+                if explicit:
+                    raise ValueError(
+                        "starting.offset (epoch millis) and an explicit "
+                        f"starting.offsets ({explicit!r}) are mutually "
+                        "exclusive — pick one bound per end"
+                    )
                 reader = reader.option("startingTimestamp", start)
             else:
                 reader = reader.option("startingOffsets", start.lower())
@@ -169,6 +190,13 @@ class KafkaSourceConfig(SourceConfig):
                     "stream reader has no stop condition)"
                 )
             if stop.isdigit():
+                explicit = str(self.conf.get("ending.offsets", "")).strip()
+                if explicit:
+                    raise ValueError(
+                        "stopping.offset (epoch millis) and an explicit "
+                        f"ending.offsets ({explicit!r}) are mutually "
+                        "exclusive — pick one bound per end"
+                    )
                 reader = reader.option("endingTimestamp", stop)
             else:
                 reader = reader.option("endingOffsets", stop.lower())
@@ -305,23 +333,27 @@ class KafkaSourceConfig(SourceConfig):
         if start is not None:
             if start.isdigit():
                 # LOCKSTEP with the native reader's mutual-exclusion:
-                # an EXPLICIT offset map must not be silently displaced
-                # by a timestamp bound (only the constructor's
-                # earliest/latest keyword default is dropped — the jar
-                # refuses startingOffsets + startingTimestamp together)
+                # ANY explicitly-configured starting.offsets (keyword or
+                # JSON map) must not be silently displaced by a
+                # timestamp bound — the r12 advisor caught that only the
+                # JSON form refused while an explicit 'latest' was
+                # dropped by the pop below. Only the constructor's
+                # earliest DEFAULT (conf key absent) may yield.
                 explicit = str(
                     self.conf.get("starting.offsets", "")
                 ).strip()
-                if explicit.startswith("{"):
+                if explicit:
                     raise ValueError(
-                        "starting.offset (epoch millis) and "
-                        "starting.offsets JSON are mutually exclusive "
-                        "— pick one bound per end"
+                        "starting.offset (epoch millis) and an explicit "
+                        f"starting.offsets ({explicit!r}) are mutually "
+                        "exclusive — pick one bound per end"
                     )
                 options["startingTimestamp"] = start
                 options.setdefault(
                     "startingOffsetsByTimestampStrategy", "latest"
                 )
+                # drops only the constructor default seeded above —
+                # an explicit conf key raised before reaching here
                 options.pop("startingOffsets", None)
             else:
                 options["startingOffsets"] = start.lower()
@@ -337,11 +369,11 @@ class KafkaSourceConfig(SourceConfig):
                 )
             if stop.isdigit():
                 explicit = str(self.conf.get("ending.offsets", "")).strip()
-                if explicit.startswith("{"):
+                if explicit:
                     raise ValueError(
-                        "stopping.offset (epoch millis) and "
-                        "ending.offsets JSON are mutually exclusive — "
-                        "pick one bound per end"
+                        "stopping.offset (epoch millis) and an explicit "
+                        f"ending.offsets ({explicit!r}) are mutually "
+                        "exclusive — pick one bound per end"
                     )
                 options["endingTimestamp"] = stop
                 options.pop("endingOffsets", None)

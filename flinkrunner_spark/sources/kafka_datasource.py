@@ -547,6 +547,20 @@ class KafkaNativeStreamReader(DataSourceStreamReader):
         ).strip()
         starting = raw_starting.lower()
         start_ts = self.opts.get("startingtimestamp")
+        # same mutual-exclusion contract as the batch reader: a
+        # timestamp bound must never silently displace an explicit
+        # offset-JSON map or a committed-offsets request (r12 advisor —
+        # the streaming path used to skip these checks)
+        if start_ts is not None and starting.startswith("{"):
+            raise ValueError(
+                "startingTimestamp and startingOffsets JSON are mutually"
+                " exclusive — pick one bound per end"
+            )
+        if start_ts is not None and starting == "committed":
+            raise ValueError(
+                "startingTimestamp and startingOffsets 'committed' are "
+                "mutually exclusive — pick one bound per end"
+            )
         if start_ts is not None:
             # replay-from-epoch-millis (reference OffsetsInitializer
             # .timestamp): per-partition ListOffsets by timestamp;

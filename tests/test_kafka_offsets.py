@@ -221,17 +221,94 @@ def test_unknown_starting_keyword_refuses(spark):
 def test_jar_map_drops_keyword_defaults_under_timestamp_bounds():
     """The jar datasource refuses startingOffsets+startingTimestamp
     together — an epoch bound must evict the constructor's earliest/
-    latest defaults from the option map."""
+    latest DEFAULTS (conf keys absent) from the option map."""
     src = _src("localhost:1", "ts", **{
         "starting.offset": "1700000000000",
         "stopping.offset": "1800000000000",
-        "ending.offsets": "latest",
     })
     src.streaming = False
     opts = src._jar_options()
     assert "startingOffsets" not in opts
     assert "endingOffsets" not in opts
     assert opts["startingTimestamp"] == "1700000000000"
+
+
+def test_explicit_keyword_plus_timestamp_refuses(spark):
+    """r12 advisor: an EXPLICITLY-configured starting.offsets /
+    ending.offsets KEYWORD (not just a JSON map) must refuse against a
+    numeric bound instead of being silently popped — on the jar map AND
+    the native reader options."""
+    jar = _src("localhost:1", "ts", **{
+        "starting.offset": "1700000000000",
+        "starting.offsets": "latest",
+    })
+    del jar.conf["transport"]
+    jar.streaming = False
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        jar._jar_options()
+    jar_end = _src("localhost:1", "ts", **{
+        "stopping.offset": "1800000000000",
+        "ending.offsets": "latest",
+    })
+    del jar_end.conf["transport"]
+    jar_end.streaming = False
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        jar_end._jar_options()
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        boot = f"localhost:{b.port}"
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000])
+        native = _src(boot, "ts", **{
+            "starting.offset": "1000", "starting.offsets": "latest",
+        })
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            native.load(spark)
+        native_end = _src(boot, "ts", **{
+            "stopping.offset": "2000", "ending.offsets": "latest",
+        })
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            native_end.load(spark)
+
+
+def test_stream_reader_timestamp_conflicts_refuse(spark, tmp_path):
+    """r12 advisor: the native STREAM reader's initialOffset enforces
+    the same startingTimestamp mutual-exclusion the batch reader does —
+    a timestamp + offset-JSON (or 'committed') must raise, not silently
+    ignore the JSON/committed spec."""
+    from flinkrunner_spark.sources import kafka_datasource as KD
+
+    KD.register(spark)
+    with LoopbackKafkaBroker(num_partitions=1) as b:
+        with KafkaClient("localhost", b.port) as c:
+            _fill(c, "ts", 0, [1000, 1001])
+        for extra in (
+            {"startingOffsets": '{"ts": {"0": 1}}'},
+            {"startingOffsets": "committed", "groupId": "g1"},
+        ):
+            reader = (
+                spark.readStream.format("kafka-native")
+                .option("bootstrap", f"localhost:{b.port}")
+                .option("topic", "ts")
+                .option("startingTimestamp", "1000")
+            )
+            for k, v in extra.items():
+                reader = reader.option(k, v)
+            q = None
+            with pytest.raises(Exception, match="mutually exclusive"):
+                q = (
+                    reader.load()
+                    .writeStream.format("memory")
+                    .queryName(f"ts_conflict_{len(extra)}")
+                    .option(
+                        "checkpointLocation",
+                        str(tmp_path / f"ck{len(extra)}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(30)
+            if q is not None:
+                q.stop()
 
 
 def test_jar_streaming_stopping_offset_refuses_too():

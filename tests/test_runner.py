@@ -491,3 +491,27 @@ def test_runner_threads_job_identity_into_edge_confs():
                                              "job.name": "custom"}}}}}
     )
     assert pinned.sinks("jobA")["out"]["job.name"] == "custom"
+
+
+def test_job_name_app_fallback_warns(monkeypatch):
+    """r12 advisor: the literal 'app' fallback (no job.name, no active
+    session) silently shares one transactional/group identity between
+    unrelated jobs — it must WARN so the collision is diagnosable."""
+    import warnings
+
+    from pyspark.sql import SparkSession
+
+    from flinkrunner_spark.config import job_name
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert job_name({}) == "app"
+    assert any("job.name" in str(w.message) for w in caught)
+    # a configured job.name stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert job_name({"job.name": "j1"}) == "j1"
+    assert not caught
