@@ -142,7 +142,34 @@ def main() -> None:
         default=0,
     )
 
+    def _host_stamp() -> dict:
+        """Host-state stamp (r11/r12 verdict item): pass-to-pass swings
+        of 100+s were host load, and every round burned forensics
+        proving it. Load averages + MemAvailable make each artifact
+        self-qualifying: compare passes with similar stamps, discount
+        the rest."""
+        stamp: dict = {}
+        try:
+            l1, l5, l15 = os.getloadavg()
+            stamp.update(
+                load_1m=round(l1, 2), load_5m=round(l5, 2),
+                load_15m=round(l15, 2),
+            )
+        except OSError:
+            pass
+        try:
+            with open("/proc/meminfo") as f:
+                for ln in f:
+                    if ln.startswith("MemAvailable:"):
+                        stamp["mem_available_kb"] = int(ln.split()[1])
+                        break
+        except OSError:
+            pass
+        return stamp
+
+    host_start = _host_stamp()
     cold = run_pass()
+    host_after_cold = _host_stamp()
     analytics_total, connector_total = _subtotals(cold)
     out = {
         "metric": "total_query_runtime",
@@ -155,6 +182,8 @@ def main() -> None:
         "connector_total": connector_total,
         "queries": cold,
         "sf": sf,
+        "host_start": host_start,
+        "host_after_cold": host_after_cold,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2") != "1":
         llm_dedup.release_caches()  # warm must re-execute, not cache-hit
@@ -166,6 +195,7 @@ def main() -> None:
         aw, cw = _subtotals(warm)
         out["analytics_total_warm"] = aw
         out["connector_total_warm"] = cw
+    out["host_end"] = _host_stamp()
     line = json.dumps(out)
 
     # stdout contract: the driver captures only the LAST ~2000 chars of
@@ -188,6 +218,8 @@ def main() -> None:
     }
     if "value_warm" in out:
         compact["value_warm"] = out["value_warm"]
+    compact["load_start"] = host_start.get("load_1m")
+    compact["load_end"] = out["host_end"].get("load_1m")
     compact["queries"] = {}
     for name, sec in sorted(cold.items(), key=lambda kv: -kv[1]):
         compact["queries"][name] = round(sec, 2)
