@@ -39,46 +39,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-12 rotation:
-    # * Positions 1-2: the two NEW exactly-oracled keys —
-    #   kafka_ts_offsets_roundtrip (epoch-millis starting/stopping
-    #   offsets: ListOffsets-by-timestamp cut over a timestamp-ordered
-    #   4-partition topic) and docs_langid_ngram (char-trigram Naive
-    #   Bayes langid, integer log-prob profiles, zero-exchange scoring).
-    # * Kafka family + stream_curation_to_iceberg: this round touched
-    #   sources/factory.py + sources/kafka_datasource.py (the full
-    #   reference offset grammar incl. `committed`), util/kafka.py
-    #   (coordinator loopback-alias hardening), sinks/factory.py
-    #   (speculation refusal, job-qualified transactional prefix) and
-    #   testing.py's LoopbackKafkaBroker (by-timestamp ListOffsets) —
+    # (insertion order) of this dict each round. Round-13 rotation
+    # (a consolidation round — the §2 surface is complete):
+    # * Position 1: stream_kafka_ts_offsets_roundtrip — the ONLY key
+    #   without a driver row (tail-registered r12, judge-mirrored
+    #   exact); its green row closes the last verification debt.
+    # * docs_pipeline + the llm/text.py family: r13 wires the
+    #   PRODUCTION char-trigram NB langid into the flagship curation
+    #   pipeline (llm/pipeline.py now screens on langid_ngram_cols,
+    #   oracle moved to the NB profile VALUES table) and grows the NB
+    #   model to ~1.1KB seed corpora per language with a 60-sentence
+    #   >=95%-accuracy held-out pin (scores 100%); docs_langid stays
+    #   the reference-parity stopword heuristic. docs_split rides the
+    #   pipeline.py file-level rule.
+    # * Kafka family + stream_curation_to_iceberg: r13 closed the four
+    #   r12 advisor items on sources/factory.py +
+    #   sources/kafka_datasource.py (stream-reader timestamp
+    #   mutual-exclusion, displaced-explicit-keyword refusal on both
+    #   transports) and config.py (job_name 'app'-fallback warning) —
     #   every key on the kafka wire path re-verifies.
-    # * Loopback-backed connector keys (rabbitmq/cassandra/kinesis/efo/
-    #   es/firehose/hive/s3/glue/nessie/rest): testing.py changed (HMS
-    #   stats/function handlers + broker ListOffsets); their loopback
-    #   classes are line-untouched, but the file-level rotation rule
-    #   keeps them in-cap. jdbc_roundtrip: util/sqlbuilder.py grew the
-    #   reference Quoting escape strategies.
-    # * enrich_events / stream_enrich: operators/enrichment.py cache
-    #   hits now refresh LRU recency (advisor item).
-    # * docs_langid/quality/tokens/fingerprint/pipeline: llm/text.py
-    #   grew the ngram langid (additive, but file-level rule).
-    # * emb_outliers / docs_ccnet_buckets: llm/pruning.py's rank-
-    #   boundary selector now locates bins DISTRIBUTED (no
-    #   #groups*4096 driver collect); same oracles.
-    # * hive_stats_roundtrip (third NEW key, exactly oracled):
-    #   ANALYZE-style column stats through the thrift wire — the r12
-    #   stats RPCs proven end-to-end against the DuckDB-computed stats.
-    # * Remaining 15 slots: the keys with the OLDEST driver rows — the
-    #   14 analytics forms last checked r2 and agg_basic (r3; agg_ema
-    #   yielded its slot to hive_stats_roundtrip and sits at 51,
-    #   unchanged files since its r3 green row).
-    # Rotated OUT (all with green r10/r11 rows and zero changed lines
-    # since): the iceberg.py-direct keys (iceberg.py untouched this
-    # round), the similarity/spans/docstreams families, the sketch/
-    # dedup/sampling/vocab/chunking keys and the stream_* event mirrors.
+    # * The rows-only kmeans family (emb_knn_ivf_kmeans,
+    #   emb_semantic_dedup_kmeans, emb_knn_join, emb_knn_pq — r11
+    #   item 5b, twice deferred): the driver's no_oracle check pins
+    #   rows+schema; their exact companions stay green in the union.
+    # * Remaining slots: the keys with the OLDEST driver rows — the r3
+    #   block (agg_*, win_*, dedup_*, pivot/rollup/cube, asof_join,
+    #   filter_by_control, connected_union, topk, salted join,
+    #   q22_opportunity) and the pre-r6 analytics forms q2-q5, plus
+    #   hll_users/distinct_users.
+    # Rotated OUT (all with green r11/r12 rows and zero changed lines
+    # since): the r12 cap's loopback connector keys
+    # (rabbitmq/cassandra/kinesis/efo/es/firehose/hive/jdbc/iceberg
+    # catalogs — their files are untouched this round), enrichment,
+    # pruning, and the q6-q20 analytics re-verified in r12.
     return {
-        "kafka_ts_offsets_roundtrip": connectors.kafka_ts_offsets_roundtrip,
+        "stream_kafka_ts_offsets_roundtrip": (
+            connectors.stream_kafka_ts_offsets_roundtrip
+        ),
+        "docs_pipeline": pipeline.docs_pipeline,
         "docs_langid_ngram": llm_text.docs_langid_ngram,
+        "docs_langid": llm_text.docs_langid,
+        "docs_quality": llm_text.docs_quality,
+        "docs_tokens": llm_text.docs_tokens,
+        "docs_fingerprint": llm_text.docs_fingerprint,
+        "docs_split": pipeline.docs_split,
+        "kafka_ts_offsets_roundtrip": connectors.kafka_ts_offsets_roundtrip,
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
         "kafka_avro_roundtrip": connectors.kafka_avro_roundtrip,
@@ -88,6 +93,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_txn_roundtrip": connectors.kafka_txn_roundtrip,
         "kafka_rpw_roundtrip": connectors.kafka_rpw_roundtrip,
         "stream_curation_to_iceberg": connectors.stream_curation_to_iceberg,
+        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
+        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
+        "emb_knn_join": similarity.emb_knn_join,
+        "emb_knn_pq": pq.emb_knn_pq,
+        "agg_ema": events.agg_ema,
+        "agg_emvar": events.agg_emvar,
+        "agg_percentage": events.agg_percentage,
+        "agg_histogram": events.agg_histogram,
+        "agg_basic": events.agg_basic,
+        "win_tumbling": events.win_tumbling,
+        "win_sliding": events.win_sliding,
+        "win_session": events.win_session,
+        "win_ema": events.win_ema,
+        "pivot_events": analytics.pivot_events,
+        "rollup_sales": analytics.rollup_sales,
+        "cube_sales": analytics.cube_sales,
+        "dedup_first": events.dedup_first_q,
+        "dedup_sbf": events.dedup_sbf_q,
+        "dedup_sbf_check": events.dedup_sbf_check,
+        "stream_dedup_first": events.stream_dedup_first,
+        "asof_join": events.asof_join_q,
+        "filter_by_control": events.filter_by_control_q,
+        "connected_union": events.connected_union,
+        "topk_orders": analytics.topk_orders,
+        "salted_supplier_rev": analytics.salted_supplier_rev,
+        "q22_opportunity": analytics.q22_opportunity,
+        "q2_mincost": analytics.q2_mincost,
+        "q3_shipping": analytics.q3_shipping,
+        "q4_priority": analytics.q4_priority,
+        "q5_supplier": analytics.q5_supplier,
+        "hll_users": events.hll_users,
+        "distinct_users": events.distinct_users,
         "rabbitmq_roundtrip": connectors.rabbitmq_roundtrip,
         "stream_rabbitmq_roundtrip": connectors.stream_rabbitmq_roundtrip,
         "cassandra_roundtrip": connectors.cassandra_roundtrip,
@@ -105,11 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
         "enrich_events": events.enrich_events,
         "stream_enrich": events.stream_enrich,
-        "docs_langid": llm_text.docs_langid,
-        "docs_quality": llm_text.docs_quality,
-        "docs_tokens": llm_text.docs_tokens,
-        "docs_fingerprint": llm_text.docs_fingerprint,
-        "docs_pipeline": pipeline.docs_pipeline,
         "emb_outliers": llm_pruning.emb_outliers,
         "docs_ccnet_buckets": llm_pruning.docs_ccnet_buckets,
         "q10_returned": analytics.q10_returned,
@@ -126,14 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast": analytics.q6_forecast,
         "q7_volume": analytics.q7_volume,
         "q8_market": analytics.q8_market,
-        "agg_basic": events.agg_basic,
-        "agg_ema": events.agg_ema,
-        # —— beyond the 50-row cap (tail-registered r12, exactly
-        # oracled + mirror-green; its driver row lands with the next
-        # rotation, like r11's tail registrations) ——
-        "stream_kafka_ts_offsets_roundtrip": (
-            connectors.stream_kafka_ts_offsets_roundtrip
-        ),
         "iceberg_changelog_roundtrip": connectors.iceberg_changelog_roundtrip,
         "iceberg_column_evolution_roundtrip": (
             connectors.iceberg_column_evolution_roundtrip
@@ -149,10 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": analytics.q1_pricing,
         "q9_profit": analytics.q9_profit,
         "q21_waiting": analytics.q21_waiting,
-        "stream_dedup_first": events.stream_dedup_first,
         "stream_agg_basic": events.stream_agg_basic,
-        "hll_users": events.hll_users,
-        "distinct_users": events.distinct_users,
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
         "docs_stratified_sample": sampling.docs_stratified_sample,
@@ -164,7 +185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
         "docs_dsir_sample": dsir.docs_dsir_sample,
-        "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_join_label": similarity.emb_knn_join_label,
         "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_knn": similarity.emb_knn,
@@ -175,13 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
         "emb_dup_clusters": similarity.emb_dup_clusters,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
-        "emb_knn_ivf_kmeans": similarity.emb_knn_ivf_kmeans,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
-        "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         "emb_decontaminate": similarity.emb_decontaminate,
         "ann_recall_stats": similarity.ann_recall_stats,
         "emb_knn_sq8": pq.emb_knn_sq8,
-        "emb_knn_pq": pq.emb_knn_pq,
         "docs_dup_spans": llm_spans.docs_dup_spans,
         "docs_remove_dup_spans": llm_spans.docs_remove_dup_spans,
         "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
@@ -229,30 +246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": llm_dedup.docs_ngram_jaccard,
         "docs_simhash": llm_dedup.docs_simhash,
         "docs_lsh_stats": llm_dedup.lsh_bucket_stats,
-        "docs_split": pipeline.docs_split,
-        "dedup_sbf_check": events.dedup_sbf_check,
-        "q2_mincost": analytics.q2_mincost,
-        "q3_shipping": analytics.q3_shipping,
-        "q4_priority": analytics.q4_priority,
-        "q5_supplier": analytics.q5_supplier,
-        "q22_opportunity": analytics.q22_opportunity,
-        "salted_supplier_rev": analytics.salted_supplier_rev,
-        "topk_orders": analytics.topk_orders,
-        "pivot_events": analytics.pivot_events,
-        "rollup_sales": analytics.rollup_sales,
-        "cube_sales": analytics.cube_sales,
-        "agg_percentage": events.agg_percentage,
-        "agg_histogram": events.agg_histogram,
-        "agg_emvar": events.agg_emvar,
-        "win_ema": events.win_ema,
-        "win_tumbling": events.win_tumbling,
-        "win_sliding": events.win_sliding,
-        "win_session": events.win_session,
-        "dedup_first": events.dedup_first_q,
-        "dedup_sbf": events.dedup_sbf_q,
-        "filter_by_control": events.filter_by_control_q,
-        "asof_join": events.asof_join_q,
-        "connected_union": events.connected_union,
     }
 
 

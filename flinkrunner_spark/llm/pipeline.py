@@ -34,7 +34,14 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column builders — no expression drift) instead of three separate
     scans joined on doc_id: one scan + zero joins for the text half,
     leaving the two keeper semi-joins as the only exchanges besides the
-    dedup machinery itself. Same outputs, same oracle."""
+    dedup machinery itself. Same outputs, same oracle.
+
+    r13: the language screen is the PRODUCTION char-trigram Naive-Bayes
+    classifier (llm/text.py langid_ngram_cols — integer log-prob
+    profiles, zero-exchange scoring), not the stopword-vote heuristic;
+    the heuristic stays behind docs_langid as the reference-parity
+    form. Same fused-projection shape: the NB score is one more JVM
+    fold over the shared scan."""
     exact_keepers = D.docs_dedup_exact(spark, sf_dir).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
@@ -45,7 +52,7 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
-        T.lang_pred_col().alias("lang_pred"),
+        T.langid_ngram_cols()["lang_pred"].alias("lang_pred"),
         T.quality_score_col().alias("quality_score"),
         T.bpe_tokens_col().alias("n_bpe_tokens"),
     )

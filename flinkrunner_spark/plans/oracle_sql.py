@@ -1026,14 +1026,19 @@ FROM documents
 """
 
 # end-to-end curation pipeline: compose the already-defined stage oracles
-# as CTEs (duckdb allows a nested WITH [RECURSIVE] inside a CTE body)
+# as CTEs (duckdb allows a nested WITH [RECURSIVE] inside a CTE body).
+# r13: the language stage is the NB trigram classifier's oracle (the
+# SAME trained profile VALUES table docs_langid_ngram verifies against),
+# matching the pipeline's production langid screen.
+from flinkrunner_spark.llm.text import langid_ngram_oracle_sql as _langid_ngram_sql  # noqa: E402
+
 ORACLES["docs_pipeline"] = f"""
 WITH exact_keep AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 clusters AS ({ORACLES["docs_dup_clusters"]}),
 q AS ({ORACLES["docs_quality"]}),
-l AS ({ORACLES["docs_langid"]}),
+l AS ({_langid_ngram_sql()}),
 tk AS ({ORACLES["docs_tokens"]})
 SELECT q.doc_id, l.lang_pred, q.quality_score, tk.n_bpe_tokens
 FROM q

@@ -164,11 +164,81 @@ def test_pii_redact_property(spark):
     check()
 
 
+# 60 held-out sentences (12/language), disjoint from the seed corpora in
+# llm/text.py — the r12 verdict's capacity pin: the grown profiles must
+# score >= 95% here (they score 100% at the pinned top-K=64; 48 loses
+# one). Natural orthography on purpose: accents/umlauts exercise the
+# [^a-z]+ normalization path end-to-end.
+LANGID_HELD_OUT = [
+    ("de", "die katze schläft auf dem warmen sofa und der hund liegt daneben im zimmer"),
+    ("de", "wir haben gestern abend einen langen film über das leben im meer gesehen"),
+    ("de", "der lehrer erklärt den schülern die aufgabe noch einmal ganz langsam"),
+    ("de", "im herbst werden die blätter bunt und fallen von den bäumen auf die straße"),
+    ("de", "bitte schließen sie das fenster es wird kalt hier drinnen"),
+    ("de", "unsere nachbarn haben einen neuen wagen gekauft und fahren damit ans meer"),
+    ("de", "das kind lernt schwimmen und taucht mutig unter das wasser"),
+    ("de", "am wochenende besuchen wir unsere großeltern auf dem land"),
+    ("de", "der bäcker backt jeden morgen frisches brot und süße brötchen"),
+    ("de", "die musik war so laut dass wir unsere eigenen worte nicht verstehen konnten"),
+    ("de", "er arbeitet seit vielen jahren als arzt in einem großen krankenhaus"),
+    ("de", "der alte mann erzählt den kindern geschichten aus seiner jugend"),
+    ("en", "the cat sleeps on the warm sofa and the dog lies next to it in the room"),
+    ("en", "we watched a long movie about life in the ocean yesterday evening"),
+    ("en", "the teacher explains the task to the students once more very slowly"),
+    ("en", "in autumn the leaves turn colorful and fall from the trees onto the street"),
+    ("en", "please close the window it is getting cold in here"),
+    ("en", "our neighbors bought a new car and are driving it to the seaside"),
+    ("en", "the child is learning to swim and bravely dives under the water"),
+    ("en", "on the weekend we visit our grandparents in the countryside"),
+    ("en", "the baker bakes fresh bread and sweet rolls every morning"),
+    ("en", "the music was so loud that we could not understand our own words"),
+    ("en", "he has worked as a doctor in a large hospital for many years"),
+    ("en", "the old man tells the children stories from his youth"),
+    ("es", "el gato duerme sobre el sofá caliente y el perro está al lado en la habitación"),
+    ("es", "anoche vimos una película larga sobre la vida en el océano"),
+    ("es", "el maestro explica la tarea a los estudiantes otra vez muy despacio"),
+    ("es", "en otoño las hojas se vuelven de colores y caen de los árboles a la calle"),
+    ("es", "por favor cierre la ventana hace frío aquí dentro"),
+    ("es", "nuestros vecinos compraron un coche nuevo y van con él a la playa"),
+    ("es", "el niño aprende a nadar y se sumerge valiente bajo el agua"),
+    ("es", "el fin de semana visitamos a nuestros abuelos en el campo"),
+    ("es", "el panadero hace pan fresco y bollos dulces cada mañana"),
+    ("es", "la música estaba tan fuerte que no podíamos entender nuestras propias palabras"),
+    ("es", "él trabaja desde hace muchos años como médico en un gran hospital"),
+    ("es", "el hombre viejo cuenta a los niños historias de su juventud"),
+    ("fr", "le chat dort sur le canapé chaud et le chien est couché à côté dans la chambre"),
+    ("fr", "hier soir nous avons regardé un long film sur la vie dans l océan"),
+    ("fr", "le professeur explique encore une fois la tâche aux élèves très lentement"),
+    ("fr", "en automne les feuilles deviennent colorées et tombent des arbres sur la rue"),
+    ("fr", "fermez la fenêtre s il vous plaît il commence à faire froid ici"),
+    ("fr", "nos voisins ont acheté une nouvelle voiture et partent avec elle à la mer"),
+    ("fr", "l enfant apprend à nager et plonge courageusement sous l eau"),
+    ("fr", "le week end nous rendons visite à nos grands parents à la campagne"),
+    ("fr", "le boulanger fait du pain frais et des petits pains sucrés chaque matin"),
+    ("fr", "la musique était si forte que nous ne pouvions pas comprendre nos propres mots"),
+    ("fr", "il travaille depuis de nombreuses années comme médecin dans un grand hôpital"),
+    ("fr", "le vieil homme raconte aux enfants des histoires de sa jeunesse"),
+    ("zh", "xiao mao zai wen nuan de sha fa shang shui jiao gou zai pang bian de fang jian li"),
+    ("zh", "zuo tian wan shang wo men kan le yi bu guan yu hai yang sheng huo de dian ying"),
+    ("zh", "lao shi man man di gei xue sheng men zai jie shi yi bian zuo ye"),
+    ("zh", "qiu tian shu ye bian cheng cai se cong shu shang luo dao jie dao shang"),
+    ("zh", "qing guan shang chuang hu li mian kai shi bian leng le"),
+    ("zh", "wo men de lin ju mai le yi liang xin che kai zhe qu hai bian"),
+    ("zh", "hai zi zheng zai xue you yong yong gan di qian dao shui xia"),
+    ("zh", "zhou mo wo men qu xiang xia kan wang wo men de zu fu mu"),
+    ("zh", "shi fu mei tian zao shang zuo xin xian de mian bao he tian dian"),
+    ("zh", "yin yue tai da sheng le wo men ting bu dao zi ji shuo de hua"),
+    ("zh", "ta zuo wei yi sheng zai yi jia da yi yuan gong zuo le hen duo nian"),
+    ("zh", "lao ren gei hai zi men jiang ta nian qing shi hou de gu shi"),
+]
+
+
 def test_langid_ngram_classifies_held_out_text(spark):
     """The char-trigram NB profiles must generalize past their seed
-    corpora: five HELD-OUT natural sentences (one per language, none
-    sharing seed wording) all classify correctly, trigram-less input is
-    'und', and the trained profile is import-deterministic."""
+    corpora: the 60-sentence held-out set scores >= 95% through the
+    ACTUAL Spark Column expressions, the r12 transliterated sentences
+    still classify, trigram-less input is 'und', and the trained
+    profile is import-deterministic."""
     from flinkrunner_spark.llm.text import (
         LANGID_MISS,
         LANGID_PROFILE,
@@ -176,7 +246,7 @@ def test_langid_ngram_classifies_held_out_text(spark):
         langid_ngram_cols,
     )
 
-    held_out = [
+    legacy = [
         ("de", "die katze schlaeft auf dem warmen sofa und der hund "
                "liegt daneben im zimmer"),
         ("en", "the cat sleeps on the warm sofa and the dog lies next "
@@ -189,15 +259,23 @@ def test_langid_ngram_classifies_held_out_text(spark):
                "zai pang bian de fang jian li"),
         ("und", "12 34 ?!"),  # no [a-z] trigrams after normalization
     ]
-    df = spark.createDataFrame(held_out, "lang string, text string")
     cols = langid_ngram_cols()
-    got = {
-        r["lang"]: r["pred"]
-        for r in df.select(
-            "lang", cols["lang_pred"].alias("pred")
+
+    def preds(data):
+        df = spark.createDataFrame(data, "lang string, text string")
+        return df.select(
+            "lang", "text", cols["lang_pred"].alias("pred")
         ).collect()
-    }
-    assert got == {l: l for l, _ in held_out}
+
+    held = preds(LANGID_HELD_OUT)
+    acc = sum(r["pred"] == r["lang"] for r in held) / len(held)
+    assert len(held) == len(LANGID_HELD_OUT) >= 60
+    assert acc >= 0.95, [
+        (r["lang"], r["pred"], r["text"]) for r in held
+        if r["pred"] != r["lang"]
+    ]
+    for r in preds(legacy):
+        assert r["pred"] == r["lang"], (r["lang"], r["pred"])
     # deterministic retrain: same profile, same miss weights
     p2, m2 = _langid_train()
     assert p2 == LANGID_PROFILE and m2 == LANGID_MISS

@@ -187,3 +187,51 @@ def test_rank_boundary_distributed_bin_location_many_groups(spark):
         tuples.sort()
         want = {w: tuples[r - 1] for w, r in ranks_for_n(len(tuples)).items()}
         assert got[g] == want, (g, got[g], want)
+
+
+def test_rank_boundary_driver_volume_is_o_groups(spark, monkeypatch):
+    """r12 verdict item 8 (hardening): the selector's driver-side
+    collects stay O(#groups) under a CORPUS-SCALED group key (k≈sqrt(n)
+    cells) — never O(rows) and never O(#groups × bins). Counts the rows
+    every .collect() inside _rank_boundary_tuples actually ships to the
+    driver by wrapping DataFrame.collect."""
+    from flinkrunner_spark.llm import pruning
+
+    n_rows = 4096
+    n_groups = 64  # k ≈ sqrt(n): the learned-cells scaling the r12
+    bins = 128     # fix landed for — groups×bins (8192) > n_rows here,
+    #                so an O(groups×bins) cumulation would exceed even
+    #                the row count and fail the bound loudly
+    rows = [
+        (i % n_groups, float((i * 2654435761) % 997), i)
+        for i in range(n_rows)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, i long").repartition(8)
+
+    collected = []
+    # patch the CONCRETE class (pyspark.sql.classic DataFrame overrides
+    # collect; patching the pyspark.sql.DataFrame base never intercepts)
+    dataframe_cls = type(df)
+    real_collect = dataframe_cls.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(dataframe_cls, "collect", counting_collect)
+
+    def ranks_for_n(n):
+        return {1: 1, 2: (n + 1) // 2, 3: n}
+
+    got = pruning._rank_boundary_tuples(
+        df, "g", "v", "i", ranks_for_n, bins=bins
+    )
+    assert len(got) == n_groups
+    n_ranks = 3
+    # pass 1 ships #groups stats rows; the final pass ships one boundary
+    # tuple per (group, rank). NOTHING else may reach the driver.
+    assert len(collected) == 2, collected
+    assert sum(collected) == n_groups + n_groups * n_ranks, collected
+    assert sum(collected) < n_rows
+    assert sum(collected) < n_groups * bins
