@@ -65,7 +65,11 @@ DEFAULT_KEYS = [
     "docs_ccnet_buckets",
     # r11: the dedup action report (rides the shared dup-clusters CC;
     # the kafka/iceberg lifecycle roundtrips are loopback-broker-bound
-    # and stay out — their cost is the harness, not the plan)
+    # and stay out — their cost is the harness, not the plan; r13 note:
+    # that covers the r12 additions too — kafka_ts_offsets_roundtrip,
+    # stream_kafka_ts_offsets_roundtrip and hive_stats_roundtrip drain
+    # a single-process loopback broker/metastore, so their 8x number
+    # would measure the harness socket, like txn/rpw before them)
     "docs_dedup_report",
     # r12: the char-trigram NB langid (zero-exchange scan — the ratio
     # should track the corpus factor ~linearly, nothing superlinear)
