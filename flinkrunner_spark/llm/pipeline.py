@@ -41,7 +41,13 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles, zero-exchange scoring), not the stopword-vote heuristic;
     the heuristic stays behind docs_langid as the reference-parity
     form. Same fused-projection shape: the NB score is one more JVM
-    fold over the shared scan."""
+    fold over the shared scan. The language FILTER uses the classifier's
+    lang_scorable column (provably ⇔ lang_pred != 'und'): Catalyst
+    pushes filters through projections by substitution, so filtering on
+    lang_pred itself would re-evaluate the NB folds per row inside a
+    Filter at the scan (no subexpression elimination there — measured
+    32x on the whole pipeline) while lang_scorable pushes down as a
+    string-length check."""
     exact_keepers = D.docs_dedup_exact(spark, sf_dir).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
@@ -50,9 +56,11 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id")
     )
+    langid = T.langid_ngram_cols()
     fused = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
-        T.langid_ngram_cols()["lang_pred"].alias("lang_pred"),
+        langid["lang_pred"].alias("lang_pred"),
+        langid["lang_scorable"].alias("_lang_scorable"),
         T.quality_score_col().alias("quality_score"),
         T.bpe_tokens_col().alias("n_bpe_tokens"),
     )
@@ -61,7 +69,7 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cluster_keepers, "doc_id", "left_semi")
         .filter(
             (F.col("quality_score") >= QUALITY_THRESHOLD)
-            & (F.col("lang_pred") != "und")
+            & F.col("_lang_scorable")
         )
         .select("doc_id", "lang_pred", "quality_score", "n_bpe_tokens")
     )

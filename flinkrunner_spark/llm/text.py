@@ -302,13 +302,38 @@ def langid_ngram_cols(text: str = "text") -> dict[str, Column]:
             lambda acc, t: acc
             + F.coalesce(mp[t], F.lit(LANGID_MISS[lang])).cast("long"),
         )
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in sorted(LANGID_LANGS, reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(F.size(tris) == 0, F.lit("und")).otherwise(pred)
+    # argmax with each (huge) score fold appearing EXACTLY ONCE in the
+    # expression tree: max of (score, reverse-rank) structs — ties pick
+    # the larger reverse rank = the lexicographically SMALLEST language,
+    # matching the oracle's first-match CASE chain. The r12 form chained
+    # when(score == greatest(*scores)) which embedded every fold ~6x;
+    # fine under ProjectExec subexpression elimination, catastrophic
+    # once Catalyst pushes lang_pred-derived predicates into a Filter
+    # (no CSE there — the r13 docs_pipeline wiring hit exactly that).
+    n = len(LANGID_LANGS)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    scores[lang].alias("s"),
+                    F.lit(n - 1 - ix).alias("r"),
+                )
+                for ix, lang in enumerate(LANGID_LANGS)
+            ]
+        )
+    )
+    pred_core = F.element_at(
+        F.array(*[F.lit(l) for l in reversed(LANGID_LANGS)]),
+        best["r"] + 1,
+    )
+    pred = F.when(F.length(norm) < 3, F.lit("und")).otherwise(pred_core)
     out = {f"nb_score_{lang}": scores[lang] for lang in LANGID_LANGS}
     out["lang_pred"] = pred
+    # cheap equivalent of lang_pred != 'und' (a doc scores 'und' IFF its
+    # normalized text has no trigram, i.e. length < 3): fused pipelines
+    # filter on THIS so predicate pushdown moves a string-length check
+    # to the scan instead of re-evaluating the NB folds in a Filter.
+    out["lang_scorable"] = F.length(norm) >= 3
     return out
 
 

@@ -391,3 +391,37 @@ def test_changelog_append_commits_scan_only_added_files(spark, tmp_path):
     plan = cl._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_docs_pipeline_nb_folds_stay_out_of_filters(spark):
+    """r13 regression pin: docs_pipeline's language screen filters on
+    the classifier's cheap lang_scorable column, and the argmax keeps
+    each per-language NB fold at EXACTLY ONE occurrence. Filtering on
+    lang_pred != 'und' instead lets Catalyst substitute the fold
+    expressions into a pushed-down Filter (no subexpression elimination
+    there) — measured 32x on the whole pipeline at sf0.1."""
+    from flinkrunner_spark.llm.pipeline import docs_pipeline
+    from flinkrunner_spark.llm.text import LANGID_LANGS
+
+    plan = (
+        docs_pipeline(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the argmax (array_max over score structs) exists exactly once,
+    # in a Project — never substituted into a Filter
+    assert plan.count("array_max(") == 1, plan.count("array_max(")
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        agg = line.count("aggregate(")
+        if stripped.startswith("Filter"):
+            # the substituted quality-score predicate carries one small
+            # fold; NB folds leaking back in would push this to ~25
+            assert "array_max(" not in line, line[:300]
+            assert agg <= 2, (agg, line[:300])
+        elif stripped.startswith("Project"):
+            # 5 NB folds (one per language, each appearing ONCE) +
+            # the quality-score fold; the r12 chained-when argmax form
+            # would put ~30 here
+            assert agg <= len(LANGID_LANGS) + 2, (agg, line[:300])
