@@ -270,70 +270,65 @@ def _langid_train() -> tuple[list[tuple[str, tuple[int, ...]]], dict[str, int]]:
 LANGID_PROFILE, LANGID_MISS = _langid_train()
 
 
-def _langid_norm_col(text: str = "text") -> Column:
-    # [^a-z]+ → single space, trimmed: the shared alphabet both the
-    # profiles and the oracle normalize into
-    return F.trim(
-        F.regexp_replace(F.lower(F.col(text)), "[^a-z]+", " ")
-    )
-
-
 def langid_ngram_cols(text: str = "text") -> dict[str, Column]:
     """Per-language integer NB scores + argmax prediction as JVM-only
     Column expressions (shared by docs_langid_ngram; reusable in fused
-    pipelines)."""
-    norm = _langid_norm_col(text)
-    tris = F.when(
-        F.length(norm) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - 2),
-            lambda i: norm.substr(i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    scores: dict[str, Column] = {}
+    pipelines).
+
+    Built as SQL strings through ONE F.expr call per column: the
+    Column-builder form spent 2-3 s of DRIVER time per plan on py4j
+    round-trips (5 languages x 508 create_map literal calls), which
+    dominated the sub-second execution and ballooned further in
+    long-lived sessions; the ~45 KB SQL parses JVM-side in
+    milliseconds into the identical Catalyst tree. Trigram keys are
+    post-normalization [a-z ] only, so the map literals never need
+    escaping.
+
+    The argmax keeps each (huge) score fold at EXACTLY ONE occurrence:
+    max of (score, reverse-rank) structs — ties pick the larger
+    reverse rank = the lexicographically SMALLEST language, matching
+    the oracle's first-match CASE chain. The r12 form chained
+    when(score == greatest(*scores)) which embedded every fold ~6x;
+    fine under ProjectExec subexpression elimination, catastrophic
+    once Catalyst pushes lang_pred-derived predicates into a Filter
+    (no CSE there — the r13 docs_pipeline wiring hit exactly that)."""
+    norm = f"trim(regexp_replace(lower(`{text}`), '[^a-z]+', ' '))"
+    tris = (
+        f"CASE WHEN length({norm}) >= 3 THEN "
+        f"transform(sequence(1, length({norm}) - 2), "
+        f"i -> substring({norm}, i, 3)) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    scores: dict[str, str] = {}
     for ix, lang in enumerate(LANGID_LANGS):
-        entries = []
-        for tri, ws in LANGID_PROFILE:
-            entries += [F.lit(tri), F.lit(ws[ix])]
-        mp = F.create_map(*entries)
-        scores[lang] = F.aggregate(
-            tris,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.coalesce(mp[t], F.lit(LANGID_MISS[lang])).cast("long"),
+        entries = ", ".join(
+            f"'{tri}', {ws[ix]}" for tri, ws in LANGID_PROFILE
         )
-    # argmax with each (huge) score fold appearing EXACTLY ONCE in the
-    # expression tree: max of (score, reverse-rank) structs — ties pick
-    # the larger reverse rank = the lexicographically SMALLEST language,
-    # matching the oracle's first-match CASE chain. The r12 form chained
-    # when(score == greatest(*scores)) which embedded every fold ~6x;
-    # fine under ProjectExec subexpression elimination, catastrophic
-    # once Catalyst pushes lang_pred-derived predicates into a Filter
-    # (no CSE there — the r13 docs_pipeline wiring hit exactly that).
+        scores[lang] = (
+            f"aggregate({tris}, CAST(0 AS BIGINT), (acc, t) -> acc + "
+            f"CAST(coalesce(map({entries})[t], "
+            f"{LANGID_MISS[lang]}) AS BIGINT))"
+        )
     n = len(LANGID_LANGS)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    scores[lang].alias("s"),
-                    F.lit(n - 1 - ix).alias("r"),
-                )
-                for ix, lang in enumerate(LANGID_LANGS)
-            ]
-        )
+    structs = ", ".join(
+        f"named_struct('s', {scores[lang]}, 'r', {n - 1 - ix})"
+        for ix, lang in enumerate(LANGID_LANGS)
     )
-    pred_core = F.element_at(
-        F.array(*[F.lit(l) for l in reversed(LANGID_LANGS)]),
-        best["r"] + 1,
+    rev_langs = ", ".join(f"'{l}'" for l in reversed(LANGID_LANGS))
+    pred = (
+        f"CASE WHEN length({norm}) < 3 THEN 'und' ELSE "
+        f"element_at(array({rev_langs}), "
+        f"(array_max(array({structs}))).r + 1) END"
     )
-    pred = F.when(F.length(norm) < 3, F.lit("und")).otherwise(pred_core)
-    out = {f"nb_score_{lang}": scores[lang] for lang in LANGID_LANGS}
-    out["lang_pred"] = pred
+    out = {
+        f"nb_score_{lang}": F.expr(scores[lang]) for lang in LANGID_LANGS
+    }
+    out["lang_pred"] = F.expr(pred)
     # cheap equivalent of lang_pred != 'und' (a doc scores 'und' IFF its
     # normalized text has no trigram, i.e. length < 3): fused pipelines
     # filter on THIS so predicate pushdown moves a string-length check
     # to the scan instead of re-evaluating the NB folds in a Filter.
-    out["lang_scorable"] = F.length(norm) >= 3
+    out["lang_scorable"] = F.expr(f"length({norm}) >= 3")
     return out
 
 
