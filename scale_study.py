@@ -74,6 +74,11 @@ DEFAULT_KEYS = [
     # r12: the char-trigram NB langid (zero-exchange scan — the ratio
     # should track the corpus factor ~linearly, nothing superlinear)
     "docs_langid_ngram",
+    # r13: the flagship curation pipeline now that it carries the NB
+    # langid screen — composed exact-dedup ∘ cluster-keeper ∘ fused
+    # screens; its dedup half rides the 10x-exact-duplicate corpus the
+    # fixture builds, the harder (and realistic) keeper-selection case
+    "docs_pipeline",
 ]
 
 BASE_SF = "/root/testdata/sf0.1"
