@@ -114,7 +114,10 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Seed corpora: ~1.1 KB of text per language composed for this module
 # (r13: grown from one ~240-char sentence each — the r12 verdict's
-# "production shape, toy capacity" caveat). NATURAL orthography —
+# "production shape, toy capacity" caveat — and widened from 5 to 8
+# languages; it/nl/pt add the Latin-script near-neighbor separation
+# problem, the case that actually stresses a char-trigram classifier).
+# NATURAL orthography —
 # umlauts/accents included — because training normalizes through the
 # SAME [^a-z]+→space pipeline the scorer and the oracle apply, so the
 # profiles see exactly the trigram distribution real accented text
@@ -200,6 +203,62 @@ _LANGID_SEEDS = {
         "machines. pendant l été nous marchons souvent le long de la "
         "rivière et regardons les bateaux."
     ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e i bambini "
+        "giocano in giardino mentre splende il sole. il tempo è molto "
+        "bello oggi e andiamo insieme in città per mangiare e bere "
+        "qualcosa. gli scienziati hanno sviluppato un nuovo metodo per "
+        "elaborare i dati molto più velocemente. la mattina bevo una "
+        "tazza di caffè e leggo il giornale prima di andare al lavoro. "
+        "mia sorella vive in un piccolo appartamento vicino alla "
+        "stazione con i suoi due gatti. il governo ha approvato ieri "
+        "una nuova legge sulla protezione dell ambiente. molte persone "
+        "vanno a scuola in bicicletta perché è sano ed economico. il "
+        "museo presenta una mostra sulla storia della città vecchia. "
+        "può dirmi per favore come arrivare alla piazza del mercato. "
+        "il treno per roma parte oggi un ora più tardi a causa della "
+        "tempesta. l azienda cerca nuovi dipendenti per sviluppare "
+        "software e macchine. durante l estate passeggiamo spesso "
+        "lungo il fiume e guardiamo le barche."
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en de kinderen "
+        "spelen in de tuin terwijl de zon schijnt. het weer is vandaag "
+        "erg mooi en we gaan samen naar de stad om iets te eten en te "
+        "drinken. wetenschappers hebben een nieuwe methode ontwikkeld "
+        "om de gegevens veel sneller te verwerken. s ochtends drink ik "
+        "een kop koffie en lees ik de krant voordat ik naar het werk "
+        "rijd. mijn zus woont in een klein appartement vlakbij het "
+        "station met haar twee katten. de regering heeft gisteren een "
+        "nieuwe wet aangenomen over de bescherming van het milieu. "
+        "veel mensen fietsen naar school omdat het gezond en goedkoop "
+        "is. het museum toont een tentoonstelling over de geschiedenis "
+        "van de oude stad. kunt u mij alstublieft vertellen hoe ik bij "
+        "het marktplein kom. de trein naar amsterdam vertrekt vandaag "
+        "helaas een uur later door de storm. het bedrijf zoekt nieuwe "
+        "medewerkers voor de ontwikkeling van software en machines. "
+        "in de zomer wandelen we vaak langs de rivier en kijken we "
+        "naar de boten."
+    ),
+    "pt": (
+        "a rápida raposa marrom salta sobre o cão preguiçoso e as "
+        "crianças brincam no jardim enquanto o sol brilha. o tempo "
+        "está muito bom hoje e vamos juntos à cidade para comer e "
+        "beber alguma coisa. os cientistas desenvolveram um novo "
+        "método para processar os dados muito mais rápido. de manhã "
+        "bebo uma xícara de café e leio o jornal antes de ir para o "
+        "trabalho. minha irmã mora em um pequeno apartamento perto da "
+        "estação de trem com seus dois gatos. o governo aprovou ontem "
+        "uma nova lei sobre a proteção do meio ambiente. muitas "
+        "pessoas vão de bicicleta para a escola porque é saudável e "
+        "barato. o museu mostra uma exposição sobre a história da "
+        "cidade velha. pode me dizer por favor como chegar à praça do "
+        "mercado. o trem para lisboa parte hoje uma hora mais tarde "
+        "por causa da tempestade. a empresa procura novos "
+        "funcionários para desenvolver software e máquinas. durante o "
+        "verão caminhamos muitas vezes ao longo do rio e observamos "
+        "os barcos."
+    ),
     "zh": (
         "kuai su de zong se hu li tiao guo lan duo de gou hai zi men "
         "zai hua yuan li wan shua tai yang zheng zai zhao yao. jin "
@@ -220,9 +279,14 @@ _LANGID_SEEDS = {
 }
 
 LANGID_LANGS = sorted(_LANGID_SEEDS)
-_LANGID_TOPK = 64  # profile rows per language (union ≈ 254 trigrams;
-#                    64/lang scores 100% on the 60-sentence held-out
-#                    set in tests/test_curation.py, 48/lang loses one)
+_LANGID_TOPK = 64  # profile rows per language (union ≈ 330 trigrams
+#                    over 8 languages; scores 96.9% on the 96-sentence
+#                    held-out set in tests/test_curation.py — the three
+#                    misses are short it/pt sentences falling to their
+#                    Romance neighbors, the langid-literature hard case
+#                    sharpened by [^a-z]+ normalization stripping pt's
+#                    most distinctive characters (ã ç õ); raising K to
+#                    96/128 does not recover them)
 
 
 def _langid_train() -> tuple[list[tuple[str, tuple[int, ...]]], dict[str, int]]:

@@ -164,11 +164,15 @@ def test_pii_redact_property(spark):
     check()
 
 
-# 60 held-out sentences (12/language), disjoint from the seed corpora in
-# llm/text.py — the r12 verdict's capacity pin: the grown profiles must
-# score >= 95% here (they score 100% at the pinned top-K=64; 48 loses
-# one). Natural orthography on purpose: accents/umlauts exercise the
-# [^a-z]+ normalization path end-to-end.
+# 96 held-out sentences (12/language, 8 languages), disjoint from the
+# seed corpora in llm/text.py — the r12 verdict's capacity pin: the
+# grown profiles must score >= 95% overall AND >= 10/12 per language.
+# At the pinned top-K=64 they score 93/96: the three misses are short
+# it/pt sentences falling to their Romance neighbors (pt's most
+# distinctive characters ã ç õ are stripped by the shared [^a-z]+
+# normalization — the documented hard case; K=96/128 do not recover
+# them). Natural orthography on purpose: accents/umlauts exercise the
+# normalization path end-to-end.
 LANGID_HELD_OUT = [
     ("de", "die katze schläft auf dem warmen sofa und der hund liegt daneben im zimmer"),
     ("de", "wir haben gestern abend einen langen film über das leben im meer gesehen"),
@@ -218,6 +222,42 @@ LANGID_HELD_OUT = [
     ("fr", "la musique était si forte que nous ne pouvions pas comprendre nos propres mots"),
     ("fr", "il travaille depuis de nombreuses années comme médecin dans un grand hôpital"),
     ("fr", "le vieil homme raconte aux enfants des histoires de sa jeunesse"),
+    ("it", "il gatto dorme sul divano caldo e il cane è sdraiato accanto nella stanza"),
+    ("it", "ieri sera abbiamo visto un lungo film sulla vita nell oceano"),
+    ("it", "l insegnante spiega ancora una volta il compito agli studenti molto lentamente"),
+    ("it", "in autunno le foglie diventano colorate e cadono dagli alberi sulla strada"),
+    ("it", "per favore chiudi la finestra comincia a fare freddo qui dentro"),
+    ("it", "i nostri vicini hanno comprato una macchina nuova e vanno con essa al mare"),
+    ("it", "il bambino impara a nuotare e si tuffa coraggioso sotto l acqua"),
+    ("it", "nel fine settimana visitiamo i nostri nonni in campagna"),
+    ("it", "il fornaio prepara ogni mattina pane fresco e dolci deliziosi"),
+    ("it", "la musica era così forte che non potevamo capire le nostre parole"),
+    ("it", "lavora da molti anni come medico in un grande ospedale"),
+    ("it", "il vecchio racconta ai bambini storie della sua giovinezza"),
+    ("nl", "de kat slaapt op de warme bank en de hond ligt ernaast in de kamer"),
+    ("nl", "gisteravond hebben we een lange film over het leven in de oceaan gezien"),
+    ("nl", "de leraar legt de opdracht nog een keer heel langzaam aan de leerlingen uit"),
+    ("nl", "in de herfst worden de bladeren kleurig en vallen ze van de bomen op straat"),
+    ("nl", "doe alsjeblieft het raam dicht het wordt koud hier binnen"),
+    ("nl", "onze buren hebben een nieuwe auto gekocht en rijden ermee naar zee"),
+    ("nl", "het kind leert zwemmen en duikt dapper onder water"),
+    ("nl", "in het weekend bezoeken we onze grootouders op het platteland"),
+    ("nl", "de bakker bakt elke ochtend vers brood en zoete broodjes"),
+    ("nl", "de muziek was zo hard dat we onze eigen woorden niet konden verstaan"),
+    ("nl", "hij werkt al vele jaren als arts in een groot ziekenhuis"),
+    ("nl", "de oude man vertelt de kinderen verhalen uit zijn jeugd"),
+    ("pt", "o gato dorme no sofá quente e o cachorro está deitado ao lado no quarto"),
+    ("pt", "ontem à noite assistimos a um longo filme sobre a vida no oceano"),
+    ("pt", "o professor explica a tarefa aos alunos mais uma vez bem devagar"),
+    ("pt", "no outono as folhas ficam coloridas e caem das árvores na rua"),
+    ("pt", "por favor feche a janela está ficando frio aqui dentro"),
+    ("pt", "nossos vizinhos compraram um carro novo e vão com ele para a praia"),
+    ("pt", "a criança aprende a nadar e mergulha corajosa debaixo da água"),
+    ("pt", "no fim de semana visitamos nossos avós no campo"),
+    ("pt", "o padeiro faz pão fresco e doces todas as manhãs"),
+    ("pt", "a música estava tão alta que não conseguíamos entender nossas próprias palavras"),
+    ("pt", "ele trabalha há muitos anos como médico em um grande hospital"),
+    ("pt", "o velho conta às crianças histórias da sua juventude"),
     ("zh", "xiao mao zai wen nuan de sha fa shang shui jiao gou zai pang bian de fang jian li"),
     ("zh", "zuo tian wan shang wo men kan le yi bu guan yu hai yang sheng huo de dian ying"),
     ("zh", "lao shi man man di gei xue sheng men zai jie shi yi bian zuo ye"),
@@ -235,7 +275,8 @@ LANGID_HELD_OUT = [
 
 def test_langid_ngram_classifies_held_out_text(spark):
     """The char-trigram NB profiles must generalize past their seed
-    corpora: the 60-sentence held-out set scores >= 95% through the
+    corpora: the 96-sentence held-out set (8 languages) scores >= 95%
+    overall and >= 10/12 per language through the
     ACTUAL Spark Column expressions, the r12 transliterated sentences
     still classify, trigram-less input is 'und', and the trained
     profile is import-deterministic."""
@@ -269,11 +310,19 @@ def test_langid_ngram_classifies_held_out_text(spark):
 
     held = preds(LANGID_HELD_OUT)
     acc = sum(r["pred"] == r["lang"] for r in held) / len(held)
-    assert len(held) == len(LANGID_HELD_OUT) >= 60
+    assert len(held) == len(LANGID_HELD_OUT) >= 96
     assert acc >= 0.95, [
         (r["lang"], r["pred"], r["text"]) for r in held
         if r["pred"] != r["lang"]
     ]
+    # per-language floor: no language may silently collapse into a
+    # neighbor even while the overall average stays green
+    per = {}
+    for r in held:
+        ok, n = per.get(r["lang"], (0, 0))
+        per[r["lang"]] = (ok + (r["pred"] == r["lang"]), n + 1)
+    for lang, (ok, n) in per.items():
+        assert ok >= n - 2, (lang, ok, n)
     for r in preds(legacy):
         assert r["pred"] == r["lang"], (r["lang"], r["pred"])
     # deterministic retrain: same profile, same miss weights
