@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,16 @@ RT_ROOT = "/tmp/flinkrunner_spark_roundtrip"
 def _loc(kind: str, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     return os.path.join(RT_ROOT, f"{kind}-{tag}")
+
+
+def _ephemeral_ckpt() -> str:
+    """Fresh RAM-backed checkpoint dir for a bounded streaming drain —
+    see streaming/pipelines.ephemeral_checkpoint (r13: per-micro-batch
+    offset-log/commit-log fsyncs on disk-backed temp dirs dominated the
+    bounded roundtrip drains). Caller removes it after q.stop()."""
+    from flinkrunner_spark.streaming.pipelines import ephemeral_checkpoint
+
+    return ephemeral_checkpoint()
 
 
 def _lang_profile(df: DataFrame) -> DataFrame:
@@ -546,15 +557,18 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              # ≥3 catch-up micro-batches at any sf ≥ 0.001
              "max.offsets.per.trigger": max(n_docs // 3, 64)},
         ).load(spark)
+        _ck = _ephemeral_ckpt()
         q = (
             sdf.writeStream.format("memory")
             .queryName("q_kafka_stream_rt")
+            .option("checkpointLocation", _ck)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            _shutil.rmtree(_ck, ignore_errors=True)
         back = spark.sql("SELECT value FROM q_kafka_stream_rt")
         parsed = back.select(
             F.from_json(
@@ -651,15 +665,18 @@ def stream_rabbitmq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              # ≥3 catch-up micro-batches at any sf ≥ 0.001
              "max.messages.per.read": max(n_docs // 3, 64)},
         ).load(spark)
+        _ck = _ephemeral_ckpt()
         q = (
             sdf.writeStream.format("memory")
             .queryName("q_rabbitmq_stream_rt")
+            .option("checkpointLocation", _ck)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            _shutil.rmtree(_ck, ignore_errors=True)
         back = spark.sql(
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM q_rabbitmq_stream_rt"
@@ -952,15 +969,18 @@ def stream_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              # ≥3 catch-up micro-batches at any sf ≥ 0.001
              "max.records.per.shard": max(n_docs // 9, 32), **creds},
         ).load(spark)
+        _ck = _ephemeral_ckpt()
         q = (
             sdf.writeStream.format("memory")
             .queryName("q_kinesis_stream_rt")
+            .option("checkpointLocation", _ck)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            _shutil.rmtree(_ck, ignore_errors=True)
         parsed = spark.sql("SELECT value FROM q_kinesis_stream_rt").select(
             F.from_json(
                 F.col("value"),
@@ -1248,7 +1268,10 @@ def stream_curation_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     loc = _loc("curation-iceberg", sf_dir)
     shutil.rmtree(loc, ignore_errors=True)
-    ckpt = os.path.join(loc, "_checkpoint")
+    # ephemeral RAM-backed checkpoint for the bounded catch-up drain
+    # (fresh per run, removed after stop — the restart surface keeps its
+    # own durable checkpoints in tests/test_curation_pipeline.py)
+    ckpt = _ephemeral_ckpt()
     table = os.path.join(loc, "table")
     with LoopbackKafkaBroker(num_partitions=4) as broker:
         KafkaSinkConfig(
@@ -1270,6 +1293,7 @@ def stream_curation_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
+            _shutil.rmtree(ckpt, ignore_errors=True)
     back = IcebergFsTable(table).read(spark)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2109,15 +2133,18 @@ def stream_kafka_ts_offsets_roundtrip(
              "starting.offset": str(TS_OFF_BASE + TS_OFF_LO),
              "max.offsets.per.trigger": max(n_docs // 3, 64)},
         ).load(spark)
+        _ck = _ephemeral_ckpt()
         q = (
             sdf.writeStream.format("memory")
             .queryName("q_kafka_tsst")
+            .option("checkpointLocation", _ck)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            _shutil.rmtree(_ck, ignore_errors=True)
         parsed = spark.sql("SELECT value FROM q_kafka_tsst").select(
             F.from_json(
                 F.col("value").cast("string"),

@@ -22,6 +22,32 @@ EVENTS_SCHEMA = (
 )
 
 
+def ephemeral_checkpoint(prefix: str = "flinkrunner-ckpt-") -> str:
+    """Unique checkpoint dir for a BOUNDED drive-to-completion streaming
+    run, RAM-backed when the host offers it (r13 optimization, guide §5:
+    the HDFS-backed state store fsyncs one delta file per state-store
+    instance per micro-batch; on a disk-backed temp dir those fsyncs
+    dominated every bounded mirror — measured 7.7s→3.2s on
+    stream_win_tumbling, 12.0s→6.5s on stream_interval_join at sf0.1).
+
+    Correctness-neutral: callers create a FRESH directory per invocation
+    and remove it when the query finishes, exactly the lifecycle Spark's
+    own temp-checkpoint default has — no state ever survives between
+    runs. Durability is a non-goal for these bounded mirrors by
+    construction; production queries (sinks/factory.py, the curation
+    pipeline's restart surface) take their checkpoint locations from
+    config and are untouched. ``SPARK_GRAFT_STREAM_CKPT_BASE`` overrides
+    the base dir (point it at durable storage to measure durable-commit
+    cost)."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_BASE")
+    if not base:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -763,13 +789,18 @@ def run_updates_final(
             staged
         )
 
-    q = (
-        df.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = ephemeral_checkpoint()
+    try:
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     from pyspark.sql.window import Window
 
@@ -809,17 +840,22 @@ def run_to_memory(
     4). On a real cluster size this to state volume / executor count
     instead; scan parallelism is unaffected either way (file splits, not
     shuffle partitions, drive the source)."""
+    import shutil
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = ephemeral_checkpoint()
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")

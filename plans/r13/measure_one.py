@@ -43,6 +43,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # streaming engine warmup (mirrors bench.py)
+    import shutil
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="measure-stream-warm-")
+    try:
+        spark.range(10).write.mode("overwrite").parquet(warm_dir + "/in")
+        wq = (
+            spark.readStream.schema("id long")
+            .parquet(warm_dir + "/in")
+            .writeStream.format("memory")
+            .queryName("_measure_stream_warm")
+            .option("checkpointLocation", warm_dir + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(60)
+        wq.stop()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     queries = entrymod.queries()
     from flinkrunner_spark.llm import dedup as llm_dedup

@@ -44,13 +44,17 @@ _orig_ruf = P.run_updates_final
 
 
 def rtm(spark, df, name, mode="append", state_partitions=4):
+    import shutil
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = P.ephemeral_checkpoint()
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -58,6 +62,7 @@ def rtm(spark, df, name, mode="append", state_partitions=4):
         describe(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
 
 

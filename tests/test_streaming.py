@@ -460,3 +460,49 @@ def test_state_blob_growth_bounded_by_keys_not_batches(spark, tmp_path, op):
     assert sizes[2] == sizes[4], (
         f"state grew with batch count: {sizes[2]} vs {sizes[4]}"
     )
+
+
+def test_ephemeral_checkpoint_unique_fresh_and_overridable(
+    monkeypatch, tmp_path
+):
+    """r13 optimization: bounded mirrors checkpoint to a RAM-backed
+    ephemeral dir. The contract that keeps it correctness-neutral:
+    every call returns a FRESH empty directory (state can never leak
+    between runs), and SPARK_GRAFT_STREAM_CKPT_BASE redirects the base
+    (durable-storage opt-in)."""
+    import os
+
+    a = P.ephemeral_checkpoint()
+    b = P.ephemeral_checkpoint()
+    try:
+        assert a != b
+        assert os.path.isdir(a) and os.path.isdir(b)
+        assert not os.listdir(a) and not os.listdir(b)
+        if os.path.isdir("/dev/shm"):
+            assert a.startswith("/dev/shm/")
+    finally:
+        os.rmdir(a)
+        os.rmdir(b)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_BASE", str(tmp_path))
+    c = P.ephemeral_checkpoint()
+    assert c.startswith(str(tmp_path))
+    os.rmdir(c)
+
+
+def test_run_to_memory_removes_its_checkpoint(spark, tmp_path, monkeypatch):
+    """run_to_memory must not leave checkpoint litter behind (the
+    ephemeral dir is created and removed per invocation)."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_BASE", str(tmp_path))
+    src = str(tmp_path / "in")
+    spark.range(10).write.mode("overwrite").parquet(src)
+    df = (
+        spark.readStream.schema("id long").parquet(src)
+        .groupBy((F.col("id") % 2).alias("k"))
+        .count()
+    )
+    out = P.run_to_memory(spark, df, "q_ckpt_cleanup", mode="complete")
+    assert out.count() == 2
+    left = [d for d in os.listdir(tmp_path) if d.startswith("flinkrunner-ckpt-")]
+    assert left == [], f"checkpoint dirs left behind: {left}"
