@@ -559,47 +559,63 @@ def rh_pairs_from_codes(
                 F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
             ).alias("vec_b"),
         ).distinct()
+    # Per-vector squared norms fold ONCE on the JVM (r13, guide §4.1/§2.3):
+    # the aggregate/zip_with left fold is bit-identical to the numpy
+    # per-pair fold it replaces (same IEEE adds in the same index order —
+    # the repo-wide fold-parity contract), so attaching two 8-byte
+    # scalars per pair replaces two O(dim) folds per pair in Python.
+    d2 = as_double("embedding")
+    emb_n = emb.select(
+        "vec_id", "embedding", dot(d2, d2).alias("_n2")
+    )
     j = pairs.join(
-        emb.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        emb_n.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("_n2").alias("na"),
         ),
         "vec_a",
     ).join(
-        emb.select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        emb_n.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("_n2").alias("nb"),
         ),
         "vec_b",
     )
 
     def gen_cosine(it):
+        # mapInArrow (guide §4.2): the embedding list columns are ONE
+        # contiguous values buffer + offsets per batch — reshape to an
+        # (n, dim) matrix with zero per-row Python, where the previous
+        # mapInPandas form paid a per-row ndarray conversion for every
+        # candidate pair. The dot stays the exact left fold over dims
+        # (bit-identical to SQL aggregate / DuckDB list_reduce).
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
-            A = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["ea"]]
-            )
-            B = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["eb"]]
-            )
-            d = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
-            for i in range(A.shape[1]):  # exact left folds, as above
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            A = np.asarray(cols["ea"].flatten(), dtype=np.float64).reshape(n, -1)
+            B = np.asarray(cols["eb"].flatten(), dtype=np.float64).reshape(n, -1)
+            d = np.zeros(n)
+            for i in range(A.shape[1]):  # exact left fold, as above
                 d = d + A[:, i] * B[:, i]
-                na = na + A[:, i] * A[:, i]
-                nb = nb + B[:, i] * B[:, i]
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy(),
-                    "vec_b": pdf["vec_b"].to_numpy(),
-                    "cosine_raw": d / np.sqrt(na * nb),
-                }
+            na = np.asarray(cols["na"], dtype=np.float64)
+            nb = np.asarray(cols["nb"], dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["vec_a"],
+                    cols["vec_b"],
+                    pa.array(d / np.sqrt(na * nb), type=pa.float64()),
+                ],
+                ["vec_a", "vec_b", "cosine_raw"],
             )
 
-    verified = j.mapInPandas(
+    verified = j.select("vec_a", "vec_b", "ea", "eb", "na", "nb").mapInArrow(
         gen_cosine, schema="vec_a long, vec_b long, cosine_raw double"
     )
     # round on the JVM side: Spark's Round (shortest-decimal-repr HALF_UP)
@@ -814,45 +830,59 @@ def rhlsh_recall_stats(
         ).cast("long")
         % mod
     )
-    sample = emb.filter(h == 0).select("vec_id", "embedding")
+    d2 = as_double("embedding")
+    sample = emb.filter(h == 0).select(
+        "vec_id", "embedding", dot(d2, d2).alias("_n2")
+    )
     a = sample.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_n2").alias("na"),
     )
     b = sample.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_n2").alias("nb"),
     )
     cand = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
 
     def gen_cosine(it):
+        # mapInArrow + JVM-precomputed norms — same rewrite as the LSH
+        # verify stage (rh_pairs_from_codes): flat-buffer reshape, exact
+        # left-fold dot, bit-identical values (see that function's note)
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
-            A = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["ea"]]
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            A = np.asarray(cols["ea"].flatten(), dtype=np.float64).reshape(
+                n, -1
             )
-            B = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["eb"]]
+            B = np.asarray(cols["eb"].flatten(), dtype=np.float64).reshape(
+                n, -1
             )
-            d = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
-            for i in range(A.shape[1]):  # exact left folds (see _rh_codes)
+            d = np.zeros(n)
+            for i in range(A.shape[1]):  # exact left fold (see _rh_codes)
                 d = d + A[:, i] * B[:, i]
-                na = na + A[:, i] * A[:, i]
-                nb = nb + B[:, i] * B[:, i]
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy(),
-                    "vec_b": pdf["vec_b"].to_numpy(),
-                    "cosine_raw": d / np.sqrt(na * nb),
-                }
+            na = np.asarray(cols["na"], dtype=np.float64)
+            nb = np.asarray(cols["nb"], dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["vec_a"],
+                    cols["vec_b"],
+                    pa.array(d / np.sqrt(na * nb), type=pa.float64()),
+                ],
+                ["vec_a", "vec_b", "cosine_raw"],
             )
 
     true_pairs = (
-        cand.mapInPandas(
+        cand.select("vec_a", "vec_b", "ea", "eb", "na", "nb").mapInArrow(
             gen_cosine, schema="vec_a long, vec_b long, cosine_raw double"
         )
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))

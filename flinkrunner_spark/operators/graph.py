@@ -48,10 +48,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 50
-# propagation rounds before pointer-doubling interleaves: real dedup
-# graphs converge inside this (measured rounds=2 at 64x scale), so their
-# plans never change; only high-diameter graphs pay the extra self-join
-SHORTCUT_AFTER = 3
+# propagation rounds before pointer-doubling interleaves. 2, not 3
+# (r13 optimization): near-clique dedup graphs converge in ≤2 rounds
+# and STILL never pay the extra self-join, while chain-bearing graphs
+# (the contracted RH-LSH pair graph) start squaring their covered
+# distance one round earlier — measured 5 → 4 rounds (one full
+# edge-join + agg shuffle round saved) with byte-identical labels on
+# both graph shapes at sf0.1.
+SHORTCUT_AFTER = 2
 
 
 def _free_checkpoint(df: DataFrame) -> None:
