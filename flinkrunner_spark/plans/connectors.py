@@ -1288,11 +1288,18 @@ def stream_curation_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
              # ≥3 catch-up micro-batches at any sf ≥ 0.001
              "max.offsets.per.trigger": max(n_docs // 3, 64)},
         ).load(spark)
+        # pin state/shuffle partitions for the bounded catch-up drain —
+        # the same sizing discipline run_to_memory documents (state
+        # stores + per-batch iceberg files sized to the drain, not to
+        # the session's scan parallelism); restored after the query
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = start_curation_to_iceberg(stream, table, ckpt)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             _shutil.rmtree(ckpt, ignore_errors=True)
     back = IcebergFsTable(table).read(spark)
     return back.groupBy("lang").agg(

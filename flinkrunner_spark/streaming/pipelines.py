@@ -776,9 +776,13 @@ def run_updates_final(
     so the staging directory can be deleted immediately."""
     import glob
     import shutil
-    import tempfile
 
-    staged = path or tempfile.mkdtemp(prefix="flinkrunner_updates_")
+    # same RAM-backed ephemeral base as the checkpoints: the staging
+    # dir is written and deleted within this call (the result is
+    # localCheckpoint-materialized before the rmtree below), so its
+    # durability is a non-goal; callers passing an explicit ``path``
+    # (the production upsert-sink stand-in) keep full control
+    staged = path or ephemeral_checkpoint(prefix="flinkrunner_updates_")
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     df = build(s2)
