@@ -98,6 +98,13 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_hex8_long(F.concat(F.col("feat"), F.lit(DSIR_SALT)))
          % DSIR_BUCKETS).alias("bucket"),
     )
+    # Materialize the hashed feature instances ONCE (r13, guide §2.4):
+    # the bucket-model aggregate and the per-doc scoring join otherwise
+    # each re-run the explode + md5 pipeline (no exchange reuse — the
+    # scoring branch joins broadcast llr before any exchange). Text-free
+    # (doc_id, lang, bucket) rows; same spill-clean trade as
+    # _sig_shingles at scale.
+    bucketed = bucketed.localCheckpoint(eager=False)
     # Both models from one bucket-keyed pass: raw = COUNT(*),
     # target = count of instances from target-language documents.
     cnt = bucketed.groupBy("bucket").agg(

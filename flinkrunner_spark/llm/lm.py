@@ -66,6 +66,15 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     dpairs = pairs.groupBy("doc_id", "w1", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # Materialize the aggregated bigram frame ONCE (r13, guide §2.4):
+    # three consumers (c2, c1, the scoring join) each project different
+    # columns, so Spark's exchange reuse never fires and the tokenize +
+    # explode + per-doc aggregation pipeline executed three times per
+    # run. The lazy checkpoint computes it once and hands all three
+    # branches the materialized rows; at 100 TB this is the same
+    # persist-the-text-free-frame trade _sig_shingles makes (spills
+    # cleanly, text never moves).
+    dpairs = dpairs.localCheckpoint(eager=False)
     c2 = dpairs.groupBy("bigram").agg(F.sum("cnt").alias("c2"))
     c1 = dpairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     nll = -F.log(F.col("c2") / F.col("c1"))
