@@ -100,9 +100,18 @@ def docs_heavy_hitters(
     screens at 100 TB queries the broadcast sketch with whatever
     candidate set it has — the sketch build never depends on the
     candidate cardinality."""
-    toks = _token_stream(spark, sf_dir)
+    # ONE tokenize+explode for both aggregations (r13, guide §2.4): the
+    # sketch build and the exact-count twin otherwise each re-ran the
+    # token pipeline (and the per-depth-row sketch broadcasts re-ran it
+    # again — 5 scans of documents in the before-plan, 1 after). The
+    # exploded single-column token frame is text-free and spills
+    # cleanly at scale, same trade as _sig_shingles.
+    toks = _token_stream(spark, sf_dir).localCheckpoint(eager=False)
     sketch = cms_table(toks, depth, width)
-    return rank_heavy_hitters(spark, sf_dir, sketch, k, depth, width)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return rank_heavy_hitters(
+        spark, sf_dir, sketch, k, depth, width, candidates=exact
+    )
 
 
 def rank_heavy_hitters(
@@ -129,6 +138,11 @@ def rank_heavy_hitters(
         )
     else:
         exact = candidates
+    # materialize the D×W frame once — each of the ``depth`` broadcast
+    # probes below otherwise re-executes the whole sketch-build subtree
+    # (it is ≤ depth×width rows by construction, so this is always
+    # cheap, for the batch build and the streaming-state build alike)
+    sketch = sketch.localCheckpoint(eager=False)
     est = None
     probed = exact
     for r in range(depth):
