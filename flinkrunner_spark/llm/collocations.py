@@ -56,7 +56,17 @@ def docs_pmi_bigrams(
         ),
     )
     pos = base.select(F.explode(pair).alias("p")).select("p.w1", "p.w2")
-    c12 = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # ONE tokenize+pair-explode+count for all four consumers (r13, guide
+    # §2.4): c12 feeds the floor-filtered rank branch, both marginals
+    # and the N aggregate, each projecting different columns — exchange
+    # reuse never fires and the position pipeline ran 4x per query.
+    # The (w1, w2, c12) frame is text-free and O(distinct bigrams),
+    # the same spill-clean persist trade docs_lm_score documents.
+    c12 = (
+        pos.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n_total = c12.agg(F.sum("c12").alias("n_pos"))
