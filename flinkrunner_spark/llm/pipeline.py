@@ -57,21 +57,29 @@ def docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     langid = T.langid_ngram_cols()
-    fused = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id",
-        langid["lang_pred"].alias("lang_pred"),
-        langid["lang_scorable"].alias("_lang_scorable"),
-        T.quality_score_col().alias("quality_score"),
-        T.bpe_tokens_col().alias("n_bpe_tokens"),
+    # r13 optimization: the expensive projections (NB langid pass, BPE
+    # regexp) run AFTER the keeper semi-joins and screens, so only
+    # SURVIVING docs pay them (the dedup screens drop most rows; the
+    # r13-build form projected below the joins and scored every doc).
+    # The screens themselves reference raw-text expressions, so
+    # Catalyst still pushes them to the scan as before; nothing above
+    # pulls the final projection back down through the joins.
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
     )
-    return (
-        fused.join(exact_keepers, "doc_id", "left_semi")
+    kept = (
+        base.join(exact_keepers, "doc_id", "left_semi")
         .join(cluster_keepers, "doc_id", "left_semi")
         .filter(
-            (F.col("quality_score") >= QUALITY_THRESHOLD)
-            & F.col("_lang_scorable")
+            (T.quality_score_col() >= QUALITY_THRESHOLD)
+            & langid["lang_scorable"]
         )
-        .select("doc_id", "lang_pred", "quality_score", "n_bpe_tokens")
+    )
+    return kept.select(
+        "doc_id",
+        langid["lang_pred"].alias("lang_pred"),
+        T.quality_score_col().alias("quality_score"),
+        T.bpe_tokens_col().alias("n_bpe_tokens"),
     )
 
 

@@ -355,39 +355,101 @@ def langid_ngram_cols(text: str = "text") -> dict[str, Column]:
     when(score == greatest(*scores)) which embedded every fold ~6x;
     fine under ProjectExec subexpression elimination, catastrophic
     once Catalyst pushes lang_pred-derived predicates into a Filter
-    (no CSE there — the r13 docs_pipeline wiring hit exactly that)."""
+    (no CSE there — the r13 docs_pipeline wiring hit exactly that).
+
+    Shared subterms are LET-BOUND via single-element transform
+    (``transform(array(e), v -> body)[0]`` evaluates ``e`` once and
+    binds it), because higher-order functions are CodegenFallback:
+    interpreted eval re-evaluates every textually inlined child per
+    lambda invocation. The r12/r13-build form inlined ``norm`` (a full
+    regexp_replace over the document) inside the per-position substring
+    lambda — O(len^2) regexp work per language per row, measured at
+    ~48 ms/doc for lang_pred alone at ~300-char docs. With norm bound
+    once per trigram extraction and (for lang_pred) the slot array
+    bound once across all per-language folds, the projection is
+    O(len): one regexp + one trigram pass + the weight folds.
+
+    Weight lookup is O(1), not a map scan: Catalyst folds a literal
+    ``map(...)`` into ArrayBasedMapData whose GetMapValue is a LINEAR
+    scan (~380 string compares per fold step here, measured ~12 us per
+    step). Instead each trigram encodes to a base-27 integer over the
+    post-normalization [a-z ] alphabet (space->0, a..z->1..26), a
+    shared 27^3-slot literal int array maps code -> profile slot
+    (0 = not in profile), and each language's weights live in a
+    compact (1+P)-element array with the smoothed miss weight at slot
+    0 — ``coalesce(map(...)[t], miss)`` becomes two O(1) array
+    indexes, bit-identical by construction (the encoding is injective
+    on [a-z ]^3 and every trigram the scorer sees is drawn from it)."""
     norm = f"trim(regexp_replace(lower(`{text}`), '[^a-z]+', ' '))"
+    # let-bound trigram array: norm evaluates ONCE, then one substring
+    # pass over the bound value (was: norm re-inlined per position).
     tris = (
-        f"CASE WHEN length({norm}) >= 3 THEN "
-        f"transform(sequence(1, length({norm}) - 2), "
-        f"i -> substring({norm}, i, 3)) "
-        f"ELSE CAST(array() AS array<string>) END"
+        f"transform(array({norm}), nrm -> "
+        f"CASE WHEN length(nrm) >= 3 THEN "
+        f"transform(sequence(1, length(nrm) - 2), "
+        f"i -> substring(nrm, i, 3)) "
+        f"ELSE CAST(array() AS array<string>) END)[0]"
     )
-    scores: dict[str, str] = {}
-    for ix, lang in enumerate(LANGID_LANGS):
-        entries = ", ".join(
-            f"'{tri}', {ws[ix]}" for tri, ws in LANGID_PROFILE
-        )
-        scores[lang] = (
-            f"aggregate({tris}, CAST(0 AS BIGINT), (acc, t) -> acc + "
-            f"CAST(coalesce(map({entries})[t], "
-            f"{LANGID_MISS[lang]}) AS BIGINT))"
-        )
-    n = len(LANGID_LANGS)
-    structs = ", ".join(
-        f"named_struct('s', {scores[lang]}, 'r', {n - 1 - ix})"
-        for ix, lang in enumerate(LANGID_LANGS)
+    # code -> profile-slot table (27^3 ints; ConstantFolding collapses
+    # the array(...) of literals into one Literal at plan time).
+    def _enc_py(tri: str) -> int:
+        c = [max(ord(ch) - 96, 0) for ch in tri]
+        return (c[0] * 27 + c[1]) * 27 + c[2]
+
+    slot_of = {tri: s for s, (tri, _ws) in enumerate(LANGID_PROFILE, 1)}
+    idx = [0] * (27 * 27 * 27)
+    for tri, s in slot_of.items():
+        idx[_enc_py(tri)] = s
+    idx_sql = f"array({','.join(str(v) for v in idx)})"
+    enc_t = (
+        "((greatest(ascii(t) - 96, 0) * 27 "
+        "+ greatest(ascii(substring(t, 2, 1)) - 96, 0)) * 27 "
+        "+ greatest(ascii(substring(t, 3, 1)) - 96, 0))"
     )
-    rev_langs = ", ".join(f"'{l}'" for l in reversed(LANGID_LANGS))
+    # per-position profile slots (one pass; slot 0 = miss)
+    slots = f"transform({tris}, t -> {idx_sql}[{enc_t}])"
+    # slot -> per-language weight rows (row 0 = the 8 miss weights):
+    # ONE aggregate pass computes all 8 scores with a zip_with vector
+    # accumulator instead of 8 separate folds over the slot array.
+    w2d_sql = "array({})".format(
+        ",".join(
+            "array({})".format(",".join(str(w) for w in ws))
+            for ws in [tuple(LANGID_MISS[lang] for lang in LANGID_LANGS)]
+            + [ws for _tri, ws in LANGID_PROFILE]
+        )
+    )
+    zeros8 = ",".join("0" for _ in LANGID_LANGS)
+    all_scores = (
+        f"aggregate({slots}, CAST(array({zeros8}) AS array<bigint>), "
+        f"(acc, s) -> zip_with(acc, {w2d_sql}[s], (a, b) -> a + b))"
+    )
+    # API-compat per-language columns: each evaluates ONE full pass
+    # (regexp + trigrams + slots + vector fold) and indexes out its
+    # language — single-select consumers stay linear; the two-phase
+    # docs_langid_ngram shares one pass across all nine outputs via
+    # nb_scores_all + langid_cols_from_scores below.
+    scores: dict[str, str] = {
+        lang: f"{all_scores}[{ix}]" for ix, lang in enumerate(LANGID_LANGS)
+    }
+    # every weight is a strictly negative integer (round(ln(p)*1e6),
+    # p < 1), so score[0] = 0 IFF the slot array is empty IFF the
+    # normalized text has no trigram — the same 'und' condition as
+    # length(norm) < 3, without re-evaluating norm.
     pred = (
-        f"CASE WHEN length({norm}) < 3 THEN 'und' ELSE "
-        f"element_at(array({rev_langs}), "
-        f"(array_max(array({structs}))).r + 1) END"
+        f"transform(array({all_scores}), sc -> "
+        f"{_langid_pred_sql('sc')})[0]"
     )
     out = {
         f"nb_score_{lang}": F.expr(scores[lang]) for lang in LANGID_LANGS
     }
     out["lang_pred"] = F.expr(pred)
+    # the raw 8-score vector: consumers that need several langid
+    # outputs materialize THIS in one projection and extract with
+    # langid_cols_from_scores in a second (array indexing is cheap, so
+    # the expensive pass runs once per row instead of once per column;
+    # CollapseProject keeps the two projections apart because a
+    # non-cheap producer referenced more than once is never inlined).
+    out["nb_scores_all"] = F.expr(all_scores)
     # cheap equivalent of lang_pred != 'und' (a doc scores 'und' IFF its
     # normalized text has no trigram, i.e. length < 3): fused pipelines
     # filter on THIS so predicate pushdown moves a string-length check
@@ -396,18 +458,55 @@ def langid_ngram_cols(text: str = "text") -> dict[str, Column]:
     return out
 
 
+def _langid_pred_sql(var: str) -> str:
+    """Argmax-with-lexicographic-tiebreak SQL over a bound 8-score
+    array ``var``: max of (score, reverse-rank) structs; 'und' when
+    the scores are the empty-fold zero vector (see langid_ngram_cols)."""
+    n = len(LANGID_LANGS)
+    structs = ", ".join(
+        f"named_struct('s', {var}[{ix}], 'r', {n - 1 - ix})"
+        for ix in range(n)
+    )
+    rev_langs = ", ".join(f"'{l}'" for l in reversed(LANGID_LANGS))
+    return (
+        f"CASE WHEN {var}[0] = 0 THEN 'und' ELSE "
+        f"element_at(array({rev_langs}), "
+        f"(array_max(array({structs}))).r + 1) END"
+    )
+
+
+def langid_cols_from_scores(scores_col: str = "_nb") -> dict[str, Column]:
+    """Cheap per-language score + prediction columns extracted from a
+    MATERIALIZED ``nb_scores_all`` array column (all O(1) indexing)."""
+    out = {
+        f"nb_score_{lang}": F.expr(f"`{scores_col}`[{ix}]")
+        for ix, lang in enumerate(LANGID_LANGS)
+    }
+    out["lang_pred"] = F.expr(_langid_pred_sql(f"`{scores_col}`"))
+    return out
+
+
 def docs_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram Naive Bayes language-ID over documents: integer
     log-prob sums per language + argmax (lexicographic tiebreak, 'und'
-    for trigram-less docs)."""
+    for trigram-less docs).
+
+    Two-phase projection: the inner select runs the expensive scoring
+    pass ONCE per row into an 8-score array; the outer select extracts
+    the per-language columns and the argmax by O(1) array indexing."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cols = langid_ngram_cols()
+    ext = langid_cols_from_scores("_nb")
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        *[cols[f"nb_score_{lang}"].alias(f"nb_score_{lang}")
+        cols["nb_scores_all"].alias("_nb"),
+    ).select(
+        "doc_id",
+        "lang_declared",
+        *[ext[f"nb_score_{lang}"].alias(f"nb_score_{lang}")
           for lang in LANGID_LANGS],
-        cols["lang_pred"].alias("lang_pred"),
+        ext["lang_pred"].alias("lang_pred"),
     )
 
 
