@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkrunner_spark.llm.text import LANG_STOPWORDS, tokens_col
+from flinkrunner_spark.llm.text import LANG_STOPWORDS, TOKEN_SPLIT, tokens_col
 
 GOPHER_MIN_WORDS = 20
 GOPHER_MAX_WORDS = 100_000
@@ -50,23 +50,42 @@ def _sum_lengths(toks: Column) -> Column:
     )
 
 
+def _gopher_stats_sql(text: str = "text") -> str:
+    """The Gopher rule inputs as a struct<n:int,c:int,sh:int> (word
+    count, total token chars, distinct stopword hits) in ONE tokenize
+    pass. The r12 form re-ran the split per signal reference (~12
+    passes/row through the rule flags + keep under interpreted HOF
+    eval, since higher-order functions are CodegenFallback); tokens are
+    LET-BOUND once here via the single-element-transform idiom and each
+    field folds over the bound array. Identical ints → every derived
+    double/boolean is bit-identical."""
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    toks = f"filter(split(lower(`{text}`), '{TOKEN_SPLIT}'), x -> x != '')"
+    return (
+        f"transform(array({toks}), tk -> named_struct("
+        "'n', size(tk), "
+        "'c', aggregate(tk, 0, (a, x) -> a + length(x)), "
+        f"'sh', size(array_intersect(array_distinct(tk), "
+        f"array({stop_arr})))))[0]"
+    )
+
+
 def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher rule flags and the conjunctive ``keep``.
 
     mean_word_len is the quotient of two exact ints (total chars /
     words) — deterministic cross-engine; the bounds comparison happens
     on the UNROUNDED quotient in both engines (rounding only the
-    reported column)."""
+    reported column).
+
+    Two-phase projection (r13): the inner select materializes the
+    stats struct once per row (see _gopher_stats_sql); the outer
+    derives every flag from O(1) struct accesses."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col()
-    n_words = F.size(toks)
-    mean_wl = _sum_lengths(toks) / n_words
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        )
-    )
+    inner = docs.select("doc_id", F.expr(_gopher_stats_sql()).alias("_gs"))
+    n_words = F.expr("_gs.n")
+    mean_wl = F.expr("_gs.c") / F.expr("_gs.n")
+    stop_hits = F.expr("_gs.sh")
     pass_words = (n_words >= GOPHER_MIN_WORDS) & (
         n_words <= GOPHER_MAX_WORDS
     )
@@ -74,7 +93,7 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
     )
     pass_stopwords = stop_hits >= GOPHER_MIN_STOPWORDS
-    return docs.select(
+    return inner.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),

@@ -63,6 +63,24 @@ def _lang_scores(toks: Column) -> dict[str, Column]:
     }
 
 
+def _lang_votes_sql(text: str = "text") -> str:
+    """Single-pass stopword vote counts as a struct (one field per
+    language). The r12 form re-tokenized per language per reference —
+    the chained-when argmax inlined every score ~6× and higher-order
+    functions are CodegenFallback, so interpreted eval re-ran the split
+    per occurrence (~30 passes/row). Tokens are LET-BOUND once here
+    (single-element transform, see langid_ngram_cols); each vote count
+    is the same size(filter(tk, IN set)) fold over the bound array."""
+    toks = f"filter(split(lower(`{text}`), '{TOKEN_SPLIT}'), x -> x != '')"
+    fields = ", ".join(
+        "'{0}', size(filter(tk, x -> x IN ({1})))".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    return f"transform(array({toks}), tk -> named_struct({fields}))[0]"
+
+
 def lang_pred_col(toks: Column | None = None) -> Column:
     """Language prediction expression: stopword votes, argmax with
     lexicographic tiebreak (deterministic). Shared by docs_langid and
@@ -80,14 +98,28 @@ def lang_pred_col(toks: Column | None = None) -> Column:
 
 def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword votes per language, argmax with
-    lexicographic tiebreak (deterministic)."""
+    lexicographic tiebreak (deterministic).
+
+    Two-phase projection (r13): the inner select runs the tokenize
+    pass ONCE per row into a vote struct; the outer select extracts
+    the per-language counts and the same chained-when argmax over them
+    (all O(1) struct accesses on identical ints)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col()
-    scores = _lang_scores(toks)
-    pred = lang_pred_col(toks)
-    return docs.select(
+    inner = docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
+        F.expr(_lang_votes_sql()).alias("_lv"),
+    )
+    scores = {lang: F.expr(f"_lv.{lang}") for lang in LANG_STOPWORDS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return inner.select(
+        "doc_id",
+        "lang_declared",
         *[scores[lang].alias(f"votes_{lang}") for lang in sorted(LANG_STOPWORDS)],
         pred.alias("lang_pred"),
     )
@@ -565,11 +597,60 @@ FROM norm d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def _quality_stats_sql(text: str = "text") -> str:
+    """Single-pass token statistics behind the quality score, as a
+    struct<n:int,c:int,s:int,p:int,l:int> (token count, token chars,
+    stopword hits, punct chars, text length).
+
+    The r12 form re-ran the split+filter tokenization per signal (~5
+    passes per row: size, length fold, stopword filter, and the score's
+    re-inlined copies) because higher-order functions are
+    CodegenFallback and interpreted eval re-evaluates textually inlined
+    children per use. Here the token array is LET-BOUND once
+    (single-element transform, see langid_ngram_cols) and ONE struct
+    fold computes chars+stopword-hits; the counts are bit-identical
+    ints, so every downstream double stays engine-exact."""
+    stop_in = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    toks = f"filter(split(lower(`{text}`), '{TOKEN_SPLIT}'), x -> x != '')"
+    fold = (
+        "aggregate(tk, named_struct('c', 0, 's', 0), "
+        "(a, x) -> named_struct("
+        "'c', a.c + length(x), "
+        f"'s', a.s + (CASE WHEN x IN ({stop_in}) THEN 1 ELSE 0 END)))"
+    )
+    return (
+        f"transform(array({toks}), tk -> "
+        f"transform(array({fold}), fs -> named_struct("
+        "'n', size(tk), 'c', fs.c, 's', fs.s, "
+        f"'p', length(regexp_replace(lower(`{text}`), '[a-z0-9\\\\s]', '')), "
+        f"'l', length(`{text}`)))[0])[0]"
+    )
+
+
+def _quality_score_from_stats_sql(st: str) -> str:
+    """The composite score over a bound stats struct ``st`` — the exact
+    r12 arithmetic shape (left-assoc sum, double division of the same
+    ints), so values are bit-identical."""
+    return (
+        f"({st}.s / {st}.n) * 2.0D"
+        f" + 1.0D / (1.0D + ({st}.p / {st}.l) * 5.0D)"
+        f" + ({st}.c / {st}.n) / 10.0D"
+    )
+
+
 def quality_score_col(toks: Column | None = None) -> Column:
     """Composite quality score expression (rational arithmetic only —
     engine-exact). Shared by docs_quality and the fused docs_pipeline
-    projection."""
-    toks = tokens_col() if toks is None else toks
+    projection. With no ``toks`` this is ONE tokenize pass (stats
+    struct let-bound, see _quality_stats_sql); passing an explicit
+    token column keeps the legacy per-signal form for callers that
+    already materialized tokens."""
+    if toks is None:
+        st = _quality_stats_sql()
+        return F.expr(
+            f"transform(array({st}), q -> "
+            f"{_quality_score_from_stats_sql('q')})[0]"
+        )
     n_tok = F.size(toks)
     tok_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
@@ -585,26 +666,23 @@ def quality_score_col(toks: Column | None = None) -> Column:
 
 def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/stopword signals and a rational
-    composite score (no transcendentals → engine-exact)."""
+    composite score (no transcendentals → engine-exact).
+
+    Two-phase projection (r13): the inner select runs the tokenize
+    pass ONCE per row into a stats struct; the outer select derives
+    all five outputs from the struct's ints (CollapseProject never
+    inlines a non-cheap producer referenced 5×)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col()
-    n_tok = F.size(toks)
-    tok_chars = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    inner = docs.select(
+        "doc_id", F.expr(_quality_stats_sql()).alias("_qs")
     )
-    punct = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9\\s]", ""))
-    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*ALL_STOPWORDS)))
-    avg_tok_len = tok_chars / n_tok
-    punct_ratio = punct / F.length("text")
-    stop_ratio = stop_hits / n_tok
-    score = quality_score_col(toks)
-    return docs.select(
+    return inner.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        avg_tok_len.alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        F.expr("_qs.n").alias("n_tokens"),
+        F.expr("_qs.c / _qs.n").alias("avg_token_len"),
+        F.expr("_qs.p / _qs.l").alias("punct_ratio"),
+        F.expr("_qs.s / _qs.n").alias("stopword_ratio"),
+        F.expr(_quality_score_from_stats_sql("_qs")).alias("quality_score"),
     )
 
 

@@ -53,8 +53,7 @@ from flinkrunner_spark.llm.filters import (
     GOPHER_MIN_MEAN_WORD_LEN,
     GOPHER_MIN_STOPWORDS,
     GOPHER_MIN_WORDS,
-    GOPHER_STOPWORDS,
-    _sum_lengths,
+    _gopher_stats_sql,
 )
 from flinkrunner_spark.llm.text import tokens_col
 
@@ -62,23 +61,16 @@ from flinkrunner_spark.llm.text import tokens_col
 def gopher_keep_col(text: str = "text") -> Column:
     """The Gopher §A1.1 conjunctive keep as a reusable Column — the
     SAME constants and token inventory as `llm/filters.docs_gopher_rules`
-    (parity pinned by test_curation_pipeline's expression-equality
-    check, and by the composed driver oracle)."""
-    toks = tokens_col(text)
-    n_words = F.size(toks)
-    mean_wl = _sum_lengths(toks) / n_words
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        )
-    )
-    return (
-        (n_words >= GOPHER_MIN_WORDS)
-        & (n_words <= GOPHER_MAX_WORDS)
-        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
-        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
-        & (stop_hits >= GOPHER_MIN_STOPWORDS)
+    (parity pinned by test_curation_pipeline's row-equality check, and
+    by the composed driver oracle). One tokenize pass: the stats struct
+    is let-bound (see _gopher_stats_sql) and every bound compares O(1)
+    struct fields — same ints, same comparisons, same keep."""
+    return F.expr(
+        f"transform(array({_gopher_stats_sql(text)}), s -> "
+        f"s.n >= {GOPHER_MIN_WORDS} AND s.n <= {GOPHER_MAX_WORDS} "
+        f"AND (s.c / s.n) >= {GOPHER_MIN_MEAN_WORD_LEN}D "
+        f"AND (s.c / s.n) <= {GOPHER_MAX_MEAN_WORD_LEN}D "
+        f"AND s.sh >= {GOPHER_MIN_STOPWORDS})[0]"
     )
 
 
