@@ -78,6 +78,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     from flinkrunner_spark.llm import dedup as llm_dedup
+    from flinkrunner_spark.llm import lm as llm_lm
     from flinkrunner_spark.llm import pruning as llm_pruning
     from flinkrunner_spark.llm import similarity as llm_similarity
 
@@ -165,6 +166,18 @@ def main() -> None:
                         break
         except OSError:
             pass
+        # single-thread CPU calibration (r13): this sandbox is a VM
+        # whose effective CPU speed swings 2-4x with HYPERVISOR load
+        # that os.getloadavg() cannot see (measured: the same fixed
+        # python loop 0.5s ... 2.0s across one afternoon while local
+        # load was ~0). A fixed-work loop timed at pass start/end makes
+        # each artifact self-qualifying for that too: ratios between
+        # passes with similar cal_s stamps are real, the rest are host.
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i
+        stamp["cal_s"] = round(time.perf_counter() - t0, 3)
         return stamp
 
     host_start = _host_stamp()
@@ -189,6 +202,7 @@ def main() -> None:
         llm_dedup.release_caches()  # warm must re-execute, not cache-hit
         llm_similarity.release_caches()
         llm_pruning.release_caches()
+        llm_lm.release_caches()
         warm = run_pass()
         out["queries_warm"] = warm
         out["value_warm"] = round(sum(warm.values()), 3)

@@ -30,6 +30,26 @@ from pyspark.sql import functions as F
 
 from flinkrunner_spark.llm.text import tokens_col
 
+# memoized per-(applicationId, sf_dir) result frame + its persisted
+# bigram base: constructing this plan is expensive DRIVER work (the
+# tokenize expression tree + the checkpoint/persist call pays full
+# analysis; measured 3.2s steady / 12.4s cold per construction at
+# sf0.1), and three operators (the bench key, the ccnet frame, dsir's
+# scoring twin) each re-built it per call. Same memo/evict/release
+# discipline as llm/pruning._BASE_CACHE; bench.py releases between
+# passes so warm numbers measure executed plans, not cache hits.
+_LM_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def release_caches(sf_dir: str | None = None) -> None:
+    """Unpersist + forget memoized LM frames (``sf_dir=None`` = all)."""
+    for key in [k for k in _LM_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _out, dpairs = _LM_CACHE.pop(key)
+        try:
+            dpairs.unpersist()
+        except Exception:
+            pass  # context already stopped — nothing to free
+
 
 def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram cross-entropy: xent_nats =
@@ -38,6 +58,11 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLE conditionals from the corpus' own counts; documents with fewer
     than 2 tokens have no bigram positions and drop out (both engines).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _LM_CACHE if k[0] != key[0]]:
+        del _LM_CACHE[stale]
+    if key in _LM_CACHE:
+        return _LM_CACHE[key][0]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = (
         docs.select("doc_id", tokens_col().alias("t"))
@@ -70,15 +95,19 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (c2, c1, the scoring join) each project different
     # columns, so Spark's exchange reuse never fires and the tokenize +
     # explode + per-doc aggregation pipeline executed three times per
-    # run. The lazy checkpoint computes it once and hands all three
-    # branches the materialized rows; at 100 TB this is the same
-    # persist-the-text-free-frame trade _sig_shingles makes (spills
-    # cleanly, text never moves).
-    dpairs = dpairs.localCheckpoint(eager=False)
+    # run. persist() computes it once and hands all three branches the
+    # cached rows; at 100 TB this is the same persist-the-text-free-
+    # frame trade _sig_shingles makes (MEMORY_AND_DISK spills cleanly,
+    # text never moves). persist over localCheckpoint (r13 follow-up):
+    # the lazy checkpoint paid full physical planning inside the
+    # CONSTRUCTOR (~2s driver latency per call); persist defers that to
+    # the first action, and the function-level memo above makes repeat
+    # constructions free.
+    dpairs = dpairs.persist()
     c2 = dpairs.groupBy("bigram").agg(F.sum("cnt").alias("c2"))
     c1 = dpairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     nll = -F.log(F.col("c2") / F.col("c1"))
-    return (
+    out = (
         dpairs.join(c2, "bigram")
         .join(c1, "w1")
         .groupBy("doc_id")
@@ -89,3 +118,5 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    _LM_CACHE[key] = (out, dpairs)
+    return out

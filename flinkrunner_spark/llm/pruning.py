@@ -13,13 +13,19 @@ compute identically.
 
 Scale design (the r10 verdict's two perf-weak findings, both closed
 here): neither operator sorts a whole group in one partition anymore.
-The shared `_rank_boundary_tuples` selector finds each group's exact
-rank-k boundary (value, id) tuple with bounded passes — per-group
-stats, a per-(group, bin) histogram, then a distributed sort of ONLY
-the boundary bins (≈ group_size / BINS rows per partition) — and the
+The shared rank-boundary selector finds each group's exact rank-k
+boundary (value, id) tuple with bounded passes — per-group stats, a
+per-(group, bin) histogram, then a distributed sort of ONLY the
+boundary bins (≈ group_size / BINS rows per partition) — and the
 final bucket/outlier assignment is a broadcast join + map-side
-comparison against those tuples. The previous window forms survive as
-`*_window` exactness anchors the tests replay against the defaults.
+comparison against those tuples. Since r13 the production consumers
+use the COLLECT-FREE `_rank_boundary_bounds` form (rank spec derived
+in-cluster from the stats; the boundary frame broadcast-joins back
+without ever visiting the driver); `_rank_boundary_tuples` is its
+driver-facing twin for arbitrary python rank callables (same
+`_locate_boundaries` core — the property tests drive both). The
+previous window forms survive as `*_window` exactness anchors the
+tests replay against the defaults.
 """
 
 from __future__ import annotations
@@ -72,29 +78,32 @@ def _memo_persist(
     return out
 
 
-def _rank_boundary_tuples(
+def _group_stats(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Pass 1 of the selector: per-group (count, min, max) — one hash
+    aggregate, #groups rows."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(val).cast("double").alias("_lo"),
+        F.max(val).cast("double").alias("_hi"),
+    )
+
+
+def _locate_boundaries(
     df: DataFrame,
     key: str,
     val: str,
     ident: str,
-    ranks_for_n,
-    bins: int = RANK_BINS,
-) -> dict:
-    """Exact per-group rank selection without a per-group sort: for
-    every ``key`` group and every requested rank r (1-based, under the
-    total order (val ASC, ident ASC)), return the boundary tuple
-    (val, ident) of the rank-r row — the group's row whose (val, ident)
-    exactly r rows are <= to.
+    spec: DataFrame,
+    rank_spec: DataFrame,
+    bins: int,
+) -> DataFrame:
+    """Passes 2+3 of the selector, shared by the collect-free frame
+    form and the driver-facing tuple form: given ``spec`` (key, _lo,
+    _hi) and ``rank_spec`` (key, _which, _r_total with 1 <= _r_total
+    <= n), return the boundary rows (key, _which, val, ident) — for
+    every requested rank, the group's row whose (val, ident) exactly
+    _r_total rows are <= to under (val ASC, ident ASC).
 
-    ``ranks_for_n``: callable n -> {which: rank} with 1 <= rank <= n
-    (emit no entry to skip a group).
-
-    Three bounded passes (the distributed-selection shape, not a
-    quantile sketch — the result is EXACT):
-
-    1. per-group (count, min, max) — one hash aggregate, #groups rows
-       (the ONLY driver-side collect besides the final boundary
-       tuples: O(#groups), never O(#groups * bins));
     2. per-(group, bin) histogram counts over ``bins`` fixed-width
        value bins — one hash aggregate whose exclusive prefix sums are
        computed DISTRIBUTED by a window partitioned per group over its
@@ -110,31 +119,8 @@ def _rank_boundary_tuples(
     Degenerate bound: a group whose values are ALL identical collapses
     to one bin, making pass 3 that group's full sort — a corpus
     pathology (a constant score column), not a scale property."""
-    stats = {
-        r[0]: (r[1], r[2], r[3])
-        for r in df.groupBy(key)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(val).alias("lo"),
-            F.max(val).alias("hi"),
-        )
-        .collect()
-    }
-    wanted = {k: ranks_for_n(n) for k, (n, _lo, _hi) in stats.items()}
-    wanted = {k: rs for k, rs in wanted.items() if rs}
-    if not wanted:
-        return {}
-    spark = df.sparkSession
-    key_t = df.schema[key].dataType.simpleString()
-    spec = spark.createDataFrame(
-        [
-            (k, float(stats[k][1]), float(stats[k][2]))
-            for k in wanted
-        ],
-        f"{key} {key_t}, _lo double, _hi double",
-    )
     # identical bin expression in passes 2 and 3 (same deterministic
-    # FP arithmetic on both sides — the driver never recomputes bins)
+    # FP arithmetic on both sides — nothing ever recomputes bins)
     bin_expr = F.when(
         F.col("_hi") > F.col("_lo"),
         F.least(
@@ -150,14 +136,6 @@ def _rank_boundary_tuples(
     # exclusive prefix counts per group via a window over that group's
     # <= bins histogram rows, then a broadcast join against the rank
     # spec keeps exactly the row whose bin straddles the rank
-    rank_spec = spark.createDataFrame(
-        [
-            (k, which, r)
-            for k, ranks in wanted.items()
-            for which, r in ranks.items()
-        ],
-        f"{key} {key_t}, _which int, _r_total long",
-    )
     w_cum = (
         Window.partitionBy(key)
         .orderBy("_bin")
@@ -185,13 +163,96 @@ def _rank_boundary_tuples(
     w = Window.partitionBy(key, "_which").orderBy(
         F.col(val).asc(), F.col(ident).asc()
     )
-    rows = (
+    return (
         binned.join(F.broadcast(probe_df), [key, "_bin"])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == F.col("_r"))
         .select(key, "_which", val, ident)
-        .collect()
     )
+
+
+def _rank_boundary_bounds(
+    df: DataFrame,
+    key: str,
+    val: str,
+    ident: str,
+    rank_exprs,
+    bins: int = RANK_BINS,
+) -> DataFrame:
+    """Collect-free form of the exact rank-boundary selector (r13,
+    guide §5): the rank spec is DERIVED IN-CLUSTER from the per-group
+    stats by ``rank_exprs`` — a callable receiving the group-count
+    Column ``n`` and returning ``[(which, rank Column), ...]`` — so no
+    row (not even the O(#groups) stats) ever reaches the driver, and
+    the driver pays ONE action instead of two collect round trips plus
+    two createDataFrame uploads. Ranks <= 0 are dropped per group (the
+    tuple form's "emit no entry" contract); ranks must be <= n.
+
+    Returns the small boundary frame (key, _which, val, ident) —
+    consumers aggregate it into per-group cutoff columns and broadcast-
+    join it back. Exactness: identical bin/prefix/rank arithmetic to
+    the driver-facing `_rank_boundary_tuples` twin (shared
+    `_locate_boundaries` core), which the property tests pin."""
+    stats = _group_stats(df, key, val)
+    entries = [
+        F.struct(
+            F.lit(which).cast("int").alias("_which"),
+            rank_col.cast("long").alias("_r_total"),
+        )
+        for which, rank_col in rank_exprs(F.col("_n"))
+    ]
+    rank_spec = (
+        stats.select(key, F.explode(F.array(*entries)).alias("_rk"))
+        .select(key, "_rk._which", "_rk._r_total")
+        .filter(F.col("_r_total") >= 1)
+    )
+    spec = stats.select(key, "_lo", "_hi")
+    return _locate_boundaries(df, key, val, ident, spec, rank_spec, bins)
+
+
+def _rank_boundary_tuples(
+    df: DataFrame,
+    key: str,
+    val: str,
+    ident: str,
+    ranks_for_n,
+    bins: int = RANK_BINS,
+) -> dict:
+    """Driver-facing twin of `_rank_boundary_bounds` for arbitrary
+    python ``ranks_for_n`` callables (n -> {which: rank}, 1 <= rank <=
+    n, emit no entry to skip a group): collects the O(#groups) stats,
+    evaluates the callable on the driver, and returns the boundary
+    tuples as {group: {which: (val, ident)}}. Shares the
+    `_locate_boundaries` core with the production frame form — the
+    exactness property tests drive THIS form and therefore pin both."""
+    stats = {
+        r[0]: (r[1], r[2], r[3])
+        for r in _group_stats(df, key, val).collect()
+    }
+    wanted = {k: ranks_for_n(n) for k, (n, _lo, _hi) in stats.items()}
+    wanted = {k: rs for k, rs in wanted.items() if rs}
+    if not wanted:
+        return {}
+    spark = df.sparkSession
+    key_t = df.schema[key].dataType.simpleString()
+    spec = spark.createDataFrame(
+        [
+            (k, float(stats[k][1]), float(stats[k][2]))
+            for k in wanted
+        ],
+        f"{key} {key_t}, _lo double, _hi double",
+    )
+    rank_spec = spark.createDataFrame(
+        [
+            (k, which, r)
+            for k, ranks in wanted.items()
+            for which, r in ranks.items()
+        ],
+        f"{key} {key_t}, _which int, _r_total long",
+    )
+    rows = _locate_boundaries(
+        df, key, val, ident, spec, rank_spec, bins
+    ).collect()
     out: dict = {}
     for r in rows:
         out.setdefault(r[0], {})[r[1]] = (r[2], r[3])
@@ -231,8 +292,8 @@ def emb_outliers(
     the label centroids are a FIXED small set, so cluster partitions
     grow with the corpus. Instead the exact rank-floor(n*frac) boundary
     (cosine, vec_id) tuple per cluster comes from the bounded
-    `_rank_boundary_tuples` selector, and the flag is a broadcast join
-    + map-side tuple comparison. Deterministic end-to-end: cosines are
+    collect-free `_rank_boundary_bounds` selector, and the flag is a
+    broadcast join + map-side tuple comparison. Deterministic end-to-end: cosines are
     the fold-exact 6-rounded values, ties rank by vec_id.
 
     EXACTLY oracled: the oracle replays the identical fold-exact
@@ -247,22 +308,24 @@ def emb_outliers(
         ),
     )
 
-    def ranks(n: int) -> dict:
-        c = int(n * prune_frac)
-        return {1: c} if c >= 1 else {}
-
-    bounds = _rank_boundary_tuples(
-        asg, "assigned_label", "cosine", "vec_id", ranks
+    # rank floor(n * frac) per cluster, skipped when < 1 — the same
+    # truncation python int(n * frac) applies (n >= 0), now computed
+    # in-cluster by the collect-free selector (r13, guide §5)
+    boundary = _rank_boundary_bounds(
+        asg, "assigned_label", "cosine", "vec_id",
+        lambda n: [(1, F.floor(n * F.lit(float(prune_frac))))],
     )
-    rows = [
-        (k, float(b[1][0]), int(b[1][1]))
-        for k, b in bounds.items()
-        if 1 in b
-    ]
-    if not rows:
-        return asg.withColumn("is_outlier", F.lit(False))
-    bdf = spark.createDataFrame(
-        rows, "assigned_label int, _bx double, _bd long"
+    bdf = (
+        boundary.groupBy("assigned_label")
+        .agg(
+            F.max(F.when(F.col("_which") == 1, F.col("cosine"))).alias(
+                "_bx"
+            ),
+            F.max(F.when(F.col("_which") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("_bd"),
+        )
+        .localCheckpoint(eager=True)
     )
     return (
         asg.join(F.broadcast(bdf), "assigned_label", "left")
@@ -344,8 +407,8 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     most of 100 TB through one task. Instead the two per-language
     cutoffs (the ntile bucket-1 and bucket-2 boundary (xent, doc_id)
     tuples under the total order (xent_nats ASC, doc_id ASC)) come from
-    the bounded `_rank_boundary_tuples` selector, then ONE broadcast
-    join assigns buckets map-side. Tie semantics are EXACTLY ntile's:
+    the bounded collect-free `_rank_boundary_bounds` selector, then ONE
+    broadcast join assigns buckets map-side. Tie semantics are EXACTLY ntile's:
     the boundary tuple comparison reproduces the rank cut the (xent,
     doc_id) total order defines, so the `docs_ccnet_buckets_window`
     anchor (and the SQL oracle's NTILE) agree row-for-row.
@@ -353,17 +416,34 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY oracled: ntile over an unambiguous total order
     (xent_nats, doc_id) is engine-independent."""
     t = _ccnet_frame(spark, sf_dir)
-    bounds = _rank_boundary_tuples(
-        t, "lang", "xent_nats", "doc_id", _ntile3_cutoff_ranks
+    # ntile(3) boundary ranks from the group count, in-cluster (the
+    # exact integer arithmetic of `_ntile3_cutoff_ranks`: buckets
+    # 1..(n % 3) take one extra row — Spark's and DuckDB's shared
+    # NTILE contract)
+    boundary = _rank_boundary_bounds(
+        t, "lang", "xent_nats", "doc_id",
+        lambda n: [
+            (1, F.floor(n / 3) + (n % 3 >= 1).cast("long")),
+            (
+                2,
+                2 * F.floor(n / 3)
+                + (n % 3 >= 1).cast("long")
+                + (n % 3 >= 2).cast("long"),
+            ),
+        ],
     )
-    rows = []
-    for lang, b in bounds.items():
-        x1, d1 = b[1]
-        x2, d2 = b[2]
-        rows.append((lang, float(x1), int(d1), float(x2), int(d2)))
-    bdf = spark.createDataFrame(
-        rows,
-        "lang string, _x1 double, _d1 long, _x2 double, _d2 long",
+    pick = lambda w, c: F.max(  # noqa: E731
+        F.when(F.col("_which") == w, F.col(c))
+    )
+    bdf = (
+        boundary.groupBy("lang")
+        .agg(
+            pick(1, "xent_nats").alias("_x1"),
+            pick(1, "doc_id").cast("long").alias("_d1"),
+            pick(2, "xent_nats").alias("_x2"),
+            pick(2, "doc_id").cast("long").alias("_d2"),
+        )
+        .localCheckpoint(eager=True)
     )
     lower = (
         lambda xc, dc: (F.col("xent_nats") < F.col(xc))

@@ -235,3 +235,91 @@ def test_rank_boundary_driver_volume_is_o_groups(spark, monkeypatch):
     assert sum(collected) == n_groups + n_groups * n_ranks, collected
     assert sum(collected) < n_rows
     assert sum(collected) < n_groups * bins
+
+
+def test_rank_boundary_bounds_matches_tuple_twin(spark):
+    """The r13 collect-free frame form returns EXACTLY the boundary
+    rows of the driver-facing tuple twin — same 40-group lattice
+    fixture as the many-groups test, ranks derived in-cluster by the
+    ntile3 SQL arithmetic vs `_ntile3_cutoff_ranks` on the driver, and
+    by the outlier floor(n*frac) expression vs python int(n*frac)."""
+    import random
+
+    from flinkrunner_spark.llm.pruning import (
+        _ntile3_cutoff_ranks,
+        _rank_boundary_bounds,
+        _rank_boundary_tuples,
+    )
+
+    rng = random.Random(12)
+    rows = []
+    for g in range(40):
+        n = 1 + (g * 7) % 60  # includes tiny groups (n=1, n<5)
+        for i in range(n):
+            rows.append((g, float(rng.randint(0, 19)) / 4.0, i))
+    df = spark.createDataFrame(rows, "g int, v double, i long").repartition(8)
+
+    # ntile3 spec: SQL rank exprs == python helper
+    frame = _rank_boundary_bounds(
+        df, "g", "v", "i",
+        lambda n: [
+            (1, F.floor(n / 3) + (n % 3 >= 1).cast("long")),
+            (
+                2,
+                2 * F.floor(n / 3)
+                + (n % 3 >= 1).cast("long")
+                + (n % 3 >= 2).cast("long"),
+            ),
+        ],
+        bins=8,
+    )
+    got = {}
+    for r in frame.collect():
+        got.setdefault(r[0], {})[r[1]] = (r[2], r[3])
+    want = _rank_boundary_tuples(
+        df, "g", "v", "i", _ntile3_cutoff_ranks, bins=8
+    )
+    assert got == want
+
+    # outlier spec: floor(n * 0.2) in SQL == int(n * 0.2) on the driver
+    frame = _rank_boundary_bounds(
+        df, "g", "v", "i",
+        lambda n: [(1, F.floor(n * F.lit(0.2)))], bins=8
+    )
+    got = {}
+    for r in frame.collect():
+        got.setdefault(r[0], {})[r[1]] = (r[2], r[3])
+    want = _rank_boundary_tuples(
+        df, "g", "v", "i",
+        lambda n: ({1: int(n * 0.2)} if int(n * 0.2) >= 1 else {}),
+        bins=8,
+    )
+    assert got == want
+
+
+def test_production_selectors_ship_zero_rows_to_driver(spark, monkeypatch):
+    """r13 guide-§5 pin: the PRODUCTION consumers (docs_ccnet_buckets,
+    emb_outliers) never collect() — the rank spec derives in-cluster
+    and the boundary frame broadcast-joins back, so the driver ships
+    zero data rows even while the frames materialize."""
+    from flinkrunner_spark.llm import pruning
+
+    pruning.release_caches()
+    dataframe_cls = None
+    collected = []
+
+    df_probe = spark.range(1)
+    dataframe_cls = type(df_probe)
+    real_collect = dataframe_cls.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(dataframe_cls, "collect", counting_collect)
+    assert docs_ccnet_buckets(spark, SF).count() > 0
+    assert emb_outliers(spark, SF).count() > 0
+    assert collected == [], collected
+    monkeypatch.undo()
+    pruning.release_caches()

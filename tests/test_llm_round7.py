@@ -203,10 +203,11 @@ def test_docs_lm_score_preaggregated_join_stream(spark):
     payload shrinks by the per-doc repetition factor instead of carrying
     one row per position (r7 verdict item 5). The executed plan must
     show that payload — either the triple-keyed aggregate inline, or
-    (since the r13 materialize-once change) the checkpointed triple
-    frame scanned as a 4-column (doc_id, w1, bigram, cnt) ExistingRDD —
-    and the corpus must actually have repetition for it to remove
-    (otherwise the pin is vacuous)."""
+    (since the r13 materialize-once change) the materialized triple
+    frame scanned back as 4 columns (doc_id, w1, bigram, cnt): an
+    ExistingRDD scan (checkpoint form) or an InMemoryTableScan (the
+    memoized-persist form) — and the corpus must actually have
+    repetition for it to remove (otherwise the pin is vacuous)."""
     import re
 
     plan = _plan(spark, lm.docs_lm_score)
@@ -215,6 +216,9 @@ def test_docs_lm_score_preaggregated_join_stream(spark):
         plan,
     ) or re.search(
         r"Scan ExistingRDD\[doc_id#\d+L?, ?w1#\d+, ?bigram#\d+, ?cnt#\d+",
+        plan,
+    ) or re.search(
+        r"InMemoryTableScan \[doc_id#\d+L?, ?w1#\d+, ?bigram#\d+, ?cnt#\d+",
         plan,
     ), plan
     out = lm.docs_lm_score(spark, SF).toPandas()
