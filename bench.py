@@ -77,10 +77,13 @@ def main() -> None:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
     queries = entrymod.queries()
+    from flinkrunner_spark.llm import collocations as llm_collocations
     from flinkrunner_spark.llm import dedup as llm_dedup
+    from flinkrunner_spark.llm import dsir as llm_dsir
     from flinkrunner_spark.llm import lm as llm_lm
     from flinkrunner_spark.llm import pruning as llm_pruning
     from flinkrunner_spark.llm import similarity as llm_similarity
+    from flinkrunner_spark.llm import sketches as llm_sketches
 
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -203,6 +206,9 @@ def main() -> None:
         llm_similarity.release_caches()
         llm_pruning.release_caches()
         llm_lm.release_caches()
+        llm_sketches.release_caches()
+        llm_collocations.release_caches()
+        llm_dsir.release_caches()
         warm = run_pass()
         out["queries_warm"] = warm
         out["value_warm"] = round(sum(warm.values()), 3)

@@ -33,15 +33,35 @@ from flinkrunner_spark.llm.text import tokens_col
 PMI_TOP_K = 50
 PMI_MIN_COUNT = 5
 
+# memoized per-(applicationId, sf_dir) persisted (w1, w2, c12) frame
+# (r13 change 11, the llm/lm.py discipline): the lazy localCheckpoint
+# this replaces paid full physical planning inside the CONSTRUCTOR
+# (~0.5-1.5s driver latency per call). The frame is independent of the
+# k/min_count knobs, so every parameterization shares it. bench.py
+# releases between passes so warm numbers measure executed plans.
+_C12_CACHE: dict[tuple, DataFrame] = {}
 
-def docs_pmi_bigrams(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = PMI_TOP_K,
-    min_count: int = PMI_MIN_COUNT,
-) -> DataFrame:
-    """Top-``k`` bigram collocations by PMI (count floor ``min_count``):
-    (w1, w2, pair_count, pmi, rk) — pmi rounded 6, ties on (w1, w2)."""
+
+def release_caches(sf_dir: str | None = None) -> None:
+    """Unpersist + forget memoized pair-count frames (``sf_dir=None`` =
+    all)."""
+    for key in [k for k in _C12_CACHE if sf_dir is None or k[1] == sf_dir]:
+        df = _C12_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # context already stopped — nothing to free
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (w1, w2, c12) pair-count frame, persisted once per
+    (applicationId, sf_dir) — text-free and O(distinct bigrams), the
+    same spill-clean persist trade docs_lm_score documents."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _C12_CACHE if k[0] != key[0]]:
+        del _C12_CACHE[stale]
+    if key in _C12_CACHE:
+        return _C12_CACHE[key]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = (
         docs.select(tokens_col().alias("t"))
@@ -56,17 +76,30 @@ def docs_pmi_bigrams(
         ),
     )
     pos = base.select(F.explode(pair).alias("p")).select("p.w1", "p.w2")
+    c12 = (
+        pos.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist()
+    )
+    _C12_CACHE[key] = c12
+    return c12
+
+
+def docs_pmi_bigrams(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = PMI_TOP_K,
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by PMI (count floor ``min_count``):
+    (w1, w2, pair_count, pmi, rk) — pmi rounded 6, ties on (w1, w2)."""
     # ONE tokenize+pair-explode+count for all four consumers (r13, guide
     # §2.4): c12 feeds the floor-filtered rank branch, both marginals
     # and the N aggregate, each projecting different columns — exchange
     # reuse never fires and the position pipeline ran 4x per query.
-    # The (w1, w2, c12) frame is text-free and O(distinct bigrams),
-    # the same spill-clean persist trade docs_lm_score documents.
-    c12 = (
-        pos.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
-    )
+    # memo-persist rather than per-call localCheckpoint (r13 change 11):
+    # the lazy checkpoint paid full physical planning at construction.
+    c12 = _pair_counts(spark, sf_dir)
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n_total = c12.agg(F.sum("c12").alias("n_pos"))

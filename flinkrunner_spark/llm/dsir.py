@@ -53,6 +53,26 @@ DSIR_GUMBEL_SALT = ":dsir:g1"
 DSIR_K = 64
 DSIR_TARGET_LANG = "en"
 
+# memoized per-(applicationId, sf_dir) persisted hashed-feature frame
+# (r13 change 11, the llm/lm.py discipline): the lazy localCheckpoint
+# this replaces paid full physical planning inside the CONSTRUCTOR
+# (~0.5-1.5s driver latency per call). bench.py releases between
+# passes so warm numbers measure executed plans, not cache hits.
+_BUCKETED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def release_caches(sf_dir: str | None = None) -> None:
+    """Unpersist + forget memoized feature frames (``sf_dir=None`` =
+    all)."""
+    for key in [
+        k for k in _BUCKETED_CACHE if sf_dir is None or k[1] == sf_dir
+    ]:
+        df = _BUCKETED_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # context already stopped — nothing to free
+
 
 def _hex8_long(col):
     """First 8 hex chars of an md5 → non-negative BIGINT (the repo-wide
@@ -68,9 +88,15 @@ def _micro6(col):
     return F.round(F.round(col, 6) * F.lit(1000000.0), 0).cast("long")
 
 
-def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gumbel-top-64 DSIR sample of `documents` toward the lang='en'
-    target: (doc_id, lang, source, logw_nats, key_nats)."""
+def _bucketed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed (doc_id, lang, bucket) feature-instance frame,
+    persisted once per (applicationId, sf_dir) — text-free, same
+    spill-clean trade as ``_sig_shingles`` at scale."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _BUCKETED_CACHE if k[0] != key[0]]:
+        del _BUCKETED_CACHE[stale]
+    if key in _BUCKETED_CACHE:
+        return _BUCKETED_CACHE[key]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = (
         docs.select("doc_id", "lang", tokens_col().alias("t"))
@@ -101,10 +127,19 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the hashed feature instances ONCE (r13, guide §2.4):
     # the bucket-model aggregate and the per-doc scoring join otherwise
     # each re-run the explode + md5 pipeline (no exchange reuse — the
-    # scoring branch joins broadcast llr before any exchange). Text-free
-    # (doc_id, lang, bucket) rows; same spill-clean trade as
-    # _sig_shingles at scale.
-    bucketed = bucketed.localCheckpoint(eager=False)
+    # scoring branch joins broadcast llr before any exchange).
+    # memo-persist rather than per-call localCheckpoint (r13 change 11):
+    # the lazy checkpoint paid full physical planning at construction.
+    bucketed = bucketed.persist()
+    _BUCKETED_CACHE[key] = bucketed
+    return bucketed
+
+
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-64 DSIR sample of `documents` toward the lang='en'
+    target: (doc_id, lang, source, logw_nats, key_nats)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucketed = _bucketed_features(spark, sf_dir)
     # Both models from one bucket-keyed pass: raw = COUNT(*),
     # target = count of instances from target-language documents.
     cnt = bucketed.groupBy("bucket").agg(

@@ -45,6 +45,48 @@ CMS_DEPTH = 4  # hash rows (error probability ~ e^-D)
 CMS_WIDTH = 1024  # buckets per row (overcount ~ N·e/W)
 HH_TOP_K = 50
 
+# memoized per-(applicationId, sf_dir) persisted token stream + the
+# per-call persisted sketch frames (r13 change 11, the llm/lm.py
+# discipline): the lazy localCheckpoint this replaces paid full
+# physical planning inside the CONSTRUCTOR (~0.5-1.5s driver latency
+# per operator call), and the exact-count twin of docs_heavy_hitters
+# and the probe path of stream_heavy_hitters each re-built the same
+# exploded token stream per pass. bench.py releases between passes so
+# warm numbers measure executed plans, not cache hits.
+_TOKS_CACHE: dict[tuple, DataFrame] = {}
+_SKETCH_PINS: list[DataFrame] = []
+
+
+def release_caches(sf_dir: str | None = None) -> None:
+    """Unpersist + forget memoized token streams and the per-call
+    persisted sketch frames (``sf_dir=None`` = all)."""
+    for key in [k for k in _TOKS_CACHE if sf_dir is None or k[1] == sf_dir]:
+        df = _TOKS_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # context already stopped — nothing to free
+    while _SKETCH_PINS:
+        df = _SKETCH_PINS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _token_stream_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded single-column token stream, persisted once per
+    (applicationId, sf_dir) — text-free and spill-clean, the same
+    persist trade ``_sig_shingles`` documents at 100 TB (recomputing
+    the tokenize+explode pass twice costs more than spilling the
+    token column once)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _TOKS_CACHE if k[0] != key[0]]:
+        del _TOKS_CACHE[stale]
+    if key not in _TOKS_CACHE:
+        _TOKS_CACHE[key] = _token_stream(spark, sf_dir).persist()
+    return _TOKS_CACHE[key]
+
 
 def cms_bucket(tok: Column, row: int, width: int = CMS_WIDTH) -> Column:
     """Deterministic bucket of ``tok`` in hash row ``row``: the first 8
@@ -103,10 +145,12 @@ def docs_heavy_hitters(
     # ONE tokenize+explode for both aggregations (r13, guide §2.4): the
     # sketch build and the exact-count twin otherwise each re-ran the
     # token pipeline (and the per-depth-row sketch broadcasts re-ran it
-    # again — 5 scans of documents in the before-plan, 1 after). The
-    # exploded single-column token frame is text-free and spills
-    # cleanly at scale, same trade as _sig_shingles.
-    toks = _token_stream(spark, sf_dir).localCheckpoint(eager=False)
+    # again — 5 scans of documents in the before-plan, 1 after).
+    # memo-persist rather than per-call localCheckpoint (r13 change 11):
+    # the lazy checkpoint paid full physical planning inside the
+    # constructor, and stream_heavy_hitters' probe re-built the same
+    # stream — one persisted frame now serves both keys per session.
+    toks = _token_stream_cached(spark, sf_dir)
     sketch = cms_table(toks, depth, width)
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     return rank_heavy_hitters(
@@ -132,7 +176,7 @@ def rank_heavy_hitters(
     probe — tokens the sketch never saw estimate 0 (left join +
     coalesce), they are not dropped."""
     if candidates is None:
-        toks = _token_stream(spark, sf_dir)
+        toks = _token_stream_cached(spark, sf_dir)
         exact = toks.groupBy("tok").agg(
             F.count(F.lit(1)).alias("exact_count")
         )
@@ -141,8 +185,12 @@ def rank_heavy_hitters(
     # materialize the D×W frame once — each of the ``depth`` broadcast
     # probes below otherwise re-executes the whole sketch-build subtree
     # (it is ≤ depth×width rows by construction, so this is always
-    # cheap, for the batch build and the streaming-state build alike)
-    sketch = sketch.localCheckpoint(eager=False)
+    # cheap, for the batch build and the streaming-state build alike).
+    # persist over localCheckpoint (r13 change 11): the lazy checkpoint
+    # paid full physical planning at construction; the pin registry
+    # frees the ≤4096-row cache on release_caches.
+    sketch = sketch.persist()
+    _SKETCH_PINS.append(sketch)
     est = None
     probed = exact
     for r in range(depth):
