@@ -181,6 +181,16 @@ def main() -> None:
         for i in range(10_000_000):
             acc += i
         stamp["cal_s"] = round(time.perf_counter() - t0, 3)
+        # cumulative hypervisor STEAL jiffies (/proc/stat field 8): the
+        # cal loop only sees slowdowns while IT runs; the steal delta
+        # between two stamps quantifies how much CPU the hypervisor took
+        # from the whole pass (r13: warm-pass spikes on python-worker
+        # keys tracked steal bursts, not plan changes).
+        try:
+            with open("/proc/stat") as f:
+                stamp["steal_jiffies"] = int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            pass
         return stamp
 
     host_start = _host_stamp()
