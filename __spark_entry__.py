@@ -39,39 +39,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries
-    # (insertion order) of this dict each round. Round-13 rotation
-    # (a consolidation round — the §2 surface is complete):
+    # (insertion order) of this dict each round. Round-13 became the
+    # first OPTIMIZATION round, so the cap covers, in priority order:
     # * Position 1: stream_kafka_ts_offsets_roundtrip — the ONLY key
     #   without a driver row (tail-registered r12, judge-mirrored
-    #   exact); its green row closes the last verification debt.
-    # * docs_pipeline + the llm/text.py family: r13 wires the
-    #   PRODUCTION char-trigram NB langid into the flagship curation
-    #   pipeline (llm/pipeline.py now screens on langid_ngram_cols,
-    #   oracle moved to the NB profile VALUES table) and grows the NB
-    #   model to ~1.1KB seed corpora per language with a 60-sentence
-    #   >=95%-accuracy held-out pin (scores 100%); docs_langid stays
-    #   the reference-parity stopword heuristic. docs_split rides the
-    #   pipeline.py file-level rule.
-    # * Kafka family + stream_curation_to_iceberg: r13 closed the four
-    #   r12 advisor items on sources/factory.py +
-    #   sources/kafka_datasource.py (stream-reader timestamp
-    #   mutual-exclusion, displaced-explicit-keyword refusal on both
-    #   transports) and config.py (job_name 'app'-fallback warning) —
+    #   exact); its green row closes the last verification debt. It
+    #   also rides plans/connectors.py (r13-opt checkpoint placement).
+    # * EVERY file the r13 optimization changed maps to in-cap keys —
+    #   the optimization claims hash-exactness, so the driver verifies
+    #   exactly the keys whose internals moved:
+    #   - llm/text.py + llm/pipeline.py + llm/filters.py (NB langid
+    #     production wiring + single-pass token stats): docs_pipeline,
+    #     docs_langid_ngram, docs_langid, docs_quality, docs_tokens,
+    #     docs_fingerprint, docs_split, docs_gopher_rules,
+    #     docs_badwords;
+    #   - llm/similarity.py + operators/graph.py (Arrow verify, JVM
+    #     norms, earlier pointer-doubling, memo-persist): emb_dup_pairs,
+    #     emb_dup_pairs_rhlsh, emb_dup_clusters, stream_emb_dup_pairs,
+    #     rhlsh_bucket_stats, rhlsh_recall_stats, ann_recall_stats,
+    #     docs_dup_clusters, docs_dedup_report, plus the rows-only
+    #     kmeans family (emb_knn_ivf_kmeans, emb_semantic_dedup_kmeans,
+    #     emb_knn_join, emb_knn_pq — r11 item 5b, twice deferred; the
+    #     driver's no_oracle check pins rows+schema);
+    #   - llm/pruning.py + llm/lm.py (collect-free selector, memoized
+    #     LM): emb_outliers, docs_ccnet_buckets, docs_lm_score;
+    #   - llm/sketches.py / llm/collocations.py / llm/dsir.py
+    #     (memo-persisted shared frames): docs_heavy_hitters,
+    #     stream_heavy_hitters, docs_pmi_bigrams, docs_dsir_sample;
+    #   - streaming/pipelines.py + streaming/curation_pipeline.py
+    #     (RAM-backed ephemeral checkpoints, pinned state partitions,
+    #     RAM-staged update batches): stream_curation_to_iceberg and a
+    #     spread across every state shape — stream_agg_basic (windowless
+    #     agg), stream_agg_basic_update (update mode), stream_win_
+    #     tumbling/session/ema (windows), stream_dedup_first
+    #     (dropDuplicates state), stream_dedup_sbf_check,
+    #     stream_interval_join + stream_asof_join (stream-stream join
+    #     state), stream_filter_by_control; the sliding/append twins and
+    #     hll/topk mirrors share those exact code paths and keep their
+    #     green r11/r12 rows.
+    # * Kafka family: r13-build closed the four r12 advisor items on
+    #   sources/factory.py + sources/kafka_datasource.py + config.py —
     #   every key on the kafka wire path re-verifies.
-    # * The rows-only kmeans family (emb_knn_ivf_kmeans,
-    #   emb_semantic_dedup_kmeans, emb_knn_join, emb_knn_pq — r11
-    #   item 5b, twice deferred): the driver's no_oracle check pins
-    #   rows+schema; their exact companions stay green in the union.
-    # * Remaining slots: the keys with the OLDEST driver rows — the r3
-    #   block (agg_*, win_*, dedup_*, pivot/rollup/cube, asof_join,
-    #   filter_by_control, connected_union, topk, salted join,
-    #   q22_opportunity) and the pre-r6 analytics forms q2-q5, plus
-    #   hll_users/distinct_users.
-    # Rotated OUT (all with green r11/r12 rows and zero changed lines
-    # since): the r12 cap's loopback connector keys
-    # (rabbitmq/cassandra/kinesis/efo/es/firehose/hive/jdbc/iceberg
-    # catalogs — their files are untouched this round), enrichment,
-    # pruning, and the q6-q20 analytics re-verified in r12.
+    # Rotated OUT (all with green driver rows and zero changed lines in
+    # their files since): the r3 batch block (agg_*/win_*/dedup_*/
+    # pivot/rollup/cube/asof/filter/connected/topk/salted/q22 —
+    # plans/events.py and plans/analytics.py are untouched this round),
+    # q2-q5, hll_users/distinct_users, and the r12 cap's loopback
+    # connector keys (rabbitmq/cassandra/kinesis/efo/es/firehose/hive/
+    # jdbc/iceberg catalogs — files untouched).
     return {
         "stream_kafka_ts_offsets_roundtrip": (
             connectors.stream_kafka_ts_offsets_roundtrip
@@ -83,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tokens": llm_text.docs_tokens,
         "docs_fingerprint": llm_text.docs_fingerprint,
         "docs_split": pipeline.docs_split,
+        "docs_gopher_rules": llm_filters.docs_gopher_rules,
+        "docs_badwords": llm_filters.docs_badwords,
         "kafka_ts_offsets_roundtrip": connectors.kafka_ts_offsets_roundtrip,
         "kafka_roundtrip": connectors.kafka_roundtrip,
         "stream_kafka_roundtrip": connectors.stream_kafka_roundtrip,
@@ -97,6 +114,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup_kmeans": similarity.emb_semantic_dedup_kmeans,
         "emb_knn_join": similarity.emb_knn_join,
         "emb_knn_pq": pq.emb_knn_pq,
+        "emb_dup_pairs": similarity.emb_dup_pairs,
+        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
+        "emb_dup_clusters": similarity.emb_dup_clusters,
+        "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
+        "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
+        "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
+        "ann_recall_stats": similarity.ann_recall_stats,
+        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
+        "docs_dedup_report": llm_dedup.docs_dedup_report,
+        "emb_outliers": llm_pruning.emb_outliers,
+        "docs_ccnet_buckets": llm_pruning.docs_ccnet_buckets,
+        "docs_lm_score": lm.docs_lm_score,
+        "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
+        "stream_heavy_hitters": docstreams.stream_heavy_hitters,
+        "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
+        "docs_dsir_sample": dsir.docs_dsir_sample,
+        "stream_agg_basic": events.stream_agg_basic,
+        "stream_agg_basic_update": events.stream_agg_basic_update,
+        "stream_win_tumbling": events.stream_win_tumbling,
+        "stream_win_session": events.stream_win_session,
+        "stream_win_ema": events.stream_win_ema,
+        "stream_dedup_first": events.stream_dedup_first,
+        "stream_dedup_sbf_check": events.stream_dedup_sbf_check,
+        "stream_interval_join": events.stream_interval_join,
+        "stream_asof_join": events.stream_asof_join,
+        "stream_filter_by_control": events.stream_filter_by_control,
+        # ---- end of the 50-key cap ----
         "agg_ema": events.agg_ema,
         "agg_emvar": events.agg_emvar,
         "agg_percentage": events.agg_percentage,
@@ -112,7 +156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first": events.dedup_first_q,
         "dedup_sbf": events.dedup_sbf_q,
         "dedup_sbf_check": events.dedup_sbf_check,
-        "stream_dedup_first": events.stream_dedup_first,
         "asof_join": events.asof_join_q,
         "filter_by_control": events.filter_by_control_q,
         "connected_union": events.connected_union,
@@ -142,8 +185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip": connectors.jdbc_roundtrip,
         "enrich_events": events.enrich_events,
         "stream_enrich": events.stream_enrich,
-        "emb_outliers": llm_pruning.emb_outliers,
-        "docs_ccnet_buckets": llm_pruning.docs_ccnet_buckets,
         "q10_returned": analytics.q10_returned,
         "q11_important": analytics.q11_important,
         "q12_modes": analytics.q12_modes,
@@ -164,45 +205,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "iceberg_wap_roundtrip": connectors.iceberg_wap_roundtrip,
         "iceberg_add_files_roundtrip": connectors.iceberg_add_files_roundtrip,
-        "docs_dedup_report": llm_dedup.docs_dedup_report,
         "avro_roundtrip": connectors.avro_roundtrip,
-        "docs_heavy_hitters": llm_sketches.docs_heavy_hitters,
         "agg_quantiles": events.agg_quantiles,
-        "docs_lm_score": lm.docs_lm_score,
-        "docs_dup_clusters": llm_dedup.docs_dup_clusters,
         "q1_pricing": analytics.q1_pricing,
         "q9_profit": analytics.q9_profit,
         "q21_waiting": analytics.q21_waiting,
-        "stream_agg_basic": events.stream_agg_basic,
         "docs_dedup_exact": llm_dedup.docs_dedup_exact,
         "docs_minhash_lsh": llm_dedup.docs_minhash_lsh,
         "docs_stratified_sample": sampling.docs_stratified_sample,
-        "docs_pmi_bigrams": collocations.docs_pmi_bigrams,
         "docs_weighted_sample": sampling.docs_weighted_sample,
         "docs_pack_sequences": sampling.docs_pack_sequences,
         "docs_shuffle_shards": sampling.docs_shuffle_shards,
         "docs_mixture_weights": sampling.docs_mixture_weights,
         "docs_chunk": chunking.docs_chunk,
         "docs_chunk_dedup": chunking.docs_chunk_dedup,
-        "docs_dsir_sample": dsir.docs_dsir_sample,
         "emb_knn_join_label": similarity.emb_knn_join_label,
-        "emb_dup_pairs": similarity.emb_dup_pairs,
         "emb_knn": similarity.emb_knn,
-        "emb_dup_pairs_rhlsh": similarity.emb_dup_pairs_rhlsh,
         "docs_cluster_assign": similarity.docs_cluster_assign,
         "emb_knn_ivf": similarity.emb_knn_ivf,
-        "rhlsh_bucket_stats": similarity.rhlsh_bucket_stats,
-        "rhlsh_recall_stats": similarity.rhlsh_recall_stats,
-        "emb_dup_clusters": similarity.emb_dup_clusters,
         "emb_dup_pairs_blas": similarity.emb_dup_pairs_blas,
         "emb_semantic_dedup": similarity.emb_semantic_dedup,
         "emb_decontaminate": similarity.emb_decontaminate,
-        "ann_recall_stats": similarity.ann_recall_stats,
         "emb_knn_sq8": pq.emb_knn_sq8,
         "docs_dup_spans": llm_spans.docs_dup_spans,
         "docs_remove_dup_spans": llm_spans.docs_remove_dup_spans,
-        "stream_emb_dup_pairs": docstreams.stream_emb_dup_pairs,
-        "stream_heavy_hitters": docstreams.stream_heavy_hitters,
         "stream_topk_ngrams": docstreams.stream_topk_ngrams,
         "iceberg_spec_evolution_roundtrip": (
             connectors.iceberg_spec_evolution_roundtrip
@@ -217,25 +243,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_roundtrip": connectors.iceberg_delete_roundtrip,
         "iceberg_transform_roundtrip": connectors.iceberg_transform_roundtrip,
         "iceberg_transform_pruned": connectors.iceberg_transform_pruned,
-        "stream_agg_basic_update": events.stream_agg_basic_update,
-        "stream_dedup_sbf_check": events.stream_dedup_sbf_check,
         "stream_dedup_sbf": events.stream_dedup_sbf,
-        "stream_win_tumbling": events.stream_win_tumbling,
-        "stream_win_session": events.stream_win_session,
         "stream_win_sliding": events.stream_win_sliding,
-        "stream_win_ema": events.stream_win_ema,
         "stream_hll_users": events.stream_hll_users,
-        "stream_interval_join": events.stream_interval_join,
-        "stream_filter_by_control": events.stream_filter_by_control,
-        "stream_asof_join": events.stream_asof_join,
         "stream_win_tumbling_append": events.stream_win_tumbling_append,
         "stream_win_sliding_append": events.stream_win_sliding_append,
         "stream_win_session_append": events.stream_win_session_append,
         "docs_bpe_encode": llm_bpe.docs_bpe_encode,
         "docs_topk_ngrams": llm_vocab.docs_topk_ngrams,
         "docs_tfidf": llm_vocab.docs_tfidf,
-        "docs_gopher_rules": llm_filters.docs_gopher_rules,
-        "docs_badwords": llm_filters.docs_badwords,
         "mm_features": mm_transforms.mm_features,
         "mm_resize": mm_transforms.mm_resize,
         "docs_decontaminate": curation.docs_decontaminate,
