@@ -189,6 +189,9 @@ def main() -> None:
         try:
             with open("/proc/stat") as f:
                 stamp["steal_jiffies"] = int(f.readline().split()[8])
+            # record the jiffy unit alongside the counter (r13 advisor):
+            # cross-host/kernel comparisons need USER_HZ to derive cpu-s
+            stamp["clk_tck"] = os.sysconf("SC_CLK_TCK")
         except (OSError, IndexError, ValueError):
             pass
         return stamp

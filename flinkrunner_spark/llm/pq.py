@@ -204,26 +204,43 @@ def emb_knn_pq(
     )  # (m, kc)
 
     def gen_score(it):
-        import pandas as pd
+        # mapInArrow (guide §4.2, r14): the embedding matrix reshapes out
+        # of the list column's flat values buffer — zero per-row Python
+        # over the full-corpus compressed scan; the input is projected to
+        # the two columns the function reads (guide §4.1), so the scan
+        # prunes the rest instead of shipping every column through the
+        # Python boundary.
+        import pyarrow as pa
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
             E = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+                cols["embedding"].flatten(), dtype=np.float64
+            ).reshape(n, -1)
             E = E / np.linalg.norm(E, axis=1, keepdims=True)
-            score = np.zeros(len(E))
+            score = np.zeros(n)
             for j in range(m):
                 Ej = E[:, j * sub : (j + 1) * sub]
                 d = (C[j] * C[j]).sum(axis=1)[None, :] - 2.0 * (Ej @ C[j].T)
                 codes = d.argmin(axis=1)  # first (lowest code) on ties
                 score += adc[j, codes]
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "adc_score": np.round(score, 6)}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["vec_id"],
+                    pa.array(np.round(score, 6), type=pa.float64()),
+                ],
+                ["vec_id", "adc_score"],
             )
 
-    scored = emb.mapInPandas(gen_score, schema="vec_id long, adc_score double")
+    scored = emb.select("vec_id", "embedding").mapInArrow(
+        gen_score, schema="vec_id long, adc_score double"
+    )
     cand = (
         scored.filter(F.col("vec_id") != query_id)
         .orderBy(F.col("adc_score").desc(), "vec_id")

@@ -351,9 +351,17 @@ def _evict_stale(spark: SparkSession) -> None:
 
 
 def rh_codes_mapper(bands: int, bits: int):
-    """The Arrow-batched sign-code generator for ``mapInPandas`` over a
+    """The sign-code generator for ``mapInArrow`` over a
     (vec_id, embedding) frame — shared by the batch path (`_rh_codes`)
     and the streaming twin (`plans/docstreams.stream_emb_dup_pairs`).
+
+    mapInArrow (guide §4.2, r14 — same rewrite as `gen_cosine`): the
+    embedding list column is ONE contiguous values buffer + offsets per
+    batch, so the (n, dim) matrix reshapes out of the flat buffer with
+    zero per-row Python, where the previous mapInPandas form paid a
+    per-row ndarray conversion for every corpus row (this mapper runs
+    over the FULL embedding table — the widest Python boundary in the
+    family).
 
     Bit-identical to the JVM/DuckDB left-fold dot (aggregate/
     list_reduce): accumulate over the DIMS in a Python loop of
@@ -361,39 +369,44 @@ def rh_codes_mapper(bands: int, bits: int):
     exactly as the sequential fold 0+x0·w0+x1·w1+…, just computed for
     every row (and plane) at once. A plain E@W.T would be numpy's
     pairwise summation — a different add order that can flip a
-    near-zero sign bit vs the SQL oracle."""
+    near-zero sign bit vs the SQL oracle. (The float32→float64 widening
+    is the same IEEE-exact conversion numpy applied to the pandas rows.)"""
     planes = rh_planes(bands, bits)
 
     def gen_codes(it):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         W = np.asarray(planes, dtype=np.float64)  # (bands*bits, dim)
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
             E = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            D = np.zeros((len(pdf), W.shape[0]))
+                cols["embedding"].flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            D = np.zeros((n, W.shape[0]))
             for i in range(W.shape[1]):  # exact left fold over dims
                 D = D + E[:, i, None] * W[None, :, i]
             S = D >= 0
-            out = []
             for b in range(bands):
-                code = np.zeros(len(pdf), dtype=np.int32)
+                code = np.zeros(n, dtype=np.int32)
                 for r in range(bits):
                     code |= S[:, b * bits + r].astype(np.int32) << r
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "band": np.int32(b),
-                            "code": code,
-                        }
-                    )
+                # one batch per band: same rows in the same order as the
+                # old per-band concat, no pandas assembly
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        cols["vec_id"],
+                        pa.array(np.full(n, b, dtype=np.int32)),
+                        pa.array(code),
+                    ],
+                    ["vec_id", "band", "code"],
                 )
-            yield pd.concat(out)
 
     return gen_codes
 
@@ -418,7 +431,7 @@ def _rh_codes(
     emb = _emb(spark, sf_dir)
     out = (
         emb.select("vec_id", "embedding")
-        .mapInPandas(rh_codes_mapper(bands, bits), schema=RH_CODES_SCHEMA)
+        .mapInArrow(rh_codes_mapper(bands, bits), schema=RH_CODES_SCHEMA)
         .persist()
     )
     _RH_CODES_CACHE[key] = out
@@ -1095,12 +1108,16 @@ def _kmeans_assigned(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
         "cell int, centroid array<double>",
     )
-    # full-corpus assignment: Arrow-batched numpy argmin against the
+    # full-corpus assignment: Arrow-native numpy argmin against the
     # broadcast centroid matrix — a zero-shuffle map, vectorized across
     # rows AND cells (the JVM higher-order-fold equivalent runs
     # interpreted per element; same trade as _rh_codes). numpy argmin
     # keeps the FIRST (lowest) cell on exact ties, and the GEMM form
     # matches the trainer's distance arithmetic term-for-term.
+    # mapInArrow (guide §4.2, r14): the embedding matrix reshapes out of
+    # the list column's flat values buffer and every pass-through column
+    # is the untouched Arrow array — no pandas materialization of the
+    # full corpus frame on either side of the boundary.
     C = cents_np.copy()
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
@@ -1108,20 +1125,23 @@ def _kmeans_assigned(
 
     def gen_assign(it):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
+            i_emb = batch.schema.names.index("embedding")
             E = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+                batch.column(i_emb).flatten(), dtype=np.float64
+            ).reshape(n, -1)
             d = (C * C).sum(axis=1)[None, :] - 2.0 * (E @ C.T)
-            out = pdf.copy()
-            out["prediction"] = d.argmin(axis=1).astype("int32")
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(d.argmin(axis=1).astype(np.int32))],
+                list(batch.schema.names) + ["prediction"],
+            )
 
-    assigned = emb.mapInPandas(gen_assign, schema=out_schema).persist()
+    assigned = emb.mapInArrow(gen_assign, schema=out_schema).persist()
     _KMEANS_CACHE[key] = (assigned, cents)
     return assigned, cents
 
@@ -1523,22 +1543,27 @@ def _ivf_assigned(
     ) + ", cell int"
 
     def gen_assign(it):
+        # mapInArrow (guide §4.2, r14): same zero-pandas pass-through
+        # rewrite as _kmeans_assigned's assignment stage
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         cc = (C * C).sum(axis=1)[None, :]
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
+            i_emb = batch.schema.names.index("embedding")
             E = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+                batch.column(i_emb).flatten(), dtype=np.float64
+            ).reshape(n, -1)
             d = cc - 2.0 * (E @ C.T)  # same BLAS form as the trainer
-            out = pdf.copy()
-            out["cell"] = d.argmin(axis=1).astype("int32")
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(d.argmin(axis=1).astype(np.int32))],
+                list(batch.schema.names) + ["cell"],
+            )
 
-    assigned = emb.mapInPandas(gen_assign, schema=out_schema).persist()
+    assigned = emb.mapInArrow(gen_assign, schema=out_schema).persist()
     _IVF_CACHE[key] = (assigned, cents, n_cells, cents_np)
     return _IVF_CACHE[key]
 
@@ -1595,61 +1620,79 @@ def emb_knn_join(
     ).select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qv"))
 
     def gen_probe(it):
+        # mapInArrow (guide §4.2, r14): the query matrix reshapes out of
+        # the qv list column's flat buffer; the nprobe-way row expansion
+        # is one vectorized take() per column instead of a per-query
+        # pandas frame + concat. A stable argsort on -ccos is exactly the
+        # old per-row lexsort((cells_idx, -ccos[i])): equal cosines keep
+        # the original (ascending cell id) order.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         cn = np.sqrt((C * C).sum(axis=1))
-        cells_idx = np.arange(C.shape[0])
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
-            Q = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            Q = np.asarray(cols["qv"].flatten(), dtype=np.float64).reshape(
+                n, -1
             )
             qn = np.sqrt((Q * Q).sum(axis=1))
             ccos = np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
-            out = []
-            for i in range(len(pdf)):
-                top = np.lexsort((cells_idx, -ccos[i]))[:nprobe]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "q_vec_id": pdf["q_vec_id"].iloc[i],
-                            "qv": [pdf["qv"].iloc[i]] * len(top),
-                            "cell": top.astype("int32"),
-                        }
-                    )
-                )
-            yield pd.concat(out)
+            top = np.argsort(-ccos, axis=1, kind="stable")[:, :nprobe]
+            idx = pa.array(
+                np.repeat(np.arange(n, dtype=np.int64), top.shape[1])
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["q_vec_id"].take(idx),
+                    cols["qv"].take(idx),
+                    pa.array(top.ravel().astype(np.int32)),
+                ],
+                ["q_vec_id", "qv", "cell"],
+            )
 
-    probe = queries.mapInPandas(
+    probe = queries.mapInArrow(
         gen_probe, schema="q_vec_id long, qv array<float>, cell int"
     )
 
     def gen_score(it):
+        # mapInArrow (guide §4.2, r14): both matrices reshape out of the
+        # list columns' flat buffers — zero per-row Python over the
+        # candidate set, the family's hot loop
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
             A = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            Qm = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+                cols["embedding"].flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            Qm = np.asarray(cols["qv"].flatten(), dtype=np.float64).reshape(
+                n, -1
             )
             cos = np.round(
                 (A * Qm).sum(axis=1)
                 / np.sqrt((A * A).sum(axis=1) * (Qm * Qm).sum(axis=1)),
                 6,
             )
-            yield pd.DataFrame(
-                {
-                    "q_vec_id": pdf["q_vec_id"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cosine": cos,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["q_vec_id"],
+                    cols["vec_id"],
+                    pa.array(cos, type=pa.float64()),
+                ],
+                ["q_vec_id", "vec_id", "cosine"],
             )
 
     from pyspark.sql import Window
@@ -1658,7 +1701,7 @@ def emb_knn_join(
         assigned.join(probe, "cell")  # hash join on the cell key; AQE sizes it
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "qv", "vec_id", "embedding")
-        .mapInPandas(
+        .mapInArrow(
             gen_score, schema="q_vec_id long, vec_id long, cosine double"
         )
     )
@@ -1729,38 +1772,47 @@ def emb_knn_join_label(
         .select("q_vec_id", "qv", "label")
     )
     def gen_fold_cosine(it):
+        # mapInArrow (guide §4.2, r14): matrices reshape out of the list
+        # columns' flat buffers; the dot and both norms stay the exact
+        # left fold over dims, bit-identical to the SQL/DuckDB oracle
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            n = batch.num_rows
+            if not n:
                 continue
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
             A = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                cols["embedding"].flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            B = np.asarray(cols["qv"].flatten(), dtype=np.float64).reshape(
+                n, -1
             )
-            B = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
-            )
-            d = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
+            d = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
             for i in range(A.shape[1]):  # exact left folds (see _rh_codes)
                 d = d + A[:, i] * B[:, i]
                 na = na + A[:, i] * A[:, i]
                 nb = nb + B[:, i] * B[:, i]
-            yield pd.DataFrame(
-                {
-                    "q_vec_id": pdf["q_vec_id"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cosine_raw": d / np.sqrt(na * nb),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["q_vec_id"],
+                    cols["vec_id"],
+                    pa.array(d / np.sqrt(na * nb), type=pa.float64()),
+                ],
+                ["q_vec_id", "vec_id", "cosine_raw"],
             )
 
     scored = (
         emb.join(F.broadcast(probe), "label")  # bounded: ≤ query_cap·nprobe rows
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "qv", "vec_id", "embedding")
-        .mapInPandas(
+        .mapInArrow(
             gen_fold_cosine,
             schema="q_vec_id long, vec_id long, cosine_raw double",
         )

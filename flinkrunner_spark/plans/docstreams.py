@@ -187,7 +187,7 @@ def stream_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_count(spark, sf_dir), COSINE_DUP_THRESHOLD
     )
     emb_stream = stream_embeddings(spark, sf_dir, splits=4)
-    codes = emb_stream.select("vec_id", "embedding").mapInPandas(
+    codes = emb_stream.select("vec_id", "embedding").mapInArrow(
         rh_codes_mapper(RH_BANDS, nbits), schema=RH_CODES_SCHEMA
     )
     index_stream = codes.groupBy("band", "code").agg(

@@ -53,15 +53,22 @@ def pyworker_count():
 
 
 def jstack(tag):
-    # driver JVM pid: the java child of this python process tree
-    out = subprocess.run(["pgrep", "-f", "pyspark-shell|SparkSubmit"],
-                         capture_output=True, text=True).stdout.split()
-    for pid in out:
-        d = subprocess.run(["jstack", pid], capture_output=True, text=True)
-        if d.returncode == 0:
-            with open(f"/tmp/jstack_{tag}_{pid}.txt", "w") as f:
-                f.write(d.stdout)
-            return f"/tmp/jstack_{tag}_{pid}.txt"
+    # driver JVM pid: resolve OUR OWN session's JVM via its runtime name
+    # (pid@host), not a host-wide pgrep — under multi-session load a
+    # pattern match can dump an unrelated driver (r13 advisor item)
+    from flinkrunner_spark import get_spark
+
+    spark = get_spark("warm-slowdown-probe")
+    rt = (
+        spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+        .getName()
+    )
+    pid = rt.split("@")[0]
+    d = subprocess.run(["jstack", pid], capture_output=True, text=True)
+    if d.returncode == 0:
+        with open(f"/tmp/jstack_{tag}_{pid}.txt", "w") as f:
+            f.write(d.stdout)
+        return f"/tmp/jstack_{tag}_{pid}.txt"
     return None
 
 
