@@ -336,15 +336,18 @@ def test_docs_heavy_hitters_sketch_shuffle_is_bounded_keyspace(spark):
 
 def test_emb_knn_join_no_forced_probe_broadcast(spark):
     """The learned-cell k-NN join must never row-duplicate via a
-    nested-loop product, and its probe/scoring stages are Arrow
-    (mapInPandas) — no interpreted per-element folds in the hot path."""
+    nested-loop product, and its probe/scoring stages are Arrow-native
+    (mapInArrow, r14 port — zero per-row Python, no pandas
+    materialization) — no interpreted per-element folds in the hot
+    path."""
     from flinkrunner_spark.llm import similarity
 
     similarity.release_caches(SF)
     plan = _plan(spark, similarity.emb_knn_join)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("MapInPandas") >= 2, plan  # probe + scoring
+    assert plan.count("MapInArrow") >= 2, plan  # probe + scoring
+    assert "MapInPandas" not in plan, plan  # fully ported (r14)
     similarity.release_caches(SF)
 
 
